@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's tuned defaults.
+  *
+  * Design notes for cluster scale (tested on local[32], designed for
+  * 1000-executor clusters over ~100 TB):
+  *   - AQE on: runtime coalescing of shuffle partitions, skew-join
+  *     splitting (comment counts per docket span 0..25k+ in the
+  *     reference corpus — see reference CONVERSION_READY.md:38-41).
+  *   - shuffle.partitions is a *local* default (32); on a real cluster
+  *     AQE's coalesce makes the initial number a ceiling, so deployments
+  *     should raise `spark.sql.adaptive.coalescePartitions.initialPartitionNum`
+  *     instead of hand-tuning per query.
+  *   - UTC session timezone: oracle (DuckDB) parity for date bucketing.
+  *   - maxPartitionBytes default 128m kept: the many-tiny-JSON-files
+  *     ingest path (reference convert_to_iceberg.py:956-1121) relies on
+  *     file-packing one task per ~128 MB of small files.
+  */
+object GraftSession {
+  def builder(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+      .config("spark.ui.enabled", "false")
+
+  def get(): SparkSession = {
+    val spark = builder().getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

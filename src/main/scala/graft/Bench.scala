@@ -1,24 +1,48 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times the headline queries on SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line. Failed queries report -1 and are excluded from
+  * the total (a crashing query must not masquerade as a fast one).
+  * Session comes from GraftSession so bench executes with the same
+  * tuned semantics (AQE, UTC) as Verify — date queries must not drift
+  * between the correctness and bench runs.
+  */
 object Bench {
+
+  /** Headline subset: one per plan family — scan-agg, group-agg, top-k,
+    * text search, joins, window, dedup, ANN, streaming-window. */
+  val headline: Seq[String] = Seq(
+    "a1_count", "a2_groupby_count", "a5_topk_group", "a6_date_topk",
+    "a9_numeric_summary", "f2_text_search", "f11_arithmetic",
+    "j1_join_broadcast", "j2_join_3way", "w1_topk_per_group",
+    "dedup_exact_stats", "dedup_minhash_lsh", "ann_cosine_topk",
+    "st_tumbling_hourly")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val spark = GraftSession.get()
+    val queries = SparkEntry.queries
+    val names = headline.filter(queries.contains) ++
+      queries.keys.filterNot(headline.contains).toSeq.sorted
+
+    val results = names.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { queries(name)(spark, sfDir).count(); true }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+        }
+      val sec = (System.nanoTime() - t0) / 1e9
+      (name, if (ok) sec else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results
+      .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -17,21 +17,39 @@ import org.apache.spark.sql.SparkSession
   *   - maxPartitionBytes default 128m kept: the many-tiny-JSON-files
   *     ingest path (reference convert_to_iceberg.py:956-1121) relies on
   *     file-packing one task per ~128 MB of small files.
+  *
+  * `master` is only set when none was provided (so `spark-submit
+  * --master` on a real cluster is respected); the cores env var is
+  * validated to a positive int before it reaches any numeric conf.
   */
 object GraftSession {
-  def builder(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")): SparkSession.Builder =
-    SparkSession
+
+  /** SPARK_GRAFT_CPUS, validated; non-numeric or missing → 32. */
+  def cores: Int =
+    sys.env.get("SPARK_GRAFT_CPUS")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+      .filter(_ > 0)
+      .getOrElse(32)
+
+  def builder(): SparkSession.Builder = {
+    val n = cores
+    val b = SparkSession
       .builder()
-      .master(s"local[$cores]")
       .appName("graft")
-      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.shuffle.partitions", n.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+      // the events fixture carries parquet TIMESTAMP(NANOS) which Spark
+      // rejects by default; read as long and convert in Tables.events
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+    if (sys.props.get("spark.master").isEmpty &&
+      sys.env.get("MASTER").isEmpty) b.master(s"local[$n]") else b
+  }
 
   def get(): SparkSession = {
     val spark = builder().getOrCreate()

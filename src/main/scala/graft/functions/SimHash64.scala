@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression: 64-bit SimHash of a token array.
+  *
+  * For each token, take its XXH64 hash; for each of the 64 bit
+  * positions, count tokens voting 1 vs 0; the output bit is the
+  * majority. Near-identical documents differ in few tokens, so their
+  * SimHashes differ in few bits — Hamming distance approximates token
+  * multiset similarity.
+  *
+  * Why a custom Expression and not a UDF / higher-order-function combo:
+  * the HOF formulation (`transform(sequence(0,63), b -> size(filter(...))`)
+  * is O(64·n) with interpreted lambdas per element; this is a single
+  * O(n) pass in generated Java, stays inside WholeStageCodegen, and
+  * allocates nothing but one int[64]. The reference has no counterpart
+  * (its dedup story is absent entirely); this is a brief-mandated
+  * extension op.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash64 requires array<string>, got ${other.simpleString(10)}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    var nonNull = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val t = arr.getUTF8String(i)
+        val h = SimHash64.hashToken(t)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1
+          b += 1
+        }
+        nonNull += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) * 2 > nonNull) out |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val counts = ctx.freshName("counts")
+      val n = ctx.freshName("n")
+      val nonNull = ctx.freshName("nonNull")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val out = ctx.freshName("out")
+      val cls = SimHash64.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"""
+         |int[] $counts = new int[64];
+         |int $n = $arr.numElements();
+         |int $nonNull = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$arr.isNullAt($i)) {
+         |    long $h = $cls.hashToken($arr.getUTF8String($i));
+         |    for (int $b = 0; $b < 64; $b++) {
+         |      if ((($h >>> $b) & 1L) == 1L) $counts[$b]++;
+         |    }
+         |    $nonNull++;
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if ($counts[$b] * 2 > $nonNull) $out |= (1L << $b);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  /** XXH64 over the token's UTF-8 bytes, seed 42 (Spark's xxhash64 seed). */
+  def hashToken(t: UTF8String): Long =
+    XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes(), 42L)
+
+  /** Register the expression in a session's function registry (Column
+    * construction from a raw Expression is private[sql] in Spark 4, so
+    * the public path is registry + call_function). Idempotent. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs.head), "built-in")
+
+  /** Column API: `simhash64(tokensCol)`; requires register(spark). */
+  def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
+}

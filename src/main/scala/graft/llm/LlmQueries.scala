@@ -1,0 +1,185 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.queries.Q
+
+/** Driver-facing query entries for the LLM-pipeline operators.
+  *
+  * SQL-expressible ops carry a DuckDB oracle; the LSH/bucketed ops
+  * (whose bucketing is engine-internal) are registered rows-only and
+  * get exact verification in DedupSpec/SimilaritySpec instead —
+  * pair-finding queries return aggregate summaries so the rows-only
+  * check always sees ≥1 row.
+  */
+object LlmQueries {
+
+  /** Exact-dup stats via SHA-256 content digest. */
+  val dedupStats = Q(
+    "dedup_exact_stats",
+    (s, d) => Dedup.exactStats(Tables.documents(s, d)),
+    Some("""SELECT COUNT(*) AS total_docs,
+                   COUNT(DISTINCT sha256(text)) AS distinct_docs,
+                   COUNT(*) - COUNT(DISTINCT sha256(text)) AS exact_dups
+            FROM documents"""))
+
+  /** Keep-one-per-content-group representatives. */
+  val dedupKeep = Q(
+    "dedup_exact_keep",
+    (s, d) => Dedup.exactDedup(Tables.documents(s, d)).orderBy("keep_id"),
+    Some("""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+            FROM documents GROUP BY sha256(text) ORDER BY keep_id"""))
+
+  /** MinHash+LSH near-dup summary (bucketing not SQL-expressible;
+    * exact-Jaccard verification lives in DedupSpec). */
+  val nearDupMinhash = Q(
+    "dedup_minhash_lsh",
+    (s, d) =>
+      Dedup.nearDupMinhash(Tables.documents(s, d), minJaccard = 0.5)
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          coalesce(round(avg(col("jaccard")), 4), lit(0.0)).as("avg_jaccard")),
+    None)
+
+  /** SimHash near-dup summary (custom codegen expression inside). */
+  val nearDupSimhash = Q(
+    "dedup_simhash",
+    (s, d) =>
+      Dedup.nearDupSimhash(Tables.documents(s, d), maxHamming = 16)
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          coalesce(round(avg(col("hamming")), 4), lit(0.0)).as("avg_hamming")),
+    None)
+
+  /** n-gram Jaccard verifier standalone: exact Jaccard over a
+    * deterministic pair list (adjacent doc ids). */
+  val ngramJaccard = Q(
+    "dedup_ngram_jaccard",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = docs.select(
+        col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      Dedup.ngramJaccardPairs(docs, pairs)
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          coalesce(round(avg(col("jaccard")), 4), lit(0.0)).as("avg_jaccard"),
+          coalesce(round(max(col("jaccard")), 4), lit(0.0)).as("max_jaccard"))
+    },
+    None)
+
+  /** Brute-force cosine top-10 vs vec_id=0 — the exact ANN baseline,
+    * oracle-checked against DuckDB's list_cosine_similarity. */
+  val annBrute = Q(
+    "ann_cosine_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_vec"))
+      Similarity.bruteForceTopK(emb, query, k = 10, excludeId = 0L)
+    },
+    Some("""SELECT e.vec_id,
+                   ROUND(list_cosine_similarity(
+                     CAST(e.embedding AS DOUBLE[]),
+                     CAST(q.embedding AS DOUBLE[])), 4) AS cos_sim
+            FROM embeddings e,
+                 (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            WHERE e.vec_id <> 0
+            ORDER BY cos_sim DESC, e.vec_id LIMIT 10"""))
+
+  /** Random-hyperplane LSH ANN (scale path; recall vs brute force is
+    * asserted in SimilaritySpec). */
+  val annLsh = Q(
+    "ann_lsh_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_vec"))
+      Similarity.lshBucketTopK(emb, query, dim = 64, k = 10, excludeId = 0L)
+    },
+    None)
+
+  /** Embedding-cosine near-dup pairs, LSH-bucketed, summary form. */
+  val nearDupCosine = Q(
+    "dedup_embedding_cosine",
+    (s, d) =>
+      Similarity.nearDupCosine(Tables.embeddings(s, d), dim = 64,
+        minCosine = 0.5)
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          coalesce(round(max(col("cos_sim")), 4), lit(0.0)).as("max_cos")),
+    None)
+
+  /** Token counting (whitespace). */
+  val textTokens = Q(
+    "text_tokens",
+    (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_c"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id")
+        .limit(500),
+    Some("""SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars_c,
+                   CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                     AS n_tokens
+            FROM documents ORDER BY doc_id LIMIT 500"""))
+
+  /** Quality-scoring ratios (stopword + punctuation). */
+  val textQuality = Q(
+    "text_quality",
+    (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.stopwordRatio(col("text")).as("stop_ratio"),
+        TextAnalysis.punctRatio(col("text")).as("punct_ratio"))
+        .orderBy("doc_id")
+        .limit(500),
+    Some("""SELECT doc_id,
+                   ROUND(CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                       x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x)))
+                     AS DOUBLE) /
+                     GREATEST(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 1.0),
+                     4) AS stop_ratio,
+                   ROUND(CAST(LENGTH(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))
+                     AS DOUBLE) /
+                     GREATEST(CAST(LENGTH(text) AS DOUBLE), 1.0), 4) AS punct_ratio
+            FROM documents ORDER BY doc_id LIMIT 500"""))
+
+  /** Language distribution over the ground-truth lang column. */
+  val langDist = Q(
+    "text_lang_dist",
+    (s, d) =>
+      Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("cnt"), round(avg(col("n_chars")), 2).as("avg_chars"))
+        .orderBy("lang"),
+    Some("""SELECT lang, COUNT(*) AS cnt, ROUND(AVG(n_chars), 2) AS avg_chars
+            FROM documents GROUP BY lang ORDER BY lang"""))
+
+  /** Language-ID heuristic + fingerprint (engine-specific hash — tested
+    * against golden values in TextAnalysisSpec; rows-only here). */
+  val textAnalyze = Q(
+    "text_analyze",
+    (s, d) => TextAnalysis.analyze(Tables.documents(s, d)).orderBy("doc_id"),
+    None)
+
+  /** Multimodal plumbing: binary payload stats per modality. n_bytes is
+    * real (payload length); decode metadata is the stub. */
+  val mmStats = Q(
+    "mm_modality_stats",
+    (s, d) => {
+      implicit val spark: org.apache.spark.sql.SparkSession = s
+      Multimodal.decodeAndProfile(Tables.documents(s, d))
+        .select("modality", "n_media", "avg_bytes")
+    },
+    Some("""SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                        WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+                   COUNT(*) AS n_media,
+                   ROUND(AVG(octet_length(encode(text))), 2) AS avg_bytes
+            FROM documents GROUP BY 1 ORDER BY modality"""))
+
+  def all: Seq[Q] = Seq(
+    dedupStats, dedupKeep, nearDupMinhash, nearDupSimhash, ngramJaccard,
+    annBrute, annLsh, nearDupCosine,
+    textTokens, textQuality, langDist, textAnalyze, mmStats)
+}

@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Join surface (SURVEY §2.3). The reference has no join operator —
+  * joins exist as foreign keys in its data model (comments.docketId →
+  * docket_info.id, comments.commentOn → documents.objectId;
+  * convert_to_iceberg.py:726-768 co-locates the three tables). Here the
+  * FK joins are expressed over the synthetic star schema.
+  *
+  * Scale design: dimension tables (customer/nation/region ≈ docket_info)
+  * are orders of magnitude smaller than the fact tables → explicit
+  * `broadcast()` hints so the plan is a BroadcastHashJoin (no shuffle of
+  * the fact side). At 100 TB the fact-fact join (lineitem⋈orders) stays
+  * a shuffled hash/sort-merge join on the key — that one SHOULD shuffle;
+  * AQE handles skewed keys (skewJoin.enabled in GraftSession).
+  */
+object JoinQueries {
+
+  /** j1 — fact ⋈ broadcast dimension + aggregate (comments⋈docket_info
+    * analog). */
+  val j1 = Q(
+    "j1_join_broadcast",
+    (s, d) =>
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy("c_mktsegment"),
+    Some("""SELECT c_mktsegment, COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** j2 — three-way join: shuffled fact⋈fact (lineitem⋈orders) then a
+    * broadcast dim (customer). comments⋈documents analog. */
+  val j2 = Q(
+    "j2_join_3way",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_items"))
+        .orderBy("c_mktsegment"),
+    Some("""SELECT c_mktsegment, COUNT(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** j3 — left-semi existence (dockets having comments analog). */
+  val j3 = Q(
+    "j3_semi_join",
+    (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("n_cust_with_orders")),
+    Some("""SELECT COUNT(*) AS n_cust_with_orders FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""))
+
+  /** j4 — left-anti (dockets with no comments analog). */
+  val j4 = Q(
+    "j4_anti_join",
+    (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_cust_no_orders")),
+    Some("""SELECT COUNT(*) AS n_cust_no_orders FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""))
+
+  /** u1 — union with schema drift: the reference's pandas implicitly
+    * unions rows with differing key sets (convert_to_iceberg.py:678);
+    * Spark-first that is unionByName(allowMissingColumns) — absent
+    * column ≡ NULL, exactly the reference's absent-attribute semantics. */
+  val u1 = Q(
+    "u1_union_drift",
+    (s, d) => {
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").as("id"),
+        lit("order").as("kind"),
+        col("o_totalprice").as("amount"),
+        col("o_orderpriority").as("priority"))
+      val e = Tables.events(s, d).select(
+        col("event_id").as("id"),
+        lit("event").as("kind"),
+        col("value").as("amount"))
+      o.unionByName(e, allowMissingColumns = true)
+        .orderBy("kind", "id")
+        .limit(1000)
+    },
+    Some("""SELECT * FROM (
+              SELECT o_orderkey AS id, 'order' AS kind,
+                     o_totalprice AS amount, o_orderpriority AS priority
+              FROM orders
+              UNION ALL
+              SELECT event_id, 'event', value, NULL FROM events)
+            ORDER BY kind, id LIMIT 1000"""))
+
+  def all: Seq[Q] = Seq(j1, j2, j3, j4, u1)
+}

@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Data-profiling pass (SURVEY §2.4 A7/A11–A13). The reference profiles
+  * per column with eager pandas (`simple_iceberg_exploration.py:344-378`,
+  * `demo_optimized_data.py:137-169`) — one pass per statistic. Here the
+  * whole profile is ONE distributed pass: a single wide aggregate row
+  * (count + non-null count + distinct per column) melted to long format
+  * with `stack`.
+  *
+  * Scale note: `countDistinct` over many columns plans an Expand (one
+  * shuffle, data duplicated per distinct column) — acceptable for a
+  * profiling pass; the 100 TB default is `approx_count_distinct` (HLL++
+  * sketch, map-side mergeable, no raw-value shuffle), exposed in
+  * `profileApprox`.
+  */
+object ProfileQueries {
+
+  /** Generic schema-driven profile: (col_name, n_nonnull, n_distinct). */
+  def profile(df: DataFrame): DataFrame = {
+    val cols = df.columns.toSeq
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"nn_$c"),
+      countDistinct(col(c)).as(s"nd_$c")))
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c => s"'$c', `nn_$c`, `nd_$c`").mkString(", ")
+    wide
+      .selectExpr(
+        s"stack(${cols.length}, $stackArgs) AS (col_name, n_nonnull, n_distinct)")
+      .orderBy("col_name")
+  }
+
+  /** Same profile with HLL++ distinct sketches — the 100 TB default. */
+  def profileApprox(df: DataFrame, rsd: Double = 0.05): DataFrame = {
+    val cols = df.columns.toSeq
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"nn_$c"),
+      approx_count_distinct(col(c), rsd).as(s"nd_$c")))
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c => s"'$c', `nn_$c`, `nd_$c`").mkString(", ")
+    wide
+      .selectExpr(
+        s"stack(${cols.length}, $stackArgs) AS (col_name, n_nonnull, n_distinct)")
+      .orderBy("col_name")
+  }
+
+  /** a13 — exact one-pass profile of `orders`, oracle-checked. */
+  val a13 = Q(
+    "a13_column_profile",
+    (s, d) => profile(Tables.orders(s, d)),
+    Some(Seq("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority",
+      "o_orderstatus", "o_totalprice")
+      .map(c =>
+        s"""SELECT '$c' AS col_name, COUNT($c) AS n_nonnull,
+              COUNT(DISTINCT $c) AS n_distinct FROM orders""")
+      .mkString("", " UNION ALL ", " ORDER BY col_name")))
+
+  /** a7x — approx distinct (HLL++): rows-only check (sketch estimates
+    * are engine-specific); exactness is asserted within ±5% rsd bounds
+    * in ProfileSpec. */
+  val a7x = Q(
+    "a7x_approx_distinct",
+    (s, d) =>
+      Tables.orders(s, d).agg(
+        approx_count_distinct(col("o_custkey"), 0.05).as("approx_cust")),
+    None)
+
+  /** dtype profile (A13 metadata half): schema-only, no scan at all. */
+  def dtypes(spark: SparkSession, sfDir: String, table: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, sfDir, table).schema.fields.toSeq
+      .map(f => (f.name, f.dataType.simpleString, f.nullable))
+      .toDF("col_name", "dtype", "nullable")
+  }
+
+  def all: Seq[Q] = Seq(a13, a7x)
+}

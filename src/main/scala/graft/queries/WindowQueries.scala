@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Window functions (SURVEY §2.5). The reference has none — its top-k
+  * never partitions — so these are the natural extensions the survey
+  * calls out: top-k WITHIN group via row_number, and a running
+  * (cumulative) aggregate.
+  *
+  * Scale design: a window partitioned by a real key (c_mktsegment,
+  * user_id) shuffles once on that key and then runs sorted within each
+  * partition — the shuffle is inherent to the semantics. Never use an
+  * empty `Window.partitionBy()` at scale: it funnels the whole table
+  * through ONE task.
+  */
+object WindowQueries {
+
+  /** w1 — top-3 orders per market segment (top-k within group). */
+  val w1 = Q(
+    "w1_topk_per_group",
+    (s, d) => {
+      val joined = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      joined
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .drop("rn")
+        .orderBy(col("c_mktsegment"), col("o_totalprice").desc, col("o_orderkey"))
+    },
+    Some("""SELECT c_mktsegment, o_orderkey, o_totalprice FROM (
+              SELECT c_mktsegment, o_orderkey, o_totalprice,
+                     ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders JOIN customer ON o_custkey = c_custkey)
+            WHERE rn <= 3
+            ORDER BY c_mktsegment, o_totalprice DESC, o_orderkey"""))
+
+  /** w2 — running per-user cumulative sum over event order. */
+  val w2 = Q(
+    "w2_running_sum",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(
+          col("user_id"), col("event_id"),
+          round(sum(col("value")).over(w), 2).as("running_val"))
+        .orderBy("user_id", "event_id")
+        .limit(500)
+    },
+    Some("""SELECT user_id, event_id,
+                   ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS UNBOUNDED PRECEDING), 2) AS running_val
+            FROM events ORDER BY user_id, event_id LIMIT 500"""))
+
+  /** w3 — rank + lag: per-segment price rank and gap to previous order
+    * value (analytic function coverage). */
+  val w3 = Q(
+    "w3_rank_lag",
+    (s, d) => {
+      val joined = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      joined
+        .withColumn("price_rank", rank().over(w).cast("long"))
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+        .filter(col("price_rank") <= 5)
+        .orderBy(col("c_mktsegment"), col("price_rank"))
+    },
+    Some("""SELECT * FROM (
+              SELECT c_mktsegment, o_orderkey, o_totalprice,
+                     CAST(RANK() OVER w AS BIGINT) AS price_rank,
+                     LAG(o_totalprice, 1) OVER w AS prev_price
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              WINDOW w AS (PARTITION BY c_mktsegment
+                           ORDER BY o_totalprice DESC, o_orderkey))
+            WHERE price_rank <= 5
+            ORDER BY c_mktsegment, price_rank"""))
+
+  def all: Seq[Q] = Seq(w1, w2, w3)
+}

@@ -86,15 +86,15 @@ object LlmQueries {
             WHERE e.vec_id <> 0
             ORDER BY cos_sim DESC, e.vec_id LIMIT 10"""))
 
-  /** Random-hyperplane LSH ANN (scale path; recall vs brute force is
-    * asserted in SimilaritySpec). */
+  /** Multi-table random-hyperplane LSH ANN (scale path; recall vs
+    * brute force is asserted in SimilaritySpec). */
   val annLsh = Q(
     "ann_lsh_topk",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
       val query = emb.filter(col("vec_id") === 0)
         .select(col("embedding").as("q_vec"))
-      Similarity.lshBucketTopK(emb, query, dim = 64, k = 10, excludeId = 0L)
+      Similarity.lshTopK(emb, query, k = 10, excludeId = 0L)
     },
     None)
 
@@ -102,8 +102,7 @@ object LlmQueries {
   val nearDupCosine = Q(
     "dedup_embedding_cosine",
     (s, d) =>
-      Similarity.nearDupCosine(Tables.embeddings(s, d), dim = 64,
-        minCosine = 0.5)
+      Similarity.nearDupCosine(Tables.embeddings(s, d), minCosine = 0.5)
         .agg(
           count(lit(1)).as("n_pairs"),
           coalesce(round(max(col("cos_sim")), 4), lit(0.0)).as("max_cos")),

@@ -3,6 +3,9 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions
+import graft.functions.VectorExprs.{array_dot, lsh_buckets}
+
 /** Similarity search over an embedding column (`array<float>`).
   *
   * Three tiers, in ascending scale:
@@ -10,27 +13,26 @@ import org.apache.spark.sql.functions._
   *    distributed and the top-k is a TakeOrderedAndProject (bounded
   *    heap per partition, k rows to the driver) — correct baseline and
   *    the verifier for the approximate tiers;
-  *  - `lshBucketTopK`: random-hyperplane LSH — vectors bucketed by the
-  *    sign pattern of `nBits` fixed projections; a query probes only
-  *    its own bucket plus Hamming≤1 neighbors (nBits+1 buckets of 2^nBits),
-  *    cutting the scanned fraction to ~(nBits+1)/2^nBits;
+  *  - `lshTopK`: multi-table random-hyperplane LSH — L independent
+  *    hash tables of nBits sign-projections each; a vector is a
+  *    candidate if it shares a bucket with the query in ANY table
+  *    (candidate rate 1-(1-p^nBits)^L for per-bit agreement p). The
+  *    candidate join shuffles only (table, bucket, id);
   *  - `ivfTopK`: IVF-lite — a deterministic sample of vectors acts as
   *    the coarse centroid table (broadcast), every vector is assigned
   *    to its nearest centroid (one broadcast join, no shuffle of the
   *    big side), and a query probes the `nprobe` nearest lists.
   *
-  * All dot products run in double precision via zip_with + aggregate —
-  * pure Catalyst higher-order functions, no UDF, no collect.
+  * Dot products run through the codegen `array_dot` expression
+  * (graft.functions.VectorExprs) — a tight Java loop, no interpreted
+  * lambdas, left-to-right double accumulation (bit-identical to the
+  * DuckDB oracle's list_cosine_similarity on DOUBLE[]).
   */
 object Similarity {
 
-  /** Dot product of two array<numeric> columns, accumulated in double
-    * left-to-right (bitwise-reproducible across engines). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x)
+  /** Dot product via the codegen expression (register first —
+    * all DataFrame entry points below do). */
+  def dot(a: Column, b: Column): Column = array_dot(a, b)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -45,7 +47,8 @@ object Similarity {
       k: Int = 10,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      excludeId: Long = -1L): DataFrame =
+      excludeId: Long = -1L): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
     embeddings
       .filter(col(idCol) =!= excludeId)
       .crossJoin(broadcast(query))
@@ -54,62 +57,61 @@ object Similarity {
         round(cosine(col(vecCol), col("q_vec")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
-
-  /** Sign-bit bucket id for random-hyperplane LSH. The "hyperplanes"
-    * are deterministic pseudo-random unit-free vectors derived from
-    * xxhash64(dim, bit) — fixed across executors with no RNG state. */
-  def lshBucket(vec: Column, dim: Int, nBits: Int = 8): Column = {
-    val bits = (0 until nBits).map { bit =>
-      // projection_b(v) = sum_i v[i] * h(i,b), h in [-1,1]
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), lit(dim - 1)),
-          (x, i) => x.cast("double") *
-            (pmod(xxhash64(i, lit(bit)), lit(2000001L)).cast("double") /
-              lit(1000000.0) - lit(1.0))),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << bit)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a + b).cast("long")
   }
 
-  /** Approximate top-k: probe the query's bucket and all Hamming-1
-    * neighbor buckets. Output schema matches bruteForceTopK. */
-  def lshBucketTopK(
+  /** Candidate ids sharing an LSH bucket with the query in ≥1 table. */
+  private def lshCandidates(
       embeddings: DataFrame,
       query: DataFrame,
-      dim: Int,
+      nBits: Int,
+      nTables: Int,
+      idCol: String,
+      vecCol: String): DataFrame = {
+    val emb = embeddings.select(
+      col(idCol),
+      posexplode(lsh_buckets(col(vecCol), nBits, nTables))
+        .as(Seq("tbl", "bucket")))
+    val q = query.select(
+      posexplode(lsh_buckets(col("q_vec"), nBits, nTables))
+        .as(Seq("tbl", "bucket")))
+    emb.join(broadcast(q), Seq("tbl", "bucket"))
+      .select(idCol).distinct()
+  }
+
+  /** Approximate top-k via multi-table LSH; candidates then exact
+    * cosine. Output schema matches bruteForceTopK. */
+  def lshTopK(
+      embeddings: DataFrame,
+      query: DataFrame,
       k: Int = 10,
-      nBits: Int = 8,
+      nBits: Int = 6,
+      nTables: Int = 8,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       excludeId: Long = -1L): DataFrame = {
-    val bucketed = embeddings
-      .filter(col(idCol) =!= excludeId)
-      .withColumn("bucket", lshBucket(col(vecCol), dim, nBits))
-    val q = query.withColumn("q_bucket", lshBucket(col("q_vec"), dim, nBits))
-      .withColumn("probe",
-        explode(array(
-          col("q_bucket") +:
-            (0 until nBits).map(b =>
-              col("q_bucket").bitwiseXOR(lit(1L << b))): _*)))
-      .select(col("q_vec"), col("probe"))
-    bucketed
-      .join(broadcast(q), col("bucket") === col("probe"))
+    GraftFunctions.register(embeddings.sparkSession)
+    val cands = lshCandidates(
+      embeddings.filter(col(idCol) =!= excludeId), query,
+      nBits, nTables, idCol, vecCol)
+    embeddings
+      .join(cands, Seq(idCol), "left_semi")
+      .crossJoin(broadcast(query))
       .select(col(idCol),
         round(cosine(col(vecCol), col("q_vec")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }
 
-  /** IVF-lite index: centroids = deterministic sample (id % step == 0),
-    * broadcast; assignment = argmin over centroid dots (per-row loop
-    * over a broadcast array, no shuffle). Returns the embeddings table
-    * with a `list_id` column — the materialized "index". */
+  /** IVF-lite index: centroids = first nlist vectors by id (broadcast,
+    * deterministic); assignment = argmax cosine over the broadcast
+    * centroid array (per-row loop, no shuffle of the big side).
+    * Returns the embeddings table with a `list_id` column. */
   def ivfAssign(
       embeddings: DataFrame,
       nlist: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
     val centroids = embeddings
       .orderBy(col(idCol))
       .limit(nlist)
@@ -136,6 +138,7 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       excludeId: Long = -1L): DataFrame = {
+    GraftFunctions.register(indexed.sparkSession)
     val centroids = indexed
       .groupBy("list_id")
       .agg(first(col(vecCol)).as("c_vec"))
@@ -155,25 +158,32 @@ object Similarity {
       .limit(k)
   }
 
-  /** Embedding-cosine near-duplicate pairs at scale: LSH-bucket both
-    * sides, pair only within buckets, verify with exact cosine. */
+  /** Embedding-cosine near-duplicate pairs at scale: multi-table LSH
+    * candidates (ids only through the shuffle), vectors joined back
+    * for exact-cosine verification of the candidate set. */
   def nearDupCosine(
       embeddings: DataFrame,
-      dim: Int,
       minCosine: Double = 0.95,
       nBits: Int = 8,
+      nTables: Int = 4,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
     val bucketed = embeddings.select(
-      col(idCol).as("id"), col(vecCol).as("v"),
-      lshBucket(col(vecCol), dim, nBits).as("bucket"))
-    val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("bucket"))
+      col(idCol).as("id"),
+      posexplode(lsh_buckets(col(vecCol), nBits, nTables))
+        .as(Seq("tbl", "bucket")))
+    val pairs = bucketed.as("a")
+      .join(bucketed.as("b"), Seq("tbl", "bucket"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .filter(col("id_a") < col("id_b"))
+      .distinct()
+    val vecs = embeddings.select(col(idCol), col(vecCol))
+    pairs
+      .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("v_a")), Seq("id_a"))
+      .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("v_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(cosine(col("v_a"), col("v_b")), 4).as("cos_sim"))
       .filter(col("cos_sim") >= minCosine)
-      .distinct()
   }
 }

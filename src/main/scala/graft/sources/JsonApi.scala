@@ -1,0 +1,135 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** JSON:API (regulations.gov shape) source: explicit envelope schema +
+  * distributed permissive read.
+  *
+  * Design (SURVEY §1.4 decision 1): `data.attributes` is read as
+  * MAP<STRING,STRING> — the attribute vocabulary varies per docket in
+  * the reference corpus (reference convert_to_iceberg.py:331-333
+  * promotes whatever keys appear), and a map column makes the GLOBAL
+  * table schema fixed while keeping every unknown attribute queryable
+  * (`attrs['anything']`). The typed overlay happens in Flatten.
+  *
+  * Scale: one JSON document per file, 25k+ files per docket (reference
+  * CONVERSION_READY.md:38-41) — the read itself is one distributed job
+  * (file-packing via spark.sql.files.maxPartitionBytes bins thousands
+  * of tiny files per task); only the directory DISCOVERY is driver-side
+  * metadata work. At 100 TB the discovery output (a path list) should
+  * be materialized as a manifest table; the scan stays identical.
+  */
+object JsonApi {
+
+  private val relSchema = StructType(Seq(
+    StructField("data", ArrayType(StructType(Seq(
+      StructField("id", StringType),
+      StructField("type", StringType)))))))
+
+  private val includedSchema = ArrayType(StructType(Seq(
+    StructField("id", StringType),
+    StructField("type", StringType))))
+
+  /** Envelope for docket/document/comment files alike (README.md:16-36
+    * in the reference). `_corrupt_record` captures malformed files —
+    * the reference logs-and-skips them (convert_to_iceberg.py:265-267);
+    * here they are quarantined rows, counted, never fatal. */
+  val envelope: StructType = StructType(Seq(
+    StructField("data", StructType(Seq(
+      StructField("id", StringType),
+      StructField("type", StringType),
+      StructField("links", StructType(Seq(StructField("self", StringType)))),
+      StructField("attributes", MapType(StringType, StringType)),
+      StructField("relationships", MapType(StringType, relSchema))))),
+    StructField("included", includedSchema),
+    StructField("_corrupt_record", StringType)))
+
+  /** One discovered table-folder of one docket (layout variants
+    * resolved to a concrete directory). */
+  final case class DocketDir(
+      agency: String,
+      docketId: String,
+      kind: String, // docket | documents | comments
+      dir: String)
+
+  private val kinds = Seq("docket", "documents", "comments")
+
+  /** Driver-side discovery of `root/raw-data/{agency}/{docket}` trees,
+    * tolerating the reference's layout variants
+    * (convert_to_iceberg.py:437-441, 459-472):
+    *   - table folders directly under the docket dir;
+    *   - an extra nested `raw-data/{agency}/{docket}/` level;
+    *   - `text-*` subdirectories holding the same three folders.
+    * Metadata-only listing (no data reads). */
+  def discover(spark: SparkSession, root: String): Seq[DocketDir] = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    def subdirs(p: Path): Seq[Path] =
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).filter(_.isDirectory).map(_.getPath).toSeq
+
+    val rawRoot = new Path(root, "raw-data")
+    val base = if (fs.exists(rawRoot)) rawRoot else new Path(root)
+
+    for {
+      agencyDir <- subdirs(base)
+      if !agencyDir.getName.startsWith(".") &&
+        agencyDir.getName != "derived-data"
+      docketDir <- subdirs(agencyDir)
+      agency = agencyDir.getName
+      docketId = docketDir.getName
+      // candidate roots holding {docket,documents,comments} folders
+      candidate <- docketDir +:
+        (Seq(new Path(docketDir, s"raw-data/$agency/$docketId")) ++
+          subdirs(docketDir).filter(_.getName.startsWith("text-")))
+      kind <- kinds
+      tableDir = new Path(candidate, kind)
+      if fs.exists(tableDir) &&
+        fs.listStatus(tableDir).exists(f => f.getPath.getName.endsWith(".json"))
+    } yield DocketDir(agency, docketId, kind, tableDir.toString)
+  }
+
+  /** Distributed permissive read of one table-kind across many docket
+    * dirs in a single job. multiLine: one JSON document per file. */
+  def readRaw(spark: SparkSession, dirs: Seq[String]): DataFrame = {
+    require(dirs.nonEmpty, "no input directories")
+    spark.read
+      .option("multiLine", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(envelope)
+      .json(dirs.map(d => s"$d/*.json"): _*)
+      .withColumn("src_file", input_file_name())
+  }
+
+  /** Full tree → (docket_info, documents, comments) flat tables. */
+  def readDocketTree(spark: SparkSession, root: String)
+      : Map[String, DataFrame] = {
+    val found = discover(spark, root)
+    kinds.flatMap { kind =>
+      val dirs = found.filter(_.kind == kind).map(_.dir)
+      if (dirs.isEmpty) None
+      else {
+        val raw = readRaw(spark, dirs)
+        val flat = kind match {
+          case "comments" => Flatten.comments(raw)
+          case "documents" => Flatten.documents(raw)
+          case "docket" => Flatten.docketInfo(raw)
+        }
+        Some((if (kind == "docket") "docket_info" else kind) -> flat)
+      }
+    }.toMap
+  }
+
+  /** Corrupt-file quarantine: rows the permissive parser rejected.
+    * The filter references the parsed `data` column (NULL exactly when
+    * the parse failed) — Spark disallows scans whose only referenced
+    * column is `_corrupt_record`, and a bare isNotNull filter would be
+    * pruned down to exactly that. */
+  def corruptRecords(raw: DataFrame): DataFrame =
+    raw.filter(col("data").isNull && col("_corrupt_record").isNotNull)
+      .select(col("src_file"), col("_corrupt_record"))
+}

@@ -1,0 +1,59 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** Partitioned Parquet sink (reference convert_to_iceberg.py:671-768).
+  *
+  * One LOGICAL table per kind, `partitionBy(agency, docketId)` — not
+  * 150k × 3 separate datasets. That reproduces the reference's
+  * `derived-data/{agency}/{docket}` directory contract while giving
+  * Catalyst partition pruning for agency/docket filters, and it is the
+  * layout that still works at 100 TB (per-partition task parallelism,
+  * dynamic partition overwrite for idempotent re-runs of one docket).
+  *
+  * Codecs: snappy | gzip | lz4 | zstd; `brotli` (reference
+  * convert_to_iceberg.py:1300-1302) has no bundled codec jar in stock
+  * Spark, documented alias → zstd (its modern equivalent).
+  */
+object ParquetSink {
+
+  val codecs: Map[String, String] = Map(
+    "snappy" -> "snappy",
+    "gzip" -> "gzip",
+    "lz4" -> "lz4",
+    "zstd" -> "zstd",
+    "brotli" -> "zstd")
+
+  /** Write one table. Returns false (and writes nothing — not even an
+    * empty directory) for an empty input, mirroring the reference's
+    * skip-if-empty per table (convert_to_iceberg.py:743-766).
+    *
+    * `dynamicOverwrite` replaces only the partitions present in `df`
+    * (a re-run of one docket never clobbers its siblings) — the
+    * Spark-native form of the reference's per-docket idempotency
+    * (SURVEY ST4). */
+  def write(
+      df: DataFrame,
+      path: String,
+      codec: String = "snappy",
+      partitionCols: Seq[String] = Seq("agency"),
+      dynamicOverwrite: Boolean = true): Boolean = {
+    val resolved = codecs.getOrElse(codec.toLowerCase,
+      throw new IllegalArgumentException(
+        s"unknown codec '$codec' (supported: ${codecs.keys.mkString(",")})"))
+    if (df.isEmpty) false
+    else {
+      val w = df.write
+        .mode("overwrite")
+        .option("compression", resolved)
+      val withMode =
+        if (dynamicOverwrite)
+          w.option("partitionOverwriteMode", "dynamic")
+        else w
+      (if (partitionCols.nonEmpty) withMode.partitionBy(partitionCols: _*)
+       else withMode)
+        .parquet(path)
+      true
+    }
+  }
+}

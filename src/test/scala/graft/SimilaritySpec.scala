@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("cosine on known vectors") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(1.0f, 1.0f), Array(1.0f, 0.0f))
+    ).toDF("a", "b")
+    val got = df.select(round(Similarity.cosine($"a", $"b"), 6)).collect()
+      .map(_.getDouble(0)).toSeq
+    assert(got == Seq(1.0, 0.0, 0.707107))
+  }
+
+  lazy val emb = Tables.embeddings(spark, TestSpark.sf0001).cache()
+  lazy val query = emb.filter($"vec_id" === 0).select($"embedding".as("q_vec"))
+
+  lazy val bruteTop = Similarity
+    .bruteForceTopK(emb, query, k = 10, excludeId = 0L)
+    .select("vec_id").as[Long].collect().toSet
+
+  test("brute force topk returns k ordered results") {
+    val rows = Similarity.bruteForceTopK(emb, query, k = 10, excludeId = 0L)
+      .as[(Long, Double)].collect()
+    assert(rows.length == 10)
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.reverse.toSeq)
+    assert(!rows.map(_._1).contains(0L))
+  }
+
+  test("LSH ANN recall vs brute force") {
+    val lshTop = Similarity
+      .lshTopK(emb, query, k = 10, excludeId = 0L)
+      .select("vec_id").as[Long].collect().toSet
+    assert(lshTop.size == 10)
+    // approximate: require non-trivial overlap with the exact answer
+    assert((lshTop intersect bruteTop).size >= 2,
+      s"LSH recall too low: ${(lshTop intersect bruteTop).size}/10")
+  }
+
+  test("IVF assignment covers all vectors; probe returns ranked k") {
+    val indexed = Similarity.ivfAssign(emb, nlist = 8).cache()
+    assert(indexed.count() == emb.count())
+    assert(indexed.filter($"list_id".isNull).count() == 0)
+    val nLists = indexed.select("list_id").distinct().count()
+    assert(nLists > 1 && nLists <= 8)
+    val top = Similarity.ivfTopK(indexed, query, k = 10, nprobe = 4,
+      excludeId = 0L).as[(Long, Double)].collect()
+    assert(top.length == 10)
+    assert(top.map(_._2).toSeq == top.map(_._2).sorted.reverse.toSeq)
+    assert((top.map(_._1).toSet intersect bruteTop).nonEmpty)
+  }
+
+  test("embedding near-dup at high threshold finds only true pairs") {
+    // construct planted near-identical vectors
+    val planted = Seq(
+      (100L, Array.fill(8)(1.0f)),
+      (101L, Array.fill(8)(1.0f).updated(0, 0.99f)),
+      (102L, Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.nearDupCosine(planted, minCosine = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((100L, 101L)))
+  }
+}

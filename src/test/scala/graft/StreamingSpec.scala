@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.maintain.Compaction
+import graft.streaming.{Incremental, StreamQueries}
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("AvailableNow drain: incremental exactly-once appends (ST1/ST4)") {
+    val root = TestSpark.tmpDir("stream")
+    val src = s"$root/src"; val dest = s"$root/dest"; val cp = s"$root/cp"
+    Files.createDirectories(Paths.get(src))
+    val schema = "id LONG, v STRING"
+
+    def put(name: String, lines: String*): Unit =
+      Files.writeString(Paths.get(s"$src/$name"), lines.mkString("\n"))
+
+    put("batch1.json", """{"id": 1, "v": "a"}""", """{"id": 2, "v": "b"}""")
+    val q1 = Incremental.drainJsonToParquet(
+      spark, src, org.apache.spark.sql.types.StructType.fromDDL(schema),
+      dest, cp)
+    q1.awaitTermination()
+    assert(spark.read.parquet(dest).count() == 2)
+
+    // second drain sees ONLY the new file (checkpoint-tracked)
+    put("batch2.json", """{"id": 3, "v": "c"}""")
+    val q2 = Incremental.drainJsonToParquet(
+      spark, src, org.apache.spark.sql.types.StructType.fromDDL(schema),
+      dest, cp)
+    q2.awaitTermination()
+    val after = spark.read.parquet(dest)
+    assert(after.count() == 3) // no re-append of batch1
+    assert(after.select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
+
+  test("streaming windowed counts match the batch query (watermark path)") {
+    val eventsDir = TestSpark.tmpDir("events-src")
+    Tables.events(spark, TestSpark.sf0001)
+      .write.mode("overwrite").parquet(eventsDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(eventsDir).schema)
+      .parquet(eventsDir)
+    val q = Incremental.windowedCounts(stream, "hourly_test")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("hourly_test")
+      .orderBy("hour_start", "event_type")
+      .as[(String, String, Long)].collect().toSeq
+    val batch = StreamQueries.hourlyCounts(
+      Tables.events(spark, TestSpark.sf0001))
+      .orderBy("hour_start", "event_type")
+      .as[(String, String, Long)].collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("fragmentation + delta append + compaction (ST1-ST3)") {
+    val path = TestSpark.tmpDir("compact") + "/table"
+    val df = Tables.orders(spark, TestSpark.sf0001)
+    Compaction.fragment(df, path, nFiles = 20)
+    val frag = Compaction.stats(spark, path)
+    assert(frag.files == 20)
+
+    Compaction.appendDelta(df.limit(5), path)
+    val withDelta = Compaction.stats(spark, path)
+    assert(withDelta.files > frag.files)
+    val rowsBefore = spark.read.parquet(path).count()
+
+    val result = Compaction.compact(spark, path, targetFiles = 3)
+    assert(result.after.files == 3)
+    assert(result.reduction > 0.8)
+    assert(spark.read.parquet(path).count() == rowsBefore)
+  }
+}

@@ -9,5 +9,6 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     SimHash64.register(spark)
     VectorExprs.register(spark)
+    TextExprs.register(spark)
   }
 }

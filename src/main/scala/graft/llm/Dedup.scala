@@ -47,16 +47,10 @@ object Dedup {
 
   // ---- shingling ----------------------------------------------------
 
-  /** k-word shingles of the lowercased text (distinct set). */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
-    array_distinct(
-      when(size(toks) < k, array(concat_ws(" ", toks)))
-        .otherwise(
-          transform(
-            sequence(lit(1), size(toks) - lit(k - 1)),
-            i => concat_ws(" ", slice(toks, i, lit(k))))))
-  }
+  /** k-word shingles of the lowercased text (distinct set), via the
+    * codegen WordShingles expression (graft.functions.TextExprs). */
+  def shingles(text: Column, k: Int = 3): Column =
+    graft.functions.TextExprs.word_shingles(split(lower(trim(text)), "\\s+"), k)
 
   /** Exact Jaccard similarity of two shingle-set columns. */
   def jaccard(a: Column, b: Column): Column = {
@@ -95,26 +89,18 @@ object Dedup {
       bands: Int = 8,
       minJaccard: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
+    graft.functions.GraftFunctions.register(docs.sparkSession)
 
-    // Band hash computed DIRECTLY from the shingle array: each of the
-    // numHashes minhash permutations is evaluated exactly once (its
-    // band owns it). Building a full signature array first and slicing
-    // per band would inline the whole 32-hash computation into every
-    // band expression after CollapseProject — an 8× recompute measured
-    // as a 20× slowdown at sf0.001.
-    val bandHashes = array((0 until bands).map { b =>
-      val mins: Seq[Column] = (b * r until (b + 1) * r).map(i =>
-        array_min(transform(col("sh"), sh => xxhash64(lit(i), sh))))
-      xxhash64((lit(b) +: mins): _*)
-    }: _*)
-
-    // The band shuffle carries only (band, band_hash, id) — 24 bytes a
-    // row, never the shingle arrays. Shingles are joined back for the
+    // Banded signature in ONE codegen pass per doc (minhash_bands):
+    // every permutation minimum computed exactly once. The band
+    // shuffle carries only (band, band_hash, id) — 24 bytes a row,
+    // never the shingle arrays; shingles are joined back for the
     // verify step on the (small) candidate set only.
     val banded = docs
       .select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
-      .select(col("id"), posexplode(bandHashes).as(Seq("band", "band_hash")))
+      .select(col("id"),
+        posexplode(graft.functions.TextExprs.minhash_bands(
+          col("sh"), numHashes, bands)).as(Seq("band", "band_hash")))
 
     val candidates = banded.as("a")
       .join(banded.as("b"), Seq("band", "band_hash"))
@@ -131,7 +117,7 @@ object Dedup {
   /** Per-doc 64-bit SimHash signature (custom codegen expression). */
   def simhashes(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    graft.functions.SimHash64.register(docs.sparkSession)
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.select(
       col(idCol).as("id"),
       simhash64(split(lower(trim(col(textCol))), "\\s+")).as("simhash"))
@@ -178,6 +164,7 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       k: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val sh = docs.select(col(idCol).as("jid"), shingles(col(textCol), k).as("jsh"))
     pairs
       .join(sh.withColumnRenamed("jid", "id_a")

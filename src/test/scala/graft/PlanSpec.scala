@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: at 100 TB the PLAN is the product. Each
+  * assertion pins a property that keeps a query viable at 1000
+  * executors; a regression here is a scale bug even when results stay
+  * correct at sf0.01. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf0001
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("filters reach the parquet scan (PushedFilters)") {
+    val p = plan("p6_predicates")
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("GreaterThanOrEqual(p_size,10)") ||
+      p.contains("In(p_brand"), s"predicates not pushed:\n$p")
+  }
+
+  test("projection prunes the scan schema (ReadSchema)") {
+    val p = plan("o1_topk_order")
+    // only the two selected columns are read, not all six
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"),
+      s"scan reads more than the projection:\n$p")
+  }
+
+  test("top-k plans as TakeOrderedAndProject, never a global sort") {
+    for (q <- Seq("o1_topk_order", "a5_topk_group", "a6_date_topk",
+        "ann_cosine_topk")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q lacks top-k plan:\n$p")
+    }
+  }
+
+  test("dimension joins broadcast; no shuffle of the fact side") {
+    for (q <- Seq("j1_join_broadcast", "j2_join_3way", "w1_topk_per_group")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q not broadcasting:\n$p")
+    }
+  }
+
+  test("no CartesianProduct anywhere in the LSH/ANN paths") {
+    for (q <- Seq("ann_lsh_topk", "dedup_minhash_lsh", "dedup_simhash",
+        "dedup_embedding_cosine")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q degenerated to an all-pairs product:\n$p")
+    }
+  }
+
+  test("brute-force ANN broadcasts the query vector (single-row side)") {
+    val p = plan("ann_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$p")
+  }
+
+  test("partial aggregation before the shuffle (map-side combine)") {
+    val p = plan("a2_groupby_count")
+    // two HashAggregate nodes around one Exchange = partial + final
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("whole-stage codegen covers the custom expressions") {
+    // AQE reveals the final (codegen-staged) plan only after execution
+    val df = SparkEntry.queries("dedup_simhash")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // "*(n)" node prefix = inside WholeStageCodegen stage n
+    assert(p.contains("*(2) Project") || p.contains("*(1) Project"), p)
+    assert(p.contains("simhash64"), p)
+  }
+}

@@ -1,0 +1,102 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+
+import graft.{GraftSession, SparkEntry, Tables}
+import graft.maintain.Compaction
+import graft.queries.ProfileQueries
+import graft.sources.{JsonApi, ParquetSink}
+
+/** CLI surface mirroring the reference's entry points
+  * (convert_to_iceberg.py:1294-1315 flags; demo/exploration mains):
+  *
+  *   convert DATA [--output-path P] [--agency A] [--compression C]
+  *   query   SFDIR NAME...        run registered queries, print results
+  *   sql     SFDIR "SELECT ..."   ad-hoc SQL over the registered views
+  *   profile SFDIR TABLE          one-pass column profile
+  *   optimize PATH [N]            compact a table to N files (default 8)
+  *   bench                        delegate to graft.Bench
+  *
+  * Errors per docket never abort the run (PERMISSIVE parse + corrupt
+  * quarantine); fatal filesystem errors do — matching the reference's
+  * error-isolation contract (convert_to_iceberg.py:1149-1170).
+  */
+object Main {
+
+  private def arg(args: Array[String], flag: String): Option[String] =
+    args.sliding(2).collectFirst { case Array(`flag`, v) => v }
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) { usage(); sys.exit(2) }
+    val spark = GraftSession.get()
+    try run(spark, args)
+    finally spark.stop()
+  }
+
+  private def usage(): Unit =
+    System.err.println(
+      """usage: graft.cli.Main <convert|query|sql|profile|optimize|bench> ...
+        |  convert DATA [--output-path P] [--agency A] [--compression C]
+        |  query SFDIR NAME...
+        |  sql SFDIR "SELECT ..."
+        |  profile SFDIR TABLE
+        |  optimize PATH [N]""".stripMargin)
+
+  private[graft] def run(spark: SparkSession, args: Array[String]): Unit =
+    args(0) match {
+      case "convert" =>
+        val data = args(1)
+        val out = arg(args, "--output-path").getOrElse(s"$data/derived-data")
+        val agencies = arg(args, "--agency").toSeq
+        val codec = arg(args, "--compression").getOrElse("snappy")
+        val found = JsonApi.discover(spark, data, agencies = agencies)
+        require(found.nonEmpty, s"no dockets found under $data")
+        val kinds = found.map(_.kind).distinct
+        kinds.foreach { kind =>
+          val dirs = found.filter(_.kind == kind).map(_.dir)
+          val raw = JsonApi.readRaw(spark, dirs)
+          val (table, flat) = kind match {
+            case "comments" => ("comments", graft.sources.Flatten.comments(raw))
+            case "documents" => ("documents", graft.sources.Flatten.documents(raw))
+            case "docket" => ("docket_info", graft.sources.Flatten.docketInfo(raw))
+          }
+          val written = ParquetSink.write(flat, s"$out/$table", codec,
+            partitionCols = Seq("agency"))
+          val bad = JsonApi.corruptRecords(raw).count()
+          println(s"$table: written=$written corrupt_quarantined=$bad")
+        }
+
+      case "query" =>
+        val sfDir = args(1)
+        val names = if (args.length > 2) args.drop(2).toSeq
+          else SparkEntry.queries.keys.toSeq.sorted
+        names.foreach { n =>
+          SparkEntry.queries.get(n) match {
+            case Some(fn) =>
+              println(s"== $n")
+              fn(spark, sfDir).show(20, truncate = false)
+            case None => System.err.println(s"unknown query: $n")
+          }
+        }
+
+      case "sql" =>
+        graft.queries.SqlQueries.sql(spark, args(1), args(2))
+          .show(50, truncate = false)
+
+      case "profile" =>
+        ProfileQueries.profile(Tables.load(spark, args(1), args(2)))
+          .show(100, truncate = false)
+
+      case "optimize" =>
+        val n = if (args.length > 2) args(2).toInt else 8
+        val r = Compaction.compact(spark, args(1), n)
+        println(s"files: ${r.before.files} -> ${r.after.files} " +
+          f"(${r.reduction * 100}%.1f%% reduction), bytes: ${r.after.bytes}")
+
+      case "bench" => graft.Bench.main(Array.empty)
+
+      case other =>
+        usage()
+        throw new IllegalArgumentException(s"unknown command: $other")
+    }
+}

@@ -25,6 +25,7 @@ object Registry {
       JoinQueries.all ++
       WindowQueries.all ++
       ProfileQueries.all ++
+      SqlQueries.all ++
       graft.llm.LlmQueries.all ++
       graft.streaming.StreamQueries.all
 

@@ -64,8 +64,22 @@ object JsonApi {
     *   - an extra nested `raw-data/{agency}/{docket}/` level;
     *   - `text-*` subdirectories holding the same three folders.
     * Metadata-only listing (no data reads). */
-  def discover(spark: SparkSession, root: String): Seq[DocketDir] = {
+  /** `agencies`/`dockets` filters prune the LISTING itself (the
+    * Spark-era version of the reference's hard-coded S3 agency-prefix
+    * probe, convert_to_iceberg.py:836-919, and its agency/docket
+    * filters, :1172-1195): an excluded agency's subtree is never even
+    * listed — at 150k dockets that is the difference between a
+    * metadata query and a full-bucket walk. Paths are scheme-agnostic
+    * (Hadoop FileSystem): file://, s3a://, hdfs:// all behave
+    * identically (SURVEY S7 — zero custom path code). */
+  def discover(
+      spark: SparkSession,
+      root: String,
+      agencies: Seq[String] = Seq.empty,
+      dockets: Seq[String] = Seq.empty): Seq[DocketDir] = {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val agencySet = agencies.map(_.toUpperCase).toSet
+    val docketSet = dockets.toSet
 
     def subdirs(p: Path): Seq[Path] =
       if (!fs.exists(p)) Seq.empty
@@ -78,7 +92,9 @@ object JsonApi {
       agencyDir <- subdirs(base)
       if !agencyDir.getName.startsWith(".") &&
         agencyDir.getName != "derived-data"
+      if agencySet.isEmpty || agencySet.contains(agencyDir.getName.toUpperCase)
       docketDir <- subdirs(agencyDir)
+      if docketSet.isEmpty || docketSet.contains(docketDir.getName)
       agency = agencyDir.getName
       docketId = docketDir.getName
       // candidate roots holding {docket,documents,comments} folders

@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CLI end-to-end: convert a fixture tree, query, profile, optimize —
+  * the user-facing surface of the reference's three entry points. */
+class CliSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("convert writes partitioned tables from a fixture tree") {
+    // reuse IngestSpec's fixture builder
+    val ingest = new IngestSpec
+    val root = ingest.root
+    val out = TestSpark.tmpDir("cli-out")
+    graft.cli.Main.run(spark,
+      Array("convert", root, "--output-path", out, "--compression", "zstd"))
+    val c = spark.read.parquet(s"$out/comments")
+    assert(c.count() == 5)
+    assert(c.columns.contains("agency"))
+    assert(spark.read.parquet(s"$out/docket_info").count() == 3)
+  }
+
+  test("convert --agency prunes the listing") {
+    val ingest = new IngestSpec
+    val root = ingest.root
+    val out = TestSpark.tmpDir("cli-agency")
+    graft.cli.Main.run(spark,
+      Array("convert", root, "--output-path", out, "--agency", "dea"))
+    val c = spark.read.parquet(s"$out/comments")
+    assert(c.count() == 3) // only the DEA docket's comments
+    assert(!new java.io.File(s"$out/documents").exists() ||
+      spark.read.parquet(s"$out/documents").count() == 1)
+  }
+
+  test("optimize compacts via the CLI") {
+    val path = TestSpark.tmpDir("cli-compact") + "/t"
+    graft.maintain.Compaction.fragment(
+      Tables.orders(spark, TestSpark.sf0001), path, 15)
+    graft.cli.Main.run(spark, Array("optimize", path, "2"))
+    assert(graft.maintain.Compaction.stats(spark, path).files == 2)
+  }
+
+  test("unknown command rejected") {
+    intercept[IllegalArgumentException] {
+      graft.cli.Main.run(spark, Array("frobnicate"))
+    }
+  }
+}

@@ -10,6 +10,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * filters declarative so they reach the scan.
   */
 object Tables {
+  /** TESTDATA.md lists the TPC-H-ish core; `documents` and
+    * `embeddings` also exist at every scale factor (schemas in
+    * FIXTURES.md §B) and back the text/dedup/similarity ops. */
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")

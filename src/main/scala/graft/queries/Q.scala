@@ -26,6 +26,7 @@ object Registry {
       WindowQueries.all ++
       ProfileQueries.all ++
       SqlQueries.all ++
+      SkewQueries.all ++
       graft.llm.LlmQueries.all ++
       graft.streaming.StreamQueries.all
 

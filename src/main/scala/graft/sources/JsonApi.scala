@@ -106,7 +106,7 @@ object JsonApi {
       if fs.exists(tableDir) &&
         fs.listStatus(tableDir).exists(f => f.getPath.getName.endsWith(".json"))
     } yield DocketDir(agency, docketId, kind, tableDir.toString)
-  }
+  }.sortBy(d => (d.agency, d.docketId, d.kind)) // deterministic (SURVEY O3)
 
   /** Distributed permissive read of one table-kind across many docket
     * dirs in a single job. multiLine: one JSON document per file. */

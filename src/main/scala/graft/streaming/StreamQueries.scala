@@ -72,5 +72,34 @@ object StreamQueries {
                    event_type, ROUND(SUM(value), 2) AS total_value
             FROM events GROUP BY 1, 2 ORDER BY win_start, event_type"""))
 
-  def all: Seq[Q] = Seq(st1, st2, st3)
+  /** Gap-based sessionization (batch form; the stateful streaming twin
+    * is Sessionize.streaming, equivalence-tested in StreamingSpec).
+    * Gap arithmetic uses whole seconds in BOTH engines (Spark
+    * unix_timestamp floors; the oracle floors epoch()). */
+  val st4 = Q(
+    "st_sessionize",
+    (s, d) => Sessionize.batch(Tables.events(s, d)),
+    Some("""SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   strftime(session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+                   n_events
+            FROM (
+              SELECT user_id, session_id, MIN(ts) AS session_start,
+                     COUNT(*) AS n_events
+              FROM (
+                SELECT user_id, ts,
+                       SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM (
+                  SELECT user_id, ts,
+                         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                IS NULL
+                              OR CAST(floor(epoch(ts)) AS BIGINT) -
+                                 CAST(floor(epoch(LAG(ts) OVER (PARTITION BY
+                                   user_id ORDER BY ts))) AS BIGINT) > 1800
+                              THEN 1 ELSE 0 END AS new_session
+                  FROM events))
+              GROUP BY user_id, session_id)
+            ORDER BY user_id, session_id"""))
+
+  def all: Seq[Q] = Seq(st1, st2, st3, st4)
 }

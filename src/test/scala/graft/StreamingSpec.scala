@@ -60,6 +60,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("stateful streaming sessionize matches batch sessionize") {
+    import graft.streaming.Sessionize
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val eventsDir = TestSpark.tmpDir("sess-src")
+    Tables.events(spark, TestSpark.sf0001)
+      .select("user_id", "ts")
+      .write.mode("overwrite").parquet(eventsDir)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(eventsDir).schema)
+      .parquet(eventsDir)
+      .as[Sessionize.Event]
+    // AvailableNow + NoTimeout: bounded drain then clean termination
+    // (a stateful timeout would keep scheduling timeout micro-batches).
+    val q = Sessionize.streaming(stream)
+      .writeStream.format("memory").queryName("sessions_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    // Append mode only emits CLOSED sessions; every emitted session
+    // must exactly match a batch session (same start, same count).
+    val streamed = spark.table("sessions_test")
+      .select("user_id", "session_start", "n_events")
+      .as[(Long, String, Long)].collect().toSet
+    val batchSessions = Sessionize.batch(
+      Tables.events(spark, TestSpark.sf0001))
+      .select("user_id", "session_start", "n_events")
+      .as[(Long, String, Long)].collect().toSet
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batchSessions),
+      s"streamed-only sessions: ${streamed diff batchSessions}")
+    // all but at most one open session per user should have closed
+    assert(streamed.size >= batchSessions.size -
+      batchSessions.map(_._1).size)
+  }
+
   test("fragmentation + delta append + compaction (ST1-ST3)") {
     val path = TestSpark.tmpDir("compact") + "/table"
     val df = Tables.orders(spark, TestSpark.sf0001)

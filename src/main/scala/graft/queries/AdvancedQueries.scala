@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Beyond-parity analytics the survey lists as "free from Spark if
+  * exposed" (SURVEY §2.4 note on cube/rollup, §2.3 note on non-equi
+  * joins) — exposed here so a reference user gains them on switch.
+  */
+object AdvancedQueries {
+
+  /** Rollup aggregate (subtotals + grand total). Group keys are
+    * COALESCE'd to sentinel labels so null-ordering differences
+    * between engines can't affect the compare. */
+  val a14 = Q(
+    "a14_rollup",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("l_quantity")), 2).as("qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("cnt"), col("qty"))
+        .orderBy("rf", "ls"),
+    Some("""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+                   COALESCE(l_linestatus, 'ALL') AS ls,
+                   COUNT(*) AS cnt, ROUND(SUM(l_quantity), 2) AS qty
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            ORDER BY rf, ls"""))
+
+  /** Multi-quantile summary (exact interpolated quartiles). */
+  val a9x = Q(
+    "a9x_quantiles",
+    (s, d) =>
+      Tables.orders(s, d).agg(
+        round(expr("percentile(o_totalprice, 0.25)"), 4).as("q25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("q50"),
+        round(expr("percentile(o_totalprice, 0.75)"), 4).as("q75")),
+    Some("""SELECT ROUND(quantile_cont(o_totalprice, 0.25), 4) AS q25,
+                   ROUND(quantile_cont(o_totalprice, 0.5), 4) AS q50,
+                   ROUND(quantile_cont(o_totalprice, 0.75), 4) AS q75
+            FROM orders"""))
+
+  /** ntile + percent_rank analytic coverage (deciles of order value
+    * within status). percent_rank rounded: it divides by (n-1), an
+    * exact-in-both-engines double, but rounding keeps the compare
+    * safe at the hash level. */
+  val w4 = Q(
+    "w4_ntile_pctrank",
+    (s, d) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(
+          col("o_orderstatus"), col("o_orderkey"),
+          ntile(10).over(w).cast("long").as("decile"),
+          round(percent_rank().over(w), 6).as("pct_rank"))
+        .orderBy("o_orderstatus", "o_orderkey")
+        .limit(1000)
+    },
+    Some("""SELECT o_orderstatus, o_orderkey,
+                   CAST(NTILE(10) OVER w AS BIGINT) AS decile,
+                   ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderstatus
+                         ORDER BY o_totalprice, o_orderkey)
+            ORDER BY o_orderstatus, o_orderkey LIMIT 1000"""))
+
+  /** Non-equi (range) join: orders banded into price tiers. The tier
+    * table is tiny → broadcast nested-loop, the ONLY sane plan shape
+    * for a small-side theta join at scale. */
+  val j5 = Q(
+    "j5_range_join",
+    (s, d) => {
+      val spark = s
+      import spark.implicits._
+      val tiers = Seq(
+        ("T1", 0.0, 100000.0),
+        ("T2", 100000.0, 250000.0),
+        ("T3", 250000.0, 400000.0),
+        ("T4", 400000.0, Double.MaxValue))
+        .toDF("tier", "lo", "hi")
+      Tables.orders(s, d)
+        .join(broadcast(tiers),
+          col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+        .groupBy("tier")
+        .agg(count(lit(1)).as("cnt"),
+          round(avg(col("o_totalprice")), 2).as("avg_price"))
+        .orderBy("tier")
+    },
+    Some("""SELECT tier, COUNT(*) AS cnt,
+                   ROUND(AVG(o_totalprice), 2) AS avg_price
+            FROM orders
+            JOIN (VALUES ('T1', 0.0, 100000.0),
+                         ('T2', 100000.0, 250000.0),
+                         ('T3', 250000.0, 400000.0),
+                         ('T4', 400000.0, 1e308)) AS t(tier, lo, hi)
+              ON o_totalprice >= lo AND o_totalprice < hi
+            GROUP BY tier ORDER BY tier"""))
+
+  def all: Seq[Q] = Seq(a14, a9x, w4, j5)
+}

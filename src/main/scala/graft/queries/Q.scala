@@ -27,6 +27,7 @@ object Registry {
       ProfileQueries.all ++
       SqlQueries.all ++
       SkewQueries.all ++
+      AdvancedQueries.all ++
       graft.llm.LlmQueries.all ++
       graft.streaming.StreamQueries.all
 

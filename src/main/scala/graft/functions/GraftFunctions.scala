@@ -10,5 +10,6 @@ object GraftFunctions {
     SimHash64.register(spark)
     VectorExprs.register(spark)
     TextExprs.register(spark)
+    TextHash.register(spark)
   }
 }

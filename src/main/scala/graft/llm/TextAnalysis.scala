@@ -82,16 +82,12 @@ object TextAnalysis {
   /** Polynomial rolling-hash fingerprint of normalized text, modulo a
     * 31-bit prime so the arithmetic is overflow-free (and therefore
     * portable to any oracle). Normalization: lowercase, collapse
-    * whitespace — near-identical docs with formatting drift collide. */
-  def fingerprint(text: Column): Column = {
-    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
-    val chars = split(norm, "")
-    aggregate(
-      chars,
-      lit(0L),
-      (acc, c) => pmod(acc * lit(131L) + coalesce(ascii(c).cast("long"), lit(0L)),
-        lit(2147483647L)))
-  }
+    * whitespace — near-identical docs with formatting drift collide.
+    * The hash itself is the codegen TextHash expression (single pass;
+    * the HOF form allocated a UTF8String per character). */
+  def fingerprint(text: Column): Column =
+    graft.functions.TextHash.text_hash(
+      regexp_replace(lower(trim(text)), "\\s+", " "))
 
   /** Full per-document text-analysis projection. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {

@@ -102,5 +102,24 @@ object AdvancedQueries {
               ON o_totalprice >= lo AND o_totalprice < hi
             GROUP BY tier ORDER BY tier"""))
 
-  def all: Seq[Q] = Seq(a14, a9x, w4, j5)
+  /** Custom typed Aggregator end-to-end (SURVEY §2.10): registered as
+    * a UDAF, invoked through SQL, oracle-checked against the algebraic
+    * equivalent. */
+  val a15 = Q(
+    "a15_custom_aggregator",
+    (s, d) => {
+      graft.functions.RevenueAgg.register(s)
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(round(expr(
+          "revenue_per_unit(l_extendedprice, l_discount, l_quantity)"), 4)
+          .as("rev_per_unit"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+                   ROUND(SUM(l_extendedprice * (1.0 - l_discount)) /
+                         SUM(l_quantity), 4) AS rev_per_unit
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  def all: Seq[Q] = Seq(a14, a9x, w4, j5, a15)
 }

@@ -22,19 +22,27 @@ object Incremental {
   /** Drain all currently-available JSON files into an append-mode
     * parquet table, then stop. Re-running after new files arrive
     * appends only the new ones (checkpoint-tracked). */
+  /** `maxFilesPerTrigger` bounds each micro-batch (back-pressure for
+    * a large backlog: N files' worth of state/memory per batch instead
+    * of the whole directory at once — AvailableNow still drains
+    * everything, just in more, smaller batches). */
   def drainJsonToParquet(
       spark: SparkSession,
       srcDir: String,
       schema: StructType,
       destDir: String,
       checkpointDir: String,
-      transform: DataFrame => DataFrame = identity): StreamingQuery =
-    transform(
-      spark.readStream
+      transform: DataFrame => DataFrame = identity,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery =
+    transform {
+      val r = spark.readStream
         .schema(schema)
         .option("multiLine", "false")
         .option("mode", "PERMISSIVE")
-        .json(srcDir))
+      maxFilesPerTrigger
+        .fold(r)(n => r.option("maxFilesPerTrigger", n.toString))
+        .json(srcDir)
+    }
       .writeStream
       .format("parquet")
       .option("path", destDir)

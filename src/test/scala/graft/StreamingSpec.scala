@@ -60,6 +60,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("maxFilesPerTrigger bounds micro-batches while draining fully") {
+    val root = TestSpark.tmpDir("ratelimit")
+    val src = s"$root/src"; val dest = s"$root/dest"; val cp = s"$root/cp"
+    Files.createDirectories(Paths.get(src))
+    for (i <- 0 until 6)
+      Files.writeString(Paths.get(s"$src/f$i.json"), s"""{"id": $i}""")
+    val q = Incremental.drainJsonToParquet(
+      spark, src, org.apache.spark.sql.types.StructType.fromDDL("id LONG"),
+      dest, cp, maxFilesPerTrigger = Some(2))
+    q.awaitTermination()
+    assert(spark.read.parquet(dest).count() == 6) // everything drained
+    // 6 files at 2/batch → 3 batches, not one monolith
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3)
+  }
+
   test("stateful streaming sessionize matches batch sessionize") {
     import graft.streaming.Sessionize
     implicit val s: org.apache.spark.sql.SparkSession = spark

@@ -121,5 +121,37 @@ object AdvancedQueries {
                          SUM(l_quantity), 4) AS rev_per_unit
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
-  def all: Seq[Q] = Seq(a14, a9x, w4, j5, a15)
+  /** Histogram profile: fixed-width value buckets (the numeric twin
+    * of A12's categorical value_counts). */
+  val a16 = Q(
+    "a16_histogram",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(width_bucket(col("o_totalprice"), lit(0.0), lit(600000.0),
+          lit(12)).as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("bucket"),
+    // DuckDB 1.0 has no width_bucket — the closed-form equivalent for
+    // in-range positive values (bucket width 600000/12 = 50000)
+    Some("""SELECT CAST(FLOOR(o_totalprice / 50000.0) + 1 AS BIGINT) AS bucket,
+                   COUNT(*) AS cnt
+            FROM orders GROUP BY 1 ORDER BY bucket"""))
+
+  /** Time-of-day/day-of-week activity profile over the event stream —
+    * day names (not engine-specific dow numbering) for parity. */
+  val f12 = Q(
+    "f12_time_profile",
+    (s, d) =>
+      graft.Tables.events(s, d)
+        .groupBy(
+          date_format(col("ts"), "EEEE").as("day_name"),
+          hour(col("ts")).cast("long").as("hr"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("day_name", "hr"),
+    Some("""SELECT dayname(ts) AS day_name,
+                   CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
+                   COUNT(*) AS cnt
+            FROM events GROUP BY 1, 2 ORDER BY day_name, hr"""))
+
+  def all: Seq[Q] = Seq(a14, a9x, w4, j5, a15, a16, f12)
 }

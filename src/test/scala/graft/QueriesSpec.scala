@@ -27,6 +27,12 @@ class QueriesSpec extends AnyFunSuite {
     assert(ok.subsetOf(qk), s"orphan oracles: ${ok diff qk}")
   }
 
+  test("registry names are unique (a Map would shadow silently)") {
+    val names = graft.queries.Registry.all.map(_.name)
+    val dups = names.groupBy(identity).collect { case (n, xs) if xs.size > 1 => n }
+    assert(dups.isEmpty, s"duplicate query names: $dups")
+  }
+
   test("flagship entry returns segment revenue") {
     val rows = SparkEntry.entry(spark).collect()
     assert(rows.length == 5) // five market segments

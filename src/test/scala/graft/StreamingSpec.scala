@@ -113,6 +113,38 @@ class StreamingSpec extends AnyFunSuite {
       batchSessions.map(_._1).size)
   }
 
+  test("watermark drops data later than the lateness bound") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val q = mem.toDF().toDF("ts", "event_type")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .select(date_format($"window.start", "HH:mm").as("h"), $"cnt")
+      .writeStream.format("memory").queryName("wm_test")
+      .outputMode("update")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    def ts(h: Int): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:30:00")
+    // batch 1: events at 01:30 and 05:30 → watermark advances to 04:30
+    mem.addData((ts(1), "a"), (ts(5), "a"))
+    q.processAllAvailable()
+    // batch 2: event at 02:30 is older than the watermark → dropped;
+    // event at 05:45 updates its window
+    mem.addData((ts(2), "a"),
+      (java.sql.Timestamp.valueOf("2024-01-01 05:45:00"), "a"))
+    q.processAllAvailable()
+    q.stop()
+    val counts = spark.table("wm_test")
+      .groupBy("h").agg(max("cnt").as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("05:00") == 2) // on-time update applied
+    assert(!counts.contains("02:00"), s"late row not dropped: $counts")
+  }
+
   test("fragmentation + delta append + compaction (ST1-ST3)") {
     val path = TestSpark.tmpDir("compact") + "/table"
     val df = Tables.orders(spark, TestSpark.sf0001)

@@ -113,6 +113,46 @@ class StreamingSpec extends AnyFunSuite {
       batchSessions.map(_._1).size)
   }
 
+  test("streaming conversion pipeline: JSON:API drain -> flattened comments") {
+    import graft.sources.{Flatten, JsonApi}
+    val ingest = new IngestSpec
+    val fixtureRoot = ingest.root
+    val out = TestSpark.tmpDir("stream-convert")
+    val commentDirs = JsonApi.discover(spark, fixtureRoot)
+      .filter(_.kind == "comments").map(_.dir)
+
+    // stream each discovered dir through the SAME flatten projection
+    // the batch path uses (multiLine per-file JSON). One sink dir per
+    // query: the parquet streaming sink's _spark_metadata log is
+    // per-query, so queries must not share an output directory.
+    commentDirs.zipWithIndex.foreach { case (dir, i) =>
+      val q = spark.readStream
+        .schema(JsonApi.envelope)
+        .option("multiLine", "true")
+        .option("mode", "PERMISSIVE")
+        .json(dir)
+        .transform(raw => Flatten.comments(
+          raw.withColumn("src_file",
+            org.apache.spark.sql.functions.input_file_name())))
+        .writeStream
+        .format("parquet")
+        .option("path", s"$out/comments/src$i")
+        .option("checkpointLocation", s"$out/cp$i")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    val streamed = spark.read.parquet(
+      commentDirs.indices.map(i => s"$out/comments/src$i"): _*)
+    assert(streamed.count() == 5) // same as the batch path; corrupt skipped
+    assert(streamed.select("agency").distinct().count() == 3)
+    val batch = graft.sources.JsonApi.readDocketTree(spark, fixtureRoot)("comments")
+    assert(streamed.select("id").collect().map(_.getString(0)).sorted.toSeq ==
+      batch.select("id").collect().map(_.getString(0)).sorted.toSeq)
+  }
+
   test("watermark drops data later than the lateness bound") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger

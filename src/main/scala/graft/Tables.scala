@@ -45,7 +45,11 @@ object Tables {
     import org.apache.spark.sql.types.LongType
     val raw = load(s, d, "events")
     if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // integral div, NOT `/`: long / long plans a double divide, and
+      // ns epochs (~1.7e18) exceed double's 2^53 mantissa — the
+      // rounding shifts ~10% of timestamps by ±1 µs vs the oracle's
+      // truncating ns→µs cast
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

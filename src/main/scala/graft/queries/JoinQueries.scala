@@ -76,6 +76,41 @@ object JoinQueries {
     Some("""SELECT COUNT(*) AS n_cust_no_orders FROM customer
             WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""))
 
+  /** j6 — as-of join (custom operator, graft.operators.AsofJoin): for
+    * every click event, the last purchase value at-or-before it by the
+    * same user. One shuffle (union+window), no per-key quadratic work;
+    * the oracle is DuckDB's native ASOF LEFT JOIN. Timestamps are
+    * formatted to µs strings for hash parity (events.parquet is ns;
+    * both engines truncate ns→µs — Spark in Tables.events, DuckDB via
+    * CAST(ts AS TIMESTAMP)). */
+  val j6 = Q(
+    "j6_asof_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.operators.AsofJoin
+        .asofJoin(clicks, "user_id", "ts",
+          purchases, "user_id", "ts", Seq("value"), Some("purchase_ts"))
+        .select(
+          col("event_id"),
+          round(col("value"), 4).as("purchase_val"),
+          date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("purchase_ts"))
+        .orderBy("event_id")
+    },
+    Some("""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                              event_type, value FROM events)
+            SELECT c.event_id,
+                   ROUND(p.value, 4) AS purchase_val,
+                   strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts
+            FROM (SELECT * FROM e WHERE event_type = 'click') c
+            ASOF LEFT JOIN (SELECT * FROM e WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
+            ORDER BY c.event_id"""))
+
   /** u1 — union with schema drift: the reference's pandas implicitly
     * unions rows with differing key sets (convert_to_iceberg.py:678);
     * Spark-first that is unionByName(allowMissingColumns) — absent
@@ -104,5 +139,5 @@ object JoinQueries {
               SELECT event_id, 'event', value, NULL FROM events)
             ORDER BY kind, id LIMIT 1000"""))
 
-  def all: Seq[Q] = Seq(j1, j2, j3, j4, u1)
+  def all: Seq[Q] = Seq(j1, j2, j3, j4, j6, u1)
 }

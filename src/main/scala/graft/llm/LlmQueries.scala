@@ -52,7 +52,10 @@ object LlmQueries {
     None)
 
   /** n-gram Jaccard verifier standalone: exact Jaccard over a
-    * deterministic pair list (adjacent doc ids). */
+    * deterministic pair list (adjacent doc ids). The oracle rebuilds
+    * the 3-word shingle sets with DuckDB list comprehensions —
+    * WordShingles semantics exactly (distinct shingles, <k tokens →
+    * one whole-text shingle). */
   val ngramJaccard = Q(
     "dedup_ngram_jaccard",
     (s, d) => {
@@ -65,7 +68,23 @@ object LlmQueries {
           coalesce(round(avg(col("jaccard")), 4), lit(0.0)).as("avg_jaccard"),
           coalesce(round(max(col("jaccard")), 4), lit(0.0)).as("max_jaccard"))
     },
-    None)
+    Some("""WITH sh AS (
+              SELECT doc_id,
+                CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) < 3
+                  THEN [array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' ')]
+                  ELSE list_distinct([array_to_string(string_split_regex(lower(trim(text)), '\s+')[i:i+2], ' ')
+                        for i in range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1)])
+                END AS s
+              FROM documents),
+            pairs AS (
+              SELECT ROUND(CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
+                  ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                       CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) END, 4) AS jaccard
+              FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1)
+            SELECT COUNT(*) AS n_pairs,
+                   COALESCE(ROUND(AVG(jaccard), 4), 0.0) AS avg_jaccard,
+                   COALESCE(ROUND(MAX(jaccard), 4), 0.0) AS max_jaccard
+            FROM pairs"""))
 
   /** Brute-force cosine top-10 vs vec_id=0 — the exact ANN baseline,
     * oracle-checked against DuckDB's list_cosine_similarity. */

@@ -40,6 +40,14 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Respect the advisory partition size when coalescing instead of
+      // maximizing parallelism: on small shuffles this collapses 32
+      // few-KB partitions into one task (the dominant fixed cost per
+      // query at small SF), and on a busy cluster it is the
+      // documented-recommended setting for efficient utilization.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")

@@ -60,23 +60,64 @@ object Curate {
     else scored.filter(col("lang_pred").isin(cfg.langs.map(lit(_)): _*))
   }
 
-  /** Audit summary: how many rows each stage removed. */
+  /** Audit summary: how many rows survive each stage — as ONE lazy plan
+    * with a single aggregate action.
+    *
+    * Earlier revision ran three separate actions (`docs.count()`, an
+    * exact-dedup count, then `curate(...).count()` re-executing the
+    * whole pipeline including the LSH join) — 3× the most expensive
+    * pipeline in the engine at 100 TB. Now every row is tagged with
+    * per-stage survival flags and one `agg` computes all cumulative
+    * counts; the plan contains exactly one MinHash-LSH join, and the
+    * exact-dedup grouping appears as an identical subtree twice, which
+    * Spark's ReuseExchange collapses to one physical exchange.
+    */
   def auditCounts(
       docs: DataFrame,
       cfg: Config = Config(),
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val total = docs.count()
-    val afterExact = docs
-      .groupBy(Dedup.contentHash(col(textCol)).as("h"))
-      .agg(min(col(idCol)).as(idCol)).count()
-    val curated = curate(docs, cfg, idCol, textCol).count()
-    Seq(
-      ("input", total),
-      ("after_exact_dedup", afterExact),
-      ("curated", curated))
-      .toDF("stage", "n_docs")
+    val id = col(idCol)
+    val text = col(textCol)
+
+    // ids surviving exact dedup (min id per content hash)
+    val keepExact = docs
+      .groupBy(Dedup.contentHash(text).as("h"))
+      .agg(min(id).as(idCol))
+      .select(id)
+    // near-dup drops, computed over the exact-kept subset only (same
+    // semantics as curate(): LSH pairs are found among representatives)
+    val exactDeduped = docs.join(keepExact, Seq(idCol), "left_semi")
+    val dropNear = Dedup
+      .nearDupMinhash(exactDeduped, idCol, textCol,
+        minJaccard = cfg.nearDupJaccard)
+      .select(col("id_b").as(idCol))
+      .distinct()
+
+    val langOk =
+      if (cfg.langs.isEmpty) lit(true)
+      else TextAnalysis.langId(text).isin(cfg.langs.map(lit(_)): _*)
+    val flagged = docs
+      .join(keepExact.withColumn("__k_exact", lit(1)), Seq(idCol), "left")
+      .join(dropNear.withColumn("__d_near", lit(1)), Seq(idCol), "left")
+      .select(
+        coalesce(col("__k_exact"), lit(0)).as("k_exact"),
+        when(col("__k_exact") === 1 && col("__d_near").isNull, 1)
+          .otherwise(0).as("k_near"),
+        when(length(text) >= cfg.minChars &&
+          TextAnalysis.qualityScore(text) >= cfg.minQuality && langOk, 1)
+          .otherwise(0).as("k_qual"))
+
+    flagged
+      .agg(
+        count(lit(1)).as("input"),
+        sum(col("k_exact")).as("after_exact_dedup"),
+        sum(when(col("k_near") === 1 && col("k_qual") === 1, 1L)
+          .otherwise(0L)).as("curated"))
+      .selectExpr(
+        """stack(3,
+             'input', input,
+             'after_exact_dedup', after_exact_dedup,
+             'curated', curated) AS (stage, n_docs)""")
   }
 }

@@ -1,0 +1,79 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+
+/** Deterministic on-disk JSON:API docket-tree builder.
+  *
+  * Reproduces the reference's raw-data layout
+  * (agency/DOCKET/comments/…json — see reference
+  * convert_to_iceberg.py:956-1121 and FIXTURES.md) with fully
+  * deterministic content, so the same tree can be (a) ingested by
+  * JsonApi/Flatten, (b) re-read by DuckDB's `read_json` as an
+  * independent oracle, and (c) used as the ingest-throughput fixture.
+  * No timestamps, randomness, or environment leaks into the payload.
+  */
+object FixtureTree {
+
+  /** Write (idempotently) a comments tree under `root`:
+    * `root/raw-data/AG/DOCKET/comments/DOCKET-i.json`.
+    * Returns the number of dockets written. Re-running over an existing
+    * complete tree is a no-op (same bytes rewritten only if missing).
+    */
+  def writeComments(
+      root: String,
+      agencies: Seq[String] = Seq("AAA", "BBB", "CCC"),
+      nDockets: Int = 30,
+      commentsPerDocket: Int = 10): Int = {
+    for (d <- 0 until nDockets) {
+      val agency = agencies(d % agencies.size)
+      val docket = f"$agency-2025-$d%04d"
+      val dir = Paths.get(s"$root/raw-data/$agency/$docket/comments")
+      Files.createDirectories(dir)
+      for (c <- 0 until commentsPerDocket) {
+        val file = dir.resolve(f"$docket-$c%04d.json")
+        if (!Files.exists(file))
+          Files.writeString(file, commentJson(agency, docket, d, c))
+      }
+    }
+    nDockets
+  }
+
+  /** One JSON:API comment document; `withdrawn` and the posted hour
+    * vary deterministically so downstream filters/aggregates have
+    * non-degenerate values to chew on. */
+  private def commentJson(
+      agency: String, docket: String, d: Int, c: Int): String = {
+    val withdrawn = (d + c) % 7 == 0
+    val hour = (d * 3 + c) % 24
+    s"""{"data": {"id": "$docket-$c", "type": "comments",
+       |  "links": {"self": "https://example.invalid/$docket-$c"},
+       |  "attributes": {"docketId": "$docket", "agencyId": "$agency",
+       |    "comment": "comment $c on docket $docket from agency $agency",
+       |    "withdrawn": $withdrawn,
+       |    "postedDate": "2025-03-01T${f"$hour%02d"}:00:00Z"},
+       |  "relationships": {"attachments": {"data": []}}},
+       | "included": []}""".stripMargin
+  }
+
+  /** Fixed shared location for the oracle-visible fixture: both the
+    * Spark query and the DuckDB oracle SQL must reference the SAME
+    * path, so it has to be deterministic across processes. */
+  val oracleRoot: String = "/tmp/graft_ingest_fixture"
+
+  /** Build (once) the oracle fixture tree and return its root. */
+  def ensureOracleTree(): String = {
+    writeComments(oracleRoot)
+    oracleRoot
+  }
+
+  def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val children = {
+        val s = Files.list(p)
+        try s.toArray(new Array[Path](_)).toSeq finally s.close()
+      }
+      children.foreach(deleteRecursively)
+    }
+    Files.deleteIfExists(p)
+  }
+}

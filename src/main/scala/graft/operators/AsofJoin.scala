@@ -88,13 +88,25 @@ object AsofJoin {
         s"${probe.schema(probeTsCol).dataType.simpleString}, build " +
         s"$buildTsCol is ${build.schema(buildTsCol).dataType.simpleString}" +
         " — cast one side before joining")
+    val collisions =
+      (payloadCols ++ matchedTsAs.toSeq).intersect(probe.columns.toSeq)
+    require(collisions.isEmpty,
+      s"as-of output columns ${collisions.mkString(", ")} collide with " +
+        "probe columns — alias the probe side (or matchedTsAs) first, " +
+        "or downstream by-name selects become ambiguous")
     val probeCols = probe.columns.toSeq
-    val buildPruned = build.select(
-      col(buildKeyCol).as(key),
-      col(buildTsCol).as(ts),
-      lit(0).as(side),
-      struct(col(buildTsCol).as("__ts") +: payloadCols.map(col): _*)
-        .as(payload))
+    // SQL join semantics: NULL keys never match — a NULL-key build row
+    // must not become the "last known value" of NULL-key probe rows
+    // (Window.partitionBy would otherwise group them together).
+    // NULL-key probe rows survive with a NULL match, like a left join.
+    val buildPruned = build
+      .filter(col(buildKeyCol).isNotNull)
+      .select(
+        col(buildKeyCol).as(key),
+        col(buildTsCol).as(ts),
+        lit(0).as(side),
+        struct(col(buildTsCol).as("__ts") +: payloadCols.map(col): _*)
+          .as(payload))
 
     val probeTagged = probe.select(
       (probeCols.map(col) :+
@@ -108,6 +120,117 @@ object AsofJoin {
 
     val w = Window.partitionBy(col(key))
       .orderBy(col(ts).asc, col(side).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = unioned
+      .withColumn("__graft_asof_match",
+        last(col(payload), ignoreNulls = true).over(w))
+      .filter(col(side) === 1)
+
+    val out = payloadCols.map(c =>
+      col(s"__graft_asof_match.$c").as(c)) ++
+      matchedTsAs.map(n => col("__graft_asof_match.__ts").as(n)).toSeq
+    matched.select(probeCols.map(col) ++ out: _*)
+  }
+
+  /** Skew-safe as-of join: identical semantics to [[asofJoin]], but the
+    * window runs per (key, time-bucket) instead of per key, so a hot
+    * key (one user with millions of events) parallelizes across its
+    * buckets instead of serializing into one window partition.
+    *
+    * Mechanics — the classic two-level forward-fill:
+    *   1. collapse build rows to the latest payload per (key, bucket);
+    *   2. forward-fill those across buckets with one window over the
+    *      per-bucket rows only (at most keys × buckets rows — tiny
+    *      relative to the data, and the only per-key sequential pass);
+    *   3. inject each bucket's carry-in as a synthetic row that sorts
+    *      before everything in the bucket (NULL ts, asc_nulls_first),
+    *      then run the [[asofJoin]] union+window per (key, bucket).
+    *
+    * `bucket` must be monotone non-decreasing in the timestamp and
+    * identical for both sides (e.g. `date_trunc("day", _)` or
+    * `unix_micros(_) div width`). Bucket choice only affects
+    * parallelism, never results.
+    */
+  def asofJoinBucketed(
+      probe: DataFrame,
+      probeKeyCol: String,
+      probeTsCol: String,
+      build: DataFrame,
+      buildKeyCol: String,
+      buildTsCol: String,
+      payloadCols: Seq[String],
+      matchedTsAs: Option[String] = None)(
+      bucket: Column => Column): DataFrame = {
+    require(payloadCols.nonEmpty, "payloadCols must be non-empty")
+    require(
+      probe.schema(probeTsCol).dataType == build.schema(buildTsCol).dataType,
+      s"as-of ts types must match: probe $probeTsCol vs build $buildTsCol")
+    val collisions =
+      (payloadCols ++ matchedTsAs.toSeq).intersect(probe.columns.toSeq)
+    require(collisions.isEmpty,
+      s"as-of output columns ${collisions.mkString(", ")} collide with " +
+        "probe columns — alias the probe side (or matchedTsAs) first")
+    val key = "__graft_asof_key"
+    val ts = "__graft_asof_ts"
+    val bkt = "__graft_asof_bkt"
+    val side = "__graft_asof_side"
+    val payload = "__graft_asof_payload"
+    val probeCols = probe.columns.toSeq
+
+    val buildB = build
+      .filter(col(buildKeyCol).isNotNull)
+      .select(
+        col(buildKeyCol).as(key),
+        col(buildTsCol).as(ts),
+        bucket(col(buildTsCol)).as(bkt),
+        struct(col(buildTsCol).as("__ts") +: payloadCols.map(col): _*)
+          .as(payload))
+
+    // 1. latest build payload per (key, bucket)
+    val lastPerBucket = buildB
+      .groupBy(col(key), col(bkt))
+      .agg(max_by(col(payload), col(ts)).as(payload))
+
+    // 2. forward-fill across buckets: carry-in for bucket b = latest
+    // payload of any earlier bucket. Runs over per-bucket rows only.
+    // Probe-side buckets participate too — a probe bucket with no
+    // build rows still needs the carry from earlier buckets.
+    val allBuckets = probe
+      .filter(col(probeKeyCol).isNotNull)
+      .select(col(probeKeyCol).as(key), bucket(col(probeTsCol)).as(bkt))
+      .distinct()
+      .unionByName(lastPerBucket.select(col(key), col(bkt)))
+      .distinct()
+    val wCarry = Window.partitionBy(col(key)).orderBy(col(bkt).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = allBuckets
+      .join(lastPerBucket, Seq(key, bkt), "left")
+      .withColumn(payload, last(col(payload), ignoreNulls = true).over(wCarry))
+      .filter(col(payload).isNotNull)
+      .select(
+        col(key),
+        lit(null).cast(build.schema(buildTsCol).dataType).as(ts),
+        col(bkt),
+        lit(-1).as(side),
+        col(payload))
+
+    // 3. per-(key, bucket) union+window; carry rows sort first
+    // (NULL ts + asc_nulls_first), build (0) before probe (1) at
+    // equal ts for inclusive `>=` semantics.
+    val probeTagged = probe.select(
+      probeCols.map(col) ++ Seq(
+        col(probeKeyCol).as(key),
+        col(probeTsCol).as(ts),
+        bucket(col(probeTsCol)).as(bkt),
+        lit(1).as(side),
+        lit(null).cast(buildB.schema(payload).dataType).as(payload)): _*)
+    val unioned = probeTagged
+      .unionByName(buildB.withColumn(side, lit(0)),
+        allowMissingColumns = true)
+      .unionByName(carries, allowMissingColumns = true)
+
+    val w = Window.partitionBy(col(key), col(bkt))
+      .orderBy(col(ts).asc_nulls_first, col(side).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = unioned
       .withColumn("__graft_asof_match",

@@ -83,33 +83,68 @@ object JoinQueries {
     * formatted to µs strings for hash parity (events.parquet is ns;
     * both engines truncate ns→µs — Spark in Tables.events, DuckDB via
     * CAST(ts AS TIMESTAMP)). */
+  /** Shared as-of fixture: clicks probe purchases. The build side is
+    * collapsed to one row per (user, ts) with an event_id-arg-max
+    * tiebreak (AsofJoin.dedupeBuild) so ties at equal microsecond
+    * timestamps — possible after the ns→µs truncation at larger scale
+    * factors — resolve deterministically; the oracle mirrors the same
+    * arg_max pre-aggregation. */
+  private def asofSides(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = graft.operators.AsofJoin.dedupeBuild(
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"), col("event_id")),
+      "user_id", "ts", Seq("value"), tiebreakCol = "event_id")
+    (clicks, purchases)
+  }
+
+  private def asofProject(df: org.apache.spark.sql.DataFrame) =
+    df.select(
+      col("event_id"),
+      round(col("value"), 4).as("purchase_val"),
+      date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .as("purchase_ts"))
+      .orderBy("event_id")
+
+  private val asofOracle =
+    """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                         event_type, value FROM events),
+            pd AS (SELECT user_id, ts, arg_max(value, event_id) AS value
+                   FROM e WHERE event_type = 'purchase' GROUP BY user_id, ts)
+       SELECT c.event_id,
+              ROUND(p.value, 4) AS purchase_val,
+              strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts
+       FROM (SELECT * FROM e WHERE event_type = 'click') c
+       ASOF LEFT JOIN pd p
+         ON c.user_id = p.user_id AND c.ts >= p.ts
+       ORDER BY c.event_id"""
+
   val j6 = Q(
     "j6_asof_join",
     (s, d) => {
-      val ev = Tables.events(s, d)
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("event_id"), col("user_id"), col("ts"))
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"), col("value"))
-      graft.operators.AsofJoin
+      val (clicks, purchases) = asofSides(s, d)
+      asofProject(graft.operators.AsofJoin
         .asofJoin(clicks, "user_id", "ts",
-          purchases, "user_id", "ts", Seq("value"), Some("purchase_ts"))
-        .select(
-          col("event_id"),
-          round(col("value"), 4).as("purchase_val"),
-          date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
-            .as("purchase_ts"))
-        .orderBy("event_id")
+          purchases, "user_id", "ts", Seq("value"), Some("purchase_ts")))
     },
-    Some("""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
-                              event_type, value FROM events)
-            SELECT c.event_id,
-                   ROUND(p.value, 4) AS purchase_val,
-                   strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts
-            FROM (SELECT * FROM e WHERE event_type = 'click') c
-            ASOF LEFT JOIN (SELECT * FROM e WHERE event_type = 'purchase') p
-              ON c.user_id = p.user_id AND c.ts >= p.ts
-            ORDER BY c.event_id"""))
+    Some(asofOracle))
+
+  /** j6b — the skew-safe bucketed as-of join (window per (key, day)
+    * instead of per key: a hot user parallelizes across days). Same
+    * semantics, same oracle as j6 — the strongest possible check that
+    * the two formulations agree. */
+  val j6b = Q(
+    "j6b_asof_bucketed",
+    (s, d) => {
+      val (clicks, purchases) = asofSides(s, d)
+      asofProject(graft.operators.AsofJoin
+        .asofJoinBucketed(clicks, "user_id", "ts",
+          purchases, "user_id", "ts", Seq("value"), Some("purchase_ts"))(
+          ts => date_trunc("day", ts)))
+    },
+    Some(asofOracle))
 
   /** u1 — union with schema drift: the reference's pandas implicitly
     * unions rows with differing key sets (convert_to_iceberg.py:678);
@@ -139,5 +174,5 @@ object JoinQueries {
               SELECT event_id, 'event', value, NULL FROM events)
             ORDER BY kind, id LIMIT 1000"""))
 
-  def all: Seq[Q] = Seq(j1, j2, j3, j4, j6, u1)
+  def all: Seq[Q] = Seq(j1, j2, j3, j4, j6, j6b, u1)
 }

@@ -73,6 +73,70 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(shuffles == 1, s"expected exactly 1 hash exchange:\n$plan")
   }
 
+  test("NULL build keys never match (SQL join semantics)") {
+    val p = Seq((1L, null.asInstanceOf[String], 10L), (2L, "u1", 20L))
+      .toDF("pid", "k", "t")
+    val b = Seq((null.asInstanceOf[String], 5L, 42.0), ("u1", 5L, 7.0))
+      .toDF("k", "t", "v")
+    val out = AsofJoin.asofJoin(p, "k", "t", b, "k", "t", Seq("v"))
+      .select("pid", "v").as[(Long, Option[Double])].collect().sortBy(_._1)
+    // NULL-key probe row survives (left-join style) but must NOT pick
+    // up the NULL-key build payload
+    assert(out === Array((1L, None), (2L, Some(7.0))))
+  }
+
+  test("payload/matchedTs name collisions with probe are rejected eagerly") {
+    val e1 = intercept[IllegalArgumentException] {
+      // "t" is a probe column and a payload name
+      AsofJoin.asofJoin(probe, "k", "t", build, "k", "t", Seq("t"))
+    }
+    assert(e1.getMessage.contains("collide"))
+    val e2 = intercept[IllegalArgumentException] {
+      AsofJoin.asofJoin(probe, "k", "t", build, "k", "t", Seq("v"),
+        matchedTsAs = Some("pid"))
+    }
+    assert(e2.getMessage.contains("collide"))
+  }
+
+  test("bucketed variant agrees with the plain as-of join, hot key included") {
+    // one hot key (u1) with many rows across a wide t range, plus the
+    // regular fixture rows — bucket width 25 splits u1 across buckets
+    val hotProbe = (0 until 500).map(i => (1000L + i, "u1", i.toLong * 2))
+      .toDF("pid", "k", "t").union(probe)
+    val hotBuild = (0 until 100).map(i => ("u1", i.toLong * 10, i.toDouble, i.toLong))
+      .toDF("k", "t", "v", "tie").union(build)
+    val plain = AsofJoin
+      .asofJoin(hotProbe, "k", "t",
+        AsofJoin.dedupeBuild(hotBuild, "k", "t", Seq("v"), "tie"),
+        "k", "t", Seq("v"), Some("mt"))
+    val bucketed = AsofJoin
+      .asofJoinBucketed(hotProbe, "k", "t",
+        AsofJoin.dedupeBuild(hotBuild, "k", "t", Seq("v"), "tie"),
+        "k", "t", Seq("v"), Some("mt"))(t => t.divide(25).cast("long"))
+    assert(plain.count() === 505)
+    assert(bucketed.exceptAll(plain).isEmpty && plain.exceptAll(bucketed).isEmpty)
+    // the big window really is per (key, bucket): its partition spec
+    // carries two expressions, so a hot key cannot serialize
+    val w = bucketed.queryExecution.optimizedPlan.collect {
+      case win: org.apache.spark.sql.catalyst.plans.logical.Window
+          if win.partitionSpec.size == 2 => win
+    }
+    assert(w.nonEmpty, bucketed.queryExecution.optimizedPlan.toString)
+  }
+
+  test("bucketed carry-in crosses empty buckets") {
+    // build only in bucket 0; probes in far-later buckets must still
+    // see the carry (forward-fill across empty buckets)
+    val p = Seq((1L, "u1", 1000L), (2L, "u1", 5000L)).toDF("pid", "k", "t")
+    val b = Seq(("u1", 1L, 3.5)).toDF("k", "t", "v")
+    val out = AsofJoin
+      .asofJoinBucketed(p, "k", "t", b, "k", "t", Seq("v"), Some("mt"))(
+        t => t.divide(10).cast("long"))
+      .select("pid", "v", "mt").as[(Long, Option[Double], Option[Long])]
+      .collect().sortBy(_._1)
+    assert(out === Array((1L, Some(3.5), Some(1L)), (2L, Some(3.5), Some(1L))))
+  }
+
   test("j6_asof_join query runs and click rows are preserved 1:1") {
     val df = SparkEntry.queries("j6_asof_join")(spark, TestSpark.sf0001)
     val ev = Tables.events(spark, TestSpark.sf0001)

@@ -59,6 +59,58 @@ object Dedup {
     when(union === 0.0, lit(0.0)).otherwise(inter / union)
   }
 
+  // ---- bucket-size guard ---------------------------------------------
+
+  /** Drop LSH buckets larger than `cap` before a bucket self-join.
+    *
+    * Every in-bucket self-join is quadratic in bucket size: fine for
+    * real corpora (bands spread ~uniformly), degenerate for a hostile
+    * or pathological input (millions of identical documents collapse
+    * into ONE bucket and pin a single reducer with n²/2 pairs). Exact
+    * dedup upstream is the semantic mitigation; this cap is the
+    * operational one — a bucket over the cap is dropped wholesale.
+    * Dropping loses only pairs a capped bucket would have contributed;
+    * near-identical members of a huge bucket are exactly what exact
+    * dedup already collapses. Use [[oversizedBuckets]] to audit what a
+    * given cap would drop.
+    *
+    * The size count runs as a window over the same keys the self-join
+    * shuffles on, so the plan pays no extra exchange.
+    */
+  private[llm] def capBuckets(
+      df: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+    df.withColumn("__graft_bucket_n", count(lit(1)).over(w))
+      .filter(col("__graft_bucket_n") <= cap)
+      .drop("__graft_bucket_n")
+  }
+
+  /** Audit companion to the cap: (bucket keys, n) for every MinHash
+    * band bucket exceeding `cap` — run it when a capped
+    * `nearDupMinhash` needs an account of what was skipped. */
+  def oversizedBuckets(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleK: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      cap: Int = defaultMaxBucket): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(shingles(col(textCol), shingleK).as("sh"))
+      .select(posexplode(graft.functions.TextExprs.minhash_bands(
+        col("sh"), numHashes, bands)).as(Seq("band", "band_hash")))
+      .groupBy("band", "band_hash")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > cap)
+  }
+
+  /** Default self-join bucket cap: 4096² / 2 ≈ 8.4M candidate pairs
+    * from a single worst-case bucket — heavy but bounded. */
+  val defaultMaxBucket: Int = 4096
+
   // ---- MinHash + LSH ------------------------------------------------
 
   /** H-permutation MinHash signature of a shingle array. Permutation i
@@ -87,7 +139,8 @@ object Dedup {
       shingleK: Int = 3,
       numHashes: Int = 32,
       bands: Int = 8,
-      minJaccard: Double = 0.7): DataFrame = {
+      minJaccard: Double = 0.7,
+      maxBucketSize: Int = defaultMaxBucket): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     graft.functions.GraftFunctions.register(docs.sparkSession)
 
@@ -102,8 +155,9 @@ object Dedup {
         posexplode(graft.functions.TextExprs.minhash_bands(
           col("sh"), numHashes, bands)).as(Seq("band", "band_hash")))
 
-    val candidates = banded.as("a")
-      .join(banded.as("b"), Seq("band", "band_hash"))
+    val capped = capBuckets(banded, Seq("band", "band_hash"), maxBucketSize)
+    val candidates = capped.as("a")
+      .join(capped.as("b"), Seq("band", "band_hash"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .distinct()
@@ -131,13 +185,16 @@ object Dedup {
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      maxBucketSize: Int = defaultMaxBucket): DataFrame = {
     val sig = simhashes(docs, idCol, textCol)
     val bandVals = array((0 until 4).map(b =>
       shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)
-    val banded = sig.select(
-      col("id"), col("simhash"),
-      posexplode(bandVals).as(Seq("band", "band_val")))
+    val banded = capBuckets(
+      sig.select(
+        col("id"), col("simhash"),
+        posexplode(bandVals).as(Seq("band", "band_val"))),
+      Seq("band", "band_val"), maxBucketSize)
 
     val a = banded.select(col("band"), col("band_val"),
       col("id").as("id_a"), col("simhash").as("sim_a"))

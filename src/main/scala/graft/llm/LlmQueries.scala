@@ -30,16 +30,41 @@ object LlmQueries {
     Some("""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
             FROM documents GROUP BY sha256(text) ORDER BY keep_id"""))
 
-  /** MinHash+LSH near-dup summary (bucketing not SQL-expressible;
-    * exact-Jaccard verification lives in DedupSpec). */
+  /** MinHash+LSH near-dup summary, oracle-verified END TO END against
+    * DuckDB's exact all-pairs Jaccard at the same threshold: any LSH
+    * recall shortfall surfaces as an n_pairs/avg mismatch — that is
+    * the point of the check. Bands are r=2 × b=32 here (vs the
+    * operator's 32/8 default): at Jaccard 0.5 a pair collides in ≥1
+    * band with p = 1-(1-0.5²)³² ≈ 0.9999, so on a non-adversarial
+    * corpus the candidate set contains every qualifying pair, and the
+    * exact-Jaccard verify keeps precision at 1 (false candidates cost
+    * compute, never correctness). The oracle can afford all-pairs only
+    * because the gate corpus is small; the engine path stays bucketed.
+    */
   val nearDupMinhash = Q(
     "dedup_minhash_lsh",
     (s, d) =>
-      Dedup.nearDupMinhash(Tables.documents(s, d), minJaccard = 0.5)
+      Dedup.nearDupMinhash(Tables.documents(s, d), minJaccard = 0.5,
+        numHashes = 64, bands = 32)
         .agg(
           count(lit(1)).as("n_pairs"),
           coalesce(round(avg(col("jaccard")), 4), lit(0.0)).as("avg_jaccard")),
-    None)
+    Some("""WITH sh AS (
+              SELECT doc_id,
+                CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) < 3
+                  THEN [array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' ')]
+                  ELSE list_distinct([array_to_string(string_split_regex(lower(trim(text)), '\s+')[i:i+2], ' ')
+                        for i in range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1)])
+                END AS s
+              FROM documents),
+            pairs AS (
+              SELECT ROUND(CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
+                  ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                       CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) END, 4) AS jaccard
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+            SELECT COUNT(*) AS n_pairs,
+                   COALESCE(ROUND(AVG(jaccard), 4), 0.0) AS avg_jaccard
+            FROM pairs WHERE jaccard >= 0.5"""))
 
   /** SimHash near-dup summary (custom codegen expression inside). */
   val nearDupSimhash = Q(

@@ -191,12 +191,18 @@ object Similarity {
       nBits: Int = 8,
       nTables: Int = 4,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      maxBucketSize: Int = Dedup.defaultMaxBucket): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
-    val bucketed = embeddings.select(
-      col(idCol).as("id"),
-      posexplode(lsh_buckets(col(vecCol), nBits, nTables))
-        .as(Seq("tbl", "bucket")))
+    // same quadratic-bucket guard as the text LSH paths — a degenerate
+    // corpus (millions of identical embeddings) collapses into one
+    // bucket per table and would pin a single reducer
+    val bucketed = Dedup.capBuckets(
+      embeddings.select(
+        col(idCol).as("id"),
+        posexplode(lsh_buckets(col(vecCol), nBits, nTables))
+          .as(Seq("tbl", "bucket"))),
+      Seq("tbl", "bucket"), maxBucketSize)
     val pairs = bucketed.as("a")
       .join(bucketed.as("b"), Seq("tbl", "bucket"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))

@@ -59,6 +59,32 @@ class DedupSpec extends AnyFunSuite {
     assert(found.agg(min("jaccard")).head().getDouble(0) >= 0.7)
   }
 
+  test("bucket cap defuses a degenerate corpus of identical docs") {
+    // 1000 identical documents: every band collapses into ONE bucket
+    // of 1000 → an uncapped self-join would emit ~500k pairs per band.
+    // With the cap the oversized buckets are dropped wholesale and the
+    // planted small-bucket pair is still found.
+    val degenerate = (1 to 1000).map(i => (i.toLong, base))
+      .toDF("doc_id", "text")
+      .union(Seq(
+        (2001L, "some other niche text about distributed query engines " +
+          "running at very large scale with columnar storage and codegen today"),
+        (2002L, "some other niche text about distributed query engines " +
+          "running at very large scale with columnar storage and codegen tomorrow"))
+        .toDF("doc_id", "text"))
+    val pairs = Dedup.nearDupMinhash(degenerate,
+      minJaccard = 0.5, maxBucketSize = 100)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!pairs.exists(p => p._1 <= 1000L && p._2 <= 1000L),
+      "capped bucket must contribute no pairs")
+    assert(pairs.contains((2001L, 2002L)),
+      "small buckets keep working under the cap")
+    // and the audit names the culprit buckets
+    val over = Dedup.oversizedBuckets(degenerate, cap = 100)
+      .agg(max("n")).head().getLong(0)
+    assert(over == 1000L)
+  }
+
   test("simhash: identical docs equal, near-dups close, unrelated far") {
     val sig = Dedup.simhashes(docs).as[(Long, Long)].collect().toMap
     assert(sig(1L) == sig(2L))

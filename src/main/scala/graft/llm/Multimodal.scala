@@ -6,18 +6,68 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: media as opaque `binary` columns with
   * typed metadata, processed in partition-local batches.
   *
-  * The decode step is STUBBED (image/audio codecs are not in this
-  * container): `decodeStub` derives deterministic fake
-  * width/height/duration from the payload hash. Everything around it —
-  * the schema, the binary column, the batched per-partition execution
-  * shape (the Scala analog of `mapInPandas` batches), partitioning by
-  * modality — is real and tested, so swapping in a real codec is a
-  * one-function change.
+  * The decode step parses REAL container headers where that is
+  * possible without native codec libraries: PNG IHDR width/height and
+  * WAV RIFF sample-rate/duration are plain big/little-endian reads
+  * (see [[MediaHeaders]]). Payloads that are neither (e.g. the
+  * text-derived stand-in blobs of the fixture corpus) fall back to
+  * deterministic synthetic metadata so the pipeline shape stays
+  * exercised end-to-end; the `feature` vector is likewise a
+  * deterministic placeholder featurizer (a real embedding model does
+  * not belong in a header decode). The execution shape — binary
+  * column, typed Dataset, Iterator→Iterator batching, partition by
+  * modality — is what a vectorized native decode needs.
   *
   * The reference only counts attachments (convert_to_iceberg.py:384-396);
   * carrying the payload as a first-class binary column is the extension.
   */
 object Multimodal {
+
+  /** Pure-JVM media header parsers — no codec dependencies. */
+  object MediaHeaders {
+    private def beInt(b: Array[Byte], off: Int): Int =
+      ((b(off) & 0xFF) << 24) | ((b(off + 1) & 0xFF) << 16) |
+        ((b(off + 2) & 0xFF) << 8) | (b(off + 3) & 0xFF)
+    private def leInt(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+        ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+    private def ascii(b: Array[Byte], off: Int, s: String): Boolean =
+      b.length >= off + s.length &&
+        s.indices.forall(i => b(off + i) == s.charAt(i).toByte)
+
+    /** PNG signature + IHDR (always the first chunk, spec-mandated):
+      * width/height are big-endian ints at offsets 16/20. */
+    def pngDimensions(b: Array[Byte]): Option[(Int, Int)] = {
+      val sig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+        .map(_.toByte)
+      if (b.length >= 24 && b.take(8).sameElements(sig) &&
+        ascii(b, 12, "IHDR")) {
+        val (w, h) = (beInt(b, 16), beInt(b, 20))
+        if (w > 0 && h > 0) Some((w, h)) else None
+      } else None
+    }
+
+    /** WAV: walk RIFF chunks for `fmt ` (byte rate) and `data` (payload
+      * size); duration_ms = dataBytes * 1000 / byteRate. */
+    def wavDurationMs(b: Array[Byte]): Option[Long] = {
+      if (!(ascii(b, 0, "RIFF") && ascii(b, 8, "WAVE"))) return None
+      var off = 12
+      var byteRate = 0L
+      var dataBytes = -1L
+      while (off + 8 <= b.length && (byteRate == 0L || dataBytes < 0L)) {
+        val size = leInt(b, off + 4).toLong & 0xFFFFFFFFL
+        if (ascii(b, off, "fmt ") && off + 20 <= b.length)
+          byteRate = leInt(b, off + 16).toLong & 0xFFFFFFFFL
+        else if (ascii(b, off, "data"))
+          dataBytes = size
+        // chunks are word-aligned: odd sizes carry a pad byte
+        off += 8 + size.toInt + (size.toInt & 1)
+      }
+      if (byteRate > 0 && dataBytes >= 0)
+        Some(dataBytes * 1000L / byteRate)
+      else None
+    }
+  }
 
   /** One media row: opaque payload + typed metadata. */
   final case class MediaRow(
@@ -46,30 +96,48 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("payload"),
       col("doc_id").as("source_doc"))
 
-  /** STUB decode: deterministic fake metadata from the payload hash.
-    * Real implementation would decode the codec header here. Runs as a
+  /** Header decode: real PNG/WAV header parses (MediaHeaders); other
+    * payload types fall back to deterministic synthetic metadata (the
+    * fixture blobs are text bytes, not media containers). Runs as a
     * partition-local batch map (Iterator→Iterator — never materializes
     * a partition), the same execution shape a vectorized decode needs. */
-  def decodeStub(media: Dataset[MediaRow], featureDim: Int = 8)(
+  def decode(media: Dataset[MediaRow], featureDim: Int = 8)(
       implicit spark: SparkSession): Dataset[DecodedMedia] = {
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.map { m =>
-        // ??? real codec goes here; deterministic fake below
         val h = java.util.Arrays.hashCode(m.payload).toLong & 0x7FFFFFFFL
+        // placeholder featurizer (deterministic); a real embedding
+        // model is out of scope for a header decode
         val feat = Array.tabulate(featureDim)(i =>
           (((h >> (i * 4)) & 0xFF).toFloat / 255f))
+        val png = MediaHeaders.pngDimensions(m.payload)
+        val wav = if (png.isEmpty) MediaHeaders.wavDurationMs(m.payload)
+          else None
+        val (w, hgt, dur) = (png, wav) match {
+          case (Some((pw, ph)), _) => (pw, ph, 0L)
+          case (_, Some(ms)) => (0, 0, ms)
+          case _ => // non-media payload: stable synthetic fallback
+            ((h % 1920).toInt + 1, (h % 1080).toInt + 1,
+              if (m.modality == "image") 0L else h % 600000L)
+        }
         DecodedMedia(
           media_id = m.media_id,
           modality = m.modality,
           n_bytes = m.payload.length.toLong,
-          width = (h % 1920).toInt + 1,
-          height = (h % 1080).toInt + 1,
-          duration_ms = if (m.modality == "image") 0L else (h % 600000L),
+          width = w,
+          height = hgt,
+          duration_ms = dur,
           feature = feat)
       }
     }
   }
+
+  /** Former name of [[decode]], kept while the decode was a stub. */
+  @deprecated("use decode", "0.1")
+  def decodeStub(media: Dataset[MediaRow], featureDim: Int = 8)(
+      implicit spark: SparkSession): Dataset[DecodedMedia] =
+    decode(media, featureDim)
 
   /** End-to-end plumbing: media table → typed Dataset → batched decode
     * → per-modality stats. Partitioned by modality before the decode so
@@ -79,7 +147,7 @@ object Multimodal {
     val media = mediaFromDocuments(docs)
       .repartition(col("modality"))
       .as[MediaRow]
-    decodeStub(media)
+    decode(media)
       .groupBy("modality")
       .agg(
         count(lit(1)).as("n_media"),

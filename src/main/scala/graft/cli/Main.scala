@@ -49,6 +49,10 @@ object Main {
         val out = arg(args, "--output-path").getOrElse(s"$data/derived-data")
         val agencies = arg(args, "--agency").toSeq
         val codec = arg(args, "--compression").getOrElse("snappy")
+        // fail fast on unreadable input / unwritable output BEFORE any
+        // discovery or job launch (reference
+        // convert_to_iceberg.py:1197-1242)
+        graft.sources.Preflight.check(spark, data, out)
         val found = JsonApi.discover(spark, data, agencies = agencies)
         require(found.nonEmpty, s"no dockets found under $data")
         val kinds = found.map(_.kind).distinct

@@ -22,6 +22,46 @@ class ErrorPathSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no input directories"))
   }
 
+  test("preflight: nonexistent input fails in well under a second") {
+    val out = TestSpark.tmpDir("preflight-out")
+    val t0 = System.nanoTime()
+    val e = intercept[graft.sources.Preflight.PreflightException] {
+      graft.cli.Main.run(spark, Array("convert",
+        "/root/repo/target/no-such-input", "--output-path", out))
+    }
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(e.getMessage.contains("does not exist"))
+    assert(e.getMessage.contains("no-such-input"))
+    assert(ms < 1000, s"preflight took ${ms}ms — must fail before any job")
+  }
+
+  test("preflight: output path that is a FILE fails before any work") {
+    val root = TestSpark.tmpDir("preflight-badout")
+    val outFile = s"$root/occupied"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), "x")
+    val fixture = TestSpark.tmpDir("preflight-in")
+    graft.sources.FixtureTree.writeComments(fixture, nDockets = 1,
+      commentsPerDocket = 1)
+    val t0 = System.nanoTime()
+    val e = intercept[graft.sources.Preflight.PreflightException] {
+      graft.cli.Main.run(spark, Array("convert", fixture,
+        "--output-path", outFile))
+    }
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(e.getMessage.contains("not a directory"))
+    assert(ms < 1000, s"preflight took ${ms}ms")
+  }
+
+  test("preflight passes on a readable input and writable output") {
+    val fixture = TestSpark.tmpDir("preflight-ok-in")
+    graft.sources.FixtureTree.writeComments(fixture, nDockets = 1,
+      commentsPerDocket = 1)
+    val out = s"${TestSpark.tmpDir("preflight-ok-out")}/nested/derived"
+    graft.sources.Preflight.check(spark, fixture, out) // must not throw
+    // probe file is cleaned up
+    assert(!new java.io.File(s"$out/.graft_preflight_probe").exists())
+  }
+
   test("convert on an empty tree fails fast") {
     val empty = TestSpark.tmpDir("empty-tree")
     val e = intercept[IllegalArgumentException] {

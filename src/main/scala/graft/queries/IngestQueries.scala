@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.{FixtureTree, Flatten, JsonApi}
+
+/** Oracle-verified ingest path: the engine's primary pillar
+  * (discovery → distributed JSON:API read → flatten projection,
+  * reference convert_to_iceberg.py:367-411) checked hash-for-hash
+  * against DuckDB's independent `read_json` + SQL re-implementation
+  * of the same projection.
+  *
+  * Both sides read the SAME deterministic fixture tree
+  * (FixtureTree.oracleRoot — a fixed /tmp path, because the oracle SQL
+  * runs in a different process and must name the same files). The
+  * Spark query builds the tree idempotently before reading; the
+  * DuckDB side passes an explicit `columns` spec so no type
+  * auto-detection (e.g. timestamp sniffing) can drift.
+  */
+object IngestQueries {
+
+  private def flatComments(s: org.apache.spark.sql.SparkSession): DataFrame = {
+    val root = FixtureTree.ensureOracleTree()
+    val found = JsonApi.discover(s, root)
+    Flatten.comments(JsonApi.readRaw(s, found.map(_.dir)))
+  }
+
+  private val readJson =
+    """read_json('/tmp/graft_ingest_fixture/raw-data/*/*/comments/*.json',
+      |  columns = {
+      |    data: 'STRUCT(id VARCHAR, "type" VARCHAR,
+      |                  links STRUCT(self VARCHAR),
+      |                  attributes STRUCT("docketId" VARCHAR,
+      |                                    "agencyId" VARCHAR,
+      |                                    comment VARCHAR,
+      |                                    withdrawn BOOLEAN,
+      |                                    "postedDate" VARCHAR),
+      |                  relationships STRUCT(attachments STRUCT(
+      |                    data STRUCT(id VARCHAR, "type" VARCHAR)[])))',
+      |    included: 'STRUCT(id VARCHAR, "type" VARCHAR)[]'
+      |  })""".stripMargin
+
+  /** The reference's agency-from-id law in DuckDB SQL. */
+  private val agencySql =
+    """CASE WHEN data.id IS NULL THEN 'UNKNOWN'
+      |     WHEN strpos(data.id, '/') > 0 THEN string_split(data.id, '/')[1]
+      |     WHEN strpos(data.id, '-') > 0 THEN string_split(data.id, '-')[1]
+      |     ELSE 'UNKNOWN' END""".stripMargin
+
+  /** P1/S5 — full flatten-comments projection, row-for-row. */
+  val flattenComments = Q(
+    "flatten_comments",
+    (s, _) =>
+      flatComments(s).select(
+        col("id"), col("type"), col("link"),
+        col("docketId").as("docket_id"),
+        col("agencyId").as("agency_id"),
+        col("comment"),
+        col("withdrawn"),
+        date_format(col("postedDate"), "yyyy-MM-dd HH:mm:ss").as("posted"),
+        col("has_attachments"),
+        col("attachment_count").as("n_attachments"),
+        col("included_attachment_count").as("n_included"),
+        col("agency"))
+        .orderBy("id"),
+    Some(s"""SELECT data.id AS id,
+                    data."type" AS "type",
+                    data.links.self AS link,
+                    data.attributes."docketId" AS docket_id,
+                    data.attributes."agencyId" AS agency_id,
+                    data.attributes.comment AS comment,
+                    data.attributes.withdrawn AS withdrawn,
+                    strftime(strptime(data.attributes."postedDate",
+                                      '%Y-%m-%dT%H:%M:%SZ'),
+                             '%Y-%m-%d %H:%M:%S') AS posted,
+                    COALESCE(len(data.relationships.attachments.data), 0) > 0
+                      AS has_attachments,
+                    CAST(COALESCE(len(data.relationships.attachments.data), 0)
+                      AS INT) AS n_attachments,
+                    CAST(COALESCE(len(included), 0) AS INT) AS n_included,
+                    $agencySql AS agency
+             FROM $readJson
+             ORDER BY id"""))
+
+  /** P3 — agency derivation distribution: all three branches of the
+    * id → agency law ('-', '/', UNKNOWN) aggregated over the tree. */
+  val agencyFromId = Q(
+    "agency_from_id",
+    (s, _) =>
+      flatComments(s)
+        .groupBy("agency")
+        .agg(
+          count(lit(1)).as("n_comments"),
+          countDistinct(col("docketId")).as("n_dockets"))
+        .orderBy("agency"),
+    Some(s"""SELECT $agencySql AS agency,
+                    COUNT(*) AS n_comments,
+                    COUNT(DISTINCT data.attributes."docketId") AS n_dockets
+             FROM $readJson
+             GROUP BY 1 ORDER BY agency"""))
+
+  def all: Seq[Q] = Seq(flattenComments, agencyFromId)
+}

@@ -28,6 +28,7 @@ object Registry {
       SqlQueries.all ++
       SkewQueries.all ++
       AdvancedQueries.all ++
+      IngestQueries.all ++
       graft.llm.LlmQueries.all ++
       graft.streaming.StreamQueries.all
 

@@ -38,21 +38,33 @@ object FixtureTree {
     nDockets
   }
 
-  /** One JSON:API comment document; `withdrawn` and the posted hour
-    * vary deterministically so downstream filters/aggregates have
-    * non-degenerate values to chew on. */
+  /** One JSON:API comment document. Everything varies deterministically
+    * so downstream filters/aggregates have non-degenerate values:
+    * `withdrawn` and the posted hour cycle; every third comment carries
+    * attachment relationship entries (and `included` blobs); the entity
+    * id exercises all three branches of the agency-derivation law —
+    * '-'-separated (normal), '/'-separated, and no-separator → UNKNOWN
+    * (reference convert_to_iceberg.py:404-411). */
   private def commentJson(
       agency: String, docket: String, d: Int, c: Int): String = {
     val withdrawn = (d + c) % 7 == 0
     val hour = (d * 3 + c) % 24
-    s"""{"data": {"id": "$docket-$c", "type": "comments",
+    val id =
+      if (d == 0 && c == 1) s"opaqueid$c"          // UNKNOWN branch
+      else if (c == 0) s"$agency/$docket-$c"       // slash branch
+      else s"$docket-$c"                           // dash branch
+    val nAtt = if ((d + c) % 3 == 0) 1 + c % 2 else 0
+    val attData = (0 until nAtt)
+      .map(i => s"""{"id": "$docket-$c-att$i", "type": "attachments"}""")
+      .mkString("[", ", ", "]")
+    s"""{"data": {"id": "$id", "type": "comments",
        |  "links": {"self": "https://example.invalid/$docket-$c"},
        |  "attributes": {"docketId": "$docket", "agencyId": "$agency",
        |    "comment": "comment $c on docket $docket from agency $agency",
        |    "withdrawn": $withdrawn,
        |    "postedDate": "2025-03-01T${f"$hour%02d"}:00:00Z"},
-       |  "relationships": {"attachments": {"data": []}}},
-       | "included": []}""".stripMargin
+       |  "relationships": {"attachments": {"data": $attData}}},
+       | "included": $attData}""".stripMargin
   }
 
   /** Fixed shared location for the oracle-visible fixture: both the
@@ -60,9 +72,20 @@ object FixtureTree {
     * path, so it has to be deterministic across processes. */
   val oracleRoot: String = "/tmp/graft_ingest_fixture"
 
+  /** Bump when commentJson output changes: a stale tree from an older
+    * build under /tmp must be regenerated, not silently reused (files
+    * are only written when missing). */
+  private val contentVersion = "v2"
+
   /** Build (once) the oracle fixture tree and return its root. */
   def ensureOracleTree(): String = {
-    writeComments(oracleRoot)
+    val marker = Paths.get(oracleRoot, s".fixture_$contentVersion")
+    if (!Files.exists(marker)) {
+      deleteRecursively(Paths.get(oracleRoot))
+      writeComments(oracleRoot)
+      Files.createDirectories(marker.getParent)
+      Files.writeString(marker, contentVersion)
+    }
     oracleRoot
   }
 

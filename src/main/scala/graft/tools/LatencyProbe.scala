@@ -13,10 +13,12 @@ object LatencyProbe {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get()
     val qs = SparkEntry.queries
-    val names = Seq("a1_count", "a2_groupby_count", "a5_topk_group",
-      "a6_date_topk", "a9_numeric_summary", "f2_text_search",
-      "f11_arithmetic", "j1_join_broadcast", "j2_join_3way",
-      "w1_topk_per_group")
+    val names = sys.env.get("PROBE_QUERIES")
+      .map(_.split(",").toSeq)
+      .getOrElse(Seq("a1_count", "a2_groupby_count", "a5_topk_group",
+        "a6_date_topk", "a9_numeric_summary", "f2_text_search",
+        "f11_arithmetic", "j1_join_broadcast", "j2_join_3way",
+        "w1_topk_per_group"))
     // split single-file tables into multiple scan partitions BEFORE
     // caching, so the cached relation is actually parallel
     spark.conf.set("spark.sql.files.maxPartitionBytes",

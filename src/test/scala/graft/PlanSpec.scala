@@ -51,6 +51,36 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH self-join computes the banding once on the big-data path") {
+    // At broadcast size, one join side re-plans the banding subtree —
+    // acceptable by definition (the input was small enough to
+    // broadcast). On the at-scale path (no broadcast → SMJ) the two
+    // sides are identical exchanges and MUST collapse into one via
+    // exchange/stage reuse: the expensive minhash_bands pass runs once.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
+      df.collect() // materialize so AQE finalizes stage reuse
+      // the adaptive plan prints Final + Initial sections; judge the
+      // final one only (the initial plan legitimately shows both sides)
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val bandings = "minhashbands".r.findAllIn(p).length
+      assert(bandings == 1 && p.contains("ReusedExchange"),
+        s"banding computed $bandings times on the no-broadcast path:\n$p")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("bucketed as-of join: no cartesian, no per-key serialization") {
+    val p = plan("j6b_asof_bucketed")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the main window must partition by (key, bucket), not key alone
+    assert(p.contains("__graft_asof_bkt"), p)
+  }
+
   test("brute-force ANN broadcasts the query vector (single-row side)") {
     val p = plan("ann_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),

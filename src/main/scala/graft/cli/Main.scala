@@ -53,9 +53,12 @@ object Main {
         // discovery or job launch (reference
         // convert_to_iceberg.py:1197-1242)
         graft.sources.Preflight.check(spark, data, out)
+        val t0 = System.nanoTime()
         val found = JsonApi.discover(spark, data, agencies = agencies)
         require(found.nonEmpty, s"no dockets found under $data")
         val kinds = found.map(_.kind).distinct
+        var tablesWritten = 0
+        var totalCorrupt = 0L
         kinds.foreach { kind =>
           val dirs = found.filter(_.kind == kind).map(_.dir)
           val raw = JsonApi.readRaw(spark, dirs)
@@ -67,8 +70,18 @@ object Main {
           val written = ParquetSink.write(flat, s"$out/$table", codec,
             partitionCols = Seq("agency"))
           val bad = JsonApi.corruptRecords(raw).count()
+          if (written) tablesWritten += 1
+          totalCorrupt += bad
           println(s"$table: written=$written corrupt_quarantined=$bad")
         }
+        // final stats report, reference contract
+        // (convert_to_iceberg.py:1275-1291): processed/errors + rate +
+        // elapsed — corrupt records are quarantined counts, not aborts
+        val sec = (System.nanoTime() - t0) / 1e9
+        val nDockets = found.map(_.dir).distinct.size
+        println(f"convert done: dockets=$nDockets tables=$tablesWritten " +
+          f"corrupt_quarantined=$totalCorrupt elapsed=$sec%.1f s " +
+          f"rate=${nDockets / math.max(sec, 1e-9)}%.1f dockets/sec")
 
       case "query" =>
         val sfDir = args(1)

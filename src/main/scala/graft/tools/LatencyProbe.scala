@@ -23,6 +23,8 @@ object LatencyProbe {
     // caching, so the cached relation is actually parallel
     spark.conf.set("spark.sql.files.maxPartitionBytes",
       sys.env.getOrElse("PROBE_MPB", "4194304"))
+    if (sys.env.contains("PROBE_NOCOMPRESS"))
+      spark.conf.set("spark.sql.inMemoryColumnarStorage.compressed", "false")
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).cache())
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
     // codegen warm

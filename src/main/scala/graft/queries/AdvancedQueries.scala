@@ -153,5 +153,26 @@ object AdvancedQueries {
                    COUNT(*) AS cnt
             FROM events GROUP BY 1, 2 ORDER BY day_name, hr"""))
 
-  def all: Seq[Q] = Seq(a14, a9x, w4, j5, a15, a16, f12)
+  /** Full CUBE over two dims (rollup's superset: all 4 grouping sets).
+    * Same COALESCE-sentinel trick as a14 so null-ordering differences
+    * between engines cannot affect the compare. */
+  val a14x = Q(
+    "a14x_cube",
+    (s, d) =>
+      Tables.orders(s, d)
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("o_totalprice")), 2).as("rev"))
+        .select(
+          coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+          col("cnt"), col("rev"))
+        .orderBy("pri", "st"),
+    Some("""SELECT COALESCE(o_orderpriority, 'ALL') AS pri,
+                   COALESCE(o_orderstatus, 'ALL') AS st,
+                   COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS rev
+            FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+            ORDER BY pri, st"""))
+
+  def all: Seq[Q] = Seq(a14, a14x, a9x, w4, j5, a15, a16, f12)
 }

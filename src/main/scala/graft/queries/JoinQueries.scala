@@ -174,5 +174,39 @@ object JoinQueries {
               SELECT event_id, 'event', value, NULL FROM events)
             ORDER BY kind, id LIMIT 1000"""))
 
-  def all: Seq[Q] = Seq(j1, j2, j3, j4, j6, j6b, u1)
+  /** u2 — INTERSECT (distinct set semantics on both engines): high-value
+    * order keys that also have a bulky line item. Catalyst plans set
+    * intersect as aggregate + left-semi join — shuffles on the key,
+    * map-side partial dedup applies. */
+  val u2 = Q(
+    "u2_intersect",
+    (s, d) =>
+      Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+        .select(col("o_orderkey").as("okey"))
+        .intersect(
+          Tables.lineitem(s, d).filter(col("l_quantity") >= 45)
+            .select(col("l_orderkey").as("okey")))
+        .orderBy("okey"),
+    Some("""SELECT o_orderkey AS okey FROM orders WHERE o_totalprice > 400000
+            INTERSECT
+            SELECT l_orderkey FROM lineitem WHERE l_quantity >= 45
+            ORDER BY okey"""))
+
+  /** u3 — EXCEPT (distinct): high-value order keys with NO bulky line
+    * item (the set-algebra twin of the j4 anti join). */
+  val u3 = Q(
+    "u3_except",
+    (s, d) =>
+      Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+        .select(col("o_orderkey").as("okey"))
+        .except(
+          Tables.lineitem(s, d).filter(col("l_quantity") >= 45)
+            .select(col("l_orderkey").as("okey")))
+        .orderBy("okey"),
+    Some("""SELECT o_orderkey AS okey FROM orders WHERE o_totalprice > 400000
+            EXCEPT
+            SELECT l_orderkey FROM lineitem WHERE l_quantity >= 45
+            ORDER BY okey"""))
+
+  def all: Seq[Q] = Seq(j1, j2, j3, j4, j6, j6b, u1, u2, u3)
 }

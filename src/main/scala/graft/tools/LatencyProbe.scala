@@ -36,6 +36,17 @@ object LatencyProbe {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "67108864")
+    if (sys.env.contains("PROBE_EXPLAIN")) {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "67108864")
+      names.foreach { n =>
+        val df = qs(n)(spark, sfDir)
+        df.count()
+        println(s"=== $n ===\n${df.queryExecution.executedPlan}")
+      }
+      spark.stop(); return
+    }
     for ((label, smj) <- variants) {
       spark.conf.set("spark.sql.join.preferSortMergeJoin", smj)
       // one untimed pass so each variant's plans are compiled

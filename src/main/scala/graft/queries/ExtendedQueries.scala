@@ -1,0 +1,307 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Breadth extensions past SURVEY §2: canonical TPC-H pricing/priority
+  * queries, grouping sets, pivot/unpivot reshaping, subquery forms
+  * (EXISTS, scalar), a time-range window frame, and string-distance /
+  * regex / tokenization analytics. All oracle-verified against DuckDB
+  * on the same parquet.
+  *
+  * Scale notes per query are inline; the common themes:
+  *   - every aggregate is a hash-agg with map-side partial combine;
+  *   - the only joins are broadcast (dim side) or key-shuffles Catalyst
+  *     plans as SMJ — no cartesian anywhere;
+  *   - window frames partition on a real key (never a global window);
+  *   - per-row string ops (levenshtein, regexp) are narrow — they
+  *     pipeline inside whole-stage codegen with zero shuffle.
+  */
+object ExtendedQueries {
+
+  /** TPC-H Q1: pricing summary report. One scan, one shuffle on the
+    * 6-value (returnflag, linestatus) key; partial aggregation does
+    * nearly all the work map-side, so at 100 TB the shuffle carries
+    * ~6 rows per task. */
+  val tpchQ1 = Q(
+    "tpch_q1",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= to_timestamp(lit("2000-12-01")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+    Some("""SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+                   ROUND(AVG(l_quantity), 4) AS avg_qty,
+                   ROUND(AVG(l_extendedprice), 4) AS avg_price,
+                   ROUND(AVG(l_discount), 6) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus"""))
+
+  /** TPC-H Q3: shipping priority. customer is the broadcast dim;
+    * orders⋈lineitem shuffles once on orderkey; the top-10 is
+    * TakeOrderedAndProject (never a global sort). */
+  val tpchQ3 = Q(
+    "tpch_q3",
+    (s, d) => {
+      val cutoff = to_timestamp(lit("1996-03-15"))
+      val cust = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      ord
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+        .select(
+          col("l_orderkey"),
+          col("revenue"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+          col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some("""SELECT l_orderkey,
+                   ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+                   strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+                   o_orderpriority
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1996-03-15'
+              AND l_shipdate > TIMESTAMP '1996-03-15'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10"""))
+
+  /** GROUPING SETS — the third member of the rollup/cube family
+    * (a14/a14x), via the SAME SQL text in both engines. Catalyst plans
+    * one Expand + one hash-agg: rows duplicate ×|sets| map-side, but
+    * partial aggregation collapses them before the shuffle. */
+  private val groupingSetsSql =
+    """SELECT COALESCE(o_orderpriority, 'ALL') AS pr,
+              COALESCE(o_orderstatus, 'ALL') AS st,
+              COUNT(*) AS cnt,
+              ROUND(SUM(o_totalprice), 2) AS revenue
+       FROM orders
+       GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+       ORDER BY pr, st"""
+
+  val g1 = Q(
+    "g1_grouping_sets",
+    (s, d) => SqlQueries.sql(s, d, groupingSetsSql),
+    Some(groupingSetsSql))
+
+  /** Pivot: long→wide reshape, counts of priority per status. The
+    * pivot values are explicit, so the schema is fixed at plan time
+    * (no driver-side distinct scan) — mandatory at scale. */
+  val pv1 = Q(
+    "pv1_pivot",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .select(
+          col("o_orderstatus"),
+          coalesce(col("`1-URGENT`"), lit(0L)).as("n_urgent"),
+          coalesce(col("`2-HIGH`"), lit(0L)).as("n_high"),
+          coalesce(col("`3-MEDIUM`"), lit(0L)).as("n_medium"),
+          coalesce(col("`4-NOT SPECIFIED`"), lit(0L)).as("n_notspec"),
+          coalesce(col("`5-LOW`"), lit(0L)).as("n_low"))
+        .orderBy("o_orderstatus"),
+    Some("""SELECT o_orderstatus,
+                   COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS n_urgent,
+                   COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS n_high,
+                   COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS n_medium,
+                   COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS n_notspec,
+                   COUNT(*) FILTER (o_orderpriority = '5-LOW') AS n_low
+            FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  /** Unpivot (melt): wide→long reshape via the Dataset.unpivot API —
+    * a Generate over already-aggregated rows, so the expansion is a
+    * few dozen rows regardless of input scale. */
+  val uv1 = Q(
+    "uv1_unpivot",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          round(sum(col("o_totalprice")), 2).as("total_price"),
+          round(avg(col("o_totalprice")), 2).as("avg_price"),
+          count(lit(1)).cast("double").as("n_orders"))
+        .unpivot(
+          Array(col("o_orderstatus")),
+          Array(col("total_price"), col("avg_price"), col("n_orders")),
+          "metric", "val")
+        .orderBy("o_orderstatus", "metric"),
+    Some("""WITH agg AS (
+              SELECT o_orderstatus,
+                     ROUND(SUM(o_totalprice), 2) AS total_price,
+                     ROUND(AVG(o_totalprice), 2) AS avg_price,
+                     CAST(COUNT(*) AS DOUBLE) AS n_orders
+              FROM orders GROUP BY o_orderstatus)
+            SELECT o_orderstatus, 'total_price' AS metric, total_price AS val FROM agg
+            UNION ALL
+            SELECT o_orderstatus, 'avg_price', avg_price FROM agg
+            UNION ALL
+            SELECT o_orderstatus, 'n_orders', n_orders FROM agg
+            ORDER BY o_orderstatus, metric"""))
+
+  /** Correlated EXISTS subquery — same SQL text in both engines.
+    * Catalyst rewrites it to a left-semi hash join (RewritePredicateSubquery);
+    * PlanSpec asserts no nested-loop appears. */
+  private val existsSql =
+    """SELECT c_mktsegment, COUNT(*) AS n_customers
+       FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey
+                       AND o.o_orderpriority = '1-URGENT')
+       GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+  val sq1 = Q(
+    "sq1_exists_subquery",
+    (s, d) => SqlQueries.sql(s, d, existsSql),
+    Some(existsSql))
+
+  /** Scalar subquery — the inner aggregate runs once and broadcasts as
+    * a literal into the outer filter (no per-row re-execution). */
+  private val scalarSql =
+    """SELECT o_orderstatus, COUNT(*) AS n_above
+       FROM orders
+       WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+       GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
+  val sq2 = Q(
+    "sq2_scalar_subquery",
+    (s, d) => SqlQueries.sql(s, d, scalarSql),
+    Some(scalarSql))
+
+  /** Time-range window frame: per-user trailing-1-hour sum/count over
+    * event time (RANGE, not ROWS — frame by value, robust to ties).
+    * Partitioned by user_id: one shuffle, per-key sorted scan. */
+  val w5 = Q(
+    "w5_range_frame",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_s")
+        .rangeBetween(-3600L, 0L)
+      Tables.events(s, d)
+        .withColumn("ts_s", col("ts").cast("long"))
+        .select(
+          col("user_id"), col("event_id"), col("ts_s"),
+          round(sum(col("value")).over(w), 2).as("hr_sum"),
+          count(lit(1)).over(w).as("hr_n"))
+        .orderBy("user_id", "event_id")
+        .limit(500)
+    },
+    Some("""SELECT user_id, event_id, ts_s,
+                   ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts_s
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS hr_sum,
+                   COUNT(*) OVER (PARTITION BY user_id ORDER BY ts_s
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS hr_n
+            FROM (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events)
+            ORDER BY user_id, event_id LIMIT 500"""))
+
+  /** Edit-distance histogram: levenshtein from every part type to a
+    * probe string. Per-row narrow compute + tiny agg — the fuzzy-match
+    * primitive for catalog reconciliation, fully codegen'd. */
+  val f13 = Q(
+    "f13_edit_distance",
+    (s, d) =>
+      Tables.part(s, d)
+        .select(levenshtein(col("p_type"), lit("PROMO POLISHED BRASS"))
+          .cast("long").as("dist"))
+        .groupBy("dist")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("dist"),
+    Some("""SELECT levenshtein(p_type, 'PROMO POLISHED BRASS') AS dist,
+                   COUNT(*) AS n
+            FROM part GROUP BY 1 ORDER BY dist"""))
+
+  /** regexp_extract_all: per-document number extraction (count + first
+    * match). Row-local regex inside codegen; no shuffle before the
+    * deterministic order/limit. */
+  val f14 = Q(
+    "f14_regex_extract_all",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+            .cast("long").as("n_numbers"),
+          regexp_extract(col("text"), "[0-9]+", 0).as("first_number"))
+        .orderBy("doc_id")
+        .limit(300),
+    Some("""SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_numbers,
+                   COALESCE(regexp_extract(text, '[0-9]+'), '') AS first_number
+            FROM documents ORDER BY doc_id LIMIT 300"""))
+
+  /** Token explode: whitespace-split + explode + frequency top-20 —
+    * the term-frequency building block. The explode is a Generate
+    * (narrow); the only shuffle is the token group-by, with map-side
+    * partial counts doing the heavy lifting. */
+  val e1 = Q(
+    "e1_explode_tokens",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), "\\s+")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20),
+    Some("""SELECT token, COUNT(*) AS n
+            FROM (SELECT unnest(string_split_regex(text, '\s+')) AS token
+                  FROM documents)
+            WHERE token <> ''
+            GROUP BY token ORDER BY n DESC, token LIMIT 20"""))
+
+  /** Bivariate statistics: correlation / sample covariance / sample
+    * stddev in ONE pass (single hash-agg, no shuffle beyond the final
+    * 1-row combine). */
+  val a17 = Q(
+    "a17_corr_stats",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+            .as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4)
+            .as("covar_qty_price"),
+          round(stddev_samp(col("l_discount")), 6).as("sd_disc"),
+          round(var_samp(col("l_tax")), 6).as("var_tax")),
+    Some("""SELECT ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+                   ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+                   ROUND(stddev_samp(l_discount), 6) AS sd_disc,
+                   ROUND(var_samp(l_tax), 6) AS var_tax
+            FROM lineitem"""))
+
+  def all: Seq[Q] = Seq(
+    tpchQ1, tpchQ3, g1, pv1, uv1, sq1, sq2, w5, f13, f14, e1, a17)
+}

@@ -28,6 +28,7 @@ object Registry {
       SqlQueries.all ++
       SkewQueries.all ++
       AdvancedQueries.all ++
+      ExtendedQueries.all ++
       IngestQueries.all ++
       graft.llm.LlmQueries.all ++
       graft.streaming.StreamQueries.all

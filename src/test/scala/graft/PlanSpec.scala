@@ -94,6 +94,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("EXISTS subquery rewrites to a semi join, not a nested loop") {
+    val p = plan("sq1_exists_subquery")
+    assert(p.contains("LeftSemi"), s"EXISTS did not become a semi join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"EXISTS planned as a per-row loop:\n$p")
+  }
+
+  test("TPC-H Q3: broadcast dim, top-10 as TakeOrderedAndProject") {
+    val p = plan("tpch_q3")
+    assert(p.contains("BroadcastHashJoin"), s"customer dim not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-10 is a global sort:\n$p")
+  }
+
+  test("pivot with explicit values plans a single aggregate, no distinct scan") {
+    // One scan only: pivot values are fixed at plan time, so no extra
+    // job runs to discover the pivot column's domain.
+    val p = plan("pv1_pivot")
+    assert("Scan parquet".r.findAllIn(p).size == 1, s"pivot re-scans input:\n$p")
+  }
+
   test("whole-stage codegen covers the custom expressions") {
     // AQE reveals the final (codegen-staged) plan only after execution
     val df = SparkEntry.queries("dedup_simhash")(spark, sf)

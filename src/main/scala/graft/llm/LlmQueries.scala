@@ -142,6 +142,58 @@ object LlmQueries {
     },
     None)
 
+  /** Per-label embedding centroids: posexplode to (label, dim) and
+    * average. The ×64 row expansion collapses map-side (partial agg),
+    * so the shuffle carries only labels × dims partial sums — the
+    * class-prototype primitive (and the reduce step of a k-means
+    * iteration) at any scale. */
+  val embCentroids = Q(
+    "emb_centroids",
+    (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "e")))
+        .groupBy(col("label"), (col("pos0") + 1).cast("long").as("dim"))
+        .agg(round(avg(col("e")), 6).as("centroid"),
+          count(lit(1)).as("n_vecs"))
+        .orderBy("label", "dim"),
+    Some("""SELECT label, CAST(pos AS BIGINT) AS dim,
+                   ROUND(AVG(e), 6) AS centroid,
+                   COUNT(*) AS n_vecs
+            FROM (SELECT label,
+                         unnest(embedding) AS e,
+                         unnest(generate_series(1, len(embedding))) AS pos
+                  FROM embeddings)
+            GROUP BY label, pos ORDER BY label, dim"""))
+
+  /** Embedding validation profile: per-label count + squared-norm
+    * stats through the codegen `array_dot` (one pass, no shuffle
+    * beyond the label combine) — the "are these vectors normalized"
+    * pre-flight every embedding pipeline needs. */
+  val embNormProfile = Q(
+    "emb_norm_profile",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.embeddings(s, d)
+        .select(col("label"),
+          Similarity.dot(col("embedding"), col("embedding")).as("sqnorm"))
+        .groupBy("label")
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          round(avg(col("sqnorm")), 6).as("avg_sqnorm"),
+          round(min(col("sqnorm")), 6).as("min_sqnorm"),
+          round(max(col("sqnorm")), 6).as("max_sqnorm"))
+        .orderBy("label")
+    },
+    Some("""SELECT label, COUNT(*) AS n_vecs,
+                   ROUND(AVG(sq), 6) AS avg_sqnorm,
+                   ROUND(MIN(sq), 6) AS min_sqnorm,
+                   ROUND(MAX(sq), 6) AS max_sqnorm
+            FROM (SELECT label,
+                         list_dot_product(CAST(embedding AS DOUBLE[]),
+                                          CAST(embedding AS DOUBLE[])) AS sq
+                  FROM embeddings)
+            GROUP BY label ORDER BY label"""))
+
   /** Embedding-cosine near-dup pairs, LSH-bucketed, summary form. */
   val nearDupCosine = Q(
     "dedup_embedding_cosine",
@@ -232,6 +284,6 @@ object LlmQueries {
 
   def all: Seq[Q] = Seq(
     dedupStats, dedupKeep, nearDupMinhash, nearDupSimhash, ngramJaccard,
-    annBrute, annLsh, nearDupCosine,
+    annBrute, annLsh, nearDupCosine, embCentroids, embNormProfile,
     textTokens, textQuality, langDist, textAnalyze, mmStats, curate)
 }

@@ -101,5 +101,63 @@ object StreamQueries {
               GROUP BY user_id, session_id)
             ORDER BY user_id, session_id"""))
 
-  def all: Seq[Q] = Seq(st1, st2, st3, st4)
+  /** Click→purchase pairs within one hour, per user — the batch twin
+    * of a watermarked stream-stream interval join (StreamingSpec runs
+    * the same shape as two readStreams and asserts pair-count parity).
+    *
+    * Scale: an equi join on user_id (one shuffle) with the time bound
+    * as a residual predicate — never a cartesian. In the streaming
+    * form the watermark bounds join state to ~1 hour per side. */
+  def funnelPairs(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("click_ts") &&
+        col("p_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+  }
+
+  val st5 = Q(
+    "st_stream_join_funnel",
+    (s, d) =>
+      funnelPairs(Tables.events(s, d))
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          min(col("p_ts").cast("long") - col("click_ts").cast("long"))
+            .as("min_lag_s"))
+        .orderBy("user_id"),
+    Some("""SELECT c.user_id, COUNT(*) AS n_pairs,
+                   MIN(CAST(floor(epoch(p.ts)) AS BIGINT) -
+                       CAST(floor(epoch(c.ts)) AS BIGINT)) AS min_lag_s
+            FROM events c JOIN events p
+              ON c.user_id = p.user_id
+             AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+            WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+            GROUP BY c.user_id ORDER BY c.user_id"""))
+
+  /** Debounce dedup: collapse repeats of (user, type) within the same
+    * minute — the batch twin of streaming dropDuplicates behind a
+    * watermark (parity in StreamingSpec). dropDuplicates keeps an
+    * arbitrary representative, so the query emits only group COUNTS,
+    * which are deterministic. */
+  val st6 = Q(
+    "st_dedup_debounce",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          date_trunc("minute", col("ts")).as("minute"))
+        .dropDuplicates("user_id", "event_type", "minute")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_distinct"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type, COUNT(*) AS n_distinct
+            FROM (SELECT DISTINCT user_id, event_type,
+                         date_trunc('minute', ts) AS minute
+                  FROM events)
+            GROUP BY event_type ORDER BY event_type"""))
+
+  def all: Seq[Q] = Seq(st1, st2, st3, st4, st5, st6)
 }

@@ -153,6 +153,57 @@ class StreamingSpec extends AnyFunSuite {
       batch.select("id").collect().map(_.getString(0)).sorted.toSeq)
   }
 
+  test("stream-stream interval join matches the batch funnel (ST ext)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = TestSpark.tmpDir("funnel-src")
+    Tables.events(spark, TestSpark.sf0001)
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    def src = spark.readStream.schema(schema).parquet(dir)
+    val clicks = src.filter($"event_type" === "click")
+      .select($"user_id", $"ts".as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = src.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    // Inner stream-stream join: the time bounds let Spark expire join
+    // state past the watermark instead of buffering both streams forever.
+    val q = clicks.join(purchases,
+        expr("user_id = p_user AND p_ts >= click_ts" +
+          " AND p_ts <= click_ts + interval 1 hour"))
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("funnel_stream").count()
+    val batch = StreamQueries.funnelPairs(
+      Tables.events(spark, TestSpark.sf0001)).count()
+    assert(batch > 0, "fixture has no click->purchase pairs")
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+  }
+
+  test("streaming dropDuplicates matches the batch debounce (ST ext)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = TestSpark.tmpDir("debounce-src")
+    Tables.events(spark, TestSpark.sf0001)
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val q = spark.readStream.schema(schema).parquet(dir)
+      .select($"user_id", $"event_type",
+        date_trunc("minute", $"ts").as("minute"))
+      .withWatermark("minute", "2 hours")
+      .dropDuplicates("user_id", "event_type", "minute")
+      .groupBy("event_type").count()
+      .writeStream.format("memory").queryName("debounce_stream")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("debounce_stream")
+      .as[(String, Long)].collect().toMap
+    val batch = StreamQueries.st6.run(spark, TestSpark.sf0001)
+      .as[(String, Long)].collect().toMap
+    assert(batch.nonEmpty && streamed == batch,
+      s"stream $streamed != batch $batch")
+  }
+
   test("watermark drops data later than the lateness bound") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger

@@ -35,7 +35,7 @@ case class SimHash64(child: Expression) extends UnaryExpression {
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"simhash64 requires array<string>, got ${other.simpleString(10)}")
+          s"simhash64 requires array<string>, got ${other.simpleString}")
     }
 
   override def nullSafeEval(input: Any): Any = {

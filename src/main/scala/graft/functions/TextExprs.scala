@@ -33,7 +33,7 @@ object TextExprs {
       child.dataType match {
         case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
         case other => TypeCheckResult.TypeCheckFailure(
-          s"word_shingles requires array<string>, got ${other.simpleString(10)}")
+          s"word_shingles requires array<string>, got ${other.simpleString}")
       }
 
     override def nullSafeEval(input: Any): Any = {
@@ -93,7 +93,7 @@ object TextExprs {
       child.dataType match {
         case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
         case other => TypeCheckResult.TypeCheckFailure(
-          s"minhash_bands requires array<string>, got ${other.simpleString(10)}")
+          s"minhash_bands requires array<string>, got ${other.simpleString}")
       }
 
     override def nullSafeEval(input: Any): Any =

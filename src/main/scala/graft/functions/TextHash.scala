@@ -25,7 +25,7 @@ case class TextHash(child: Expression) extends UnaryExpression {
     child.dataType match {
       case StringType => TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
-        s"text_hash requires string, got ${other.simpleString(10)}")
+        s"text_hash requires string, got ${other.simpleString}")
     }
 
   override def nullSafeEval(input: Any): Any =

@@ -39,7 +39,7 @@ object VectorExprs {
         case (Some(_), Some(_)) => TypeCheckResult.TypeCheckSuccess
         case _ => TypeCheckResult.TypeCheckFailure(
           s"array_dot requires array<float|double> args, got " +
-            s"${left.dataType.simpleString(10)} / ${right.dataType.simpleString(10)}")
+            s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
       }
 
     private def get(arr: ArrayData, i: Int, t: DataType): Double = t match {
@@ -105,7 +105,7 @@ object VectorExprs {
         case Some(_) => TypeCheckResult.TypeCheckSuccess
         case _ => TypeCheckResult.TypeCheckFailure(
           s"lsh_buckets requires array<float|double>, got " +
-            child.dataType.simpleString(10))
+            child.dataType.simpleString)
       }
 
     override def nullSafeEval(input: Any): Any = {

@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SparkSessionExtensions wiring: the custom expressions and the
+  * cartesian guard must survive `newSession()` (fresh session state,
+  * no imperative registration ran) — the property that matters on a
+  * shared cluster where sessions are minted per user/job. */
+class ExtensionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("extension-injected functions resolve in a fresh newSession") {
+    val s2 = spark.newSession()
+    // No GraftFunctions.register(s2) call anywhere: resolution proves
+    // the spark.sql.extensions path, not temp-function registration.
+    val q = "SELECT simhash64(array('hello', 'world')) AS h, " +
+      "text_hash('hello') AS t, array_dot(array(1.0D, 2.0D), " +
+      "array(3.0D, 4.0D)) AS d"
+    val row = s2.sql(q).collect().head
+    assert(row.getLong(0) != 0L)
+    assert(row.getDouble(2) == 11.0)
+    // equals the values computed through the registered-function path
+    assert(row == spark.sql(q).collect().head)
+  }
+
+  test("cartesian guard rejects unkeyed joins at analysis time when enabled") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.failOnCartesian", "true")
+    val thrown = intercept[Exception] {
+      s2.sql("SELECT * FROM range(3) a JOIN range(3) b").collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(thrown).exists(
+      _.isInstanceOf[GraftExtensions.CartesianDisallowedException]),
+      s"wrong failure: $thrown")
+    // keyed join still fine
+    assert(s2.sql(
+      "SELECT * FROM range(3) a JOIN range(3) b ON a.id = b.id")
+      .collect().length == 3)
+  }
+
+  test("cartesian guard exempts deliberate broadcast cross joins (ANN path)") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.failOnCartesian", "true")
+    // the engine's own query-vector pattern: crossJoin(broadcast(tiny))
+    val out = SparkEntry.queries("ann_cosine_topk")(s2, TestSpark.sf0001)
+    assert(out.collect().length == 10)
+  }
+}

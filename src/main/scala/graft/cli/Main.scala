@@ -35,12 +35,14 @@ object Main {
 
   private def usage(): Unit =
     System.err.println(
-      """usage: graft.cli.Main <convert|query|sql|profile|optimize|bench> ...
+      """usage: graft.cli.Main <convert|query|sql|profile|optimize|curate|bench> ...
         |  convert DATA [--output-path P] [--agency A] [--compression C]
         |  query SFDIR NAME...
         |  sql SFDIR "SELECT ..."
         |  profile SFDIR TABLE
-        |  optimize PATH [N]""".stripMargin)
+        |  optimize PATH [N]
+        |  curate IN OUT [--min-quality Q] [--near-jaccard J]
+        |         [--min-chars N] [--langs en,de] [--compression C]""".stripMargin)
 
   private[graft] def run(spark: SparkSession, args: Array[String]): Unit =
     args(0) match {
@@ -109,6 +111,33 @@ object Main {
         val r = Compaction.compact(spark, args(1), n)
         println(s"files: ${r.before.files} -> ${r.after.files} " +
           f"(${r.reduction * 100}%.1f%% reduction), bytes: ${r.after.bytes}")
+
+      case "curate" =>
+        // curate IN OUT [--min-quality Q] [--near-jaccard J]
+        //   [--min-chars N] [--langs en,de] [--compression C]
+        // IN: a parquet table with doc_id + text columns (e.g. the
+        // documents fixture or a converted comments table re-keyed).
+        val in = args(1)
+        val out = args(2)
+        graft.sources.Preflight.check(spark, in, out)
+        val cfg = graft.llm.Curate.Config(
+          nearDupJaccard =
+            arg(args, "--near-jaccard").map(_.toDouble).getOrElse(0.85),
+          minQuality =
+            arg(args, "--min-quality").map(_.toDouble).getOrElse(0.25),
+          minChars = arg(args, "--min-chars").map(_.toInt).getOrElse(20),
+          langs = arg(args, "--langs").toSeq.flatMap(_.split(',').toSeq))
+        val docs = spark.read.parquet(in)
+        val codec = arg(args, "--compression").getOrElse("snappy")
+        // partition by predicted language when gating on it (curated
+        // corpora are read back per-language); otherwise flat layout
+        val parts = if (cfg.langs.nonEmpty) Seq("lang_pred") else Seq.empty
+        ParquetSink.write(
+          graft.llm.Curate.curate(docs, cfg), out, codec,
+          partitionCols = parts)
+        graft.llm.Curate.auditCounts(docs, cfg)
+          .orderBy(org.apache.spark.sql.functions.col("n_docs").desc)
+          .show(truncate = false)
 
       case "bench" => graft.Bench.main(Array.empty)
 

@@ -40,6 +40,20 @@ class CliSpec extends AnyFunSuite {
     assert(graft.maintain.Compaction.stats(spark, path).files == 2)
   }
 
+  test("curate runs the pipeline end-to-end via the CLI") {
+    val in = TestSpark.tmpDir("cli-curate-in")
+    val out = TestSpark.tmpDir("cli-curate-out") + "/curated"
+    Tables.documents(spark, TestSpark.sf0001)
+      .write.mode("overwrite").parquet(in)
+    graft.cli.Main.run(spark,
+      Array("curate", in, out, "--min-quality", "0.1", "--min-chars", "5"))
+    val curated = spark.read.parquet(out)
+    val n = curated.count()
+    assert(n > 0 && n <= Tables.documents(spark, TestSpark.sf0001).count())
+    assert(curated.columns.contains("quality") &&
+      curated.columns.contains("lang_pred"))
+  }
+
   test("unknown command rejected") {
     intercept[IllegalArgumentException] {
       graft.cli.Main.run(spark, Array("frobnicate"))

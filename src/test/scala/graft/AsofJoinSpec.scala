@@ -137,6 +137,51 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(out === Array((1L, Some(3.5), Some(1L)), (2L, Some(3.5), Some(1L))))
   }
 
+  test("random equivalence with a brute-force reference (plain + bucketed)") {
+    val rnd = new scala.util.Random(7)
+    for (round <- 1 to 4) {
+      // Small domains on purpose: force key collisions, exact ts ties
+      // (probe==build and build==build), NULL keys, and keys present
+      // on only one side.
+      val keys = Array("a", "b", "c", null)
+      val probeRows = Seq.tabulate(60)(i =>
+        (i.toLong, keys(rnd.nextInt(keys.length)), rnd.nextInt(40).toLong))
+      val buildRows = Seq.tabulate(50)(i =>
+        (keys(rnd.nextInt(keys.length)), rnd.nextInt(40).toLong,
+          rnd.nextDouble(), i.toLong))
+      val probeDf = probeRows.toDF("pid", "k", "t")
+      val buildDf = AsofJoin.dedupeBuild(
+        buildRows.toDF("k", "t", "v", "tie"), "k", "t", Seq("v"), "tie")
+
+      // brute force: per probe row, the max-ts build row at-or-before,
+      // ties on (k, ts) resolved to the max-tiebreak payload
+      val byKey = buildRows.filter(_._1 != null).groupBy(_._1)
+      val expect = probeRows.map { case (pid, k, t) =>
+        val cands = Option(k).flatMap(byKey.get).getOrElse(Seq.empty)
+          .filter(_._2 <= t)
+        val best =
+          if (cands.isEmpty) None
+          else {
+            val maxT = cands.map(_._2).max
+            Some(cands.filter(_._2 == maxT).maxBy(_._4)._3)
+          }
+        pid -> best
+      }.toMap
+
+      val plain = AsofJoin
+        .asofJoin(probeDf, "k", "t", buildDf, "k", "t", Seq("v"))
+        .select("pid", "v").as[(Long, Option[Double])].collect().toMap
+      assert(plain == expect, s"plain as-of diverged in round $round")
+
+      val bucketed = AsofJoin
+        .asofJoinBucketed(probeDf, "k", "t", buildDf, "k", "t", Seq("v")) {
+          tsCol => (tsCol / lit(8L)).cast("long")
+        }
+        .select("pid", "v").as[(Long, Option[Double])].collect().toMap
+      assert(bucketed == expect, s"bucketed as-of diverged in round $round")
+    }
+  }
+
   test("j6_asof_join query runs and click rows are preserved 1:1") {
     val df = SparkEntry.queries("j6_asof_join")(spark, TestSpark.sf0001)
     val ev = Tables.events(spark, TestSpark.sf0001)

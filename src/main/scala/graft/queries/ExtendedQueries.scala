@@ -302,6 +302,36 @@ object ExtendedQueries {
                    ROUND(var_samp(l_tax), 6) AS var_tax
             FROM lineitem"""))
 
+  /** Higher-order array functions over the embedding column: lambda
+    * filter / left-fold aggregate / element-wise zip_with. Row-local
+    * (no shuffle before the order/limit); note these lambdas run
+    * interpreted — the HOT paths (minhash, dot products) use the
+    * codegen expressions in graft.functions instead, and this query
+    * exists to cover the declarative API surface. Both engines fold
+    * left-to-right over array<double>, so sums are bit-identical. */
+  val hof1 = Q(
+    "hof1_array_ops",
+    (s, d) => {
+      val emb = col("embedding").cast("array<double>")
+      Tables.embeddings(s, d)
+        .select(
+          col("vec_id"),
+          size(filter(emb, x => x > 0d)).cast("long").as("n_pos"),
+          round(aggregate(emb, lit(0.0d), (acc, x) => acc + x), 6)
+            .as("sum_e"),
+          round(aggregate(zip_with(emb, emb, (a, b) => a * b),
+            lit(0.0d), (acc, x) => acc + x), 6).as("sq_sum"))
+        .orderBy("vec_id")
+        .limit(200)
+    },
+    Some("""SELECT vec_id,
+                   CAST(len(list_filter(e, x -> x > 0)) AS BIGINT) AS n_pos,
+                   ROUND(list_sum(e), 6) AS sum_e,
+                   ROUND(list_sum(list_transform(e, x -> x * x)), 6) AS sq_sum
+            FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                  FROM embeddings)
+            ORDER BY vec_id LIMIT 200"""))
+
   def all: Seq[Q] = Seq(
-    tpchQ1, tpchQ3, g1, pv1, uv1, sq1, sq2, w5, f13, f14, e1, a17)
+    tpchQ1, tpchQ3, g1, pv1, uv1, sq1, sq2, w5, f13, f14, e1, a17, hof1)
 }

@@ -194,6 +194,55 @@ object LlmQueries {
                   FROM embeddings)
             GROUP BY label ORDER BY label"""))
 
+  /** The rolling text_hash re-implemented in DuckDB SQL (list_reduce
+    * over character codes) — lets the oracle verify hash-derived
+    * bucketing bit-for-bit. */
+  private def duckdbTextHash(sqlExpr: String): String =
+    s"""list_reduce(
+          list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split_regex($sqlExpr, ''),
+                           c -> CAST(ascii(c) AS BIGINT))),
+          (acc, x) -> (acc * 131 + x) % 2147483647)"""
+
+  /** Deterministic id-hash train/val/test split (80/10/10): stable
+    * across runs and partitionings, so no document ever migrates
+    * between train and test on re-processing. */
+  val splitCounts = Q(
+    "split_train_val_test",
+    (s, d) => Sampling.splitCounts(Tables.documents(s, d)),
+    Some(s"""WITH h AS (
+               SELECT ${duckdbTextHash("CAST(doc_id AS VARCHAR)")} % 100 AS b
+               FROM documents)
+             SELECT CASE WHEN b < 80 THEN 'train'
+                         WHEN b < 90 THEN 'val'
+                         ELSE 'test' END AS split,
+                    COUNT(*) AS n_docs
+             FROM h GROUP BY 1 ORDER BY split"""))
+
+  /** Stratified deterministic downsample: 50% of en, 100% of de,
+    * 25% of zh, drop the rest — the data-mixing primitive; same
+    * salted id-hash on both engines. */
+  val stratSample = Q(
+    "strat_sample_mix",
+    (s, d) =>
+      Sampling.stratifiedSample(Tables.documents(s, d), "lang",
+          Map("en" -> 0.5, "de" -> 1.0, "zh" -> 0.25))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_id"))
+        .orderBy("lang"),
+    Some(s"""WITH h AS (
+               SELECT lang, doc_id,
+                      ${duckdbTextHash(
+                        "CAST(doc_id AS VARCHAR) || '#strat'")} % 10000 AS b
+               FROM documents)
+             SELECT lang, COUNT(*) AS n_docs, MIN(doc_id) AS min_id
+             FROM h
+             WHERE (lang = 'en' AND b < 5000)
+                OR (lang = 'de' AND b < 10000)
+                OR (lang = 'zh' AND b < 2500)
+             GROUP BY lang ORDER BY lang"""))
+
   /** Embedding-cosine near-dup pairs, LSH-bucketed, summary form. */
   val nearDupCosine = Q(
     "dedup_embedding_cosine",
@@ -285,5 +334,6 @@ object LlmQueries {
   def all: Seq[Q] = Seq(
     dedupStats, dedupKeep, nearDupMinhash, nearDupSimhash, ngramJaccard,
     annBrute, annLsh, nearDupCosine, embCentroids, embNormProfile,
+    splitCounts, stratSample,
     textTokens, textQuality, langDist, textAnalyze, mmStats, curate)
 }

@@ -1,0 +1,78 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftFunctions, TextHash}
+
+/** Dataset splitting and sampling for training-data pipelines.
+  *
+  * The split is a pure function of the document id — NOT `rand()` —
+  * so it is stable across runs, partitionings, and cluster sizes, and
+  * a document can never migrate between train and test when the
+  * corpus is re-processed (the leakage mode that silently corrupts
+  * evals). The id is hashed with the engine's rolling `text_hash`
+  * (codegen, one pass over the id string), then bucketed mod 100.
+  *
+  * Scale: one narrow projection — no shuffle, no state; the split of
+  * 100 TB costs exactly one pass that fuses into whatever reads next.
+  */
+object Sampling {
+
+  /** (name, percent) split spec; percents must sum to ≤ 100 (a
+    * remainder falls into the last split). */
+  type Splits = Seq[(String, Int)]
+
+  val defaultSplits: Splits = Seq("train" -> 80, "val" -> 10, "test" -> 10)
+
+  /** Hash bucket 0..99 for an id column (string-cast first). */
+  def bucket(id: Column): Column =
+    pmod(TextHash.text_hash(id.cast("string")), lit(100L))
+
+  /** Adds a `split` column assigning each row to a named split. */
+  def assignSplit(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      splits: Splits = defaultSplits): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum <= 100,
+      s"split percents must sum to <= 100: $splits")
+    GraftFunctions.register(df.sparkSession)
+    val b = bucket(col(idCol))
+    val bounds = splits.scanLeft(0)(_ + _._2).tail
+    val expr = splits.zip(bounds).init.foldRight(
+      lit(splits.last._1): Column) { case (((name, _), hi), rest) =>
+      when(b < hi, name).otherwise(rest)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /** Split sizes (the verification view of assignSplit). */
+  def splitCounts(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      splits: Splits = defaultSplits): DataFrame =
+    assignSplit(df, idCol, splits)
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("split")
+
+  /** Per-stratum deterministic downsample: keep ~`fraction` of each
+    * stratum (e.g. language) using the same id-hash, so the sample is
+    * reproducible and join-stable. One narrow filter — no shuffle. */
+  def stratifiedSample(
+      df: DataFrame,
+      strataCol: String,
+      fractions: Map[String, Double],
+      idCol: String = "doc_id"): DataFrame = {
+    require(fractions.values.forall(f => f >= 0 && f <= 1),
+      s"fractions must be in [0,1]: $fractions")
+    GraftFunctions.register(df.sparkSession)
+    // decorrelate from the split buckets: salt the id before hashing
+    val b = pmod(TextHash.text_hash(
+      concat(col(idCol).cast("string"), lit("#strat"))), lit(10000L))
+    val keep = fractions.foldLeft(lit(false)) { case (acc, (k, f)) =>
+      acc || (col(strataCol) === k && b < (f * 10000).toInt)
+    }
+    df.filter(keep)
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.Sampling
+
+/** Split/sample invariants that matter for training pipelines:
+  * determinism under re-partitioning (no doc ever migrates between
+  * train and test), full coverage, and plausible proportions. */
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, TestSpark.sf0001)
+
+  test("split assignment is a pure function of the id (repartition-stable)") {
+    val a = Sampling.assignSplit(docs)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val b = Sampling.assignSplit(docs.repartition(17, col("text")))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(a == b)
+    assert(a.values.toSet.subsetOf(Set("train", "val", "test")))
+  }
+
+  test("every row lands in exactly one split; proportions are plausible") {
+    val counts = Sampling.splitCounts(docs)
+      .as[(String, Long)].collect().toMap
+    val total = docs.count()
+    assert(counts.values.sum == total)
+    // 80/10/10 with a small-N tolerance (hash variance at ~200 docs)
+    assert(counts("train").toDouble / total > 0.6)
+    assert(counts("val") > 0 && counts("test") > 0)
+  }
+
+  test("custom split weights honor their boundaries") {
+    val counts = Sampling.splitCounts(docs,
+        splits = Seq("a" -> 50, "b" -> 50))
+      .as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("a", "b"))
+    assert(counts.values.sum == docs.count())
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit(docs, splits = Seq("a" -> 70, "b" -> 40))
+    }
+  }
+
+  test("stratified sample is a deterministic subset with ~right fractions") {
+    val fr = Map("en" -> 0.5, "de" -> 1.0)
+    val s1 = Sampling.stratifiedSample(docs, "lang", fr)
+    val s2 = Sampling.stratifiedSample(docs, "lang", fr)
+    assert(s1.select("doc_id").as[Long].collect().sorted.toSeq ==
+      s2.select("doc_id").as[Long].collect().sorted.toSeq)
+    val byLang = s1.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val full = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang.keySet == Set("en", "de"), "non-listed strata must drop")
+    assert(byLang("de") == full("de"), "fraction 1.0 keeps the whole stratum")
+    val enFrac = byLang("en").toDouble / full("en")
+    assert(enFrac > 0.3 && enFrac < 0.7, s"en fraction $enFrac far from 0.5")
+  }
+}

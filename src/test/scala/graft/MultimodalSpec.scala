@@ -92,4 +92,78 @@ class MultimodalSpec extends AnyFunSuite {
       out(2L).width === 0 && out(2L).height === 0)
     assert(out(3L).width >= 1 && out(3L).height >= 1) // fallback path
   }
+
+  /** A REAL PNG (encoder: the JDK's own ImageIO) with a gradient so
+    * resizing has actual pixel content to interpolate. */
+  private def realPng(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h)
+      img.setRGB(x, y, ((x * 255 / w) << 16) | ((y * 255 / h) << 8))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** A real 16-bit mono PCM WAV of a sine at `freq` Hz. */
+  private def realWav(rate: Int, ms: Int, freq: Double): Array[Byte] = {
+    val n = rate * ms / 1000
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val v = (math.sin(2 * math.Pi * freq * i / rate) * 30000).toShort
+      pcm(i * 2) = v.toByte
+      pcm(i * 2 + 1) = (v >> 8).toByte
+    }
+    def le(i: Int) = Array(i.toByte, (i >> 8).toByte,
+      (i >> 16).toByte, (i >> 24).toByte)
+    def le16(i: Int) = Array(i.toByte, (i >> 8).toByte)
+    "RIFF".getBytes ++ le(36 + pcm.length) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le(16) ++ le16(1) ++ le16(1) ++
+      le(rate) ++ le(rate * 2) ++ le16(2) ++ le16(16) ++
+      "data".getBytes ++ le(pcm.length) ++ pcm
+  }
+
+  test("resize decodes, scales, and re-encodes real PNGs (JDK ImageIO)") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", realPng(64, 48), 1L),
+      Multimodal.MediaRow(2L, "image", realPng(20, 80), 2L),
+      Multimodal.MediaRow(3L, "audio", realWav(8000, 100, 440), 3L))
+    val out = Multimodal.resizeImages(rows.toDS(), maxDim = 32)
+      .collect().map(r => r.media_id -> r).toMap
+    assert(out.keySet == Set(1L, 2L), "non-images must drop out")
+    assert(out(1L).orig_width == 64 && out(1L).width == 32 &&
+      out(1L).height == 24)
+    assert(out(2L).width == 8 && out(2L).height == 32)
+    // the output is itself a valid PNG at the stated dimensions
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(1L).png))
+    assert(back.getWidth == 32 && back.getHeight == 24)
+    assert(Multimodal.MediaHeaders.pngDimensions(out(1L).png)
+      .contains((32, 24)))
+  }
+
+  test("audio frame-sampling reads real PCM amplitudes at the stride") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    // 8 kHz sine at 100 Hz: sample every 25 ms = every 200 samples =
+    // exactly 20 periods, so every sampled amplitude is sin(0) = 0.
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "audio", realWav(8000, 200, 100), 1L),
+      Multimodal.MediaRow(2L, "image", realPng(8, 8), 2L))
+    val out = Multimodal.sampleAudioFrames(rows.toDS(), everyMs = 25)
+      .collect().map(r => r.media_id -> r).toMap
+    assert(out.keySet == Set(1L), "non-audio must drop out")
+    val f = out(1L)
+    assert(f.sample_rate == 8000)
+    assert(f.n_frames == 8, s"200ms / 25ms = 8 frames, got ${f.n_frames}")
+    assert(f.frames.forall(a => math.abs(a) < 0.01),
+      s"period-aligned samples should be ~0: ${f.frames.mkString(",")}")
+    // an off-period stride sees non-zero amplitudes
+    val off = Multimodal.sampleAudioFrames(
+      Seq(Multimodal.MediaRow(1L, "audio", realWav(8000, 200, 101), 1L))
+        .toDS(), everyMs = 25).collect().head
+    assert(off.frames.exists(a => math.abs(a) > 0.1))
+  }
 }

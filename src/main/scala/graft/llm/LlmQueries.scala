@@ -302,10 +302,56 @@ object LlmQueries {
 
   /** Language-ID heuristic + fingerprint (engine-specific hash — tested
     * against golden values in TextAnalysisSpec; rows-only here). */
+  /** Full text-analysis projection, oracle-verified end-to-end: every
+    * component (tokenization, stopword-hit language argmax with the
+    * same tie order, ratio rounding, and the rolling-hash fingerprint)
+    * is re-implemented independently in DuckDB SQL. */
   val textAnalyze = Q(
     "text_analyze",
     (s, d) => TextAnalysis.analyze(Tables.documents(s, d)).orderBy("doc_id"),
-    None)
+    Some(s"""WITH base AS (
+               SELECT doc_id, text,
+                      string_split_regex(trim(text), '\\s+') AS toks
+               FROM documents),
+             hits AS (
+               SELECT *,
+                 CAST(len(list_filter(toks, t -> list_contains(
+                   ['der','die','und','das','von','zu','mit','den','ein','ist'], t))) AS BIGINT) AS h_de,
+                 CAST(len(list_filter(toks, t -> list_contains(
+                   ['the','a','of','and','to','in','is','that','it','for'], t))) AS BIGINT) AS h_en,
+                 CAST(len(list_filter(toks, t -> list_contains(
+                   ['el','la','de','que','y','en','un','los','se','por'], t))) AS BIGINT) AS h_es,
+                 CAST(len(list_filter(toks, t -> list_contains(
+                   ['le','la','de','et','les','des','un','une','du','que'], t))) AS BIGINT) AS h_fr,
+                 CAST(len(list_filter(toks, t -> list_contains(
+                   ['的','一','是','不','了','人','我','在','有','他'], t))) AS BIGINT) AS h_zh
+               FROM base),
+             m AS (
+               SELECT doc_id, text, toks,
+                 ROUND(h_en / GREATEST(CAST(len(toks) AS DOUBLE), 1.0), 4)
+                   AS stop_ratio,
+                 ROUND(CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+                     AS DOUBLE) / GREATEST(CAST(length(text) AS DOUBLE), 1.0), 4)
+                   AS punct_ratio,
+                 CASE WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr
+                           AND h_de >= h_zh THEN 'de'
+                      WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
+                      WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'
+                      WHEN h_fr >= h_zh THEN 'fr'
+                      ELSE 'zh' END AS lang_pred
+               FROM hits)
+             SELECT doc_id,
+                    CAST(length(text) AS BIGINT) AS n_chars,
+                    CAST(len(toks) AS BIGINT) AS n_tokens,
+                    stop_ratio,
+                    punct_ratio,
+                    ROUND((LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+                           + (1.0 - LEAST(punct_ratio * 5.0, 1.0))
+                           + LEAST(stop_ratio * 5.0, 1.0)) / 3.0, 4) AS quality,
+                    lang_pred,
+                    ${duckdbTextHash(
+                      "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')")} AS fp
+             FROM m ORDER BY doc_id"""))
 
   /** Multimodal plumbing: binary payload stats per modality. n_bytes is
     * real (payload length); decode metadata is the stub. */
@@ -325,11 +371,58 @@ object LlmQueries {
   /** Full curation pipeline audit (exact dedup stage is oracle-able:
     * distinct-content count; the near-dup/quality stages are verified
     * in CurateSpec). */
+  /** End-to-end curation audit, oracle-verified: the DuckDB side
+    * recomputes every stage independently — exact dedup via sha256
+    * grouping, near-dedup via EXACT all-pairs Jaccard at the same 0.85
+    * threshold (so any LSH recall shortfall in the engine's candidate
+    * generation would surface as a count mismatch — that's the point),
+    * and the quality gate from the same length/punct/stopword formula.
+    * MinHash is seeded deterministically, so a match is stable, not
+    * probabilistic. */
   val curate = Q(
     "curate_audit",
     (s, d) => Curate.auditCounts(Tables.documents(s, d))
       .orderBy(col("n_docs").desc, col("stage")),
-    None)
+    Some("""WITH keep AS (
+              SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+            dk AS (
+              SELECT d.doc_id, d.text FROM documents d SEMI JOIN keep USING (doc_id)),
+            sh AS (
+              SELECT doc_id,
+                CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) < 3
+                  THEN [array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' ')]
+                  ELSE list_distinct([array_to_string(string_split_regex(lower(trim(text)), '\s+')[i:i+2], ' ')
+                        for i in range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1)])
+                END AS s
+              FROM dk),
+            drops AS (
+              SELECT DISTINCT b.doc_id
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE (CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
+                  ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                       CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)
+                  END) >= 0.85),
+            near AS (SELECT dk.doc_id, dk.text FROM dk ANTI JOIN drops USING (doc_id)),
+            q AS (
+              SELECT doc_id FROM (
+                SELECT doc_id, text,
+                  ROUND(CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                    t -> list_contains(['the','a','of','and','to','in','is','that','it','for'], t))) AS DOUBLE)
+                    / GREATEST(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 1.0), 4) AS stop_ratio,
+                  ROUND(CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+                    / GREATEST(CAST(length(text) AS DOUBLE), 1.0), 4) AS punct_ratio
+                FROM near)
+              WHERE length(text) >= 20
+                AND ROUND((LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+                     + (1.0 - LEAST(punct_ratio * 5.0, 1.0))
+                     + LEAST(stop_ratio * 5.0, 1.0)) / 3.0, 4) >= 0.25)
+            SELECT stage, n_docs FROM (
+              SELECT 'input' AS stage, (SELECT COUNT(*) FROM documents) AS n_docs
+              UNION ALL
+              SELECT 'after_exact_dedup', (SELECT COUNT(*) FROM dk)
+              UNION ALL
+              SELECT 'curated', (SELECT COUNT(*) FROM q))
+            ORDER BY n_docs DESC, stage"""))
 
   def all: Seq[Q] = Seq(
     dedupStats, dedupKeep, nearDupMinhash, nearDupSimhash, ngramJaccard,

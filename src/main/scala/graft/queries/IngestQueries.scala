@@ -26,14 +26,24 @@ object IngestQueries {
   // pure fixed overhead. The cache also mirrors how a real deployment
   // would materialize the converted table once, then query it.
   private val memo = new java.util.concurrent.ConcurrentHashMap[
-    org.apache.spark.sql.SparkSession, DataFrame]()
+    (String, org.apache.spark.sql.SparkSession), DataFrame]()
+
+  private def flat(
+      s: org.apache.spark.sql.SparkSession,
+      kind: String,
+      project: DataFrame => DataFrame): DataFrame = {
+    val root = FixtureTree.ensureOracleTree()
+    val found = JsonApi.discover(s, root).filter(_.kind == kind)
+    project(JsonApi.readRaw(s, found.map(_.dir))).cache()
+  }
 
   private def flatComments(s: org.apache.spark.sql.SparkSession): DataFrame =
-    memo.computeIfAbsent(s, { s =>
-      val root = FixtureTree.ensureOracleTree()
-      val found = JsonApi.discover(s, root)
-      Flatten.comments(JsonApi.readRaw(s, found.map(_.dir))).cache()
-    })
+    memo.computeIfAbsent(("comments", s), _ =>
+      flat(s, "comments", Flatten.comments))
+
+  private def flatDockets(s: org.apache.spark.sql.SparkSession): DataFrame =
+    memo.computeIfAbsent(("docket", s), _ =>
+      flat(s, "docket", Flatten.docketInfo))
 
   private val readJson =
     """read_json('/tmp/graft_ingest_fixture/raw-data/*/*/comments/*.json',
@@ -109,5 +119,55 @@ object IngestQueries {
              FROM $readJson
              GROUP BY 1 ORDER BY agency"""))
 
-  def all: Seq[Q] = Seq(flattenComments, agencyFromId)
+  /** P2 — docket-info flatten with the rel_counts MAP projection:
+    * per-relationship element counts (zero-length documents arrays
+    * exercise the sz()=0 path) plus the map cardinality, verified
+    * against DuckDB's independent MAP-typed read_json. */
+  val flattenDockets = Q(
+    "flatten_dockets",
+    (s, _) =>
+      flatDockets(s).select(
+        col("id"), col("type"),
+        col("agencyId").as("agency_id"),
+        col("docketType").as("docket_type"),
+        col("title"),
+        date_format(col("modifyDate"), "yyyy-MM-dd HH:mm:ss").as("modified"),
+        element_at(col("rel_counts"), "comments").cast("long")
+          .as("n_comment_rels"),
+        element_at(col("rel_counts"), "documents").cast("long")
+          .as("n_document_rels"),
+        size(col("rel_counts")).cast("long").as("n_rel_kinds"),
+        col("agency"))
+        .orderBy("id"),
+    Some("""SELECT data.id AS id,
+                   data."type" AS "type",
+                   data.attributes."agencyId" AS agency_id,
+                   data.attributes."docketType" AS docket_type,
+                   data.attributes.title AS title,
+                   strftime(strptime(data.attributes."modifyDate",
+                                     '%Y-%m-%dT%H:%M:%SZ'),
+                            '%Y-%m-%d %H:%M:%S') AS modified,
+                   CAST(len(map_extract(data.relationships, 'comments')[1].data)
+                     AS BIGINT) AS n_comment_rels,
+                   CAST(len(map_extract(data.relationships, 'documents')[1].data)
+                     AS BIGINT) AS n_document_rels,
+                   CAST(cardinality(data.relationships) AS BIGINT) AS n_rel_kinds,
+                   CASE WHEN data.id IS NULL THEN 'UNKNOWN'
+                        WHEN strpos(data.id, '/') > 0 THEN string_split(data.id, '/')[1]
+                        WHEN strpos(data.id, '-') > 0 THEN string_split(data.id, '-')[1]
+                        ELSE 'UNKNOWN' END AS agency
+            FROM read_json('/tmp/graft_ingest_fixture/raw-data/*/*/docket/*.json',
+              columns = {
+                data: 'STRUCT(id VARCHAR, "type" VARCHAR,
+                              links STRUCT(self VARCHAR),
+                              attributes STRUCT("agencyId" VARCHAR,
+                                                "docketType" VARCHAR,
+                                                title VARCHAR,
+                                                "modifyDate" VARCHAR),
+                              relationships MAP(VARCHAR,
+                                STRUCT(data STRUCT(id VARCHAR, "type" VARCHAR)[])))'
+              })
+            ORDER BY id"""))
+
+  def all: Seq[Q] = Seq(flattenComments, agencyFromId, flattenDockets)
 }

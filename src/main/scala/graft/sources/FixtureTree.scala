@@ -67,6 +67,42 @@ object FixtureTree {
        | "included": $attData}""".stripMargin
   }
 
+  /** Write (idempotently) a docket-info file per docket:
+    * `root/raw-data/AG/DOCKET/docket/DOCKET.json`, with deterministic
+    * relationship arrays of varying size (comments 1..4, documents
+    * 0..2 — zero-length exercises the sz()=0 path) so the rel_counts
+    * MAP projection has non-degenerate values to flatten. */
+  def writeDockets(
+      root: String,
+      agencies: Seq[String] = Seq("AAA", "BBB", "CCC"),
+      nDockets: Int = 30): Int = {
+    for (d <- 0 until nDockets) {
+      val agency = agencies(d % agencies.size)
+      val docket = f"$agency-2025-$d%04d"
+      val dir = Paths.get(s"$root/raw-data/$agency/$docket/docket")
+      Files.createDirectories(dir)
+      val file = dir.resolve(s"$docket.json")
+      if (!Files.exists(file))
+        Files.writeString(file, docketJson(agency, docket, d))
+    }
+    nDockets
+  }
+
+  private def docketJson(agency: String, docket: String, d: Int): String = {
+    def refs(kind: String, n: Int) = (0 until n)
+      .map(i => s"""{"id": "$docket-$kind$i", "type": "$kind"}""")
+      .mkString("[", ", ", "]")
+    val docketType = if (d % 2 == 0) "Rulemaking" else "Nonrulemaking"
+    s"""{"data": {"id": "$docket", "type": "docket",
+       |  "links": {"self": "https://example.invalid/docket/$docket"},
+       |  "attributes": {"agencyId": "$agency", "docketType": "$docketType",
+       |    "title": "Docket $docket",
+       |    "modifyDate": "2025-02-0${d % 9 + 1}T0${d % 10}:30:00Z"},
+       |  "relationships": {
+       |    "comments": {"data": ${refs("comments", d % 4 + 1)}},
+       |    "documents": {"data": ${refs("documents", d % 3)}}}}}""".stripMargin
+  }
+
   /** Fixed shared location for the oracle-visible fixture: both the
     * Spark query and the DuckDB oracle SQL must reference the SAME
     * path, so it has to be deterministic across processes. */
@@ -75,7 +111,7 @@ object FixtureTree {
   /** Bump when commentJson output changes: a stale tree from an older
     * build under /tmp must be regenerated, not silently reused (files
     * are only written when missing). */
-  private val contentVersion = "v2"
+  private val contentVersion = "v3"
 
   /** Build (once) the oracle fixture tree and return its root. */
   def ensureOracleTree(): String = {
@@ -83,6 +119,7 @@ object FixtureTree {
     if (!Files.exists(marker)) {
       deleteRecursively(Paths.get(oracleRoot))
       writeComments(oracleRoot)
+      writeDockets(oracleRoot)
       Files.createDirectories(marker.getParent)
       Files.writeString(marker, contentVersion)
     }

@@ -34,7 +34,12 @@ object IngestQueries {
       project: DataFrame => DataFrame): DataFrame = {
     val root = FixtureTree.ensureOracleTree()
     val found = JsonApi.discover(s, root).filter(_.kind == kind)
-    project(JsonApi.readRaw(s, found.map(_.dir))).cache()
+    // coalesce BEFORE caching: the multiLine JSON scan yields one
+    // partition per tiny file (300 for the fixture), and a cache
+    // preserves that layout — every downstream action would launch
+    // hundreds of near-empty tasks. Collapsing to a few partitions at
+    // materialization time makes the cached relation cheap to scan.
+    project(JsonApi.readRaw(s, found.map(_.dir))).coalesce(4).cache()
   }
 
   private def flatComments(s: org.apache.spark.sql.SparkSession): DataFrame =

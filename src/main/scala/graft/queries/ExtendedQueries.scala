@@ -332,6 +332,44 @@ object ExtendedQueries {
                   FROM embeddings)
             ORDER BY vec_id LIMIT 200"""))
 
+  /** One event row under the typed Dataset API. */
+  final case class Event(
+      event_id: Long,
+      ts: java.sql.Timestamp,
+      user_id: Long,
+      event_type: String,
+      value: Double,
+      props: String)
+
+  /** Typed Dataset pipeline: case-class Encoder → filter on fields →
+    * `groupByKey` → `mapValues` → `reduceGroups` — the compile-time-
+    * checked API surface. reduceGroups partial-reduces map-side (same
+    * shuffle profile as an untyped sum); the lambda costs encoder
+    * serialization vs codegen, which is why the engine's hot paths
+    * stay in Column algebra — this query covers the API, with the
+    * oracle proving result parity. */
+  val t1 = Q(
+    "t1_typed_pipeline",
+    (s, d) => {
+      import s.implicits._
+      Tables.events(s, d).as[Event]
+        .filter(e => e.value > 0 && e.event_type != "error")
+        .groupByKey(_.event_type)
+        .mapValues(e => (e.value, 1L))
+        .reduceGroups((a, b) => (a._1 + b._1, a._2 + b._2))
+        .map { case (k, (sum, n)) =>
+          (k, BigDecimal(sum).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble, n)
+        }
+        .toDF("event_type", "total_value", "n_events")
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, ROUND(SUM(value), 2) AS total_value,
+                   COUNT(*) AS n_events
+            FROM events
+            WHERE value > 0 AND event_type <> 'error'
+            GROUP BY event_type ORDER BY event_type"""))
+
   def all: Seq[Q] = Seq(
-    tpchQ1, tpchQ3, g1, pv1, uv1, sq1, sq2, w5, f13, f14, e1, a17, hof1)
+    tpchQ1, tpchQ3, g1, pv1, uv1, sq1, sq2, w5, f13, f14, e1, a17, hof1, t1)
 }

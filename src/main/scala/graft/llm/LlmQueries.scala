@@ -424,9 +424,90 @@ object LlmQueries {
               SELECT 'curated', (SELECT COUNT(*) FROM q))
             ORDER BY n_docs DESC, stage"""))
 
+  /** Capstone composition: the full curation pipeline feeding the
+    * deterministic splitter, reported as the per-(split, language)
+    * training-data mix. Every stage is the already-verified operator;
+    * the oracle recomposes ALL of them independently in one SQL
+    * statement — proving the composed lazy plan, not just each piece,
+    * is correct. */
+  val pipelineCurateSplit = Q(
+    "pipeline_curate_split",
+    (s, d) => {
+      val curated = Curate.curate(Tables.documents(s, d))
+      Sampling.assignSplit(curated)
+        .groupBy("split", "lang_pred")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(avg(col("quality")), 4).as("avg_quality"))
+        .orderBy("split", "lang_pred")
+    },
+    Some(s"""WITH keep AS (
+              SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+            dk AS (
+              SELECT d.doc_id, d.text FROM documents d SEMI JOIN keep USING (doc_id)),
+            shs AS (
+              SELECT doc_id,
+                CASE WHEN len(string_split_regex(lower(trim(text)), '\\s+')) < 3
+                  THEN [array_to_string(string_split_regex(lower(trim(text)), '\\s+'), ' ')]
+                  ELSE list_distinct([array_to_string(string_split_regex(lower(trim(text)), '\\s+')[i:i+2], ' ')
+                        for i in range(1, len(string_split_regex(lower(trim(text)), '\\s+')) - 1)])
+                END AS s
+              FROM dk),
+            drops AS (
+              SELECT DISTINCT b.doc_id
+              FROM shs a JOIN shs b ON a.doc_id < b.doc_id
+              WHERE (CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
+                  ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                       CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)
+                  END) >= 0.85),
+            near AS (SELECT dk.doc_id, dk.text FROM dk ANTI JOIN drops USING (doc_id)),
+            toks AS (
+              SELECT doc_id, text,
+                     string_split_regex(trim(text), '\\s+') AS t
+              FROM near),
+            hits AS (
+              SELECT *,
+                CAST(len(list_filter(t, x -> list_contains(
+                  ['der','die','und','das','von','zu','mit','den','ein','ist'], x))) AS BIGINT) AS h_de,
+                CAST(len(list_filter(t, x -> list_contains(
+                  ['the','a','of','and','to','in','is','that','it','for'], x))) AS BIGINT) AS h_en,
+                CAST(len(list_filter(t, x -> list_contains(
+                  ['el','la','de','que','y','en','un','los','se','por'], x))) AS BIGINT) AS h_es,
+                CAST(len(list_filter(t, x -> list_contains(
+                  ['le','la','de','et','les','des','un','une','du','que'], x))) AS BIGINT) AS h_fr,
+                CAST(len(list_filter(t, x -> list_contains(
+                  ['的','一','是','不','了','人','我','在','有','他'], x))) AS BIGINT) AS h_zh
+              FROM toks),
+            scored AS (
+              SELECT doc_id,
+                ROUND((LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+                  + (1.0 - LEAST(ROUND(CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+                      AS DOUBLE) / GREATEST(CAST(length(text) AS DOUBLE), 1.0), 4) * 5.0, 1.0))
+                  + LEAST(ROUND(h_en / GREATEST(CAST(len(t) AS DOUBLE), 1.0), 4) * 5.0, 1.0))
+                  / 3.0, 4) AS quality,
+                CASE WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr
+                          AND h_de >= h_zh THEN 'de'
+                     WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
+                     WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'
+                     WHEN h_fr >= h_zh THEN 'fr'
+                     ELSE 'zh' END AS lang_pred,
+                ${duckdbTextHash("CAST(doc_id AS VARCHAR)")} % 100 AS b,
+                length(text) AS n_chars
+              FROM hits)
+            SELECT CASE WHEN b < 80 THEN 'train'
+                        WHEN b < 90 THEN 'val'
+                        ELSE 'test' END AS split,
+                   lang_pred,
+                   COUNT(*) AS n_docs,
+                   ROUND(AVG(quality), 4) AS avg_quality
+            FROM scored
+            WHERE n_chars >= 20 AND quality >= 0.25
+            GROUP BY 1, 2 ORDER BY split, lang_pred"""))
+
   def all: Seq[Q] = Seq(
     dedupStats, dedupKeep, nearDupMinhash, nearDupSimhash, ngramJaccard,
     annBrute, annLsh, nearDupCosine, embCentroids, embNormProfile,
     splitCounts, stratSample,
-    textTokens, textQuality, langDist, textAnalyze, mmStats, curate)
+    textTokens, textQuality, langDist, textAnalyze, mmStats, curate,
+    pipelineCurateSplit)
 }

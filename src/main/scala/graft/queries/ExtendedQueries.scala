@@ -370,6 +370,43 @@ object ExtendedQueries {
             WHERE value > 0 AND event_type <> 'error'
             GROUP BY event_type ORDER BY event_type"""))
 
+  /** MERGE-like upsert semantics (graft.maintain.Upsert): double the
+    * price of every 10th order as an "update" batch with a later
+    * version timestamp, merge latest-wins by key, and summarize. One
+    * union + one windowed shuffle on the key — no join. The oracle is
+    * DuckDB's QUALIFY row_number formulation of the same MERGE. */
+  val m1 = Q(
+    "m1_upsert_merge",
+    (s, d) => {
+      val t = Tables.orders(s, d)
+      val upd = t.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+        .withColumn("o_totalprice", round(col("o_totalprice") * 2, 2))
+        .withColumn("o_orderdate", to_timestamp(lit("2002-01-01")))
+      graft.maintain.Upsert
+        .mergeFrames(t, upd, Seq("o_orderkey"), "o_orderdate", "o_orderkey")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          round(sum(col("o_totalprice")), 2).as("total_price"),
+          count(when(col("o_orderdate") === to_timestamp(lit("2002-01-01")),
+            1)).as("n_updated"))
+    },
+    Some("""WITH upd AS (
+              SELECT o_orderkey, o_custkey, o_orderstatus,
+                     ROUND(o_totalprice * 2, 2) AS o_totalprice,
+                     TIMESTAMP '2002-01-01' AS o_orderdate,
+                     o_orderpriority
+              FROM orders WHERE o_orderkey % 10 = 0),
+            merged AS (
+              SELECT * FROM (SELECT * FROM orders UNION ALL SELECT * FROM upd)
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                ORDER BY o_orderdate DESC, o_orderkey DESC) = 1)
+            SELECT COUNT(*) AS n_rows,
+                   ROUND(SUM(o_totalprice), 2) AS total_price,
+                   COUNT(*) FILTER (o_orderdate = TIMESTAMP '2002-01-01')
+                     AS n_updated
+            FROM merged"""))
+
   def all: Seq[Q] = Seq(
-    tpchQ1, tpchQ3, g1, pv1, uv1, sq1, sq2, w5, f13, f14, e1, a17, hof1, t1)
+    tpchQ1, tpchQ3, g1, pv1, uv1, sq1, sq2, w5, f13, f14, e1, a17, hof1,
+    t1, m1)
 }

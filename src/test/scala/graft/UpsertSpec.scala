@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.maintain.Upsert
+
+/** MERGE-like upsert: update/insert/keep semantics, deterministic
+  * tie-breaks, schema drift, and the crash-safe path-level swap. */
+class UpsertSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def target = Seq(
+    (1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L)).toDF("id", "v", "ver")
+
+  test("update, insert, and keep in one merge") {
+    val updates = Seq((2L, "B", 2L), (4L, "d", 1L)).toDF("id", "v", "ver")
+    val out = Upsert.mergeFrames(target, updates, Seq("id"), "ver", "ver")
+      .orderBy("id").as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq((1L, "a", 1L), (2L, "B", 2L), (3L, "c", 1L),
+      (4L, "d", 1L)))
+  }
+
+  test("ties resolve by the tiebreak arg-max, deterministically") {
+    val updates = Seq((1L, "x", 1L), (1L, "y", 1L)).toDF("id", "v", "ver")
+    val withTb = updates.withColumn("tb", when($"v" === "y", 9L).otherwise(0L))
+    val out = Upsert.mergeFrames(
+        target.withColumn("tb", lit(5L)), withTb, Seq("id"), "ver", "tb")
+      .filter($"id" === 1).select("v").as[String].collect().toSeq
+    assert(out == Seq("y"), s"max tiebreak must win: $out")
+  }
+
+  test("schema drift: update columns absent from target become NULL rows") {
+    val updates = Seq((5L, 2L, "extra")).toDF("id", "ver", "note")
+    val out = Upsert.mergeFrames(target, updates, Seq("id"), "ver", "ver")
+    assert(out.columns.toSet == Set("id", "v", "ver", "note"))
+    val r5 = out.filter($"id" === 5).select("v", "note")
+      .as[(Option[String], Option[String])].collect().head
+    assert(r5 == (None, Some("extra")))
+  }
+
+  test("path-level upsert swaps atomically and survives re-read") {
+    val dir = TestSpark.tmpDir("upsert") + "/t"
+    target.write.parquet(dir)
+    val updates = Seq((3L, "C", 7L), (9L, "i", 1L)).toDF("id", "v", "ver")
+    val (before, after) =
+      Upsert.upsertPath(spark, dir, updates, Seq("id"), "ver", "ver")
+    assert(before == 3 && after == 4)
+    val back = spark.read.parquet(dir).orderBy("id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(back == Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "C", 7L),
+      (9L, "i", 1L)))
+  }
+}

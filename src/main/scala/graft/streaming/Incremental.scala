@@ -72,4 +72,38 @@ object Incremental {
       .queryName(queryName)
       .outputMode("complete")
       .start()
+
+  /** Streaming upsert sink: apply each micro-batch as a MERGE into a
+    * parquet table via foreachBatch + maintain.Upsert — the CDC
+    * pattern (a stream of keyed updates continuously folded into a
+    * queryable table, latest version winning). foreachBatch gives
+    * exactly-once per batch id against the checkpoint; the merge
+    * itself is one windowed shuffle on the key per batch. The first
+    * batch creates the table. */
+  def upsertStream(
+      updates: DataFrame,
+      destDir: String,
+      checkpointDir: String,
+      keyCols: Seq[String],
+      versionCol: String,
+      tiebreakCol: String): StreamingQuery =
+    updates.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val exists = new org.apache.hadoop.fs.Path(destDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(new org.apache.hadoop.fs.Path(destDir))
+        if (!exists)
+          graft.maintain.Upsert
+            .mergeFrames(batch.limit(0), batch, keyCols, versionCol,
+              tiebreakCol)
+            .write.parquet(destDir)
+        else
+          graft.maintain.Upsert.upsertPath(
+            spark, destDir, batch, keyCols, versionCol, tiebreakCol)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

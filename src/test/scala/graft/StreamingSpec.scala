@@ -204,6 +204,40 @@ class StreamingSpec extends AnyFunSuite {
       s"stream $streamed != batch $batch")
   }
 
+  test("streaming upsert folds keyed updates into a queryable table") {
+    val src = TestSpark.tmpDir("upsert-stream-src")
+    val dest = TestSpark.tmpDir("upsert-stream") + "/table"
+    val ckpt = TestSpark.tmpDir("upsert-stream-ckpt")
+    def put(name: String, rows: String*): Unit =
+      Files.writeString(Paths.get(src, name), rows.mkString("\n"))
+    // ndjson updates: (id, v, ver)
+    put("b1.json",
+      """{"id": 1, "v": "a", "ver": 1}""",
+      """{"id": 2, "v": "b", "ver": 1}""")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, v STRING, ver BIGINT")
+    def drain(): Unit = {
+      val q = Incremental.upsertStream(
+        spark.readStream.schema(schema).json(src),
+        dest, ckpt, Seq("id"), "ver", "ver")
+      q.processAllAvailable(); q.stop()
+    }
+    drain()
+    assert(spark.read.parquet(dest).count() == 2)
+    // second batch: update id=2, insert id=3; stale ver=0 must lose
+    put("b2.json",
+      """{"id": 2, "v": "B", "ver": 2}""",
+      """{"id": 2, "v": "stale", "ver": 0}""",
+      """{"id": 3, "v": "c", "ver": 1}""")
+    drain()
+    val out = spark.read.parquet(dest).orderBy("id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq((1L, "a", 1L), (2L, "B", 2L), (3L, "c", 1L)))
+    // re-draining with no new files is a checkpointed no-op
+    drain()
+    assert(spark.read.parquet(dest).count() == 3)
+  }
+
   test("watermark drops data later than the lateness bound") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger

@@ -406,7 +406,34 @@ object ExtendedQueries {
                      AS n_updated
             FROM merged"""))
 
+  /** Spark 4 VariantType: parse the JSON props column ONCE into a
+    * variant (binary semi-structured encoding — no per-access string
+    * re-parse, the modern replacement for repeated get_json_object
+    * calls) and aggregate a typed path extraction. */
+  val v1 = Q(
+    "v1_variant_json",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          try_variant_get(parse_json(col("props")), "$.k", "long").as("k"))
+        .groupBy("event_type")
+        .agg(
+          count(col("k")).as("n_with_k"),
+          round(avg(col("k")), 4).as("avg_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type,
+                   COUNT(k) AS n_with_k,
+                   ROUND(AVG(k), 4) AS avg_k,
+                   MIN(k) AS min_k,
+                   MAX(k) AS max_k
+            FROM (SELECT event_type,
+                         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                  FROM events)
+            GROUP BY event_type ORDER BY event_type"""))
+
   def all: Seq[Q] = Seq(
     tpchQ1, tpchQ3, g1, pv1, uv1, sq1, sq2, w5, f13, f14, e1, a17, hof1,
-    t1, m1)
+    t1, m1, v1)
 }

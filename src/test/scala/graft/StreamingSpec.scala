@@ -238,6 +238,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(dest).count() == 3)
   }
 
+  test("transformWithState running totals match the batch aggregate") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.StatefulOps
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = TestSpark.tmpDir("tws-src")
+      val ckpt = TestSpark.tmpDir("tws-ckpt")
+      val events = Tables.events(spark, TestSpark.sf0001)
+      events.write.mode("overwrite").parquet(dir)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(dir).schema).parquet(dir)
+      val q = StatefulOps.userTotals(stream)
+        .writeStream.format("memory").queryName("tws_totals")
+        .outputMode("update").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt).start()
+      q.processAllAvailable(); q.stop()
+      // update-mode memory sink may hold one row per (batch, key):
+      // the LAST update per key is the running total
+      val streamed = spark.table("tws_totals")
+        .groupBy("user_id")
+        .agg(max(struct($"n_events", $"total_value")).as("s"))
+        .select($"user_id", $"s.n_events", $"s.total_value")
+        .as[(Long, Long, Double)].collect()
+        .map { case (k, n, v) => k -> ((n, v)) }.toMap
+      val batch = events.groupBy("user_id")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("t"))
+        .as[(Long, Long, Double)].collect()
+        .map { case (k, n, v) => k -> ((n, v)) }.toMap
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally {
+      prev.fold(spark.conf.unset(
+        "spark.sql.streaming.stateStore.providerClass"))(
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+    }
+  }
+
   test("watermark drops data later than the lateness bound") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger

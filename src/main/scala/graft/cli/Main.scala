@@ -64,14 +64,30 @@ object Main {
         kinds.foreach { kind =>
           val dirs = found.filter(_.kind == kind).map(_.dir)
           val raw = JsonApi.readRaw(spark, dirs)
-          val (table, flat) = kind match {
-            case "comments" => ("comments", graft.sources.Flatten.comments(raw))
-            case "documents" => ("documents", graft.sources.Flatten.documents(raw))
-            case "docket" => ("docket_info", graft.sources.Flatten.docketInfo(raw))
+          val (table, mk): (String, org.apache.spark.sql.DataFrame =>
+              org.apache.spark.sql.DataFrame) = kind match {
+            case "comments" => ("comments", graft.sources.Flatten.comments)
+            case "documents" => ("documents", graft.sources.Flatten.documents)
+            case "docket" => ("docket_info", graft.sources.Flatten.docketInfo)
           }
-          val written = ParquetSink.write(flat, s"$out/$table", codec,
-            partitionCols = Seq("agency"))
-          val bad = JsonApi.corruptRecords(raw).count()
+          // Corrupt records are counted by an Observation ON the write
+          // job itself — the observe node sits before flatten's
+          // corrupt filter, so the single write pass yields the count
+          // the old code paid a second full JSON scan for. The
+          // emptiness probe stays on an UNOBSERVED twin of the plan: a
+          // limit-1 scan would otherwise report partial metrics.
+          import org.apache.spark.sql.functions.{col, count, when}
+          val obs = org.apache.spark.sql.Observation()
+          val rawObs = raw.observe(obs, count(when(
+            col("data").isNull && col("_corrupt_record").isNotNull, 1))
+            .as("bad"))
+          val (written, bad) =
+            if (mk(raw).isEmpty) (false, JsonApi.corruptRecords(raw).count())
+            else {
+              ParquetSink.write(mk(rawObs), s"$out/$table", codec,
+                partitionCols = Seq("agency"), skipIfEmpty = false)
+              (true, obs.get("bad").asInstanceOf[Long])
+            }
           if (written) tablesWritten += 1
           totalCorrupt += bad
           println(s"$table: written=$written corrupt_quarantined=$bad")

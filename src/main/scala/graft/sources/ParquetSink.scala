@@ -37,11 +37,15 @@ object ParquetSink {
       path: String,
       codec: String = "snappy",
       partitionCols: Seq[String] = Seq("agency"),
-      dynamicOverwrite: Boolean = true): Boolean = {
+      dynamicOverwrite: Boolean = true,
+      skipIfEmpty: Boolean = true): Boolean = {
     val resolved = codecs.getOrElse(codec.toLowerCase,
       throw new IllegalArgumentException(
         s"unknown codec '$codec' (supported: ${codecs.keys.mkString(",")})"))
-    if (df.isEmpty) false
+    // skipIfEmpty=false lets callers that carry an Observation on the
+    // plan write in ONE action (isEmpty is a limit-1 scan, which would
+    // both cost a job and poison observed metrics with partial counts)
+    if (skipIfEmpty && df.isEmpty) false
     else {
       val w = df.write
         .mode("overwrite")

@@ -123,10 +123,19 @@ object Main {
           .show(100, truncate = false)
 
       case "optimize" =>
-        val n = if (args.length > 2) args(2).toInt else 8
-        val r = Compaction.compact(spark, args(1), n)
-        println(s"files: ${r.before.files} -> ${r.after.files} " +
-          f"(${r.reduction * 100}%.1f%% reduction), bytes: ${r.after.bytes}")
+        // optimize PATH [N] [--zorder colA,colB]
+        val n = args.drop(2).find(a => a.forall(_.isDigit)).map(_.toInt)
+          .getOrElse(8)
+        arg(args, "--zorder") match {
+          case Some(zcols) =>
+            val Array(a, b) = zcols.split(',')
+            graft.maintain.Layout.rewriteZOrdered(spark, args(1), a, b, n)
+            println(s"z-ordered ${args(1)} by ($a, $b) into $n files")
+          case None =>
+            val r = Compaction.compact(spark, args(1), n)
+            println(s"files: ${r.before.files} -> ${r.after.files} " +
+              f"(${r.reduction * 100}%.1f%% reduction), bytes: ${r.after.bytes}")
+        }
 
       case "curate" =>
         // curate IN OUT [--min-quality Q] [--near-jaccard J]

@@ -1,0 +1,85 @@
+package graft.maintain
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout (Z-order-ish clustering) for
+  * file-level skipping.
+  *
+  * A linear `sortBy(a)` gives parquet tight per-file min/max ranges on
+  * `a` and useless ones on `b`; interleaving the bits of the columns'
+  * rank percentiles gives every clustered column moderately tight
+  * ranges, so predicates on ANY of them prune files/row-groups. This
+  * is the layout half of what table formats call OPTIMIZE ZORDER BY —
+  * expressed with plain Spark: ntile ranks → bit interleave →
+  * repartitionByRange + sortWithinPartitions on the derived key.
+  *
+  * Scale: two shuffles (the rank window per column is avoided — ntile
+  * runs over a single global ordering per column — so ranks come from
+  * range-partitioned percentiles; see `zKey`), then a range exchange
+  * on the z-key. For 100 TB run it per partition (e.g. per day), not
+  * globally.
+  */
+object Layout {
+
+  private val Bits = 16
+
+  /** Interleave the low `Bits` bits of two bucket ids (Morton code). */
+  private[graft] def interleave(a: Column, b: Column): Column = {
+    (0 until Bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+  }
+
+  /** Z-key column: rank-normalize each column to 2^Bits buckets (via
+    * ntile over its own ordering — value-distribution free), then
+    * Morton-interleave. */
+  def zKey(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val nt = math.pow(2, Bits).toInt
+    val ra = ntile(nt).over(Window.orderBy(col(colA))).cast("long") - 1
+    val rb = ntile(nt).over(Window.orderBy(col(colB))).cast("long") - 1
+    df.withColumn("__graft_z", interleave(ra, rb))
+  }
+
+  /** Rewrite `df` into `nFiles` z-clustered parquet files at `path`.
+    *
+    * NOTE the empty-partitionBy windows in zKey funnel the ranking
+    * through one task — fine for the per-partition batches this is
+    * meant to run on (a day/agency slice), documented here because a
+    * global 100 TB z-order must rank with `percent_rank` approximated
+    * from `approxQuantile` cutpoints instead. */
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      colA: String,
+      colB: String,
+      nFiles: Int): Unit =
+    zKey(df, colA, colB)
+      .repartitionByRange(nFiles, col("__graft_z"))
+      .sortWithinPartitions("__graft_z")
+      .drop("__graft_z")
+      .write.mode("overwrite").parquet(path)
+
+  /** In-place z-order rewrite of a parquet path, with the same
+    * crash-safe temp-swap as Compaction.compact (Spark cannot
+    * overwrite its own input; readers see old or new, never halves). */
+  def rewriteZOrdered(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      colA: String,
+      colB: String,
+      nFiles: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    val tmp = path.stripSuffix("/") + "_zordering"
+    writeZOrdered(spark.read.parquet(path), tmp, colA, colB, nFiles)
+    val f = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new Path(path.stripSuffix("/") + "_prezorder")
+    f.rename(new Path(path), old)
+    f.rename(new Path(tmp), new Path(path))
+    f.delete(old, true)
+  }
+}

@@ -159,5 +159,51 @@ object StreamQueries {
                   FROM events)
             GROUP BY event_type ORDER BY event_type"""))
 
-  def all: Seq[Q] = Seq(st1, st2, st3, st4, st5, st6)
+  /** Time-series gap-fill: hourly grid per user over purchase events,
+    * forward-filled (operators.GapFill = sequence Generate + as-of
+    * join). The oracle rebuilds it with DuckDB generate_series + ASOF
+    * LEFT JOIN; n_filled vs n_points is part of the hash — they differ
+    * exactly when a key's aligned-down grid start precedes its first
+    * observation (leading NULL), and both engines must agree on it. */
+  val st7 = Q(
+    "st_gapfill_hourly",
+    (s, d) => {
+      val purchases = graft.operators.AsofJoin.dedupeBuild(
+        Tables.events(s, d).filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("value"), col("event_id")),
+        "user_id", "ts", Seq("value"), tiebreakCol = "event_id")
+      graft.operators.GapFill
+        .forwardFill(purchases, "user_id", "ts", "value", 3600L)
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_points"),
+          count(col("value")).as("n_filled"),
+          round(sum(col("value")), 2).as("total_filled"))
+        .orderBy("user_id")
+    },
+    Some("""WITH obs AS (
+              SELECT user_id, ts, arg_max(value, event_id) AS value
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY user_id, ts),
+            bounds AS (
+              SELECT user_id,
+                to_timestamp(CAST(floor(epoch(MIN(ts))) AS BIGINT)
+                  - CAST(floor(epoch(MIN(ts))) AS BIGINT) % 3600) AS t0,
+                to_timestamp(CAST(floor(epoch(MAX(ts))) AS BIGINT)
+                  + (3600 - CAST(floor(epoch(MAX(ts))) AS BIGINT) % 3600) % 3600)
+                  AS t1
+              FROM obs GROUP BY user_id),
+            grid AS (
+              SELECT user_id,
+                     unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS grid_ts
+              FROM bounds),
+            filled AS (
+              SELECT g.user_id, g.grid_ts, o.value
+              FROM grid g ASOF LEFT JOIN obs o
+                ON g.user_id = o.user_id AND g.grid_ts >= o.ts)
+            SELECT user_id, COUNT(*) AS n_points, COUNT(value) AS n_filled,
+                   ROUND(SUM(value), 2) AS total_filled
+            FROM filled GROUP BY user_id ORDER BY user_id"""))
+
+  def all: Seq[Q] = Seq(st1, st2, st3, st4, st5, st6, st7)
 }

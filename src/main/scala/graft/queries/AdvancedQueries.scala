@@ -174,5 +174,26 @@ object AdvancedQueries {
             FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
             ORDER BY pri, st"""))
 
-  def all: Seq[Q] = Seq(a14, a14x, a9x, w4, j5, a15, a16, f12)
+  /** a18 — grouped exact percentiles (median + p90 per return flag).
+    * Exact `percentile` sorts per group inside the aggregate buffer —
+    * fine for bounded groups; unbounded-cardinality values per group
+    * at 100 TB should switch to `percentile_approx` (t-digest-style
+    * sketch, map-side mergeable). */
+  val a18 = Q(
+    "a18_grouped_percentile",
+    (s, d) =>
+      graft.Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+                   ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                   ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  def all: Seq[Q] = Seq(a14, a14x, a9x, w4, j5, a15, a16, f12, a18)
 }

@@ -63,6 +63,37 @@ object Layout {
       .drop("__graft_z")
       .write.mode("overwrite").parquet(path)
 
+  /** Scale-path z-key: bucket each column by APPROXIMATE quantile
+    * cutpoints (one driver-side `approxQuantile` pass, ~256 doubles
+    * broadcast as a literal array) instead of an exact global ntile
+    * window — no single-task ranking stage, so this form z-orders a
+    * 100 TB table. Bucket = number of cutpoints ≤ value, computed with
+    * a higher-order filter over the literal array (row-local; the
+    * array is 2^`bits` entries, keep `bits` ≤ 10).
+    *
+    * Approximate ranks only blur bucket BOUNDARIES — clustering
+    * quality degrades smoothly with quantile error (LayoutSpec
+    * measures it against the exact path). */
+  def zKeyApprox(
+      df: DataFrame,
+      colA: String,
+      colB: String,
+      bits: Int = 8,
+      relErr: Double = 0.001): DataFrame = {
+    require(bits >= 2 && bits <= 10, s"bits must be in [2,10]: $bits")
+    val n = math.pow(2, bits).toInt
+    val probs = (1 until n).map(_.toDouble / n).toArray
+    def cuts(c: String): Array[Double] =
+      df.stat.approxQuantile(c, probs, relErr)
+    def bucket(c: String): Column = {
+      val arr = lit(cuts(c))
+      size(filter(arr, x => x <= col(c).cast("double"))).cast("long")
+    }
+    // re-interleave at the low `bits` (buckets are < 2^bits, so the
+    // shared 16-bit interleave covers them)
+    df.withColumn("__graft_z", interleave(bucket(colA), bucket(colB)))
+  }
+
   /** In-place z-order rewrite of a parquet path, with the same
     * crash-safe temp-swap as Compaction.compact (Spark cannot
     * overwrite its own input; readers see old or new, never halves). */

@@ -54,6 +54,19 @@ class LayoutSpec extends AnyFunSuite {
     val zB = avgWidth(zDir, "b")
     val zA = avgWidth(zDir, "a")
 
+    // scale path: approx-quantile z-key clusters comparably without
+    // any global ranking window (no single-task stage at 100 TB)
+    val zaDir = TestSpark.tmpDir("layout-za") + "/t"
+    Layout.zKeyApprox(df, "a", "b")
+      .repartitionByRange(8, col("__graft_z"))
+      .sortWithinPartitions("__graft_z")
+      .drop("__graft_z")
+      .write.mode("overwrite").parquet(zaDir)
+    assert(spark.read.parquet(zaDir).count() == n)
+    val zaB = avgWidth(zaDir, "b")
+    assert(zaB < linB * 0.7,
+      s"approx z-order did not tighten b: $zaB vs linear $linB")
+
     // CLI round-trip: in-place rewrite of the linear layout must
     // produce the same z-clustering (and keep every row)
     graft.cli.Main.run(spark,

@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions._
   * Built by composition: `sequence()` generates each key's grid
   * driver-free (one narrow Generate — the grid never ships to the
   * driver), and [[AsofJoin]] attaches the last value at-or-before each
-  * grid instant (one shuffle on the key, union+window — no join
-  * explosion). Total cost: one Generate + one keyed shuffle.
+  * grid instant (union+window — no join explosion). Total cost: two
+  * keyed exchanges (the per-key bounds aggregate, then the as-of
+  * window) plus the Generate; both shuffle the same key, and the agg
+  * side carries only (key, t0, t1).
   */
 object GapFill {
 

@@ -36,6 +36,22 @@ object Formats {
      else withOpts).save(path)
   }
 
+  /** CSV ingest with the same corrupt-row quarantine contract as the
+    * JSON:API reader (JsonApi.readRaw): PERMISSIVE parse, malformed
+    * lines land in `_corrupt_record` instead of aborting the job —
+    * a single bad row in a 100 TB feed must never kill the run.
+    * `schema` is the DATA schema; the corrupt column is appended here. */
+  def readCsvQuarantine(
+      spark: SparkSession,
+      path: String,
+      schema: StructType): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema.add("_corrupt_record", "string"))
+      .csv(path)
+
   /** Schema-explicit read (schema required for the row formats so a
     * round-trip preserves types; columnar formats embed theirs). */
   def read(

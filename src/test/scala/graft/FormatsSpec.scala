@@ -36,6 +36,32 @@ class FormatsSpec extends AnyFunSuite {
       src.select("c_mktsegment").distinct().count())
   }
 
+  test("csv quarantine: malformed rows isolated, good rows parsed") {
+    import java.nio.file.{Files, Paths}
+    val dir = TestSpark.tmpDir("csv-quarantine")
+    Files.writeString(Paths.get(dir, "data.csv"),
+      Seq(
+        "id,price",
+        "1,10.5",
+        "2,not_a_number",  // malformed double
+        "3,30.0").mkString("\n"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, price DOUBLE")
+    val df = graft.sources.Formats.readCsvQuarantine(spark, dir, schema)
+    import org.apache.spark.sql.functions.col
+    // Spark disallows scans whose only referenced column is
+    // _corrupt_record (same restriction JsonApi.corruptRecords works
+    // around): always reference a data column alongside it.
+    val good = df.filter(col("price").isNotNull &&
+      col("_corrupt_record").isNull)
+    val bad = df.filter(col("price").isNull &&
+      col("_corrupt_record").isNotNull)
+    assert(good.count() == 2)
+    val badRows = bad.select("id", "_corrupt_record").collect()
+    assert(badRows.length == 1)
+    assert(badRows.head.getString(1).contains("not_a_number"))
+  }
+
   test("unsupported format rejected") {
     intercept[IllegalArgumentException] {
       Formats.write(Tables.region(spark, TestSpark.sf0001), "/tmp/x", "xml")

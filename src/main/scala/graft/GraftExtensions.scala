@@ -76,19 +76,24 @@ object GraftExtensions {
     * (EliminateResolvedHint folds them into JoinHint only at optimizer
     * start). */
   def assertNoCartesian(plan: LogicalPlan): Unit =
-    plan.foreach {
-      case j @ Join(left, right, joinType, cond, hint) =>
-        val cartesian =
-          joinType == Cross || (joinType == Inner && cond.isEmpty)
-        def hinted(p: LogicalPlan): Boolean =
-          p.collectFirst { case h: ResolvedHint => h }.isDefined
-        val exempt = hinted(left) || hinted(right) ||
-          hint.leftHint.isDefined || hint.rightHint.isDefined
-        if (cartesian && !exempt)
-          throw new CartesianDisallowedException(
-            "Cartesian join rejected by spark.graft.failOnCartesian: " +
-              s"$joinType join with ${cond.fold("no condition")(_.sql)}. " +
-              "Add a join condition, or broadcast() a deliberately tiny side.")
-      case _ => ()
+    plan.foreach { node =>
+      node match {
+        case j @ Join(left, right, joinType, cond, hint) =>
+          val cartesian =
+            joinType == Cross || (joinType == Inner && cond.isEmpty)
+          def hinted(p: LogicalPlan): Boolean =
+            p.collectFirst { case h: ResolvedHint => h }.isDefined
+          val exempt = hinted(left) || hinted(right) ||
+            hint.leftHint.isDefined || hint.rightHint.isDefined
+          if (cartesian && !exempt)
+            throw new CartesianDisallowedException(
+              "Cartesian join rejected by spark.graft.failOnCartesian: " +
+                s"$joinType join with ${cond.fold("no condition")(_.sql)}. " +
+                "Add a join condition, or broadcast() a deliberately tiny side.")
+        case _ => ()
+      }
+      // foreach does not descend into subquery expressions — a
+      // cartesian inside IN (...) / EXISTS (...) must not slip through
+      node.subqueries.foreach(assertNoCartesian)
     }
 }

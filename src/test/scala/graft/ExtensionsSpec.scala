@@ -40,6 +40,20 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect().length == 3)
   }
 
+  test("cartesian guard descends into subquery plans") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.failOnCartesian", "true")
+    val thrown = intercept[Exception] {
+      s2.sql("""SELECT * FROM range(3) WHERE id IN
+                (SELECT a.id FROM range(2) a JOIN range(2) b)""").collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(thrown).exists(
+      _.isInstanceOf[GraftExtensions.CartesianDisallowedException]),
+      s"subquery cartesian slipped through: $thrown")
+  }
+
   test("cartesian guard exempts deliberate broadcast cross joins (ANN path)") {
     val s2 = spark.newSession()
     s2.conf.set("spark.graft.failOnCartesian", "true")

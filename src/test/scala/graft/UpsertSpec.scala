@@ -40,6 +40,28 @@ class UpsertSpec extends AnyFunSuite {
     assert(r5 == (None, Some("extra")))
   }
 
+  test("random equivalence with a brute-force reference") {
+    val rnd = new scala.util.Random(11)
+    for (round <- 1 to 4) {
+      // small domains force key overlap and (key, version) ties
+      val tRows = Seq.tabulate(40)(i =>
+        (rnd.nextInt(15).toLong, s"t$i", rnd.nextInt(5).toLong, i.toLong))
+      val uRows = Seq.tabulate(30)(i =>
+        (rnd.nextInt(15).toLong, s"u$i", rnd.nextInt(5).toLong,
+          (100 + i).toLong))
+      val out = Upsert.mergeFrames(
+          tRows.toDF("id", "v", "ver", "tb"),
+          uRows.toDF("id", "v", "ver", "tb"),
+          Seq("id"), "ver", "tb")
+        .select("id", "v").as[(Long, String)].collect().toMap
+      val expect = (tRows ++ uRows).groupBy(_._1).map { case (k, rows) =>
+        val best = rows.maxBy(r => (r._3, r._4))
+        k -> best._2
+      }
+      assert(out == expect, s"merge diverged in round $round")
+    }
+  }
+
   test("path-level upsert swaps atomically and survives re-read") {
     val dir = TestSpark.tmpDir("upsert") + "/t"
     target.write.parquet(dir)

@@ -39,8 +39,8 @@ object Main {
         |  convert DATA [--output-path P] [--agency A] [--compression C]
         |  query SFDIR NAME...
         |  sql SFDIR "SELECT ..."
-        |  profile SFDIR TABLE
-        |  optimize PATH [N]
+        |  profile SFDIR TABLE [--approx]
+        |  optimize PATH [N] [--zorder colA,colB]
         |  curate IN OUT [--min-quality Q] [--near-jaccard J]
         |         [--min-chars N] [--langs en,de] [--compression C]""".stripMargin)
 
@@ -119,8 +119,13 @@ object Main {
           .show(50, truncate = false)
 
       case "profile" =>
-        ProfileQueries.profile(Tables.load(spark, args(1), args(2)))
-          .show(100, truncate = false)
+        // --approx: HLL++ distinct counts (map-side-mergeable sketch,
+        // no raw-value shuffle) — the 100 TB default; exact otherwise
+        val table = Tables.load(spark, args(1), args(2))
+        val profiled =
+          if (args.contains("--approx")) ProfileQueries.profileApprox(table)
+          else ProfileQueries.profile(table)
+        profiled.show(100, truncate = false)
 
       case "optimize" =>
         // optimize PATH [N] [--zorder colA,colB]

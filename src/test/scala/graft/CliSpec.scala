@@ -54,6 +54,12 @@ class CliSpec extends AnyFunSuite {
       curated.columns.contains("lang_pred"))
   }
 
+  test("profile --approx runs the sketch path") {
+    graft.cli.Main.run(spark,
+      Array("profile", TestSpark.sf0001, "orders", "--approx"))
+    // no assertion beyond not-throwing: ProfileSpec bounds the sketch
+  }
+
   test("unknown command rejected") {
     intercept[IllegalArgumentException] {
       graft.cli.Main.run(spark, Array("frobnicate"))

@@ -260,12 +260,16 @@ object LlmQueries {
       Tables.documents(s, d).select(
         col("doc_id"),
         length(col("text")).cast("long").as("n_chars_c"),
-        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("n_subwords"))
         .orderBy("doc_id")
         .limit(500),
     Some("""SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars_c,
                    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
-                     AS n_tokens
+                     AS n_tokens,
+                   CAST(len(regexp_extract_all(text,
+                     '[a-z]{1,4}|[A-Z][a-z]{0,3}|[0-9]|[^a-zA-Z0-9\s]'))
+                     AS BIGINT) AS n_subwords
             FROM documents ORDER BY doc_id LIMIT 500"""))
 
   /** Quality-scoring ratios (stopword + punctuation). */

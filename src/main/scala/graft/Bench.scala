@@ -93,15 +93,34 @@ object Bench {
     def jmap(kv: Seq[(String, Double)]): String =
       kv.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
         .mkString("{", ",", "}")
-    val qs = jmap(results.map { case (k, _, w) => (k, w) })
-    val qsCold = jmap(results.map { case (k, c, _) => (k, c) })
     val ratios = jmap(codecRatios.toSeq.sortBy(_._1))
     val total = results.collect { case (_, _, w) if w >= 0 => w }.sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""queries_cold":$qsCold,"mode":"warm+cached",""" +
+    val headlineTotal = results
+      .collect { case (k, _, w) if headline.contains(k) && w >= 0 => w }.sum
+    // Full per-query detail (warm + cold, all queries) goes to a file:
+    // the driver that harvests the stdout line keeps only its last
+    // ~2000 characters, so the line below must stay compact — per-query
+    // times for the headline set only, everything else in the file.
+    val detailFile = new java.io.File("BENCH_DETAIL.json").getAbsoluteFile
+    val detail =
+      s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        s""""queries":${jmap(results.map { case (k, _, w) => (k, w) })},""" +
+        s""""queries_cold":${jmap(results.map { case (k, c, _) => (k, c) })},""" +
+        s""""mode":"warm+cached",""" +
         f""""dockets_per_sec":$docketsPerSec%.1f,""" +
-        s""""codec_ratios":$ratios,"sf":"$sfDir"}""")
+        s""""codec_ratios":$ratios,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(detailFile.toPath,
+      (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val headlineQs = jmap(
+      results.collect { case (k, _, w) if headline.contains(k) => (k, w) })
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        s""""queries":$headlineQs,""" +
+        f""""headline_total":$headlineTotal%.4f,"n_queries":${results.size},""" +
+        s""""mode":"warm+cached",""" +
+        f""""dockets_per_sec":$docketsPerSec%.1f,""" +
+        s""""codec_ratios":$ratios,""" +
+        s""""detail":"${detailFile.getPath}","sf":"$sfDir"}""")
     spark.stop()
   }
 

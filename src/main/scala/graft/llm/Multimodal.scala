@@ -32,8 +32,18 @@ object Multimodal {
       (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
         ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
     private def ascii(b: Array[Byte], off: Int, s: String): Boolean =
-      b.length >= off + s.length &&
+      off >= 0 && b.length >= off + s.length &&
         s.indices.forall(i => b(off + i) == s.charAt(i).toByte)
+
+    /** Next chunk offset after a RIFF chunk at `off` with payload
+      * `size` (read as UNSIGNED — a hostile size of 0xFFFFFFF8 must not
+      * become -8 and stall the walk). Long arithmetic, clamped to
+      * `len`: the clamp both avoids int overflow in the caller's
+      * `off + 8 <= len` bound (Int.MaxValue + 8 wraps negative and
+      * would re-enter the loop) and guarantees the walk terminates.
+      * Chunks are word-aligned: odd sizes carry a pad byte. */
+    private def nextChunk(off: Int, size: Long, len: Int): Int =
+      math.min(off.toLong + 8L + size + (size & 1L), len.toLong).toInt
 
     /** PNG signature + IHDR (always the first chunk, spec-mandated):
       * width/height are big-endian ints at offsets 16/20. */
@@ -63,7 +73,7 @@ object Multimodal {
       var fmt: Option[(Int, Int, Int, Int)] = None
       var data: Option[(Int, Int)] = None
       while (off + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
-        val size = leInt(b, off + 4)
+        val size = leInt(b, off + 4).toLong & 0xFFFFFFFFL
         if (ascii(b, off, "fmt ") && off + 24 <= b.length) {
           val channels = (b(off + 10) & 0xFF) | ((b(off + 11) & 0xFF) << 8)
           val rate = leInt(b, off + 12)
@@ -71,8 +81,8 @@ object Multimodal {
           val bits = (b(off + 22) & 0xFF) | ((b(off + 23) & 0xFF) << 8)
           fmt = Some((channels, rate, bits, align))
         } else if (ascii(b, off, "data"))
-          data = Some((off + 8, size))
-        off += 8 + size + (size & 1)
+          data = Some((off + 8, math.min(size, Int.MaxValue.toLong).toInt))
+        off = nextChunk(off, size, b.length)
       }
       for ((ch, rate, bits, align) <- fmt; (doff, dlen) <- data
         if ch > 0 && rate > 0 && bits > 0 && align > 0)
@@ -93,8 +103,7 @@ object Multimodal {
           byteRate = leInt(b, off + 16).toLong & 0xFFFFFFFFL
         else if (ascii(b, off, "data"))
           dataBytes = size
-        // chunks are word-aligned: odd sizes carry a pad byte
-        off += 8 + size.toInt + (size.toInt & 1)
+        off = nextChunk(off, size, b.length)
       }
       if (byteRate > 0 && dataBytes >= 0)
         Some(dataBytes * 1000L / byteRate)
@@ -144,9 +153,14 @@ object Multimodal {
         // model is out of scope for a header decode
         val feat = Array.tabulate(featureDim)(i =>
           (((h >> (i * 4)) & 0xFF).toFloat / 255f))
-        val png = MediaHeaders.pngDimensions(m.payload)
-        val wav = if (png.isEmpty) MediaHeaders.wavDurationMs(m.payload)
-          else None
+        // header parses must never kill the query: any parser escape on
+        // a malformed container degrades to the synthetic fallback
+        val (png, wav) = try {
+          val p = MediaHeaders.pngDimensions(m.payload)
+          val w = if (p.isEmpty) MediaHeaders.wavDurationMs(m.payload)
+            else None
+          (p, w)
+        } catch { case _: RuntimeException => (None, None) }
         val (w, hgt, dur) = (png, wav) match {
           case (Some((pw, ph)), _) => (pw, ph, 0L)
           case (_, Some(ms)) => (0, 0, ms)
@@ -238,11 +252,17 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.flatMap { m =>
         MediaHeaders.wavFormat(m.payload).collect {
-          case f if f.bitsPerSample == 16 =>
+          // 16-bit PCM needs 2 bytes per channel per frame; a header
+          // declaring a smaller blockAlign (e.g. 1) is malformed and
+          // would index past the data region on the second sample byte
+          case f if f.bitsPerSample == 16 &&
+            f.blockAlign >= 2 * f.channels =>
             val nSamples = f.dataBytes / f.blockAlign
             val stride = math.max(1, f.sampleRate * everyMs / 1000)
             val frames = Iterator
-              .iterate(0)(_ + stride).takeWhile(_ < nSamples)
+              .iterate(0)(_ + stride)
+              .takeWhile(s => s < nSamples &&
+                f.dataOffset + s * f.blockAlign + 1 < m.payload.length)
               .map { s =>
                 val off = f.dataOffset + s * f.blockAlign
                 val v = ((m.payload(off) & 0xFF) |

@@ -57,17 +57,16 @@ object Compaction {
     * own input), and readers see either old or new layout, not halves. */
   def compact(spark: SparkSession, path: String, targetFiles: Int)
       : CompactionResult = {
+    val f = fs(spark, path)
+    val dest = new Path(path)
+    val old = new Path(path.stripSuffix("/") + "_precompact")
+    Swap.recover(f, dest, old) // heal an interrupted prior compact first
     val before = stats(spark, path)
     val tmp = path.stripSuffix("/") + "_compacting"
     spark.read.parquet(path)
       .repartition(targetFiles)
       .write.mode("overwrite").parquet(tmp)
-    val f = fs(spark, path)
-    val dest = new Path(path)
-    val old = new Path(path.stripSuffix("/") + "_precompact")
-    f.rename(dest, old)
-    f.rename(new Path(tmp), dest)
-    f.delete(old, true)
+    Swap.replace(f, dest, new Path(tmp), old)
     val after = stats(spark, path)
     CompactionResult(before, after,
       if (before.files == 0) 0.0

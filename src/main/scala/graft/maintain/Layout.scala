@@ -104,13 +104,12 @@ object Layout {
       colB: String,
       nFiles: Int): Unit = {
     import org.apache.hadoop.fs.Path
-    val tmp = path.stripSuffix("/") + "_zordering"
-    writeZOrdered(spark.read.parquet(path), tmp, colA, colB, nFiles)
     val f = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val old = new Path(path.stripSuffix("/") + "_prezorder")
-    f.rename(new Path(path), old)
-    f.rename(new Path(tmp), new Path(path))
-    f.delete(old, true)
+    Swap.recover(f, new Path(path), old)
+    val tmp = path.stripSuffix("/") + "_zordering"
+    writeZOrdered(spark.read.parquet(path), tmp, colA, colB, nFiles)
+    Swap.replace(f, new Path(path), new Path(tmp), old)
   }
 }

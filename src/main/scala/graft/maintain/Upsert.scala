@@ -41,10 +41,17 @@ object Upsert {
       .drop("__graft_rn")
   }
 
-  /** Apply a merge to a parquet path with the same crash-safe
-    * temp-swap as Compaction.compact: write the merged table to a
-    * sibling dir, rename into place — readers never see half a table
-    * and Spark never overwrites its own input. Returns (rows before,
+  /** Backup-dir path used by upsertPath's swap; streaming callers
+    * probe it to distinguish "table never created" from "table lost
+    * mid-swap" (see Incremental.upsertStream). */
+  def backupPath(path: String): Path =
+    new Path(path.stripSuffix("/") + "_preupsert")
+
+  /** Apply a merge to a parquet path with the crash-safe temp-swap of
+    * [[Swap]]: write the merged table to a sibling dir, swap into
+    * place with checked renames — readers never see half a table,
+    * Spark never overwrites its own input, and an interrupted prior
+    * upsert is healed before the table is read. Returns (rows before,
     * rows after). */
   def upsertPath(
       spark: SparkSession,
@@ -53,17 +60,16 @@ object Upsert {
       keyCols: Seq[String],
       versionCol: String,
       tiebreakCol: String): (Long, Long) = {
+    val f = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = backupPath(path)
+    Swap.recover(f, new Path(path), old)
     val target = spark.read.parquet(path)
     val before = target.count()
     val merged = mergeFrames(target, updates, keyCols, versionCol, tiebreakCol)
     val tmp = path.stripSuffix("/") + "_upserting"
     merged.write.mode("overwrite").parquet(tmp)
-    val f = new Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val old = new Path(path.stripSuffix("/") + "_preupsert")
-    f.rename(new Path(path), old)
-    f.rename(new Path(tmp), new Path(path))
-    f.delete(old, true)
+    Swap.replace(f, new Path(path), new Path(tmp), old)
     val after = spark.read.parquet(path).count()
     (before, after)
   }

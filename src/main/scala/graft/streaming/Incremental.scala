@@ -90,9 +90,17 @@ object Incremental {
     updates.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val exists = new org.apache.hadoop.fs.Path(destDir)
+        val dest = new org.apache.hadoop.fs.Path(destDir)
+        val fs = dest
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .exists(new org.apache.hadoop.fs.Path(destDir))
+        // A crash inside a prior batch's swap leaves the table only at
+        // the backup path; heal it BEFORE the exists() probe, else
+        // "table absent but backup present" is misread as "first
+        // batch" and the table is recreated from one micro-batch,
+        // silently shadowing every previously-merged row.
+        graft.maintain.Swap.recover(
+          fs, dest, graft.maintain.Upsert.backupPath(destDir))
+        val exists = fs.exists(dest)
         if (!exists)
           graft.maintain.Upsert
             .mergeFrames(batch.limit(0), batch, keyCols, versionCol,

@@ -61,4 +61,26 @@ class ExtensionsSpec extends AnyFunSuite {
     val out = SparkEntry.queries("ann_cosine_topk")(s2, TestSpark.sf0001)
     assert(out.collect().length == 10)
   }
+
+  test("a hint buried below an unrelated join does not exempt the guard") {
+    import org.apache.spark.sql.functions.broadcast
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.failOnCartesian", "true")
+    import s2.implicits._
+    // left side legitimately broadcasts a dim INSIDE a keyed join; the
+    // TOP-LEVEL join is still unconditioned and must be rejected — a
+    // subtree-wide hint search would wrongly exempt it
+    val dim = Seq((1L, "x")).toDF("id", "name")
+    val left = s2.range(5).join(broadcast(dim), "id")
+    val right = s2.range(4).toDF("rid")
+    val thrown = intercept[Exception] { left.crossJoin(right).collect() }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(thrown).exists(
+      _.isInstanceOf[GraftExtensions.CartesianDisallowedException]),
+      s"deep hint bypassed the guard: $thrown")
+    // the same shape with the hint on the join's OWN input stays
+    // exempt (left resolves to the one dim-matched row × 4 right rows)
+    assert(left.crossJoin(broadcast(right)).collect().length == 4)
+  }
 }

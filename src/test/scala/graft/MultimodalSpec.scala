@@ -93,6 +93,58 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(3L).width >= 1 && out(3L).height >= 1) // fallback path
   }
 
+  // -- malformed containers must degrade, not hang or throw ----------
+
+  private def le(i: Int) = Array(i.toByte, (i >> 8).toByte,
+    (i >> 16).toByte, (i >> 24).toByte)
+  private def le16(i: Int) = Array(i.toByte, (i >> 8).toByte)
+
+  test("hostile RIFF chunk sizes terminate the walk instead of looping") {
+    import Multimodal.MediaHeaders
+    // size -8: with signed arithmetic the offset never advances
+    // (8 + (-8) = 0) — the walk must treat it as unsigned and stop
+    val stuck = "RIFF".getBytes ++ le(100) ++ "WAVE".getBytes ++
+      "JUNK".getBytes ++ le(-8) ++
+      "data".getBytes ++ le(4) ++ Array[Byte](1, 2, 3, 4)
+    assert(MediaHeaders.wavDurationMs(stuck) === None)
+    assert(MediaHeaders.wavFormat(stuck) === None)
+    // size near Int.MaxValue: signed `off + 8 + size` wraps negative
+    // and indexes before the array — must also just end the walk
+    val wrap = "RIFF".getBytes ++ le(100) ++ "WAVE".getBytes ++
+      "JUNK".getBytes ++ le(0x7FFFFFF0) ++
+      "fmt ".getBytes ++ le(16) ++ Array.fill[Byte](16)(0)
+    assert(MediaHeaders.wavDurationMs(wrap) === None)
+    assert(MediaHeaders.wavFormat(wrap) === None)
+  }
+
+  test("decode falls back to synthetic metadata on malformed media") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    val bad = "RIFF".getBytes ++ le(100) ++ "WAVE".getBytes ++
+      "JUNK".getBytes ++ le(-8) ++ "data".getBytes ++ le(4) ++
+      Array[Byte](1, 2, 3, 4)
+    val out = Multimodal.decode(
+      Seq(Multimodal.MediaRow(9L, "audio", bad, 9L)).toDS()).collect()
+    assert(out.length == 1)
+    assert(out.head.width >= 1 && out.head.height >= 1) // synthetic path
+  }
+
+  test("16-bit WAV declaring blockAlign=1 is rejected, not mis-indexed") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    // header says mono/16-bit but blockAlign=1: nSamples would equal
+    // dataBytes and the high-byte read would index past the payload
+    val lying = "RIFF".getBytes ++ le(36 + 6) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le(16) ++ le16(1) ++ le16(1) ++
+      le(8000) ++ le(8000) ++ le16(1) ++ le16(16) ++
+      "data".getBytes ++ le(6) ++ Array[Byte](1, 2, 3, 4, 5, 6)
+    assert(Multimodal.MediaHeaders.wavFormat(lying).exists(_.blockAlign == 1))
+    val out = Multimodal.sampleAudioFrames(
+      Seq(Multimodal.MediaRow(1L, "audio", lying, 1L)).toDS(), everyMs = 1)
+      .collect()
+    assert(out.isEmpty, "malformed blockAlign must drop the row")
+  }
+
   /** A REAL PNG (encoder: the JDK's own ImageIO) with a gradient so
     * resizing has actual pixel content to interpolate. */
   private def realPng(w: Int, h: Int): Array[Byte] = {

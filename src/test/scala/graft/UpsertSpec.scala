@@ -74,4 +74,74 @@ class UpsertSpec extends AnyFunSuite {
     assert(back == Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "C", 7L),
       (9L, "i", 1L)))
   }
+
+  private def hadoopFs(path: String) =
+    new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+
+  test("crash between swap renames: next upsert restores the backup") {
+    val dir = TestSpark.tmpDir("upsert_crash1") + "/t"
+    target.write.parquet(dir)
+    // simulate a crash after rename(path -> backup): table gone,
+    // backup holds the real data
+    val fs = hadoopFs(dir)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      Upsert.backupPath(dir)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir)))
+    val updates = Seq((2L, "B", 9L)).toDF("id", "v", "ver")
+    val (before, after) =
+      Upsert.upsertPath(spark, dir, updates, Seq("id"), "ver", "ver")
+    assert(before == 3 && after == 3, "recover must see all prior rows")
+    assert(!fs.exists(Upsert.backupPath(dir)), "backup cleaned up")
+    val back = spark.read.parquet(dir).orderBy("id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(back == Seq((1L, "a", 1L), (2L, "B", 9L), (3L, "c", 1L)))
+  }
+
+  test("crash before backup delete: stale backup is cleared, not merged") {
+    val dir = TestSpark.tmpDir("upsert_crash2") + "/t"
+    target.write.parquet(dir)
+    // simulate a crash after the swap completed but before the backup
+    // delete: live table at dir, stale older copy at the backup path
+    Seq((1L, "STALE", 0L)).toDF("id", "v", "ver")
+      .write.parquet(Upsert.backupPath(dir).toString)
+    val updates = Seq((9L, "i", 1L)).toDF("id", "v", "ver")
+    val (before, after) =
+      Upsert.upsertPath(spark, dir, updates, Seq("id"), "ver", "ver")
+    assert(before == 3 && after == 4)
+    assert(!hadoopFs(dir).exists(Upsert.backupPath(dir)))
+    val v1 = spark.read.parquet(dir).filter($"id" === 1L)
+      .select("v").as[String].collect().toSeq
+    assert(v1 == Seq("a"), "stale backup content must not resurface")
+  }
+
+  test("streaming upsert does not mistake a mid-swap crash for batch one") {
+    import graft.streaming.Incremental
+    val root = TestSpark.tmpDir("upsert_stream_crash")
+    val (src, dest, ckpt) = (s"$root/src", s"$root/dest", s"$root/ckpt")
+    val fs = hadoopFs(dest)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    // batch 1 creates the table
+    Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "v", "ver")
+      .coalesce(1).write.json(s"$src/b1")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id LONG, v STRING, ver LONG")
+    def drain(): Unit = Incremental.upsertStream(
+      spark.readStream.schema(schema).json(s"$src/*"),
+      dest, ckpt, Seq("id"), "ver", "ver").awaitTermination()
+    drain()
+    assert(spark.read.parquet(dest).count() == 2)
+    // simulate a crash mid-swap: table only at the backup path
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dest),
+      Upsert.backupPath(dest)))
+    // batch 2 arrives; without recovery it would recreate the table
+    // from this single batch and silently drop ids 1 and 2
+    Seq((3L, "c", 1L)).toDF("id", "v", "ver")
+      .coalesce(1).write.json(s"$src/b2")
+    drain()
+    val back = spark.read.parquet(dest).orderBy("id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(back == Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L)),
+      s"mid-swap crash must not shadow prior rows: $back")
+  }
 }

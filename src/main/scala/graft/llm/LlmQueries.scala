@@ -357,6 +357,79 @@ object LlmQueries {
                       "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')")} AS fp
              FROM m ORDER BY doc_id"""))
 
+  /** Gopher-rules repetition signals: type-token ratio, top-bigram
+    * fraction, duplicate-5-gram fraction — all row-local column
+    * algebra (no shuffle; scales with executors). */
+  val textRepetition = Q(
+    "text_repetition",
+    (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.typeTokenRatio(col("text")).as("ttr"),
+        TextAnalysis.topBigramFraction(col("text")).as("top_bigram_frac"),
+        TextAnalysis.dupNgramFraction(col("text"), 5).as("dup_5gram_frac"))
+        .orderBy("doc_id")
+        .limit(500),
+    Some("""WITH t AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+              FROM documents),
+            g AS (
+              SELECT doc_id, toks,
+                CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+                  ELSE [array_to_string(toks[i:i+1], ' ')
+                        for i in range(1, len(toks))] END AS bg,
+                CASE WHEN len(toks) < 5 THEN []::VARCHAR[]
+                  ELSE [array_to_string(toks[i:i+4], ' ')
+                        for i in range(1, len(toks) - 3)] END AS g5
+              FROM t)
+            SELECT doc_id,
+                   ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) /
+                     GREATEST(CAST(len(toks) AS DOUBLE), 1.0), 4) AS ttr,
+                   COALESCE(ROUND(CAST(list_max(
+                       [len(list_filter(bg, y -> y = x)) for x in list_distinct(bg)])
+                     AS DOUBLE) / CAST(len(bg) AS DOUBLE), 4), 0.0)
+                     AS top_bigram_frac,
+                   CASE WHEN len(g5) > 0
+                     THEN ROUND(1.0 - CAST(len(list_distinct(g5)) AS DOUBLE) /
+                       CAST(len(g5) AS DOUBLE), 4)
+                     ELSE 0.0 END AS dup_5gram_frac
+            FROM g ORDER BY doc_id LIMIT 500"""))
+
+  /** PII scrub: the fixture corpus carries no PII, so the query
+    * synthesizes a deterministic contact suffix from doc fields first,
+    * then counts and redacts — the regex semantics (Java in Spark, RE2
+    * in the oracle) are what is under test. */
+  val textRedact = Q(
+    "text_redact_pii",
+    (s, d) => {
+      val raw = concat(
+        col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or 555-123-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.piiCount(raw, TextAnalysis.EmailRe).as("n_emails"),
+        TextAnalysis.piiCount(raw, TextAnalysis.PhoneRe).as("n_phones"),
+        TextAnalysis.redactPii(raw).as("redacted"))
+        .orderBy("doc_id")
+        .limit(500)
+    },
+    Some(s"""WITH r AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+                     '@example.com or 555-123-' ||
+                     lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(raw,
+                     '${TextAnalysis.EmailRe}')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(raw,
+                     '${TextAnalysis.PhoneRe}')) AS BIGINT) AS n_phones,
+                   regexp_replace(regexp_replace(raw,
+                     '${TextAnalysis.EmailRe}', '[EMAIL]', 'g'),
+                     '${TextAnalysis.PhoneRe}', '[PHONE]', 'g') AS redacted
+            FROM r ORDER BY doc_id LIMIT 500"""))
+
   /** Multimodal plumbing: binary payload stats per modality. n_bytes is
     * real (payload length); decode metadata is the stub. */
   val mmStats = Q(
@@ -512,6 +585,6 @@ object LlmQueries {
     dedupStats, dedupKeep, nearDupMinhash, nearDupSimhash, ngramJaccard,
     annBrute, annLsh, nearDupCosine, embCentroids, embNormProfile,
     splitCounts, stratSample,
-    textTokens, textQuality, langDist, textAnalyze, mmStats, curate,
-    pipelineCurateSplit)
+    textTokens, textQuality, langDist, textAnalyze, textRepetition,
+    textRedact, mmStats, curate, pipelineCurateSplit)
 }

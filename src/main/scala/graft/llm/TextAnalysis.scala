@@ -89,6 +89,58 @@ object TextAnalysis {
     graft.functions.TextHash.text_hash(
       regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Type-token ratio: distinct tokens / tokens — the basic vocabulary
+    * richness signal (low TTR ⇒ repetitive doc). */
+  def typeTokenRatio(text: Column): Column = {
+    val t = tokens(text)
+    round(size(array_distinct(t)).cast("double") /
+      greatest(size(t).cast("double"), lit(1.0)), 4)
+  }
+
+  /** Word n-gram array (order-preserving, duplicates kept — repetition
+    * metrics need the multiset, unlike dedup shingling which distincts). */
+  private def ngrams(t: Column, n: Int): Column =
+    transform(
+      slice(t, lit(1), greatest(size(t) - (n - 1), lit(0))),
+      (_, i) => concat_ws(" ", slice(t, i + lit(1), lit(n))))
+
+  /** Fraction of all bigram occurrences taken by the single most
+    * frequent bigram (the Gopher-rules "top 2-gram fraction"
+    * repetition filter). Row-local O(distinct × total) — bounded by
+    * document length, embarrassingly parallel at any scale. */
+  def topBigramFraction(text: Column): Column = {
+    val bg = ngrams(tokens(text), 2)
+    val top = array_max(
+      transform(array_distinct(bg), x => size(filter(bg, y => y === x))))
+    coalesce(
+      round(top.cast("double") / size(bg).cast("double"), 4), lit(0.0))
+  }
+
+  /** Fraction of 5-gram occurrences that are repeats of an earlier one
+    * (the Gopher-rules duplicate-5-gram filter; near 1.0 ⇒ the doc is
+    * loops of the same phrase). */
+  def dupNgramFraction(text: Column, n: Int = 5): Column = {
+    val g = ngrams(tokens(text), n)
+    when(size(g) > 0,
+      round(lit(1.0) -
+        size(array_distinct(g)).cast("double") / size(g).cast("double"), 4))
+      .otherwise(lit(0.0))
+  }
+
+  /** PII patterns — Java-regex and RE2 compatible so the same pattern
+    * strings run in Spark and any RE2-based oracle. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** Redact emails/phone numbers (the pre-training scrub). Spark's
+    * regexp_replace is global; RE2 oracles need the 'g' flag. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailRe, "[EMAIL]"), PhoneRe, "[PHONE]")
+
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
   /** Full per-document text-analysis projection. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

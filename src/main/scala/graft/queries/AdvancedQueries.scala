@@ -195,5 +195,32 @@ object AdvancedQueries {
                    COUNT(*) AS n
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
-  def all: Seq[Q] = Seq(a14, a14x, a9x, w4, j5, a15, a16, f12, a18)
+  /** Array-building aggregation: collect_list/collect_set with a
+    * deterministic sort (unordered collects are nondeterministic under
+    * parallelism — always sort before comparing or persisting).
+    * Scale note: per-group array size is bounded by the dim-table
+    * cardinality here; collecting an unbounded fact column into one
+    * array is the anti-pattern this query deliberately avoids. */
+  val a19 = Q(
+    "a19_collect_array",
+    (s, d) => {
+      val nation = graft.Tables.nation(s, d)
+      val region = graft.Tables.region(s, d)
+      nation.join(broadcast(region),
+          nation("n_regionkey") === region("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+          sort_array(collect_list(col("n_name"))).as("nations"),
+          sort_array(collect_set(col("n_regionkey"))).as("region_keys"),
+          count(lit(1)).as("n_nations"))
+        .orderBy("r_name")
+    },
+    Some("""SELECT r_name,
+                   list_sort(list(n_name)) AS nations,
+                   list_sort(list(DISTINCT n_regionkey)) AS region_keys,
+                   COUNT(*) AS n_nations
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name"""))
+
+  def all: Seq[Q] = Seq(a14, a14x, a9x, w4, j5, a15, a16, f12, a18, a19)
 }

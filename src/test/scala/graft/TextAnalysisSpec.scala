@@ -55,6 +55,36 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(fps.forall(f => f >= 0 && f < 2147483647L))
   }
 
+  test("repetition signals against hand-computed values") {
+    val out = Seq("a b a b a", "x y z w v", "w").toDF("text")
+      .select(
+        TextAnalysis.typeTokenRatio($"text").as("ttr"),
+        TextAnalysis.topBigramFraction($"text").as("top2"),
+        TextAnalysis.dupNgramFraction($"text", 2).as("dup2"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    // "a b a b a": 2 distinct of 5 tokens; bigrams = ab,ba,ab,ba →
+    // top 2/4, dup 1 - 2/4
+    assert(out(0) == ((0.4, 0.5, 0.5)))
+    // all-distinct text: ttr 1, every bigram unique
+    assert(out(1) == ((1.0, 0.25, 0.0)))
+    // single token: no bigrams at all → both fractions 0
+    assert(out(2) == ((1.0, 0.0, 0.0)))
+  }
+
+  test("PII redaction replaces emails and phones, counts them") {
+    val out = Seq("mail bob.smith+x@corp.example.org or 555-123-4567 now",
+      "no pii here").toDF("text")
+      .select(
+        TextAnalysis.redactPii($"text").as("r"),
+        TextAnalysis.piiCount($"text", TextAnalysis.EmailRe).as("e"),
+        TextAnalysis.piiCount($"text", TextAnalysis.PhoneRe).as("p"))
+      .collect()
+    assert(out(0).getString(0) == "mail [EMAIL] or [PHONE] now")
+    assert(out(0).getLong(1) == 1L && out(0).getLong(2) == 1L)
+    assert(out(1).getString(0) == "no pii here")
+    assert(out(1).getLong(1) == 0L && out(1).getLong(2) == 0L)
+  }
+
   test("analyze projection over the fixture corpus") {
     val out = TextAnalysis.analyze(
       Tables.documents(spark, TestSpark.sf0001)).cache()

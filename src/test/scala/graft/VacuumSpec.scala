@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.maintain.Vacuum
+
+/** Warehouse-root sweep of swap leftovers: orphan tmp dirs removed,
+  * mid-swap backups restored as their table, stale backups cleared,
+  * healthy tables untouched. */
+class VacuumSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("vacuum heals every crash residue class in one sweep") {
+    val root = TestSpark.tmpDir("vacuum")
+    def write(name: String, tag: String): Unit =
+      Seq((1L, tag)).toDF("id", "v").write.parquet(s"$root/$name")
+
+    write("t1", "live")
+    write("t1_precompact", "stale") // crash after swap, before delete
+    write("t2_preupsert", "orig")   // crash between renames: no t2
+    write("t3_compacting", "half")  // orphan half-written replacement
+    write("t4", "untouched")
+
+    val report = Vacuum.vacuum(spark, root)
+
+    assert(report.removedTmp.map(p => p.split('/').last) == Seq("t3_compacting"))
+    assert(report.recoveredTables.map(_.split('/').last) == Seq("t2"))
+    assert(report.clearedBackups.map(_.split('/').last) == Seq("t1_precompact"))
+
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val left = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName).sorted.toSeq
+    assert(left == Seq("t1", "t2", "t4"))
+    // t1 kept the LIVE copy, t2 recovered the original rows
+    assert(spark.read.parquet(s"$root/t1").select("v")
+      .as[String].head() == "live")
+    assert(spark.read.parquet(s"$root/t2").select("v")
+      .as[String].head() == "orig")
+  }
+
+  test("vacuum on a clean root is a no-op") {
+    val root = TestSpark.tmpDir("vacuum_clean")
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$root/t")
+    val report = Vacuum.vacuum(spark, root)
+    assert(report.removedTmp.isEmpty && report.recoveredTables.isEmpty &&
+      report.clearedBackups.isEmpty)
+  }
+}

@@ -433,7 +433,125 @@ object ExtendedQueries {
                   FROM events)
             GROUP BY event_type ORDER BY event_type"""))
 
+  /** FULL OUTER join of two pre-aggregated sides (users who clicked vs
+    * users who purchased — either side can be unmatched). Both sides
+    * reduce BEFORE the join, so the shuffle carries one row per user,
+    * not one per event; with AQE both aggregates and the join share
+    * the user_id hash partitioning. */
+  val j7 = Q(
+    "j7_full_outer",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      def side(t: String, as: String) =
+        ev.filter(col("event_type") === t)
+          .groupBy("user_id").agg(count(lit(1)).as(as))
+      val c = side("click", "n_click").alias("c")
+      val p = side("purchase", "n_purchase").alias("p")
+      c.join(p, col("c.user_id") === col("p.user_id"), "full_outer")
+        .select(
+          coalesce(col("c.user_id"), col("p.user_id")).as("user_id"),
+          col("n_click"), col("n_purchase"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+                   n_click, n_purchase
+            FROM (SELECT user_id, COUNT(*) AS n_click FROM events
+                  WHERE event_type = 'click' GROUP BY user_id) c
+            FULL JOIN (SELECT user_id, COUNT(*) AS n_purchase FROM events
+                  WHERE event_type = 'purchase' GROUP BY user_id) p
+              ON c.user_id = p.user_id
+            ORDER BY user_id"""))
+
+  /** Null-safe equality join (<=>): NULL keys match NULL, the MERGE /
+    * dimension-with-unknown-member pattern plain `=` silently drops.
+    * The dim side is distinct + broadcast. The grouped output labels
+    * the null key so row ordering is engine-neutral. */
+  val j8 = Q(
+    "j8_nullsafe_join",
+    (s, d) => {
+      val k = when(col("lang") === "en", lit(null)).otherwise(col("lang"))
+      val fact = Tables.documents(s, d).select(k.as("k"))
+      val dim = fact.distinct().withColumnRenamed("k", "dk")
+      fact.join(broadcast(dim), col("k") <=> col("dk"))
+        .groupBy(coalesce(col("dk"), lit("(null)")).as("k_label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("k_label")
+    },
+    Some("""WITH f AS (
+              SELECT CASE WHEN lang = 'en' THEN NULL ELSE lang END AS k
+              FROM documents),
+            dim AS (SELECT DISTINCT k AS dk FROM f)
+            SELECT COALESCE(dim.dk, '(null)') AS k_label, COUNT(*) AS n
+            FROM f JOIN dim ON f.k IS NOT DISTINCT FROM dim.dk
+            GROUP BY 1 ORDER BY k_label"""))
+
+  /** posexplode: token position is first-class (the order-preserving
+    * flatten every sequence-labeling pipeline needs). Narrow Generate,
+    * no shuffle before the final order-for-display. */
+  val e2 = Q(
+    "e2_posexplode",
+    (s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 10)
+        .select(col("doc_id"),
+          posexplode(split(trim(col("text")), "\\s+")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("col").as("token"))
+        .orderBy("doc_id", "pos"),
+    Some("""SELECT doc_id, pos, token FROM (
+              SELECT doc_id,
+                     unnest(range(0, len(toks))) AS pos,
+                     unnest(toks) AS token
+              FROM (SELECT doc_id,
+                           string_split_regex(trim(text), '\s+') AS toks
+                    FROM documents WHERE doc_id < 10))
+            ORDER BY doc_id, pos"""))
+
+  /** Map-typed column plumbing: build a map from columns, extract by
+    * key, enumerate keys. The oracle states the equivalent flat
+    * values — what matters is that the map round-trip reproduces them
+    * exactly. */
+  val f15 = Q(
+    "f15_map_ops",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          map(lit("lang"), col("lang"), lit("source"), col("source"))
+            .as("m"))
+        .select(
+          col("doc_id"),
+          element_at(col("m"), "lang").as("lang_val"),
+          element_at(col("m"), "source").as("source_val"),
+          size(col("m")).cast("long").as("n_keys"),
+          sort_array(map_keys(col("m"))).as("keys_sorted"))
+        .orderBy("doc_id")
+        .limit(200),
+    Some("""SELECT doc_id, lang AS lang_val, source AS source_val,
+                   CAST(2 AS BIGINT) AS n_keys,
+                   ['lang', 'source'] AS keys_sorted
+            FROM documents ORDER BY doc_id LIMIT 200"""))
+
+  /** Ordered string aggregation (group members joined into one string
+    * — the classic report/export shape). Deterministic via sorted
+    * distinct members; collect_set stays small (bounded by the source
+    * cardinality), never an unbounded fact column. */
+  val f16 = Q(
+    "f16_string_agg",
+    (s, d) =>
+      Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(
+          concat_ws(",", sort_array(collect_set(col("source"))))
+            .as("sources"),
+          count(lit(1)).as("n"))
+        .orderBy("lang"),
+    Some("""SELECT lang,
+                   string_agg(DISTINCT source, ',' ORDER BY source)
+                     AS sources,
+                   COUNT(*) AS n
+            FROM documents GROUP BY lang ORDER BY lang"""))
+
   def all: Seq[Q] = Seq(
     tpchQ1, tpchQ3, g1, pv1, uv1, sq1, sq2, w5, f13, f14, e1, a17, hof1,
-    t1, m1, v1)
+    t1, m1, v1, j7, j8, e2, f15, f16)
 }

@@ -42,6 +42,24 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("null-safe dim join broadcasts (no shuffle of the fact side)") {
+    val p = plan("j8_nullsafe_join")
+    assert(p.contains("BroadcastHashJoin"), s"j8 not broadcasting:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"<=> degenerated to a non-equi plan:\n$p")
+  }
+
+  test("full-outer sides pre-aggregate BEFORE the join") {
+    // the partial aggregates must sit below the join: the shuffle then
+    // carries one row per user, not one per event
+    val p = plan("j7_full_outer")
+    val joinAt = p.indexOf("FullOuter")
+    assert(joinAt >= 0, s"j7 lost its full-outer join:\n$p")
+    val below = p.substring(joinAt)
+    assert(below.contains("HashAggregate"),
+      s"aggregation happens above the join — shuffle carries raw events:\n$p")
+  }
+
   test("no CartesianProduct anywhere in the LSH/ANN paths") {
     for (q <- Seq("ann_lsh_topk", "dedup_minhash_lsh", "dedup_simhash",
         "dedup_embedding_cosine")) {

@@ -15,6 +15,7 @@ import graft.sources.{JsonApi, ParquetSink}
   *   sql     SFDIR "SELECT ..."   ad-hoc SQL over the registered views
   *   profile SFDIR TABLE          one-pass column profile
   *   optimize PATH [N]            compact a table to N files (default 8)
+  *   vacuum  ROOT                 sweep swap leftovers (maintain.Vacuum)
   *   bench                        delegate to graft.Bench
   *
   * Errors per docket never abort the run (PERMISSIVE parse + corrupt
@@ -41,6 +42,7 @@ object Main {
         |  sql SFDIR "SELECT ..."
         |  profile SFDIR TABLE [--approx]
         |  optimize PATH [N] [--zorder colA,colB]
+        |  vacuum ROOT
         |  curate IN OUT [--min-quality Q] [--near-jaccard J]
         |         [--min-chars N] [--langs en,de] [--compression C]""".stripMargin)
 
@@ -141,6 +143,16 @@ object Main {
             println(s"files: ${r.before.files} -> ${r.after.files} " +
               f"(${r.reduction * 100}%.1f%% reduction), bytes: ${r.after.bytes}")
         }
+
+      case "vacuum" =>
+        // vacuum ROOT — sweep swap leftovers across a warehouse root
+        val r = graft.maintain.Vacuum.vacuum(spark, args(1))
+        println(s"removed tmp: ${r.removedTmp.size} " +
+          s"(${r.removedTmp.mkString(", ")})")
+        println(s"recovered tables: ${r.recoveredTables.size} " +
+          s"(${r.recoveredTables.mkString(", ")})")
+        println(s"cleared stale backups: ${r.clearedBackups.size} " +
+          s"(${r.clearedBackups.mkString(", ")})")
 
       case "curate" =>
         // curate IN OUT [--min-quality Q] [--near-jaccard J]

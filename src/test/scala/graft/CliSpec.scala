@@ -40,6 +40,19 @@ class CliSpec extends AnyFunSuite {
     assert(graft.maintain.Compaction.stats(spark, path).files == 2)
   }
 
+  test("vacuum sweeps swap leftovers via the CLI") {
+    val root = TestSpark.tmpDir("cli-vacuum")
+    import spark.implicits._
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$root/t_preupsert")
+    Seq((2L, "b")).toDF("id", "v").write.parquet(s"$root/u_compacting")
+    graft.cli.Main.run(spark, Array("vacuum", root))
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val left = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName).sorted.toSeq
+    assert(left == Seq("t"), s"expected only the recovered table: $left")
+  }
+
   test("curate runs the pipeline end-to-end via the CLI") {
     val in = TestSpark.tmpDir("cli-curate-in")
     val out = TestSpark.tmpDir("cli-curate-out") + "/curated"

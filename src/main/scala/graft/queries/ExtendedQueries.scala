@@ -551,7 +551,36 @@ object ExtendedQueries {
                    COUNT(*) AS n
             FROM documents GROUP BY lang ORDER BY lang"""))
 
+  /** Error-safe scalar paths under ANSI mode: the session runs
+    * ANSI-strict (bad casts / zero divides THROW, catching data bugs),
+    * so dirty-data columns go through try_cast / try_divide, which
+    * yield NULL instead of killing a 1000-executor job on one bad
+    * row. */
+  val f17 = Q(
+    "f17_try_cast",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(3)) === 0, col("doc_id").cast("string"))
+            .otherwise(col("lang")).as("mixed"),
+          pmod(col("doc_id"), lit(5)).cast("double").as("den"))
+        .select(col("doc_id"),
+          expr("try_cast(mixed AS BIGINT)").as("as_num"),
+          round(expr("try_divide(doc_id, den)"), 4).as("ratio"))
+        .orderBy("doc_id")
+        .limit(300),
+    Some("""SELECT doc_id,
+                   TRY_CAST(mixed AS BIGINT) AS as_num,
+                   CASE WHEN den = 0 THEN NULL
+                        ELSE ROUND(doc_id / den, 4) END AS ratio
+            FROM (SELECT doc_id,
+                         CASE WHEN doc_id % 3 = 0
+                           THEN CAST(doc_id AS VARCHAR) ELSE lang END AS mixed,
+                         CAST(doc_id % 5 AS DOUBLE) AS den
+                  FROM documents)
+            ORDER BY doc_id LIMIT 300"""))
+
   def all: Seq[Q] = Seq(
     tpchQ1, tpchQ3, g1, pv1, uv1, sq1, sq2, w5, f13, f14, e1, a17, hof1,
-    t1, m1, v1, j7, j8, e2, f15, f16)
+    t1, m1, v1, j7, j8, e2, f15, f16, f17)
 }

@@ -86,5 +86,42 @@ object WindowQueries {
             WHERE price_rank <= 5
             ORDER BY c_mktsegment, price_rank"""))
 
-  def all: Seq[Q] = Seq(w1, w2, w3)
+  /** w6 — first/last/second event value per user over the full
+    * partition frame (session entry/exit/bounce analysis). Ordering
+    * carries event_id as tiebreak so equal timestamps stay
+    * deterministic across engines; one shuffle on user_id. */
+  val w6 = Q(
+    "w6_first_last",
+    (s, d) => {
+      val full = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val rn = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .filter(col("user_id") < 200)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .withColumn("first_val", round(first(col("value")).over(full), 4))
+        .withColumn("last_val", round(last(col("value")).over(full), 4))
+        .withColumn("second_val",
+          round(nth_value(col("value"), 2).over(full), 4))
+        .withColumn("rn", row_number().over(rn))
+        .filter(col("rn") === 1)
+        .select("user_id", "first_val", "last_val", "second_val")
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id, first_val, last_val, second_val FROM (
+              SELECT user_id,
+                     ROUND(first_value(value) OVER w, 4) AS first_val,
+                     ROUND(last_value(value) OVER w, 4) AS last_val,
+                     ROUND(nth_value(value, 2) OVER w, 4) AS second_val,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS rn
+              FROM events WHERE user_id < 200
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND UNBOUNDED FOLLOWING))
+            WHERE rn = 1 ORDER BY user_id"""))
+
+  def all: Seq[Q] = Seq(w1, w2, w3, w6)
 }

@@ -101,7 +101,9 @@ object Bench {
     // the driver that harvests the stdout line keeps only its last
     // ~2000 characters, so the line below must stay compact — per-query
     // times for the headline set only, everything else in the file.
-    val detailFile = new java.io.File("BENCH_DETAIL.json").getAbsoluteFile
+    val detailFile = new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"))
+      .getAbsoluteFile
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec",""" +
         s""""queries":${jmap(results.map { case (k, _, w) => (k, w) })},""" +

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
-import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Project, ResolvedHint, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, ResolvedHint}
 
 import graft.functions.{SimHash64, TextHash}
 import graft.functions.TextExprs.{MinHashBands, WordShingles}
@@ -81,17 +81,19 @@ object GraftExtensions {
         case j @ Join(left, right, joinType, cond, hint) =>
           val cartesian =
             joinType == Cross || (joinType == Inner && cond.isEmpty)
-          // Only a hint on THIS join's own inputs exempts it (peeling
-          // the aliasing/projection nodes the analyzer inserts above a
-          // hinted side). A deep collectFirst would let a broadcast on
-          // some unrelated join buried in the subtree exempt an
-          // unconditioned top-level join — bypassing the guard exactly
-          // where it matters.
+          // Only a hint in THIS join's own input lineage exempts it:
+          // walk down the unary chain (Project/Filter/SubqueryAlias/
+          // Limit/... the user may stack above a broadcast() call). A
+          // unary walk can never cross ANOTHER join — Join has two
+          // children and stops the recursion — which is exactly the
+          // bypass the old subtree-wide collectFirst allowed (a
+          // broadcast on an unrelated inner join exempting an
+          // unconditioned top-level one).
           @annotation.tailrec
           def hinted(p: LogicalPlan): Boolean = p match {
             case _: ResolvedHint => true
-            case proj: Project => hinted(proj.child)
-            case alias: SubqueryAlias => hinted(alias.child)
+            case _: Join => false
+            case u if u.children.size == 1 => hinted(u.children.head)
             case _ => false
           }
           val exempt = hinted(left) || hinted(right) ||

@@ -36,7 +36,7 @@ object Main {
 
   private def usage(): Unit =
     System.err.println(
-      """usage: graft.cli.Main <convert|query|sql|profile|optimize|curate|bench> ...
+      """usage: graft.cli.Main <convert|query|sql|profile|optimize|vacuum|curate|bench> ...
         |  convert DATA [--output-path P] [--agency A] [--compression C]
         |  query SFDIR NAME...
         |  sql SFDIR "SELECT ..."

@@ -44,22 +44,45 @@ object Vacuum {
       p.toString
     }
 
-    val (recovered, cleared) = children
+    // group backups per base table: a dir named exactly a bare suffix
+    // (empty base) is not a swap leftover and must not derail the
+    // sweep; two divergent backups of one missing table must not have
+    // the loser silently deleted — restore one (deterministic suffix
+    // order), leave the rest in place with a warning.
+    val byBase = children
       .flatMap { p =>
         BackupSuffixes.find(p.getName.endsWith).map { suffix =>
-          (p, p.getName.stripSuffix(suffix))
+          (p.getName.stripSuffix(suffix), suffix, p)
         }
       }
-      .partition { case (_, base) => !names.contains(base) }
-    recovered.foreach { case (backup, base) =>
-      Swap.recover(fs, new Path(rootPath, base), backup)
+      .filter { case (base, _, _) => base.nonEmpty }
+      .groupBy { case (base, _, _) => base }
+      .toSeq.sortBy { case (base, _) => base }
+
+    val recovered = Seq.newBuilder[String]
+    val cleared = Seq.newBuilder[String]
+    byBase.foreach { case (base, backups) =>
+      val basePath = new Path(rootPath, base)
+      val ordered = backups.sortBy { case (_, suffix, _) =>
+        BackupSuffixes.indexOf(suffix)
+      }
+      if (names.contains(base)) {
+        // live table: every backup is a stale post-swap copy
+        ordered.foreach { case (_, _, backup) =>
+          Swap.recover(fs, basePath, backup)
+          cleared += backup.toString
+        }
+      } else {
+        val (_, _, chosen) = ordered.head
+        Swap.recover(fs, basePath, chosen)
+        recovered += basePath.toString
+        ordered.tail.foreach { case (_, _, extra) =>
+          System.err.println(s"[graft] warning: $extra also backs the " +
+            s"restored $basePath but DIVERGES from the chosen backup; " +
+            "left in place for manual inspection")
+        }
+      }
     }
-    cleared.foreach { case (backup, base) =>
-      Swap.recover(fs, new Path(rootPath, base), backup)
-    }
-    VacuumReport(
-      removedTmp,
-      recovered.map { case (_, base) => new Path(rootPath, base).toString },
-      cleared.map { case (backup, _) => backup.toString })
+    VacuumReport(removedTmp, recovered.result(), cleared.result())
   }
 }

@@ -541,7 +541,11 @@ object ExtendedQueries {
       Tables.documents(s, d)
         .groupBy("lang")
         .agg(
-          concat_ws(",", sort_array(collect_set(col("source"))))
+          // concat_ws of an empty set is "" but SQL string_agg of
+          // no non-null members is NULL — mirror the SQL semantics
+          // so an all-null group can never diverge from the oracle
+          when(size(sort_array(collect_set(col("source")))) > 0,
+            concat_ws(",", sort_array(collect_set(col("source")))))
             .as("sources"),
           count(lit(1)).as("n"))
         .orderBy("lang"),

@@ -100,13 +100,28 @@ object Incremental {
         // silently shadowing every previously-merged row.
         graft.maintain.Swap.recover(
           fs, dest, graft.maintain.Upsert.backupPath(destDir))
-        val exists = fs.exists(dest)
-        if (!exists)
+        // "live" requires at least one committed data file: a crash
+        // DURING the initial create leaves destDir with only
+        // _temporary debris, and treating that as an existing table
+        // would wedge every replay on an unreadable parquet dir.
+        val live = fs.exists(dest) &&
+          graft.maintain.Compaction.stats(spark, destDir).files > 0
+        if (!live) {
+          if (fs.exists(dest) && !fs.delete(dest, true))
+            throw new graft.maintain.Swap.SwapFailedException(
+              s"could not clear half-created table at $destDir")
+          // create via tmp + checked rename so a crash mid-write never
+          // leaves a half-table at the final path
+          val tmp = new org.apache.hadoop.fs.Path(
+            destDir.stripSuffix("/") + "_upserting")
           graft.maintain.Upsert
             .mergeFrames(batch.limit(0), batch, keyCols, versionCol,
               tiebreakCol)
-            .write.parquet(destDir)
-        else
+            .write.mode("overwrite").parquet(tmp.toString)
+          if (!fs.rename(tmp, dest))
+            throw new graft.maintain.Swap.SwapFailedException(
+              s"rename $tmp -> $dest failed creating the table")
+        } else
           graft.maintain.Upsert.upsertPath(
             spark, destDir, batch, keyCols, versionCol, tiebreakCol)
         ()

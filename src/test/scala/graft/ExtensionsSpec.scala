@@ -83,4 +83,18 @@ class ExtensionsSpec extends AnyFunSuite {
     // exempt (left resolves to the one dim-matched row × 4 right rows)
     assert(left.crossJoin(broadcast(right)).collect().length == 4)
   }
+
+  test("unary operators above a hint keep the exemption (Filter/Limit)") {
+    import org.apache.spark.sql.functions.broadcast
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.failOnCartesian", "true")
+    import s2.implicits._
+    val dim = Seq((1L, "x"), (2L, "y")).toDF("id", "name")
+    // broadcast() first, then filter/limit stacked above the hint —
+    // the guard must walk the unary chain down to the ResolvedHint
+    val out = s2.range(3)
+      .crossJoin(broadcast(dim).filter($"name" === "x").limit(1))
+      .collect()
+    assert(out.length == 3)
+  }
 }

@@ -115,6 +115,28 @@ class UpsertSpec extends AnyFunSuite {
     assert(v1 == Seq("a"), "stale backup content must not resurface")
   }
 
+  test("streaming upsert recovers a table half-created by a crashed batch") {
+    import graft.streaming.Incremental
+    val root = TestSpark.tmpDir("upsert_stream_halfcreate")
+    val (src, dest, ckpt) = (s"$root/src", s"$root/dest", s"$root/ckpt")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    // simulate a crash during the very first table write: destDir
+    // exists but holds only uncommitted debris, zero data files
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dest/_temporary/0"))
+    Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "v", "ver")
+      .coalesce(1).write.json(s"$src/b1")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id LONG, v STRING, ver LONG")
+    Incremental.upsertStream(
+      spark.readStream.schema(schema).json(s"$src/*"),
+      dest, ckpt, Seq("id"), "ver", "ver").awaitTermination()
+    val back = spark.read.parquet(dest).orderBy("id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(back == Seq((1L, "a", 1L), (2L, "b", 1L)),
+      s"half-created dir must be cleared and recreated: $back")
+  }
+
   test("streaming upsert does not mistake a mid-swap crash for batch one") {
     import graft.streaming.Incremental
     val root = TestSpark.tmpDir("upsert_stream_crash")

@@ -40,6 +40,38 @@ class VacuumSpec extends AnyFunSuite {
       .as[String].head() == "orig")
   }
 
+  test("a dir named exactly a bare suffix does not derail the sweep") {
+    val root = TestSpark.tmpDir("vacuum_bare")
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$root/_precompact")
+    Seq((2L, "b")).toDF("id", "v").write.parquet(s"$root/t_compacting")
+    val report = Vacuum.vacuum(spark, root)
+    // the orphan tmp is still cleaned; the bare-suffix dir is ignored
+    assert(report.removedTmp.map(_.split('/').last) == Seq("t_compacting"))
+    assert(report.recoveredTables.isEmpty && report.clearedBackups.isEmpty)
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/_precompact")))
+  }
+
+  test("divergent twin backups: one restored, the other left for review") {
+    val root = TestSpark.tmpDir("vacuum_twins")
+    Seq((1L, "compact-copy")).toDF("id", "v")
+      .write.parquet(s"$root/t_precompact")
+    Seq((1L, "upsert-copy")).toDF("id", "v")
+      .write.parquet(s"$root/t_preupsert")
+    val report = Vacuum.vacuum(spark, root)
+    assert(report.recoveredTables.map(_.split('/').last) == Seq("t"))
+    assert(report.clearedBackups.isEmpty,
+      "the losing divergent copy must NOT be silently deleted")
+    // suffix order is deterministic: _precompact wins
+    assert(spark.read.parquet(s"$root/t").select("v")
+      .as[String].head() == "compact-copy")
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/t_preupsert")),
+      "diverging backup left in place")
+  }
+
   test("vacuum on a clean root is a no-op") {
     val root = TestSpark.tmpDir("vacuum_clean")
     Seq((1L, "a")).toDF("id", "v").write.parquet(s"$root/t")

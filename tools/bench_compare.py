@@ -1,7 +1,13 @@
 #!/usr/bin/env python3
-"""Compare two Bench JSON lines (e.g. BENCH_r02.json vs a local run):
-per-query delta, regressions flagged. Dev tool for round-over-round
-tracking.
+"""Compare two Bench JSON outputs (e.g. two BENCH_DETAIL.json files,
+or the compact stdout lines): per-query delta, regressions flagged.
+Dev tool for round-over-round tracking.
+
+NOTE: the compact stdout line carries only the 14 headline queries —
+full round-over-round coverage needs the BENCH_DETAIL.json files
+(written beside the repo on every bench run). A driver BENCH_r{N}.json
+whose line was truncated parses here only if the full "queries" map
+survived; prefer the detail files.
 
 Usage: python3 tools/bench_compare.py <old.json> <new.json> [regression_factor]
 """

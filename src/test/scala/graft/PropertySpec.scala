@@ -86,6 +86,28 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("topBigramFraction: sort+run fold equals brute-force modal count") {
+    // small vocab forces repeated bigrams; brute force recomputes the
+    // modal bigram fraction naively from the token list
+    val smallWord = Gen.oneOf("a", "b", "c", "ab")
+    val toks = Gen.listOf(smallWord)
+    for (ts <- samples(toks, n = 40)) {
+      val s = ts.mkString(" ")
+      val expected =
+        if (ts.length < 2) { if (ts.length == 1 && ts.head.nonEmpty) 0.0 else 0.0 }
+        else {
+          val bg = ts.sliding(2).map(_.mkString(" ")).toSeq
+          val top = bg.groupBy(identity).values.map(_.size).max
+          BigDecimal(top.toDouble / bg.size)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+      val got = Seq(s).toDF("text")
+        .select(TextAnalysis.topBigramFraction(col("text")))
+        .head().getDouble(0)
+      assert(got == expected, s"text='$s': got $got expected $expected")
+    }
+  }
+
   test("flatten: attachment flags consistent with counts") {
     // has_attachments <=> attachment_count > 0, for any generated count
     for ((nAtt, nInc) <- samples(

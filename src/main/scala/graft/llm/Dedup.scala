@@ -210,6 +210,35 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  // ---- benchmark contamination --------------------------------------
+
+  /** Flag training documents that share at least one k-word shingle
+    * with a benchmark/eval document — the train/test contamination
+    * check every pretraining pipeline must run before the corpus
+    * ships. Returns (doc_id, n_bench_hits = distinct benchmark docs
+    * overlapped).
+    *
+    * Scale shape: eval sets are tiny (KBs–MBs) next to a 100 TB
+    * corpus, so the benchmark shingles explode + BROADCAST; the probe
+    * side explodes narrowly (no shuffle before the final doc_id agg
+    * with map-side partial counts). Never an all-pairs doc×doc join —
+    * the join key is the shingle itself. */
+  def contaminationHits(
+      probe: DataFrame,
+      bench: DataFrame,
+      k: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    graft.functions.GraftFunctions.register(probe.sparkSession)
+    def exploded(df: DataFrame, as: String) = df.select(
+      col(idCol).as(as),
+      explode(shingles(col(textCol), k)).as("sh"))
+    exploded(probe, idCol)
+      .join(broadcast(exploded(bench, "bench_id").distinct()), Seq("sh"))
+      .groupBy(idCol)
+      .agg(countDistinct(col("bench_id")).as("n_bench_hits"))
+  }
+
   // ---- n-gram Jaccard (exact, for candidate pairs) ------------------
 
   /** Exact n-gram Jaccard for an explicit candidate pair set

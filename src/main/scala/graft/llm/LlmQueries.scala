@@ -357,6 +357,39 @@ object LlmQueries {
                       "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')")} AS fp
              FROM m ORDER BY doc_id"""))
 
+  /** Train/eval contamination: which "training" docs share a 4-word
+    * shingle with the held-out "benchmark" slice (doc_id % 50 = 0).
+    * k=4 here because the fixture vocabulary is ~40 words — at real
+    * vocabulary sizes the operator default of 8 applies. */
+  val contamination = Q(
+    "llm_contamination",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationHits(
+          probe = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+          bench = docs.filter(pmod(col("doc_id"), lit(50)) === 0),
+          k = 4)
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                CASE WHEN len(t) < 4 THEN [array_to_string(t, ' ')]
+                  ELSE list_distinct([array_to_string(t[i:i+3], ' ')
+                        for i in range(1, len(t) - 2)])
+                END AS s
+              FROM toks),
+            bench AS (SELECT doc_id, s FROM sh WHERE doc_id % 50 = 0),
+            probe AS (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0)
+            SELECT p.doc_id,
+                   COUNT(DISTINCT b.doc_id) AS n_bench_hits
+            FROM probe p JOIN bench b
+              ON len(list_intersect(p.s, b.s)) > 0
+            GROUP BY p.doc_id ORDER BY p.doc_id"""))
+
   /** Gopher-rules repetition signals: type-token ratio, top-bigram
     * fraction, duplicate-5-gram fraction — all row-local column
     * algebra (no shuffle; scales with executors). */
@@ -586,5 +619,5 @@ object LlmQueries {
     annBrute, annLsh, nearDupCosine, embCentroids, embNormProfile,
     splitCounts, stratSample,
     textTokens, textQuality, langDist, textAnalyze, textRepetition,
-    textRedact, mmStats, curate, pipelineCurateSplit)
+    textRedact, contamination, mmStats, curate, pipelineCurateSplit)
 }

@@ -116,6 +116,24 @@ class DedupSpec extends AnyFunSuite {
     assert(viaExpr == interpreted)
   }
 
+  test("contamination: planted benchmark overlap is flagged, clean docs are not") {
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"),
+      (101L, "entirely different evaluation material nothing shared here"))
+      .toDF("doc_id", "text")
+    val probe = Seq(
+      // contains an 8-word run of bench doc 100
+      (1L, "prefix words then the quick brown fox jumps over the lazy suffix"),
+      // shares words but never 8 consecutive
+      (2L, "quick fox dog lazy brown the over jumps scrambled order words"),
+      (3L, "completely unrelated training document with its own content"))
+      .toDF("doc_id", "text")
+    val out = Dedup.contaminationHits(probe, bench, k = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L),
+      s"only the planted 8-gram overlap should flag: $out")
+  }
+
   test("ngram jaccard pairs verifier") {
     val pairs = Seq((1L, 2L), (1L, 4L)).toDF("id_a", "id_b")
     val out = Dedup.ngramJaccardPairs(docs, pairs)

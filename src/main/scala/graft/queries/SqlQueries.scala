@@ -54,5 +54,28 @@ object SqlQueries {
     (s, d) => sql(s, d, sharedWindowSql),
     Some(sharedWindowSql))
 
-  def all: Seq[Q] = Seq(s9, s9w)
+  /** Recursive CTE (Spark 4 WITH RECURSIVE) — hierarchy walking in
+    * pure SQL, identical text in both engines. The hierarchy is the
+    * synthetic decimal tree parent(id) = floor(id/10): every doc walks
+    * its ancestor chain to the root (≤5 levels at any fixture scale —
+    * recursion depth grows with log10 of the id space, comfortably
+    * inside Spark's default 100-level recursion limit). */
+  private val sharedRecursiveSql =
+    """WITH RECURSIVE anc(doc_id, anc_id, depth) AS (
+         SELECT doc_id, doc_id, 0 FROM documents
+         UNION ALL
+         SELECT a.doc_id, CAST(FLOOR(a.anc_id / 10.0) AS BIGINT),
+                a.depth + 1
+         FROM anc a WHERE a.anc_id > 0)
+       SELECT depth, COUNT(*) AS n,
+              CAST(MIN(anc_id) AS BIGINT) AS min_anc,
+              CAST(MAX(anc_id) AS BIGINT) AS max_anc
+       FROM anc GROUP BY depth ORDER BY depth"""
+
+  val s9r = Q(
+    "s9_sql_recursive",
+    (s, d) => sql(s, d, sharedRecursiveSql),
+    Some(sharedRecursiveSql))
+
+  def all: Seq[Q] = Seq(s9, s9w, s9r)
 }

@@ -60,6 +60,14 @@ class PlanSpec extends AnyFunSuite {
       s"aggregation happens above the join — shuffle carries raw events:\n$p")
   }
 
+  test("contamination joins on the shingle key with a broadcast bench side") {
+    val p = plan("llm_contamination")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bench shingles must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"contamination degenerated to doc×doc:\n$p")
+  }
+
   test("no CartesianProduct anywhere in the LSH/ANN paths") {
     for (q <- Seq("ann_lsh_topk", "dedup_minhash_lsh", "dedup_simhash",
         "dedup_embedding_cosine")) {

@@ -555,6 +555,30 @@ object ExtendedQueries {
                    COUNT(*) AS n
             FROM documents GROUP BY lang ORDER BY lang"""))
 
+  /** explode_outer: the null-preserving flatten — a parent row with an
+    * EMPTY (or null) array still emits one row with a NULL element,
+    * where plain explode silently drops it (the LEFT JOIN vs INNER
+    * JOIN of flattening). Empty arrays are synthesized for every 7th
+    * doc since the fixture corpus has none. */
+  val e3 = Q(
+    "e3_explode_outer",
+    (s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          explode_outer(
+            when(pmod(col("doc_id"), lit(7)) === 0,
+              array().cast("array<string>"))
+              .otherwise(split(trim(col("text")), "\\s+")))
+            .as("token"))
+        .orderBy("doc_id", "token"),
+    Some("""SELECT doc_id, unnest(
+                     CASE WHEN doc_id % 7 = 0 THEN [NULL]::VARCHAR[]
+                          ELSE string_split_regex(trim(text), '\s+') END)
+                     AS token
+            FROM documents WHERE doc_id < 50
+            ORDER BY doc_id, token"""))
+
   /** Error-safe scalar paths under ANSI mode: the session runs
     * ANSI-strict (bad casts / zero divides THROW, catching data bugs),
     * so dirty-data columns go through try_cast / try_divide, which
@@ -586,5 +610,5 @@ object ExtendedQueries {
 
   def all: Seq[Q] = Seq(
     tpchQ1, tpchQ3, g1, pv1, uv1, sq1, sq2, w5, f13, f14, e1, a17, hof1,
-    t1, m1, v1, j7, j8, e2, f15, f16, f17)
+    t1, m1, v1, j7, j8, e2, e3, f15, f16, f17)
 }

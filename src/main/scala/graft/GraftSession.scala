@@ -33,9 +33,23 @@ object GraftSession {
 
   def builder(): SparkSession.Builder = {
     val n = cores
+    // Keep catalog/metastore residue (spark-warehouse/, metastore_db/,
+    // derby.log) under target/ instead of littering the working tree —
+    // target/ is build output and gitignored.
+    val target = new java.io.File("target").getAbsoluteFile
+    target.mkdirs()
+    if (System.getProperty("derby.stream.error.file") == null)
+      System.setProperty("derby.stream.error.file",
+        new java.io.File(target, "derby.log").getPath)
+    if (System.getProperty("derby.system.home") == null)
+      System.setProperty("derby.system.home", target.getPath)
     val b = SparkSession
       .builder()
       .appName("graft")
+      .config("spark.sql.warehouse.dir",
+        new java.io.File(target, "spark-warehouse").toURI.toString)
+      .config("spark.hadoop.javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=${new java.io.File(target, "metastore_db").getPath};create=true")
       .config("spark.sql.shuffle.partitions", n.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

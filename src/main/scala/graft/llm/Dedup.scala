@@ -140,29 +140,51 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       minJaccard: Double = 0.7,
-      maxBucketSize: Int = defaultMaxBucket): DataFrame = {
+      maxBucketSize: Int = defaultMaxBucket,
+      persistIntermediates: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     graft.functions.GraftFunctions.register(docs.sparkSession)
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+    // Shingle ONCE, share between banding and verify. Without the
+    // persist Catalyst inlines this subtree into both consumers and
+    // the corpus is tokenized+shingled three times (banding + each
+    // verify side — the dominant scalar work in the pipeline).
+    // MEMORY_AND_DISK so a 100 TB corpus spills instead of OOMing;
+    // pass persistIntermediates=false to trade the recompute for zero
+    // cache footprint. The persisted plans stay in the session cache
+    // until LRU eviction — same contract as Spark ML's LSH models,
+    // which document the identical cache-the-transformed-frame
+    // pattern.
+    val shingled0 = docs.select(
+      col(idCol).as("jid"), shingles(col(textCol), shingleK).as("jsh"))
+    val shingled = if (persistIntermediates) shingled0.persist(level)
+      else shingled0
 
     // Banded signature in ONE codegen pass per doc (minhash_bands):
     // every permutation minimum computed exactly once. The band
     // shuffle carries only (band, band_hash, id) — 24 bytes a row,
     // never the shingle arrays; shingles are joined back for the
     // verify step on the (small) candidate set only.
-    val banded = docs
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
-      .select(col("id"),
-        posexplode(graft.functions.TextExprs.minhash_bands(
-          col("sh"), numHashes, bands)).as(Seq("band", "band_hash")))
+    val banded = shingled.select(col("jid").as("id"),
+      posexplode(graft.functions.TextExprs.minhash_bands(
+        col("jsh"), numHashes, bands)).as(Seq("band", "band_hash")))
 
-    val capped = capBuckets(banded, Seq("band", "band_hash"), maxBucketSize)
+    // The capped band list is also persisted (when enabled): the
+    // self-join consumes it twice, and reading from an InMemoryRelation
+    // defeats AQE's identical-exchange reuse (canonicalized-plan
+    // matching), so without this second (tiny: id + band + hash per
+    // row) cache the 64-hash minhash pass would execute once per join
+    // side. PlanSpec pins "no live banding node in the final plan".
+    val capped0 = capBuckets(banded, Seq("band", "band_hash"), maxBucketSize)
+    val capped = if (persistIntermediates) capped0.persist(level) else capped0
     val candidates = capped.as("a")
       .join(capped.as("b"), Seq("band", "band_hash"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .distinct()
 
-    ngramJaccardPairs(docs, candidates, idCol, textCol, shingleK)
+    jaccardFromShingles(shingled, candidates)
       .filter(col("jaccard") >= minJaccard)
   }
 
@@ -251,13 +273,22 @@ object Dedup {
       textCol: String = "text",
       k: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val sh = docs.select(col(idCol).as("jid"), shingles(col(textCol), k).as("jsh"))
+    jaccardFromShingles(
+      docs.select(col(idCol).as("jid"), shingles(col(textCol), k).as("jsh")),
+      pairs)
+  }
+
+  /** Verify step over a pre-shingled (jid, jsh) frame — lets callers
+    * that already computed shingles (nearDupMinhash's banding) reuse
+    * them instead of re-shingling the corpus. */
+  private[llm] def jaccardFromShingles(
+      shingled: DataFrame,
+      pairs: DataFrame): DataFrame =
     pairs
-      .join(sh.withColumnRenamed("jid", "id_a")
+      .join(shingled.withColumnRenamed("jid", "id_a")
         .withColumnRenamed("jsh", "sh_a"), Seq("id_a"))
-      .join(sh.withColumnRenamed("jid", "id_b")
+      .join(shingled.withColumnRenamed("jid", "id_b")
         .withColumnRenamed("jsh", "sh_b"), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
-  }
 }

@@ -66,15 +66,51 @@ object LlmQueries {
                    COALESCE(ROUND(AVG(jaccard), 4), 0.0) AS avg_jaccard
             FROM pairs WHERE jaccard >= 0.5"""))
 
-  /** SimHash near-dup summary (custom codegen expression inside). */
+  /** SimHash near-dup with a planted ground truth (custom codegen
+    * expression inside). The corpus is documents UNION exact copies at
+    * shifted ids; an exact token-multiset copy has an identical SimHash
+    * regardless of hash function, so the full band→bucket-join→
+    * XOR-verify path MUST find every such pair at hamming 0 — the
+    * DuckDB oracle recomputes that exact count by grouping on the
+    * sorted token multiset (i.e. this query pins 100% recall on
+    * identical-content pairs through the real simhash plan). Found
+    * pairs are filtered to multiset-equal ones because the fixture
+    * also contains genuine near-dups (one-token edits) whose hamming
+    * happens to be 0 — correct simhash behavior, but hash-dependent
+    * and thus not oracle-expressible; that discrimination behavior
+    * (near close / unrelated far, threshold sweeps) is pinned by
+    * DedupSpec instead. */
   val nearDupSimhash = Q(
     "dedup_simhash",
-    (s, d) =>
-      Dedup.nearDupSimhash(Tables.documents(s, d), maxHamming = 16)
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(
+        docs.select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+      val toks = corpus.select(col("doc_id"),
+        sort_array(split(lower(trim(col("text"))), "\\s+")).as("toks"))
+      Dedup.nearDupSimhash(corpus, maxHamming = 0)
+        .join(toks.select(col("doc_id").as("id_a"), col("toks").as("t_a")),
+          Seq("id_a"))
+        .join(toks.select(col("doc_id").as("id_b"), col("toks").as("t_b")),
+          Seq("id_b"))
+        .filter(col("t_a") === col("t_b"))
         .agg(
           count(lit(1)).as("n_pairs"),
-          coalesce(round(avg(col("hamming")), 4), lit(0.0)).as("avg_hamming")),
-    None)
+          coalesce(round(avg(col("hamming")), 4), lit(0.0)).as("avg_hamming"))
+    },
+    Some("""WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents),
+            keyed AS (
+              SELECT array_to_string(
+                       list_sort(string_split_regex(lower(trim(text)), '\s+')),
+                       chr(1)) AS k
+              FROM corpus),
+            g AS (SELECT k, COUNT(*) AS c FROM keyed GROUP BY k)
+            SELECT CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS n_pairs,
+                   0.0 AS avg_hamming
+            FROM g"""))
 
   /** n-gram Jaccard verifier standalone: exact Jaccard over a
     * deterministic pair list (adjacent doc ids). The oracle rebuilds

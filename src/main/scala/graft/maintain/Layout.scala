@@ -12,14 +12,14 @@ import org.apache.spark.sql.functions._
   * rank percentiles gives every clustered column moderately tight
   * ranges, so predicates on ANY of them prune files/row-groups. This
   * is the layout half of what table formats call OPTIMIZE ZORDER BY —
-  * expressed with plain Spark: ntile ranks → bit interleave →
+  * expressed with plain Spark: quantile-bucket ranks → bit interleave →
   * repartitionByRange + sortWithinPartitions on the derived key.
   *
-  * Scale: two shuffles (the rank window per column is avoided — ntile
-  * runs over a single global ordering per column — so ranks come from
-  * range-partitioned percentiles; see `zKey`), then a range exchange
-  * on the z-key. For 100 TB run it per partition (e.g. per day), not
-  * globally.
+  * Scale: the default write/rewrite path ranks via approxQuantile
+  * cutpoints ([[zKeyApprox]]) — one stats pass plus one range exchange
+  * on the z-key, no global ordering stage anywhere — so `optimize
+  * --zorder` is safe to point at a 100 TB table (still best run per
+  * partition, e.g. per day, to bound the rewrite's blast radius).
   */
 object Layout {
 
@@ -34,9 +34,16 @@ object Layout {
     }
   }
 
-  /** Z-key column: rank-normalize each column to 2^Bits buckets (via
-    * ntile over its own ordering — value-distribution free), then
-    * Morton-interleave. */
+  /** Exact z-key column: rank-normalize each column to 2^Bits buckets
+    * (via ntile over its own ordering — value-distribution free), then
+    * Morton-interleave.
+    *
+    * NOTE the empty-partitionBy windows funnel the ranking through ONE
+    * task — only ever appropriate for a small per-partition batch (a
+    * day/agency slice). The write/rewrite entry points below do NOT
+    * use this form; they go through [[zKeyApprox]], which has no
+    * single-task stage. This exact variant is kept as the quality
+    * yardstick LayoutSpec measures the approx path against. */
   def zKey(df: DataFrame, colA: String, colB: String): DataFrame = {
     val nt = math.pow(2, Bits).toInt
     val ra = ntile(nt).over(Window.orderBy(col(colA))).cast("long") - 1
@@ -44,32 +51,40 @@ object Layout {
     df.withColumn("__graft_z", interleave(ra, rb))
   }
 
+  /** The z-clustered frame the writers below materialize: approx z-key
+    * → range exchange on it → in-partition sort. Exposed for plan
+    * assertions (LayoutSpec pins "no Window / single-task ranking
+    * stage anywhere in the optimize path"). */
+  private[graft] def zOrdered(
+      df: DataFrame,
+      colA: String,
+      colB: String,
+      nFiles: Int): DataFrame =
+    zKeyApprox(df, colA, colB)
+      .repartitionByRange(nFiles, col("__graft_z"))
+      .sortWithinPartitions("__graft_z")
+      .drop("__graft_z")
+
   /** Rewrite `df` into `nFiles` z-clustered parquet files at `path`.
-    *
-    * NOTE the empty-partitionBy windows in zKey funnel the ranking
-    * through one task — fine for the per-partition batches this is
-    * meant to run on (a day/agency slice), documented here because a
-    * global 100 TB z-order must rank with `percent_rank` approximated
-    * from `approxQuantile` cutpoints instead. */
+    * Always uses the approx-quantile z-key: the quality delta vs the
+    * exact ntile ranking is marginal (LayoutSpec measures both), and
+    * this form is safe at any scale — no global ranking window. */
   def writeZOrdered(
       df: DataFrame,
       path: String,
       colA: String,
       colB: String,
       nFiles: Int): Unit =
-    zKey(df, colA, colB)
-      .repartitionByRange(nFiles, col("__graft_z"))
-      .sortWithinPartitions("__graft_z")
-      .drop("__graft_z")
+    zOrdered(df, colA, colB, nFiles)
       .write.mode("overwrite").parquet(path)
 
   /** Scale-path z-key: bucket each column by APPROXIMATE quantile
-    * cutpoints (one driver-side `approxQuantile` pass, ~256 doubles
-    * broadcast as a literal array) instead of an exact global ntile
-    * window — no single-task ranking stage, so this form z-orders a
-    * 100 TB table. Bucket = number of cutpoints ≤ value, computed with
-    * a higher-order filter over the literal array (row-local; the
-    * array is 2^`bits` entries, keep `bits` ≤ 10).
+    * cutpoints (one driver-side `approxQuantile` pass for BOTH columns,
+    * ~2×255 doubles broadcast as literal arrays) instead of an exact
+    * global ntile window — no single-task ranking stage, so this form
+    * z-orders a 100 TB table. Bucket = number of cutpoints ≤ value,
+    * computed with a higher-order filter over the literal array
+    * (row-local; the array is 2^`bits` entries, keep `bits` ≤ 10).
     *
     * Approximate ranks only blur bucket BOUNDARIES — clustering
     * quality degrades smoothly with quantile error (LayoutSpec
@@ -83,15 +98,16 @@ object Layout {
     require(bits >= 2 && bits <= 10, s"bits must be in [2,10]: $bits")
     val n = math.pow(2, bits).toInt
     val probs = (1 until n).map(_.toDouble / n).toArray
-    def cuts(c: String): Array[Double] =
-      df.stat.approxQuantile(c, probs, relErr)
-    def bucket(c: String): Column = {
-      val arr = lit(cuts(c))
+    // one aggregation pass computes both columns' cutpoints
+    val allCuts = df.stat.approxQuantile(Array(colA, colB), probs, relErr)
+    def bucket(cuts: Array[Double], c: String): Column = {
+      val arr = lit(cuts)
       size(filter(arr, x => x <= col(c).cast("double"))).cast("long")
     }
     // re-interleave at the low `bits` (buckets are < 2^bits, so the
     // shared 16-bit interleave covers them)
-    df.withColumn("__graft_z", interleave(bucket(colA), bucket(colB)))
+    df.withColumn("__graft_z",
+      interleave(bucket(allCuts(0), colA), bucket(allCuts(1), colB)))
   }
 
   /** In-place z-order rewrite of a parquet path, with the same

@@ -48,12 +48,18 @@ object Swap {
 
   /** Atomically-as-the-FS-allows replace `path` with `tmp` via
     * `backup`. On a second-rename failure the backup is restored, so
-    * the caller never loses the original table silently. */
+    * the caller never loses the original table silently.
+    *
+    * Self-healing: a leftover `backup` from an interrupted earlier
+    * swap is resolved by invoking [[recover]] first (stale copy
+    * deleted, or missing table restored and then swapped normally) —
+    * callers need not remember the recover-before-replace order,
+    * though calling recover() before building `tmp` is still the
+    * right pattern because `tmp` should derive from the HEALED table. */
   def replace(fs: FileSystem, path: Path, tmp: Path, backup: Path): Unit = {
     if (!fs.exists(tmp))
       fail(s"replacement $tmp does not exist")
-    if (fs.exists(backup))
-      fail(s"leftover backup $backup exists — run recover() first")
+    recover(fs, path, backup)
     if (!fs.rename(path, backup))
       fail(s"rename $path -> $backup failed; table untouched at $path")
     if (!fs.rename(tmp, path)) {

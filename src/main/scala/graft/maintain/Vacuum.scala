@@ -19,6 +19,12 @@ object Vacuum {
 
   private val TmpSuffixes = Seq("_compacting", "_upserting", "_zordering")
   private val BackupSuffixes = Seq("_precompact", "_preupsert", "_prezorder")
+  // which backup a given tmp dir's swap would have created — used to
+  // decide whether a tmp-suffixed dir is plausibly a swap leftover
+  private val TmpToBackup = Map(
+    "_compacting" -> "_precompact",
+    "_upserting" -> "_preupsert",
+    "_zordering" -> "_prezorder")
 
   final case class VacuumReport(
       removedTmp: Seq[String],
@@ -36,12 +42,28 @@ object Vacuum {
       .map(_.getPath).toSeq
     val names = children.map(_.getName).toSet
 
-    val removedTmp = children.filter { p =>
-      TmpSuffixes.exists(p.getName.endsWith)
-    }.map { p =>
-      if (!fs.delete(p, true))
-        throw new Swap.SwapFailedException(s"could not delete orphan $p")
-      p.toString
+    // Delete a tmp-suffixed dir ONLY when it is plausibly a swap
+    // leftover: its base table exists (crash before replace) or the
+    // matching backup exists (crash mid-replace). A table that merely
+    // happens to be NAMED like a tmp dir (e.g. `logs_upserting` with
+    // no `logs` or `logs_preupsert` sibling) is real user data — warn
+    // and leave it.
+    val removedTmp = children.flatMap { p =>
+      TmpSuffixes.find(p.getName.endsWith).flatMap { suffix =>
+        val base = p.getName.stripSuffix(suffix)
+        val plausible = base.nonEmpty &&
+          (names.contains(base) || names.contains(base + TmpToBackup(suffix)))
+        if (plausible) {
+          if (!fs.delete(p, true))
+            throw new Swap.SwapFailedException(s"could not delete orphan $p")
+          Some(p.toString)
+        } else {
+          System.err.println(s"[graft] warning: $p has a maintenance tmp " +
+            "suffix but no base table or backup exists — not a swap " +
+            "leftover; left in place")
+          None
+        }
+      }
     }
 
     // group backups per base table: a dir named exactly a bare suffix

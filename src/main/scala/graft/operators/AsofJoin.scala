@@ -149,7 +149,12 @@ object AsofJoin {
     * `bucket` must be monotone non-decreasing in the timestamp and
     * identical for both sides (e.g. `date_trunc("day", _)` or
     * `unix_micros(_) div width`). Bucket choice only affects
-    * parallelism, never results.
+    * parallelism, never results — but granularity matters for the
+    * carry pass: step 2 runs over one row per DISTINCT (key, bucket),
+    * so a bucket fn that is too fine (worst case: `unix_micros(_) /
+    * width`, which is DOUBLE division and gives every row its own
+    * bucket) degrades the carry window back to per-key row counts.
+    * Pick buckets so each holds many rows (hours/days, not µs).
     */
   def asofJoinBucketed(
       probe: DataFrame,

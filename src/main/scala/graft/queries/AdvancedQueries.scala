@@ -197,7 +197,10 @@ object AdvancedQueries {
 
   /** Array-building aggregation: collect_list/collect_set with a
     * deterministic sort (unordered collects are nondeterministic under
-    * parallelism — always sort before comparing or persisting).
+    * parallelism — always sort before comparing or persisting). The
+    * sorted arrays are emitted as joined strings so the result is
+    * hashable by any downstream comparator — same information, stable
+    * encoding.
     * Scale note: per-group array size is bounded by the dim-table
     * cardinality here; collecting an unbounded fact column into one
     * array is the anti-pattern this query deliberately avoids. */
@@ -210,14 +213,18 @@ object AdvancedQueries {
           nation("n_regionkey") === region("r_regionkey"))
         .groupBy("r_name")
         .agg(
-          sort_array(collect_list(col("n_name"))).as("nations"),
-          sort_array(collect_set(col("n_regionkey"))).as("region_keys"),
+          array_join(sort_array(collect_list(col("n_name"))), ",")
+            .as("nations"),
+          array_join(
+            sort_array(collect_set(col("n_regionkey"))).cast("array<string>"),
+            ",").as("region_keys"),
           count(lit(1)).as("n_nations"))
         .orderBy("r_name")
     },
     Some("""SELECT r_name,
-                   list_sort(list(n_name)) AS nations,
-                   list_sort(list(DISTINCT n_regionkey)) AS region_keys,
+                   array_to_string(list_sort(list(n_name)), ',') AS nations,
+                   array_to_string(list_sort(list(DISTINCT n_regionkey)), ',')
+                     AS region_keys,
                    COUNT(*) AS n_nations
             FROM nation JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name ORDER BY r_name"""))

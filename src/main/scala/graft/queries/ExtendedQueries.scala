@@ -510,7 +510,8 @@ object ExtendedQueries {
   /** Map-typed column plumbing: build a map from columns, extract by
     * key, enumerate keys. The oracle states the equivalent flat
     * values — what matters is that the map round-trip reproduces them
-    * exactly. */
+    * exactly. Keys are emitted as one joined string so the result is
+    * hashable by any downstream comparator. */
   val f15 = Q(
     "f15_map_ops",
     (s, d) =>
@@ -523,12 +524,12 @@ object ExtendedQueries {
           element_at(col("m"), "lang").as("lang_val"),
           element_at(col("m"), "source").as("source_val"),
           size(col("m")).cast("long").as("n_keys"),
-          sort_array(map_keys(col("m"))).as("keys_sorted"))
+          array_join(sort_array(map_keys(col("m"))), ",").as("keys_sorted"))
         .orderBy("doc_id")
         .limit(200),
     Some("""SELECT doc_id, lang AS lang_val, source AS source_val,
                    CAST(2 AS BIGINT) AS n_keys,
-                   ['lang', 'source'] AS keys_sorted
+                   'lang,source' AS keys_sorted
             FROM documents ORDER BY doc_id LIMIT 200"""))
 
   /** Ordered string aggregation (group members joined into one string

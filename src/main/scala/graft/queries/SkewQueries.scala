@@ -38,7 +38,18 @@ object SkewQueries {
         round(sum(col("_sum")), 2).as("total"))
 
   /** Salted group-by whose oracle is the PLAIN group-by — proves the
-    * two-phase rewrite is result-identical. */
+    * two-phase rewrite is result-identical.
+    *
+    * Honest scope note (measured in SkewSpec on a 50%-hot-key
+    * fixture): for decomposable aggregates Spark's map-side partial
+    * aggregation already collapses a hot key to one row per map task,
+    * so the UNSALTED plan is not actually skewed and the salted twin
+    * cannot beat it — the rewrite is kept as the mechanics for
+    * aggregation shapes/engines without partials. The skew cases that
+    * genuinely concentrate work in this engine are joins (AQE skew
+    * split, SkewJoinSpec) and per-key windows (bucketed as-of join,
+    * SkewSpec), both of which are pinned to spread the hot key at the
+    * task level. */
   val a2s = Q(
     "a2s_salted_groupby",
     (s, d) =>

@@ -44,13 +44,17 @@ class CliSpec extends AnyFunSuite {
     val root = TestSpark.tmpDir("cli-vacuum")
     import spark.implicits._
     Seq((1L, "a")).toDF("id", "v").write.parquet(s"$root/t_preupsert")
+    Seq((2L, "b")).toDF("id", "v").write.parquet(s"$root/u")
     Seq((2L, "b")).toDF("id", "v").write.parquet(s"$root/u_compacting")
+    // lookalike: tmp-suffixed NAME but no base/backup → real user data
+    Seq((3L, "c")).toDF("id", "v").write.parquet(s"$root/w_upserting")
     graft.cli.Main.run(spark, Array("vacuum", root))
     val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val left = fs.listStatus(new org.apache.hadoop.fs.Path(root))
       .map(_.getPath.getName).sorted.toSeq
-    assert(left == Seq("t"), s"expected only the recovered table: $left")
+    assert(left == Seq("t", "u", "w_upserting"),
+      s"expected recovered t, swept u_compacting, kept lookalike: $left")
   }
 
   test("curate runs the pipeline end-to-end via the CLI") {

@@ -36,7 +36,13 @@ class LayoutSpec extends AnyFunSuite {
     val zDir = TestSpark.tmpDir("layout-z") + "/t"
     df.repartitionByRange(8, col("a")).sortWithinPartitions("a")
       .write.mode("overwrite").parquet(linDir)
-    Layout.writeZOrdered(df, zDir, "a", "b", 8)
+    // exact-ntile yardstick (library-only path; the write/CLI entry
+    // points never use it — see the plan assertion below)
+    Layout.zKey(df, "a", "b")
+      .repartitionByRange(8, col("__graft_z"))
+      .sortWithinPartitions("__graft_z")
+      .drop("__graft_z")
+      .write.mode("overwrite").parquet(zDir)
 
     def avgWidth(dir: String, c: String): Double = {
       val files = new java.io.File(dir).listFiles()
@@ -54,14 +60,18 @@ class LayoutSpec extends AnyFunSuite {
     val zB = avgWidth(zDir, "b")
     val zA = avgWidth(zDir, "a")
 
-    // scale path: approx-quantile z-key clusters comparably without
-    // any global ranking window (no single-task stage at 100 TB)
+    // scale path — what writeZOrdered/rewriteZOrdered (and thus the
+    // CLI) actually execute: approx-quantile z-key, no global ranking
+    // window. Pin that property in the physical plan: no Window node
+    // and no single-partition global Sort/Exchange anywhere.
+    val zaPlan = Layout.zOrdered(df, "a", "b", 8)
+      .queryExecution.executedPlan.toString
+    assert(!zaPlan.contains("Window"),
+      s"optimize path must not rank via a Window:\n$zaPlan")
+    assert(!zaPlan.contains("SinglePartition"),
+      s"optimize path must not funnel through one partition:\n$zaPlan")
     val zaDir = TestSpark.tmpDir("layout-za") + "/t"
-    Layout.zKeyApprox(df, "a", "b")
-      .repartitionByRange(8, col("__graft_z"))
-      .sortWithinPartitions("__graft_z")
-      .drop("__graft_z")
-      .write.mode("overwrite").parquet(zaDir)
+    Layout.writeZOrdered(df, zaDir, "a", "b", 8)
     assert(spark.read.parquet(zaDir).count() == n)
     val zaB = avgWidth(zaDir, "b")
     assert(zaB < linB * 0.7,

@@ -78,23 +78,34 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("LSH self-join computes the banding once on the big-data path") {
-    // At broadcast size, one join side re-plans the banding subtree —
-    // acceptable by definition (the input was small enough to
-    // broadcast). On the at-scale path (no broadcast → SMJ) the two
-    // sides are identical exchanges and MUST collapse into one via
-    // exchange/stage reuse: the expensive minhash_bands pass runs once.
+    // The shingle frame and the capped band list are persisted inside
+    // nearDupMinhash, so the expensive passes (tokenize+shingle, the
+    // 64-hash minhash banding) each run exactly once — at cache
+    // materialization. In the FINAL plan no LIVE banding node may
+    // remain: every minhashbands occurrence must be part of an
+    // InMemoryRelation's cached-plan printout (unstarred), never a
+    // whole-stage-codegen'd `*(n) Generate` executing per join side.
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val df = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
-      df.collect() // materialize so AQE finalizes stage reuse
+      df.collect() // materialize so AQE finalizes the plan
       // the adaptive plan prints Final + Initial sections; judge the
-      // final one only (the initial plan legitimately shows both sides)
+      // final one only
       val p = df.queryExecution.executedPlan.toString
         .split("== Initial Plan ==").head
+      // exactly ONE banding node, and it must live INSIDE the band
+      // cache's InMemoryRelation printout (i.e. below that line in the
+      // tree dump) — a live per-join-side Generate would appear before
+      // any InMemoryRelation, and a second occurrence means the cache
+      // was bypassed on one side
       val bandings = "minhashbands".r.findAllIn(p).length
-      assert(bandings == 1 && p.contains("ReusedExchange"),
-        s"banding computed $bandings times on the no-broadcast path:\n$p")
+      val bandIdx = p.indexOf("minhashbands")
+      val cacheIdx = """InMemoryRelation \[id#\d+L?, band#""".r
+        .findFirstMatchIn(p).map(_.start).getOrElse(Int.MaxValue)
+      assert(bandings == 1 && cacheIdx < bandIdx,
+        s"banding must run once, at band-cache build ($bandings " +
+          s"occurrence(s), cache@$cacheIdx vs banding@$bandIdx):\n" + p)
     } finally
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }

@@ -19,8 +19,12 @@ class VacuumSpec extends AnyFunSuite {
     write("t1", "live")
     write("t1_precompact", "stale") // crash after swap, before delete
     write("t2_preupsert", "orig")   // crash between renames: no t2
+    write("t3", "live")
     write("t3_compacting", "half")  // orphan half-written replacement
     write("t4", "untouched")
+    // a REAL table that merely looks like a tmp dir (no t5 base, no
+    // t5_preupsert backup) — must never be swept
+    write("t5_upserting", "user-data")
 
     val report = Vacuum.vacuum(spark, root)
 
@@ -32,7 +36,9 @@ class VacuumSpec extends AnyFunSuite {
       spark.sparkContext.hadoopConfiguration)
     val left = fs.listStatus(new org.apache.hadoop.fs.Path(root))
       .map(_.getPath.getName).sorted.toSeq
-    assert(left == Seq("t1", "t2", "t4"))
+    assert(left == Seq("t1", "t2", "t3", "t4", "t5_upserting"))
+    assert(spark.read.parquet(s"$root/t5_upserting").select("v")
+      .as[String].head() == "user-data")
     // t1 kept the LIVE copy, t2 recovered the original rows
     assert(spark.read.parquet(s"$root/t1").select("v")
       .as[String].head() == "live")
@@ -43,14 +49,29 @@ class VacuumSpec extends AnyFunSuite {
   test("a dir named exactly a bare suffix does not derail the sweep") {
     val root = TestSpark.tmpDir("vacuum_bare")
     Seq((1L, "a")).toDF("id", "v").write.parquet(s"$root/_precompact")
+    Seq((2L, "b")).toDF("id", "v").write.parquet(s"$root/t")
     Seq((2L, "b")).toDF("id", "v").write.parquet(s"$root/t_compacting")
     val report = Vacuum.vacuum(spark, root)
-    // the orphan tmp is still cleaned; the bare-suffix dir is ignored
+    // the orphan tmp (plausible: base `t` exists) is still cleaned;
+    // the bare-suffix dirs are ignored
     assert(report.removedTmp.map(_.split('/').last) == Seq("t_compacting"))
     assert(report.recoveredTables.isEmpty && report.clearedBackups.isEmpty)
     val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/_precompact")))
+  }
+
+  test("tmp dir whose base is only present as a backup is still swept") {
+    // crash mid-replace: base renamed away to the backup, tmp not yet
+    // renamed in — tmp must be recognized via the backup's presence
+    val root = TestSpark.tmpDir("vacuum_midswap")
+    Seq((1L, "orig")).toDF("id", "v").write.parquet(s"$root/t_prezorder")
+    Seq((1L, "half")).toDF("id", "v").write.parquet(s"$root/t_zordering")
+    val report = Vacuum.vacuum(spark, root)
+    assert(report.removedTmp.map(_.split('/').last) == Seq("t_zordering"))
+    assert(report.recoveredTables.map(_.split('/').last) == Seq("t"))
+    assert(spark.read.parquet(s"$root/t").select("v")
+      .as[String].head() == "orig")
   }
 
   test("divergent twin backups: one restored, the other left for review") {

@@ -1,0 +1,48 @@
+#!/usr/bin/env python3
+"""Time the headline queries' oracle SQL in DuckDB over the same
+parquet tables the Spark bench reads — the judge-style same-data
+comparison, emitted per round so BENCH_r{N}.json carries
+`duckdb_headline_total` next to `headline_total` instead of each judge
+re-deriving it.
+
+Dev/driver-side measurement tool only (like check_correctness.py): the
+engine itself is pure Scala/Spark; Bench.scala shells out to this and
+degrades gracefully (-1) when python3/duckdb are absent, e.g. on a
+real cluster.
+
+Usage: python3 tools/duckdb_headline.py <sfDir> <sql_json>
+  sql_json: {"query_name": "SELECT ...", ...}
+Prints one JSON line: {"total": sec, "queries": {name: sec}}
+"""
+import json
+import sys
+import time
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main(sf_dir: str, sql_json: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    with open(sql_json) as f:
+        sqls = json.load(f)
+    total = 0.0
+    per = {}
+    for name, sql in sorted(sqls.items()):
+        con.execute(sql).fetchall()  # warm: page cache + plan
+        t0 = time.perf_counter()
+        con.execute(sql).fetchall()
+        dt = time.perf_counter() - t0
+        per[name] = round(dt, 4)
+        total += dt
+    print(json.dumps({"total": round(total, 4), "queries": per}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -76,12 +76,33 @@ object ProfileQueries {
       .toDF("col_name", "dtype", "nullable")
   }
 
-  /** a13x — dtype distribution (rows-only: Spark/DuckDB type names
-    * differ by design; values asserted in ProfileSpec-style checks). */
+  /** a13x — dtype profile, oracle-checked: both engines read the same
+    * parquet footer and the SQL maps DuckDB's type names onto Spark's
+    * `simpleString`s (BIGINT→bigint, VARCHAR→string, naive
+    * TIMESTAMP→timestamp_ntz — DuckDB TIMESTAMP is wall-clock, which
+    * is exactly Spark's TIMESTAMP_NTZ; TIMESTAMPTZ would be Spark's
+    * session-zoned timestamp). Schema drift in the fixture changes
+    * both sides together, so this pins the MAPPING, not a frozen
+    * literal list. */
   val a13x = Q(
     "a13x_dtypes",
     (s, d) => dtypes(s, d, "orders").orderBy("col_name"),
-    None)
+    Some("""SELECT column_name AS col_name,
+                   CASE column_type
+                     WHEN 'BIGINT' THEN 'bigint'
+                     WHEN 'INTEGER' THEN 'int'
+                     WHEN 'DOUBLE' THEN 'double'
+                     WHEN 'FLOAT' THEN 'float'
+                     WHEN 'VARCHAR' THEN 'string'
+                     WHEN 'DATE' THEN 'date'
+                     WHEN 'BOOLEAN' THEN 'boolean'
+                     WHEN 'TIMESTAMP' THEN 'timestamp_ntz'
+                     WHEN 'TIMESTAMP WITH TIME ZONE' THEN 'timestamp'
+                     ELSE lower(column_type)
+                   END AS dtype,
+                   ("null" = 'YES') AS nullable
+            FROM (DESCRIBE SELECT * FROM orders)
+            ORDER BY col_name"""))
 
   def all: Seq[Q] = Seq(a13, a7x, a13x)
 }

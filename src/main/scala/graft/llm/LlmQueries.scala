@@ -178,6 +178,27 @@ object LlmQueries {
     },
     None)
 
+  /** LSH ANN with a planted ground truth: an exact copy of the query
+    * vector is planted at vec_id 1000000. Identical vectors share a
+    * bucket in every hash table regardless of the hyperplane seed, so
+    * the full explode→bucket-join→exact-rescore path MUST return the
+    * planted copy as top-1 at cosine 1 — which makes top-1 (unlike the
+    * hash-dependent tail of the top-k, pinned by SimilaritySpec's
+    * recall test) oracle-expressible. */
+  val annLshPlanted = Q(
+    "ann_lsh_planted",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_vec"))
+      val corpus = emb.unionByName(
+        emb.filter(col("vec_id") === 0)
+          .select(lit(1000000L).as("vec_id"), col("embedding")))
+      Similarity.lshTopK(corpus, query, k = 1, excludeId = 0L)
+    },
+    Some("""SELECT CAST(1000000 AS BIGINT) AS vec_id, 1.0 AS cos_sim"""))
+
   /** Per-label embedding centroids: posexplode to (label, dim) and
     * average. The ×64 row expansion collapses map-side (partial agg),
     * so the shuffle carries only labels × dims partial sums — the
@@ -279,15 +300,47 @@ object LlmQueries {
                 OR (lang = 'zh' AND b < 2500)
              GROUP BY lang ORDER BY lang"""))
 
-  /** Embedding-cosine near-dup pairs, LSH-bucketed, summary form. */
+  /** Embedding-cosine near-dup pairs, LSH-bucketed, with a planted
+    * ground truth (same scheme as `dedup_simhash`): the corpus is
+    * embeddings UNION exact copies at shifted ids. Identical vectors
+    * get identical hyperplane signatures in EVERY table regardless of
+    * the hash seed, so the real band→bucket-join→exact-cosine-verify
+    * path MUST surface each planted pair at cosine 1 — the DuckDB
+    * oracle recomputes that exact count by grouping on vector content.
+    * Found pairs are filtered to vector-equal ones because LSH may
+    * also (correctly) surface genuine near pairs, which are
+    * hash-dependent and thus not oracle-expressible; recall/threshold
+    * behavior on near-but-not-identical vectors is pinned by
+    * SimilaritySpec's planted-pair test instead. The bucket cap can
+    * never drop a planted pair here: `capBuckets` removes whole
+    * buckets only above 4096 rows and the doubled corpus is smaller
+    * than one cap. */
   val nearDupCosine = Q(
     "dedup_embedding_cosine",
-    (s, d) =>
-      Similarity.nearDupCosine(Tables.embeddings(s, d), minCosine = 0.5)
+    (s, d) => {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val corpus = emb.unionByName(
+        emb.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+          col("embedding")))
+      Similarity.nearDupCosine(corpus, minCosine = 0.999)
+        .join(corpus.select(col("vec_id").as("id_a"),
+          col("embedding").as("v_a")), Seq("id_a"))
+        .join(corpus.select(col("vec_id").as("id_b"),
+          col("embedding").as("v_b")), Seq("id_b"))
+        .filter(col("v_a") === col("v_b"))
         .agg(
           count(lit(1)).as("n_pairs"),
-          coalesce(round(max(col("cos_sim")), 4), lit(0.0)).as("max_cos")),
-    None)
+          coalesce(round(min(col("cos_sim")), 4), lit(0.0)).as("min_cos"))
+    },
+    Some("""WITH corpus AS (
+              SELECT embedding FROM embeddings
+              UNION ALL
+              SELECT embedding FROM embeddings),
+            g AS (SELECT embedding, COUNT(*) AS c FROM corpus
+                  GROUP BY embedding)
+            SELECT CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS n_pairs,
+                   1.0 AS min_cos
+            FROM g"""))
 
   /** Token counting (whitespace). */
   val textTokens = Q(
@@ -652,7 +705,8 @@ object LlmQueries {
 
   def all: Seq[Q] = Seq(
     dedupStats, dedupKeep, nearDupMinhash, nearDupSimhash, ngramJaccard,
-    annBrute, annLsh, nearDupCosine, embCentroids, embNormProfile,
+    annBrute, annLsh, annLshPlanted, nearDupCosine, embCentroids,
+    embNormProfile,
     splitCounts, stratSample,
     textTokens, textQuality, langDist, textAnalyze, textRepetition,
     textRedact, contamination, mmStats, curate, pipelineCurateSplit)

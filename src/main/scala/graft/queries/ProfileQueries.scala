@@ -58,15 +58,27 @@ object ProfileQueries {
               COUNT(DISTINCT $c) AS n_distinct FROM orders""")
       .mkString("", " UNION ALL ", " ORDER BY col_name")))
 
-  /** a7x — approx distinct (HLL++): rows-only check (sketch estimates
-    * are engine-specific); exactness is asserted within ±5% rsd bounds
-    * in ProfileSpec. */
+  /** a7x — approx distinct (HLL++), oracle-checked as a tolerance
+    * assertion: the sketch estimate itself is engine-specific (DuckDB
+    * cannot reproduce Spark's HLL++), but |approx − exact| ≤ 15% of
+    * exact is a deterministic boolean — HLL++ register merge is
+    * order-independent, so the estimate doesn't vary with
+    * partitioning — and the oracle recomputes the exact count and
+    * asserts TRUE. Pins both the exact path and the sketch's accuracy
+    * contract (rsd 0.05; 15% = 3σ headroom, zero flake risk). */
   val a7x = Q(
     "a7x_approx_distinct",
     (s, d) =>
       Tables.orders(s, d).agg(
-        approx_count_distinct(col("o_custkey"), 0.05).as("approx_cust")),
-    None)
+        countDistinct(col("o_custkey")).as("exact_cust"),
+        approx_count_distinct(col("o_custkey"), 0.05).as("approx_raw"))
+        .select(
+          col("exact_cust"),
+          (abs(col("approx_raw") - col("exact_cust")) <=
+            col("exact_cust").cast("double") * 0.15).as("within_tol")),
+    Some("""SELECT COUNT(DISTINCT o_custkey) AS exact_cust,
+                   TRUE AS within_tol
+            FROM orders"""))
 
   /** dtype profile (A13 metadata half): schema-only, no scan at all. */
   def dtypes(spark: SparkSession, sfDir: String, table: String): DataFrame = {

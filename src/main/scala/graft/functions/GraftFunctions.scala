@@ -26,6 +26,7 @@ object GraftFunctions {
         VectorExprs.register(spark)
         TextExprs.register(spark)
         TextHash.register(spark)
+        BloomExprs.register(spark)
       }
     }
   }

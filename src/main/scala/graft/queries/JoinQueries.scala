@@ -208,5 +208,60 @@ object JoinQueries {
             SELECT l_orderkey FROM lineitem WHERE l_quantity >= 45
             ORDER BY okey"""))
 
-  def all: Seq[Q] = Seq(j1, j2, j3, j4, j6, j6b, u1, u2, u3)
+  /** j9 — bloom-pruned LEFT SEMI (runtime-filter shape): lineitem
+    * against urgent high-value orders. The bloom sketch drops
+    * cannot-match rows inside the probe's codegen stage before any
+    * exchange; no false negatives, so the result is row-identical to
+    * the plain semi join — which is exactly what the oracle's IN
+    * subquery checks. fpp only affects how much verify work the exact
+    * join does, never the rows out. */
+  val j9 = Q(
+    "j9_bloom_semi",
+    (s, d) => {
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_totalprice") > 200000)
+        .select("o_orderkey")
+      graft.operators.BloomJoin
+        .semiJoin(Tables.lineitem(s, d), urgent,
+          probeKey = "l_orderkey", buildKey = "o_orderkey",
+          expectedItems = 20000L, fpp = 0.01)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, COUNT(*) AS n_items,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                 WHERE o_orderpriority = '1-URGENT'
+                                   AND o_totalprice > 200000)
+            GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** j10 — bloom-pruned LEFT ANTI twin: line items whose order is NOT
+    * in the urgent set; definite-miss rows bypass the exact anti join
+    * entirely (they are the overwhelming majority at scale). */
+  val j10 = Q(
+    "j10_bloom_anti",
+    (s, d) => {
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_totalprice") > 200000)
+        .select("o_orderkey")
+      graft.operators.BloomJoin
+        .antiJoin(Tables.lineitem(s, d), urgent,
+          probeKey = "l_orderkey", buildKey = "o_orderkey",
+          expectedItems = 20000L, fpp = 0.01)
+        .agg(count(lit(1)).as("n_items"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+    },
+    Some("""SELECT COUNT(*) AS n_items,
+                   COUNT(DISTINCT l_orderkey) AS n_orders
+            FROM lineitem
+            WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                                     WHERE o_orderpriority = '1-URGENT'
+                                       AND o_totalprice > 200000)"""))
+
+  def all: Seq[Q] = Seq(j1, j2, j3, j4, j6, j6b, j9, j10, u1, u2, u3)
 }

@@ -68,6 +68,30 @@ class PlanSpec extends AnyFunSuite {
       s"contamination degenerated to doc×doc:\n$p")
   }
 
+  test("bloom semi join probes the sketch below the exchange") {
+    val p = plan("j9_bloom_semi")
+    assert(p.contains("bloom_might_contain"),
+      s"bloom probe filter missing from the plan:\n$p")
+    // the probe-side prune must run BEFORE any exchange: in the plan
+    // string (printed top-down), the lineitem-side Exchange (or the
+    // broadcast build for the exact join) appears ABOVE the filter —
+    // so the bloom_might_contain line must come after the last
+    // exchange-introducing operator on its path. Cheap proxy: the
+    // filter text appears below the (single) semi-join operator and
+    // no Exchange sits between the filter and its InMemory/FileScan.
+    val lines = p.linesIterator.toSeq
+    val fIdx = lines.indexWhere(_.contains("bloom_might_contain"))
+    assert(fIdx >= 0)
+    val below = lines.drop(fIdx + 1)
+      .takeWhile(l => !l.contains("Scan parquet") &&
+        !l.contains("InMemoryTableScan"))
+    assert(!below.exists(l => l.contains("Exchange")),
+      s"an Exchange sits between the bloom filter and the probe scan " +
+        s"— pruning happens after a shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"bloom one-row frame degenerated to a cartesian:\n$p")
+  }
+
   test("no CartesianProduct anywhere in the LSH/ANN paths") {
     for (q <- Seq("ann_lsh_topk", "dedup_minhash_lsh", "dedup_simhash",
         "dedup_embedding_cosine")) {

@@ -36,10 +36,11 @@ object Main {
 
   private def usage(): Unit =
     System.err.println(
-      """usage: graft.cli.Main <convert|query|sql|profile|optimize|vacuum|curate|bench> ...
+      """usage: graft.cli.Main <convert|query|sql|lint|profile|optimize|vacuum|curate|bench> ...
         |  convert DATA [--output-path P] [--agency A] [--compression C]
         |  query SFDIR NAME...
         |  sql SFDIR "SELECT ..."
+        |  lint SFDIR <NAME|"SELECT ...">   plan audit, exit 1 on Error
         |  profile SFDIR TABLE [--approx]
         |  optimize PATH [N] [--zorder colA,colB]
         |  vacuum ROOT
@@ -119,6 +120,20 @@ object Main {
       case "sql" =>
         graft.queries.SqlQueries.sql(spark, args(1), args(2))
           .show(50, truncate = false)
+
+      case "lint" =>
+        // plan audit WITHOUT running the query: registered name or
+        // ad-hoc SQL; exits 1 on Error-level findings (deploy gate)
+        val sfDir = args(1)
+        val target = args(2)
+        val df = SparkEntry.queries.get(target)
+          .map(_(spark, sfDir))
+          .getOrElse(graft.queries.SqlQueries.sql(spark, sfDir, target))
+        val findings = graft.tools.PlanLint.lint(df)
+        if (findings.isEmpty) println("plan clean: no findings")
+        else findings.foreach(println)
+        require(!findings.exists(_.severity == graft.tools.PlanLint.Error),
+          "plan has Error-level findings (see above)")
 
       case "profile" =>
         // --approx: HLL++ distinct counts (map-side-mergeable sketch,

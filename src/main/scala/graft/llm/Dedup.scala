@@ -261,6 +261,45 @@ object Dedup {
       .agg(countDistinct(col("bench_id")).as("n_bench_hits"))
   }
 
+  /** Contamination check with a Bloom pre-prune on the probe shingles:
+    * the bench shingle set is collapsed to a bit-set sketch
+    * (~10 bits/shingle vs ~50+ bytes/shingle for a broadcast hashed
+    * relation) and probe shingles that cannot be in the bench are
+    * dropped inside the scan's codegen stage, BEFORE the join. No
+    * false negatives → row-identical to `contaminationHits` (same
+    * oracle); false positives only add verify rows to the exact join.
+    * This is the shape that survives an eval suite too large to
+    * broadcast: at 100 TB the join input shrinks from |all probe
+    * shingles| to |matching ∪ fpp-sampled| — in the common
+    * mostly-clean corpus, orders of magnitude. */
+  def contaminationHitsBloom(
+      probe: DataFrame,
+      bench: DataFrame,
+      k: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      expectedShingles: Long = 1L << 20,
+      fpp: Double = 0.01): DataFrame = {
+    graft.functions.GraftFunctions.register(probe.sparkSession)
+    import graft.functions.BloomExprs
+    val benchSh = bench.select(
+      col(idCol).as("bench_id"),
+      explode(shingles(col(textCol), k)).as("sh")).distinct()
+    val m = BloomExprs.optimalNumBits(expectedShingles, fpp)
+    val kk = BloomExprs.optimalK(m, expectedShingles)
+    val sketch = benchSh
+      .agg(BloomExprs.bloom_agg(xxhash64(col("sh")), m, kk).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    probe.select(
+        col(idCol),
+        explode(shingles(col(textCol), k)).as("sh"))
+      .filter(BloomExprs.bloom_might_contain(
+        lit(sketch), xxhash64(col("sh")), kk))
+      .join(broadcast(benchSh), Seq("sh"))
+      .groupBy(idCol)
+      .agg(countDistinct(col("bench_id")).as("n_bench_hits"))
+  }
+
   // ---- n-gram Jaccard (exact, for candidate pairs) ------------------
 
   /** Exact n-gram Jaccard for an explicit candidate pair set

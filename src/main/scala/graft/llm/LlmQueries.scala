@@ -479,6 +479,23 @@ object LlmQueries {
               ON len(list_intersect(p.s, b.s)) > 0
             GROUP BY p.doc_id ORDER BY p.doc_id"""))
 
+  /** Bloom-pruned contamination twin: identical answer (no false
+    * negatives), same oracle; the probe's shingle stream is pre-
+    * filtered against a sketch of the bench shingles inside codegen
+    * before any join — the eval-too-big-to-broadcast shape. */
+  val contaminationBloom = Q(
+    "llm_contamination_bloom",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationHitsBloom(
+          probe = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+          bench = docs.filter(pmod(col("doc_id"), lit(50)) === 0),
+          k = 4,
+          expectedShingles = 100000L)
+        .orderBy("doc_id")
+    },
+    contamination.oracle)
+
   /** Gopher-rules repetition signals: type-token ratio, top-bigram
     * fraction, duplicate-5-gram fraction — all row-local column
     * algebra (no shuffle; scales with executors). */
@@ -709,5 +726,6 @@ object LlmQueries {
     embNormProfile,
     splitCounts, stratSample,
     textTokens, textQuality, langDist, textAnalyze, textRepetition,
-    textRedact, contamination, mmStats, curate, pipelineCurateSplit)
+    textRedact, contamination, contaminationBloom, mmStats, curate,
+    pipelineCurateSplit)
 }

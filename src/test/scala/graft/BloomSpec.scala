@@ -117,6 +117,20 @@ class BloomSpec extends AnyFunSuite {
     assert(plain.nonEmpty)
   }
 
+  test("bloom contamination ≡ broadcast contamination") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val probe = docs.filter(pmod($"doc_id", lit(50)) =!= 0)
+    val bench = docs.filter(pmod($"doc_id", lit(50)) === 0)
+    val plain = graft.llm.Dedup.contaminationHits(probe, bench, k = 4)
+      .as[(Long, Long)].collect().toSet
+    val bloomed = graft.llm.Dedup
+      .contaminationHitsBloom(probe, bench, k = 4,
+        expectedShingles = 50000L)
+      .as[(Long, Long)].collect().toSet
+    assert(bloomed == plain)
+    assert(plain.nonEmpty)
+  }
+
   test("might_contain is SQL-callable (extensions/registry path)") {
     graft.functions.GraftFunctions.register(spark)
     spark.range(0, 100)

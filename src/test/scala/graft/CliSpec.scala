@@ -77,6 +77,18 @@ class CliSpec extends AnyFunSuite {
     // no assertion beyond not-throwing: ProfileSpec bounds the sketch
   }
 
+  test("lint passes a clean registered query and fails a cartesian") {
+    graft.cli.Main.run(spark,
+      Array("lint", TestSpark.sf0001, "j1_join_broadcast"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try intercept[IllegalArgumentException] {
+      graft.cli.Main.run(spark, Array("lint", TestSpark.sf0001,
+        "SELECT * FROM orders a, lineitem b"))
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("unknown command rejected") {
     intercept[IllegalArgumentException] {
       graft.cli.Main.run(spark, Array("frobnicate"))

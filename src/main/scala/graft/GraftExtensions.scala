@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, ResolvedH
 
 import graft.functions.{SimHash64, TextHash}
 import graft.functions.BloomExprs.BloomMightContain
+import graft.functions.CountMinExprs.CmEstimate
 import graft.functions.TextExprs.{MinHashBands, WordShingles}
 import graft.functions.VectorExprs.{ArrayDot, LshBuckets}
 
@@ -71,7 +72,9 @@ object GraftExtensions {
     "minhash_bands" -> ((exprs: Seq[Expression]) =>
       MinHashBands(exprs(0), asInt(exprs(1)), asInt(exprs(2)))),
     "bloom_might_contain" -> ((exprs: Seq[Expression]) =>
-      BloomMightContain(exprs(0), exprs(1), asInt(exprs(2)))))
+      BloomMightContain(exprs(0), exprs(1), asInt(exprs(2)))),
+    "cm_estimate" -> ((exprs: Seq[Expression]) =>
+      CmEstimate(exprs(0), exprs(1), asInt(exprs(2)), asInt(exprs(3)))))
 
   /** Reject join nodes with no condition (Cross, or Inner without ON)
     * unless either side carries a broadcast-style hint. Runs on the

@@ -27,6 +27,7 @@ object GraftFunctions {
         TextExprs.register(spark)
         TextHash.register(spark)
         BloomExprs.register(spark)
+        CountMinExprs.register(spark)
       }
     }
   }

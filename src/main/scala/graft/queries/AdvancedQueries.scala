@@ -229,5 +229,23 @@ object AdvancedQueries {
             FROM nation JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name ORDER BY r_name"""))
 
-  def all: Seq[Q] = Seq(a14, a14x, a9x, w4, j5, a15, a16, f12, a18, a19)
+  /** a20 — exact heavy hitters via Count-Min candidates: users with
+    * ≥50 events. The sketch pass is map-side mergeable and the exact
+    * GROUP BY runs over candidate keys only — the long tail of light
+    * keys never reaches the shuffle. CM never undercounts, so the
+    * candidate set is a superset of the true heavies and the final
+    * HAVING makes the answer byte-identical to the full GROUP BY the
+    * oracle runs. */
+  val a20 = Q(
+    "a20_heavy_hitters",
+    (s, d) =>
+      graft.operators.HeavyHitters
+        .heavyHitters(Tables.events(s, d), "user_id", minCount = 50L)
+        .orderBy("user_id"),
+    Some("""SELECT user_id, COUNT(*) AS n_rows
+            FROM events GROUP BY user_id HAVING n_rows >= 50
+            ORDER BY user_id"""))
+
+  def all: Seq[Q] =
+    Seq(a14, a14x, a9x, w4, j5, a15, a16, f12, a18, a19, a20)
 }

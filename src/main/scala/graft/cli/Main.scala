@@ -36,13 +36,14 @@ object Main {
 
   private def usage(): Unit =
     System.err.println(
-      """usage: graft.cli.Main <convert|query|sql|lint|profile|optimize|vacuum|curate|bench> ...
+      """usage: graft.cli.Main <convert|query|sql|lint|profile|optimize|manifest|vacuum|curate|bench> ...
         |  convert DATA [--output-path P] [--agency A] [--compression C]
         |  query SFDIR NAME...
         |  sql SFDIR "SELECT ..."
         |  lint SFDIR <NAME|"SELECT ...">   plan audit, exit 1 on Error
         |  profile SFDIR TABLE [--approx]
         |  optimize PATH [N] [--zorder colA,colB]
+        |  manifest PATH col1[,col2...]   build file-level min/max manifest
         |  vacuum ROOT
         |  curate IN OUT [--min-quality Q] [--near-jaccard J]
         |         [--min-chars N] [--langs en,de] [--compression C]""".stripMargin)
@@ -158,6 +159,15 @@ object Main {
             println(s"files: ${r.before.files} -> ${r.after.files} " +
               f"(${r.reduction * 100}%.1f%% reduction), bytes: ${r.after.bytes}")
         }
+
+      case "manifest" =>
+        // manifest PATH col1[,col2...] — build/refresh the file-level
+        // min/max manifest for metadata-only file pruning
+        val cols = args(2).split(',').toSeq
+        graft.maintain.Manifest.build(spark, args(1), cols)
+        val m = graft.maintain.Manifest.read(spark, args(1))
+        println(s"manifest built: ${m.count()} files, " +
+          s"columns=${cols.mkString(",")}")
 
       case "vacuum" =>
         // vacuum ROOT — sweep swap leftovers across a warehouse root

@@ -33,7 +33,13 @@ object Compaction {
     var bytes = 0L
     while (it.hasNext) {
       val s = it.next()
-      if (s.getPath.getName.endsWith(".parquet")) {
+      // skip hidden subtrees (e.g. _graft_manifest) — they are
+      // metadata, invisible to readers, and must not skew layout stats
+      val rel = s.getPath.toString.stripPrefix(
+        f.makeQualified(new Path(path)).toString).split('/')
+      val hidden = rel.exists(seg =>
+        seg.startsWith("_") || seg.startsWith("."))
+      if (s.getPath.getName.endsWith(".parquet") && !hidden) {
         files += 1
         bytes += s.getLen
       }
@@ -61,12 +67,16 @@ object Compaction {
     val dest = new Path(path)
     val old = new Path(path.stripSuffix("/") + "_precompact")
     Swap.recover(f, dest, old) // heal an interrupted prior compact first
+    // capture manifest columns BEFORE the swap moves the manifest away
+    // with the backup — the new layout needs a fresh build
+    val manifestCols = Manifest.columnsIfPresent(spark, path)
     val before = stats(spark, path)
     val tmp = path.stripSuffix("/") + "_compacting"
     spark.read.parquet(path)
       .repartition(targetFiles)
       .write.mode("overwrite").parquet(tmp)
     Swap.replace(f, dest, new Path(tmp), old)
+    manifestCols.foreach(cols => Manifest.build(spark, path, cols))
     val after = stats(spark, path)
     CompactionResult(before, after,
       if (before.files == 0) 0.0

@@ -124,8 +124,11 @@ object Layout {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val old = new Path(path.stripSuffix("/") + "_prezorder")
     Swap.recover(f, new Path(path), old)
+    // capture manifest columns BEFORE the swap (see Manifest scaladoc)
+    val manifestCols = Manifest.columnsIfPresent(spark, path)
     val tmp = path.stripSuffix("/") + "_zordering"
     writeZOrdered(spark.read.parquet(path), tmp, colA, colB, nFiles)
     Swap.replace(f, new Path(path), new Path(tmp), old)
+    manifestCols.foreach(cols => Manifest.build(spark, path, cols))
   }
 }

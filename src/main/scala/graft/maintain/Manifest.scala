@@ -1,0 +1,113 @@
+package graft.maintain
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level min/max manifest — the metadata half of what table
+  * formats (Iceberg manifests, Delta file stats) add over bare
+  * parquet, rebuilt with plain Spark primitives.
+  *
+  * Parquet already keeps row-group min/max in each file's footer, and
+  * Spark's reader uses them — but only AFTER listing every file and
+  * reading every footer. At 100 TB (millions of files) the listing and
+  * footer I/O dominate selective queries. A manifest is one small
+  * parquet table of (file, per-column min/max, rows) that answers
+  * "which files can contain rows in this range" with a single scan of
+  * metadata — the reader then opens ONLY the overlapping files. On a
+  * z-ordered or range-written table (maintain.Layout) per-file ranges
+  * are tight and most files prune.
+  *
+  * The manifest lives under `<table>/_graft_manifest`: the leading
+  * underscore keeps it invisible to Spark/Hadoop data discovery
+  * (hidden-file convention), so plain readers of the table see no
+  * change. Reference parity: iceberg_exploration.py's catalog/manifest
+  * ambitions (`iceberg_exploration.py:65-80`) never materialized in
+  * the reference; this is the working equivalent.
+  *
+  * Correctness contract (ManifestSpec): pruned-read(pred) ≡
+  * full-read.filter(pred) for range predicates on manifested columns —
+  * min/max pruning has no false negatives (a file is only skipped if
+  * its range provably cannot overlap).
+  */
+object Manifest {
+
+  val ManifestDir = "_graft_manifest"
+
+  /** Build/refresh the manifest for `cols` of the parquet table at
+    * `path`. One distributed scan of the manifested columns, one
+    * shuffle keyed by file name (tiny: one row per file). */
+  def build(spark: SparkSession, path: String, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "manifest needs at least one column")
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).as(s"min_$c"),
+      max(col(c)).as(s"max_$c"))) :+ count(lit(1)).as("n_rows")
+    spark.read.parquet(path)
+      .select(input_file_name().as("file"),
+        struct(cols.map(col): _*).as("v"))
+      .select(col("file"), col("v.*"))
+      .groupBy("file")
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1) // one row per data file — metadata-sized by definition
+      .write.mode("overwrite")
+      .parquet(s"$path/$ManifestDir")
+  }
+
+  /** The manifest table (throws if absent — call build first). */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/$ManifestDir")
+
+  /** The manifested column set, recovered from the manifest's own
+    * schema (min_<col> fields); None when no manifest exists. Layout
+    * rewrites (compaction/z-order) capture this BEFORE their swap —
+    * the manifest sits inside the table dir, so the swap carries it
+    * away with the backup and the new layout needs a fresh build (a
+    * stale manifest would point at files that no longer exist). */
+  def columnsIfPresent(spark: SparkSession, path: String)
+      : Option[Seq[String]] =
+    if (!exists(spark, path)) None
+    else Some(read(spark, path).schema.fieldNames.toSeq
+      .filter(_.startsWith("min_")).map(_.stripPrefix("min_")))
+      .filter(_.nonEmpty)
+
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(s"$path/$ManifestDir")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Files whose [min,max] range on `column` may overlap [lo, hi].
+    * NULL stats (all-null file) are kept — pruning must be
+    * conservative. */
+  def candidateFiles(
+      spark: SparkSession,
+      path: String,
+      column: String,
+      lo: Any,
+      hi: Any): Seq[String] =
+    read(spark, path)
+      .filter(
+        col(s"min_$column").isNull || col(s"max_$column").isNull ||
+          (col(s"max_$column") >= lit(lo) && col(s"min_$column") <= lit(hi)))
+      .select("file")
+      .collect().map(_.getString(0)).toSeq
+
+  /** Read only the files that can satisfy `lo <= column <= hi`, with
+    * the residual filter applied (file pruning is necessary, not
+    * sufficient). Returns an empty frame with the right schema when
+    * nothing overlaps. */
+  def readPruned(
+      spark: SparkSession,
+      path: String,
+      column: String,
+      lo: Any,
+      hi: Any): DataFrame = {
+    val files = candidateFiles(spark, path, column, lo, hi)
+    val base =
+      if (files.isEmpty)
+        spark.read.parquet(path).limit(0)
+      // basePath keeps partition-directory columns reconstructable
+      // when reading an explicit file subset of a partitioned table
+      else spark.read.option("basePath", path).parquet(files: _*)
+    base.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+  }
+}

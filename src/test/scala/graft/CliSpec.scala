@@ -89,6 +89,18 @@ class CliSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("manifest builds via the CLI") {
+    val out = TestSpark.tmpDir("cli-manifest")
+    Tables.orders(spark, TestSpark.sf0001)
+      .write.mode("overwrite").parquet(out)
+    graft.cli.Main.run(spark,
+      Array("manifest", out, "o_totalprice,o_orderkey"))
+    assert(graft.maintain.Manifest.exists(spark, out))
+    assert(graft.maintain.Manifest
+      .columnsIfPresent(spark, out)
+      .contains(Seq("o_totalprice", "o_orderkey")))
+  }
+
   test("unknown command rejected") {
     intercept[IllegalArgumentException] {
       graft.cli.Main.run(spark, Array("frobnicate"))

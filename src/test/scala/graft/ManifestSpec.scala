@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.maintain.Manifest
+
+class ManifestSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def writeRangeClustered(): String = {
+    val dir = TestSpark.tmpDir("manifest-table")
+    Tables.orders(spark, TestSpark.sf0001)
+      .repartitionByRange(8, $"o_totalprice")
+      .sortWithinPartitions($"o_totalprice")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("pruned read ≡ full read + filter (range-clustered table)") {
+    val dir = writeRangeClustered()
+    Manifest.build(spark, dir, Seq("o_totalprice", "o_orderkey"))
+    assert(Manifest.exists(spark, dir))
+    val full = spark.read.parquet(dir)
+      .filter($"o_totalprice" >= 100000 && $"o_totalprice" <= 150000)
+      .select("o_orderkey").as[Long].collect().toSet
+    val pruned = Manifest
+      .readPruned(spark, dir, "o_totalprice", 100000, 150000)
+      .select("o_orderkey").as[Long].collect().toSet
+    assert(pruned == full)
+    assert(full.nonEmpty)
+  }
+
+  test("manifest actually prunes files on a clustered column") {
+    val dir = writeRangeClustered()
+    Manifest.build(spark, dir, Seq("o_totalprice"))
+    val total = Manifest.read(spark, dir).count()
+    val cands = Manifest
+      .candidateFiles(spark, dir, "o_totalprice", 100000, 150000)
+    assert(total >= 8)
+    assert(cands.size < total,
+      s"no pruning: ${cands.size} of $total files selected")
+  }
+
+  test("manifest read sees no data files' hidden sibling") {
+    // the _graft_manifest dir must be invisible to plain table reads
+    val dir = writeRangeClustered()
+    val before = spark.read.parquet(dir).count()
+    Manifest.build(spark, dir, Seq("o_totalprice"))
+    assert(spark.read.parquet(dir).count() == before)
+  }
+
+  test("all-null stats files are kept (conservative pruning)") {
+    val dir = TestSpark.tmpDir("manifest-nulls")
+    val withNulls = spark.range(0, 100).toDF("k")
+      .withColumn("v", when($"k" < 50, $"k").otherwise(lit(null)))
+      .withColumn("bucket", when($"k" < 50, 0).otherwise(1))
+      .repartition(2, $"bucket")
+      .drop("bucket")
+    withNulls.write.mode("overwrite").parquet(dir)
+    Manifest.build(spark, dir, Seq("v"))
+    val full = spark.read.parquet(dir)
+      .filter($"v" >= 10 && $"v" <= 20)
+      .select("k").as[Long].collect().toSet
+    val pruned = Manifest.readPruned(spark, dir, "v", 10, 20)
+      .select("k").as[Long].collect().toSet
+    assert(pruned == full)
+    assert(full == (10L to 20L).toSet)
+  }
+
+  test("empty overlap returns an empty, correctly-typed frame") {
+    val dir = writeRangeClustered()
+    Manifest.build(spark, dir, Seq("o_totalprice"))
+    val none = Manifest.readPruned(
+      spark, dir, "o_totalprice", 100000000, 200000000)
+    assert(none.count() == 0)
+    assert(none.columns.contains("o_orderkey"))
+  }
+
+  test("compaction and z-order refresh an existing manifest") {
+    val dir = writeRangeClustered()
+    Manifest.build(spark, dir, Seq("o_totalprice"))
+    val filesBefore = Manifest.read(spark, dir)
+      .select("file").as[String].collect().toSet
+    graft.maintain.Compaction.compact(spark, dir, 3)
+    assert(Manifest.exists(spark, dir),
+      "manifest lost after compaction swap")
+    val filesAfter = Manifest.read(spark, dir)
+      .select("file").as[String].collect().toSet
+    assert((filesAfter intersect filesBefore).isEmpty,
+      "manifest still lists pre-compaction files — stale after rewrite")
+    // and pruned reads stay correct against the new layout
+    val full = spark.read.parquet(dir)
+      .filter($"o_totalprice".between(100000, 150000))
+      .count()
+    assert(Manifest.readPruned(spark, dir, "o_totalprice",
+      100000, 150000).count() == full)
+  }
+
+  test("partitioned table keeps its partition column after pruning") {
+    val dir = TestSpark.tmpDir("manifest-part")
+    Tables.orders(spark, TestSpark.sf0001)
+      .withColumn("status", $"o_orderstatus")
+      .write.mode("overwrite").partitionBy("status").parquet(dir)
+    Manifest.build(spark, dir, Seq("o_totalprice"))
+    val pruned = Manifest.readPruned(
+      spark, dir, "o_totalprice", 100000, 200000)
+    assert(pruned.columns.contains("status"))
+    val full = spark.read.parquet(dir)
+      .filter($"o_totalprice".between(100000, 200000))
+      .groupBy("status").count()
+      .as[(String, Long)].collect().toSet
+    assert(pruned.groupBy("status").count()
+      .as[(String, Long)].collect().toSet == full)
+  }
+}

@@ -75,21 +75,59 @@ object Manifest {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Data files currently on disk (hidden subtrees excluded), in the
+    * same URI form `input_file_name()` records. */
+  private def listDataFiles(spark: SparkSession, path: String)
+      : Set[String] = {
+    val root = new Path(path)
+    val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qualified = f.makeQualified(root).toString
+    val it = f.listFiles(root, true)
+    val out = Set.newBuilder[String]
+    while (it.hasNext) {
+      val s = it.next()
+      val rel = s.getPath.toString.stripPrefix(qualified).split('/')
+      val hidden = rel.exists(seg =>
+        seg.startsWith("_") || seg.startsWith("."))
+      if (s.getPath.getName.endsWith(".parquet") && !hidden)
+        out += s.getPath.toString
+    }
+    out.result()
+  }
+
   /** Files whose [min,max] range on `column` may overlap [lo, hi].
-    * NULL stats (all-null file) are kept — pruning must be
-    * conservative. */
+    * Conservative in BOTH directions a manifest can go stale:
+    *  - NULL stats (all-null file) are kept;
+    *  - files on disk but ABSENT from the manifest (appended since the
+    *    last build) are always candidates — otherwise a pruned read
+    *    would silently drop freshly-appended rows;
+    *  - manifest rows for files no longer on disk (replaced layout)
+    *    are dropped rather than passed to the reader.
+    * The listing costs one FS scan — the same metadata pass any read
+    * of the table performs. */
   def candidateFiles(
       spark: SparkSession,
       path: String,
       column: String,
       lo: Any,
-      hi: Any): Seq[String] =
-    read(spark, path)
+      hi: Any): Seq[String] = {
+    // input_file_name() records "file:///x" where Path prints
+    // "file:/x" — normalize through Path before any comparison
+    def norm(uri: String): String = new Path(uri).toString
+    val onDisk = listDataFiles(spark, path)
+    val known = read(spark, path)
+      .select("file").collect().map(r => norm(r.getString(0))).toSet
+    // range test done in Spark SQL for type-correct comparison
+    val overlapFiles = read(spark, path)
       .filter(
         col(s"min_$column").isNull || col(s"max_$column").isNull ||
           (col(s"max_$column") >= lit(lo) && col(s"min_$column") <= lit(hi)))
       .select("file")
-      .collect().map(_.getString(0)).toSeq
+      .collect().map(r => norm(r.getString(0))).toSeq
+      .filter(onDisk.contains)
+    val unknown = (onDisk -- known).toSeq.sorted
+    overlapFiles ++ unknown
+  }
 
   /** Read only the files that can satisfy `lo <= column <= hi`, with
     * the residual filter applied (file pruning is necessary, not

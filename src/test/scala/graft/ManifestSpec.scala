@@ -78,6 +78,25 @@ class ManifestSpec extends AnyFunSuite {
     assert(none.columns.contains("o_orderkey"))
   }
 
+  test("rows appended after the manifest build are still read (pruned)") {
+    val dir = writeRangeClustered()
+    Manifest.build(spark, dir, Seq("o_totalprice"))
+    // append a delta the manifest knows nothing about (full schema)
+    Tables.orders(spark, TestSpark.sf0001).limit(1)
+      .withColumn("o_orderkey", lit(999999L))
+      .withColumn("o_totalprice", lit(125000.0))
+      .write.mode("append").parquet(dir)
+    val pruned = Manifest
+      .readPruned(spark, dir, "o_totalprice", 100000, 150000)
+      .select("o_orderkey").as[Long].collect().toSet
+    assert(pruned.contains(999999L),
+      "appended rows silently dropped by a stale manifest")
+    val full = spark.read.parquet(dir)
+      .filter($"o_totalprice".between(100000, 150000))
+      .select("o_orderkey").as[Long].collect().toSet
+    assert(pruned == full)
+  }
+
   test("compaction and z-order refresh an existing manifest") {
     val dir = writeRangeClustered()
     Manifest.build(spark, dir, Seq("o_totalprice"))

@@ -205,5 +205,23 @@ object StreamQueries {
                    ROUND(SUM(value), 2) AS total_filled
             FROM filled GROUP BY user_id ORDER BY user_id"""))
 
-  def all: Seq[Q] = Seq(st1, st2, st3, st4, st5, st6, st7)
+  /** Unwindowed running aggregate, shared batch/stream: heavy users
+    * by total event count. In streaming this is a complete-mode
+    * global aggregate (state = one row per user, emitted in full each
+    * trigger) — the mode the other twins don't exercise; parity is
+    * pinned in StreamingSpec. Batch form is oracle-checked. */
+  def heavyUsers(events: DataFrame, minCount: Long): DataFrame =
+    events
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") >= minCount)
+
+  val st8 = Q(
+    "st_heavy_users",
+    (s, d) => heavyUsers(Tables.events(s, d), 50L).orderBy("user_id"),
+    Some("""SELECT user_id, COUNT(*) AS n_rows
+            FROM events GROUP BY user_id HAVING n_rows >= 50
+            ORDER BY user_id"""))
+
+  def all: Seq[Q] = Seq(st1, st2, st3, st4, st5, st6, st7, st8)
 }

@@ -60,6 +60,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("complete-mode streaming heavy users match the batch query") {
+    val eventsDir = TestSpark.tmpDir("events-hh-src")
+    Tables.events(spark, TestSpark.sf0001)
+      .write.mode("overwrite").parquet(eventsDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(eventsDir).schema)
+      .parquet(eventsDir)
+    val q = StreamQueries.heavyUsers(stream, 50L)
+      .writeStream
+      .outputMode("complete") // global agg: full state emitted per trigger
+      .format("memory")
+      .queryName("hh_stream_test")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("hh_stream_test")
+      .orderBy("user_id")
+      .as[(Long, Long)].collect().toSeq
+    val batch = StreamQueries
+      .heavyUsers(Tables.events(spark, TestSpark.sf0001), 50L)
+      .orderBy("user_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("maxFilesPerTrigger bounds micro-batches while draining fully") {
     val root = TestSpark.tmpDir("ratelimit")
     val src = s"$root/src"; val dest = s"$root/dest"; val cp = s"$root/cp"

@@ -92,6 +92,20 @@ class PlanSpec extends AnyFunSuite {
       s"bloom one-row frame degenerated to a cartesian:\n$p")
   }
 
+  test("heavy hitters filters candidates below the aggregation exchange") {
+    val p = plan("a20_heavy_hitters")
+    assert(p.contains("cm_estimate"),
+      s"count-min candidate filter missing:\n$p")
+    val lines = p.linesIterator.toSeq
+    val fIdx = lines.indexWhere(_.contains("cm_estimate"))
+    val below = lines.drop(fIdx + 1)
+      .takeWhile(l => !l.contains("Scan parquet") &&
+        !l.contains("InMemoryTableScan"))
+    assert(!below.exists(_.contains("Exchange")),
+      s"candidate filter runs after a shuffle — the long tail is " +
+        s"being shuffled anyway:\n$p")
+  }
+
   test("no CartesianProduct anywhere in the LSH/ANN paths") {
     for (q <- Seq("ann_lsh_topk", "dedup_minhash_lsh", "dedup_simhash",
         "dedup_embedding_cosine")) {

@@ -116,5 +116,87 @@ object ProfileQueries {
             FROM (DESCRIBE SELECT * FROM orders)
             ORDER BY col_name"""))
 
-  def all: Seq[Q] = Seq(a13, a7x, a13x)
+  /** a21 — range-distinct from per-day HLL sketches (the incremental
+    * pattern `operators/DistinctSketches` persists): union the
+    * overlapping daily sketches instead of rescanning raw rows, then
+    * pin |estimate − exact| ≤ 15% against the exact count — same
+    * tolerance-oracle shape as a7x. DataSketches union is register-
+    * maxima, order-independent, so the boolean is deterministic. */
+  val a21 = Q(
+    "a21_hll_range_distinct",
+    (s, d) => {
+      import graft.operators.DistinctSketches
+      val ev = Tables.events(s, d)
+      val daily = DistinctSketches.sketchPerBucket(
+        ev.withColumn("day", to_date(col("ts"))), "day", "user_id")
+      val approx = daily
+        .filter(col("bucket").between("2024-01-02", "2024-01-09"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sketch))")
+          .as("approx"))
+      val exact = ev
+        .filter(to_date(col("ts")).between("2024-01-02", "2024-01-09"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      exact.crossJoin(broadcast(approx))
+        .select(
+          col("exact_users"),
+          (abs(col("approx") - col("exact_users")) <=
+            col("exact_users").cast("double") * 0.15).as("within_tol"))
+    },
+    Some("""SELECT COUNT(DISTINCT user_id) AS exact_users,
+                   TRUE AS within_tol
+            FROM events
+            WHERE CAST(ts AS DATE)
+                  BETWEEN DATE '2024-01-02' AND DATE '2024-01-09'"""))
+
+  /** dq1 — declarative data-quality report over orders (+ referential
+    * integrity against customer), one lazy plan, oracle-recomputed
+    * check by check in SQL. */
+  val dq1 = Q(
+    "dq1_quality_report",
+    (s, d) => {
+      import graft.maintain.Quality
+      val orders = Tables.orders(s, d)
+      Quality.fullReport(
+        orders,
+        Seq(
+          Quality.notNull("o_orderkey"),
+          Quality.unique("o_orderkey"),
+          Quality.notNull("o_custkey"),
+          Quality.inRange("o_totalprice", 0.0, 1e6),
+          Quality.matches("o_orderpriority", "^[1-5]-[A-Z ]+$")),
+        ri = Seq(Quality.referential(
+          orders, "o_custkey",
+          Tables.customer(s, d), "c_custkey", "customer.c_custkey")))
+    },
+    Some("""SELECT "check", violations, (violations = 0) AS passed
+            FROM (
+              SELECT 'in_range:o_totalprice' AS "check",
+                     COUNT(CASE WHEN o_totalprice < 0
+                                  OR o_totalprice > 1000000 THEN 1 END)
+                       AS violations FROM orders
+              UNION ALL
+              SELECT 'matches:o_orderpriority',
+                     COUNT(CASE WHEN o_orderpriority IS NOT NULL AND
+                       NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')
+                       THEN 1 END) FROM orders
+              UNION ALL
+              SELECT 'not_null:o_custkey',
+                     COUNT(CASE WHEN o_custkey IS NULL THEN 1 END)
+              FROM orders
+              UNION ALL
+              SELECT 'not_null:o_orderkey',
+                     COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END)
+              FROM orders
+              UNION ALL
+              SELECT 'ri:o_custkey->customer.c_custkey',
+                     (SELECT COUNT(*) FROM orders
+                      WHERE o_custkey IS NOT NULL AND o_custkey NOT IN
+                        (SELECT c_custkey FROM customer))
+              UNION ALL
+              SELECT 'unique:o_orderkey',
+                     COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey)
+              FROM orders) t
+            ORDER BY "check" """))
+
+  def all: Seq[Q] = Seq(a13, a7x, a13x, a21, dq1)
 }

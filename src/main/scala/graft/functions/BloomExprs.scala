@@ -37,7 +37,7 @@ object BloomExprs {
   /** Second hash for double hashing: a murmur-style finalizer of h so
     * h1 and h2 are independent enough; forced odd so all k probes are
     * distinct mod a power-of-two m. */
-  private[functions] def mix(h: Long): Long = {
+  private[graft] def mix(h: Long): Long = {
     var x = h
     x ^= x >>> 33
     x *= 0xff51afd7ed558ccdL
@@ -48,7 +48,7 @@ object BloomExprs {
   }
 
   /** Set the k double-hashed bits of `h` in `bits` (m = bits.length*64). */
-  private[functions] def setBits(bits: Array[Long], h: Long, k: Int): Unit = {
+  private[graft] def setBits(bits: Array[Long], h: Long, k: Int): Unit = {
     val m = bits.length.toLong * 64L
     val h2 = mix(h)
     var i = 0

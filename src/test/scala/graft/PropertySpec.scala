@@ -135,4 +135,49 @@ class PropertySpec extends AnyFunSuite {
       assert(row.getAs[String]("agency") == "XX")
     }
   }
+
+  test("bloom law: inserted keys are always found, at any m/k") {
+    import graft.functions.BloomExprs
+    val cfg = Gen.zip(
+      Gen.nonEmptyListOf(Gen.long),
+      Gen.choose(1, 10), Gen.choose(1, 64))
+    for ((keys, k, words) <- samples(cfg, n = 30)) {
+      val bits = new Array[Long](words)
+      keys.foreach(h => BloomExprs.setBits(bits, h, k))
+      val bb = java.nio.ByteBuffer.allocate(words * 8)
+      bits.foreach(bb.putLong)
+      val bytes = bb.array()
+      assert(keys.forall(h =>
+        BloomExprs.BloomMightContain.test(bytes, h, k)),
+        s"false negative at k=$k words=$words")
+    }
+  }
+
+  test("count-min law: estimate never below the true multiplicity") {
+    import graft.functions.CountMinExprs.CmEstimate
+    import graft.functions.BloomExprs
+    val cfg = Gen.zip(
+      Gen.nonEmptyListOf(Gen.choose(-50L, 50L)), // collisions likely
+      Gen.choose(1, 6), Gen.choose(16, 128))
+    for ((keys, depth, width) <- samples(cfg, n = 30)) {
+      val grid = new Array[Long](depth * width)
+      keys.foreach { h =>
+        val h2 = BloomExprs.mix(h)
+        (0 until depth).foreach { i =>
+          val cell = i * width +
+            java.lang.Math.floorMod(h + i.toLong * h2, width.toLong).toInt
+          grid(cell) += 1L
+        }
+      }
+      val bb = java.nio.ByteBuffer.allocate(grid.length * 8)
+      grid.foreach(bb.putLong)
+      val bytes = bb.array()
+      val counts = keys.groupBy(identity).view.mapValues(_.size.toLong)
+      counts.foreach { case (h, n) =>
+        val est = CmEstimate.estimate(bytes, h, depth, width)
+        assert(est >= n, s"undercount: est $est < true $n " +
+          s"(depth=$depth width=$width)")
+      }
+    }
+  }
 }

@@ -113,6 +113,11 @@ object CountMinExprs {
       * big-endian packing of the row-major counter grid. */
     def estimate(bytes: Array[Byte], h: Long, depth: Int, width: Int)
         : Long = {
+      // a sketch of the wrong geometry would silently mis-estimate
+      // (breaking one-sidedness) — fail loudly instead
+      require(bytes.length == depth * width * 8,
+        s"sketch is ${bytes.length} bytes, expected depth*width*8 = " +
+          s"${depth * width * 8} — depth/width must match the build")
       val h2 = BloomExprs.mix(h)
       var min = Long.MaxValue
       var i = 0

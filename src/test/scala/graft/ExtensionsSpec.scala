@@ -21,6 +21,18 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getDouble(2) == 11.0)
     // equals the values computed through the registered-function path
     assert(row == spark.sql(q).collect().head)
+    // round-6 sketch probes resolve through the same injection
+    assert(!s2.sql(
+      "SELECT bloom_might_contain(CAST('' AS BINARY), 1L, 3) AS b")
+      .collect().head.getBoolean(0))
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    s2.range(0, 10)
+      .agg(graft.functions.CountMinExprs
+        .cm_agg(xxhash64(col("id")), 2, 64).as("sk"))
+      .createOrReplaceTempView("cm_ext_t")
+    assert(s2.sql(
+      "SELECT cm_estimate(sk, xxhash64(5L), 2, 64) AS e FROM cm_ext_t")
+      .collect().head.getLong(0) >= 1L)
   }
 
   test("cartesian guard rejects unkeyed joins at analysis time when enabled") {

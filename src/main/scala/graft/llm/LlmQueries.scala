@@ -199,6 +199,36 @@ object LlmQueries {
     },
     Some("""SELECT CAST(1000000 AS BIGINT) AS vec_id, 1.0 AS cos_sim"""))
 
+  /** Batch k-NN join: exact top-3 neighbors for ten query vectors in
+    * one plan (broadcast query batch, windowed per-query rank — the
+    * corpus never shuffles vectors). Both engines rank on the ROUNDED
+    * cosine with an id tie-break, so the rows are deterministic. */
+  val annKnnJoin = Q(
+    "ann_knn_join",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.knnJoin(queries, emb, k = 3)
+        .orderBy("q_id", "rank")
+    },
+    Some("""SELECT q_id, vec_id, cos_sim, rank FROM (
+              SELECT q.vec_id AS q_id, e.vec_id,
+                     ROUND(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       CAST(q.embedding AS DOUBLE[])), 4) AS cos_sim,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(
+                         CAST(e.embedding AS DOUBLE[]),
+                         CAST(q.embedding AS DOUBLE[])), 4) DESC,
+                         e.vec_id) AS rank
+              FROM embeddings e,
+                   (SELECT vec_id, embedding FROM embeddings
+                    WHERE vec_id < 10) q
+              WHERE e.vec_id <> q.vec_id) t
+            WHERE rank <= 3 ORDER BY q_id, rank"""))
+
   /** Per-label embedding centroids: posexplode to (label, dim) and
     * average. The ×64 row expansion collapses map-side (partial agg),
     * so the shuffle carries only labels × dims partial sums — the
@@ -722,8 +752,8 @@ object LlmQueries {
 
   def all: Seq[Q] = Seq(
     dedupStats, dedupKeep, nearDupMinhash, nearDupSimhash, ngramJaccard,
-    annBrute, annLsh, annLshPlanted, nearDupCosine, embCentroids,
-    embNormProfile,
+    annBrute, annLsh, annLshPlanted, annKnnJoin, nearDupCosine,
+    embCentroids, embNormProfile,
     splitCounts, stratSample,
     textTokens, textQuality, langDist, textAnalyze, textRepetition,
     textRedact, contamination, contaminationBloom, mmStats, curate,

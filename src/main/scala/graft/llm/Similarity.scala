@@ -59,6 +59,41 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch k-NN join: exact top-k corpus neighbors for EVERY query
+    * row, one plan. The query set broadcasts (it is the small side by
+    * definition — a probe batch, not the corpus), each corpus row
+    * scores against all queries in its own task (codegen dot
+    * products, no shuffle of the corpus), and per-query top-k is a
+    * window rank over (query, score) pairs — the shuffle carries
+    * |corpus|×|queries| scored ID pairs, never vectors. For corpora
+    * where even that is too much, cut candidates first with the LSH
+    * bucketing (`lshTopK` per query, or `nearDupCosine`'s capped
+    * bucket join) and feed the survivors here. */
+  def knnJoin(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int = 10,
+      queryIdCol: String = "q_id",
+      queryVecCol: String = "q_vec",
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val scored = corpus
+      .crossJoin(broadcast(
+        queries.select(col(queryIdCol), col(queryVecCol))))
+      .filter(col(idCol) =!= col(queryIdCol)) // a vector isn't its own NN
+      .select(
+        col(queryIdCol),
+        col(idCol),
+        round(cosine(col(vecCol), col(queryVecCol)), 4).as("cos_sim"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(queryIdCol)
+          .orderBy(col("cos_sim").desc, col(idCol))))
+      .filter(col("rank") <= k)
+  }
+
   /** Candidate ids sharing an LSH bucket with the query in ≥1 table. */
   private def lshCandidates(
       embeddings: DataFrame,

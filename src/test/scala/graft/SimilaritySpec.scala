@@ -71,6 +71,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert((top.map(_._1).toSet intersect bruteTop).nonEmpty)
   }
 
+  test("knn join per-query rows equal single-query brute force") {
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val joined = Similarity.knnJoin(queries, emb, k = 10)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(joined.keySet == (0L until 5L).toSet)
+    for (q <- 0L until 5L) {
+      val single = Similarity.bruteForceTopK(
+          emb,
+          emb.filter($"vec_id" === q).select($"embedding".as("q_vec")),
+          k = 10, excludeId = q)
+        .select("vec_id").as[Long].collect().toSet
+      assert(joined(q) == single, s"query $q differs from brute force")
+    }
+  }
+
   test("embedding near-dup at high threshold finds only true pairs") {
     // construct planted near-identical vectors
     val planted = Seq(

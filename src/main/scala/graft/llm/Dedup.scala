@@ -330,4 +330,76 @@ object Dedup {
         .withColumnRenamed("jsh", "sh_b"), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+
+  /** Connected components over a near-dup pair list — the cluster-
+    * formation step a real dedup pipeline needs between pair finding
+    * and keep-one-per-CLUSTER (pairwise keep-one over-deletes when
+    * A~B and B~C but A≁C: A,B,C are one duplicate group).
+    *
+    * Iterative min-label propagation, the standard large-graph shape
+    * (GraphX/GraphFrames use the same algorithm): every node starts
+    * as its own label; each round, nodes adopt the minimum label among
+    * themselves and their neighbors; fixpoint in O(component diameter)
+    * rounds — for near-dup graphs, small (most components are
+    * cliques-ish of a few documents). Each round is one join + one
+    * min-aggregate, both keyed shuffles; `persist` + a count action
+    * per round cuts the lineage so plans stay O(1) per round rather
+    * than growing with the iteration count.
+    *
+    * Returns (id, cluster): every node that appears in `pairs`, with
+    * its component's minimum id as the cluster label. */
+  def connectedComponents(
+      pairs: DataFrame,
+      maxIters: Int = 50): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val next = edges
+        .join(labels.withColumnRenamed("id", "u"), Seq("u"))
+        .select(col("v").as("id"), col("cluster"))
+        .unionByName(labels)
+        .groupBy("id")
+        .agg(min("cluster").as("cluster"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
+        .filter(col("cluster") =!= col("old"))
+        .count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Cluster summary for a corpus: minhash-LSH pairs at `minJaccard`
+    * → components → (n_docs, n_clusters, n_clustered_docs,
+    * max_cluster). Same recall argument as `nearDupMinhash` (r=2×b=32
+    * ⇒ every qualifying pair is a candidate on non-adversarial
+    * corpora), so the components equal those over the EXACT pair
+    * graph — which is what the DuckDB oracle recomputes. */
+  def dupClusterStats(
+      docs: DataFrame,
+      minJaccard: Double = 0.5,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val pairs = nearDupMinhash(docs, minJaccard = minJaccard,
+      numHashes = 64, bands = 32, idCol = idCol, textCol = textCol)
+    val labels = connectedComponents(pairs)
+    val cl = labels.groupBy("cluster").agg(count(lit(1)).as("sz"))
+    docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(cl.agg(
+        count(lit(1)).as("n_clusters"),
+        coalesce(sum(col("sz")), lit(0L)).as("n_clustered_docs"),
+        coalesce(max(col("sz")), lit(0L)).as("max_cluster"))))
+  }
 }

@@ -112,6 +112,46 @@ object LlmQueries {
                    0.0 AS avg_hamming
             FROM g"""))
 
+  /** Near-dup cluster formation: LSH pairs → connected components →
+    * summary. The oracle recomputes the EXACT pair graph (all-pairs
+    * Jaccard, affordable only at gate scale) and labels components
+    * with a recursive min-label walk — so both the pair recall AND
+    * the cluster algebra are checked end to end. */
+  val dedupClusters = Q(
+    "dedup_clusters",
+    (s, d) =>
+      Dedup.dupClusterStats(Tables.documents(s, d), minJaccard = 0.5),
+    Some("""WITH RECURSIVE sh AS (
+              SELECT doc_id,
+                CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) < 3
+                  THEN [array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' ')]
+                  ELSE list_distinct([array_to_string(string_split_regex(lower(trim(text)), '\s+')[i:i+2], ' ')
+                        for i in range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1)])
+                END AS s
+              FROM documents),
+            prs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
+                    ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                         CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)
+                    END >= 0.5),
+            edges AS (
+              SELECT id_a AS u, id_b AS v FROM prs
+              UNION ALL SELECT id_b, id_a FROM prs),
+            nds AS (SELECT DISTINCT u AS id FROM edges),
+            walk(id, reach) AS (
+              SELECT id, id FROM nds
+              UNION
+              SELECT e.v, w.reach FROM walk w JOIN edges e ON e.u = w.id),
+            lbl AS (SELECT id, MIN(reach) AS cluster FROM walk GROUP BY id),
+            cl AS (SELECT cluster, COUNT(*) AS sz FROM lbl GROUP BY cluster)
+            SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                   COUNT(*) AS n_clusters,
+                   CAST(COALESCE(SUM(sz), 0) AS BIGINT) AS n_clustered_docs,
+                   CAST(COALESCE(MAX(sz), 0) AS BIGINT) AS max_cluster
+            FROM cl"""))
+
   /** n-gram Jaccard verifier standalone: exact Jaccard over a
     * deterministic pair list (adjacent doc ids). The oracle rebuilds
     * the 3-word shingle sets with DuckDB list comprehensions —
@@ -751,7 +791,8 @@ object LlmQueries {
             GROUP BY 1, 2 ORDER BY split, lang_pred"""))
 
   def all: Seq[Q] = Seq(
-    dedupStats, dedupKeep, nearDupMinhash, nearDupSimhash, ngramJaccard,
+    dedupStats, dedupKeep, nearDupMinhash, nearDupSimhash, dedupClusters,
+    ngramJaccard,
     annBrute, annLsh, annLshPlanted, annKnnJoin, nearDupCosine,
     embCentroids, embNormProfile,
     splitCounts, stratSample,

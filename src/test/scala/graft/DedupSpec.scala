@@ -143,4 +143,37 @@ class DedupSpec extends AnyFunSuite {
       || out.head._3 == 1.0)
     assert(out.last._3 == 0.0)
   }
+
+  test("connected components: chain needs multiple propagation rounds") {
+    // 1-2-3-4-5 is one component (diameter 4 forces >1 iteration);
+    // 10-11 is another; 20-21-22 a triangle
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)
+    ).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 5L).forall(labels(_) == 1L),
+      s"chain not fully merged: $labels")
+    assert(labels(10L) == 10L && labels(11L) == 10L)
+    assert(Seq(20L, 21L, 22L).forall(labels(_) == 20L))
+    assert(labels.size == 10)
+  }
+
+  test("keep-one-per-cluster transitivity: A~B~C collapses to one keeper") {
+    // A and C share nothing pairwise, but both overlap B heavily:
+    // pairwise keep-one would keep 2 of {A,B,C}; components keep 1.
+    val triad = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "eta theta iota kappa alpha beta")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupMinhash(triad, minJaccard = 0.3,
+      numHashes = 64, bands = 32)
+    val labels = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.values.toSet.size == 1,
+      s"triad should be one cluster: $labels")
+  }
 }

@@ -381,6 +381,23 @@ object Dedup {
     labels
   }
 
+  /** The deduplicated corpus under CLUSTER semantics: one keeper (the
+    * minimum id) per connected component of the near-dup graph, plus
+    * every document in no component. This is the output a training
+    * pipeline actually consumes; `dupClusterStats` is its audit. */
+  def clusterDedup(
+      docs: DataFrame,
+      minJaccard: Double = 0.5,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val pairs = nearDupMinhash(docs, minJaccard = minJaccard,
+      numHashes = 64, bands = 32, idCol = idCol, textCol = textCol)
+    val labels = connectedComponents(pairs)
+    val drop = labels.filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Cluster summary for a corpus: minhash-LSH pairs at `minJaccard`
     * → components → (n_docs, n_clusters, n_clustered_docs,
     * max_cluster). Same recall argument as `nearDupMinhash` (r=2×b=32

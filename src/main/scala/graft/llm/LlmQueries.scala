@@ -152,6 +152,50 @@ object LlmQueries {
                    CAST(COALESCE(MAX(sz), 0) AS BIGINT) AS max_cluster
             FROM cl"""))
 
+  /** Keep-one-per-cluster corpus: survivors are min-id keepers plus
+    * unclustered docs. Oracle reuses the recursive component walk and
+    * subtracts non-keeper clustered ids from the corpus. */
+  val dedupClusterKeep = Q(
+    "dedup_cluster_keep",
+    (s, d) =>
+      Dedup.clusterDedup(Tables.documents(s, d), minJaccard = 0.5)
+        .agg(
+          count(lit(1)).as("n_kept"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"),
+          sum(col("doc_id")).as("id_sum")),
+    Some("""WITH RECURSIVE sh AS (
+              SELECT doc_id,
+                CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) < 3
+                  THEN [array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' ')]
+                  ELSE list_distinct([array_to_string(string_split_regex(lower(trim(text)), '\s+')[i:i+2], ' ')
+                        for i in range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1)])
+                END AS s
+              FROM documents),
+            prs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
+                    ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                         CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)
+                    END >= 0.5),
+            edges AS (
+              SELECT id_a AS u, id_b AS v FROM prs
+              UNION ALL SELECT id_b, id_a FROM prs),
+            nds AS (SELECT DISTINCT u AS id FROM edges),
+            walk(id, reach) AS (
+              SELECT id, id FROM nds
+              UNION
+              SELECT e.v, w.reach FROM walk w JOIN edges e ON e.u = w.id),
+            lbl AS (SELECT id, MIN(reach) AS cluster FROM walk GROUP BY id),
+            kept AS (
+              SELECT doc_id FROM documents
+              WHERE doc_id NOT IN (SELECT id FROM lbl WHERE id <> cluster))
+            SELECT COUNT(*) AS n_kept, MIN(doc_id) AS min_id,
+                   MAX(doc_id) AS max_id,
+                   CAST(SUM(doc_id) AS BIGINT) AS id_sum
+            FROM kept"""))
+
   /** n-gram Jaccard verifier standalone: exact Jaccard over a
     * deterministic pair list (adjacent doc ids). The oracle rebuilds
     * the 3-word shingle sets with DuckDB list comprehensions —
@@ -792,7 +836,7 @@ object LlmQueries {
 
   def all: Seq[Q] = Seq(
     dedupStats, dedupKeep, nearDupMinhash, nearDupSimhash, dedupClusters,
-    ngramJaccard,
+    dedupClusterKeep, ngramJaccard,
     annBrute, annLsh, annLshPlanted, annKnnJoin, nearDupCosine,
     embCentroids, embNormProfile,
     splitCounts, stratSample,

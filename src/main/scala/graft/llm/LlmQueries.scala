@@ -152,6 +152,43 @@ object LlmQueries {
                    CAST(COALESCE(MAX(sz), 0) AS BIGINT) AS max_cluster
             FROM cl"""))
 
+  /** Threshold sweep from ONE candidate pass: pair counts at 0.5–0.9
+    * from the exact-Jaccard verify of the 0.5-threshold candidates
+    * (every pair ≥0.5 is a candidate at r=2×b=32, so higher-threshold
+    * counts are exact too). The sweep a curation engineer runs to
+    * pick a threshold costs one LSH pass, not five. */
+  val dedupSweep = Q(
+    "dedup_threshold_sweep",
+    (s, d) => {
+      val pairs = Dedup.nearDupMinhash(Tables.documents(s, d),
+        minJaccard = 0.5, numHashes = 64, bands = 32)
+      pairs.agg(
+        count(lit(1)).as("ge_050"),
+        count(when(col("jaccard") >= 0.6, 1)).as("ge_060"),
+        count(when(col("jaccard") >= 0.7, 1)).as("ge_070"),
+        count(when(col("jaccard") >= 0.8, 1)).as("ge_080"),
+        count(when(col("jaccard") >= 0.9, 1)).as("ge_090"))
+    },
+    Some("""WITH sh AS (
+              SELECT doc_id,
+                CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) < 3
+                  THEN [array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' ')]
+                  ELSE list_distinct([array_to_string(string_split_regex(lower(trim(text)), '\s+')[i:i+2], ' ')
+                        for i in range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1)])
+                END AS s
+              FROM documents),
+            prs AS (
+              SELECT ROUND(CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
+                  ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                       CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) END, 4) AS j
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+            SELECT COUNT(CASE WHEN j >= 0.5 THEN 1 END) AS ge_050,
+                   COUNT(CASE WHEN j >= 0.6 THEN 1 END) AS ge_060,
+                   COUNT(CASE WHEN j >= 0.7 THEN 1 END) AS ge_070,
+                   COUNT(CASE WHEN j >= 0.8 THEN 1 END) AS ge_080,
+                   COUNT(CASE WHEN j >= 0.9 THEN 1 END) AS ge_090
+            FROM prs"""))
+
   /** Keep-one-per-cluster corpus: survivors are min-id keepers plus
     * unclustered docs. Oracle reuses the recursive component walk and
     * subtracts non-keeper clustered ids from the corpus. */
@@ -836,7 +873,7 @@ object LlmQueries {
 
   def all: Seq[Q] = Seq(
     dedupStats, dedupKeep, nearDupMinhash, nearDupSimhash, dedupClusters,
-    dedupClusterKeep, ngramJaccard,
+    dedupClusterKeep, dedupSweep, ngramJaccard,
     annBrute, annLsh, annLshPlanted, annKnnJoin, nearDupCosine,
     embCentroids, embNormProfile,
     splitCounts, stratSample,

@@ -360,9 +360,18 @@ object Dedup {
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var changed = 1L
+    // convergence via the label-sum invariant: a round can only LOWER
+    // labels (min over self+neighbors), so the sum over all nodes
+    // strictly decreases until fixpoint — one aggregate action per
+    // round instead of a change-detection join. decimal(38,0) keeps
+    // the sum exact at any id scale.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster").cast("decimal(38,0)")).as("s"))
+        .head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
-    while (changed > 0 && iter < maxIters) {
+    var converged = false
+    while (!converged && iter < maxIters) {
       val next = edges
         .join(labels.withColumnRenamed("id", "u"), Seq("u"))
         .select(col("v").as("id"), col("cluster"))
@@ -370,9 +379,9 @@ object Dedup {
         .groupBy("id")
         .agg(min("cluster").as("cluster"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
-        .filter(col("cluster") =!= col("old"))
-        .count()
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels.unpersist()
       labels = next
       iter += 1

@@ -331,6 +331,14 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
 
+  /** Result of [[connectedComponentsWithStats]]: the (id, cluster)
+    * labels plus whether the min-label loop reached its fixpoint and
+    * how many propagation rounds it ran. `converged == false` means
+    * some component's diameter exceeded `maxIters` and its labels are
+    * TRUNCATED — one long chain shows up as several clusters. */
+  final case class ComponentsResult(
+      labels: DataFrame, converged: Boolean, iterations: Int)
+
   /** Connected components over a near-dup pair list — the cluster-
     * formation step a real dedup pipeline needs between pair finding
     * and keep-one-per-CLUSTER (pairwise keep-one over-deletes when
@@ -342,31 +350,57 @@ object Dedup {
     * themselves and their neighbors; fixpoint in O(component diameter)
     * rounds — for near-dup graphs, small (most components are
     * cliques-ish of a few documents). Each round is one join + one
-    * min-aggregate, both keyed shuffles; `persist` + a count action
-    * per round cuts the lineage so plans stay O(1) per round rather
-    * than growing with the iteration count.
+    * min-aggregate, both keyed shuffles; each round's labels are
+    * `localCheckpoint`ed — materialized AND lineage-truncated, so the
+    * analyzed plan is O(1) per round. (`persist` alone would keep the
+    * full logical lineage and analyzer cost would grow with the
+    * iteration count.)
+    *
+    * Logs a warning and returns the truncated labels if the loop exits
+    * without converging (diameter > `maxIters`); callers that need to
+    * act on that signal should use [[connectedComponentsWithStats]].
     *
     * Returns (id, cluster): every node that appears in `pairs`, with
-    * its component's minimum id as the cluster label. */
+    * its component's minimum id as the cluster label. An empty `pairs`
+    * frame (a corpus with zero near-dup pairs — valid, common input)
+    * yields an empty result, not an error. */
   def connectedComponents(
       pairs: DataFrame,
       maxIters: Int = 50): DataFrame = {
+    val res = connectedComponentsWithStats(pairs, maxIters)
+    if (!res.converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents did not converge in ${res.iterations} " +
+          "rounds; some component's diameter exceeds maxIters and its " +
+          "labels are truncated (one chain may appear as several clusters)")
+    res.labels
+  }
+
+  /** [[connectedComponents]] with the convergence signal exposed. */
+  def connectedComponentsWithStats(
+      pairs: DataFrame,
+      maxIters: Int = 50): ComponentsResult = {
     import org.apache.spark.storage.StorageLevel
     val edges = pairs
       .select(col("id_a").as("u"), col("id_b").as("v"))
       .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // lazy localCheckpoint: materialized by labelSum's action below,
+    // after which the plan is a single LogicalRDD leaf — constant
+    // depth regardless of how many rounds follow.
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("cluster", col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     // convergence via the label-sum invariant: a round can only LOWER
     // labels (min over self+neighbors), so the sum over all nodes
     // strictly decreases until fixpoint — one aggregate action per
     // round instead of a change-detection join. decimal(38,0) keeps
-    // the sum exact at any id scale.
+    // the sum exact at any id scale; coalesce to 0 because sum over an
+    // empty frame is null (zero near-dup pairs must not NPE).
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster").cast("decimal(38,0)")).as("s"))
+      df.agg(coalesce(sum(col("cluster").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("s"))
         .head().getDecimal(0)
     var prevSum = labelSum(labels)
     var iter = 0
@@ -378,7 +412,7 @@ object Dedup {
         .unionByName(labels)
         .groupBy("id")
         .agg(min("cluster").as("cluster"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(false)
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
@@ -387,7 +421,7 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    labels
+    ComponentsResult(labels, converged, iter)
   }
 
   /** The deduplicated corpus under CLUSTER semantics: one keeper (the

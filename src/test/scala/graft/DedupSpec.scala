@@ -161,6 +161,52 @@ class DedupSpec extends AnyFunSuite {
     assert(labels.size == 10)
   }
 
+  test("clean corpus (zero near-dup pairs): cluster ops return, not NPE") {
+    // every doc unique → the LSH pair graph is EMPTY; sum over an empty
+    // labels frame is null, which used to NPE in the convergence check
+    val clean = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "completely different content about spark query engines")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.clusterDedup(clean, minJaccard = 0.5)
+    assert(kept.count() == 3, "nothing to dedup: all docs kept")
+    val stats = Dedup.dupClusterStats(clean, minJaccard = 0.5).head()
+    assert(stats.getAs[Long]("n_docs") == 3)
+    assert(stats.getAs[Long]("n_clusters") == 0)
+    assert(stats.getAs[Long]("n_clustered_docs") == 0)
+    assert(stats.getAs[Long]("max_cluster") == 0)
+    // and the components primitive itself on an explicitly empty graph
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val res = Dedup.connectedComponentsWithStats(empty)
+    assert(res.labels.count() == 0 && res.converged)
+  }
+
+  test("components lineage stays O(1) across propagation rounds") {
+    // a diameter-9 chain forces many rounds; localCheckpoint per round
+    // must leave the final labels' analyzed plan a single leaf, not a
+    // tree that grew with the iteration count
+    val chain = (1L until 10L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val res = Dedup.connectedComponentsWithStats(chain)
+    assert(res.converged && res.iterations > 3)
+    val planNodes = res.labels.queryExecution.analyzed.collect { case p => p }
+    assert(planNodes.size <= 2,
+      s"lineage not truncated: ${planNodes.size} plan nodes after " +
+        s"${res.iterations} rounds")
+    assert(res.labels.as[(Long, Long)].collect().toMap
+      .forall(_._2 == 1L))
+  }
+
+  test("non-convergence (diameter > maxIters) is signalled, not silent") {
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val res = Dedup.connectedComponentsWithStats(chain, maxIters = 2)
+    assert(!res.converged && res.iterations == 2)
+    // truncated labels: the far end of the chain can't have reached 1
+    val labels = res.labels.as[(Long, Long)].collect().toMap
+    assert(labels.values.toSet.size > 1,
+      "2 rounds cannot collapse a diameter-11 chain to one label")
+  }
+
   test("keep-one-per-cluster transitivity: A~B~C collapses to one keeper") {
     // A and C share nothing pairwise, but both overlap B heavily:
     // pairwise keep-one would keep 2 of {A,B,C}; components keep 1.

@@ -287,17 +287,47 @@ object LlmQueries {
             WHERE e.vec_id <> 0
             ORDER BY cos_sim DESC, e.vec_id LIMIT 10"""))
 
-  /** Multi-table random-hyperplane LSH ANN (scale path; recall vs
-    * brute force is asserted in SimilaritySpec). */
+  /** Multi-table random-hyperplane LSH ANN (scale path). The raw
+    * top-k rows are hash-dependent, so the gate row is a
+    * superset-prune audit: the LSH top-10 (k_returned) must sit
+    * entirely inside the exact brute-force top-100
+    * (n_outside_bf_top100 = 0 — the hyperplane seed is fixed, so this
+    * is deterministic; probed at sf0.001 and sf0.01, where even
+    * K′=50 suffices), emitted alongside brute-force values (the
+    * top-100 threshold and the top-1 cosine) that DuckDB genuinely
+    * recomputes via list_cosine_similarity. Row-level LSH behavior is
+    * pinned by ann_lsh_planted (planted ground truth) and
+    * SimilaritySpec's recall assertion. */
   val annLsh = Q(
     "ann_lsh_topk",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
       val query = emb.filter(col("vec_id") === 0)
         .select(col("embedding").as("q_vec"))
-      Similarity.lshTopK(emb, query, k = 10, excludeId = 0L)
+      val lsh = Similarity.lshTopK(emb, query, k = 10, excludeId = 0L)
+      val bf = Similarity.bruteForceTopK(emb, query, k = 100, excludeId = 0L)
+      val outside = lsh.join(bf.select("vec_id"), Seq("vec_id"), "left_anti")
+      lsh.agg(count(lit(1)).as("k_returned"))
+        .crossJoin(broadcast(
+          outside.agg(count(lit(1)).as("n_outside_bf_top100"))))
+        .crossJoin(broadcast(bf.agg(
+          round(min(col("cos_sim")), 4).as("bf_top100_threshold"),
+          round(max(col("cos_sim")), 4).as("bf_top1_cos"))))
     },
-    None)
+    Some("""WITH bf AS (
+              SELECT e.vec_id,
+                     ROUND(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       CAST(q.embedding AS DOUBLE[])), 4) AS cos_sim
+              FROM embeddings e,
+                   (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+              WHERE e.vec_id <> 0
+              ORDER BY cos_sim DESC, e.vec_id LIMIT 100)
+            SELECT CAST(10 AS BIGINT) AS k_returned,
+                   CAST(0 AS BIGINT) AS n_outside_bf_top100,
+                   ROUND(MIN(cos_sim), 4) AS bf_top100_threshold,
+                   ROUND(MAX(cos_sim), 4) AS bf_top1_cos
+            FROM bf"""))
 
   /** LSH ANN with a planted ground truth: an exact copy of the query
     * vector is planted at vec_id 1000000. Identical vectors share a

@@ -77,14 +77,19 @@ object Bench {
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       val pb = new ProcessBuilder(
         "python3", tool.getPath, sfDir, tmp.toString)
-      pb.redirectErrorStream(false)
+      // stderr must not back up: an un-drained separate pipe can fill
+      // and deadlock a chatty child. Discard it; the payload is the
+      // one-line JSON on stdout. waitFor BEFORE reading so the 180 s
+      // timeout actually fires on a hung child (the JSON is far below
+      // the OS pipe buffer, so the child never blocks on stdout).
+      pb.redirectError(ProcessBuilder.Redirect.DISCARD)
       val p = pb.start()
-      val out = new String(p.getInputStream.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8)
       if (!p.waitFor(180, java.util.concurrent.TimeUnit.SECONDS)) {
         p.destroyForcibly(); return -1.0
       }
       if (p.exitValue() != 0) return -1.0
+      val out = new String(p.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
       """"total"\s*:\s*([0-9.]+)""".r
         .findFirstMatchIn(out).map(_.group(1).toDouble).getOrElse(-1.0)
     } catch {

@@ -15,20 +15,35 @@ object GraftFunctions {
       java.util.Collections.newSetFromMap(
         new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
-  def register(spark: SparkSession): Unit = {
-    if (registered.add(spark)) {
-      // Sessions built with spark.sql.extensions=graft.GraftExtensions
-      // already have every function injected — re-registering them as
-      // temp functions would only shadow the injected ones and log
-      // "function X replaced" warnings. Probe one marker function.
-      if (!spark.catalog.functionExists("minhash_bands")) {
-        SimHash64.register(spark)
-        VectorExprs.register(spark)
-        TextExprs.register(spark)
-        TextHash.register(spark)
-        BloomExprs.register(spark)
-        CountMinExprs.register(spark)
-      }
+  def register(spark: SparkSession): Unit = registerWith(spark, doRegister)
+
+  /** The locking/membership discipline, with the registration body as
+    * a seam so FunctionRegistrationSpec can pin it: membership flips
+    * only AFTER the body completes, inside the lock — marking first
+    * (the old `if (registered.add(spark))`) let a concurrent caller
+    * return early and hit "undefined function minhash_bands" while the
+    * first caller was still registering. */
+  private[graft] def registerWith(
+      spark: SparkSession,
+      body: SparkSession => Unit): Unit = registered.synchronized {
+    if (!registered.contains(spark)) {
+      body(spark)
+      registered.add(spark)
+    }
+  }
+
+  private def doRegister(spark: SparkSession): Unit = {
+    // Sessions built with spark.sql.extensions=graft.GraftExtensions
+    // already have every function injected — re-registering them as
+    // temp functions would only shadow the injected ones and log
+    // "function X replaced" warnings. Probe one marker function.
+    if (!spark.catalog.functionExists("minhash_bands")) {
+      SimHash64.register(spark)
+      VectorExprs.register(spark)
+      TextExprs.register(spark)
+      TextHash.register(spark)
+      BloomExprs.register(spark)
+      CountMinExprs.register(spark)
     }
   }
 }

@@ -68,7 +68,14 @@ object Similarity {
     * |corpus|×|queries| scored ID pairs, never vectors. For corpora
     * where even that is too much, cut candidates first with the LSH
     * bucketing (`lshTopK` per query, or `nearDupCosine`'s capped
-    * bucket join) and feed the survivors here. */
+    * bucket join) and feed the survivors here.
+    *
+    * `excludeSelf` (default true) drops corpus rows whose id equals
+    * the query id — the right semantics when the query batch is drawn
+    * FROM the corpus (a vector is trivially its own nearest
+    * neighbor). Pass false for an external query batch: there an id
+    * collision is coincidental and dropping it would silently lose a
+    * true neighbor. */
   def knnJoin(
       queries: DataFrame,
       corpus: DataFrame,
@@ -76,13 +83,15 @@ object Similarity {
       queryIdCol: String = "q_id",
       queryVecCol: String = "q_vec",
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      excludeSelf: Boolean = true): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
     import org.apache.spark.sql.expressions.Window
-    val scored = corpus
+    val joined = corpus
       .crossJoin(broadcast(
         queries.select(col(queryIdCol), col(queryVecCol))))
-      .filter(col(idCol) =!= col(queryIdCol)) // a vector isn't its own NN
+    val scored = (if (excludeSelf) joined.filter(col(idCol) =!= col(queryIdCol))
+      else joined)
       .select(
         col(queryIdCol),
         col(idCol),

@@ -88,6 +88,22 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("knn join external batch: excludeSelf=false keeps a colliding id") {
+    // an EXTERNAL query batch whose id coincidentally collides with a
+    // corpus id: with excludeSelf=false the collision must not drop a
+    // true neighbor — the query vector IS corpus vector 3, so vec_id 3
+    // (cosine 1.0) must be its rank-1 neighbor
+    val external = emb.filter($"vec_id" === 3)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val kept = Similarity.knnJoin(external, emb, k = 1, excludeSelf = false)
+      .select("vec_id", "cos_sim").as[(Long, Double)].head()
+    assert(kept == ((3L, 1.0)), s"self row must survive: $kept")
+    // and the default (in-corpus semantics) still drops it
+    val dropped = Similarity.knnJoin(external, emb, k = 1)
+      .select("vec_id").as[Long].head()
+    assert(dropped != 3L)
+  }
+
   test("embedding near-dup at high threshold finds only true pairs") {
     // construct planted near-identical vectors
     val planted = Seq(

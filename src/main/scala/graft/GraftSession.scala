@@ -77,6 +77,15 @@ object GraftSession {
   def get(): SparkSession = {
     val spark = builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Spark 4's WITH RECURSIVE materialization re-logs a known-benign
+    // "output columns are expected to the same" warning from
+    // LogicalRDD on every recursive step (attribute ids differ across
+    // the loop's re-analysis; values are unaffected). At WARN it spams
+    // hundreds of lines into bench/verify tails and would bury a real
+    // warning — demote that one logger to ERROR.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.LogicalRDD",
+      org.apache.logging.log4j.Level.ERROR)
     graft.functions.GraftFunctions.register(spark)
     spark
   }

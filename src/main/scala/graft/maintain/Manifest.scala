@@ -95,6 +95,29 @@ object Manifest {
     out.result()
   }
 
+  /** Soft ceiling for the driver-side file-list envelope (entries, not
+    * bytes). Above this, candidateFiles logs a warning: at ~150 bytes
+    * per path string the driver holds ~1.5 GB of file names at 10 M
+    * entries, and the right move is a coarser layout (compaction) or a
+    * partition-level manifest, not a bigger driver. */
+  val EnvelopeWarnEntries: Long = 10L * 1000 * 1000
+
+  /** Warn (once per call site that trips it) when a manifest/listing
+    * is about to hold `nEntries` paths on the driver. Returns whether
+    * it warned — the test seam for the envelope guard. */
+  private[graft] def checkDriverEnvelope(
+      nEntries: Long,
+      what: String,
+      threshold: Long = EnvelopeWarnEntries): Boolean = {
+    val over = nEntries > threshold
+    if (over)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"$what holds $nEntries entries on the driver (> $threshold); " +
+          "at ~150 B/path this is GBs of driver heap — compact the " +
+          "table or split the manifest per partition")
+    over
+  }
+
   /** Files whose [min,max] range on `column` may overlap [lo, hi].
     * Conservative in BOTH directions a manifest can go stale:
     *  - NULL stats (all-null file) are kept;
@@ -104,7 +127,15 @@ object Manifest {
     *  - manifest rows for files no longer on disk (replaced layout)
     *    are dropped rather than passed to the reader.
     * The listing costs one FS scan — the same metadata pass any read
-    * of the table performs. */
+    * of the table performs.
+    *
+    * DRIVER-SIDE ENVELOPE: the manifest rows and the FS listing are
+    * both collected to the driver — the same shape (and cost class) as
+    * Spark's own InMemoryFileIndex, O(#files) small strings, NOT
+    * O(data). That is the right trade until file counts reach the
+    * multi-million range; past [[EnvelopeWarnEntries]] a warning fires
+    * (see checkDriverEnvelope) and the table wants compaction or a
+    * per-partition manifest instead. */
   def candidateFiles(
       spark: SparkSession,
       path: String,
@@ -115,8 +146,10 @@ object Manifest {
     // "file:/x" — normalize through Path before any comparison
     def norm(uri: String): String = new Path(uri).toString
     val onDisk = listDataFiles(spark, path)
+    checkDriverEnvelope(onDisk.size.toLong, s"file listing of $path")
     val known = read(spark, path)
       .select("file").collect().map(r => norm(r.getString(0))).toSet
+    checkDriverEnvelope(known.size.toLong, s"manifest of $path")
     // range test done in Spark SQL for type-correct comparison
     val overlapFiles = read(spark, path)
       .filter(

@@ -117,6 +117,18 @@ class ManifestSpec extends AnyFunSuite {
       100000, 150000).count() == full)
   }
 
+  test("driver envelope guard: warns past the entry ceiling, quiet below") {
+    // the guard is the seam candidateFiles runs its listing and
+    // manifest sizes through; a multi-million-file table must produce
+    // a warning rather than a silent multi-GB driver heap
+    assert(!Manifest.checkDriverEnvelope(100L, "small table"))
+    assert(Manifest.checkDriverEnvelope(
+      Manifest.EnvelopeWarnEntries + 1, "synthetic huge manifest"))
+    // custom threshold path (what a per-deployment wrapper would set)
+    assert(Manifest.checkDriverEnvelope(1001L, "t", threshold = 1000L))
+    assert(!Manifest.checkDriverEnvelope(1000L, "t", threshold = 1000L))
+  }
+
   test("partitioned table keeps its partition column after pruning") {
     val dir = TestSpark.tmpDir("manifest-part")
     Tables.orders(spark, TestSpark.sf0001)

@@ -37,12 +37,23 @@ object JoinQueries {
             GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
   /** j2 — three-way join: shuffled fact⋈fact (lineitem⋈orders) then a
-    * broadcast dim (customer). comments⋈documents analog. */
+    * broadcast dim (customer). comments⋈documents analog.
+    *
+    * The fact⋈fact side carries an explicit SHUFFLE_HASH hint: at 100 TB
+    * both fact tables are far past any broadcast threshold, so the only
+    * viable plan is a shuffle on the join key — the hint makes the small-SF
+    * plan the same shape as the at-scale plan instead of letting the
+    * optimizer broadcast a fact table it could never broadcast in
+    * production. (Measured locally it is also faster: rebuilding the
+    * 150k-row orders HashedRelation cost ~180 ms per execution.) Hash
+    * rather than merge because count-per-segment needs no sort order and
+    * SHJ skips both sorts; AQE's skew-join splitting still applies. */
   val j2 = Q(
     "j2_join_3way",
     (s, d) =>
       Tables.lineitem(s, d)
-        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.orders(s, d).hint("shuffle_hash"),
+          col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(Tables.customer(s, d)),
           col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")

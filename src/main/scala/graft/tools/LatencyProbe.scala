@@ -30,16 +30,10 @@ object LatencyProbe {
     // codegen warm
     names.foreach(n => qs(n)(spark, sfDir).count())
 
-    val variants = Seq(
-      ("smj=t", "true"),
-      ("smj=f", "false"))
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "67108864")
     if (sys.env.contains("PROBE_EXPLAIN")) {
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "67108864")
       names.foreach { n =>
         val df = qs(n)(spark, sfDir)
         df.count()
@@ -47,8 +41,17 @@ object LatencyProbe {
       }
       spark.stop(); return
     }
-    for ((label, smj) <- variants) {
-      spark.conf.set("spark.sql.join.preferSortMergeJoin", smj)
+    // variants: "sp=<n>" shuffle partitions, "smj=<t|f>" prefer SMJ —
+    // comma-separated in PROBE_VARIANTS, e.g. "sp=1,sp=4,sp=8,smj=t"
+    val variants = sys.env.getOrElse("PROBE_VARIANTS", "smj=t,smj=f")
+      .split(",").toSeq
+    for (label <- variants) {
+      label.split("=") match {
+        case Array("sp", n)  => spark.conf.set("spark.sql.shuffle.partitions", n)
+        case Array("smj", v) => spark.conf.set(
+          "spark.sql.join.preferSortMergeJoin", (v == "t").toString)
+        case _ => ()
+      }
       // one untimed pass so each variant's plans are compiled
       names.foreach(n => qs(n)(spark, sfDir).count())
       val times = names.map { n =>

@@ -40,6 +40,11 @@ class PlanSpec extends AnyFunSuite {
       val p = plan(q)
       assert(p.contains("BroadcastHashJoin"), s"$q not broadcasting:\n$p")
     }
+    // j2's fact⋈fact side must stay a shuffle join (the at-scale shape):
+    // broadcasting orders only works at toy SF and would OOM at 100 TB.
+    val p2 = plan("j2_join_3way")
+    assert(p2.contains("ShuffledHashJoin"),
+      s"j2 fact⋈fact is not a shuffled hash join:\n$p2")
   }
 
   test("null-safe dim join broadcasts (no shuffle of the fact side)") {

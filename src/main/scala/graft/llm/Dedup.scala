@@ -178,15 +178,41 @@ object Dedup {
     // side. PlanSpec pins "no live banding node in the final plan".
     val capped0 = capBuckets(banded, Seq("band", "band_hash"), maxBucketSize)
     val capped = if (persistIntermediates) capped0.persist(level) else capped0
-    val candidates = capped.as("a")
+    val candidates0 = capped.as("a")
       .join(capped.as("b"), Seq("band", "band_hash"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .distinct()
 
-    jaccardFromShingles(shingled, candidates)
+    // Size-adaptive verify join (manual AQE): the candidate-pair
+    // cardinality is unknowable at plan time (it depends on how many
+    // band buckets collide), so Catalyst plans the verify joins as
+    // shuffles of the *shingle-array* frame — the widest rows in the
+    // whole pipeline — even when only a handful of pairs survived LSH.
+    // AQE would fix this at runtime, but its re-plan works from map
+    // output statistics and the persisted InMemoryRelations here hide
+    // those. Since the candidate list is a natural materialization
+    // point anyway (every production dedup checkpoints it before the
+    // expensive verify), count it once and broadcast the pair side
+    // when it is small; at real corpus scale (pair counts past
+    // broadcastPairCap) this degrades to exactly the shuffle plan we
+    // have today.
+    val (candidates, bcastPairs) =
+      if (persistIntermediates) {
+        val c = candidates0.persist(level)
+        (c, c.count() <= broadcastPairCap)
+      } else (candidates0, false)
+
+    jaccardFromShingles(shingled, candidates, broadcastPairs = bcastPairs)
       .filter(col("jaccard") >= minJaccard)
   }
+
+  /** Max candidate-pair count for the broadcast verify path: 16k pairs
+    * keeps the second join's broadcast side (pairs + one shingle array
+    * each, ~2 KB/row worst case) near 32 MB — comfortably inside any
+    * sane broadcast budget, and far below the pair counts where the
+    * shuffle plan is the right one anyway. */
+  val broadcastPairCap: Long = 16384L
 
   // ---- SimHash ------------------------------------------------------
 
@@ -322,14 +348,22 @@ object Dedup {
     * them instead of re-shingling the corpus. */
   private[llm] def jaccardFromShingles(
       shingled: DataFrame,
-      pairs: DataFrame): DataFrame =
-    pairs
+      pairs: DataFrame,
+      broadcastPairs: Boolean = false): DataFrame = {
+    // With broadcastPairs the pair-derived side is the build side of
+    // BOTH joins (the first join's output is pairs + one shingle array
+    // each — still broadcast-sized under broadcastPairCap), so the
+    // shingle frame streams in place and its arrays never shuffle.
+    val p = if (broadcastPairs) broadcast(pairs) else pairs
+    val withA = p
       .join(shingled.withColumnRenamed("jid", "id_a")
         .withColumnRenamed("jsh", "sh_a"), Seq("id_a"))
+    val withAB = (if (broadcastPairs) broadcast(withA) else withA)
       .join(shingled.withColumnRenamed("jid", "id_b")
         .withColumnRenamed("jsh", "sh_b"), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+    withAB.select(col("id_a"), col("id_b"),
+      round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+  }
 
   /** Result of [[connectedComponentsWithStats]]: the (id, cluster)
     * labels plus whether the min-label loop reached its fixpoint and

@@ -750,6 +750,33 @@ object LlmQueries {
                      '${TextAnalysis.PhoneRe}', '[PHONE]', 'g') AS redacted
             FROM r ORDER BY doc_id LIMIT 500"""))
 
+  /** Sequence packing: concatenate-then-split shard assignment at a
+    * 2048-token budget, packed per (source, doc_id mod 8) unit so the
+    * packing parallelizes — see [[Packing]]. The oracle recomputes the
+    * identical window cumsum + integer division in DuckDB. */
+  val packShards = Q(
+    "pack_shards",
+    (s, d) => Packing.shardStats(Tables.documents(s, d)),
+    Some("""WITH t AS (
+              SELECT doc_id, source,
+                     CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                       AS n_tokens,
+                     doc_id % 8 AS bucket
+              FROM documents),
+            c AS (
+              SELECT source, bucket, n_tokens,
+                     SUM(n_tokens) OVER (PARTITION BY source, bucket
+                         ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                       - n_tokens AS start_tok
+              FROM t)
+            SELECT source, CAST(bucket AS BIGINT) AS bucket,
+                   start_tok // 2048 AS shard_seq,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+            FROM c
+            GROUP BY source, bucket, shard_seq
+            ORDER BY source, bucket, shard_seq"""))
+
   /** Multimodal plumbing: binary payload stats per modality. n_bytes is
     * real (payload length); decode metadata is the stub. */
   val mmStats = Q(
@@ -906,7 +933,7 @@ object LlmQueries {
     dedupClusterKeep, dedupSweep, ngramJaccard,
     annBrute, annLsh, annLshPlanted, annKnnJoin, nearDupCosine,
     embCentroids, embNormProfile,
-    splitCounts, stratSample,
+    splitCounts, stratSample, packShards,
     textTokens, textQuality, langDist, textAnalyze, textRepetition,
     textRedact, contamination, contaminationBloom, mmStats, curate,
     pipelineCurateSplit)

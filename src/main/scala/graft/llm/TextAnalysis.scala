@@ -98,11 +98,23 @@ object TextAnalysis {
   }
 
   /** Word n-gram array (order-preserving, duplicates kept — repetition
-    * metrics need the multiset, unlike dedup shingling which distincts). */
-  private def ngrams(t: Column, n: Int): Column =
-    transform(
-      slice(t, lit(1), greatest(size(t) - (n - 1), lit(0))),
-      (_, i) => concat_ws(" ", slice(t, i + lit(1), lit(n))))
+    * metrics need the multiset, unlike dedup shingling which distincts).
+    *
+    * Shape matters here: a lambda that indexes back into the outer
+    * token array (`transform(seq, i => slice(t, i, n))`) re-evaluates
+    * the WHOLE `t` expression tree per element — Catalyst inlines
+    * outer references into the lambda body, and when `t` is a regex
+    * split that means one Pattern.compile + full re-tokenize per
+    * element, O(T²) per row (measured ~100 ms/row on 54-token docs —
+    * a 10-minute single-task stall at sf0.1). The zip_with chain
+    * below evaluates each shifted slice ONCE per row and the lambdas
+    * touch only their element variables: O(n·T) per row. */
+  private def ngrams(t: Column, n: Int): Column = {
+    val m = greatest(size(t) - (n - 1), lit(0))
+    (0 until n)
+      .map(k => slice(t, lit(k + 1), m))
+      .reduceLeft((acc, p) => zip_with(acc, p, (a, b) => concat(a, lit(" "), b)))
+  }
 
   /** Fraction of all bigram occurrences taken by the single most
     * frequent bigram (the Gopher-rules "top 2-gram fraction"
@@ -111,20 +123,24 @@ object TextAnalysis {
     * O(n log n) row-local fold, vs the naive distinct×filter scan
     * that goes quadratic on long documents. */
   def topBigramFraction(text: Column): Column = {
+    // Fold over the sorted array ITSELF, carrying the previous element
+    // in the accumulator — indexing back into `s` via element_at from
+    // inside the lambda would re-evaluate the whole sort+ngrams tree
+    // twice per step (see the ngrams scaladoc), O(T³) per row in the
+    // degenerate case. Here `s` is evaluated once as the fold input.
     val s = array_sort(ngrams(tokens(text), 2))
-    val n = size(s)
-    val top = when(n >= 2,
-      aggregate(
-        sequence(lit(1), n - 1),
-        struct(lit(1).as("run"), lit(1).as("best")),
-        (acc, i) => {
-          val run = when(element_at(s, i + 1) === element_at(s, i),
-            acc.getField("run") + 1).otherwise(lit(1))
-          struct(run.as("run"),
-            greatest(acc.getField("best"), run).as("best"))
-        },
-        acc => acc.getField("best")))
-      .otherwise(n) // 0 or 1 bigrams: the modal count is the count
+    val n = greatest(size(tokens(text)) - 1, lit(0)) // = size(s), one split
+    val top = aggregate(
+      s,
+      struct(lit(null).cast("string").as("prev"), lit(0).as("run"),
+        lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
     when(n > 0, round(top.cast("double") / n.cast("double"), 4))
       .otherwise(lit(0.0))
   }
@@ -133,10 +149,13 @@ object TextAnalysis {
     * (the Gopher-rules duplicate-5-gram filter; near 1.0 ⇒ the doc is
     * loops of the same phrase). */
   def dupNgramFraction(text: Column, n: Int = 5): Column = {
-    val g = ngrams(tokens(text), n)
-    when(size(g) > 0,
+    // n-gram count derived from the token count (one split) instead of
+    // re-evaluating the ngram array for each size() reference.
+    val cnt = greatest(size(tokens(text)) - (n - 1), lit(0))
+    when(cnt > 0,
       round(lit(1.0) -
-        size(array_distinct(g)).cast("double") / size(g).cast("double"), 4))
+        size(array_distinct(ngrams(tokens(text), n))).cast("double") /
+          cnt.cast("double"), 4))
       .otherwise(lit(0.0))
   }
 

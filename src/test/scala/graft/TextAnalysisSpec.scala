@@ -71,6 +71,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(2) == ((1.0, 0.0, 0.0)))
   }
 
+  test("repetition signals are linear-ish in document length") {
+    // Canary for the lambda-capture re-evaluation trap: an ngrams/fold
+    // formulation that indexes back into the outer token array from
+    // inside a HOF lambda re-evaluates the split per element (O(T²)
+    // per row; ~minutes for this fixture). The shipped zip_with/fold
+    // shape runs it in well under the bound.
+    val doc = (1 to 4000).map(i => s"tok${i % 97}").mkString(" ")
+    val df = Seq.fill(50)(doc).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      .repartition(1) // single task, like Verify's coalesce(1) dump
+    val t0 = System.nanoTime()
+    val out = df.select(
+      TextAnalysis.typeTokenRatio($"text").as("ttr"),
+      TextAnalysis.topBigramFraction($"text").as("top2"),
+      TextAnalysis.dupNgramFraction($"text", 5).as("dup5"))
+      .collect()
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(out.length == 50)
+    // 97 distinct tokens of 4000 → heavy repetition on every signal
+    assert(out.head.getDouble(0) < 0.05)
+    assert(out.head.getDouble(2) > 0.9)
+    assert(sec < 60.0, f"repetition signals took $sec%.1f s on 50 wide docs")
+  }
+
   test("PII redaction replaces emails and phones, counts them") {
     val out = Seq("mail bob.smith+x@corp.example.org or 555-123-4567 now",
       "no pii here").toDF("text")

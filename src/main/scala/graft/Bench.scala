@@ -133,8 +133,15 @@ object Bench {
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).cache())
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
 
-    val names = headline.filter(queries.contains) ++
-      queries.keys.filterNot(headline.contains).toSeq.sorted
+    // The headline set runs LAST: the first dozen queries of a run pay
+    // the JVM's C2 compilation of Spark's shuffle/sort/window internals
+    // regardless of the per-query cold/warm split (measured with
+    // tools/ProbeDecomp: an identical j2 plan times 0.62 s as the first
+    // query of a session and 0.25 s once the JVM is hot). The headline
+    // numbers claim steady-state resident-engine latency, so they are
+    // measured in the steady state the rest of the suite establishes.
+    val names = queries.keys.filterNot(headline.contains).toSeq.sorted ++
+      headline.filter(queries.contains)
 
     val results = names.map { name =>
       def once(): Double =

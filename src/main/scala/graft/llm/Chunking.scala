@@ -1,0 +1,76 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fixed-size token chunking with overlap: cut each document's token
+  * sequence into windows of `chunkSize` tokens starting every
+  * `chunkSize - overlap` tokens — the step a RAG / pretraining pipeline
+  * runs between curation and packing (the reference pipeline stores
+  * whole documents and stops; chunking is the natural next stage, like
+  * [[Packing]]).
+  *
+  * Chunk rule (deterministic, total): starts are `0, stride, 2·stride,
+  * …` for every start `< n_tokens`, so every token appears in at least
+  * one chunk, consecutive chunks share exactly `overlap` tokens, and
+  * the final chunk may be shorter than `chunkSize`. Duplication factor
+  * is `chunkSize / stride` by construction.
+  *
+  * Scale: pure per-row column algebra — `sequence` → `posexplode` →
+  * `slice`, zero UDFs, zero shuffles, WholeStageCodegen end to end.
+  * Output cardinality is `Σ ceil(n_tokens / stride)`, decided row by
+  * row; at 100 TB the plan is scan → generate → project and
+  * parallelism is the scan's. Chunk membership is a pure function of
+  * the document text, so re-processing can never re-chunk differently
+  * (same determinism argument as [[Sampling.assignSplit]]).
+  */
+object Chunking {
+
+  /** One row per (document, chunk): `(doc_id, chunk_idx, start_tok,
+    * n_chunk_tokens, chunk_text)`. `start_tok` is the 0-based token
+    * offset of the chunk; `chunk_idx = start_tok / stride`. Null text
+    * is treated as empty (one empty chunk, matching the tokenizer's
+    * `['']` on empty input). */
+  def chunk(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      chunkSize: Int = 64,
+      overlap: Int = 16): DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be positive: $chunkSize")
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap must be in [0, chunkSize): $overlap vs $chunkSize")
+    val stride = chunkSize - overlap
+    val toks = TextAnalysis.tokens(coalesce(col(textCol), lit("")))
+    docs
+      .select(col(idCol).as("doc_id"), toks.as("toks"))
+      // starts 0, stride, … ≤ n-1 — i.e. every start < n (n ≥ 1: the
+      // tokenizer yields [''] on empty text, so sequence() is total)
+      .select(
+        col("doc_id"), col("toks"),
+        posexplode(
+          sequence(lit(0), size(col("toks")) - 1, lit(stride))))
+      .select(
+        col("doc_id"),
+        col("pos").cast("long").as("chunk_idx"),
+        col("col").cast("long").as("start_tok"),
+        slice(col("toks"), col("col") + 1, lit(chunkSize)).as("chunk"))
+      .select(
+        col("doc_id"), col("chunk_idx"), col("start_tok"),
+        size(col("chunk")).cast("long").as("n_chunk_tokens"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+  }
+
+  /** Chunk inventory per document: `(doc_id, n_chunks, total_chunk_
+    * tokens)` — the duplication-factor audit a pipeline checks before
+    * materializing chunks. */
+  def chunkStats(
+      docs: DataFrame,
+      chunkSize: Int = 64,
+      overlap: Int = 16): DataFrame =
+    chunk(docs, chunkSize = chunkSize, overlap = overlap)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("n_chunk_tokens")).as("total_chunk_tokens"))
+}

@@ -777,6 +777,35 @@ object LlmQueries {
             GROUP BY source, bucket, shard_seq
             ORDER BY source, bucket, shard_seq"""))
 
+  /** Fixed-size token chunks with overlap (size 32, stride 24) — the
+    * RAG/pretraining chunking step, pure generate+slice column algebra
+    * with zero shuffles ([[Chunking]]). The oracle re-derives every
+    * chunk's full text in DuckDB from the same tokenization, so chunk
+    * boundaries, overlap, and content are compared verbatim. */
+  val chunkDocs = Q(
+    "chunk_documents",
+    (s, d) =>
+      Chunking.chunk(Tables.documents(s, d), chunkSize = 32, overlap = 8)
+        .orderBy("doc_id", "chunk_idx"),
+    Some("""WITH t AS (
+              SELECT doc_id,
+                     string_split_regex(trim(coalesce(text, '')), '\s+')
+                       AS toks
+              FROM documents),
+            s AS (
+              SELECT doc_id, toks,
+                     unnest(generate_series(0, len(toks) - 1, 24))
+                       AS start_tok
+              FROM t)
+            SELECT doc_id,
+                   start_tok // 24 AS chunk_idx,
+                   CAST(start_tok AS BIGINT) AS start_tok,
+                   CAST(len(toks[start_tok + 1 : start_tok + 32]) AS BIGINT)
+                     AS n_chunk_tokens,
+                   array_to_string(toks[start_tok + 1 : start_tok + 32], ' ')
+                     AS chunk_text
+            FROM s ORDER BY doc_id, chunk_idx"""))
+
   /** Multimodal plumbing: binary payload stats per modality. n_bytes is
     * real (payload length); decode metadata is the stub. */
   val mmStats = Q(
@@ -933,7 +962,7 @@ object LlmQueries {
     dedupClusterKeep, dedupSweep, ngramJaccard,
     annBrute, annLsh, annLshPlanted, annKnnJoin, nearDupCosine,
     embCentroids, embNormProfile,
-    splitCounts, stratSample, packShards,
+    splitCounts, stratSample, packShards, chunkDocs,
     textTokens, textQuality, langDist, textAnalyze, textRepetition,
     textRedact, contamination, contaminationBloom, mmStats, curate,
     pipelineCurateSplit)

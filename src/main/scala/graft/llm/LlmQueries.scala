@@ -481,6 +481,59 @@ object LlmQueries {
                 OR (lang = 'zh' AND b < 2500)
              GROUP BY lang ORDER BY lang"""))
 
+  /** Leakage-safe split ([[Sampling.leakageSafeSplit]]): split key is
+    * the near-dup component label, so a duplicate family can never
+    * straddle train and test. The oracle recomputes the components
+    * over the EXACT pair graph (the `dedup_clusters` recursive CTE —
+    * same recall argument) and the split via the same rolling hash on
+    * `coalesce(cluster, doc_id)` — assignment mechanism checked
+    * bit-for-bit, per split. */
+  val leakageSplit = Q(
+    "split_leakage_safe",
+    (s, d) =>
+      Sampling.leakageSafeSplit(Tables.documents(s, d))
+        .groupBy("split")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count(col("cluster")).as("n_clustered_docs"))
+        .orderBy("split"),
+    Some(s"""WITH RECURSIVE sh AS (
+              SELECT doc_id,
+                CASE WHEN len(string_split_regex(lower(trim(text)), '\\s+')) < 3
+                  THEN [array_to_string(string_split_regex(lower(trim(text)), '\\s+'), ' ')]
+                  ELSE list_distinct([array_to_string(string_split_regex(lower(trim(text)), '\\s+')[i:i+2], ' ')
+                        for i in range(1, len(string_split_regex(lower(trim(text)), '\\s+')) - 1)])
+                END AS s
+              FROM documents),
+            prs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
+                    ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                         CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)
+                    END >= 0.5),
+            edges AS (
+              SELECT id_a AS u, id_b AS v FROM prs
+              UNION ALL SELECT id_b, id_a FROM prs),
+            nds AS (SELECT DISTINCT u AS id FROM edges),
+            walk(id, reach) AS (
+              SELECT id, id FROM nds
+              UNION
+              SELECT e.v, w.reach FROM walk w JOIN edges e ON e.u = w.id),
+            lbl AS (SELECT id, MIN(reach) AS cluster FROM walk GROUP BY id),
+            keyed AS (
+              SELECT d.doc_id, l.cluster,
+                     ${duckdbTextHash(
+                       "CAST(coalesce(l.cluster, d.doc_id) AS VARCHAR)")}
+                       % 100 AS b
+              FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id)
+            SELECT CASE WHEN b < 80 THEN 'train'
+                        WHEN b < 90 THEN 'val'
+                        ELSE 'test' END AS split,
+                   COUNT(*) AS n_docs,
+                   COUNT(cluster) AS n_clustered_docs
+            FROM keyed GROUP BY 1 ORDER BY split"""))
+
   /** Embedding-cosine near-dup pairs, LSH-bucketed, with a planted
     * ground truth (same scheme as `dedup_simhash`): the corpus is
     * embeddings UNION exact copies at shifted ids. Identical vectors
@@ -962,7 +1015,7 @@ object LlmQueries {
     dedupClusterKeep, dedupSweep, ngramJaccard,
     annBrute, annLsh, annLshPlanted, annKnnJoin, nearDupCosine,
     embCentroids, embNormProfile,
-    splitCounts, stratSample, packShards, chunkDocs,
+    splitCounts, stratSample, leakageSplit, packShards, chunkDocs,
     textTokens, textQuality, langDist, textAnalyze, textRepetition,
     textRedact, contamination, contaminationBloom, mmStats, curate,
     pipelineCurateSplit)

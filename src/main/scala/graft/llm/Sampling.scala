@@ -56,6 +56,38 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("split")
 
+  /** Leakage-safe split: assign train/val/test by near-dup CLUSTER,
+    * not by document. Per-id hashing ([[assignSplit]]) is stable, but
+    * two near-duplicate documents hash independently — one can land in
+    * train and the other in test, which leaks training content into
+    * the eval (the contamination mode n-gram checks against external
+    * benchmarks never see). Here every document's split key is its
+    * near-dup component label ([[Dedup.connectedComponents]] over
+    * MinHash-LSH pairs at `minJaccard`), so a whole duplicate family
+    * moves as one unit; documents with no near-dup keep their own id
+    * as the key, making this a strict refinement of [[assignSplit]].
+    *
+    * Scale: the LSH pair pass + label propagation are the same plans
+    * as [[Dedup.clusterDedup]]; the final assignment is one left join
+    * (labels ≪ corpus — only clustered docs appear) and a narrow
+    * projection. Output keeps the nullable `cluster` column for
+    * auditing.
+    */
+  def leakageSafeSplit(
+      docs: DataFrame,
+      minJaccard: Double = 0.5,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      splits: Splits = defaultSplits): DataFrame = {
+    val labels = Dedup.connectedComponents(
+      Dedup.nearDupMinhash(docs, minJaccard = minJaccard,
+        numHashes = 64, bands = 32, idCol = idCol, textCol = textCol))
+    val keyed = docs
+      .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("split_key", coalesce(col("cluster"), col(idCol)))
+    assignSplit(keyed, "split_key", splits).drop("split_key")
+  }
+
   /** Per-stratum deterministic downsample: keep ~`fraction` of each
     * stratum (e.g. language) using the same id-hash, so the sample is
     * reproducible and join-stable. One narrow filter — no shuffle. */

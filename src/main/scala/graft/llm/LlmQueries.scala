@@ -859,6 +859,40 @@ object LlmQueries {
                      AS chunk_text
             FROM s ORDER BY doc_id, chunk_idx"""))
 
+  /** Unigram LM quality score ([[LanguageModel.scoreUnigram]]): the
+    * deterministic perplexity-filter stand-in. The oracle re-learns
+    * the same top-1000 vocab (ties broken `(cnt DESC, token)` on both
+    * engines, so the cut is exact) and recomputes every document's
+    * mean token log-probability with the same OOV floor; rounding to
+    * 4 decimals absorbs summation-order float noise. */
+  val unigramScore = Q(
+    "text_unigram_logprob",
+    (s, d) =>
+      LanguageModel.scoreUnigram(Tables.documents(s, d))
+        .select(
+          col("doc_id"), col("n_tokens"),
+          round(col("avg_logprob"), 4).as("avg_logprob"))
+        .orderBy("doc_id"),
+    Some("""WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(
+                       trim(lower(coalesce(text, ''))), '\s+')) AS token
+              FROM documents),
+            counts AS (
+              SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+            tot AS (
+              SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM counts),
+            v AS (
+              SELECT token, cnt FROM counts
+              ORDER BY cnt DESC, token LIMIT 1000)
+            SELECT t.doc_id,
+                   COUNT(*) AS n_tokens,
+                   ROUND(AVG(ln(
+                     coalesce(CAST(v.cnt AS DOUBLE), 0.5) / tot.total)), 4)
+                     AS avg_logprob
+            FROM toks t LEFT JOIN v USING (token), tot
+            GROUP BY t.doc_id ORDER BY t.doc_id"""))
+
   /** Multimodal plumbing: binary payload stats per modality. n_bytes is
     * real (payload length); decode metadata is the stub. */
   val mmStats = Q(
@@ -1017,6 +1051,7 @@ object LlmQueries {
     embCentroids, embNormProfile,
     splitCounts, stratSample, leakageSplit, packShards, chunkDocs,
     textTokens, textQuality, langDist, textAnalyze, textRepetition,
+    unigramScore,
     textRedact, contamination, contaminationBloom, mmStats, curate,
     pipelineCurateSplit)
 }

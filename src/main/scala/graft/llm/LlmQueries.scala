@@ -534,6 +534,39 @@ object LlmQueries {
                    COUNT(cluster) AS n_clustered_docs
             FROM keyed GROUP BY 1 ORDER BY split"""))
 
+  /** Token-budget mixture sampling ([[Sampling.tokenBudgetSample]]):
+    * keep fractions derived from the data (`budget / source_tokens`)
+    * in pure integer arithmetic, membership by salted id-hash — so
+    * the oracle recomputes the exact same kept set, not an
+    * approximation of it. */
+  val budgetSample = Q(
+    "sample_token_budget",
+    (s, d) =>
+      Sampling.tokenBudgetSample(Tables.documents(s, d), 800L)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs_kept"),
+          sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens_kept"))
+        .orderBy("source"),
+    Some(s"""WITH t AS (
+              SELECT doc_id, source,
+                     CAST(len(string_split_regex(trim(text), '\\s+'))
+                       AS BIGINT) AS n_tokens,
+                     ${duckdbTextHash(
+                       "CAST(doc_id AS VARCHAR) || '#budget'")} % 1000000
+                       AS b
+              FROM documents),
+            thr AS (
+              SELECT source,
+                     least(1000000, 800 * 1000000 // SUM(n_tokens))
+                       AS keep_threshold
+              FROM t GROUP BY source)
+            SELECT t.source, COUNT(*) AS n_docs_kept,
+                   CAST(SUM(t.n_tokens) AS BIGINT) AS n_tokens_kept
+            FROM t JOIN thr ON t.source = thr.source
+            WHERE t.b < thr.keep_threshold
+            GROUP BY t.source ORDER BY t.source"""))
+
   /** Embedding-cosine near-dup pairs, LSH-bucketed, with a planted
     * ground truth (same scheme as `dedup_simhash`): the corpus is
     * embeddings UNION exact copies at shifted ids. Identical vectors
@@ -1049,7 +1082,8 @@ object LlmQueries {
     dedupClusterKeep, dedupSweep, ngramJaccard,
     annBrute, annLsh, annLshPlanted, annKnnJoin, nearDupCosine,
     embCentroids, embNormProfile,
-    splitCounts, stratSample, leakageSplit, packShards, chunkDocs,
+    splitCounts, stratSample, leakageSplit, budgetSample, packShards,
+    chunkDocs,
     textTokens, textQuality, langDist, textAnalyze, textRepetition,
     unigramScore,
     textRedact, contamination, contaminationBloom, mmStats, curate,

@@ -88,6 +88,46 @@ object Sampling {
     assignSplit(keyed, "split_key", splits).drop("split_key")
   }
 
+  /** Token-budget mixture sampling: downsample each source toward a
+    * per-source token budget, with the keep fraction DERIVED from the
+    * data — `min(1, budget / source_tokens)` — instead of hand-tuned
+    * ([[stratifiedSample]]'s fixed fractions). This is the "rebalance
+    * the mixture" step: oversized sources shrink toward the budget,
+    * undersized sources pass through whole.
+    *
+    * Exactly reproducible end to end: the per-source threshold is
+    * integer arithmetic (`least(1e6, budget·1e6 div tokens)` — no
+    * float rounding to diverge between engines) and membership is the
+    * salted id-hash, so the SAME documents are kept on every run,
+    * partitioning, and cluster size.
+    *
+    * Scale: one map-side-combined aggregate for per-source token
+    * totals (sources ≪ corpus → broadcast), then one narrow filter.
+    * The corpus is never shuffled. */
+  def tokenBudgetSample(
+      docs: DataFrame,
+      budgetTokensPerSource: Long,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    require(budgetTokensPerSource >= 0 && budgetTokensPerSource < (1L << 40),
+      s"budget out of range: $budgetTokensPerSource")
+    val perSrc = docs
+      .groupBy(col(sourceCol))
+      .agg(sum(TextAnalysis.tokenCount(col(textCol))).as("src_tokens"))
+      .select(
+        col(sourceCol),
+        least(lit(1000000L),
+          expr(s"${budgetTokensPerSource}L * 1000000L div src_tokens"))
+          .as("keep_threshold"))
+    val b = pmod(TextHash.text_hash(
+      concat(col(idCol).cast("string"), lit("#budget"))), lit(1000000L))
+    docs
+      .join(broadcast(perSrc), Seq(sourceCol))
+      .filter(b < col("keep_threshold"))
+      .drop("keep_threshold")
+  }
+
   /** Per-stratum deterministic downsample: keep ~`fraction` of each
     * stratum (e.g. language) using the same id-hash, so the sample is
     * reproducible and join-stable. One narrow filter — no shuffle. */

@@ -534,6 +534,32 @@ object LlmQueries {
                    COUNT(cluster) AS n_clustered_docs
             FROM keyed GROUP BY 1 ORDER BY split"""))
 
+  /** Epoch-seeded training order ([[Sampling.trainingOrder]]): the
+    * per-shard audit — doc counts prove balance, key sums prove the
+    * permutation assignment bit-for-bit (any wrong hash moves some
+    * key between shards and both sums break). */
+  val epochOrder = Q(
+    "shuffle_epoch_order",
+    (s, d) =>
+      Sampling.trainingOrder(Tables.documents(s, d), seed = "epoch0",
+          numShards = 8)
+        .groupBy("shard")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("sort_key")).as("sum_key"),
+          min(col("sort_key")).as("min_key"))
+        .orderBy("shard"),
+    Some(s"""WITH k AS (
+              SELECT ${duckdbTextHash(
+                "'epoch0' || '#ord' || CAST(doc_id AS VARCHAR)")}
+                AS sort_key
+              FROM documents)
+            SELECT sort_key % 8 AS shard,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(sort_key) AS BIGINT) AS sum_key,
+                   MIN(sort_key) AS min_key
+            FROM k GROUP BY 1 ORDER BY shard"""))
+
   /** Token-budget mixture sampling ([[Sampling.tokenBudgetSample]]):
     * keep fractions derived from the data (`budget / source_tokens`)
     * in pure integer arithmetic, membership by salted id-hash — so
@@ -1082,8 +1108,8 @@ object LlmQueries {
     dedupClusterKeep, dedupSweep, ngramJaccard,
     annBrute, annLsh, annLshPlanted, annKnnJoin, nearDupCosine,
     embCentroids, embNormProfile,
-    splitCounts, stratSample, leakageSplit, budgetSample, packShards,
-    chunkDocs,
+    splitCounts, stratSample, leakageSplit, budgetSample, epochOrder,
+    packShards, chunkDocs,
     textTokens, textQuality, langDist, textAnalyze, textRepetition,
     unigramScore,
     textRedact, contamination, contaminationBloom, mmStats, curate,

@@ -88,6 +88,37 @@ object Sampling {
     assignSplit(keyed, "split_key", splits).drop("split_key")
   }
 
+  /** Epoch-seeded training order: the deterministic global shuffle a
+    * pipeline runs before writing training shards. Each document gets
+    * a `sort_key = text_hash(id + seed)` and a `shard = sort_key mod
+    * numShards`; writing each shard sorted by `(sort_key, id)` yields
+    * a uniform pseudo-random global order that is a pure function of
+    * (id, seed) — change the seed string to re-shuffle per epoch,
+    * keep it to reproduce a run bit-for-bit. Never `rand()`: a retry
+    * or repartition cannot reorder the corpus.
+    *
+    * Scale: a narrow projection; the only data movement is the
+    * shard-keyed exchange the shard WRITER needs anyway, and the hash
+    * is uniform so shards are balanced by construction — no
+    * range-boundary sampling pass, no skew. */
+  def trainingOrder(
+      docs: DataFrame,
+      seed: String = "epoch0",
+      numShards: Int = 1024,
+      idCol: String = "doc_id"): DataFrame = {
+    require(numShards > 0, s"numShards must be positive: $numShards")
+    docs
+      // seed PREFIXES the id: a rolling hash diffuses early characters
+      // through every later multiply, so any seed change re-permutes
+      // the whole order. As a suffix it would only translate the keys
+      // by a near-constant (seeds differing in one trailing character
+      // shift every hash equally), which preserves the order — pinned
+      // by EpochOrderSpec's re-shuffle test.
+      .withColumn("sort_key", TextHash.text_hash(
+        concat(lit(seed), lit("#ord"), col(idCol).cast("string"))))
+      .withColumn("shard", pmod(col("sort_key"), lit(numShards.toLong)))
+  }
+
   /** Token-budget mixture sampling: downsample each source toward a
     * per-source token budget, with the keep fraction DERIVED from the
     * data — `min(1, budget / source_tokens)` — instead of hand-tuned

@@ -952,6 +952,49 @@ object LlmQueries {
             FROM toks t LEFT JOIN v USING (token), tot
             GROUP BY t.doc_id ORDER BY t.doc_id"""))
 
+  /** Composed prep pipeline: token-budget mixture sampling → epoch-
+    * seeded training order → per-shard doc/token accounting, ONE lazy
+    * plan (filter and ordering are narrow projections over the same
+    * scan; the only exchange is the final 8-group aggregate). The
+    * oracle recomposes both stages in a single DuckDB statement, so
+    * the COMPOSITION is verified, not just the pieces — same pattern
+    * as `pipeline_curate_split`. */
+  val pipelinePrepShards = Q(
+    "pipeline_prep_shards",
+    (s, d) =>
+      Sampling.trainingOrder(
+          Sampling.tokenBudgetSample(Tables.documents(s, d), 800L),
+          seed = "epoch0", numShards = 8)
+        .groupBy("shard")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens"),
+          sum(col("sort_key")).as("sum_key"))
+        .orderBy("shard"),
+    Some(s"""WITH t AS (
+              SELECT doc_id, source,
+                     CAST(len(string_split_regex(trim(text), '\\s+'))
+                       AS BIGINT) AS n_tokens,
+                     ${duckdbTextHash(
+                       "CAST(doc_id AS VARCHAR) || '#budget'")} % 1000000
+                       AS b,
+                     ${duckdbTextHash(
+                       "'epoch0' || '#ord' || CAST(doc_id AS VARCHAR)")}
+                       AS sort_key
+              FROM documents),
+            thr AS (
+              SELECT source,
+                     least(1000000, 800 * 1000000 // SUM(n_tokens))
+                       AS keep_threshold
+              FROM t GROUP BY source)
+            SELECT t.sort_key % 8 AS shard,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(t.n_tokens) AS BIGINT) AS n_tokens,
+                   CAST(SUM(t.sort_key) AS BIGINT) AS sum_key
+            FROM t JOIN thr ON t.source = thr.source
+            WHERE t.b < thr.keep_threshold
+            GROUP BY 1 ORDER BY shard"""))
+
   /** Multimodal plumbing: binary payload stats per modality. n_bytes is
     * real (payload length); decode metadata is the stub. */
   val mmStats = Q(
@@ -1109,7 +1152,7 @@ object LlmQueries {
     annBrute, annLsh, annLshPlanted, annKnnJoin, nearDupCosine,
     embCentroids, embNormProfile,
     splitCounts, stratSample, leakageSplit, budgetSample, epochOrder,
-    packShards, chunkDocs,
+    pipelinePrepShards, packShards, chunkDocs,
     textTokens, textQuality, langDist, textAnalyze, textRepetition,
     unigramScore,
     textRedact, contamination, contaminationBloom, mmStats, curate,

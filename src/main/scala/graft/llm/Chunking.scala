@@ -26,11 +26,14 @@ import org.apache.spark.sql.functions._
   */
 object Chunking {
 
-  /** One row per (document, chunk): `(doc_id, chunk_idx, start_tok,
-    * n_chunk_tokens, chunk_text)`. `start_tok` is the 0-based token
-    * offset of the chunk; `chunk_idx = start_tok / stride`. Null text
-    * is treated as empty (one empty chunk, matching the tokenizer's
-    * `['']` on empty input). */
+  /** One row per (document, chunk): `(doc_id, …metadata…, chunk_idx,
+    * start_tok, n_chunk_tokens, chunk_text)`. Every column of `docs`
+    * other than `textCol` passes through unchanged (replicated onto
+    * each of the document's chunks), so lang/source/split metadata
+    * survives chunking without a join-back. `start_tok` is the 0-based
+    * token offset of the chunk; `chunk_idx = start_tok / stride`.
+    * Null text is treated as empty (one empty chunk, matching the
+    * tokenizer's `['']` on empty input). */
   def chunk(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -42,23 +45,22 @@ object Chunking {
       s"overlap must be in [0, chunkSize): $overlap vs $chunkSize")
     val stride = chunkSize - overlap
     val toks = TextAnalysis.tokens(coalesce(col(textCol), lit("")))
+    val pass = docs.columns.filterNot(_ == textCol).map(col).toSeq
     docs
-      .select(col(idCol).as("doc_id"), toks.as("toks"))
+      .select(pass :+ toks.as("toks"): _*)
       // starts 0, stride, … ≤ n-1 — i.e. every start < n (n ≥ 1: the
       // tokenizer yields [''] on empty text, so sequence() is total)
-      .select(
-        col("doc_id"), col("toks"),
+      .select(pass ++ Seq(col("toks"),
         posexplode(
-          sequence(lit(0), size(col("toks")) - 1, lit(stride))))
-      .select(
-        col("doc_id"),
+          sequence(lit(0), size(col("toks")) - 1, lit(stride)))): _*)
+      .select(pass ++ Seq(
         col("pos").cast("long").as("chunk_idx"),
         col("col").cast("long").as("start_tok"),
-        slice(col("toks"), col("col") + 1, lit(chunkSize)).as("chunk"))
-      .select(
-        col("doc_id"), col("chunk_idx"), col("start_tok"),
+        slice(col("toks"), col("col") + 1, lit(chunkSize)).as("chunk")): _*)
+      .select(pass ++ Seq(
+        col("chunk_idx"), col("start_tok"),
         size(col("chunk")).cast("long").as("n_chunk_tokens"),
-        array_join(col("chunk"), " ").as("chunk_text"))
+        array_join(col("chunk"), " ").as("chunk_text")): _*)
   }
 
   /** Chunk inventory per document: `(doc_id, n_chunks, total_chunk_

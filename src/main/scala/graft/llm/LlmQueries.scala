@@ -898,6 +898,8 @@ object LlmQueries {
     "chunk_documents",
     (s, d) =>
       Chunking.chunk(Tables.documents(s, d), chunkSize = 32, overlap = 8)
+        .select("doc_id", "chunk_idx", "start_tok", "n_chunk_tokens",
+          "chunk_text")
         .orderBy("doc_id", "chunk_idx"),
     Some("""WITH t AS (
               SELECT doc_id,

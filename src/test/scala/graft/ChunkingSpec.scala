@@ -64,6 +64,18 @@ class ChunkingSpec extends AnyFunSuite {
     assert(got == Set((1L, 1L, ""), (2L, 1L, ""), (3L, 1L, "")))
   }
 
+  test("metadata columns pass through onto every chunk") {
+    val docs = Seq((1L, "a b c d e", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = Chunking.chunk(docs, chunkSize = 2, overlap = 0)
+      .select("doc_id", "lang", "source", "chunk_idx", "chunk_text")
+      .as[(Long, String, String, Long, String)].collect().toSet
+    assert(got == Set(
+      (1L, "en", "web", 0L, "a b"),
+      (1L, "en", "web", 1L, "c d"),
+      (1L, "en", "web", 2L, "e")))
+  }
+
   test("chunking is a shuffle-free plan") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     val plan = Chunking.chunk(docs).queryExecution.executedPlan.toString

@@ -123,10 +123,14 @@ class SkewSpec extends AnyFunSuite {
     assert(bMax < pMax / 2,
       s"bucketed asof did not spread the hot key: max-task records " +
         s"$bMax vs plain $pMax")
-    // the deterministic record spread must show up as task time too
-    assert(maxDurationMs(b) < math.max(2 * maxDurationMs(p) / 3, 400),
-      s"bucketed max task ${maxDurationMs(b)}ms not faster than " +
-        s"plain's hot-key task ${maxDurationMs(p)}ms")
+    // NOTE: no wall-clock assertion. Record spread is the deterministic
+    // consequence of bucketing and is what the operator guarantees;
+    // task *times* on a shared CI box are not — one descheduled task
+    // under noisy-neighbor load once measured 631 ms on a 64k-record
+    // task while the 166k-record hot task ran 297 ms, failing a
+    // duration bound while the record invariant held. Durations stay
+    // in the info() lines for humans reading the log.
+    info(s"max task ms: plain=${maxDurationMs(p)} bucketed=${maxDurationMs(b)}")
     } finally savedCoalesce match {
       case Some(v) => spark.conf.set(coalesceKey, v)
       case None => spark.conf.unset(coalesceKey)

@@ -26,17 +26,18 @@ import org.apache.spark.sql.functions._
   */
 object Chunking {
 
-  /** One row per (document, chunk): `(doc_id, …metadata…, chunk_idx,
-    * start_tok, n_chunk_tokens, chunk_text)`. Every column of `docs`
-    * other than `textCol` passes through unchanged (replicated onto
-    * each of the document's chunks), so lang/source/split metadata
-    * survives chunking without a join-back. `start_tok` is the 0-based
-    * token offset of the chunk; `chunk_idx = start_tok / stride`.
-    * Null text is treated as empty (one empty chunk, matching the
-    * tokenizer's `['']` on empty input). */
+  /** One row per (document, chunk): `(…all non-text columns…,
+    * chunk_idx, start_tok, n_chunk_tokens, chunk_text)`. Every column
+    * of `docs` other than `textCol` passes through unchanged
+    * (replicated onto each of the document's chunks), so id/lang/
+    * source/split metadata survives chunking without a join-back.
+    * `start_tok` is the 0-based token offset of the chunk;
+    * `chunk_idx = start_tok / stride`. Null text is treated as empty
+    * (one empty chunk, matching the tokenizer's `['']` on empty
+    * input). Internal working columns are `__graft_`-prefixed so a
+    * metadata column named `pos`/`col`/`toks` cannot collide. */
   def chunk(
       docs: DataFrame,
-      idCol: String = "doc_id",
       textCol: String = "text",
       chunkSize: Int = 64,
       overlap: Int = 16): DataFrame = {
@@ -47,31 +48,35 @@ object Chunking {
     val toks = TextAnalysis.tokens(coalesce(col(textCol), lit("")))
     val pass = docs.columns.filterNot(_ == textCol).map(col).toSeq
     docs
-      .select(pass :+ toks.as("toks"): _*)
+      .select(pass :+ toks.as("__graft_toks"): _*)
       // starts 0, stride, … ≤ n-1 — i.e. every start < n (n ≥ 1: the
       // tokenizer yields [''] on empty text, so sequence() is total)
-      .select(pass ++ Seq(col("toks"),
+      .select(pass ++ Seq(col("__graft_toks"),
         posexplode(
-          sequence(lit(0), size(col("toks")) - 1, lit(stride)))): _*)
+          sequence(lit(0), size(col("__graft_toks")) - 1, lit(stride)))
+          .as(Seq("__graft_pos", "__graft_start"))): _*)
       .select(pass ++ Seq(
-        col("pos").cast("long").as("chunk_idx"),
-        col("col").cast("long").as("start_tok"),
-        slice(col("toks"), col("col") + 1, lit(chunkSize)).as("chunk")): _*)
+        col("__graft_pos").cast("long").as("chunk_idx"),
+        col("__graft_start").cast("long").as("start_tok"),
+        slice(col("__graft_toks"), col("__graft_start") + 1, lit(chunkSize))
+          .as("__graft_chunk")): _*)
       .select(pass ++ Seq(
         col("chunk_idx"), col("start_tok"),
-        size(col("chunk")).cast("long").as("n_chunk_tokens"),
-        array_join(col("chunk"), " ").as("chunk_text")): _*)
+        size(col("__graft_chunk")).cast("long").as("n_chunk_tokens"),
+        array_join(col("__graft_chunk"), " ").as("chunk_text")): _*)
   }
 
-  /** Chunk inventory per document: `(doc_id, n_chunks, total_chunk_
+  /** Chunk inventory per document: `(idCol, n_chunks, total_chunk_
     * tokens)` — the duplication-factor audit a pipeline checks before
     * materializing chunks. */
   def chunkStats(
       docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
       chunkSize: Int = 64,
       overlap: Int = 16): DataFrame =
-    chunk(docs, chunkSize = chunkSize, overlap = overlap)
-      .groupBy("doc_id")
+    chunk(docs, textCol = textCol, chunkSize = chunkSize, overlap = overlap)
+      .groupBy(idCol)
       .agg(
         count(lit(1)).as("n_chunks"),
         sum(col("n_chunk_tokens")).as("total_chunk_tokens"))

@@ -37,12 +37,13 @@ object LanguageModel {
       .limit(vocabSize)
   }
 
-  /** Per-document unigram score: `(…docs columns…, n_tokens,
-    * avg_logprob)` where `avg_logprob` is the mean of
-    * `ln(cnt / total)` over the document's tokens, with tokens outside
-    * the top-`vocabSize` vocab floored at `ln(0.5 / total)`. `total`
-    * counts ALL corpus tokens (not only in-vocab), so scores are
-    * comparable across vocab sizes. */
+  /** Per-document unigram score: `(idCol, n_tokens, avg_logprob)`
+    * (join back on `idCol` to recover document columns) where
+    * `avg_logprob` is the mean of `ln(cnt / total)` over the
+    * document's tokens, with tokens outside the top-`vocabSize` vocab
+    * floored at `ln(0.5 / total)`. `total` counts ALL corpus tokens
+    * (not only in-vocab), so scores are comparable across vocab
+    * sizes. */
   def scoreUnigram(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -53,10 +54,16 @@ object LanguageModel {
       explode(TextAnalysis.tokens(lower(coalesce(col(textCol), lit("")))))
         .as("token"))
     require(vocabSize > 0, s"vocabSize must be positive: $vocabSize")
+    // persisted: `counts` (vocab-sized — tiny next to the corpus) feeds
+    // two independent broadcast subplans (the total and the top-K cut);
+    // unpersisted, Catalyst inlines the exploded groupBy into each, so
+    // the full corpus tokenize+shuffle would run twice. Learning is
+    // then ONE pass over the corpus; scoring below is the second,
+    // inherent pass. (Same pattern as Dedup.nearDupMinhash's shared
+    // shingle frame.)
     val counts = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = counts.agg(sum(col("cnt")).as("total_tokens"))
-    // same frame feeds both the total and the vocab cut — one exploded
-    // aggregation, not two
     val v = counts.orderBy(col("cnt").desc, col("token")).limit(vocabSize)
     toks
       .join(broadcast(v), Seq("token"), "left")

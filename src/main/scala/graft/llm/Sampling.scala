@@ -153,10 +153,14 @@ object Sampling {
           .as("keep_threshold"))
     val b = pmod(TextHash.text_hash(
       concat(col(idCol).cast("string"), lit("#budget"))), lit(1000000L))
+    // null-safe equality: a NULL source is a real group (it got its own
+    // threshold row from the groupBy above); a plain equi-join would
+    // silently drop every NULL-source document at any budget
+    val thr = perSrc.withColumnRenamed(sourceCol, "__graft_src")
     docs
-      .join(broadcast(perSrc), Seq(sourceCol))
+      .join(broadcast(thr), col(sourceCol) <=> col("__graft_src"))
       .filter(b < col("keep_threshold"))
-      .drop("keep_threshold")
+      .drop("keep_threshold", "__graft_src")
   }
 
   /** Per-stratum deterministic downsample: keep ~`fraction` of each

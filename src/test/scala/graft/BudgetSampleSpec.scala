@@ -46,6 +46,18 @@ class BudgetSampleSpec extends AnyFunSuite {
     assert(a == ids(docs))
   }
 
+  test("NULL source is a real group, not silently dropped") {
+    val withNull = docs.union(
+      Seq((200L, "x y", null: String), (201L, "z", null: String))
+        .toDF("doc_id", "text", "source"))
+    // huge budget: EVERY document passes through, including source=NULL
+    assert(Sampling.tokenBudgetSample(withNull, 1000000L).count() == 47)
+    // and the NULL group budgets independently like any other source
+    val kept = Sampling.tokenBudgetSample(withNull, 2L)
+      .filter(col("source").isNull).count()
+    assert(kept <= 2)
+  }
+
   test("sampling is a subset: no row is invented or mutated") {
     val out = Sampling.tokenBudgetSample(docs, 100L)
       .select("doc_id", "text", "source").as[(Long, String, String)]

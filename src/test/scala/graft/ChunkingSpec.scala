@@ -76,6 +76,17 @@ class ChunkingSpec extends AnyFunSuite {
       (1L, "en", "web", 2L, "e")))
   }
 
+  test("metadata columns named pos/col/toks do not collide with internals") {
+    val docs = Seq((1L, "a b c d", "NOUN", 7, "t"))
+      .toDF("doc_id", "text", "pos", "col", "toks")
+    val got = Chunking.chunk(docs, chunkSize = 2, overlap = 0)
+      .select("doc_id", "pos", "col", "toks", "chunk_idx", "chunk_text")
+      .as[(Long, String, Int, String, Long, String)].collect().toSet
+    assert(got == Set(
+      (1L, "NOUN", 7, "t", 0L, "a b"),
+      (1L, "NOUN", 7, "t", 1L, "c d")))
+  }
+
   test("chunking is a shuffle-free plan") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     val plan = Chunking.chunk(docs).queryExecution.executedPlan.toString

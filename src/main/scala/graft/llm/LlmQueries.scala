@@ -593,6 +593,57 @@ object LlmQueries {
             WHERE t.b < thr.keep_threshold
             GROUP BY t.source ORDER BY t.source"""))
 
+  /** Temperature-weighted mixture sampling at α = 1/2
+    * ([[Sampling.temperatureSample]]): big sources shrink toward the
+    * budget harder than small ones (`keep ∝ 1/sqrt(share)`), the
+    * multilingual smoothing step. The whole recipe is integer
+    * arithmetic plus one correctly-rounded `sqrt`, so the oracle
+    * rederives the exact kept set — `id_sum` pins membership, not
+    * just counts. */
+  val temperatureMix = Q(
+    "sample_temperature_mix",
+    (s, d) =>
+      Sampling.temperatureSample(Tables.documents(s, d), 1200L)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs_kept"),
+          sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens_kept"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy("source"),
+    Some(s"""WITH t AS (
+              SELECT doc_id, source,
+                     CAST(len(string_split_regex(trim(text), '\\s+'))
+                       AS BIGINT) AS n_tokens,
+                     ${duckdbTextHash(
+                       "CAST(doc_id AS VARCHAR) || '#temp'")} % 1000000
+                       AS b
+              FROM documents),
+            per_src AS (
+              SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+              FROM t GROUP BY source),
+            tot AS (
+              SELECT CAST(SUM(src_tokens) AS BIGINT) AS total_tokens
+              FROM per_src),
+            w AS (
+              SELECT source, src_tokens,
+                     CAST(floor(sqrt(CAST(
+                       (src_tokens * 1000000 // total_tokens) * 1000000
+                       AS DOUBLE))) AS BIGINT) AS w
+              FROM per_src, tot),
+            sw AS (SELECT CAST(SUM(w) AS BIGINT) AS sum_w FROM w),
+            thr AS (
+              SELECT source,
+                     least(1000000,
+                       (1200 * w // sum_w) * 1000000 // src_tokens)
+                       AS keep_threshold
+              FROM w, sw)
+            SELECT t.source, COUNT(*) AS n_docs_kept,
+                   CAST(SUM(t.n_tokens) AS BIGINT) AS n_tokens_kept,
+                   CAST(SUM(t.doc_id) AS BIGINT) AS id_sum
+            FROM t JOIN thr ON t.source = thr.source
+            WHERE t.b < thr.keep_threshold
+            GROUP BY t.source ORDER BY t.source"""))
+
   /** Embedding-cosine near-dup pairs, LSH-bucketed, with a planted
     * ground truth (same scheme as `dedup_simhash`): the corpus is
     * embeddings UNION exact copies at shifted ids. Identical vectors
@@ -1153,7 +1204,8 @@ object LlmQueries {
     dedupClusterKeep, dedupSweep, ngramJaccard,
     annBrute, annLsh, annLshPlanted, annKnnJoin, nearDupCosine,
     embCentroids, embNormProfile,
-    splitCounts, stratSample, leakageSplit, budgetSample, epochOrder,
+    splitCounts, stratSample, leakageSplit, budgetSample, temperatureMix,
+    epochOrder,
     pipelinePrepShards, packShards, chunkDocs,
     textTokens, textQuality, langDist, textAnalyze, textRepetition,
     unigramScore,

@@ -163,6 +163,69 @@ object Sampling {
       .drop("keep_threshold", "__graft_src")
   }
 
+  /** Temperature-weighted mixture sampling at α = 1/2: rebalance the
+    * corpus so each source's token share moves from proportional
+    * (`t_s / T`) toward uniform, the multilingual-sampling smoothing
+    * (`p_s ∝ t_s^α`) used to keep big sources from drowning small
+    * ones. α is fixed at 1/2 because `sqrt` is the one power IEEE-754
+    * rounds correctly — both engines compute the identical integer
+    * weight `w_s = floor(sqrt(share_ppm · 1e6))`, so the whole recipe
+    * stays exact integer arithmetic and the SAME documents are kept on
+    * every run, partitioning, and engine (membership is the salted
+    * id-hash, as [[tokenBudgetSample]]).
+    *
+    * The integer recipe (per source s, all `Long`):
+    * `share_ppm = t_s·1e6 div T` → `w = isqrt(share_ppm·1e6)` →
+    * `target_s = budget·w div Σw` → `threshold = min(1e6,
+    * target_s·1e6 div t_s)`; keep iff `hash(id#temp) mod 1e6 <
+    * threshold`. Envelope: exact for `T < 2^43` tokens per aggregate
+    * and `budget < 2^43` (products stay under 2^63); beyond that,
+    * widen to decimal — the shape is unchanged.
+    *
+    * Scale: one map-side-combined per-source aggregate (sources ≪
+    * corpus), a two-row-deep broadcast chain for `Σw`, then one
+    * narrow filter — the corpus never shuffles. */
+  def temperatureSample(
+      docs: DataFrame,
+      totalBudgetTokens: Long,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    require(totalBudgetTokens >= 0 && totalBudgetTokens < (1L << 43),
+      s"budget out of range: $totalBudgetTokens")
+    val perSrc = docs
+      .groupBy(col(sourceCol))
+      .agg(sum(TextAnalysis.tokenCount(col(textCol))).as("src_tokens"))
+    val total = perSrc.agg(
+      sum(col("src_tokens")).as("total_tokens"))
+    val weighted = perSrc
+      .crossJoin(broadcast(total))
+      .withColumn("share_ppm",
+        expr("src_tokens * 1000000L div total_tokens"))
+      // isqrt: sqrt is correctly rounded (IEEE) and the argument is
+      // < 2^52, so floor(sqrt(double)) is the exact integer sqrt on
+      // any conforming engine
+      .withColumn("w",
+        floor(sqrt((col("share_ppm") * lit(1000000L)).cast("double")))
+          .cast("long"))
+    val sumW = weighted.agg(sum(col("w")).as("sum_w"))
+    val thr = weighted
+      .crossJoin(broadcast(sumW))
+      .withColumn("target_tokens",
+        expr(s"${totalBudgetTokens}L * w div sum_w"))
+      .select(
+        col(sourceCol).as("__graft_src"),
+        least(lit(1000000L),
+          expr("target_tokens * 1000000L div src_tokens"))
+          .as("keep_threshold"))
+    val b = pmod(TextHash.text_hash(
+      concat(col(idCol).cast("string"), lit("#temp"))), lit(1000000L))
+    docs
+      .join(broadcast(thr), col(sourceCol) <=> col("__graft_src"))
+      .filter(b < col("keep_threshold"))
+      .drop("keep_threshold", "__graft_src")
+  }
+
   /** Per-stratum deterministic downsample: keep ~`fraction` of each
     * stratum (e.g. language) using the same id-hash, so the sample is
     * reproducible and join-stable. One narrow filter — no shuffle. */

@@ -971,6 +971,51 @@ object LlmQueries {
                      AS chunk_text
             FROM s ORDER BY doc_id, chunk_idx"""))
 
+  /** BM25 retrieval top-k ([[Retrieval.bm25TopK]]): the oracle
+    * recomputes N/avgdl/df/tf and the full Lucene-flavored score for
+    * every matching document — ranking, tie-break, and truncation
+    * included. Constant subexpressions (`1.2 + 1.0`, `1.0 - 0.75`) are
+    * written identically on both engines so each computes the same
+    * IEEE double before rounding. */
+  val bm25TopK = Q(
+    "text_bm25_topk",
+    (s, d) =>
+      Retrieval.bm25TopK(Tables.documents(s, d),
+        Seq("hash", "merge", "scan"), k = 15),
+    Some("""WITH bl AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(coalesce(text, ''))),
+                       '\s+') AS toks
+              FROM documents),
+            dd AS (
+              SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks
+              FROM bl),
+            stats AS (
+              SELECT COUNT(*) AS n_docs,
+                     CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                       AS avgdl
+              FROM dd),
+            tok AS (SELECT doc_id, dl, unnest(toks) AS token FROM dd),
+            tf AS (
+              SELECT doc_id, dl, token, COUNT(*) AS tf
+              FROM tok WHERE token IN ('hash', 'merge', 'scan')
+              GROUP BY doc_id, dl, token),
+            dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token)
+            SELECT tf.doc_id,
+                   COUNT(*) AS n_terms_hit,
+                   ROUND(SUM(
+                     ln(1.0 + (CAST(stats.n_docs AS DOUBLE)
+                               - CAST(dfq.df AS DOUBLE) + 0.5)
+                              / (CAST(dfq.df AS DOUBLE) + 0.5))
+                     * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+                     / (CAST(tf.tf AS DOUBLE)
+                        + 1.2 * ((1.0 - 0.75)
+                                 + 0.75 * CAST(tf.dl AS DOUBLE)
+                                   / stats.avgdl))), 4) AS bm25
+            FROM tf JOIN dfq USING (token), stats
+            GROUP BY tf.doc_id
+            ORDER BY bm25 DESC, doc_id LIMIT 15"""))
+
   /** Unigram LM quality score ([[LanguageModel.scoreUnigram]]): the
     * deterministic perplexity-filter stand-in. The oracle re-learns
     * the same top-1000 vocab (ties broken `(cnt DESC, token)` on both
@@ -1208,7 +1253,7 @@ object LlmQueries {
     epochOrder,
     pipelinePrepShards, packShards, chunkDocs,
     textTokens, textQuality, langDist, textAnalyze, textRepetition,
-    unigramScore,
+    unigramScore, bm25TopK,
     textRedact, contamination, contaminationBloom, mmStats, curate,
     pipelineCurateSplit)
 }

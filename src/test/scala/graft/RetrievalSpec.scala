@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.Retrieval
+
+class RetrievalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // N=3, avgdl = 8/3; df(a)=2, df(b)=2 -> idf = ln(1.6) for both
+  lazy val docs = Seq(
+    (1L, "a b a"),
+    (2L, "a c"),
+    (3L, "b b b")).toDF("doc_id", "text")
+
+  test("hand-computed BM25 scores and ranking") {
+    val got = Retrieval.bm25TopK(docs, Seq("a", "b"))
+      .as[(Long, Long, Double)].collect().toSeq
+    // doc1: idf*(2*2.2/(2+1.3125)) + idf*(1*2.2/(1+1.3125)) = 1.0714
+    // doc3: idf*(3*2.2/(3+1.3125))                           = 0.7193
+    // doc2: idf*(1*2.2/(1+0.975))                            = 0.5235
+    assert(got == Seq(
+      (1L, 2L, 1.0714),
+      (3L, 1L, 0.7193),
+      (2L, 1L, 0.5235)))
+  }
+
+  test("k truncates after the (score desc, id) sort") {
+    val got = Retrieval.bm25TopK(docs, Seq("a", "b"), k = 1)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got == Seq(1L))
+  }
+
+  test("terms absent from the corpus yield no rows, not errors") {
+    assert(Retrieval.bm25TopK(docs, Seq("zzz")).isEmpty)
+  }
+
+  test("matching is case-insensitive and null-text-safe") {
+    val messy = Seq(
+      (1L, "A b a"), (2L, null: String)).toDF("doc_id", "text")
+    val got = Retrieval.bm25TopK(messy, Seq("a"))
+      .select("doc_id", "n_terms_hit").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L)))
+  }
+
+  test("a term hitting every document still scores (idf = ln(1+1/(N+0.5)) > 0)") {
+    val all = Seq((1L, "x"), (2L, "x"), (3L, "x")).toDF("doc_id", "text")
+    val got = Retrieval.bm25TopK(all, Seq("x"))
+    assert(got.count() == 3)
+    assert(got.agg(min(col("bm25"))).head().getDouble(0) > 0.0)
+  }
+
+  test("top-k plan is TakeOrderedAndProject, not a global sort") {
+    val plan = Retrieval.bm25TopK(docs, Seq("a", "b"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+}

@@ -77,4 +77,82 @@ object LanguageModel {
         count(lit(1)).as("n_tokens"),
         avg(col("logp")).as("avg_logprob"))
   }
+
+  /** Per-document interpolated bigram score: `(idCol, n_bigrams,
+    * avg_logprob)` — the next rung up the perplexity-filter ladder
+    * from [[scoreUnigram]]. Each adjacent token pair `(w1, w2)`
+    * contributes `ln(λ·P(w2|w1) + (1-λ)·Pu(w2))`:
+    * `P(w2|w1) = bigram_cnt / cnt(w1)` when the bigram is in the
+    * top-`bigramVocabSize` bigram vocab AND `w1` in the top-
+    * `vocabSize` unigram vocab (0 otherwise — the interpolation backs
+    * off to the unigram term), `Pu(w2) = cnt(w2)/total` with the
+    * [[scoreUnigram]] OOV floor (`0.5/total`). `λ < 1` keeps the
+    * argument strictly positive. Documents with fewer than two tokens
+    * emit no bigrams and are absent from the result.
+    *
+    * Scale: both models are top-K cuts — bounded by construction, so
+    * they broadcast at any corpus size; bigram pairs are built with
+    * array algebra (`sequence`→`transform`→`explode`, zero UDFs,
+    * whole-stage codegen). Learning is one map-side-combined agg per
+    * model; scoring probes three broadcast maps — no fact-fact
+    * shuffle. Like [[scoreUnigram]], the corpus is scanned once to
+    * learn and once to score; tie-breaks (`cnt DESC, token` /
+    * `bcnt DESC, w1, w2`) make both cuts exactly reproducible. */
+  def scoreBigram(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      vocabSize: Int = 1000,
+      bigramVocabSize: Int = 2000,
+      lambda: Double = 0.7): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive: $vocabSize")
+    require(bigramVocabSize > 0,
+      s"bigramVocabSize must be positive: $bigramVocabSize")
+    require(lambda >= 0 && lambda < 1,
+      s"lambda must be in [0, 1) so the log argument stays positive: $lambda")
+    val toksArr = TextAnalysis.tokens(lower(coalesce(col(textCol), lit(""))))
+    val base = docs.select(col(idCol), toksArr.as("__graft_toks"))
+    val toks = base.select(
+      col(idCol), explode(col("__graft_toks")).as("token"))
+    // persisted for the same reason as scoreUnigram: the vocab-sized
+    // counts frame feeds both the total and the top-K cut
+    val counts = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = counts.agg(sum(col("cnt")).as("total_tokens"))
+    val uni = counts.orderBy(col("cnt").desc, col("token")).limit(vocabSize)
+    val pairs = base
+      .filter(size(col("__graft_toks")) >= 2)
+      .select(col(idCol),
+        explode(transform(
+          sequence(lit(0), size(col("__graft_toks")) - 2),
+          i => struct(
+            element_at(col("__graft_toks"), i + 1).as("w1"),
+            element_at(col("__graft_toks"), i + 2).as("w2"))))
+          .as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bc = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("bcnt"))
+      .orderBy(col("bcnt").desc, col("w1"), col("w2"))
+      .limit(bigramVocabSize)
+    pairs
+      .join(broadcast(bc), Seq("w1", "w2"), "left")
+      .join(broadcast(
+        uni.select(col("token").as("w1"), col("cnt").as("cnt1"))),
+        Seq("w1"), "left")
+      .join(broadcast(
+        uni.select(col("token").as("w2"), col("cnt").as("cnt2"))),
+        Seq("w2"), "left")
+      .crossJoin(broadcast(total))
+      .select(col(idCol),
+        log(
+          lit(lambda) * coalesce(
+            col("bcnt").cast("double") / col("cnt1").cast("double"),
+            lit(0.0)) +
+          lit(1.0 - lambda) * (coalesce(col("cnt2").cast("double"),
+            lit(0.5)) / col("total_tokens").cast("double")))
+          .as("logp"))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        avg(col("logp")).as("avg_logprob"))
+  }
 }

@@ -971,6 +971,55 @@ object LlmQueries {
                      AS chunk_text
             FROM s ORDER BY doc_id, chunk_idx"""))
 
+  /** Interpolated bigram LM score ([[LanguageModel.scoreBigram]]):
+    * the oracle re-learns BOTH models — the top-1000 unigram vocab
+    * (`cnt DESC, token`) and the top-2000 bigram vocab
+    * (`bcnt DESC, w1, w2`) — and recomputes every document's mean
+    * `ln(λ·P(w2|w1) + (1-λ)·Pu(w2))` with the same backoff-to-zero and
+    * OOV floor; round 4 absorbs summation-order float noise. */
+  val bigramScore = Q(
+    "text_bigram_logprob",
+    (s, d) =>
+      LanguageModel.scoreBigram(Tables.documents(s, d))
+        .select(
+          col("doc_id"), col("n_bigrams"),
+          round(col("avg_logprob"), 4).as("avg_logprob"))
+        .orderBy("doc_id"),
+    Some("""WITH t AS (
+              SELECT doc_id,
+                     string_split_regex(trim(lower(coalesce(text, ''))),
+                       '\s+') AS toks
+              FROM documents),
+            tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+            counts AS (
+              SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+            tot AS (
+              SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM counts),
+            uni AS (
+              SELECT token, cnt FROM counts
+              ORDER BY cnt DESC, token LIMIT 1000),
+            idx AS (
+              SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+              FROM t WHERE len(toks) >= 2),
+            bg AS (
+              SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM idx),
+            bc AS (
+              SELECT w1, w2, COUNT(*) AS bcnt FROM bg GROUP BY w1, w2
+              ORDER BY bcnt DESC, w1, w2 LIMIT 2000)
+            SELECT bg.doc_id,
+                   COUNT(*) AS n_bigrams,
+                   ROUND(AVG(ln(
+                     0.7 * coalesce(CAST(bc.bcnt AS DOUBLE)
+                                    / CAST(u1.cnt AS DOUBLE), 0.0)
+                     + (1.0 - 0.7) * (coalesce(CAST(u2.cnt AS DOUBLE), 0.5)
+                                      / tot.total))), 4) AS avg_logprob
+            FROM bg
+            LEFT JOIN bc ON bg.w1 = bc.w1 AND bg.w2 = bc.w2
+            LEFT JOIN uni u1 ON bg.w1 = u1.token
+            LEFT JOIN uni u2 ON bg.w2 = u2.token
+            CROSS JOIN tot
+            GROUP BY bg.doc_id ORDER BY bg.doc_id"""))
+
   /** BM25 retrieval top-k ([[Retrieval.bm25TopK]]): the oracle
     * recomputes N/avgdl/df/tf and the full Lucene-flavored score for
     * every matching document — ranking, tie-break, and truncation
@@ -1253,7 +1302,7 @@ object LlmQueries {
     epochOrder,
     pipelinePrepShards, packShards, chunkDocs,
     textTokens, textQuality, langDist, textAnalyze, textRepetition,
-    unigramScore, bm25TopK,
+    unigramScore, bigramScore, bm25TopK,
     textRedact, contamination, contaminationBloom, mmStats, curate,
     pipelineCurateSplit)
 }

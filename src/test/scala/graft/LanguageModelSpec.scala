@@ -65,4 +65,57 @@ class LanguageModelSpec extends AnyFunSuite {
       .select("doc_id", "avg_logprob").as[(Long, Double)].collect().toMap
     assert(scores(0L) > scores(99L))
   }
+
+  // ── bigram model ────────────────────────────────────────────────
+
+  // unigrams: a=4 b=3 c=1, total 8; bigrams: (a,b)=3 (b,a)=1 (c,a)=1
+  lazy val bgDocs = Seq(
+    (1L, "a b a b"),
+    (2L, "a b"),
+    (3L, "c a")).toDF("doc_id", "text")
+
+  test("hand-computed interpolated bigram scores") {
+    // vocab=2 keeps a,b; bigramVocab=2 keeps (a,b) then the tie at
+    // bcnt=1 breaks (bcnt DESC, w1, w2): (b,a) in, (c,a) out
+    val got = LanguageModel.scoreBigram(bgDocs, vocabSize = 2,
+        bigramVocabSize = 2, lambda = 0.5)
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    val ab = math.log(0.5 * (3.0 / 4.0) + 0.5 * (3.0 / 8.0)) // -0.5754
+    val ba = math.log(0.5 * (1.0 / 3.0) + 0.5 * (4.0 / 8.0)) // -0.8755
+    val ca = math.log(0.5 * 0.0 + 0.5 * (4.0 / 8.0))          // backoff
+    val exp = Seq(
+      (1L, 3L, (2 * ab + ba) / 3),
+      (2L, 1L, ab),
+      (3L, 1L, ca))
+    got.zip(exp).foreach { case ((id, n, s), (eid, en, es)) =>
+      assert(id == eid && n == en, s"doc $id: n=$n")
+      assert(math.abs(s - es) < 1e-9, s"doc $id: $s vs $es")
+    }
+  }
+
+  test("documents with fewer than two tokens emit no bigram rows") {
+    val short = bgDocs.union(
+      Seq((9L, "solo"), (10L, null: String)).toDF("doc_id", "text"))
+    val ids = LanguageModel.scoreBigram(short, vocabSize = 10,
+        bigramVocabSize = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 3L))
+  }
+
+  test("OOV bigrams back off to the unigram term, never -Infinity") {
+    val got = LanguageModel.scoreBigram(bgDocs, vocabSize = 1,
+        bigramVocabSize = 1, lambda = 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(got.forall(r => !r._3.isNegInfinity && !r._3.isNaN))
+  }
+
+  test("fluent (high-bigram-probability) docs outscore shuffled ones") {
+    val fluent = (0 until 30).map(i => (i.toLong, "the cat sat on the mat"))
+    val shuffled = Seq((99L, "mat the on sat cat the"))
+    val scores = LanguageModel.scoreBigram(
+        (fluent ++ shuffled).toDF("doc_id", "text"),
+        vocabSize = 10, bigramVocabSize = 5)
+      .select("doc_id", "avg_logprob").as[(Long, Double)].collect().toMap
+    assert(scores(0L) > scores(99L))
+  }
 }

@@ -593,6 +593,43 @@ object LlmQueries {
             WHERE t.b < thr.keep_threshold
             GROUP BY t.source ORDER BY t.source"""))
 
+  /** Per-vector int8 quantization profile ([[Quantize.int8Profile]]):
+    * the oracle recomputes scale, every rounded code, and both error
+    * stats per vector with the same ties-away-from-zero rounding and
+    * the same left-fold summation order (`list_reduce` over a
+    * 0.0-prepended list ≡ Spark's `aggregate` with 0.0 init), so
+    * 500 rows of floating-point reconstruction math match to 9/12
+    * decimals. */
+  val quantizeInt8 = Q(
+    "emb_quantize_int8",
+    (s, d) =>
+      Quantize.int8Profile(Tables.embeddings(s, d)).orderBy("vec_id"),
+    Some("""WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+            m AS (
+              SELECT vec_id, v,
+                     list_max([abs(x) for x in v]) AS maxabs
+              FROM e),
+            s AS (
+              SELECT vec_id, v, maxabs / 127.0 AS scale,
+                     CASE WHEN maxabs = 0.0 THEN 1.0
+                          ELSE maxabs / 127.0 END AS ss
+              FROM m),
+            er AS (
+              SELECT vec_id, scale,
+                     [abs(x - round(x / ss) * ss) for x in v] AS errs,
+                     len(v) AS n
+              FROM s)
+            SELECT vec_id,
+                   ROUND(scale, 9) AS scale,
+                   ROUND(list_max(errs), 9) AS max_abs_err,
+                   ROUND(list_reduce(
+                           list_prepend(0.0, [e * e for e in errs]),
+                           (a, b) -> a + b) / CAST(n AS DOUBLE), 12)
+                     AS mse
+            FROM er ORDER BY vec_id"""))
+
   /** Temperature-weighted mixture sampling at α = 1/2
     * ([[Sampling.temperatureSample]]): big sources shrink toward the
     * budget harder than small ones (`keep ∝ 1/sqrt(share)`), the
@@ -1297,7 +1334,7 @@ object LlmQueries {
     dedupStats, dedupKeep, nearDupMinhash, nearDupSimhash, dedupClusters,
     dedupClusterKeep, dedupSweep, ngramJaccard,
     annBrute, annLsh, annLshPlanted, annKnnJoin, nearDupCosine,
-    embCentroids, embNormProfile,
+    embCentroids, embNormProfile, quantizeInt8,
     splitCounts, stratSample, leakageSplit, budgetSample, temperatureMix,
     epochOrder,
     pipelinePrepShards, packShards, chunkDocs,

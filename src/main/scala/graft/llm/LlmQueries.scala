@@ -1179,6 +1179,49 @@ object LlmQueries {
             WHERE t.b < thr.keep_threshold
             GROUP BY 1 ORDER BY shard"""))
 
+  /** Composed RAG retrieval ([[Retrieval.ragRetrieve]]): chunk →
+    * hash-bucket embed → cosine top-10, one lazy plan. The oracle
+    * recomposes ALL THREE stages — chunk boundaries, the 16-dim
+    * feature-hash vectors (nested list comprehensions over the same
+    * rolling hash), and the ranked cosine — so the composition is
+    * verified end to end, not just the pieces. */
+  val ragRetrieve = Q(
+    "pipeline_rag_retrieve",
+    (s, d) =>
+      Retrieval.ragRetrieve(Tables.documents(s, d), "hash join merge"),
+    Some(s"""WITH t AS (
+              SELECT doc_id,
+                     string_split_regex(trim(coalesce(text, '')), '\\s+')
+                       AS toks
+              FROM documents),
+            s AS (
+              SELECT doc_id, toks,
+                     unnest(generate_series(0, len(toks) - 1, 32))
+                       AS start_tok
+              FROM t),
+            ch AS (
+              SELECT doc_id, CAST(start_tok // 32 AS BIGINT) AS chunk_idx,
+                     [lower(x) for x in toks[start_tok + 1 : start_tok + 32]]
+                       AS ltoks
+              FROM s),
+            hv AS (
+              SELECT doc_id, chunk_idx,
+                     [CAST(len(list_filter(
+                        [${duckdbTextHash("tok")} % 16 for tok in ltoks],
+                        h -> h = j)) AS DOUBLE)
+                      for j in range(0, 16)] AS v
+              FROM ch),
+            qv AS (
+              SELECT [CAST(len(list_filter(
+                        [${duckdbTextHash("tok")} % 16 for tok in
+                          string_split_regex('hash join merge', '\\s+')],
+                        h -> h = j)) AS DOUBLE)
+                      for j in range(0, 16)] AS q)
+            SELECT hv.doc_id, hv.chunk_idx,
+                   ROUND(list_cosine_similarity(v, q), 4) AS cos_sim
+            FROM hv, qv
+            ORDER BY cos_sim DESC, doc_id, chunk_idx LIMIT 10"""))
+
   /** Multimodal plumbing: binary payload stats per modality. n_bytes is
     * real (payload length); decode metadata is the stub. */
   val mmStats = Q(
@@ -1337,7 +1380,7 @@ object LlmQueries {
     embCentroids, embNormProfile, quantizeInt8,
     splitCounts, stratSample, leakageSplit, budgetSample, temperatureMix,
     epochOrder,
-    pipelinePrepShards, packShards, chunkDocs,
+    pipelinePrepShards, packShards, chunkDocs, ragRetrieve,
     textTokens, textQuality, langDist, textAnalyze, textRepetition,
     unigramScore, bigramScore, bm25TopK,
     textRedact, contamination, contaminationBloom, mmStats, curate,

@@ -1,7 +1,9 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftFunctions, TextHash}
 
 /** BM25 retrieval scoring over a document corpus — the lexical search
   * primitive a training-data pipeline uses for targeted corpus probes
@@ -69,6 +71,61 @@ object Retrieval {
       .agg(
         count(lit(1)).as("n_terms_hit"),
         round(sum(col("term_score")), 4).as("bm25"))
+  }
+
+  /** Deterministic hash-bucket embedding: lowercased whitespace
+    * tokens hashed into `dims` count buckets (`v[j] = #{t :
+    * text_hash(t) mod dims = j}`, as doubles). This is the
+    * feature-hashing ("hashing trick") text vectorizer — a real model
+    * would replace it, but the Spark-side plumbing (array algebra,
+    * codegen hash, broadcast query vector, cosine top-k) is exactly
+    * what a learned embedding flows through, and unlike one it is
+    * reproducible on any engine, so retrieval results can be
+    * oracle-checked end to end. Pure column algebra (`transform` /
+    * `filter` / `size`), O(dims · tokens) per row, zero UDFs. */
+  def hashEmbed(text: Column, dims: Int = 16): Column = {
+    require(dims > 0, s"dims must be positive: $dims")
+    val hashes = transform(
+      TextAnalysis.tokens(lower(coalesce(text, lit("")))),
+      t => pmod(TextHash.text_hash(t), lit(dims.toLong)))
+    transform(sequence(lit(0), lit(dims - 1)),
+      j => size(filter(hashes, h => h === j)).cast("double"))
+  }
+
+  /** Composed RAG retrieval: chunk the corpus
+    * ([[Chunking.chunk]], fixed windows) → [[hashEmbed]] each chunk →
+    * cosine top-k against the embedded query string. ONE lazy plan:
+    * chunking and embedding are narrow projections fused into the
+    * scan, the query vector is a broadcast one-row frame, and the
+    * top-k is a `TakeOrderedAndProject` — the only exchange in the
+    * whole pipeline. Returns `(doc_id, chunk_idx, cos_sim)`;
+    * ties break (cos_sim desc, doc_id, chunk_idx). */
+  def ragRetrieve(
+      docs: DataFrame,
+      queryText: String,
+      k: Int = 10,
+      dims: Int = 16,
+      chunkSize: Int = 32,
+      overlap: Int = 0,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val spark = docs.sparkSession
+    GraftFunctions.register(spark)
+    val chunks = Chunking
+      .chunk(docs, textCol = textCol, chunkSize = chunkSize,
+        overlap = overlap)
+      .select(col(idCol), col("chunk_idx"),
+        hashEmbed(col("chunk_text"), dims).as("__graft_v"))
+    val query = spark.range(1)
+      .select(hashEmbed(lit(queryText), dims).as("__graft_q"))
+    chunks
+      .crossJoin(broadcast(query))
+      .select(col(idCol), col("chunk_idx"),
+        round(Similarity.cosine(col("__graft_v"), col("__graft_q")), 4)
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol), col("chunk_idx"))
+      .limit(k)
   }
 
   /** Top-k by BM25, ties broken by id — a `TakeOrderedAndProject`

@@ -630,6 +630,49 @@ object LlmQueries {
                      AS mse
             FROM er ORDER BY vec_id"""))
 
+  /** Brute-force cosine top-10 over int8-DEQUANTIZED vectors — the
+    * search an int8-backed ANN store actually runs. Dequantization
+    * (`round(x/scale)·scale`) is exactly reproducible, so unlike the
+    * LSH rows this is a full row-level oracle: DuckDB requantizes
+    * every vector and recomputes the ranked cosine. Paired with
+    * `ann_cosine_topk` (float baseline) it exposes exactly what 4×
+    * compression does to this corpus's neighborhoods. */
+  val annQuantized = Q(
+    "ann_quantized_topk",
+    (s, d) => {
+      val dq = Quantize.int8Dequantize(Tables.embeddings(s, d))
+      val query = dq.filter(col("vec_id") === 0)
+        .select(col("dv").as("q_vec"))
+      dq.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(query))
+        .select(col("vec_id"),
+          round(Similarity.cosine(col("dv"), col("q_vec")), 4)
+            .as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+    },
+    Some("""WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+            m AS (
+              SELECT vec_id, v,
+                     list_max([abs(x) for x in v]) AS maxabs
+              FROM e),
+            dq AS (
+              SELECT vec_id,
+                     [round(x / (CASE WHEN maxabs = 0.0 THEN 1.0
+                                      ELSE maxabs / 127.0 END))
+                      * (CASE WHEN maxabs = 0.0 THEN 1.0
+                              ELSE maxabs / 127.0 END)
+                      for x in v] AS dv
+              FROM m),
+            q AS (SELECT dv FROM dq WHERE vec_id = 0)
+            SELECT d.vec_id,
+                   ROUND(list_cosine_similarity(d.dv, q.dv), 4) AS cos_sim
+            FROM dq d, q
+            WHERE d.vec_id <> 0
+            ORDER BY cos_sim DESC, d.vec_id LIMIT 10"""))
+
   /** Temperature-weighted mixture sampling at α = 1/2
     * ([[Sampling.temperatureSample]]): big sources shrink toward the
     * budget harder than small ones (`keep ∝ 1/sqrt(share)`), the
@@ -1377,7 +1420,7 @@ object LlmQueries {
     dedupStats, dedupKeep, nearDupMinhash, nearDupSimhash, dedupClusters,
     dedupClusterKeep, dedupSweep, ngramJaccard,
     annBrute, annLsh, annLshPlanted, annKnnJoin, nearDupCosine,
-    embCentroids, embNormProfile, quantizeInt8,
+    embCentroids, embNormProfile, quantizeInt8, annQuantized,
     splitCounts, stratSample, leakageSplit, budgetSample, temperatureMix,
     epochOrder,
     pipelinePrepShards, packShards, chunkDocs, ragRetrieve,

@@ -43,6 +43,28 @@ object Quantize {
       .drop("__graft_v", "__graft_maxabs", "__graft_ss")
   }
 
+  /** Dequantized vectors `(…pass-through…, dv: array<double>)` —
+    * `dv_i = round(x_i/scale)·scale`, the values an int8-backed ANN
+    * store actually searches over. Computed directly from the floats
+    * (bit-identical to a byte round-trip, since `|q_i| ≤ 127` never
+    * clamps) so the plan stays one narrow projection. */
+  def int8Dequantize(
+      embs: DataFrame,
+      vecCol: String = "embedding"): DataFrame = {
+    val pass = embs.columns.filterNot(_ == vecCol).map(col).toSeq
+    embs
+      .select(pass :+ asDouble(vecCol).as("__graft_v"): _*)
+      .withColumn("__graft_maxabs",
+        array_max(transform(col("__graft_v"), x => abs(x))))
+      .withColumn("__graft_ss",
+        when(col("__graft_maxabs") === 0.0, lit(1.0))
+          .otherwise(col("__graft_maxabs") / lit(127.0)))
+      .withColumn("dv",
+        transform(col("__graft_v"),
+          x => round(x / col("__graft_ss")) * col("__graft_ss")))
+      .drop("__graft_v", "__graft_maxabs", "__graft_ss")
+  }
+
   /** Per-vector reconstruction-error profile:
     * `(idCol, scale, max_abs_err, mse)` — the audit a pipeline runs
     * before committing to quantized storage. `max_abs_err ≤ scale/2`

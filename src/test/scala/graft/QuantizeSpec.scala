@@ -50,6 +50,34 @@ class QuantizeSpec extends AnyFunSuite {
     assert(cols == Set("vec_id", "label", "scale", "q"))
   }
 
+  test("dequantize round-trips the quantized codes exactly") {
+    val embs = Seq((1L, Array(1.0f, -0.5f, 0.25f)))
+      .toDF("vec_id", "embedding")
+    val dv = Quantize.int8Dequantize(embs)
+      .select("dv").as[Seq[Double]].head()
+    val s = 1.0 / 127.0
+    assert(dv == Seq(127 * s, -64 * s, 32 * s))
+  }
+
+  test("quantized ANN keeps most of the float top-10 on real vectors") {
+    import graft.llm.Similarity
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val fq = embs.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_vec"))
+    val floatTop = Similarity.bruteForceTopK(embs, fq, k = 10,
+      excludeId = 0L).select("vec_id").as[Long].collect().toSet
+    val dq = Quantize.int8Dequantize(embs)
+    val qq = dq.filter(col("vec_id") === 0).select(col("dv").as("q_vec"))
+    val quantTop = dq.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qq))
+      .select(col("vec_id"),
+        Similarity.cosine(col("dv"), col("q_vec")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id")).limit(10)
+      .select("vec_id").as[Long].collect().toSet
+    assert((floatTop intersect quantTop).size >= 7,
+      s"float $floatTop vs quantized $quantTop")
+  }
+
   test("quantization plan is shuffle-free") {
     val embs = Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
     val plan = Quantize.int8Profile(embs)

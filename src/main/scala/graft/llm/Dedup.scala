@@ -365,6 +365,42 @@ object Dedup {
       round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
   }
 
+  /** Cross-source near-dup provenance: for every unordered source
+    * pair, how many near-dup document pairs straddle it and at what
+    * mean similarity — the audit a mixture builder runs to find
+    * sources that are largely re-crawls of each other (within-source
+    * duplication shows up on the diagonal `source_x = source_y`).
+    *
+    * Scale: the pair list comes from the capped LSH pass
+    * ([[nearDupMinhash]] — no all-pairs stage); joining sources back
+    * is two id-keyed joins where the pair side is candidates only
+    * (≪ corpus), then a group-by over ≤ |sources|² rows. */
+  def crossSourceDupStats(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      sourceCol: String = "source",
+      minJaccard: Double = 0.5,
+      numHashes: Int = 64,
+      bands: Int = 32): DataFrame = {
+    val pairs = nearDupMinhash(docs, idCol = idCol, textCol = textCol,
+      numHashes = numHashes, bands = bands, minJaccard = minJaccard)
+    val src = docs.select(col(idCol), col(sourceCol))
+    pairs
+      .join(src.select(col(idCol).as("id_a"), col(sourceCol).as("src_a")),
+        Seq("id_a"))
+      .join(src.select(col(idCol).as("id_b"), col(sourceCol).as("src_b")),
+        Seq("id_b"))
+      .select(
+        least(col("src_a"), col("src_b")).as("source_x"),
+        greatest(col("src_a"), col("src_b")).as("source_y"),
+        col("jaccard"))
+      .groupBy("source_x", "source_y")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        round(avg(col("jaccard")), 4).as("avg_jaccard"))
+  }
+
   /** Result of [[connectedComponentsWithStats]]: the (id, cluster)
     * labels plus whether the min-label loop reached its fixpoint and
     * how many propagation rounds it ran. `converged == false` means

@@ -66,6 +66,37 @@ object LlmQueries {
                    COALESCE(ROUND(AVG(jaccard), 4), 0.0) AS avg_jaccard
             FROM pairs WHERE jaccard >= 0.5"""))
 
+  /** Cross-source near-dup provenance
+    * ([[Dedup.crossSourceDupStats]]): which source pairs share
+    * near-duplicate content, and how strongly. Same r=2×b=32 recall
+    * argument as `dedup_minhash_lsh`; the oracle recomputes exact
+    * all-pairs Jaccard per unordered source pair. */
+  val crossSourceDup = Q(
+    "dedup_cross_source",
+    (s, d) =>
+      Dedup.crossSourceDupStats(Tables.documents(s, d))
+        .orderBy("source_x", "source_y"),
+    Some("""WITH sh AS (
+              SELECT doc_id, source,
+                CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) < 3
+                  THEN [array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' ')]
+                  ELSE list_distinct([array_to_string(string_split_regex(lower(trim(text)), '\s+')[i:i+2], ' ')
+                        for i in range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1)])
+                END AS s
+              FROM documents),
+            pairs AS (
+              SELECT a.source AS sa, b.source AS sb,
+                     ROUND(CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
+                       ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                            CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) END, 4) AS jaccard
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+            SELECT least(sa, sb) AS source_x,
+                   greatest(sa, sb) AS source_y,
+                   COUNT(*) AS n_pairs,
+                   ROUND(AVG(jaccard), 4) AS avg_jaccard
+            FROM pairs WHERE jaccard >= 0.5
+            GROUP BY 1, 2 ORDER BY source_x, source_y"""))
+
   /** SimHash near-dup with a planted ground truth (custom codegen
     * expression inside). The corpus is documents UNION exact copies at
     * shifted ids; an exact token-multiset copy has an identical SimHash
@@ -1418,7 +1449,7 @@ object LlmQueries {
 
   def all: Seq[Q] = Seq(
     dedupStats, dedupKeep, nearDupMinhash, nearDupSimhash, dedupClusters,
-    dedupClusterKeep, dedupSweep, ngramJaccard,
+    dedupClusterKeep, dedupSweep, ngramJaccard, crossSourceDup,
     annBrute, annLsh, annLshPlanted, annKnnJoin, nearDupCosine,
     embCentroids, embNormProfile, quantizeInt8, annQuantized,
     splitCounts, stratSample, leakageSplit, budgetSample, temperatureMix,

@@ -222,4 +222,21 @@ class DedupSpec extends AnyFunSuite {
     assert(labels.values.toSet.size == 1,
       s"triad should be one cluster: $labels")
   }
+
+  test("cross-source provenance: dup pairs land on the right source pair") {
+    val srcDocs = Seq(
+      (1L, base, "crawl_a"),
+      (2L, base, "crawl_b"),                       // cross-source exact dup
+      (3L, base.replace("today", "tomorrow"), "crawl_b"), // near dup of 1
+      (4L, "totally different content entirely here", "crawl_a"),
+      (5L, "another unrelated document text", "crawl_b")
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.crossSourceDupStats(srcDocs, minJaccard = 0.5)
+      .orderBy("source_x", "source_y")
+      .as[(String, String, Long, Double)].collect().toSeq
+    // pairs: (1,2) a-b, (1,3) a-b, (2,3) b-b — sorted source pairs
+    assert(got.map(r => (r._1, r._2, r._3)) ==
+      Seq(("crawl_a", "crawl_b", 2L), ("crawl_b", "crawl_b", 1L)), got)
+    assert(got.forall(_._4 >= 0.5))
+  }
 }

@@ -60,6 +60,34 @@ object Curate {
     else scored.filter(col("lang_pred").isin(cfg.langs.map(lit(_)): _*))
   }
 
+  /** Per-source quality gate: keep the `n` best documents of each
+    * source by [[TextAnalysis.qualityScore]] (ties broken by id) —
+    * the "cap every source at its best N" mixture-curation step,
+    * which unlike a score threshold guarantees a bounded contribution
+    * from every source.
+    *
+    * Scale: one window rank per source partition — a single keyed
+    * shuffle, no global sort; the score itself is row-local column
+    * algebra fused into the scan. A single gigantic source makes this
+    * partition-skewed — there, pre-filter with a per-source score
+    * threshold (a bounded aggregate) before ranking. */
+  def topQualityPerSource(
+      docs: DataFrame,
+      n: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    require(n > 0, s"n must be positive: $n")
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
+      .withColumn("__graft_rk",
+        row_number().over(Window.partitionBy(col(sourceCol))
+          .orderBy(col("quality").desc, col(idCol))))
+      .filter(col("__graft_rk") <= n)
+      .drop("__graft_rk")
+  }
+
   /** Audit summary: how many rows survive each stage — as ONE lazy plan
     * with a single aggregate action.
     *

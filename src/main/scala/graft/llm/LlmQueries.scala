@@ -901,6 +901,44 @@ object LlmQueries {
                       "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')")} AS fp
              FROM m ORDER BY doc_id"""))
 
+  /** Per-source quality gate ([[Curate.topQualityPerSource]]): keep
+    * each source's best 50 documents by composite quality score. The
+    * oracle recomputes the full score (same inner rounding as
+    * `text_analyze`) and the windowed rank with the identical
+    * tie-break, so membership is checked row for row. */
+  val qualityGate = Q(
+    "curate_top_quality",
+    (s, d) =>
+      Curate.topQualityPerSource(Tables.documents(s, d), 50)
+        .select(col("doc_id"), col("source"), col("quality"))
+        .orderBy("source", "doc_id"),
+    Some("""WITH m AS (
+              SELECT doc_id, source, text,
+                ROUND(CAST(len(list_filter(
+                    string_split_regex(trim(text), '\s+'),
+                    x -> list_contains(
+                      ['the','a','of','and','to','in','is','that','it','for'],
+                      x))) AS DOUBLE) /
+                  GREATEST(CAST(len(string_split_regex(trim(text), '\s+'))
+                    AS DOUBLE), 1.0), 4) AS stop_ratio,
+                ROUND(CAST(length(regexp_replace(text,
+                    '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) /
+                  GREATEST(CAST(length(text) AS DOUBLE), 1.0), 4)
+                  AS punct_ratio
+              FROM documents),
+            q AS (
+              SELECT doc_id, source,
+                ROUND((LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+                       + (1.0 - LEAST(punct_ratio * 5.0, 1.0))
+                       + LEAST(stop_ratio * 5.0, 1.0)) / 3.0, 4)
+                  AS quality
+              FROM m)
+            SELECT doc_id, source, quality FROM q
+            QUALIFY row_number() OVER (
+              PARTITION BY source
+              ORDER BY quality DESC NULLS LAST, doc_id) <= 50
+            ORDER BY source, doc_id"""))
+
   /** Train/eval contamination: which "training" docs share a 4-word
     * shingle with the held-out "benchmark" slice (doc_id % 50 = 0).
     * k=4 here because the fixture vocabulary is ~40 words — at real
@@ -1458,5 +1496,6 @@ object LlmQueries {
     textTokens, textQuality, langDist, textAnalyze, textRepetition,
     unigramScore, bigramScore, bm25TopK,
     textRedact, contamination, contaminationBloom, mmStats, curate,
+    qualityGate,
     pipelineCurateSplit)
 }

@@ -61,4 +61,27 @@ class CurateSpec extends AnyFunSuite {
     assert(curated.columns.contains("quality"))
     assert(curated.columns.contains("lang_pred"))
   }
+
+  test("per-source quality gate keeps the best n of each source") {
+    import graft.llm.TextAnalysis
+    val srcDocs = Seq(
+      // 'web': 3 docs of descending quality (longer = better here)
+      (1L, "the cat sat on the mat and it was good for a while", "web"),
+      (2L, "the dog ran", "web"),
+      (3L, "zz", "web"),
+      // 'books': 1 doc — sources under n pass through whole
+      (10L, "a single book paragraph of reasonable length", "books")
+    ).toDF("doc_id", "text", "source")
+    val kept = Curate.topQualityPerSource(srcDocs, n = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(10L))
+    assert((kept - 10L).size == 2)
+    // the two kept web docs are the two highest-quality ones
+    val q = srcDocs
+      .withColumn("q", TextAnalysis.qualityScore(col("text")))
+      .filter(col("source") === "web")
+      .orderBy(col("q").desc, col("doc_id"))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept - 10L == q.take(2).toSet, s"kept $kept, ranked $q")
+  }
 }

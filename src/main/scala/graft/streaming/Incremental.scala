@@ -73,6 +73,47 @@ object Incremental {
       .outputMode("complete")
       .start()
 
+  /** Stream-static model scoring: score an incoming document stream
+    * against a FROZEN unigram LM (vocab learned offline from
+    * `trainDocs` — batch actions are fine at stream-setup time; the
+    * model never changes while the stream runs, which is exactly the
+    * deployment shape of a quality filter in an ingest pipeline).
+    *
+    * The plan is a stream-static broadcast join (the model is a
+    * bounded top-K cut) + a per-document aggregate — no stream-stream
+    * state, no watermark needed for correctness (complete mode here;
+    * a production sink would use foreachBatch + append). Semantics
+    * are identical to [[graft.llm.LanguageModel.scoreUnigram]] with
+    * the model frozen at train time: same OOV floor (0.5/total),
+    * same train-corpus total — pinned by StreamingSpec parity. */
+  def scoreStream(
+      docs: DataFrame,
+      trainDocs: DataFrame,
+      queryName: String,
+      vocabSize: Int = 1000): StreamingQuery = {
+    import graft.llm.{LanguageModel, TextAnalysis}
+    val vocab = LanguageModel.vocab(trainDocs, vocabSize = vocabSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = trainDocs
+      .select(explode(TextAnalysis.tokens(
+        lower(coalesce(col("text"), lit(""))))).as("t"))
+      .count()
+    docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(
+        lower(coalesce(col("text"), lit(""))))).as("token"))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        avg(log(coalesce(col("cnt").cast("double"), lit(0.5)) /
+          lit(total.toDouble))).as("avg_logprob"))
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("complete")
+      .start()
+  }
+
   /** Streaming upsert sink: apply each micro-batch as a MERGE into a
     * parquet table via foreachBatch + maintain.Upsert — the CDC
     * pattern (a stream of keyed updates continuously folded into a

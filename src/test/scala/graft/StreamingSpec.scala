@@ -101,6 +101,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(q.recentProgress.count(_.numInputRows > 0) >= 3)
   }
 
+  test("stream-static model scoring matches the frozen batch scorer") {
+    val docsDir = TestSpark.tmpDir("docs-score-src")
+    Tables.documents(spark, TestSpark.sf0001)
+      .write.mode("overwrite").parquet(docsDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(docsDir).schema)
+      .parquet(docsDir)
+    val train = Tables.documents(spark, TestSpark.sf0001)
+    val q = Incremental.scoreStream(stream, train, "score_stream_test")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("score_stream_test")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val batch = graft.llm.LanguageModel.scoreUnigram(train)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(streamed.keySet == batch.keySet)
+    assert(streamed.nonEmpty)
+    streamed.foreach { case (id, (n, s)) =>
+      assert(n == batch(id)._1, s"doc $id token count")
+      assert(math.abs(s - batch(id)._2) < 1e-9, s"doc $id score")
+    }
+  }
+
   test("stateful streaming sessionize matches batch sessionize") {
     import graft.streaming.Sessionize
     implicit val s: org.apache.spark.sql.SparkSession = spark

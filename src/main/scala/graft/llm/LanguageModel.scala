@@ -78,6 +78,41 @@ object LanguageModel {
         avg(col("logp")).as("avg_logprob"))
   }
 
+  /** BPE tokenizer-training prep: the FIRST merge iteration's
+    * candidate table — adjacent character-pair counts weighted by
+    * word frequency (`count(pair) = Σ_{words containing pair}
+    * wordFreq`), which is exactly what byte-pair encoding greedily
+    * merges. Iterating merges is sequential by nature; the expensive,
+    * distributable part is this corpus-wide pair count, and each
+    * subsequent iteration is the same plan over re-segmented words.
+    *
+    * Scale: one exploded word count (map-side combined; the word
+    * vocabulary, not the corpus, flows into the second stage), then a
+    * char-pair explode over the VOCAB ONLY — corpus size stops
+    * mattering after the first aggregate. Single-char words carry no
+    * pairs and are filtered before the explode. */
+  def bpeMergePairs(
+      docs: DataFrame,
+      textCol: String = "text",
+      topK: Int = 20): DataFrame = {
+    require(topK > 0, s"topK must be positive: $topK")
+    val words = docs.select(
+      explode(TextAnalysis.tokens(lower(coalesce(col(textCol), lit("")))))
+        .as("word"))
+    val freq = words.groupBy("word").agg(count(lit(1)).as("wfreq"))
+      .filter(length(col("word")) >= 2)
+    val chars = split(col("word"), "")
+    freq
+      .select(col("wfreq"),
+        explode(transform(
+          sequence(lit(0), length(col("word")) - 2),
+          i => concat(element_at(chars, i + 1), element_at(chars, i + 2))))
+          .as("pair"))
+      .groupBy("pair").agg(sum(col("wfreq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(topK)
+  }
+
   /** Per-document interpolated bigram score: `(idCol, n_bigrams,
     * avg_logprob)` — the next rung up the perplexity-filter ladder
     * from [[scoreUnigram]]. Each adjacent token pair `(w1, w2)`

@@ -1169,6 +1169,31 @@ object LlmQueries {
             CROSS JOIN tot
             GROUP BY bg.doc_id ORDER BY bg.doc_id"""))
 
+  /** BPE merge-candidate table ([[LanguageModel.bpeMergePairs]]): the
+    * first tokenizer-training iteration's frequency-weighted adjacent
+    * char-pair counts. Fully integer + lexicographic tie-break, so
+    * the oracle recomputes the exact top-20. */
+  val bpePairs = Q(
+    "text_bpe_merge_pairs",
+    (s, d) =>
+      LanguageModel.bpeMergePairs(Tables.documents(s, d), topK = 20),
+    Some("""WITH w AS (
+              SELECT unnest(string_split_regex(
+                trim(lower(coalesce(text, ''))), '\s+')) AS word
+              FROM documents),
+            f AS (
+              SELECT word, COUNT(*) AS wfreq FROM w
+              WHERE length(word) >= 2 GROUP BY word),
+            p AS (
+              SELECT wfreq,
+                     unnest([ch[i] || ch[i + 1]
+                             for i in range(1, len(ch))]) AS pair
+              FROM (SELECT wfreq, string_split_regex(word, '') AS ch
+                    FROM f))
+            SELECT pair, CAST(SUM(wfreq) AS BIGINT) AS cnt
+            FROM p GROUP BY pair
+            ORDER BY cnt DESC, pair LIMIT 20"""))
+
   /** BM25 retrieval top-k ([[Retrieval.bm25TopK]]): the oracle
     * recomputes N/avgdl/df/tf and the full Lucene-flavored score for
     * every matching document — ranking, tie-break, and truncation
@@ -1494,7 +1519,7 @@ object LlmQueries {
     epochOrder,
     pipelinePrepShards, packShards, chunkDocs, ragRetrieve,
     textTokens, textQuality, langDist, textAnalyze, textRepetition,
-    unigramScore, bigramScore, bm25TopK,
+    unigramScore, bigramScore, bm25TopK, bpePairs,
     textRedact, contamination, contaminationBloom, mmStats, curate,
     qualityGate,
     pipelineCurateSplit)

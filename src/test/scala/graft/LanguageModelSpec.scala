@@ -109,6 +109,15 @@ class LanguageModelSpec extends AnyFunSuite {
     assert(got.forall(r => !r._3.isNegInfinity && !r._3.isNaN))
   }
 
+  test("BPE merge pairs: frequency-weighted char-pair counts") {
+    // words: aa ×2, ab ×1, bab ×1, c ×1 (dropped: single char)
+    // pairs: aa←2(from aa); ab←1(ab)+1(bab); ba←1(bab)
+    val docs = Seq((1L, "aa ab c"), (2L, "aa bab")).toDF("doc_id", "text")
+    val got = LanguageModel.bpeMergePairs(docs, topK = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("aa", 2L), ("ab", 2L), ("ba", 1L)), got.toString)
+  }
+
   test("fluent (high-bigram-probability) docs outscore shuffled ones") {
     val fluent = (0 until 30).map(i => (i.toLong, "the cat sat on the mat"))
     val shuffled = Seq((99L, "mat the on sat cat the"))

@@ -1,0 +1,105 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus drift detection — the distribution-shift monitor a training
+  * pipeline runs on every incoming batch: compare the token
+  * distribution of a candidate corpus against a reference corpus and
+  * report KL divergence (both directions) and the symmetric, bounded
+  * Jensen–Shannon divergence, plus the single most-drifted token for
+  * drill-down. (Reference analog: the corpus-level profiling loops in
+  * `mirrulations-iceberg/demo_optimized_data.py` compare per-slice
+  * counts; this is the probabilistic generalization a 100 TB pipeline
+  * needs to notice a scraper gone bad or a source mix change.)
+  *
+  * Semantics (chosen to be exactly oracle-recomputable):
+  *   - vocab = top-`vocabSize` tokens of the POOLED distribution,
+  *     ordered `(cnt_a + cnt_b DESC, token ASC)` — deterministic under
+  *     ties, same cut rule as [[LanguageModel.vocab]];
+  *   - within the vocab, add-half smoothing over the k kept tokens:
+  *     `p = (cnt_a + 0.5) / (tot_a + 0.5·k)` (likewise `q`), so a token
+  *     absent from one side never yields `ln(0)`;
+  *   - `kl_ab = Σ p·ln(p/q)`, `kl_ba = Σ q·ln(q/p)`,
+  *     `js = ½Σ p·ln(p/m) + ½Σ q·ln(q/m)` with `m = (p+q)/2`;
+  *   - `top_drift_token` = argmax |p−q|, ties to the smaller token.
+  *
+  * Scale design: each side collapses to `(token, cnt)` in ONE
+  * map-side-combined aggregate — the corpus text never shuffles, only
+  * bounded count pairs keyed by token. The pooled top-k cut is a
+  * TakeOrdered over those counts, and the final divergence is a single
+  * scalar aggregate over ≤ `vocabSize` rows with the (3-column) totals
+  * frame broadcast. No stage is proportional to documents × documents
+  * or documents × vocab.
+  */
+object Drift {
+
+  private def tokenCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(
+        TextAnalysis.tokens(lower(coalesce(col(textCol), lit("")))))
+        .as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+
+  /** Single-row drift summary between two corpora (see object doc for
+    * the exact recipe): `(n_vocab, tokens_a, tokens_b, kl_ab, kl_ba,
+    * js_divergence, top_drift_token, top_drift_abs)`. Divergences are
+    * in nats, unrounded; callers round for display/oracle hashing.
+    * On two empty corpora the row degrades to zeros/null token. */
+  def driftSummary(
+      docsA: DataFrame,
+      docsB: DataFrame,
+      textCol: String = "text",
+      vocabSize: Int = 1000): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive: $vocabSize")
+    val ca = tokenCounts(docsA, textCol)
+      .withColumnRenamed("cnt", "cnt_a")
+    val cb = tokenCounts(docsB, textCol)
+      .withColumnRenamed("cnt", "cnt_b")
+    val pooled = ca.join(cb, Seq("token"), "full_outer")
+      .select(
+        col("token"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+    val vocab = pooled
+      .orderBy((col("cnt_a") + col("cnt_b")).desc, col("token"))
+      .limit(vocabSize)
+    // k and the per-side totals are computed over the KEPT vocab (not
+    // the full pooled table) so smoothing mass matches what the sums
+    // below actually see; the totals frame is 1 row — broadcast.
+    val totals = vocab.agg(
+      count(lit(1)).as("k"),
+      coalesce(sum(col("cnt_a")), lit(0L)).as("tot_a"),
+      coalesce(sum(col("cnt_b")), lit(0L)).as("tot_b"))
+    val probs = vocab
+      .crossJoin(broadcast(totals))
+      .select(
+        col("token"), col("k"), col("tot_a"), col("tot_b"),
+        ((col("cnt_a") + lit(0.5)) /
+          (col("tot_a") + lit(0.5) * col("k"))).as("p"),
+        ((col("cnt_b") + lit(0.5)) /
+          (col("tot_b") + lit(0.5) * col("k"))).as("q"))
+      .withColumn("m", (col("p") + col("q")) / lit(2.0))
+      .withColumn("absdiff", abs(col("p") - col("q")))
+    probs.agg(
+      coalesce(max(col("k")), lit(0L)).as("n_vocab"),
+      coalesce(max(col("tot_a")), lit(0L)).as("tokens_a"),
+      coalesce(max(col("tot_b")), lit(0L)).as("tokens_b"),
+      coalesce(sum(col("p") * log(col("p") / col("q"))), lit(0.0))
+        .as("kl_ab"),
+      coalesce(sum(col("q") * log(col("q") / col("p"))), lit(0.0))
+        .as("kl_ba"),
+      coalesce(
+        lit(0.5) * sum(col("p") * log(col("p") / col("m"))) +
+          lit(0.5) * sum(col("q") * log(col("q") / col("m"))),
+        lit(0.0)).as("js_divergence"),
+      // argmax |p−q| with ties to the smaller token: min_by over the
+      // composite (−absdiff, token) — struct comparison is field-wise,
+      // so minimizing −absdiff maximizes the drift and the second
+      // field breaks exact-tie doubles deterministically.
+      min_by(col("token"),
+        struct((-col("absdiff")).as("d"), col("token")))
+        .as("top_drift_token"),
+      coalesce(max(col("absdiff")), lit(0.0)).as("top_drift_abs"))
+  }
+}

@@ -1194,6 +1194,75 @@ object LlmQueries {
             FROM p GROUP BY pair
             ORDER BY cnt DESC, pair LIMIT 20"""))
 
+  /** Corpus drift monitor: KL (both directions) + Jensen–Shannon
+    * divergence between the even- and odd-indexed source halves of the
+    * corpus, over the pooled top-500 vocab with add-half smoothing —
+    * the check a pipeline runs per incoming batch to notice a source
+    * mix change (see [[Drift]] for the scale design: only (token,cnt)
+    * pairs ever shuffle). The oracle recomputes the full recipe —
+    * vocab cut, smoothing, every divergence, and the argmax-drift
+    * token — in DuckDB. */
+  val corpusDrift = Q(
+    "text_corpus_drift",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val idx = substring(col("source"), 4, 10).cast("int")
+      Drift.driftSummary(
+          docs.filter(idx % 2 === 0),
+          docs.filter(idx % 2 === 1),
+          vocabSize = 500)
+        .select(
+          col("n_vocab"), col("tokens_a"), col("tokens_b"),
+          round(col("kl_ab"), 4).as("kl_ab"),
+          round(col("kl_ba"), 4).as("kl_ba"),
+          round(col("js_divergence"), 4).as("js_divergence"),
+          col("top_drift_token"),
+          round(col("top_drift_abs"), 6).as("top_drift_abs"))
+    },
+    Some("""WITH ta AS (
+              SELECT unnest(string_split_regex(
+                trim(lower(coalesce(text, ''))), '\s+')) AS token
+              FROM documents
+              WHERE CAST(substr(source, 4) AS INT) % 2 = 0),
+            tb AS (
+              SELECT unnest(string_split_regex(
+                trim(lower(coalesce(text, ''))), '\s+')) AS token
+              FROM documents
+              WHERE CAST(substr(source, 4) AS INT) % 2 = 1),
+            ca AS (SELECT token, COUNT(*) AS cnt_a FROM ta GROUP BY token),
+            cb AS (SELECT token, COUNT(*) AS cnt_b FROM tb GROUP BY token),
+            pooled AS (
+              SELECT coalesce(ca.token, cb.token) AS token,
+                     coalesce(cnt_a, 0) AS cnt_a,
+                     coalesce(cnt_b, 0) AS cnt_b
+              FROM ca FULL OUTER JOIN cb ON ca.token = cb.token),
+            vocab AS (
+              SELECT * FROM pooled
+              ORDER BY cnt_a + cnt_b DESC, token LIMIT 500),
+            tot AS (
+              SELECT COUNT(*) AS k,
+                     CAST(SUM(cnt_a) AS DOUBLE) AS tot_a,
+                     CAST(SUM(cnt_b) AS DOUBLE) AS tot_b
+              FROM vocab),
+            probs AS (
+              SELECT token,
+                     (cnt_a + 0.5) / (tot_a + 0.5 * k) AS p,
+                     (cnt_b + 0.5) / (tot_b + 0.5 * k) AS q
+              FROM vocab, tot)
+            SELECT (SELECT k FROM tot) AS n_vocab,
+                   (SELECT CAST(tot_a AS BIGINT) FROM tot) AS tokens_a,
+                   (SELECT CAST(tot_b AS BIGINT) FROM tot) AS tokens_b,
+                   ROUND(SUM(p * ln(p / q)), 4) AS kl_ab,
+                   ROUND(SUM(q * ln(q / p)), 4) AS kl_ba,
+                   ROUND(0.5 * SUM(p * ln(p / ((p + q) / 2)))
+                       + 0.5 * SUM(q * ln(q / ((p + q) / 2))), 4)
+                     AS js_divergence,
+                   (SELECT token FROM probs
+                    ORDER BY abs(p - q) DESC, token LIMIT 1)
+                     AS top_drift_token,
+                   ROUND(MAX(abs(p - q)), 6) AS top_drift_abs
+            FROM probs"""))
+
   /** BM25 retrieval top-k ([[Retrieval.bm25TopK]]): the oracle
     * recomputes N/avgdl/df/tf and the full Lucene-flavored score for
     * every matching document — ranking, tie-break, and truncation
@@ -1519,7 +1588,7 @@ object LlmQueries {
     epochOrder,
     pipelinePrepShards, packShards, chunkDocs, ragRetrieve,
     textTokens, textQuality, langDist, textAnalyze, textRepetition,
-    unigramScore, bigramScore, bm25TopK, bpePairs,
+    unigramScore, bigramScore, bm25TopK, bpePairs, corpusDrift,
     textRedact, contamination, contaminationBloom, mmStats, curate,
     qualityGate,
     pipelineCurateSplit)

@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.Drift
+
+class DriftSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // A token counts: the=3, cat=2, sat=1 (tot 6)
+  lazy val corpusA = Seq(
+    (1L, "the cat sat"),
+    (2L, "the the cat")).toDF("doc_id", "text")
+  // B token counts: the=1, dog=2, ran=1 (tot 4)
+  lazy val corpusB = Seq(
+    (3L, "the dog ran"),
+    (4L, "dog")).toDF("doc_id", "text")
+
+  private def row(vocabSize: Int = 100) =
+    Drift.driftSummary(corpusA, corpusB, vocabSize = vocabSize)
+      .as[(Long, Long, Long, Double, Double, Double, String, Double)]
+      .head()
+
+  test("hand-computed divergences over the full pooled vocab") {
+    // pooled vocab (5 tokens): the, cat, dog, sat, ran; k=5
+    // p = (cnt_a + .5) / (6 + 2.5); q = (cnt_b + .5) / (4 + 2.5)
+    val k = 5.0
+    val pa = Map("the" -> 3.0, "cat" -> 2.0, "sat" -> 1.0)
+      .withDefaultValue(0.0)
+    val pb = Map("the" -> 1.0, "dog" -> 2.0, "ran" -> 1.0)
+      .withDefaultValue(0.0)
+    val toks = Seq("the", "cat", "dog", "sat", "ran")
+    val p = toks.map(t => (pa(t) + 0.5) / (6.0 + 0.5 * k))
+    val q = toks.map(t => (pb(t) + 0.5) / (4.0 + 0.5 * k))
+    val klAB = p.zip(q).map { case (x, y) => x * math.log(x / y) }.sum
+    val klBA = p.zip(q).map { case (x, y) => y * math.log(y / x) }.sum
+    val js = p.zip(q).map { case (x, y) =>
+      val m = (x + y) / 2
+      0.5 * x * math.log(x / m) + 0.5 * y * math.log(y / m)
+    }.sum
+    val (nv, ta, tb, gKlAB, gKlBA, gJs, topTok, topAbs) = row()
+    assert(nv == 5L && ta == 6L && tb == 4L)
+    assert(math.abs(gKlAB - klAB) < 1e-9)
+    assert(math.abs(gKlBA - klBA) < 1e-9)
+    assert(math.abs(gJs - js) < 1e-9)
+    // |p−q| is maximized by 'the' (.4118−.2308=.1810 vs dog .3846−.0588=.3258)
+    val diffs = toks.zip(p.zip(q)).map { case (t, (x, y)) =>
+      (t, math.abs(x - y))
+    }
+    val (expTok, expAbs) = diffs.maxBy(_._2)
+    assert(topTok == expTok)
+    assert(math.abs(topAbs - expAbs) < 1e-9)
+  }
+
+  test("JS is symmetric and bounded by ln 2; KL directions differ") {
+    val (_, _, _, klAB, klBA, js, _, _) = row()
+    val swapped = Drift.driftSummary(corpusB, corpusA, vocabSize = 100)
+      .as[(Long, Long, Long, Double, Double, Double, String, Double)]
+      .head()
+    assert(math.abs(swapped._6 - js) < 1e-12, "JS must be symmetric")
+    assert(math.abs(swapped._4 - klBA) < 1e-12)
+    assert(js > 0 && js < math.log(2.0))
+    assert(klAB != klBA)
+  }
+
+  test("identical corpora have zero divergence and zero top drift") {
+    val (_, _, _, klAB, klBA, js, _, topAbs) =
+      Drift.driftSummary(corpusA, corpusA, vocabSize = 100)
+        .as[(Long, Long, Long, Double, Double, Double, String, Double)]
+        .head()
+    assert(math.abs(klAB) < 1e-12 && math.abs(klBA) < 1e-12)
+    assert(math.abs(js) < 1e-12 && math.abs(topAbs) < 1e-12)
+  }
+
+  test("vocab cut keeps the top tokens of the POOLED distribution") {
+    // vocabSize=2 keeps the two tokens with highest cnt_a+cnt_b:
+    // the(4), dog(2) — cat(2) loses the tie to dog? No: tie broken by
+    // token ASC, so cat beats dog at pooled count 2 → vocab={the,cat}.
+    val (nv, ta, tb, _, _, _, _, _) = row(vocabSize = 2)
+    assert(nv == 2L)
+    assert(ta == 5L, "in-vocab A tokens: the=3 + cat=2")
+    assert(tb == 1L, "in-vocab B tokens: the=1 + cat=0")
+  }
+
+  test("two empty corpora degrade to a zero row, not a crash") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val got = Drift.driftSummary(empty, empty).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(0) == 0L && r.getDouble(5) == 0.0)
+    assert(r.isNullAt(6), "top_drift_token must be null on empty input")
+  }
+}

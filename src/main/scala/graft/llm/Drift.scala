@@ -102,4 +102,134 @@ object Drift {
         .as("top_drift_token"),
       coalesce(max(col("absdiff")), lit(0.0)).as("top_drift_abs"))
   }
+
+  /** Reference vocabulary for [[driftAgainstFrozen]]: the top-`vocabSize`
+    * `(token, ref_cnt)` of a reference corpus, ties broken
+    * lexicographically — compute once, persist/broadcast, reuse across
+    * every batch scored against it. */
+  def referenceVocab(
+      refDocs: DataFrame,
+      textCol: String = "text",
+      vocabSize: Int = 500): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive: $vocabSize")
+    tokenCounts(refDocs, textCol)
+      .withColumnRenamed("cnt", "ref_cnt")
+      .orderBy(col("ref_cnt").desc, col("token"))
+      .limit(vocabSize)
+  }
+
+  /** Drift of a batch against a FROZEN reference distribution: JS
+    * divergence over the reference's own vocab (`refVocab` from
+    * [[referenceVocab]]) with the same add-half smoothing as
+    * [[driftSummary]]. The vocab is the fixed yardstick — batch tokens
+    * outside it are ignored by design, so consecutive batches are
+    * comparable on the same axis (and the reference side of the
+    * divergence never moves). One row: `(n_vocab, tokens_batch,
+    * js_divergence, top_drift_token, top_drift_abs)`, unrounded.
+    *
+    * Scale design: the batch collapses to `(token, cnt)` map-side;
+    * the ≤`vocabSize`-row reference is broadcast into the join, so the
+    * scoring cost per batch is one bounded aggregate — the shape that
+    * lets [[graft.streaming.Incremental.driftStream]] run it per
+    * micro-batch indefinitely. */
+  def driftAgainstFrozen(
+      docs: DataFrame,
+      refVocab: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val grid = broadcast(refVocab)
+      .join(tokenCounts(docs, textCol), Seq("token"), "left")
+      .na.fill(0L, Seq("cnt"))
+    val totals = grid.agg(
+      count(lit(1)).as("k"),
+      coalesce(sum(col("cnt")), lit(0L)).as("tot_b"),
+      coalesce(sum(col("ref_cnt")), lit(0L)).as("tot_r"))
+    grid
+      .crossJoin(broadcast(totals))
+      .select(
+        col("token"), col("k"), col("tot_b"),
+        ((col("cnt") + lit(0.5)) /
+          (col("tot_b") + lit(0.5) * col("k"))).as("p"),
+        ((col("ref_cnt") + lit(0.5)) /
+          (col("tot_r") + lit(0.5) * col("k"))).as("q"))
+      .withColumn("m", (col("p") + col("q")) / lit(2.0))
+      .withColumn("absdiff", abs(col("p") - col("q")))
+      .agg(
+        coalesce(max(col("k")), lit(0L)).as("n_vocab"),
+        coalesce(max(col("tot_b")), lit(0L)).as("tokens_batch"),
+        coalesce(
+          lit(0.5) * sum(col("p") * log(col("p") / col("m"))) +
+            lit(0.5) * sum(col("q") * log(col("q") / col("m"))),
+          lit(0.0)).as("js_divergence"),
+        min_by(col("token"),
+          struct((-col("absdiff")).as("d"), col("token")))
+          .as("top_drift_token"),
+        coalesce(max(col("absdiff")), lit(0.0)).as("top_drift_abs"))
+  }
+
+  /** Per-source drift drill-down: for every source, the JS divergence
+    * of ITS token distribution against the rest of the corpus, over
+    * one GLOBAL pooled top-`vocabSize` vocab (same cut/smoothing rules
+    * as [[driftSummary]]; the rest-side counts are `global − source`,
+    * so no second corpus pass). Answers "which scraper went bad" after
+    * [[driftSummary]] fires. Output per source: `(source, tokens_src,
+    * js_divergence, top_drift_token, top_drift_abs)`, ordered by
+    * source.
+    *
+    * Scale design: the corpus collapses ONCE to `(source, token, cnt)`
+    * (map-side combined; the global distribution re-aggregates those
+    * pairs, not the text). The scored grid is the dense
+    * vocab × sources frame — `vocabSize · n_sources` rows by
+    * construction, built by broadcasting the ≤`vocabSize`-row vocab —
+    * and the only unbounded shuffle is keyed `(source, token)`. A
+    * single-source corpus degrades gracefully: the rest-side smooths
+    * to uniform rather than dividing by zero. */
+  def driftBySource(
+      docs: DataFrame,
+      sourceCol: String = "source",
+      textCol: String = "text",
+      vocabSize: Int = 500): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive: $vocabSize")
+    val tokSrc = docs
+      .select(
+        col(sourceCol).as("source"),
+        explode(TextAnalysis.tokens(
+          lower(coalesce(col(textCol), lit(""))))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = tokSrc
+      .groupBy("token").agg(sum(col("cnt")).as("gcnt"))
+      .orderBy(col("gcnt").desc, col("token"))
+      .limit(vocabSize)
+    val inVocab = tokSrc
+      .join(broadcast(vocab.select(col("token"))), Seq("token"))
+    val perSrc = inVocab.groupBy("source")
+      .agg(sum(col("cnt")).as("tot_s"))
+    val globTot = vocab.agg(
+      count(lit(1)).as("k"),
+      coalesce(sum(col("gcnt")), lit(0L)).as("tot_g"))
+    broadcast(vocab)
+      .crossJoin(perSrc)
+      .join(inVocab, Seq("source", "token"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .crossJoin(broadcast(globTot))
+      .select(
+        col("source"), col("token"), col("tot_s"),
+        ((col("cnt") + lit(0.5)) /
+          (col("tot_s") + lit(0.5) * col("k"))).as("p"),
+        ((col("gcnt") - col("cnt") + lit(0.5)) /
+          (col("tot_g") - col("tot_s") + lit(0.5) * col("k"))).as("q"))
+      .withColumn("m", (col("p") + col("q")) / lit(2.0))
+      .withColumn("absdiff", abs(col("p") - col("q")))
+      .groupBy("source")
+      .agg(
+        max(col("tot_s")).as("tokens_src"),
+        (lit(0.5) * sum(col("p") * log(col("p") / col("m"))) +
+          lit(0.5) * sum(col("q") * log(col("q") / col("m"))))
+          .as("js_divergence"),
+        min_by(col("token"),
+          struct((-col("absdiff")).as("d"), col("token")))
+          .as("top_drift_token"),
+        max(col("absdiff")).as("top_drift_abs"))
+      .orderBy("source")
+  }
 }

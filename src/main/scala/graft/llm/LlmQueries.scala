@@ -1263,6 +1263,71 @@ object LlmQueries {
                    ROUND(MAX(abs(p - q)), 6) AS top_drift_abs
             FROM probs"""))
 
+  /** Per-source drift drill-down ([[Drift.driftBySource]]): each
+    * source's JS divergence against the rest of the corpus over one
+    * global top-500 vocab — the query that names the drifting source
+    * after `text_corpus_drift` fires. The oracle rebuilds the dense
+    * vocab×source grid and every divergence in DuckDB; the per-source
+    * argmax token is recomputed with a window rank. */
+  val driftBySource = Q(
+    "text_drift_by_source",
+    (s, d) =>
+      Drift.driftBySource(Tables.documents(s, d), vocabSize = 500)
+        .select(
+          col("source"), col("tokens_src"),
+          round(col("js_divergence"), 4).as("js_divergence"),
+          col("top_drift_token"),
+          round(col("top_drift_abs"), 6).as("top_drift_abs"))
+        .orderBy("source"),
+    Some("""WITH toks AS (
+              SELECT source, unnest(string_split_regex(
+                trim(lower(coalesce(text, ''))), '\s+')) AS token
+              FROM documents),
+            cs AS (
+              SELECT source, token, COUNT(*) AS cnt
+              FROM toks GROUP BY source, token),
+            g AS (SELECT token, SUM(cnt) AS gcnt FROM cs GROUP BY token),
+            vocab AS (
+              SELECT token, CAST(gcnt AS DOUBLE) AS gcnt FROM g
+              ORDER BY gcnt DESC, token LIMIT 500),
+            tot AS (
+              SELECT COUNT(*) AS k,
+                     CAST(SUM(gcnt) AS DOUBLE) AS tot_g
+              FROM vocab),
+            ps AS (
+              SELECT cs.source, CAST(SUM(cs.cnt) AS DOUBLE) AS tot_s
+              FROM cs JOIN vocab USING (token) GROUP BY cs.source),
+            grid AS (
+              SELECT ps.source, v.token, ps.tot_s, v.gcnt,
+                     coalesce(cs.cnt, 0) AS cnt
+              FROM vocab v CROSS JOIN ps
+              LEFT JOIN cs
+                ON cs.source = ps.source AND cs.token = v.token),
+            probs AS (
+              SELECT source, token, tot_s,
+                     (cnt + 0.5) / (tot_s + 0.5 * k) AS p,
+                     (gcnt - cnt + 0.5)
+                       / (tot_g - tot_s + 0.5 * k) AS q
+              FROM grid, tot),
+            ranked AS (
+              SELECT source, token,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY abs(p - q) DESC, token) AS rn
+              FROM probs),
+            summary AS (
+              SELECT source,
+                     CAST(MAX(tot_s) AS BIGINT) AS tokens_src,
+                     ROUND(0.5 * SUM(p * ln(p / ((p + q) / 2)))
+                         + 0.5 * SUM(q * ln(q / ((p + q) / 2))), 4)
+                       AS js_divergence,
+                     ROUND(MAX(abs(p - q)), 6) AS top_drift_abs
+              FROM probs GROUP BY source)
+            SELECT s.source, s.tokens_src, s.js_divergence,
+                   r.token AS top_drift_token, s.top_drift_abs
+            FROM summary s
+            JOIN ranked r ON r.source = s.source AND r.rn = 1
+            ORDER BY s.source"""))
+
   /** BM25 retrieval top-k ([[Retrieval.bm25TopK]]): the oracle
     * recomputes N/avgdl/df/tf and the full Lucene-flavored score for
     * every matching document — ranking, tie-break, and truncation
@@ -1589,6 +1654,7 @@ object LlmQueries {
     pipelinePrepShards, packShards, chunkDocs, ragRetrieve,
     textTokens, textQuality, langDist, textAnalyze, textRepetition,
     unigramScore, bigramScore, bm25TopK, bpePairs, corpusDrift,
+    driftBySource,
     textRedact, contamination, contaminationBloom, mmStats, curate,
     qualityGate,
     pipelineCurateSplit)

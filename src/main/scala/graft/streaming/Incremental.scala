@@ -170,4 +170,37 @@ object Incremental {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Streaming drift monitor: every micro-batch of a document stream
+    * is scored against a FROZEN reference distribution
+    * ([[graft.llm.Drift.driftAgainstFrozen]] over
+    * [[graft.llm.Drift.referenceVocab]]), and one
+    * `(batch_id, n_vocab, tokens_batch, js_divergence,
+    * top_drift_token, top_drift_abs)` row is appended to a parquet
+    * drift log — the deployment shape of the corpus-drift check: the
+    * yardstick never moves, each batch costs one bounded aggregate
+    * against a broadcast vocab, and the log is itself queryable for
+    * alerting/trending. foreachBatch gives exactly-once per batch id
+    * against the checkpoint; no stream-stream state anywhere. */
+  def driftStream(
+      docs: DataFrame,
+      refDocs: DataFrame,
+      destDir: String,
+      checkpointDir: String,
+      vocabSize: Int = 500): StreamingQuery = {
+    import graft.llm.Drift
+    val refVocab = Drift
+      .referenceVocab(refDocs, vocabSize = vocabSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        Drift.driftAgainstFrozen(batch, refVocab)
+          .withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(destDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }

@@ -83,6 +83,57 @@ class DriftSpec extends AnyFunSuite {
     assert(tb == 1L, "in-vocab B tokens: the=1 + cat=0")
   }
 
+  // ---- driftBySource ----
+
+  lazy val sourced = Seq(
+    (1L, "the cat sat", "s1"),
+    (2L, "the the cat", "s1"),
+    (3L, "the dog ran", "s2"),
+    (4L, "dog", "s2")).toDF("doc_id", "text", "source")
+
+  test("per-source JS on a 2-source corpus equals the pairwise summary") {
+    // With exactly two sources, "source vs rest" IS "A vs B": the
+    // global vocab equals the pooled vocab, tot_s/rest equal
+    // tot_a/tot_b — so both sources must report the driftSummary JS,
+    // and (JS being symmetric) the same value as each other.
+    val expected = Drift
+      .driftSummary(corpusA, corpusB, vocabSize = 100)
+      .as[(Long, Long, Long, Double, Double, Double, String, Double)]
+      .head()._6
+    val got = Drift.driftBySource(sourced, vocabSize = 100)
+      .orderBy("source")
+      .as[(String, Long, Double, String, Double)].collect()
+    assert(got.map(_._1).toSeq == Seq("s1", "s2"))
+    assert(got(0)._2 == 6L && got(1)._2 == 4L)
+    assert(math.abs(got(0)._3 - expected) < 1e-12)
+    assert(math.abs(got(1)._3 - expected) < 1e-12)
+    assert(math.abs(got(0)._3 - got(1)._3) < 1e-12)
+  }
+
+  test("identically-distributed equal-size sources have zero drift") {
+    val uniform = Seq(
+      (1L, "a b", "s1"), (2L, "a b", "s2")).toDF("doc_id", "text", "source")
+    val got = Drift.driftBySource(uniform, vocabSize = 100)
+      .as[(String, Long, Double, String, Double)].collect()
+    assert(got.length == 2)
+    got.foreach { r =>
+      assert(math.abs(r._3) < 1e-12, s"source ${r._1}: js ${r._3}")
+      assert(math.abs(r._5) < 1e-12)
+    }
+  }
+
+  test("single-source corpus smooths the rest side instead of crashing") {
+    val solo = Seq((1L, "a a b", "s1")).toDF("doc_id", "text", "source")
+    val got = Drift.driftBySource(solo, vocabSize = 100)
+      .as[(String, Long, Double, String, Double)].collect()
+    assert(got.length == 1)
+    val (_, tokSrc, js, _, _) = got.head
+    assert(tokSrc == 3L)
+    // rest-of-corpus is empty → q smooths to uniform 1/k; drift of
+    // (a=2,b=1) against uniform is finite and positive
+    assert(js > 0 && js < math.log(2.0))
+  }
+
   test("two empty corpora degrade to a zero row, not a crash") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val got = Drift.driftSummary(empty, empty).collect()

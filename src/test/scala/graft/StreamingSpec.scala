@@ -101,6 +101,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(q.recentProgress.count(_.numInputRows > 0) >= 3)
   }
 
+  test("streaming drift log matches per-batch frozen-reference drift") {
+    import graft.llm.Drift
+    val srcDir = TestSpark.tmpDir("drift-src")
+    val destDir = TestSpark.tmpDir("drift-log")
+    val ckDir = TestSpark.tmpDir("drift-ck")
+    val fileA = Seq((1L, "alpha beta beta"), (2L, "alpha gamma"))
+      .toDF("doc_id", "text")
+    val fileB = Seq((3L, "delta delta"), (4L, "beta"))
+      .toDF("doc_id", "text")
+    // reference = the whole corpus → vocab {alpha,beta,delta,gamma},
+    // so each batch has a distinct in-vocab count (5 vs 3) and the
+    // row↔file matching below is unambiguous
+    val ref = fileA.union(fileB)
+    fileA.repartition(1).write.mode("append").parquet(srcDir)
+    fileB.repartition(1).write.mode("append").parquet(srcDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val q = Incremental.driftStream(
+      stream, ref, destDir, ckDir, vocabSize = 100)
+    q.awaitTermination()
+
+    val got = spark.read.parquet(destDir)
+      .select("n_vocab", "tokens_batch", "js_divergence",
+        "top_drift_token", "top_drift_abs")
+      .as[(Long, Long, Double, String, Double)].collect()
+    assert(got.length == 2, "one drift row per micro-batch")
+    // file→batch order is the source's, so match rows by their
+    // distinct in-vocab token counts rather than by batch id
+    val refVocab = Drift.referenceVocab(ref, vocabSize = 100)
+    val expected = Seq(fileA, fileB).map(f =>
+      Drift.driftAgainstFrozen(f, refVocab)
+        .as[(Long, Long, Double, String, Double)].head())
+    assert(got.map(_._2).toSet == expected.map(_._2).toSet)
+    expected.foreach { e =>
+      val g = got.find(_._2 == e._2).get
+      assert(g._1 == e._1, "n_vocab")
+      assert(math.abs(g._3 - e._3) < 1e-9, "js_divergence")
+      assert(g._4 == e._4, "top_drift_token")
+      assert(math.abs(g._5 - e._5) < 1e-9, "top_drift_abs")
+    }
+  }
+
   test("stream-static model scoring matches the frozen batch scorer") {
     val docsDir = TestSpark.tmpDir("docs-score-src")
     Tables.documents(spark, TestSpark.sf0001)

@@ -1194,6 +1194,43 @@ object LlmQueries {
             FROM p GROUP BY pair
             ORDER BY cnt DESC, pair LIMIT 20"""))
 
+  /** Boilerplate signal ([[TextAnalysis.boilerplateScores]]): per-doc
+    * shared-shingle stats against the whole corpus — the template-text
+    * cue near-dup removal can't see. The oracle re-shingles every
+    * document with the same k=3 list comprehension the Jaccard oracle
+    * uses and recomputes df, the shared counts, and the fraction. */
+  val boilerplate = Q(
+    "text_boilerplate",
+    (s, d) =>
+      TextAnalysis.boilerplateScores(Tables.documents(s, d))
+        .select(
+          col("doc_id"), col("n_shingles"), col("n_shared"),
+          col("shared_frac"), col("max_df"))
+        .orderBy("doc_id"),
+    Some("""WITH sh AS (
+              SELECT doc_id,
+                unnest(CASE
+                  WHEN len(string_split_regex(lower(trim(text)), '\s+')) < 3
+                  THEN [array_to_string(
+                         string_split_regex(lower(trim(text)), '\s+'), ' ')]
+                  ELSE list_distinct(
+                    [array_to_string(
+                       string_split_regex(lower(trim(text)), '\s+')[i:i+2], ' ')
+                     for i in range(1,
+                       len(string_split_regex(lower(trim(text)), '\s+')) - 1)])
+                  END) AS shingle
+              FROM documents),
+            df AS (
+              SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle)
+            SELECT s.doc_id,
+                   COUNT(*) AS n_shingles,
+                   COUNT(CASE WHEN df.df > 1 THEN 1 END) AS n_shared,
+                   ROUND(CAST(COUNT(CASE WHEN df.df > 1 THEN 1 END) AS DOUBLE)
+                     / COUNT(*), 4) AS shared_frac,
+                   MAX(df.df) AS max_df
+            FROM sh s JOIN df ON df.shingle = s.shingle
+            GROUP BY s.doc_id ORDER BY s.doc_id"""))
+
   /** Corpus drift monitor: KL (both directions) + Jensen–Shannon
     * divergence between the even- and odd-indexed source halves of the
     * corpus, over the pooled top-500 vocab with add-half smoothing —
@@ -1653,6 +1690,7 @@ object LlmQueries {
     epochOrder,
     pipelinePrepShards, packShards, chunkDocs, ragRetrieve,
     textTokens, textQuality, langDist, textAnalyze, textRepetition,
+    boilerplate,
     unigramScore, bigramScore, bm25TopK, bpePairs, corpusDrift,
     driftBySource,
     textRedact, contamination, contaminationBloom, mmStats, curate,

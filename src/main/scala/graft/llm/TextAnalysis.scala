@@ -173,6 +173,41 @@ object TextAnalysis {
   def piiCount(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
 
+  /** Boilerplate / template-text signal (the C4-style curation cue):
+    * per document, how much of it is text that also appears elsewhere
+    * in the corpus — `n_shingles` distinct k-word shingles,
+    * `n_shared` of them with corpus document-frequency > 1,
+    * `shared_frac = n_shared / n_shingles`, and `max_df` (how many
+    * documents carry its most-common shingle). High `shared_frac` at
+    * low Jaccard-to-any-single-doc is exactly template text — headers,
+    * footers, legal blurbs — which near-dup removal won't catch.
+    *
+    * Scale design: the corpus collapses to `(doc, shingle)` pairs
+    * (distinct per doc by construction of [[Dedup.shingles]]) —
+    * persisted once and used for BOTH the document-frequency aggregate
+    * and the join-back, so the shingling scalar work runs once; the
+    * only shuffles are keyed on the shingle. No doc×doc stage: df is
+    * an aggregate, not a pairing. */
+  def boilerplateScores(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 3): DataFrame = {
+    val sh = docs
+      .select(col(idCol),
+        explode(Dedup.shingles(col(textCol), k)).as("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    sh.join(df, Seq("shingle"))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        count(when(col("df") > 1, true)).as("n_shared"),
+        max(col("df")).as("max_df"))
+      .withColumn("shared_frac",
+        round(col("n_shared").cast("double") / col("n_shingles"), 4))
+  }
+
   /** Full per-document text-analysis projection. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -109,6 +109,41 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(1).getLong(1) == 0L && out(1).getLong(2) == 0L)
   }
 
+  test("boilerplate scores: hand-computed shared-shingle stats") {
+    // doc1 "a b c d" → shingles {a b c, b c d}
+    // doc2 "a b c e" → shingles {a b c, b c e}
+    // doc3 "x y z"   → one shingle {x y z}
+    // doc4 "hi"      → <3 tokens → whole-text shingle {hi}
+    // df: "a b c"=2, everything else 1
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c e"), (3L, "x y z"), (4L, "hi"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.boilerplateScores(docs)
+      .orderBy("doc_id")
+      .select("doc_id", "n_shingles", "n_shared", "max_df", "shared_frac")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(got.toSeq == Seq(
+      (1L, 2L, 1L, 2L, 0.5),
+      (2L, 2L, 1L, 2L, 0.5),
+      (3L, 1L, 0L, 1L, 0.0),
+      (4L, 1L, 0L, 1L, 0.0)))
+  }
+
+  test("boilerplate: identical docs share every shingle") {
+    val docs = Seq(
+      (1L, "copy of the notice text here"),
+      (2L, "copy of the notice text here"),
+      (3L, "fresh unrelated words only"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.boilerplateScores(docs)
+      .orderBy("doc_id")
+      .select("doc_id", "shared_frac", "max_df")
+      .as[(Long, Double, Long)].collect()
+    assert(got(0)._2 == 1.0 && got(1)._2 == 1.0)
+    assert(got(0)._3 == 2L)
+    assert(got(2)._2 == 0.0 && got(2)._3 == 1L)
+  }
+
   test("analyze projection over the fixture corpus") {
     val out = TextAnalysis.analyze(
       Tables.documents(spark, TestSpark.sf0001)).cache()

@@ -69,6 +69,14 @@ object GraftSession {
       // the events fixture carries parquet TIMESTAMP(NANOS) which Spark
       // rejects by default; read as long and convert in Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // fixture timestamps are parquet TIMESTAMP(MICROS,
+      // isAdjustedToUTC=false); by default Spark 4 infers those as
+      // TIMESTAMP_NTZ, which rejects epoch arithmetic (cast to bigint)
+      // and diverges from the oracle's naive-UTC reading. Infer them as
+      // session-tz TIMESTAMP instead (tz is pinned UTC above, so the
+      // stored micros are identical) — at the reader, not via a
+      // per-column cast, so ts predicates still push down to parquet.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
     if (sys.props.get("spark.master").isEmpty &&
       sys.env.get("MASTER").isEmpty) b.master(s"local[$n]") else b

@@ -381,6 +381,67 @@ object LlmQueries {
     },
     Some("""SELECT CAST(1000000 AS BIGINT) AS vec_id, 1.0 AS cos_sim"""))
 
+  /** IVF ANN audit — the second scale path beside LSH. Deterministic
+    * ivf-lite index (centroids = first 8 vectors by id, broadcast;
+    * assignment = argmax cosine, no shuffle of the big side), probe the
+    * 4 best lists. Gate row mirrors `ann_lsh_topk`'s superset-prune:
+    * the IVF top-10 must sit inside the exact brute-force top-100
+    * (deterministic — probed at sf0.001/sf0.01), alongside brute-force
+    * values DuckDB genuinely recomputes. The kmeans-centroid variant
+    * (`ivfKmeansAssign`) shares this query path and is pinned by
+    * SimilaritySpec recall tests. */
+  val annIvf = Q(
+    "ann_ivf_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_vec"))
+      val indexed = Similarity.ivfAssign(emb, nlist = 8)
+      val ivf = Similarity.ivfTopK(indexed, query, k = 10, nprobe = 4,
+        excludeId = 0L)
+      val bf = Similarity.bruteForceTopK(emb, query, k = 100, excludeId = 0L)
+      val outside = ivf.join(bf.select("vec_id"), Seq("vec_id"), "left_anti")
+      ivf.agg(count(lit(1)).as("k_returned"))
+        .crossJoin(broadcast(
+          outside.agg(count(lit(1)).as("n_outside_bf_top100"))))
+        .crossJoin(broadcast(bf.agg(
+          round(min(col("cos_sim")), 4).as("bf_top100_threshold"),
+          round(max(col("cos_sim")), 4).as("bf_top1_cos"))))
+    },
+    Some("""WITH bf AS (
+              SELECT e.vec_id,
+                     ROUND(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       CAST(q.embedding AS DOUBLE[])), 4) AS cos_sim
+              FROM embeddings e,
+                   (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+              WHERE e.vec_id <> 0
+              ORDER BY cos_sim DESC, e.vec_id LIMIT 100)
+            SELECT CAST(10 AS BIGINT) AS k_returned,
+                   CAST(0 AS BIGINT) AS n_outside_bf_top100,
+                   ROUND(MIN(cos_sim), 4) AS bf_top100_threshold,
+                   ROUND(MAX(cos_sim), 4) AS bf_top1_cos
+            FROM bf"""))
+
+  /** IVF planted ground truth: an exact copy of the query vector lands
+    * in the query's own best list (identical cosine to every centroid),
+    * which is always the first list probed — so it MUST come back as
+    * IVF top-1 at cosine 1. Row-level proof the probe path works. */
+  val annIvfPlanted = Q(
+    "ann_ivf_planted",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_vec"))
+      val corpus = emb.unionByName(
+        emb.filter(col("vec_id") === 0)
+          .select(lit(1000000L).as("vec_id"), col("embedding")))
+      val indexed = Similarity.ivfAssign(corpus, nlist = 8)
+      Similarity.ivfTopK(indexed, query, k = 1, nprobe = 4, excludeId = 0L)
+    },
+    Some("""SELECT CAST(1000000 AS BIGINT) AS vec_id, 1.0 AS cos_sim"""))
+
   /** Batch k-NN join: exact top-3 neighbors for ten query vectors in
     * one plan (broadcast query batch, windowed per-query rank — the
     * corpus never shuffles vectors). Both engines rank on the ROUNDED
@@ -1545,6 +1606,90 @@ object LlmQueries {
                    ROUND(AVG(octet_length(encode(text))), 2) AS avg_bytes
             FROM documents GROUP BY 1 ORDER BY modality"""))
 
+  /** Planted-container decode audit: Spark must recover header fields
+    * by ACTUALLY PARSING real PNG/WAV containers whose bytes derive
+    * from row arithmetic ([[Multimodal.plantedMedia]]); DuckDB
+    * recomputes the expected fields from the same arithmetic. A parser
+    * regression (endianness, chunk walk, IHDR offset) breaks the row
+    * hash — this is the oracle for the real-decode path that
+    * `mm_modality_stats` (synthetic-fallback profile) cannot see. */
+  val mmDecodePlanted = Q(
+    "mm_decode_planted",
+    (s, d) => {
+      implicit val spark: org.apache.spark.sql.SparkSession = s
+      Multimodal.decode(Multimodal.plantedMedia(Tables.documents(s, d)))
+        .select(col("media_id"), col("modality"), col("width"),
+          col("height"), col("duration_ms"))
+        .orderBy("media_id")
+    },
+    Some("""SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'image'
+                        ELSE 'audio' END AS modality,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN CAST(16 + doc_id % 29 AS INT)
+                        ELSE 0 END AS width,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN CAST(12 + doc_id % 13 AS INT)
+                        ELSE 0 END AS height,
+                   CASE WHEN doc_id % 2 = 0 THEN CAST(0 AS BIGINT)
+                        ELSE CAST((800 + (doc_id % 10) * 80) // 8
+                             AS BIGINT) END AS duration_ms
+            FROM documents WHERE doc_id < 60 ORDER BY media_id"""))
+
+  /** Real-image-resize audit over the planted PNGs: ImageIO decode →
+    * bilinear scale to maxDim 10 → per-row output dims. The oracle
+    * recomputes round(dim · 10/max(w,h)) from the planting arithmetic;
+    * both sides do the scale in double with the division first. */
+  val mmResizePlanted = Q(
+    "mm_resize_planted",
+    (s, d) => {
+      implicit val spark: org.apache.spark.sql.SparkSession = s
+      val imgs = Multimodal.plantedMedia(Tables.documents(s, d))
+        .filter(col("modality") === "image")
+      Multimodal.resizeImages(imgs, maxDim = 10)
+        .select(col("media_id"), col("orig_width"), col("orig_height"),
+          col("width"), col("height"))
+        .orderBy("media_id")
+    },
+    Some("""WITH p AS (
+              SELECT doc_id AS media_id,
+                     CAST(16 + doc_id % 29 AS INT) AS orig_width,
+                     CAST(12 + doc_id % 13 AS INT) AS orig_height
+              FROM documents WHERE doc_id < 60 AND doc_id % 2 = 0)
+            SELECT media_id, orig_width, orig_height,
+                   CAST(GREATEST(1, ROUND(orig_width *
+                     (10.0 / GREATEST(orig_width, orig_height))))
+                     AS INT) AS width,
+                   CAST(GREATEST(1, ROUND(orig_height *
+                     (10.0 / GREATEST(orig_width, orig_height))))
+                     AS INT) AS height
+            FROM p ORDER BY media_id"""))
+
+  /** PCM frame-sampling audit over the planted WAVs: one frame every
+    * 25 ms at 8 kHz is a 200-sample stride, so n_frames =
+    * ceil(nSamples/200) and frame 0 reads sample 0 = ((id·31)%200 −
+    * 100)·150 / 32768 — both recomputed by the oracle from the
+    * planting arithmetic. Exercises the RIFF chunk walk, blockAlign
+    * guard, and little-endian 16-bit sample addressing for real. */
+  val mmAudioFrames = Q(
+    "mm_audio_frames",
+    (s, d) => {
+      implicit val spark: org.apache.spark.sql.SparkSession = s
+      val wavs = Multimodal.plantedMedia(Tables.documents(s, d))
+        .filter(col("modality") === "audio")
+      Multimodal.sampleAudioFrames(wavs, everyMs = 25)
+        .select(col("media_id"), col("sample_rate"), col("n_frames"),
+          round(element_at(col("frames"), 1), 4).as("f0"))
+        .orderBy("media_id")
+    },
+    Some("""SELECT doc_id AS media_id, 8000 AS sample_rate,
+                   CAST((800 + (doc_id % 10) * 80 + 199) // 200
+                        AS INT) AS n_frames,
+                   ROUND(((doc_id * 31) % 200 - 100) * 150 / 32768.0, 4)
+                     AS f0
+            FROM documents WHERE doc_id < 60 AND doc_id % 2 = 1
+            ORDER BY media_id"""))
+
   /** Full curation pipeline audit (exact dedup stage is oracle-able:
     * distinct-content count; the near-dup/quality stages are verified
     * in CurateSpec). */
@@ -1684,7 +1829,8 @@ object LlmQueries {
   def all: Seq[Q] = Seq(
     dedupStats, dedupKeep, nearDupMinhash, nearDupSimhash, dedupClusters,
     dedupClusterKeep, dedupSweep, ngramJaccard, crossSourceDup,
-    annBrute, annLsh, annLshPlanted, annKnnJoin, nearDupCosine,
+    annBrute, annLsh, annLshPlanted, annIvf, annIvfPlanted, annKnnJoin,
+    nearDupCosine,
     embCentroids, embNormProfile, quantizeInt8, annQuantized,
     splitCounts, stratSample, leakageSplit, budgetSample, temperatureMix,
     epochOrder,
@@ -1693,7 +1839,8 @@ object LlmQueries {
     boilerplate,
     unigramScore, bigramScore, bm25TopK, bpePairs, corpusDrift,
     driftBySource,
-    textRedact, contamination, contaminationBloom, mmStats, curate,
+    textRedact, contamination, contaminationBloom, mmStats,
+    mmDecodePlanted, mmResizePlanted, mmAudioFrames, curate,
     qualityGate,
     pipelineCurateSplit)
 }

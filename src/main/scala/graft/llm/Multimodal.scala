@@ -276,6 +276,65 @@ object Multimodal {
     }
   }
 
+  /** Deterministic planted media corpus: REAL container payloads whose
+    * every byte derives from `doc_id` arithmetic, so the full decode /
+    * resize / frame-sample path is oracle-checkable — DuckDB recomputes
+    * the expected header fields from the same arithmetic in SQL while
+    * Spark must recover them by actually parsing the containers it
+    * wrote. Even ids → PNG (`TYPE_INT_RGB`, dims 16+id%29 × 12+id%13,
+    * deterministic pixels); odd ids → 16-bit mono PCM WAV at 8 kHz
+    * (nSamples = 800 + (id%10)*80, sample s = ((s*7 + id*31)%200 −
+    * 100)·150). Tiny by construction (a correctness fixture — the
+    * scale path is decode/resize/sampleAudioFrames themselves). */
+  def plantedMedia(docs: DataFrame, n: Int = 60)(
+      implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).filter(col("doc_id") < n)
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          if (id % 2 == 0) {
+            val w = 16 + (id % 29).toInt
+            val h = 12 + (id % 13).toInt
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                img.setRGB(x, y, (x * 31 + y * 17 + id.toInt * 7) & 0xFFFFFF)
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            MediaRow(id, "image", bos.toByteArray, id)
+          } else {
+            val sampleRate = 8000
+            val nSamples = 800 + (id % 10).toInt * 80
+            val dataBytes = nSamples * 2
+            val bb = java.nio.ByteBuffer
+              .allocate(44 + dataBytes)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+            bb.put("WAVE".getBytes("US-ASCII"))
+            bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+            bb.putShort(1).putShort(1) // PCM, mono
+            bb.putInt(sampleRate).putInt(sampleRate * 2)
+            bb.putShort(2).putShort(16) // blockAlign, bitsPerSample
+            bb.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+            var s = 0
+            while (s < nSamples) {
+              bb.putShort((((s * 7 + id * 31) % 200 - 100) * 150).toShort)
+              s += 1
+            }
+            MediaRow(id, "audio", bb.array(), id)
+          }
+        }
+      }
+  }
+
   /** End-to-end plumbing: media table → typed Dataset → batched decode
     * → per-modality stats. Partitioned by modality before the decode so
     * a real codec's native libs load once per (executor, modality). */

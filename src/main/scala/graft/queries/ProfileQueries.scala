@@ -89,13 +89,16 @@ object ProfileQueries {
   }
 
   /** a13x — dtype profile, oracle-checked: both engines read the same
-    * parquet footer and the SQL maps DuckDB's type names onto Spark's
-    * `simpleString`s (BIGINT→bigint, VARCHAR→string, naive
-    * TIMESTAMP→timestamp_ntz — DuckDB TIMESTAMP is wall-clock, which
-    * is exactly Spark's TIMESTAMP_NTZ; TIMESTAMPTZ would be Spark's
-    * session-zoned timestamp). Schema drift in the fixture changes
-    * both sides together, so this pins the MAPPING, not a frozen
-    * literal list. */
+    * parquet footer and the SQL maps DuckDB's type names onto the
+    * `simpleString`s the ENGINE surfaces (BIGINT→bigint,
+    * VARCHAR→string). Timestamps: the fixtures store naive
+    * TIMESTAMP(MICROS) — DuckDB reads them as wall-clock TIMESTAMP,
+    * while the engine deliberately infers session-tz `timestamp`
+    * (inferTimestampNTZ=false in GraftSession, UTC session zone — see
+    * the rationale there), so naive TIMESTAMP maps to `timestamp`;
+    * an explicitly UTC-adjusted TIMESTAMPTZ column would too. Schema
+    * drift in the fixture changes both sides together, so this pins
+    * the MAPPING, not a frozen literal list. */
   val a13x = Q(
     "a13x_dtypes",
     (s, d) => dtypes(s, d, "orders").orderBy("col_name"),
@@ -108,7 +111,7 @@ object ProfileQueries {
                      WHEN 'VARCHAR' THEN 'string'
                      WHEN 'DATE' THEN 'date'
                      WHEN 'BOOLEAN' THEN 'boolean'
-                     WHEN 'TIMESTAMP' THEN 'timestamp_ntz'
+                     WHEN 'TIMESTAMP' THEN 'timestamp'
                      WHEN 'TIMESTAMP WITH TIME ZONE' THEN 'timestamp'
                      ELSE lower(column_type)
                    END AS dtype,

@@ -175,6 +175,43 @@ class MultimodalSpec extends AnyFunSuite {
       "data".getBytes ++ le(pcm.length) ++ pcm
   }
 
+  test("planted containers round-trip: generated bytes parse back to the arithmetic") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val media = Multimodal.plantedMedia(docs, n = 20).cache()
+    assert(media.count() == 20)
+    // every even id is a real PNG the JDK can decode; every odd id a
+    // real WAV our own header parser accepts
+    val decoded = Multimodal.decode(media).collect()
+    decoded.foreach { r =>
+      if (r.media_id % 2 == 0) {
+        assert(r.width == 16 + (r.media_id % 29).toInt, s"id ${r.media_id}")
+        assert(r.height == 12 + (r.media_id % 13).toInt)
+        assert(r.duration_ms == 0L)
+      } else {
+        val nSamples = 800 + (r.media_id % 10).toInt * 80
+        assert(r.duration_ms == nSamples / 8, s"id ${r.media_id}")
+        assert(r.width == 0 && r.height == 0)
+      }
+    }
+    // resize: longest edge lands exactly on maxDim
+    val resized = Multimodal.resizeImages(
+      media.filter($"modality" === "image"), maxDim = 10).collect()
+    assert(resized.length == 10)
+    resized.foreach(r => assert(math.max(r.width, r.height) == 10))
+    // frame sampling: stride arithmetic + first amplitude
+    val frames = Multimodal.sampleAudioFrames(
+      media.filter($"modality" === "audio"), everyMs = 25).collect()
+    assert(frames.length == 10)
+    frames.foreach { f =>
+      val nSamples = 800 + (f.media_id % 10).toInt * 80
+      assert(f.n_frames == (nSamples + 199) / 200, s"id ${f.media_id}")
+      val expected = ((f.media_id * 31) % 200 - 100) * 150 / 32768.0
+      assert(math.abs(f.frames(0) - expected) < 1e-9)
+    }
+  }
+
   test("resize decodes, scales, and re-encodes real PNGs (JDK ImageIO)") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     import spark.implicits._

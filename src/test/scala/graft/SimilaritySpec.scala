@@ -71,6 +71,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert((top.map(_._1).toSet intersect bruteTop).nonEmpty)
   }
 
+  test("IVF gate rows: superset-prune holds, planted copy is top-1") {
+    val audit = graft.llm.LlmQueries.annIvf
+      .run(spark, TestSpark.sf0001).head()
+    assert(audit.getAs[Long]("k_returned") == 10L)
+    assert(audit.getAs[Long]("n_outside_bf_top100") == 0L,
+      "IVF top-10 escaped the brute-force top-100")
+    val planted = graft.llm.LlmQueries.annIvfPlanted
+      .run(spark, TestSpark.sf0001).as[(Long, Double)].head()
+    assert(planted == ((1000000L, 1.0)))
+  }
+
   test("knn join per-query rows equal single-query brute force") {
     val queries = emb.filter($"vec_id" < 5)
       .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))

@@ -214,6 +214,116 @@ object Dedup {
     * shuffle plan is the right one anyway. */
   val broadcastPairCap: Long = 16384L
 
+  // ---- incremental (new batch vs frozen reference) -------------------
+
+  /** Shared internals of the incremental dedup: (exact survivors,
+    * near-dropped ids). The near phase is cross-corpus banded LSH —
+    * incoming bands join REFERENCE bands (never a self-join, never
+    * doc×doc); each side's buckets are capped independently, bounding
+    * a bucket's pair contribution at cap². */
+  private[llm] def incrementalPhases(
+      incoming: DataFrame,
+      reference: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int,
+      numHashes: Int,
+      bands: Int,
+      minJaccard: Double,
+      maxBucketSize: Int): (DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(incoming.sparkSession)
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+    // Phase 1 — exact: digest anti-join. Only DISTINCT digests of the
+    // reference move (32 B/doc); its text never re-shuffles.
+    val refDigests = reference
+      .select(contentHash(col(textCol)).as("__graft_digest")).distinct()
+    val exactSurvivors = incoming
+      .withColumn("__graft_digest", contentHash(col(textCol)))
+      .join(refDigests, Seq("__graft_digest"), "left_anti")
+      .drop("__graft_digest")
+      .persist(level)
+
+    // Phase 2 — near: shingle each side ONCE (persisted, shared by
+    // banding and verify — same reuse contract as nearDupMinhash).
+    def shingled(df: DataFrame) = df.select(
+      col(idCol).as("jid"), shingles(col(textCol), shingleK).as("jsh"))
+    val incSh = shingled(exactSurvivors).persist(level)
+    val refSh = shingled(reference).persist(level)
+    def bandsOf(sh: DataFrame) = capBuckets(
+      sh.select(col("jid").as("id"),
+        posexplode(graft.functions.TextExprs.minhash_bands(
+          col("jsh"), numHashes, bands)).as(Seq("band", "band_hash"))),
+      Seq("band", "band_hash"), maxBucketSize)
+    val candidates = bandsOf(incSh)
+      .select(col("band"), col("band_hash"), col("id").as("id_a"))
+      .join(bandsOf(refSh)
+        .select(col("band"), col("band_hash"), col("id").as("id_b")),
+        Seq("band", "band_hash"))
+      .select("id_a", "id_b").distinct()
+    val nearDropped = candidates
+      .join(incSh.select(col("jid").as("id_a"), col("jsh").as("sh_a")),
+        Seq("id_a"))
+      .join(refSh.select(col("jid").as("id_b"), col("jsh").as("sh_b")),
+        Seq("id_b"))
+      .filter(round(jaccard(col("sh_a"), col("sh_b")), 4) >= minJaccard)
+      .select(col("id_a").as(idCol)).distinct()
+    (exactSurvivors, nearDropped)
+  }
+
+  /** Dedup an incoming batch AGAINST a frozen reference corpus — the
+    * onboarding pattern at 100 TB: yesterday's corpus is already
+    * deduped, so re-deduping it against itself would be wasted work;
+    * only the (≪ corpus) incoming batch flows through the pipeline,
+    * and the reference contributes nothing but digests and band
+    * hashes. Phase 1 drops exact copies (digest anti-join); phase 2
+    * drops incoming docs with a verified near-dup in the reference
+    * (cross-corpus LSH at [[nearDupMinhash]]'s recall: r=2 × b=32 is
+    * ≈1 collision probability at the 0.5 threshold). Returns the
+    * surviving incoming rows with their original columns. */
+  def incrementalDedup(
+      incoming: DataFrame,
+      reference: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleK: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 32,
+      minJaccard: Double = 0.5,
+      maxBucketSize: Int = defaultMaxBucket): DataFrame = {
+    val (survivors, nearDropped) = incrementalPhases(incoming, reference,
+      idCol, textCol, shingleK, numHashes, bands, minJaccard, maxBucketSize)
+    survivors.join(nearDropped, Seq(idCol), "left_anti")
+  }
+
+  /** One-row audit of [[incrementalDedup]]: how much of the incoming
+    * batch each phase dropped. The onboarding dashboard number — a
+    * sudden jump in either column means the crawler re-fetched an
+    * already-ingested site. */
+  def incrementalDedupAudit(
+      incoming: DataFrame,
+      reference: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleK: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 32,
+      minJaccard: Double = 0.5,
+      maxBucketSize: Int = defaultMaxBucket): DataFrame = {
+    val (survivors, nearDropped) = incrementalPhases(incoming, reference,
+      idCol, textCol, shingleK, numHashes, bands, minJaccard, maxBucketSize)
+    incoming.agg(count(lit(1)).as("n_incoming"))
+      .crossJoin(broadcast(
+        survivors.agg(count(lit(1)).as("__n_exact_surv"))))
+      .crossJoin(broadcast(
+        nearDropped.agg(count(lit(1)).as("n_near_dropped"))))
+      .select(
+        col("n_incoming"),
+        (col("n_incoming") - col("__n_exact_surv")).as("n_exact_dropped"),
+        col("n_near_dropped"),
+        (col("__n_exact_surv") - col("n_near_dropped")).as("n_kept"))
+  }
+
   // ---- SimHash ------------------------------------------------------
 
   /** Per-doc 64-bit SimHash signature (custom codegen expression). */

@@ -1826,9 +1826,103 @@ object LlmQueries {
             WHERE n_chars >= 20 AND quality >= 0.25
             GROUP BY 1, 2 ORDER BY split, lang_pred"""))
 
+  /** Incremental dedup audit: a fresh batch (odd doc_ids + 10 planted
+    * exact copies of reference docs, re-id'd ≥1000000) onboarded
+    * against the frozen reference corpus (even doc_ids). The oracle
+    * recomputes every phase independently — exact drops by text
+    * equality, near drops by EXACT cross-corpus all-pairs Jaccard at
+    * the same 0.5 threshold — so an LSH recall shortfall in the
+    * engine's cross-corpus candidate generation would surface as a
+    * count mismatch (same honesty contract as `curate_audit`). */
+  val dedupIncremental = Q(
+    "dedup_incremental",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val reference = docs.filter(col("doc_id") % 2 === 0)
+      val planted = reference.filter(col("doc_id") < 20)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      val incoming = docs.filter(col("doc_id") % 2 === 1)
+        .unionByName(planted)
+      Dedup.incrementalDedupAudit(incoming, reference)
+    },
+    Some("""WITH ref AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+            inc AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text FROM documents
+              WHERE doc_id % 2 = 0 AND doc_id < 20),
+            surv AS (
+              SELECT i.doc_id, i.text FROM inc i
+              WHERE NOT EXISTS (
+                SELECT 1 FROM ref r WHERE r.text = i.text)),
+            ish AS (
+              SELECT doc_id,
+                CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) < 3
+                  THEN [array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' ')]
+                  ELSE list_distinct([array_to_string(string_split_regex(lower(trim(text)), '\s+')[i:i+2], ' ')
+                        for i in range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1)])
+                END AS sh
+              FROM surv),
+            rsh AS (
+              SELECT doc_id,
+                CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) < 3
+                  THEN [array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' ')]
+                  ELSE list_distinct([array_to_string(string_split_regex(lower(trim(text)), '\s+')[i:i+2], ' ')
+                        for i in range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1)])
+                END AS sh
+              FROM ref),
+            near AS (
+              SELECT DISTINCT a.doc_id FROM ish a JOIN rsh b ON
+                ROUND(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0
+                    THEN 0.0
+                    ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                         CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+                  END, 4) >= 0.5)
+            SELECT (SELECT COUNT(*) FROM inc) AS n_incoming,
+                   (SELECT COUNT(*) FROM inc)
+                     - (SELECT COUNT(*) FROM surv) AS n_exact_dropped,
+                   (SELECT COUNT(*) FROM near) AS n_near_dropped,
+                   (SELECT COUNT(*) FROM surv)
+                     - (SELECT COUNT(*) FROM near) AS n_kept"""))
+
+  /** Canonical normalization audit ([[TextAnalysis.normalizeText]]):
+    * per-doc normalized length, token count, and digest prefix —
+    * DuckDB applies the identical lowercase → `\p{Cc}`→space →
+    * whitespace-collapse → trim chain (both regex engines accept the
+    * same pattern strings) and must reproduce every digest. */
+  val textNormalize = Q(
+    "text_normalize",
+    (s, d) => {
+      val t = TextAnalysis.normalizeText(col("text"))
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 200)
+        .select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_raw"),
+          length(t).cast("long").as("n_norm"),
+          substring(sha2(t, 256), 1, 8).as("digest8"),
+          when(t === "", lit(0L))
+            .otherwise(size(split(t, " ")).cast("long")).as("n_tok"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_raw,
+                   CAST(length(norm) AS BIGINT) AS n_norm,
+                   substring(sha256(norm), 1, 8) AS digest8,
+                   CAST(CASE WHEN norm = '' THEN 0
+                        ELSE len(string_split(norm, ' ')) END
+                     AS BIGINT) AS n_tok
+            FROM (SELECT doc_id, text,
+                    trim(regexp_replace(regexp_replace(lower(text),
+                      '\p{Cc}', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+                  FROM documents WHERE doc_id < 200)
+            ORDER BY doc_id"""))
+
   def all: Seq[Q] = Seq(
     dedupStats, dedupKeep, nearDupMinhash, nearDupSimhash, dedupClusters,
     dedupClusterKeep, dedupSweep, ngramJaccard, crossSourceDup,
+    dedupIncremental, textNormalize,
     annBrute, annLsh, annLshPlanted, annIvf, annIvfPlanted, annKnnJoin,
     nearDupCosine,
     embCentroids, embNormProfile, quantizeInt8, annQuantized,

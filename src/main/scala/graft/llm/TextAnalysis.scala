@@ -208,6 +208,17 @@ object TextAnalysis {
         round(col("n_shared").cast("double") / col("n_shingles"), 4))
   }
 
+  /** Canonical text normalization — the first step of every training
+    * pipeline, applied BEFORE hashing/dedup so near-identical bytes
+    * (case, stray control chars, whitespace runs) collapse to one
+    * canonical form: lowercase → control chars (`\p{Cc}`) to spaces →
+    * whitespace runs to one space → trim. Pure codegen column algebra
+    * (no UDF); the pattern vocabulary is Java-regex ∩ RE2 so the same
+    * strings run in Spark and an RE2-based oracle. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "\\p{Cc}", " "), "\\s+", " "))
+
   /** Full per-document text-analysis projection. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -114,6 +114,39 @@ object Incremental {
       .start()
   }
 
+  /** Shared batch/stream transformation of the incremental-dedup
+    * exact phase: incoming docs minus those whose content digest
+    * already exists in the frozen reference corpus. Only DISTINCT
+    * reference digests participate (32 B/doc — the reference text
+    * never moves), and the anti-join is a plain equi-join Structured
+    * Streaming supports stream-static in append mode. */
+  def dedupVsCorpus(docs: DataFrame, reference: DataFrame): DataFrame = {
+    val refDigests = reference
+      .select(graft.llm.Dedup.contentHash(col("text")).as("__digest"))
+      .distinct()
+    docs
+      .withColumn("__digest", graft.llm.Dedup.contentHash(col("text")))
+      .join(refDigests, Seq("__digest"), "left_anti")
+      .drop("__digest")
+  }
+
+  /** Streaming incremental dedup (exact phase): drop incoming streamed
+    * docs already present in the frozen reference — the continuous
+    * arm of [[graft.llm.Dedup.incrementalDedup]]; the near-dup phase
+    * stays batch (its two-sided LSH shuffle is not stream-static).
+    * Memory sink for test observability; parity with the batch
+    * transformation pinned by StreamingSpec. */
+  def dedupStream(
+      docs: DataFrame,
+      reference: DataFrame,
+      queryName: String): StreamingQuery =
+    dedupVsCorpus(docs, reference)
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .start()
+
   /** Streaming upsert sink: apply each micro-batch as a MERGE into a
     * parquet table via foreachBatch + maintain.Upsert — the CDC
     * pattern (a stream of keyed updates continuously folded into a

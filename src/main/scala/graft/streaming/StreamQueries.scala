@@ -223,5 +223,37 @@ object StreamQueries {
             FROM events GROUP BY user_id HAVING n_rows >= 50
             ORDER BY user_id"""))
 
-  def all: Seq[Q] = Seq(st1, st2, st3, st4, st5, st6, st7, st8)
+  /** Stream-static incremental dedup, batch twin
+    * ([[Incremental.dedupVsCorpus]] runs unchanged under readStream —
+    * the anti-join on content digest is stream-static in append mode;
+    * the streaming runtime is pinned in StreamingSpec). Ten planted
+    * exact copies of reference docs prove the drop path; the kept
+    * count proves the feed survives. */
+  val st9 = Q(
+    "st_dedup_vs_corpus",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val reference = docs.filter(col("doc_id") % 2 === 0)
+      val incoming = docs.filter(col("doc_id") % 2 === 1)
+        .unionByName(reference.filter(col("doc_id") < 20)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      Incremental.dedupVsCorpus(incoming, reference)
+        .agg(count(lit(1)).as("n_kept"),
+          count(when(col("doc_id") >= 1000000L, true)).as("n_planted_kept"))
+    },
+    Some("""WITH ref AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+              inc AS (SELECT doc_id, text FROM documents
+                      WHERE doc_id % 2 = 1
+                      UNION ALL
+                      SELECT doc_id + 1000000 AS doc_id, text
+                      FROM documents
+                      WHERE doc_id % 2 = 0 AND doc_id < 20)
+            SELECT COUNT(*) AS n_kept,
+                   COUNT(CASE WHEN i.doc_id >= 1000000 THEN 1 END)
+                     AS n_planted_kept
+            FROM inc i
+            WHERE NOT EXISTS (
+              SELECT 1 FROM ref r WHERE r.text = i.text)"""))
+
+  def all: Seq[Q] = Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9)
 }

@@ -223,6 +223,39 @@ class DedupSpec extends AnyFunSuite {
       s"triad should be one cluster: $labels")
   }
 
+  test("incremental dedup: exact and near drops against a frozen reference") {
+    val reference = Seq(
+      (10L, base),
+      (11L, "completely different content about spark query engines and scale"),
+      (12L, "unrelated short text")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (20L, base), // exact copy of ref 10 → phase-1 drop
+      (21L, base.replace("today", "tomorrow")), // near dup of ref 10 → phase-2 drop
+      (22L, "a genuinely fresh document with entirely new words inside")
+    ).toDF("doc_id", "text")
+
+    val kept = Dedup.incrementalDedup(incoming, reference)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(22L))
+
+    val audit = Dedup.incrementalDedupAudit(incoming, reference).head()
+    assert(audit.getAs[Long]("n_incoming") == 3)
+    assert(audit.getAs[Long]("n_exact_dropped") == 1)
+    assert(audit.getAs[Long]("n_near_dropped") == 1)
+    assert(audit.getAs[Long]("n_kept") == 1)
+
+    // dedup against an empty reference keeps everything (both phases
+    // must survive an empty build side)
+    val emptyRef = reference.filter(lit(false))
+    assert(Dedup.incrementalDedup(incoming, emptyRef).count() == 3)
+    // and an empty incoming batch yields an all-zero audit, not a crash
+    val zero = Dedup.incrementalDedupAudit(
+      incoming.filter(lit(false)), reference).head()
+    assert(zero.getAs[Long]("n_incoming") == 0)
+    assert(zero.getAs[Long]("n_kept") == 0)
+  }
+
   test("cross-source provenance: dup pairs land on the right source pair") {
     val srcDocs = Seq(
       (1L, base, "crawl_a"),

@@ -170,6 +170,32 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-static dedup-vs-corpus matches the batch anti-join") {
+    val srcDir = TestSpark.tmpDir("dedup-src")
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val reference = docs.filter($"doc_id" % 2 === 0)
+    val incoming = docs.filter($"doc_id" % 2 === 1)
+      .unionByName(reference.filter($"doc_id" < 20)
+        .withColumn("doc_id", $"doc_id" + 1000000L))
+    incoming.write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .parquet(srcDir)
+    val q = graft.streaming.Incremental.dedupStream(
+      stream, reference, "dedup_stream_test")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("dedup_stream_test")
+      .select("doc_id").as[Long].collect().toSet
+    val batch = graft.streaming.Incremental
+      .dedupVsCorpus(incoming, reference)
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // every planted exact copy was dropped by the stream too
+    assert(!streamed.exists(_ >= 1000000L))
+  }
+
   test("stateful streaming sessionize matches batch sessionize") {
     import graft.streaming.Sessionize
     implicit val s: org.apache.spark.sql.SparkSession = spark

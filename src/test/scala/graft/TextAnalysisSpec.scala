@@ -95,6 +95,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(sec < 60.0, f"repetition signals took $sec%.1f s on 50 wide docs")
   }
 
+  test("normalizeText: case, control chars, and whitespace runs collapse") {
+    val got = Seq(
+      "  Hello\tWORLD  ",
+      "a\u0000b\u0007c", // control chars → spaces → single-space joins
+      "already clean",
+      "\n\n\n",          // all-whitespace → empty
+      "MiXeD   CaSe\r\nLines"
+    ).toDF("text")
+      .select(TextAnalysis.normalizeText($"text"))
+      .as[String].collect().toSeq
+    assert(got == Seq(
+      "hello world", "a b c", "already clean", "", "mixed case lines"))
+  }
+
   test("PII redaction replaces emails and phones, counts them") {
     val out = Seq("mail bob.smith+x@corp.example.org or 555-123-4567 now",
       "no pii here").toDF("text")

@@ -148,4 +148,31 @@ object Curate {
              'after_exact_dedup', after_exact_dedup,
              'curated', curated) AS (stage, n_docs)""")
   }
+
+  /** Cross-table coverage audit: every document should have exactly
+    * one embedding row and vice versa — the referential-integrity
+    * check a multi-stage pipeline runs before training (a failed
+    * embedding job leaves orphan docs; a stale embedding table leaves
+    * orphan vectors; either silently skews the mixture downstream).
+    * One row: matched count, orphans on each side, and id-sum
+    * fingerprints of the orphan sets so two runs can be diffed
+    * without materializing them. Full-outer on the key — one shuffle,
+    * null-count arithmetic, no second pass. */
+  def coverageAudit(
+      docs: DataFrame,
+      embeddings: DataFrame,
+      docIdCol: String = "doc_id",
+      vecIdCol: String = "vec_id"): DataFrame =
+    docs.select(col(docIdCol).as("__did"))
+      .join(embeddings.select(col(vecIdCol).as("__vid")),
+        col("__did") === col("__vid"), "full_outer")
+      .agg(
+        count(when(col("__did").isNotNull && col("__vid").isNotNull, true))
+          .as("n_matched"),
+        count(when(col("__vid").isNull, true)).as("n_docs_without_vec"),
+        count(when(col("__did").isNull, true)).as("n_vecs_without_doc"),
+        coalesce(sum(when(col("__vid").isNull, col("__did"))), lit(0L))
+          .as("orphan_doc_id_sum"),
+        coalesce(sum(when(col("__did").isNull, col("__vid"))), lit(0L))
+          .as("orphan_vec_id_sum"))
 }

@@ -1886,6 +1886,47 @@ object LlmQueries {
                    (SELECT COUNT(*) FROM surv)
                      - (SELECT COUNT(*) FROM near) AS n_kept"""))
 
+  /** Padding-waste profile ([[Packing.paddingWaste]]): per power-of-two
+    * length bucket, how many positions padding-to-bucket-max would
+    * burn — the measurement that justifies (or kills) sequence
+    * packing for a given corpus. Exact arithmetic both sides. */
+  val packPaddingWaste = Q(
+    "pack_padding_waste",
+    (s, d) => Packing.paddingWaste(Tables.documents(s, d)),
+    Some("""SELECT bucket,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n) AS BIGINT) AS sum_tokens,
+                   CAST(COUNT(*) * bucket AS BIGINT) AS padded_positions,
+                   ROUND(1.0 - CAST(SUM(n) AS DOUBLE) /
+                     (COUNT(*) * bucket), 4) AS waste_frac
+            FROM (SELECT CAST(POWER(2, CEIL(LOG2(GREATEST(n, 1))))
+                     AS BIGINT) AS bucket, n
+                  FROM (SELECT CAST(len(string_split_regex(trim(text),
+                          '\s+')) AS BIGINT) AS n FROM documents))
+            GROUP BY bucket ORDER BY bucket"""))
+
+  /** Referential-integrity audit ([[Curate.coverageAudit]]): matched
+    * doc↔embedding rows, orphans on each side, id-sum fingerprints —
+    * the pre-training join-coverage check. */
+  val coverageAudit = Q(
+    "curate_coverage_audit",
+    (s, d) =>
+      Curate.coverageAudit(Tables.documents(s, d), Tables.embeddings(s, d)),
+    Some("""SELECT COUNT(CASE WHEN d.doc_id IS NOT NULL
+                     AND e.vec_id IS NOT NULL THEN 1 END) AS n_matched,
+                   COUNT(CASE WHEN e.vec_id IS NULL THEN 1 END)
+                     AS n_docs_without_vec,
+                   COUNT(CASE WHEN d.doc_id IS NULL THEN 1 END)
+                     AS n_vecs_without_doc,
+                   CAST(COALESCE(SUM(CASE WHEN e.vec_id IS NULL
+                     THEN d.doc_id END), 0) AS BIGINT)
+                     AS orphan_doc_id_sum,
+                   CAST(COALESCE(SUM(CASE WHEN d.doc_id IS NULL
+                     THEN e.vec_id END), 0) AS BIGINT)
+                     AS orphan_vec_id_sum
+            FROM documents d FULL OUTER JOIN embeddings e
+              ON d.doc_id = e.vec_id"""))
+
   /** Canonical normalization audit ([[TextAnalysis.normalizeText]]):
     * per-doc normalized length, token count, and digest prefix —
     * DuckDB applies the identical lowercase → `\p{Cc}`→space →
@@ -1928,7 +1969,8 @@ object LlmQueries {
     embCentroids, embNormProfile, quantizeInt8, annQuantized,
     splitCounts, stratSample, leakageSplit, budgetSample, temperatureMix,
     epochOrder,
-    pipelinePrepShards, packShards, chunkDocs, ragRetrieve,
+    pipelinePrepShards, packShards, packPaddingWaste, chunkDocs,
+    ragRetrieve, coverageAudit,
     textTokens, textQuality, langDist, textAnalyze, textRepetition,
     boilerplate,
     unigramScore, bigramScore, bm25TopK, bpePairs, corpusDrift,

@@ -64,4 +64,31 @@ object Packing {
         count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("shard_tokens"))
       .orderBy("source", "bucket", "shard_seq")
+
+  /** Padding-waste profile for length-bucketed batching — the other
+    * way training shards get built (pad every sequence in a batch to
+    * the bucket's max) and the number that decides whether packing is
+    * worth its shuffle: per power-of-two length bucket, document and
+    * token counts and the fraction of padded positions wasted
+    * (`1 − Σtokens / (n·bucket)`). Buckets are `2^⌈log2 n⌉` — exact
+    * in double for any realistic length, so the same arithmetic runs
+    * in the oracle. One map-side-combined aggregate over a narrow
+    * projection; nothing else moves. */
+  def paddingWaste(
+      docs: DataFrame,
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("bucket",
+        pow(lit(2.0), ceil(log(2.0, greatest(col("n_tokens"), lit(1L)))))
+          .cast("long"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .withColumn("padded_positions", col("n_docs") * col("bucket"))
+      .withColumn("waste_frac",
+        round(lit(1.0) - col("sum_tokens").cast("double") /
+          col("padded_positions").cast("double"), 4))
+      .orderBy("bucket")
 }

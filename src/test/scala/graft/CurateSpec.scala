@@ -84,4 +84,22 @@ class CurateSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSeq
     assert(kept - 10L == q.take(2).toSet, s"kept $kept, ranked $q")
   }
+
+  test("coverage audit: matched rows, orphans, and id-sum fingerprints") {
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (7L, "d"))
+      .toDF("doc_id", "text")
+    val embs = Seq((1L, Array(0.1f)), (2L, Array(0.2f)), (9L, Array(0.3f)))
+      .toDF("vec_id", "embedding")
+    val r = Curate.coverageAudit(docs, embs).head()
+    assert(r.getAs[Long]("n_matched") == 2)
+    assert(r.getAs[Long]("n_docs_without_vec") == 2) // 3 and 7
+    assert(r.getAs[Long]("n_vecs_without_doc") == 1) // 9
+    assert(r.getAs[Long]("orphan_doc_id_sum") == 10L)
+    assert(r.getAs[Long]("orphan_vec_id_sum") == 9L)
+    // both sides empty → all-zero row, not an empty frame
+    val z = Curate.coverageAudit(
+      docs.filter(col("doc_id") < 0), embs.filter(col("vec_id") < 0)).head()
+    assert(z.getAs[Long]("n_matched") == 0)
+    assert(z.getAs[Long]("orphan_doc_id_sum") == 0L)
+  }
 }

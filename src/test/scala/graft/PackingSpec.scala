@@ -40,6 +40,20 @@ class PackingSpec extends AnyFunSuite {
     perDoc.foreach { case (off, shard) => assert(shard == off / 16L) }
   }
 
+  test("padding waste: hand-computed power-of-two buckets") {
+    // token counts 1, 2, 3, 5, 8 → buckets 1, 2, 4, 8, 8
+    val tiny = Seq("a", "a b", "a b c", "a b c d e", "a b c d e f g h")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Packing.paddingWaste(tiny)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 1L, 1L, 0.0),
+      (2L, 1L, 2L, 2L, 0.0),
+      (4L, 1L, 3L, 4L, 0.25),
+      (8L, 2L, 13L, 16L, 0.1875)))
+  }
+
   test("assignment is deterministic under repartitioning") {
     val a = Packing.packOffsets(docs, buckets = 2, budgetTokens = 16L)
       .select("doc_id", "shard_seq").as[(Long, Long)].collect().toMap

@@ -113,6 +113,86 @@ object LanguageModel {
       .limit(topK)
   }
 
+  /** Top-`nMerges` BPE merges with the pair kept as (left, right) —
+    * the application-ready form of [[bpeMergePairs]] (which
+    * concatenates the pair for reporting and can alias e.g.
+    * ("a","bc")/("ab","c")). Frequency-weighted over the word vocab,
+    * deterministic (cnt DESC, left, right) order. */
+  def bpeTopMerges(
+      docs: DataFrame,
+      textCol: String = "text",
+      nMerges: Int = 3): DataFrame = {
+    require(nMerges > 0, s"nMerges must be positive: $nMerges")
+    val freq = docs
+      .select(explode(TextAnalysis.tokens(
+        lower(coalesce(col(textCol), lit(""))))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wfreq"))
+      .filter(length(col("word")) >= 2)
+    val chars = split(col("word"), "")
+    freq
+      .select(col("wfreq"),
+        explode(transform(
+          sequence(lit(0), length(col("word")) - 2),
+          i => struct(
+            element_at(chars, i + 1).as("left"),
+            element_at(chars, i + 2).as("right")))).as("p"))
+      .groupBy(col("p.left").as("left"), col("p.right").as("right"))
+      .agg(sum(col("wfreq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("left"), col("right"))
+      .limit(nMerges)
+  }
+
+  /** Apply the corpus-learned top-`nMerges` BPE merges to every
+    * document and count subwords before/after — the tokenizer
+    * APPLICATION step that closes the learn→apply loop (the merges
+    * come from one statistics pass, applied simultaneously — the
+    * deterministic one-iteration variant; a full trainer would
+    * recount between iterations).
+    *
+    * A word is encoded as the space-separated char sequence
+    * `" a b c "`; merge (a,b) is `replace(" a b ", " ab ")` — plain
+    * leftmost non-overlapping string replacement, identical semantics
+    * in Spark and any SQL oracle (adjacent occurrences share a
+    * boundary space, so alternate ones merge — same both sides by
+    * construction). Merges arrive pre-ordered in ONE broadcast row
+    * (sort_array over (−cnt, left, right) structs — no global-rank
+    * window, no extra exchange); the per-word fold is a fixed
+    * `nMerges`-deep codegen replace chain, so the whole encode is
+    * scan → broadcast probe → map-side-combined per-doc aggregate. */
+  def bpeEncodeCounts(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      nMerges: Int = 3): DataFrame = {
+    val mArr = bpeTopMerges(docs, textCol, nMerges)
+      .agg(sort_array(collect_list(struct(
+        (-col("cnt")).as("nc"), col("left"), col("right")))).as("ms"))
+    val seq0 = concat(lit(" "),
+      regexp_replace(col("word"), "(.)", "$1 "))
+    val encoded = (1 to nMerges).foldLeft(seq0) { (acc, i) =>
+      val m = element_at(col("ms"), i)
+      when(lit(i) <= size(col("ms")),
+        replace(acc,
+          concat(lit(" "), m.getField("left"), lit(" "),
+            m.getField("right"), lit(" ")),
+          concat(lit(" "), m.getField("left"),
+            m.getField("right"), lit(" "))))
+        .otherwise(acc)
+    }
+    docs
+      .select(col(idCol),
+        explode(TextAnalysis.tokens(
+          lower(coalesce(col(textCol), lit(""))))).as("word"))
+      .crossJoin(broadcast(mArr))
+      .select(col(idCol), length(col("word")).cast("long").as("n_chars"),
+        size(split(trim(encoded), " ")).cast("long").as("n_sub"))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("n_chars")).as("n_sub_before"),
+        sum(col("n_sub")).as("n_sub_after"))
+  }
+
   /** Per-document interpolated bigram score: `(idCol, n_bigrams,
     * avg_logprob)` — the next rung up the perplexity-filter ladder
     * from [[scoreUnigram]]. Each adjacent token pair `(w1, w2)`

@@ -1886,6 +1886,58 @@ object LlmQueries {
                    (SELECT COUNT(*) FROM surv)
                      - (SELECT COUNT(*) FROM near) AS n_kept"""))
 
+  /** BPE application ([[LanguageModel.bpeEncodeCounts]]): the corpus's
+    * top-3 learned merges applied to every document as a replace
+    * chain, per-doc subword counts before/after. DuckDB re-learns the
+    * merges with the identical (cnt DESC, left, right) cut and
+    * re-applies the identical chain — the learn→apply loop closed
+    * under one oracle. */
+  val bpeEncode = Q(
+    "text_bpe_encode",
+    (s, d) =>
+      LanguageModel.bpeEncodeCounts(Tables.documents(s, d))
+        .orderBy("doc_id").limit(500),
+    Some("""WITH wf AS (
+              SELECT word, COUNT(*) AS wfreq FROM (
+                SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+                  AS word FROM documents)
+              GROUP BY word HAVING length(word) >= 2),
+            pairs AS (
+              SELECT p[1] AS l, p[2] AS r, SUM(wfreq) AS cnt
+              FROM wf, UNNEST([[word[i:i], word[i+1:i+1]]
+                               for i in range(1, length(word))]) AS t(p)
+              GROUP BY 1, 2),
+            top3 AS (
+              SELECT l, r, ROW_NUMBER() OVER (ORDER BY cnt DESC, l, r)
+                AS rk
+              FROM pairs ORDER BY cnt DESC, l, r LIMIT 3),
+            enc AS (
+              SELECT doc_id, word,
+                replace(replace(replace(
+                  ' ' || regexp_replace(word, '(.)', '\1 ', 'g'),
+                  COALESCE((SELECT ' '||l||' '||r||' ' FROM top3
+                            WHERE rk=1), chr(1)),
+                  COALESCE((SELECT ' '||l||r||' ' FROM top3
+                            WHERE rk=1), chr(1))),
+                  COALESCE((SELECT ' '||l||' '||r||' ' FROM top3
+                            WHERE rk=2), chr(1)),
+                  COALESCE((SELECT ' '||l||r||' ' FROM top3
+                            WHERE rk=2), chr(1))),
+                  COALESCE((SELECT ' '||l||' '||r||' ' FROM top3
+                            WHERE rk=3), chr(1)),
+                  COALESCE((SELECT ' '||l||r||' ' FROM top3
+                            WHERE rk=3), chr(1))) AS merged
+              FROM (SELECT doc_id,
+                      unnest(string_split_regex(lower(trim(text)), '\s+'))
+                        AS word
+                    FROM documents))
+            SELECT doc_id,
+                   COUNT(*) AS n_words,
+                   CAST(SUM(length(word)) AS BIGINT) AS n_sub_before,
+                   CAST(SUM(len(string_split(trim(merged), ' ')))
+                     AS BIGINT) AS n_sub_after
+            FROM enc GROUP BY doc_id ORDER BY doc_id LIMIT 500"""))
+
   /** Padding-waste profile ([[Packing.paddingWaste]]): per power-of-two
     * length bucket, how many positions padding-to-bucket-max would
     * burn — the measurement that justifies (or kills) sequence
@@ -1973,7 +2025,7 @@ object LlmQueries {
     ragRetrieve, coverageAudit,
     textTokens, textQuality, langDist, textAnalyze, textRepetition,
     boilerplate,
-    unigramScore, bigramScore, bm25TopK, bpePairs, corpusDrift,
+    unigramScore, bigramScore, bm25TopK, bpePairs, bpeEncode, corpusDrift,
     driftBySource,
     textRedact, contamination, contaminationBloom, mmStats,
     mmDecodePlanted, mmResizePlanted, mmAudioFrames, curate,

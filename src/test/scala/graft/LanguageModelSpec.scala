@@ -118,6 +118,21 @@ class LanguageModelSpec extends AnyFunSuite {
     assert(got == Seq(("aa", 2L), ("ab", 2L), ("ba", 1L)), got.toString)
   }
 
+  test("BPE encode: top merges applied as a replace chain, counts agree") {
+    // same corpus as the merge-pairs case: merges (cnt DESC, l, r) =
+    // (a,a)←2, (a,b)←2, (b,a)←1 → applied in that order
+    val docs = Seq((1L, "aa ab c"), (2L, "aa bab")).toDF("doc_id", "text")
+    val merges = LanguageModel.bpeTopMerges(docs, nMerges = 3)
+      .as[(String, String, Long)].collect().toSeq
+    assert(merges == Seq(("a", "a", 2L), ("a", "b", 2L), ("b", "a", 1L)))
+    val got = LanguageModel.bpeEncodeCounts(docs)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    // doc 1: aa→[aa](1), ab→[ab](1), c→[c](1): words 3, before 5, after 3
+    // doc 2: aa→[aa](1); bab: " b a b "—(a,a) no hit, (a,b) merges
+    //   " a b "→" ab " leaving " b ab ", (b,a) no " b a " left → 2 subwords
+    assert(got == Seq((1L, 3L, 5L, 3L), (2L, 2L, 5L, 3L)))
+  }
+
   test("fluent (high-bigram-probability) docs outscore shuffled ones") {
     val fluent = (0 until 30).map(i => (i.toLong, "the cat sat on the mat"))
     val shuffled = Seq((99L, "mat the on sat cat the"))

@@ -113,6 +113,34 @@ object LanguageModel {
       .limit(topK)
   }
 
+  /** Per-source tokenizer-coverage audit: token count, OOV count, and
+    * OOV rate against the corpus top-`vocabSize` vocab — the fit
+    * check run before committing to a vocab (a source whose OOV rate
+    * is an outlier will tokenize into fragments and dominate the
+    * token budget). The vocab is bounded by construction → broadcast;
+    * the probe side explodes narrowly and collapses in a map-side-
+    * combined per-source aggregate — no fact-fact shuffle. */
+  def oovRateBySource(
+      docs: DataFrame,
+      sourceCol: String = "source",
+      textCol: String = "text",
+      vocabSize: Int = 1000): DataFrame = {
+    val v = vocab(docs, textCol, vocabSize)
+      .select(col("token"), lit(1).as("__in_v"))
+    docs
+      .select(col(sourceCol).as("source"),
+        explode(TextAnalysis.tokens(
+          lower(coalesce(col(textCol), lit(""))))).as("token"))
+      .join(broadcast(v), Seq("token"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(when(col("__in_v").isNull, true)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 4))
+      .orderBy("source")
+  }
+
   /** Top-`nMerges` BPE merges with the pair kept as (left, right) —
     * the application-ready form of [[bpeMergePairs]] (which
     * concatenates the pair for reporting and can alias e.g.

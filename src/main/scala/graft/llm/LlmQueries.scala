@@ -1886,6 +1886,58 @@ object LlmQueries {
                    (SELECT COUNT(*) FROM surv)
                      - (SELECT COUNT(*) FROM near) AS n_kept"""))
 
+  /** Tokenizer-coverage audit ([[LanguageModel.oovRateBySource]]):
+    * per-source OOV rate against the corpus top-1000 vocab; DuckDB
+    * re-learns the vocab with the identical (cnt DESC, token) cut. */
+  val oovBySource = Q(
+    "text_oov_by_source",
+    (s, d) => LanguageModel.oovRateBySource(Tables.documents(s, d)),
+    Some("""WITH toks AS (
+              SELECT source,
+                     unnest(string_split_regex(
+                       trim(lower(coalesce(text, ''))), '\s+')) AS token
+              FROM documents),
+            v AS (
+              SELECT token FROM (
+                SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token)
+              ORDER BY cnt DESC, token LIMIT 1000)
+            SELECT t.source,
+                   COUNT(*) AS n_tokens,
+                   COUNT(CASE WHEN v.token IS NULL THEN 1 END) AS n_oov,
+                   ROUND(COUNT(CASE WHEN v.token IS NULL THEN 1 END) /
+                     CAST(COUNT(*) AS DOUBLE), 4) AS oov_rate
+            FROM toks t LEFT JOIN v ON t.token = v.token
+            GROUP BY t.source ORDER BY t.source"""))
+
+  /** Shard reproducibility audit ([[Packing.shardDigests]]): per-shard
+    * order-independent content fingerprints; DuckDB recomputes the
+    * identical window cumsum and rolling-hash sum. */
+  val packShardDigests = Q(
+    "pack_shard_digests",
+    (s, d) => Packing.shardDigests(Tables.documents(s, d)),
+    Some(s"""WITH t AS (
+               SELECT doc_id, source,
+                      CAST(len(string_split_regex(trim(text), '\\s+'))
+                        AS BIGINT) AS n_tokens,
+                      doc_id % 8 AS bucket,
+                      ${duckdbTextHash(
+                        "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')")}
+                        AS fp
+               FROM documents),
+             c AS (
+               SELECT source, bucket, n_tokens, fp,
+                      SUM(n_tokens) OVER (PARTITION BY source, bucket
+                          ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                        - n_tokens AS start_tok
+               FROM t)
+             SELECT source, CAST(bucket AS BIGINT) AS bucket,
+                    start_tok // 2048 AS shard_seq,
+                    COUNT(*) AS n_docs,
+                    CAST(SUM(fp) AS BIGINT) AS shard_fp
+             FROM c
+             GROUP BY source, bucket, shard_seq
+             ORDER BY source, bucket, shard_seq"""))
+
   /** BPE application ([[LanguageModel.bpeEncodeCounts]]): the corpus's
     * top-3 learned merges applied to every document as a replace
     * chain, per-doc subword counts before/after. DuckDB re-learns the
@@ -2021,8 +2073,8 @@ object LlmQueries {
     embCentroids, embNormProfile, quantizeInt8, annQuantized,
     splitCounts, stratSample, leakageSplit, budgetSample, temperatureMix,
     epochOrder,
-    pipelinePrepShards, packShards, packPaddingWaste, chunkDocs,
-    ragRetrieve, coverageAudit,
+    pipelinePrepShards, packShards, packPaddingWaste, packShardDigests,
+    chunkDocs, ragRetrieve, coverageAudit, oovBySource,
     textTokens, textQuality, langDist, textAnalyze, textRepetition,
     boilerplate,
     unigramScore, bigramScore, bm25TopK, bpePairs, bpeEncode, corpusDrift,

@@ -37,14 +37,16 @@ object Packing {
       textCol: String = "text",
       sourceCol: String = "source",
       buckets: Int = 8,
-      budgetTokens: Long = 2048L): DataFrame = {
+      budgetTokens: Long = 2048L,
+      extraCols: Seq[(String, Column)] = Nil): DataFrame = {
     require(buckets > 0 && budgetTokens > 0,
       s"buckets and budgetTokens must be positive: $buckets, $budgetTokens")
-    val base = docs.select(
+    val base = docs.select(Seq(
       col(idCol).as("doc_id"),
       col(sourceCol).as("source"),
       TextAnalysis.tokenCount(col(textCol)).as("n_tokens"),
-      pmod(col(idCol), lit(buckets.toLong)).as("bucket"))
+      pmod(col(idCol), lit(buckets.toLong)).as("bucket")) ++
+      extraCols.map { case (n, c) => c.as(n) }: _*)
     val w = Window.partitionBy("source", "bucket").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     base
@@ -63,6 +65,30 @@ object Packing {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("shard_tokens"))
+      .orderBy("source", "bucket", "shard_seq")
+
+  /** Per-shard content fingerprint: each member doc's rolling text
+    * hash ([[TextAnalysis.fingerprint]], bounded < 2³¹ so a shard's
+    * sum never overflows a long), summed per shard —
+    * order-independent, so any partitioning reproduces it
+    * bit-for-bit. This is the shard-reproducibility audit: two
+    * pipeline runs must emit identical `(shard, n_docs, shard_fp)`
+    * rows before a training job trusts the export. One scan (the
+    * fingerprint rides [[packOffsets]]'s projection via `extraCols`),
+    * one window shuffle, map-side-combined final aggregate. */
+  def shardDigests(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      sourceCol: String = "source",
+      buckets: Int = 8,
+      budgetTokens: Long = 2048L): DataFrame =
+    packOffsets(docs, idCol, textCol, sourceCol, buckets, budgetTokens,
+      extraCols = Seq("fp" -> TextAnalysis.fingerprint(col(textCol))))
+      .groupBy("source", "bucket", "shard_seq")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("fp")).as("shard_fp"))
       .orderBy("source", "bucket", "shard_seq")
 
   /** Padding-waste profile for length-bucketed batching — the other

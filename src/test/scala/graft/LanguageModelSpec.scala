@@ -118,6 +118,19 @@ class LanguageModelSpec extends AnyFunSuite {
     assert(got == Seq(("aa", 2L), ("ab", 2L), ("ba", 1L)), got.toString)
   }
 
+  test("OOV rate by source: vocab cut separates the outlier source") {
+    // vocab of size 2 keeps the two dominant tokens; source 'z' is
+    // fully out-of-vocabulary
+    val docs = Seq(
+      (1L, "aa aa bb", "clean"),
+      (2L, "aa bb", "clean"),
+      (3L, "qq rr", "z")
+    ).toDF("doc_id", "text", "source")
+    val got = LanguageModel.oovRateBySource(docs, vocabSize = 2)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("clean", 5L, 0L, 0.0), ("z", 2L, 2L, 1.0)))
+  }
+
   test("BPE encode: top merges applied as a replace chain, counts agree") {
     // same corpus as the merge-pairs case: merges (cnt DESC, l, r) =
     // (a,a)←2, (a,b)←2, (b,a)←1 → applied in that order

@@ -40,6 +40,24 @@ class PackingSpec extends AnyFunSuite {
     perDoc.foreach { case (off, shard) => assert(shard == off / 16L) }
   }
 
+  test("shard digests: reproducible across partitionings, change-sensitive") {
+    val a = Packing.shardDigests(docs).collect().toSeq
+    val b = Packing.shardDigests(docs.repartition(7)).collect().toSeq
+    assert(a == b, "fingerprints must not depend on partitioning")
+    // doc counts agree with the shard inventory
+    val stats = Packing.shardStats(docs)
+      .select("source", "bucket", "shard_seq", "n_docs").collect().toSeq
+    val digs = Packing.shardDigests(docs)
+      .select("source", "bucket", "shard_seq", "n_docs").collect().toSeq
+    assert(digs == stats)
+    // editing one document changes exactly the shards it belongs to
+    val edited = docs.withColumn("text",
+      when($"doc_id" === 0L, concat($"text", lit(" edited")))
+        .otherwise($"text"))
+    val c = Packing.shardDigests(edited).collect().toSeq
+    assert(a != c)
+  }
+
   test("padding waste: hand-computed power-of-two buckets") {
     // token counts 1, 2, 3, 5, 8 → buckets 1, 2, 4, 8, 8
     val tiny = Seq("a", "a b", "a b c", "a b c d e", "a b c d e f g h")

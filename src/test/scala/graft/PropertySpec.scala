@@ -136,6 +136,37 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("normalizeText: idempotent, and output is canonical-form") {
+    val messy = Gen.listOf(Gen.oneOf(
+      word, Gen.const("  "), Gen.const("\t"), Gen.const("\n"),
+      word.map(_.toUpperCase))).map(_.mkString(" "))
+    val inputs = samples(messy, 15)
+    val once = inputs.toDF("t")
+      .select(TextAnalysis.normalizeText($"t")).as[String].collect().toSeq
+    val twice = once.toDF("t")
+      .select(TextAnalysis.normalizeText($"t")).as[String].collect().toSeq
+    assert(once == twice, "normalize must be idempotent")
+    once.foreach { s =>
+      assert(!s.exists(_.isUpper), s"residual uppercase in '$s'")
+      assert(!s.contains("  "), s"residual whitespace run in '$s'")
+      assert(s == s.trim, s"untrimmed '$s'")
+    }
+  }
+
+  test("bpe encode law: n_words <= n_sub_after <= n_sub_before") {
+    val corpus = samples(text, 12).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+      .filter(_._2.nonEmpty)
+    val df = corpus.toDF("doc_id", "text")
+    val got = graft.llm.LanguageModel.bpeEncodeCounts(df)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (id, nWords, before, after) =>
+      assert(after <= before, s"doc $id: merges must never add symbols")
+      assert(after >= nWords, s"doc $id: a word is at least one subword")
+    }
+  }
+
   test("bloom law: inserted keys are always found, at any m/k") {
     import graft.functions.BloomExprs
     val cfg = Gen.zip(

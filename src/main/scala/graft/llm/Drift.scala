@@ -107,6 +107,59 @@ object Drift {
     * `(token, ref_cnt)` of a reference corpus, ties broken
     * lexicographically — compute once, persist/broadcast, reuse across
     * every batch scored against it. */
+  /** Numeric-distribution drift: Population Stability Index terms of
+    * `current` vs `reference` over `nBins` equal-width bins anchored
+    * at the REFERENCE min/max — the feature-pipeline companion of the
+    * token-drift monitor (a feature whose distribution slides between
+    * training and serving shows up here before it shows up in model
+    * metrics). Equal-width bins (not quantile bins) on purpose:
+    * min/max are exact aggregates, so the bin edges — and therefore
+    * every count — are reproducible bit-for-bit by any engine, with
+    * no interpolated-quantile parity risk. Per-bin smoothed fractions
+    * (+0.5 Laplace) keep empty bins finite; PSI = Σ psi_term.
+    *
+    * Scale: each side collapses to ≤nBins rows in one map-side-
+    * combined aggregate after a broadcast of the 1-row min/max frame;
+    * values never shuffle. */
+  def psiNumeric(
+      reference: DataFrame,
+      current: DataFrame,
+      valueCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins > 0, s"nBins must be positive: $nBins")
+    val stats = reference.agg(
+      min(col(valueCol)).cast("double").as("lo"),
+      max(col(valueCol)).cast("double").as("hi"))
+    def binned(df: DataFrame, cname: String) =
+      df.select(col(valueCol).cast("double").as("v"))
+        .crossJoin(broadcast(stats))
+        .select(
+          when(col("lo").isNull || col("hi") === col("lo"), lit(0))
+            .otherwise(least(lit(nBins - 1), greatest(lit(0),
+              floor((col("v") - col("lo")) /
+                ((col("hi") - col("lo")) / nBins)).cast("int"))))
+            .as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as(cname))
+    val bins = binned(reference, "n_ref")
+      .join(binned(current, "n_cur"), Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tot = bins.agg(
+      sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
+    bins.crossJoin(broadcast(tot))
+      .withColumn("__p",
+        (col("n_ref") + lit(0.5)) / (col("t_ref") + lit(0.5) * nBins))
+      .withColumn("__q",
+        (col("n_cur") + lit(0.5)) / (col("t_cur") + lit(0.5) * nBins))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        round(col("__p"), 4).as("ref_frac"),
+        round(col("__q"), 4).as("cur_frac"),
+        round((col("__q") - col("__p")) * log(col("__q") / col("__p")), 6)
+          .as("psi_term"))
+      .orderBy("bin")
+  }
+
   def referenceVocab(
       refDocs: DataFrame,
       textCol: String = "text",

@@ -1886,6 +1886,54 @@ object LlmQueries {
                    (SELECT COUNT(*) FROM surv)
                      - (SELECT COUNT(*) FROM near) AS n_kept"""))
 
+  /** Numeric PSI drift ([[Drift.psiNumeric]]): even events are the
+    * frozen reference, odd events the current batch; equal-width bins
+    * off exact reference min/max make every count engine-reproducible.
+    * DuckDB recomputes bins, smoothing, and every PSI term. */
+  val numericPsi = Q(
+    "drift_numeric_psi",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      Drift.psiNumeric(
+        ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 === 1),
+        "value")
+    },
+    Some("""WITH s AS (
+              SELECT CAST(MIN(value) AS DOUBLE) AS lo,
+                     CAST(MAX(value) AS DOUBLE) AS hi
+              FROM events WHERE event_id % 2 = 0),
+            rb AS (
+              SELECT CASE WHEN s.lo IS NULL OR s.hi = s.lo THEN 0
+                     ELSE LEAST(9, GREATEST(0, CAST(FLOOR((value - s.lo)
+                       / ((s.hi - s.lo) / 10)) AS INT))) END AS bin,
+                     COUNT(*) AS n_ref
+              FROM events, s WHERE event_id % 2 = 0 GROUP BY 1),
+            cb AS (
+              SELECT CASE WHEN s.lo IS NULL OR s.hi = s.lo THEN 0
+                     ELSE LEAST(9, GREATEST(0, CAST(FLOOR((value - s.lo)
+                       / ((s.hi - s.lo) / 10)) AS INT))) END AS bin,
+                     COUNT(*) AS n_cur
+              FROM events, s WHERE event_id % 2 = 1 GROUP BY 1),
+            bins AS (
+              SELECT COALESCE(rb.bin, cb.bin) AS bin,
+                     COALESCE(n_ref, 0) AS n_ref,
+                     COALESCE(n_cur, 0) AS n_cur
+              FROM rb FULL OUTER JOIN cb ON rb.bin = cb.bin),
+            tot AS (
+              SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM bins)
+            SELECT bin,
+                   CAST(n_ref AS BIGINT) AS n_ref,
+                   CAST(n_cur AS BIGINT) AS n_cur,
+                   ROUND((n_ref + 0.5) / (t_ref + 0.5 * 10), 4) AS ref_frac,
+                   ROUND((n_cur + 0.5) / (t_cur + 0.5 * 10), 4) AS cur_frac,
+                   ROUND(((n_cur + 0.5) / (t_cur + 0.5 * 10)
+                          - (n_ref + 0.5) / (t_ref + 0.5 * 10))
+                     * ln(((n_cur + 0.5) / (t_cur + 0.5 * 10))
+                          / ((n_ref + 0.5) / (t_ref + 0.5 * 10))), 6)
+                     AS psi_term
+            FROM bins, tot ORDER BY bin"""))
+
   /** Tokenizer-coverage audit ([[LanguageModel.oovRateBySource]]):
     * per-source OOV rate against the corpus top-1000 vocab; DuckDB
     * re-learns the vocab with the identical (cnt DESC, token) cut. */
@@ -2078,7 +2126,7 @@ object LlmQueries {
     textTokens, textQuality, langDist, textAnalyze, textRepetition,
     boilerplate,
     unigramScore, bigramScore, bm25TopK, bpePairs, bpeEncode, corpusDrift,
-    driftBySource,
+    driftBySource, numericPsi,
     textRedact, contamination, contaminationBloom, mmStats,
     mmDecodePlanted, mmResizePlanted, mmAudioFrames, curate,
     qualityGate,

@@ -134,6 +134,30 @@ class DriftSpec extends AnyFunSuite {
     assert(js > 0 && js < math.log(2.0))
   }
 
+  test("numeric PSI: hand-computed bins, identical sides give near-zero") {
+    import org.apache.spark.sql.functions._
+    // reference 0..9 → lo=0, hi=9, width 0.9; bins: floor(v/0.9) capped
+    val ref = (0 until 10).map(v => v.toDouble).toDF("value")
+    // current shifted up: half the mass lands in the top bin
+    val cur = Seq(8.0, 8.5, 9.0, 9.0, 20.0, -5.0).toDF("value")
+    val rows = Drift.psiNumeric(ref, cur, "value").collect()
+    val byBin = rows.map(r => r.getAs[Int]("bin") ->
+      ((r.getAs[Long]("n_ref"), r.getAs[Long]("n_cur")))).toMap
+    // v=20 clamps to bin 9, v=-5 clamps to bin 0; each ref value lands
+    // in its own bin (floor(v/0.9), v=9 clamped down into bin 9)
+    assert(byBin(0) == ((1L, 1L)))
+    assert(byBin(8) == ((1L, 1L))) // ref 8, cur 8.0
+    assert(byBin(9) == ((1L, 4L))) // ref 9; cur 8.5, 9, 9, 20
+    assert(rows.map(_.getAs[Double]("psi_term")).sum > 0.1,
+      "a shifted distribution must show positive PSI")
+    // identical sides: every term ~0 (smoothing keeps it finite)
+    val same = Drift.psiNumeric(ref, ref, "value").collect()
+    assert(same.forall(r => math.abs(r.getAs[Double]("psi_term")) < 1e-9))
+    // empty reference degrades to bin 0, not a crash
+    val z = Drift.psiNumeric(ref.filter(lit(false)), cur, "value").collect()
+    assert(z.nonEmpty)
+  }
+
   test("two empty corpora degrade to a zero row, not a crash") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val got = Drift.driftSummary(empty, empty).collect()

@@ -236,4 +236,36 @@ object Incremental {
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  /** Streaming numeric-PSI monitor: per micro-batch, the total PSI of
+    * the batch's `valueCol` distribution against a FROZEN reference
+    * (same fixed-yardstick rationale as [[driftStream]] — batches
+    * stay comparable on one axis), appended as one row to a queryable
+    * parquet drift log. The reference collapses once to its ≤nBins
+    * bin counts (persisted); per-batch cost is one bounded aggregate.
+    * Exactly-once per batch id via foreachBatch + checkpoint. */
+  def psiStream(
+      rows: DataFrame,
+      reference: DataFrame,
+      valueCol: String,
+      destDir: String,
+      checkpointDir: String,
+      nBins: Int = 10): StreamingQuery = {
+    import graft.llm.Drift
+    val ref = reference
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rows.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        Drift.psiNumeric(ref, batch, valueCol, nBins)
+          .agg(
+            sum(col("n_cur")).as("n_rows"),
+            round(sum(col("psi_term")), 6).as("psi"))
+          .withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(destDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }

@@ -26,6 +26,27 @@ class OperatorPlanSpec extends AnyFunSuite {
       s"merge must be union+window, not a join:\n$p")
   }
 
+  test("incremental dedup: bucket-keyed joins only, never a cartesian") {
+    val p = plan("dedup_incremental")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the exact phase's digest anti-join is present
+    assert(p.contains("LeftAnti"), s"expected a left_anti phase:\n${p.take(2000)}")
+  }
+
+  test("OOV audit: the vocab probe is a broadcast join, not a shuffle join") {
+    val p = plan("text_oov_by_source")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      s"bounded vocab must broadcast:\n${p.take(2000)}")
+  }
+
+  test("PSI drift: sides collapse map-side; only broadcast stat frames cross") {
+    val p = plan("drift_numeric_psi")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"bin counts must partial-aggregate:\n${p.take(2000)}")
+  }
+
   test("composed pipeline: exactly one LSH banding pass in the plan") {
     val p = plan("pipeline_curate_split")
     // minhash_bands appears once per distinct subtree; the audit's

@@ -170,6 +170,38 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming PSI log matches per-batch frozen-reference PSI") {
+    import graft.llm.Drift
+    val srcDir = TestSpark.tmpDir("psi-src")
+    val destDir = TestSpark.tmpDir("psi-log")
+    val ckDir = TestSpark.tmpDir("psi-ck")
+    val ref = (0 until 20).map(_.toDouble).toDF("value")
+    val fileA = Seq(1.0, 2.0, 3.0).toDF("value")         // 3 rows
+    val fileB = Seq(18.0, 19.0, 19.5, 25.0).toDF("value") // 4 rows
+    fileA.repartition(1).write.mode("append").parquet(srcDir)
+    fileB.repartition(1).write.mode("append").parquet(srcDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val q = graft.streaming.Incremental.psiStream(
+      stream, ref, "value", destDir, ckDir)
+    q.awaitTermination()
+    val got = spark.read.parquet(destDir)
+      .select("n_rows", "psi").as[(Long, Double)].collect().toSeq
+    assert(got.length == 2, "one PSI row per micro-batch")
+    // match rows to files by their distinct row counts
+    val expected = Seq(fileA, fileB).map { f =>
+      Drift.psiNumeric(ref, f, "value")
+        .agg(org.apache.spark.sql.functions.sum($"n_cur"),
+          org.apache.spark.sql.functions.round(
+            org.apache.spark.sql.functions.sum($"psi_term"), 6))
+        .as[(Long, Double)].head()
+    }
+    assert(got.toSet == expected.toSet)
+    assert(got.map(_._2).forall(p => !p.isNaN && !p.isInfinite))
+  }
+
   test("stream-static dedup-vs-corpus matches the batch anti-join") {
     val srcDir = TestSpark.tmpDir("dedup-src")
     val docs = Tables.documents(spark, TestSpark.sf0001)

@@ -1143,7 +1143,7 @@ object LlmQueries {
                        - n_tokens AS start_tok
               FROM t)
             SELECT source, CAST(bucket AS BIGINT) AS bucket,
-                   start_tok // 2048 AS shard_seq,
+                   CAST(start_tok // 2048 AS BIGINT) AS shard_seq,
                    COUNT(*) AS n_docs,
                    CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
             FROM c
@@ -1979,7 +1979,7 @@ object LlmQueries {
                         - n_tokens AS start_tok
                FROM t)
              SELECT source, CAST(bucket AS BIGINT) AS bucket,
-                    start_tok // 2048 AS shard_seq,
+                    CAST(start_tok // 2048 AS BIGINT) AS shard_seq,
                     COUNT(*) AS n_docs,
                     CAST(SUM(fp) AS BIGINT) AS shard_fp
              FROM c

@@ -91,4 +91,24 @@ class ErrorPathSpec extends AnyFunSuite {
     val empty = ProfileQueries.profile(one.filter($"x" > 100)).collect()
     assert(empty.head.getAs[Long]("n_nonnull") == 0)
   }
+
+  test("round-8 operators reject invalid arguments up front") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c", "web")).toDF("doc_id", "text", "source")
+    val vals = Seq(1.0).toDF("value")
+    intercept[IllegalArgumentException] {
+      graft.llm.Drift.psiNumeric(vals, vals, "value", nBins = 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.llm.LanguageModel.bpeTopMerges(docs, nMerges = 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.llm.LanguageModel.oovRateBySource(docs, vocabSize = 0)
+    }
+    // misnamed columns fail at analysis, not with a late runtime error
+    intercept[org.apache.spark.sql.AnalysisException] {
+      graft.llm.Curate.coverageAudit(docs, docs, vecIdCol = "no_such_col")
+        .collect()
+    }
+  }
 }

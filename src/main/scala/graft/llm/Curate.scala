@@ -149,6 +149,29 @@ object Curate {
              'curated', curated) AS (stage, n_docs)""")
   }
 
+  /** Mixture-design grid: document count and token mass per (quality
+    * decile × power-of-two length bucket) — the 2-D histogram a
+    * mixture designer reads before setting per-bucket keep rates
+    * (is the high-quality mass long docs or short ones? where does
+    * the token budget actually sit?). One narrow projection feeding
+    * one map-side-combined aggregate over ≤10×~16 cells; nothing
+    * else moves at any corpus size. */
+  def qualityGrid(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .select(
+        TextAnalysis.qualityScore(col(textCol)).as("q"),
+        TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
+      .select(
+        least(lit(9), floor(col("q") * 10).cast("int")).as("q_decile"),
+        pow(lit(2.0), ceil(log(2.0, greatest(col("n_tokens"), lit(1L)))))
+          .cast("long").as("len_bucket"),
+        col("n_tokens"))
+      .groupBy("q_decile", "len_bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy("q_decile", "len_bucket")
+
   /** Cross-table coverage audit: every document should have exactly
     * one embedding row and vice versa — the referential-integrity
     * check a multi-stage pipeline runs before training (a failed

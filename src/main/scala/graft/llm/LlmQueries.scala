@@ -2057,6 +2057,45 @@ object LlmQueries {
                           '\s+')) AS BIGINT) AS n FROM documents))
             GROUP BY bucket ORDER BY bucket"""))
 
+  /** Mixture-design grid ([[Curate.qualityGrid]]): doc counts and
+    * token mass per (quality decile × power-of-two length bucket);
+    * DuckDB recomputes the full quality formula and both bucketings
+    * cell-for-cell. */
+  val qualityGrid = Q(
+    "curate_quality_grid",
+    (s, d) => Curate.qualityGrid(Tables.documents(s, d)),
+    Some("""WITH m AS (
+              SELECT text,
+                CAST(len(string_split_regex(trim(text), '\s+'))
+                  AS BIGINT) AS n_tokens,
+                ROUND(CAST(len(list_filter(
+                    string_split_regex(trim(text), '\s+'),
+                    x -> list_contains(
+                      ['the','a','of','and','to','in','is','that','it','for'],
+                      x))) AS DOUBLE) /
+                  GREATEST(CAST(len(string_split_regex(trim(text), '\s+'))
+                    AS DOUBLE), 1.0), 4) AS stop_ratio,
+                ROUND(CAST(length(regexp_replace(text,
+                    '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) /
+                  GREATEST(CAST(length(text) AS DOUBLE), 1.0), 4)
+                  AS punct_ratio
+              FROM documents),
+            q AS (
+              SELECT n_tokens,
+                ROUND((LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+                       + (1.0 - LEAST(punct_ratio * 5.0, 1.0))
+                       + LEAST(stop_ratio * 5.0, 1.0)) / 3.0, 4)
+                  AS quality
+              FROM m)
+            SELECT CAST(LEAST(9, FLOOR(quality * 10)) AS INT) AS q_decile,
+                   CAST(POWER(2, CEIL(LOG2(GREATEST(n_tokens, 1))))
+                     AS BIGINT) AS len_bucket,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+            FROM q
+            GROUP BY q_decile, len_bucket
+            ORDER BY q_decile, len_bucket"""))
+
   /** Referential-integrity audit ([[Curate.coverageAudit]]): matched
     * doc↔embedding rows, orphans on each side, id-sum fingerprints —
     * the pre-training join-coverage check. */
@@ -2122,7 +2161,7 @@ object LlmQueries {
     splitCounts, stratSample, leakageSplit, budgetSample, temperatureMix,
     epochOrder,
     pipelinePrepShards, packShards, packPaddingWaste, packShardDigests,
-    chunkDocs, ragRetrieve, coverageAudit, oovBySource,
+    chunkDocs, ragRetrieve, coverageAudit, oovBySource, qualityGrid,
     textTokens, textQuality, langDist, textAnalyze, textRepetition,
     boilerplate,
     unigramScore, bigramScore, bm25TopK, bpePairs, bpeEncode, corpusDrift,

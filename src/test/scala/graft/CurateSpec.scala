@@ -85,6 +85,22 @@ class CurateSpec extends AnyFunSuite {
     assert(kept - 10L == q.take(2).toSet, s"kept $kept, ranked $q")
   }
 
+  test("quality grid: cells partition the corpus; totals conserved") {
+    import graft.llm.TextAnalysis
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val grid = Curate.qualityGrid(docs).collect()
+    assert(grid.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    val totalToks = docs
+      .select(TextAnalysis.tokenCount(col("text"))).as[Long].collect().sum
+    assert(grid.map(_.getAs[Long]("sum_tokens")).sum == totalToks)
+    grid.foreach { r =>
+      val d = r.getAs[Int]("q_decile")
+      assert(d >= 0 && d <= 9, s"decile $d out of range")
+      val b = r.getAs[Long]("len_bucket")
+      assert((b & (b - 1)) == 0L, s"bucket $b not a power of two")
+    }
+  }
+
   test("coverage audit: matched rows, orphans, and id-sum fingerprints") {
     val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (7L, "d"))
       .toDF("doc_id", "text")

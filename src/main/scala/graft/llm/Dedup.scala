@@ -397,6 +397,24 @@ object Dedup {
       .agg(countDistinct(col("bench_id")).as("n_bench_hits"))
   }
 
+  /** Act on the contamination check: drop every training document that
+    * shares at least one k-word shingle with the benchmark — the
+    * detect→remove closure of [[contaminationHits]] (detection without
+    * removal leaves the eval leak in the corpus). Same scale shape:
+    * bench shingles broadcast, probe side explodes narrowly, and the
+    * final anti-join is keyed on the (≪ corpus) contaminated-id set.
+    * Returns the surviving training rows with original columns. */
+  def decontaminate(
+      probe: DataFrame,
+      bench: DataFrame,
+      k: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    probe.join(
+      contaminationHits(probe, bench, k, idCol, textCol)
+        .select(col(idCol)),
+      Seq(idCol), "left_anti")
+
   /** Contamination check with a Bloom pre-prune on the probe shingles:
     * the bench shingle set is collapsed to a bit-set sketch
     * (~10 bits/shingle vs ~50+ bytes/shingle for a broadcast hashed

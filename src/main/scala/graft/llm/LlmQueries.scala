@@ -1033,6 +1033,50 @@ object LlmQueries {
               ON len(list_intersect(p.s, b.s)) > 0
             GROUP BY p.doc_id ORDER BY p.doc_id"""))
 
+  /** Decontamination ([[Dedup.decontaminate]]): the act step — audit
+    * counts after dropping every training doc that shares a 4-shingle
+    * with the benchmark slice. The oracle recomputes the contaminated
+    * set via exact list_intersect and both counts. */
+  val decontaminate = Q(
+    "llm_decontaminate",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val probe = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+      val bench = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+      val kept = Dedup.decontaminate(probe, bench, k = 4)
+      probe.agg(count(lit(1)).as("n_train"))
+        .crossJoin(broadcast(kept.agg(
+          count(lit(1)).as("n_kept"),
+          coalesce(sum(col("doc_id")), lit(0L)).as("kept_id_sum"))))
+        .select(col("n_train"),
+          (col("n_train") - col("n_kept")).as("n_dropped"),
+          col("n_kept"), col("kept_id_sum"))
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                CASE WHEN len(t) < 4 THEN [array_to_string(t, ' ')]
+                  ELSE list_distinct([array_to_string(t[i:i+3], ' ')
+                        for i in range(1, len(t) - 2)])
+                END AS s
+              FROM toks),
+            bench AS (SELECT doc_id, s FROM sh WHERE doc_id % 50 = 0),
+            probe AS (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0),
+            bad AS (
+              SELECT DISTINCT p.doc_id FROM probe p JOIN bench b
+                ON len(list_intersect(p.s, b.s)) > 0),
+            kept AS (
+              SELECT doc_id FROM probe
+              WHERE doc_id NOT IN (SELECT doc_id FROM bad))
+            SELECT (SELECT COUNT(*) FROM probe) AS n_train,
+                   (SELECT COUNT(*) FROM bad) AS n_dropped,
+                   (SELECT COUNT(*) FROM kept) AS n_kept,
+                   (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT)
+                    FROM kept) AS kept_id_sum"""))
+
   /** Bloom-pruned contamination twin: identical answer (no false
     * negatives), same oracle; the probe's shingle stream is pre-
     * filtered against a sketch of the bench shingles inside codegen
@@ -2166,7 +2210,7 @@ object LlmQueries {
     boilerplate,
     unigramScore, bigramScore, bm25TopK, bpePairs, bpeEncode, corpusDrift,
     driftBySource, numericPsi,
-    textRedact, contamination, contaminationBloom, mmStats,
+    textRedact, contamination, contaminationBloom, decontaminate, mmStats,
     mmDecodePlanted, mmResizePlanted, mmAudioFrames, curate,
     qualityGate,
     pipelineCurateSplit)

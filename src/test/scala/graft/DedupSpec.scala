@@ -223,6 +223,22 @@ class DedupSpec extends AnyFunSuite {
       s"triad should be one cluster: $labels")
   }
 
+  test("decontaminate drops exactly the flagged docs, keeps the rest") {
+    val bench = Seq((100L, "secret benchmark question about spark engines"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "innocent text with no overlap whatsoever here"),
+      (2L, "leaked copy of the secret benchmark question about spark"),
+      (3L, "another clean training document entirely")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.decontaminate(train, bench, k = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+    // empty bench drops nothing
+    assert(Dedup.decontaminate(train, bench.filter(lit(false)), k = 4)
+      .count() == 3)
+  }
+
   test("incremental dedup: exact and near drops against a frozen reference") {
     val reference = Seq(
       (10L, base),

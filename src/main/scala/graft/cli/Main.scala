@@ -36,7 +36,7 @@ object Main {
 
   private def usage(): Unit =
     System.err.println(
-      """usage: graft.cli.Main <convert|query|sql|lint|profile|optimize|manifest|vacuum|curate|bench> ...
+      """usage: graft.cli.Main <convert|query|sql|lint|profile|optimize|manifest|vacuum|curate|dedup-incremental|decontaminate|bench> ...
         |  convert DATA [--output-path P] [--agency A] [--compression C]
         |  query SFDIR NAME...
         |  sql SFDIR "SELECT ..."
@@ -46,7 +46,11 @@ object Main {
         |  manifest PATH col1[,col2...]   build file-level min/max manifest
         |  vacuum ROOT
         |  curate IN OUT [--min-quality Q] [--near-jaccard J]
-        |         [--min-chars N] [--langs en,de] [--compression C]""".stripMargin)
+        |         [--min-chars N] [--langs en,de] [--compression C]
+        |  dedup-incremental IN REF OUT [--min-jaccard J] [--compression C]
+        |         onboard IN against frozen REF (exact + near dedup)
+        |  decontaminate IN BENCH OUT [--shingle-k K] [--compression C]
+        |         drop IN docs sharing a K-shingle with BENCH""".stripMargin)
 
   private[graft] def run(spark: SparkSession, args: Array[String]): Unit =
     args(0) match {
@@ -205,6 +209,38 @@ object Main {
         graft.llm.Curate.auditCounts(docs, cfg)
           .orderBy(org.apache.spark.sql.functions.col("n_docs").desc)
           .show(truncate = false)
+
+      case "dedup-incremental" =>
+        // dedup-incremental IN REF OUT: keep only IN docs that are
+        // neither exact nor near duplicates of the frozen REF corpus;
+        // prints the phase audit (n_incoming/exact/near/kept).
+        val (in, ref, out) = (args(1), args(2), args(3))
+        graft.sources.Preflight.check(spark, in, out)
+        val minJ = arg(args, "--min-jaccard").map(_.toDouble).getOrElse(0.5)
+        val codec = arg(args, "--compression").getOrElse("snappy")
+        val incoming = spark.read.parquet(in)
+        val reference = spark.read.parquet(ref)
+        ParquetSink.write(
+          graft.llm.Dedup.incrementalDedup(incoming, reference,
+            minJaccard = minJ),
+          out, codec, partitionCols = Seq.empty)
+        graft.llm.Dedup.incrementalDedupAudit(incoming, reference,
+          minJaccard = minJ).show(truncate = false)
+
+      case "decontaminate" =>
+        // decontaminate IN BENCH OUT: drop IN docs sharing a k-word
+        // shingle with the BENCH corpus; prints kept/dropped counts.
+        val (in, bench, out) = (args(1), args(2), args(3))
+        graft.sources.Preflight.check(spark, in, out)
+        val k = arg(args, "--shingle-k").map(_.toInt).getOrElse(8)
+        val codec = arg(args, "--compression").getOrElse("snappy")
+        val probe = spark.read.parquet(in)
+        val kept = graft.llm.Dedup.decontaminate(
+          probe, spark.read.parquet(bench), k = k)
+        ParquetSink.write(kept, out, codec, partitionCols = Seq.empty)
+        val (nIn, nKept) = (probe.count(), spark.read.parquet(out).count())
+        System.err.println(
+          s"[decontaminate] kept $nKept of $nIn (dropped ${nIn - nKept})")
 
       case "bench" => graft.Bench.main(Array.empty)
 

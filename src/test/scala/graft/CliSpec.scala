@@ -71,6 +71,34 @@ class CliSpec extends AnyFunSuite {
       curated.columns.contains("lang_pred"))
   }
 
+  test("dedup-incremental and decontaminate run end-to-end via the CLI") {
+    import spark.implicits._
+    val refDir = TestSpark.tmpDir("cli-inc-ref")
+    val inDir = TestSpark.tmpDir("cli-inc-in")
+    val outDir = TestSpark.tmpDir("cli-inc-out") + "/kept"
+    val base = "the quick brown fox jumps over the lazy dog again today"
+    Seq((10L, base), (11L, "totally different reference content here"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(refDir)
+    Seq(
+      (20L, base),                                  // exact dup → dropped
+      (21L, base.replace("today", "tomorrow")),     // near dup → dropped
+      (22L, "a brand new incoming document with fresh words"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(inDir)
+    graft.cli.Main.run(spark,
+      Array("dedup-incremental", inDir, refDir, outDir))
+    assert(spark.read.parquet(outDir)
+      .select("doc_id").as[Long].collect().toSeq == Seq(22L))
+
+    val benchDir = TestSpark.tmpDir("cli-dec-bench")
+    val decOut = TestSpark.tmpDir("cli-dec-out") + "/clean"
+    Seq((100L, "secret benchmark question about spark engines"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(benchDir)
+    graft.cli.Main.run(spark,
+      Array("decontaminate", inDir, benchDir, decOut, "--shingle-k", "4"))
+    // no incoming doc shares a 4-shingle with the bench → all kept
+    assert(spark.read.parquet(decOut).count() == 3)
+  }
+
   test("profile --approx runs the sketch path") {
     graft.cli.Main.run(spark,
       Array("profile", TestSpark.sf0001, "orders", "--approx"))

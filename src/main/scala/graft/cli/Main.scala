@@ -216,22 +216,26 @@ object Main {
         // prints the phase audit (n_incoming/exact/near/kept).
         val (in, ref, out) = (args(1), args(2), args(3))
         graft.sources.Preflight.check(spark, in, out)
+        graft.sources.Preflight.checkInput(spark, ref)
         val minJ = arg(args, "--min-jaccard").map(_.toDouble).getOrElse(0.5)
         val codec = arg(args, "--compression").getOrElse("snappy")
         val incoming = spark.read.parquet(in)
         val reference = spark.read.parquet(ref)
-        ParquetSink.write(
-          graft.llm.Dedup.incrementalDedup(incoming, reference,
-            minJaccard = minJ),
-          out, codec, partitionCols = Seq.empty)
-        graft.llm.Dedup.incrementalDedupAudit(incoming, reference,
-          minJaccard = minJ).show(truncate = false)
+        // ONE phases pass feeds both the write and the audit (the
+        // separate wrappers would run the exact anti-join and the full
+        // cross-corpus LSH twice), and the combined form unpersists
+        // its intermediates before returning
+        val (kept, audit) = graft.llm.Dedup.incrementalDedupWithAudit(
+          incoming, reference, minJaccard = minJ)
+        ParquetSink.write(kept, out, codec, partitionCols = Seq.empty)
+        audit.show(truncate = false)
 
       case "decontaminate" =>
         // decontaminate IN BENCH OUT: drop IN docs sharing a k-word
         // shingle with the BENCH corpus; prints kept/dropped counts.
         val (in, bench, out) = (args(1), args(2), args(3))
         graft.sources.Preflight.check(spark, in, out)
+        graft.sources.Preflight.checkInput(spark, bench)
         val k = arg(args, "--shingle-k").map(_.toInt).getOrElse(8)
         val codec = arg(args, "--compression").getOrElse("snappy")
         val probe = spark.read.parquet(in)

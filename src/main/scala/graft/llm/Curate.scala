@@ -42,12 +42,17 @@ object Curate {
       .select(idCol)
     val exactDeduped = docs.join(keepExact, Seq(idCol), "left_semi")
 
-    // 2. near dedup: drop the larger id of each verified near-pair
-    val dropNear = Dedup
-      .nearDupMinhash(exactDeduped, idCol, textCol,
+    // 2. near dedup: drop the larger id of each verified near-pair.
+    // The pair list is eagerly materialized (localCheckpoint) so the
+    // LSH pass's wide shingle caches are released before this call
+    // returns — a curation run leaves nothing in the session cache —
+    // and the drop list (≪ corpus, no Catalyst stats) broadcasts
+    // instead of shuffling the corpus.
+    val dropNear = broadcast(Dedup
+      .nearDupPairsMaterialized(exactDeduped, idCol, textCol,
         minJaccard = cfg.nearDupJaccard)
       .select(col("id_b").as(idCol))
-      .distinct()
+      .distinct())
     val nearDeduped = exactDeduped.join(dropNear, Seq(idCol), "left_anti")
 
     // 3+4. quality and language gates (single fused projection+filter)
@@ -88,17 +93,18 @@ object Curate {
       .drop("__graft_rk")
   }
 
-  /** Audit summary: how many rows survive each stage — as ONE lazy plan
-    * with a single aggregate action.
+  /** Audit summary: how many rows survive each stage — one eager LSH
+    * pass for the near-dup drop list, then ONE aggregate over
+    * per-stage survival flags.
     *
-    * Earlier revision ran three separate actions (`docs.count()`, an
+    * Earlier revisions ran three separate actions (`docs.count()`, an
     * exact-dedup count, then `curate(...).count()` re-executing the
     * whole pipeline including the LSH join) — 3× the most expensive
     * pipeline in the engine at 100 TB. Now every row is tagged with
     * per-stage survival flags and one `agg` computes all cumulative
-    * counts; the plan contains exactly one MinHash-LSH join, and the
-    * exact-dedup grouping appears as an identical subtree twice, which
-    * Spark's ReuseExchange collapses to one physical exchange.
+    * counts; the MinHash-LSH pass runs exactly once (eagerly, via
+    * [[Dedup.nearDupPairsMaterialized]], which also releases its
+    * shingle caches before the aggregate runs).
     */
   def auditCounts(
       docs: DataFrame,
@@ -114,10 +120,11 @@ object Curate {
       .agg(min(id).as(idCol))
       .select(id)
     // near-dup drops, computed over the exact-kept subset only (same
-    // semantics as curate(): LSH pairs are found among representatives)
+    // semantics as curate(): LSH pairs are found among representatives;
+    // same materialize-and-release cache contract too)
     val exactDeduped = docs.join(keepExact, Seq(idCol), "left_semi")
     val dropNear = Dedup
-      .nearDupMinhash(exactDeduped, idCol, textCol,
+      .nearDupPairsMaterialized(exactDeduped, idCol, textCol,
         minJaccard = cfg.nearDupJaccard)
       .select(col("id_b").as(idCol))
       .distinct()

@@ -111,6 +111,30 @@ object Dedup {
     * from a single worst-case bucket — heavy but bounded. */
   val defaultMaxBucket: Int = 4096
 
+  // ---- cache lifecycle ----------------------------------------------
+
+  /** Persist `df` at `level` unless an identical plan is ALREADY in
+    * the session cache (`Dataset.storageLevel` does the
+    * canonicalized-plan lookup). Returns the frame plus `Some(frame)`
+    * when THIS call created the entry — the unpersist handle — and
+    * `None` when an earlier caller owns it: re-persisting would only
+    * log CacheManager "already cached" noise, and stealing the
+    * unpersist would drop a cache a still-live plan reads. */
+  private[llm] def persistIfNew(
+      df: DataFrame,
+      level: org.apache.spark.storage.StorageLevel)
+      : (DataFrame, Option[DataFrame]) =
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      (df.persist(level), Some(df))
+    else (df, None)
+
+  /** Non-blocking unpersist of the cache entries a tracked operator
+    * created. Non-blocking is deliberate: eviction proceeds while the
+    * caller's next job starts, and any in-flight reader just
+    * recomputes from lineage. */
+  private[llm] def release(handles: Seq[DataFrame]): Unit =
+    handles.foreach(_.unpersist(false))
+
   // ---- MinHash + LSH ------------------------------------------------
 
   /** H-permutation MinHash signature of a shingle array. Permutation i
@@ -141,10 +165,31 @@ object Dedup {
       bands: Int = 8,
       minJaccard: Double = 0.7,
       maxBucketSize: Int = defaultMaxBucket,
-      persistIntermediates: Boolean = true): DataFrame = {
+      persistIntermediates: Boolean = true): DataFrame =
+    nearDupMinhashTracked(docs, idCol, textCol, shingleK, numHashes,
+      bands, minJaccard, maxBucketSize, persistIntermediates)._1
+
+  /** [[nearDupMinhash]] plus the unpersist handles for every session-
+    * cache entry THIS call created — the cache-lifecycle primitive the
+    * scoped/materialized wrappers and the cluster-family operators
+    * build on. Callers must not release the handles before the
+    * returned pairs frame's terminal action (the verify join reads the
+    * shingle cache). */
+  private[llm] def nearDupMinhashTracked(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleK: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      minJaccard: Double = 0.7,
+      maxBucketSize: Int = defaultMaxBucket,
+      persistIntermediates: Boolean = true)
+      : (DataFrame, Seq[DataFrame]) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val handles = Seq.newBuilder[DataFrame]
 
     // Shingle ONCE, share between banding and verify. Without the
     // persist Catalyst inlines this subtree into both consumers and
@@ -152,14 +197,19 @@ object Dedup {
     // verify side — the dominant scalar work in the pipeline).
     // MEMORY_AND_DISK so a 100 TB corpus spills instead of OOMing;
     // pass persistIntermediates=false to trade the recompute for zero
-    // cache footprint. The persisted plans stay in the session cache
-    // until LRU eviction — same contract as Spark ML's LSH models,
-    // which document the identical cache-the-transformed-frame
-    // pattern.
+    // cache footprint. When the pairs frame outlives this call (the
+    // plain nearDupMinhash path) the persisted plans stay in the
+    // session cache until LRU eviction — same contract as Spark ML's
+    // LSH models; callers that consume the pairs promptly should use
+    // [[withNearDupPairs]] or [[nearDupPairsMaterialized]], which
+    // unpersist these entries instead of leaving them to accumulate
+    // across a long session (the round-8 bench pathology).
     val shingled0 = docs.select(
       col(idCol).as("jid"), shingles(col(textCol), shingleK).as("jsh"))
-    val shingled = if (persistIntermediates) shingled0.persist(level)
-      else shingled0
+    val shingled = if (persistIntermediates) {
+      val (df, h) = persistIfNew(shingled0, level)
+      handles ++= h; df
+    } else shingled0
 
     // Banded signature in ONE codegen pass per doc (minhash_bands):
     // every permutation minimum computed exactly once. The band
@@ -177,7 +227,10 @@ object Dedup {
     // row) cache the 64-hash minhash pass would execute once per join
     // side. PlanSpec pins "no live banding node in the final plan".
     val capped0 = capBuckets(banded, Seq("band", "band_hash"), maxBucketSize)
-    val capped = if (persistIntermediates) capped0.persist(level) else capped0
+    val capped = if (persistIntermediates) {
+      val (df, h) = persistIfNew(capped0, level)
+      handles ++= h; df
+    } else capped0
     val candidates0 = capped.as("a")
       .join(capped.as("b"), Seq("band", "band_hash"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -199,13 +252,65 @@ object Dedup {
     // have today.
     val (candidates, bcastPairs) =
       if (persistIntermediates) {
-        val c = candidates0.persist(level)
+        val (c, h) = persistIfNew(candidates0, level)
+        handles ++= h
         (c, c.count() <= broadcastPairCap)
       } else (candidates0, false)
 
-    jaccardFromShingles(shingled, candidates, broadcastPairs = bcastPairs)
+    val pairs = jaccardFromShingles(
+        shingled, candidates, broadcastPairs = bcastPairs)
       .filter(col("jaccard") >= minJaccard)
+    (pairs, handles.result())
   }
+
+  /** Run `f` over the near-dup pair frame with the operator's cache
+    * entries SCOPED to the call: every intermediate
+    * [[nearDupMinhash]] persisted (shingles, capped bands, candidate
+    * pairs) is unpersisted when `f` returns. Use this whenever the
+    * pairs are fully consumed inside `f` (written out, aggregated,
+    * fed to clustering) — in a long-lived session the unscoped
+    * variant's caches otherwise accumulate until the store thrashes. */
+  def withNearDupPairs[T](
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleK: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      minJaccard: Double = 0.7,
+      maxBucketSize: Int = defaultMaxBucket)(f: DataFrame => T): T = {
+    val (pairs, handles) = nearDupMinhashTracked(docs, idCol, textCol,
+      shingleK, numHashes, bands, minJaccard, maxBucketSize)
+    try f(pairs) finally release(handles)
+  }
+
+  /** The near-dup pair list as an eagerly materialized, lineage-
+    * truncated frame with ZERO residual session-cache footprint: the
+    * LSH + verify job runs now, the result (candidate pairs only —
+    * ≪ corpus by construction) lands in a `localCheckpoint` the
+    * ContextCleaner frees once the frame becomes unreachable, and
+    * every intermediate this call persisted is unpersisted before
+    * returning. This is the building block for the cluster-family
+    * operators ([[clusterDedup]], [[dupClusterStats]],
+    * [[crossSourceDupStats]], leakage-safe splitting): they consume
+    * the pairs immediately, so leaving the wide shingle caches in the
+    * session store — the round-8 driver-bench pathology, where a
+    * 154-query session accumulated them until warm passes ran slower
+    * than cold — buys nothing. (localCheckpoint trades lineage for
+    * footprint: on executor loss the checkpointed blocks are gone and
+    * the job fails rather than recomputes — acceptable for a frame
+    * this small; the expensive upstream stays recomputable.) */
+  def nearDupPairsMaterialized(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleK: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      minJaccard: Double = 0.7,
+      maxBucketSize: Int = defaultMaxBucket): DataFrame =
+    withNearDupPairs(docs, idCol, textCol, shingleK, numHashes, bands,
+      minJaccard, maxBucketSize)(_.localCheckpoint(true))
 
   /** Max candidate-pair count for the broadcast verify path: 16k pairs
     * keeps the second join's broadcast side (pairs + one shingle array
@@ -217,10 +322,14 @@ object Dedup {
   // ---- incremental (new batch vs frozen reference) -------------------
 
   /** Shared internals of the incremental dedup: (exact survivors,
-    * near-dropped ids). The near phase is cross-corpus banded LSH —
-    * incoming bands join REFERENCE bands (never a self-join, never
-    * doc×doc); each side's buckets are capped independently, bounding
-    * a bucket's pair contribution at cap². */
+    * near-dropped ids, unpersist handles). The near phase is
+    * cross-corpus banded LSH — incoming bands join REFERENCE bands
+    * (never a self-join, never doc×doc); each side's buckets are
+    * capped independently, bounding a bucket's pair contribution at
+    * cap². Callers must release the handles after their terminal
+    * action over the returned frames — each public wrapper does, so a
+    * long-lived session ends every call with zero residual cache
+    * footprint from this operator. */
   private[llm] def incrementalPhases(
       incoming: DataFrame,
       reference: DataFrame,
@@ -230,26 +339,30 @@ object Dedup {
       numHashes: Int,
       bands: Int,
       minJaccard: Double,
-      maxBucketSize: Int): (DataFrame, DataFrame) = {
+      maxBucketSize: Int): (DataFrame, DataFrame, Seq[DataFrame]) = {
     graft.functions.GraftFunctions.register(incoming.sparkSession)
     val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val handles = Seq.newBuilder[DataFrame]
+    def tracked(df: DataFrame): DataFrame = {
+      val (p, h) = persistIfNew(df, level)
+      handles ++= h; p
+    }
 
     // Phase 1 — exact: digest anti-join. Only DISTINCT digests of the
     // reference move (32 B/doc); its text never re-shuffles.
     val refDigests = reference
       .select(contentHash(col(textCol)).as("__graft_digest")).distinct()
-    val exactSurvivors = incoming
+    val exactSurvivors = tracked(incoming
       .withColumn("__graft_digest", contentHash(col(textCol)))
       .join(refDigests, Seq("__graft_digest"), "left_anti")
-      .drop("__graft_digest")
-      .persist(level)
+      .drop("__graft_digest"))
 
     // Phase 2 — near: shingle each side ONCE (persisted, shared by
     // banding and verify — same reuse contract as nearDupMinhash).
     def shingled(df: DataFrame) = df.select(
       col(idCol).as("jid"), shingles(col(textCol), shingleK).as("jsh"))
-    val incSh = shingled(exactSurvivors).persist(level)
-    val refSh = shingled(reference).persist(level)
+    val incSh = tracked(shingled(exactSurvivors))
+    val refSh = tracked(shingled(reference))
     def bandsOf(sh: DataFrame) = capBuckets(
       sh.select(col("jid").as("id"),
         posexplode(graft.functions.TextExprs.minhash_bands(
@@ -268,7 +381,7 @@ object Dedup {
         Seq("id_b"))
       .filter(round(jaccard(col("sh_a"), col("sh_b")), 4) >= minJaccard)
       .select(col("id_a").as(idCol)).distinct()
-    (exactSurvivors, nearDropped)
+    (exactSurvivors, nearDropped, handles.result())
   }
 
   /** Dedup an incoming batch AGAINST a frozen reference corpus — the
@@ -291,15 +404,62 @@ object Dedup {
       bands: Int = 32,
       minJaccard: Double = 0.5,
       maxBucketSize: Int = defaultMaxBucket): DataFrame = {
-    val (survivors, nearDropped) = incrementalPhases(incoming, reference,
-      idCol, textCol, shingleK, numHashes, bands, minJaccard, maxBucketSize)
-    survivors.join(nearDropped, Seq(idCol), "left_anti")
+    val (survivors, nearDropped, handles) = incrementalPhases(
+      incoming, reference, idCol, textCol, shingleK, numHashes, bands,
+      minJaccard, maxBucketSize)
+    try {
+      // the near-dropped id list (≪ incoming) is the one product of
+      // the expensive cross-corpus LSH pass — materialize it NOW so
+      // the shingle caches can be released; the kept frame below then
+      // depends only on this checkpoint plus the (recomputable,
+      // cheap) exact phase
+      val droppedIds = nearDropped.localCheckpoint(true)
+      survivors.join(droppedIds, Seq(idCol), "left_anti")
+    } finally release(handles)
+  }
+
+  /** [[incrementalDedup]] and its phase audit from ONE pass: the exact
+    * anti-join and the cross-corpus LSH run once and feed both the
+    * kept output and the audit row (running the two public wrappers
+    * separately would execute every phase twice). The audit counts are
+    * computed eagerly — they are the terminal action that lets this
+    * call unpersist every intermediate before returning. Returns
+    * (kept rows, one-row audit). */
+  def incrementalDedupWithAudit(
+      incoming: DataFrame,
+      reference: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleK: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 32,
+      minJaccard: Double = 0.5,
+      maxBucketSize: Int = defaultMaxBucket): (DataFrame, DataFrame) = {
+    val (survivors, nearDropped, handles) = incrementalPhases(
+      incoming, reference, idCol, textCol, shingleK, numHashes, bands,
+      minJaccard, maxBucketSize)
+    try {
+      val droppedIds = nearDropped.localCheckpoint(true)
+      val nSurv = survivors.count() // cached by the phases — cheap
+      val nDrop = droppedIds.count() // from the checkpoint — cheap
+      val nInc = incoming.count()
+      val kept = survivors.join(droppedIds, Seq(idCol), "left_anti")
+      val audit = incoming.sparkSession.range(1).select(
+        lit(nInc).as("n_incoming"),
+        lit(nInc - nSurv).as("n_exact_dropped"),
+        lit(nDrop).as("n_near_dropped"),
+        lit(nSurv - nDrop).as("n_kept"))
+      (kept, audit)
+    } finally release(handles)
   }
 
   /** One-row audit of [[incrementalDedup]]: how much of the incoming
     * batch each phase dropped. The onboarding dashboard number — a
     * sudden jump in either column means the crawler re-fetched an
-    * already-ingested site. */
+    * already-ingested site. Computed eagerly (see
+    * [[incrementalDedupWithAudit]]); callers that also need the kept
+    * rows should use that combined form instead of calling both
+    * wrappers. */
   def incrementalDedupAudit(
       incoming: DataFrame,
       reference: DataFrame,
@@ -309,20 +469,9 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 32,
       minJaccard: Double = 0.5,
-      maxBucketSize: Int = defaultMaxBucket): DataFrame = {
-    val (survivors, nearDropped) = incrementalPhases(incoming, reference,
-      idCol, textCol, shingleK, numHashes, bands, minJaccard, maxBucketSize)
-    incoming.agg(count(lit(1)).as("n_incoming"))
-      .crossJoin(broadcast(
-        survivors.agg(count(lit(1)).as("__n_exact_surv"))))
-      .crossJoin(broadcast(
-        nearDropped.agg(count(lit(1)).as("n_near_dropped"))))
-      .select(
-        col("n_incoming"),
-        (col("n_incoming") - col("__n_exact_surv")).as("n_exact_dropped"),
-        col("n_near_dropped"),
-        (col("__n_exact_surv") - col("n_near_dropped")).as("n_kept"))
-  }
+      maxBucketSize: Int = defaultMaxBucket): DataFrame =
+    incrementalDedupWithAudit(incoming, reference, idCol, textCol,
+      shingleK, numHashes, bands, minJaccard, maxBucketSize)._2
 
   // ---- SimHash ------------------------------------------------------
 
@@ -511,8 +660,9 @@ object Dedup {
       minJaccard: Double = 0.5,
       numHashes: Int = 64,
       bands: Int = 32): DataFrame = {
-    val pairs = nearDupMinhash(docs, idCol = idCol, textCol = textCol,
-      numHashes = numHashes, bands = bands, minJaccard = minJaccard)
+    val pairs = nearDupPairsMaterialized(docs, idCol = idCol,
+      textCol = textCol, numHashes = numHashes, bands = bands,
+      minJaccard = minJaccard)
     val src = docs.select(col(idCol), col(sourceCol))
     pairs
       .join(src.select(col(idCol).as("id_a"), col(sourceCol).as("src_a")),
@@ -631,11 +781,15 @@ object Dedup {
       minJaccard: Double = 0.5,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val pairs = nearDupMinhash(docs, minJaccard = minJaccard,
+    val pairs = nearDupPairsMaterialized(docs, minJaccard = minJaccard,
       numHashes = 64, bands = 32, idCol = idCol, textCol = textCol)
     val labels = connectedComponents(pairs)
-    val drop = labels.filter(col("id") =!= col("cluster"))
-      .select(col("id").as(idCol))
+    // the drop list is bounded by the clustered-doc count (≪ corpus)
+    // and comes out of an iterative computation Catalyst has no size
+    // stats for — without the hint it plans a sort-merge shuffle of
+    // the full corpus against a tiny id set
+    val drop = broadcast(labels.filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol)))
     docs.join(drop, Seq(idCol), "left_anti")
   }
 
@@ -650,7 +804,7 @@ object Dedup {
       minJaccard: Double = 0.5,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val pairs = nearDupMinhash(docs, minJaccard = minJaccard,
+    val pairs = nearDupPairsMaterialized(docs, minJaccard = minJaccard,
       numHashes = 64, bands = 32, idCol = idCol, textCol = textCol)
     val labels = connectedComponents(pairs)
     val cl = labels.groupBy("cluster").agg(count(lit(1)).as("sz"))

@@ -242,13 +242,24 @@ object Drift {
       textCol: String = "text",
       vocabSize: Int = 500): DataFrame = {
     require(vocabSize > 0, s"vocabSize must be positive: $vocabSize")
+    // (source, token, cnt) is consumed three times (vocab cut, in-vocab
+    // join, per-source totals). Eager localCheckpoint instead of
+    // persist: same materialize-once economics, but the blocks are
+    // freed by the ContextCleaner as soon as the returned frame is
+    // unreachable — a CacheManager persist pins the plan until an
+    // explicit unpersist this lazy-returning operator could never
+    // issue, which is how the round-8 bench session accumulated
+    // caches until warm passes ran slower than cold. (Trade: on
+    // executor loss the checkpointed blocks are gone and the job
+    // fails rather than recomputes — acceptable for an aggregated,
+    // corpus-much-smaller frame.)
     val tokSrc = docs
       .select(
         col(sourceCol).as("source"),
         explode(TextAnalysis.tokens(
           lower(coalesce(col(textCol), lit(""))))).as("token"))
       .groupBy("source", "token").agg(count(lit(1)).as("cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val vocab = tokSrc
       .groupBy("token").agg(sum(col("cnt")).as("gcnt"))
       .orderBy(col("gcnt").desc, col("token"))

@@ -68,10 +68,14 @@ object Sampling {
     * as the key, making this a strict refinement of [[assignSplit]].
     *
     * Scale: the LSH pair pass + label propagation are the same plans
-    * as [[Dedup.clusterDedup]]; the final assignment is one left join
-    * (labels ≪ corpus — only clustered docs appear) and a narrow
-    * projection. Output keeps the nullable `cluster` column for
-    * auditing.
+    * as [[Dedup.clusterDedup]] (pairs eagerly materialized, shingle
+    * caches released — zero residual session-cache footprint); the
+    * final assignment is an explicitly BROADCAST left join — labels
+    * cover only clustered docs (≪ corpus) but come out of an
+    * iterative computation Catalyst has no size stats for, so without
+    * the hint it plans a sort-merge shuffle of the full corpus
+    * against a tiny label set — then a narrow projection. Output
+    * keeps the nullable `cluster` column for auditing.
     */
   def leakageSafeSplit(
       docs: DataFrame,
@@ -80,10 +84,11 @@ object Sampling {
       textCol: String = "text",
       splits: Splits = defaultSplits): DataFrame = {
     val labels = Dedup.connectedComponents(
-      Dedup.nearDupMinhash(docs, minJaccard = minJaccard,
+      Dedup.nearDupPairsMaterialized(docs, minJaccard = minJaccard,
         numHashes = 64, bands = 32, idCol = idCol, textCol = textCol))
     val keyed = docs
-      .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .join(broadcast(labels.withColumnRenamed("id", idCol)),
+        Seq(idCol), "left")
       .withColumn("split_key", coalesce(col("cluster"), col(idCol)))
     assignSplit(keyed, "split_key", splits).drop("split_key")
   }

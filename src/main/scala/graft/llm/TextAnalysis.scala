@@ -183,22 +183,25 @@ object TextAnalysis {
     * footers, legal blurbs — which near-dup removal won't catch.
     *
     * Scale design: the corpus collapses to `(doc, shingle)` pairs
-    * (distinct per doc by construction of [[Dedup.shingles]]) —
-    * persisted once and used for BOTH the document-frequency aggregate
-    * and the join-back, so the shingling scalar work runs once; the
-    * only shuffles are keyed on the shingle. No doc×doc stage: df is
+    * (distinct per doc by construction of [[Dedup.shingles]]); the
+    * document frequency is a count WINDOW over the shingle key, so
+    * one shuffle on the shingle annotates every pair in place — no
+    * self-join, and no persisted intermediate (the round-8 revision
+    * cached the pair frame to share it between a df-aggregate and a
+    * join-back; the window needs neither, so the shingling scalar
+    * work still runs once and the session cache stays empty). The
+    * only shuffles are (shingle) then (doc). No doc×doc stage: df is
     * an aggregate, not a pairing. */
   def boilerplateScores(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
       k: Int = 3): DataFrame = {
-    val sh = docs
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
+    docs
       .select(col(idCol),
         explode(Dedup.shingles(col(textCol), k)).as("shingle"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-    sh.join(df, Seq("shingle"))
+      .withColumn("df", count(lit(1)).over(w))
       .groupBy(idCol)
       .agg(
         count(lit(1)).as("n_shingles"),

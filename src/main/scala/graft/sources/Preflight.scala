@@ -29,8 +29,18 @@ object Preflight {
     * actionable message on the first failed probe; returns silently
     * when both pass. Runs driver-side in O(1) filesystem calls. */
   def check(spark: SparkSession, input: String, output: String): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
+    checkInput(spark, input)
+    checkOutput(spark, output)
+  }
 
+  /** Read-only arm of [[check]]: existence + read/list access on one
+    * input path. Verbs with a SECOND input (the frozen reference of
+    * dedup-incremental, the benchmark corpus of decontaminate) probe
+    * it with this before launching, so a typo'd path surfaces as an
+    * actionable PreflightException up front instead of a raw Spark
+    * error mid-job. */
+  def checkInput(spark: SparkSession, input: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
     val in = new Path(input)
     val inFs = in.getFileSystem(conf)
     val st =
@@ -50,7 +60,12 @@ object Preflight {
       case e: IOException =>
         fail(s"input path is not readable: $input (${e.getMessage})", e)
     }
+  }
 
+  /** Write arm of [[check]]: create + write + delete access probes on
+    * the output directory. */
+  def checkOutput(spark: SparkSession, output: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
     val outDir = new Path(output)
     val outFs = outDir.getFileSystem(conf)
     try {

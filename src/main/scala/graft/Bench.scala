@@ -110,7 +110,7 @@ object Bench {
     // Ingest throughput + codec ratios run BEFORE the small-input
     // query tuning: a 4 MB maxPartitionBytes would schedule one task
     // per tiny JSON file instead of file-packing ~128 MB per task.
-    val docketsPerSec = ingestDocketsPerSec(spark)
+    val (docketsPerSec, ingestPasses) = ingestDocketsPerSec(spark)
     val codecRatios = measureCodecRatios(spark, sfDir)
 
     // Small-input tuning, measured with graft.tools.LatencyProbe on
@@ -130,8 +130,35 @@ object Bench {
     // Split single-file tables into multiple scan partitions first so
     // the cached relations are parallel, not one block each.
     spark.conf.set("spark.sql.files.maxPartitionBytes", "4194304")
-    Tables.names.foreach(n => Tables.load(spark, sfDir, n).cache())
-    Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
+    def recacheBaseTables(): Unit = {
+      Tables.names.foreach(n => Tables.load(spark, sfDir, n).cache())
+      Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
+    }
+    recacheBaseTables()
+
+    // ---- session-cache scoping + load telemetry -----------------------
+    // Queries that return lazy frames over persisted intermediates
+    // (the documented nearDupMinhash contract) leave entries in the
+    // session cache; across a 154-query × 2-pass session those
+    // accumulate until the store thrashes (BENCH_r08: split_leakage_safe
+    // warm 52 s vs cold 13.7 s — warm SLOWER than cold is eviction
+    // churn, not work). Operators that consume their intermediates now
+    // release them, and the harness adds the second guard: at every
+    // query-family boundary, drop everything and re-materialize the
+    // base tables OUTSIDE the timed region, so no query's warm pass
+    // competes with dozens of dead caches. GC time and storage-memory
+    // telemetry land in BENCH_DETAIL so a loaded box is
+    // distinguishable from a regression.
+    def familyOf(name: String): String =
+      name.takeWhile(_ != '_').filterNot(_.isDigit)
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    }
+    def storageUsedBytes(): Long =
+      spark.sparkContext.getExecutorMemoryStatus.values
+        .map { case (max, remaining) => max - remaining }.sum
 
     // The headline set runs LAST: the first dozen queries of a run pay
     // the JVM's C2 compilation of Spark's shuffle/sort/window internals
@@ -143,7 +170,18 @@ object Bench {
     val names = queries.keys.filterNot(headline.contains).toSeq.sorted ++
       headline.filter(queries.contains)
 
+    val gcStart = gcMs()
+    var storagePeak = storageUsedBytes()
+    var prevFamily = ""
     val results = names.map { name =>
+      val fam = familyOf(name)
+      if (fam != prevFamily) {
+        if (prevFamily.nonEmpty) {
+          spark.catalog.clearCache()
+          recacheBaseTables()
+        }
+        prevFamily = fam
+      }
       def once(): Double =
         try time(queries(name)(spark, sfDir).count())
         catch {
@@ -153,8 +191,10 @@ object Bench {
         }
       val cold = once()
       val warm = if (cold >= 0) once() else -1.0
+      storagePeak = math.max(storagePeak, storageUsedBytes())
       (name, cold, warm)
     }
+    val gcTotalMs = gcMs() - gcStart
 
     def jmap(kv: Seq[(String, Double)]): String =
       kv.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
@@ -178,6 +218,8 @@ object Bench {
     val detailFile = new java.io.File(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"))
       .getAbsoluteFile
+    val ingestPassesJson = ingestPasses
+      .map(p => f"$p%.4f").mkString("[", ",", "]")
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec",""" +
         s""""queries":${jmap(results.map { case (k, _, w) => (k, w) })},""" +
@@ -186,6 +228,10 @@ object Bench {
         f""""duckdb_headline_total":$duckdbTotal%.4f,""" +
         f""""spark_headline_comparable":$sparkComparable%.4f,""" +
         f""""dockets_per_sec":$docketsPerSec%.1f,""" +
+        s""""ingest_pass_sec":$ingestPassesJson,""" +
+        s""""gc_ms":$gcTotalMs,""" +
+        s""""storage_bytes_peak":$storagePeak,""" +
+        s""""storage_bytes_end":${storageUsedBytes()},""" +
         s""""codec_ratios":$ratios,"sf":"${jstr(sfDir)}"}"""
     java.nio.file.Files.write(detailFile.toPath,
       (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -199,6 +245,7 @@ object Bench {
         f""""spark_headline_comparable":$sparkComparable%.4f,""" +
         s""""mode":"warm+cached",""" +
         f""""dockets_per_sec":$docketsPerSec%.1f,""" +
+        s""""gc_ms":$gcTotalMs,""" +
         s""""codec_ratios":$ratios,""" +
         s""""detail":"${jstr(detailFile.getPath)}","sf":"${jstr(sfDir)}"}""")
     spark.stop()
@@ -206,9 +253,17 @@ object Bench {
 
   /** Ingest throughput on a deterministic generated docket tree:
     * discovery → distributed JSON read → flatten → count, matching the
-    * reference's convert loop (its baseline: 2–5 dockets/sec). */
+    * reference's convert loop (its baseline: 2–5 dockets/sec).
+    *
+    * Best-of-THREE with every per-pass time reported: the first pass
+    * pays one-time JSON reader codegen (same warm policy as the query
+    * timings) and any pass can be hit by unrelated driver-box load —
+    * r8's 20.8→16.0 dockets/sec slide had no ingest change behind it.
+    * Min-of-3 is load-robust, and the raw passes in BENCH_DETAIL make
+    * the variance visible instead of laundering it into the rate.
+    * Returns (dockets/sec, per-pass seconds). */
   private def ingestDocketsPerSec(
-      spark: org.apache.spark.sql.SparkSession): Double = {
+      spark: org.apache.spark.sql.SparkSession): (Double, Seq[Double]) = {
     val root = java.nio.file.Files
       .createTempDirectory("graft_bench_ingest").toString
     try {
@@ -220,14 +275,12 @@ object Bench {
           .comments(graft.sources.JsonApi.readRaw(spark, found.map(_.dir)))
           .count()
       }
-      // steady-state (best of two): first pass pays one-time JSON
-      // reader codegen, same warm policy as the query timings
-      val sec = math.min(once(), once())
-      nDockets / sec
+      val passes = Seq.fill(3)(once())
+      (nDockets / passes.min, passes)
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] ingest throughput failed: ${e.getMessage}")
-        -1.0
+        (-1.0, Seq.empty)
     } finally graft.sources.FixtureTree
       .deleteRecursively(java.nio.file.Paths.get(root))
   }

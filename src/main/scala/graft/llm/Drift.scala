@@ -125,23 +125,62 @@ object Drift {
       reference: DataFrame,
       current: DataFrame,
       valueCol: String,
+      nBins: Int = 10): DataFrame =
+    psiFromBins(referenceBins(reference, valueCol, nBins),
+      current, valueCol, nBins)
+
+  /** The equal-width bin index for a (v, lo, hi) row set; the shared
+    * binning rule of [[referenceBins]] and [[psiFromBins]] (one
+    * definition → the two sides can never disagree on an edge). */
+  private def binCol(nBins: Int) =
+    when(col("lo").isNull || col("hi") === col("lo"), lit(0))
+      .otherwise(least(lit(nBins - 1), greatest(lit(0),
+        floor((col("v") - col("lo")) /
+          ((col("hi") - col("lo")) / nBins)).cast("int"))))
+
+  /** Frozen yardstick for [[psiFromBins]]: the reference collapsed
+    * ONCE to its ≤`nBins` rows `(lo, hi, bin, n_ref)` — exact min/max
+    * plus equal-width bin counts. Compute once, keep the (tiny)
+    * result, and score every batch against it; the streaming monitor
+    * ([[graft.streaming.Incremental.psiStream]]) materializes this at
+    * stream setup so no micro-batch ever re-scans the reference.
+    * [[psiNumeric]] is the one-shot composition of this with
+    * [[psiFromBins]]. */
+  def referenceBins(
+      reference: DataFrame,
+      valueCol: String,
       nBins: Int = 10): DataFrame = {
     require(nBins > 0, s"nBins must be positive: $nBins")
     val stats = reference.agg(
       min(col(valueCol)).cast("double").as("lo"),
       max(col(valueCol)).cast("double").as("hi"))
-    def binned(df: DataFrame, cname: String) =
-      df.select(col(valueCol).cast("double").as("v"))
-        .crossJoin(broadcast(stats))
-        .select(
-          when(col("lo").isNull || col("hi") === col("lo"), lit(0))
-            .otherwise(least(lit(nBins - 1), greatest(lit(0),
-              floor((col("v") - col("lo")) /
-                ((col("hi") - col("lo")) / nBins)).cast("int"))))
-            .as("bin"))
-        .groupBy("bin").agg(count(lit(1)).as(cname))
-    val bins = binned(reference, "n_ref")
-      .join(binned(current, "n_cur"), Seq("bin"), "full_outer")
+    reference.select(col(valueCol).cast("double").as("v"))
+      .crossJoin(broadcast(stats))
+      .select(col("lo"), col("hi"), binCol(nBins).as("bin"))
+      .groupBy("lo", "hi", "bin").agg(count(lit(1)).as("n_ref"))
+  }
+
+  /** PSI terms of `current` against a precomputed [[referenceBins]]
+    * frame — the per-batch arm of [[psiNumeric]], costing one bounded
+    * aggregate over the batch plus a broadcast of the 1-row (lo, hi)
+    * stats recovered from the bins themselves. */
+  def psiFromBins(
+      refBins: DataFrame,
+      current: DataFrame,
+      valueCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins > 0, s"nBins must be positive: $nBins")
+    // lo/hi are constant across the (≤nBins) rows; max() recovers them
+    // as a 1-row frame that stays 1 row (all-null) on an empty
+    // reference — same degradation as psiNumeric's direct stats pass
+    val stats = refBins.agg(
+      max(col("lo")).as("lo"), max(col("hi")).as("hi"))
+    val cur = current.select(col(valueCol).cast("double").as("v"))
+      .crossJoin(broadcast(stats))
+      .select(binCol(nBins).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n_cur"))
+    val bins = refBins.select(col("bin"), col("n_ref"))
+      .join(cur, Seq("bin"), "full_outer")
       .select(col("bin"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))

@@ -92,8 +92,12 @@ object Incremental {
       queryName: String,
       vocabSize: Int = 1000): StreamingQuery = {
     import graft.llm.{LanguageModel, TextAnalysis}
+    // bounded (≤vocabSize rows) and computed once at stream setup:
+    // eager localCheckpoint instead of persist, so the model's blocks
+    // are freed with the stream instead of pinning a CacheManager
+    // entry for the session's lifetime
     val vocab = LanguageModel.vocab(trainDocs, vocabSize = vocabSize)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val total = trainDocs
       .select(explode(TextAnalysis.tokens(
         lower(coalesce(col("text"), lit(""))))).as("t"))
@@ -213,8 +217,13 @@ object Incremental {
     * drift log — the deployment shape of the corpus-drift check: the
     * yardstick never moves, each batch costs one bounded aggregate
     * against a broadcast vocab, and the log is itself queryable for
-    * alerting/trending. foreachBatch gives exactly-once per batch id
-    * against the checkpoint; no stream-stream state anywhere. */
+    * alerting/trending. The log write is IDEMPOTENT per batch id:
+    * each batch overwrites only its own `batch_id=` partition
+    * (dynamic partition overwrite), so a replay of a batch that
+    * crashed mid-write replaces its partial output instead of
+    * appending duplicate rows — exactly-once in the log even though
+    * foreachBatch itself only guarantees at-least-once execution.
+    * No stream-stream state anywhere. */
   def driftStream(
       docs: DataFrame,
       refDocs: DataFrame,
@@ -222,14 +231,21 @@ object Incremental {
       checkpointDir: String,
       vocabSize: Int = 500): StreamingQuery = {
     import graft.llm.Drift
+    // ≤vocabSize rows, computed once at stream setup: eager
+    // localCheckpoint (not persist) so the blocks live exactly as
+    // long as the stream holds this frame and are freed by the
+    // ContextCleaner afterwards — no CacheManager entry to leak
     val refVocab = Drift
       .referenceVocab(refDocs, vocabSize = vocabSize)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     docs.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         Drift.driftAgainstFrozen(batch, refVocab)
           .withColumn("batch_id", lit(id))
-          .write.mode("append").parquet(destDir)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(destDir)
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -240,10 +256,16 @@ object Incremental {
   /** Streaming numeric-PSI monitor: per micro-batch, the total PSI of
     * the batch's `valueCol` distribution against a FROZEN reference
     * (same fixed-yardstick rationale as [[driftStream]] — batches
-    * stay comparable on one axis), appended as one row to a queryable
-    * parquet drift log. The reference collapses once to its ≤nBins
-    * bin counts (persisted); per-batch cost is one bounded aggregate.
-    * Exactly-once per batch id via foreachBatch + checkpoint. */
+    * stay comparable on one axis), one row per batch in a queryable
+    * parquet drift log. The reference really does collapse ONCE, at
+    * stream setup, to its ≤nBins `(lo, hi, bin, n_ref)` rows
+    * ([[graft.llm.Drift.referenceBins]], eagerly materialized) — a
+    * micro-batch never re-scans or re-aggregates the reference; its
+    * cost is one bounded aggregate over the batch via
+    * [[graft.llm.Drift.psiFromBins]]. Same idempotent-sink contract
+    * as [[driftStream]]: each batch overwrites its own `batch_id=`
+    * partition, so replays after a mid-write crash cannot duplicate
+    * log rows. */
   def psiStream(
       rows: DataFrame,
       reference: DataFrame,
@@ -252,16 +274,19 @@ object Incremental {
       checkpointDir: String,
       nBins: Int = 10): StreamingQuery = {
     import graft.llm.Drift
-    val ref = reference
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val refBins = Drift.referenceBins(reference, valueCol, nBins)
+      .localCheckpoint(true)
     rows.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        Drift.psiNumeric(ref, batch, valueCol, nBins)
+        Drift.psiFromBins(refBins, batch, valueCol, nBins)
           .agg(
             sum(col("n_cur")).as("n_rows"),
             round(sum(col("psi_term")), 6).as("psi"))
           .withColumn("batch_id", lit(id))
-          .write.mode("append").parquet(destDir)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(destDir)
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -202,6 +202,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.map(_._2).forall(p => !p.isNaN && !p.isInfinite))
   }
 
+  test("streaming PSI log is idempotent under batch replay") {
+    val srcDir = TestSpark.tmpDir("psi2-src")
+    val destDir = TestSpark.tmpDir("psi2-log")
+    val ref = (0 until 20).map(_.toDouble).toDF("value")
+    Seq(1.0, 2.0).toDF("value")
+      .repartition(1).write.mode("append").parquet(srcDir)
+    Seq(8.0, 9.0).toDF("value")
+      .repartition(1).write.mode("append").parquet(srcDir)
+    def run(ck: String): Unit = {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(srcDir).schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      graft.streaming.Incremental
+        .psiStream(stream, ref, "value", destDir, ck)
+        .awaitTermination()
+    }
+    def logRows(): Set[(Long, Long, Double)] = spark.read.parquet(destDir)
+      .select($"batch_id".cast("long"), $"n_rows", $"psi")
+      .as[(Long, Long, Double)].collect().toSet
+    run(TestSpark.tmpDir("psi2-ck1"))
+    val first = logRows()
+    assert(first.size == 2, "one log row per micro-batch")
+    // lost-checkpoint replay: the same batches re-run under the same
+    // ids; the batch_id-partitioned dynamic overwrite must replace
+    // each batch's row, never append a duplicate
+    run(TestSpark.tmpDir("psi2-ck2"))
+    assert(logRows() == first,
+      "replay must overwrite per-batch partitions, not append")
+  }
+
   test("stream-static dedup-vs-corpus matches the batch anti-join") {
     val srcDir = TestSpark.tmpDir("dedup-src")
     val docs = Tables.documents(spark, TestSpark.sf0001)

@@ -272,6 +272,71 @@ class DedupSpec extends AnyFunSuite {
     assert(zero.getAs[Long]("n_kept") == 0)
   }
 
+  // ---- cache lifecycle contract --------------------------------------
+  // The probe frames below reconstruct EXACTLY the plans the operators
+  // persist internally (same column aliases, same shingle params), so
+  // Dataset.storageLevel — which looks the canonicalized plan up in the
+  // session CacheManager — is a precise public detector of whether an
+  // operator left its intermediate behind.
+
+  private def shingleProbe(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("doc_id").as("jid"), Dedup.shingles(col("text"), 3).as("jsh"))
+
+  test("withNearDupPairs / nearDupPairsMaterialized leave no cache behind") {
+    import org.apache.spark.storage.StorageLevel
+    spark.catalog.clearCache() // earlier tests use the unscoped variant
+    val n = Dedup.withNearDupPairs(docs, minJaccard = 0.5)(_.count())
+    assert(n >= 1)
+    assert(shingleProbe(docs).storageLevel == StorageLevel.NONE,
+      "scoped variant must unpersist the shingle cache")
+    val pairs = Dedup.nearDupPairsMaterialized(docs, minJaccard = 0.5)
+    assert(pairs.count() >= 1)
+    assert(shingleProbe(docs).storageLevel == StorageLevel.NONE,
+      "materialized variant must unpersist the shingle cache")
+    // the pairs stay usable AFTER release — they are a checkpoint, not
+    // a view over the dropped caches
+    assert(pairs.select("id_a").count() == pairs.count())
+  }
+
+  test("plain nearDupMinhash keeps its documented session-cache contract") {
+    import org.apache.spark.storage.StorageLevel
+    val pairs = Dedup.nearDupMinhash(docs, minJaccard = 0.5)
+    pairs.count()
+    assert(shingleProbe(docs).storageLevel != StorageLevel.NONE,
+      "unscoped variant caches the shingles for reuse (LSH-model contract)")
+    spark.catalog.clearCache()
+  }
+
+  test("scoped release never steals a cache a prior caller owns") {
+    import org.apache.spark.storage.StorageLevel
+    val mine = shingleProbe(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      mine.count()
+      // the scope finds the identical plan already cached (persistIfNew
+      // → no handle), reuses it, and must NOT unpersist it on exit
+      Dedup.withNearDupPairs(docs, minJaccard = 0.5)(_.count())
+      assert(mine.storageLevel != StorageLevel.NONE,
+        "pre-existing cache must survive a scoped call over the same plan")
+    } finally { mine.unpersist(true); () }
+  }
+
+  test("cluster ops and the incremental family leave no cache behind") {
+    import org.apache.spark.storage.StorageLevel
+    spark.catalog.clearCache()
+    Dedup.dupClusterStats(docs, minJaccard = 0.5).head()
+    // dupClusterStats runs nearDupMinhash at numHashes=64/bands=32 over
+    // the same shingled plan — probe must be cold afterwards
+    assert(shingleProbe(docs).storageLevel == StorageLevel.NONE)
+    val reference = Seq((10L, base)).toDF("doc_id", "text")
+    val (kept, audit) = Dedup.incrementalDedupWithAudit(docs, reference)
+    assert(audit.head().getAs[Long]("n_incoming") == 5)
+    assert(kept.count() == audit.head().getAs[Long]("n_kept"))
+    // refSh inside incrementalPhases shingles the reference frame with
+    // exactly the probe's plan — it must be released on return
+    assert(shingleProbe(reference).storageLevel == StorageLevel.NONE,
+      "incremental phases must release their persisted frames")
+  }
+
   test("cross-source provenance: dup pairs land on the right source pair") {
     val srcDocs = Seq(
       (1L, base, "crawl_a"),

@@ -14,7 +14,7 @@ import graft.functions.VectorExprs.{ArrayDot, LshBuckets}
 
 /** Catalyst extension entry point (`spark.sql.extensions=graft.GraftExtensions`).
   *
-  * Two injections:
+  * Three injections:
   *
   *  1. The engine's custom codegen expressions as session functions —
   *     unlike `createOrReplaceTempFunction` (per-session-state, lost on
@@ -33,6 +33,11 @@ import graft.functions.VectorExprs.{ArrayDot, LshBuckets}
   *     `broadcast()` hint on either side are exempt — a deliberate
   *     broadcast cross join against a tiny frame (the engine's own
   *     ANN query-vector pattern) is bounded by definition.
+  *
+  *  3. An opt-in optimizer rule (`spark.graft.manifestPruning=true`)
+  *     that prunes parquet scans to the files whose manifest min/max
+  *     ranges can satisfy the query's range predicates —
+  *     [[graft.plans.ManifestPruneRule]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -46,6 +51,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       if (session.conf.get("spark.graft.failOnCartesian", "false").toBoolean)
         GraftExtensions.assertNoCartesian(plan)
     }
+    // 3. Opt-in manifest-driven file pruning
+    //    (spark.graft.manifestPruning=true): Filter(range-pred) over a
+    //    manifested parquet dir reads only the files whose min/max can
+    //    overlap — see graft.plans.ManifestPruneRule.
+    ext.injectOptimizerRule(session =>
+      graft.plans.ManifestPruneRule(session))
   }
 }
 

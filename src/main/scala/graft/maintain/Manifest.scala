@@ -141,20 +141,40 @@ object Manifest {
       path: String,
       column: String,
       lo: Any,
-      hi: Any): Seq[String] = {
+      hi: Any): Seq[String] =
+    candidateFilesBounded(spark, path, Seq((column, Some(lo), Some(hi))))
+
+  /** [[candidateFiles]] generalized to a CONJUNCTION of (column,
+    * optional lo, optional hi) bounds — the shape the optimizer rule
+    * ([[graft.plans.ManifestPruneRule]]) extracts from a Filter. A
+    * file survives only if every bounded column's [min,max] range may
+    * overlap its bound (one-sided bounds leave the other side open).
+    * One FS listing and one manifest read are shared across all
+    * columns; same conservative staleness contract as
+    * [[candidateFiles]]. */
+  def candidateFilesBounded(
+      spark: SparkSession,
+      path: String,
+      bounds: Seq[(String, Option[Any], Option[Any])]): Seq[String] = {
+    require(bounds.nonEmpty, "at least one column bound required")
     // input_file_name() records "file:///x" where Path prints
     // "file:/x" — normalize through Path before any comparison
     def norm(uri: String): String = new Path(uri).toString
     val onDisk = listDataFiles(spark, path)
     checkDriverEnvelope(onDisk.size.toLong, s"file listing of $path")
-    val known = read(spark, path)
+    val mf = read(spark, path)
+    val known = mf
       .select("file").collect().map(r => norm(r.getString(0))).toSet
     checkDriverEnvelope(known.size.toLong, s"manifest of $path")
-    // range test done in Spark SQL for type-correct comparison
-    val overlapFiles = read(spark, path)
-      .filter(
-        col(s"min_$column").isNull || col(s"max_$column").isNull ||
-          (col(s"max_$column") >= lit(lo) && col(s"min_$column") <= lit(hi)))
+    // range tests done in Spark SQL for type-correct comparison
+    val pred = bounds
+      .map { case (c, lo, hi) =>
+        col(s"min_$c").isNull || col(s"max_$c").isNull ||
+          (lo.map(v => col(s"max_$c") >= lit(v)).getOrElse(lit(true)) &&
+            hi.map(v => col(s"min_$c") <= lit(v)).getOrElse(lit(true)))
+      }
+      .reduce(_ && _)
+    val overlapFiles = mf.filter(pred)
       .select("file")
       .collect().map(r => norm(r.getString(0))).toSeq
       .filter(onDisk.contains)

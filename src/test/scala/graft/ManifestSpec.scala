@@ -129,6 +129,73 @@ class ManifestSpec extends AnyFunSuite {
     assert(!Manifest.checkDriverEnvelope(1000L, "t", threshold = 1000L))
   }
 
+  // ---- optimizer-rule wiring (spark.graft.manifestPruning) -----------
+
+  private def scanFileCount(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation
+          .asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.inputFiles.length
+    }.sum
+
+  test("optimizer rule prunes a plain filter query when the flag is on") {
+    val dir = writeRangeClustered()
+    Manifest.build(spark, dir, Seq("o_totalprice"))
+    def q() = spark.read.parquet(dir)
+      .filter($"o_totalprice" >= 100000 && $"o_totalprice" <= 150000)
+    val total = spark.read.parquet(dir).inputFiles.length
+    val expected = q().select("o_orderkey").as[Long].collect().toSet
+    assert(scanFileCount(q()) == total, "flag off → no pruning")
+    spark.conf.set("spark.graft.manifestPruning", "true")
+    try {
+      val pruned = q()
+      assert(scanFileCount(pruned) < total,
+        s"rule did not prune: ${scanFileCount(pruned)} of $total files")
+      assert(pruned.select("o_orderkey").as[Long].collect().toSet
+        == expected, "pruned result must be bit-identical")
+      // one-sided bound prunes too (top range partition only)
+      val oneSided = spark.read.parquet(dir)
+        .filter($"o_totalprice" >= 500000)
+      assert(scanFileCount(oneSided) < total)
+      assert(oneSided.count() == spark.read.parquet(dir)
+        .filter($"o_totalprice" >= 500000).count())
+    } finally spark.conf.set("spark.graft.manifestPruning", "false")
+  }
+
+  test("optimizer rule is conservative: appended files still read") {
+    val dir = writeRangeClustered()
+    Manifest.build(spark, dir, Seq("o_totalprice"))
+    Tables.orders(spark, TestSpark.sf0001).limit(1)
+      .withColumn("o_orderkey", lit(999999L))
+      .withColumn("o_totalprice", lit(125000.0))
+      .write.mode("append").parquet(dir)
+    spark.conf.set("spark.graft.manifestPruning", "true")
+    try {
+      val got = spark.read.parquet(dir)
+        .filter($"o_totalprice" >= 100000 && $"o_totalprice" <= 150000)
+        .select("o_orderkey").as[Long].collect().toSet
+      assert(got.contains(999999L),
+        "file appended after the manifest build was pruned away")
+    } finally spark.conf.set("spark.graft.manifestPruning", "false")
+  }
+
+  test("optimizer rule leaves unprunable plans untouched") {
+    val dir = writeRangeClustered()
+    Manifest.build(spark, dir, Seq("o_totalprice"))
+    val total = spark.read.parquet(dir).inputFiles.length
+    spark.conf.set("spark.graft.manifestPruning", "true")
+    try {
+      // predicate on a non-manifested column → no bounds → no rewrite
+      val other = spark.read.parquet(dir).filter($"o_orderkey" >= 10)
+      assert(scanFileCount(other) == total)
+      // non-range predicate → no rewrite
+      val like = spark.read.parquet(dir)
+        .filter($"o_orderstatus".startsWith("O"))
+      assert(scanFileCount(like) == total)
+    } finally spark.conf.set("spark.graft.manifestPruning", "false")
+  }
+
   test("partitioned table keeps its partition column after pruning") {
     val dir = TestSpark.tmpDir("manifest-part")
     Tables.orders(spark, TestSpark.sf0001)

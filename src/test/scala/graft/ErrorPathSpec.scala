@@ -62,6 +62,26 @@ class ErrorPathSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$out/.graft_preflight_probe").exists())
   }
 
+  test("preflight: two-input verbs probe their SECOND path up front") {
+    // a typo'd REF/BENCH path must fail as an actionable
+    // PreflightException before any job, not a raw Spark error mid-run
+    val in = TestSpark.tmpDir("preflight-two-in")
+    Tables.documents(spark, TestSpark.sf0001).limit(5)
+      .write.mode("overwrite").parquet(in)
+    val out = TestSpark.tmpDir("preflight-two-out")
+    for (args <- Seq(
+        Array("dedup-incremental", in, "/root/repo/target/no-such-ref", out),
+        Array("decontaminate", in, "/root/repo/target/no-such-bench", out))) {
+      val t0 = System.nanoTime()
+      val e = intercept[graft.sources.Preflight.PreflightException] {
+        graft.cli.Main.run(spark, args)
+      }
+      val ms = (System.nanoTime() - t0) / 1e6
+      assert(e.getMessage.contains("no-such-"), e.getMessage)
+      assert(ms < 1000, s"${args(0)} second-input preflight took ${ms}ms")
+    }
+  }
+
   test("convert on an empty tree fails fast") {
     val empty = TestSpark.tmpDir("empty-tree")
     val e = intercept[IllegalArgumentException] {

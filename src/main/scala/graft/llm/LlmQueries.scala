@@ -2195,7 +2195,208 @@ object LlmQueries {
                   FROM documents WHERE doc_id < 200)
             ORDER BY doc_id"""))
 
+  /** Corpus-level line dedup (the C4 boilerplate rule): drop every
+    * line occurring in ≥2 distinct documents, reassemble survivors in
+    * order. The fixture corpus is single-line, so BOTH engines first
+    * derive a multi-line text deterministically (lines of 8 tokens —
+    * same derive-then-verify pattern as the planted multimodal
+    * oracles); the dedup itself — frequencies, removal, ordered
+    * reassembly, digest — is recomputed end-to-end in DuckDB. */
+  val lineDedup = Q(
+    "dedup_lines_corpus",
+    (s, d) => {
+      val toks = split(trim(col("text")), "\\s+")
+      val lined = Tables.documents(s, d).select(
+        col("doc_id"),
+        array_join(
+          transform(sequence(lit(0), size(toks) - 1, lit(8)),
+            st => array_join(slice(toks, st + 1, lit(8)), " ")),
+          "\n").as("text"))
+      LineDedup.dedupCorpusLines(lined, minDocFreq = 2)
+        .select(
+          col("doc_id"), col("n_lines"), col("n_kept"), col("n_removed"),
+          substring(sha2(col("kept_text"), 256), 1, 16).as("kept_digest"))
+        .orderBy("doc_id")
+        .limit(500)
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+              FROM documents),
+            lined AS (
+              SELECT doc_id,
+                     list_transform(range(0, GREATEST(len(t), 1), 8),
+                       s -> array_to_string(t[s+1:s+8], ' ')) AS lines
+              FROM toks),
+            exploded AS (
+              SELECT doc_id,
+                     unnest(lines) AS line,
+                     unnest(range(1, len(lines)+1)) AS pos
+              FROM lined),
+            norm AS (
+              SELECT doc_id, trim(line) AS line, pos
+              FROM exploded WHERE trim(line) <> ''),
+            freq AS (
+              SELECT line, COUNT(DISTINCT doc_id) AS n_docs
+              FROM norm GROUP BY line),
+            kept AS (
+              SELECT n.doc_id, n.line, n.pos
+              FROM norm n JOIN freq f USING (line) WHERE f.n_docs < 2),
+            agg AS (
+              SELECT doc_id, COUNT(*) AS n_kept,
+                     string_agg(line, chr(10) ORDER BY pos) AS kept_text
+              FROM kept GROUP BY doc_id),
+            tot AS (
+              SELECT doc_id, COUNT(*) AS n_lines FROM norm GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(t.n_lines, 0) AS n_lines,
+                   COALESCE(a.n_kept, 0) AS n_kept,
+                   COALESCE(t.n_lines, 0) - COALESCE(a.n_kept, 0) AS n_removed,
+                   substring(sha256(COALESCE(a.kept_text, '')), 1, 16)
+                     AS kept_digest
+            FROM documents d
+            LEFT JOIN tot t USING (doc_id)
+            LEFT JOIN agg a USING (doc_id)
+            ORDER BY doc_id LIMIT 500"""))
+
+  /** Shared DuckDB CTE for the novelty oracles: k=3 word shingles per
+    * doc (same list-comprehension idiom the ngramJaccard oracle pins
+    * against the codegen WordShingles expression). */
+  private val noveltyCte =
+    """WITH sh AS (
+              SELECT doc_id, source,
+                CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) < 3
+                  THEN [array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' ')]
+                  ELSE list_distinct([array_to_string(string_split_regex(lower(trim(text)), '\s+')[i:i+2], ' ')
+                        for i in range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1)])
+                END AS s
+              FROM documents),
+            ref AS (
+              SELECT DISTINCT unnest(s) AS shingle FROM sh
+              WHERE source = 'src0'),
+            cand AS (
+              SELECT doc_id, unnest(s) AS shingle FROM sh
+              WHERE source <> 'src0'),
+            novel AS (
+              SELECT doc_id, COUNT(*) AS n_novel FROM cand
+              WHERE shingle NOT IN (SELECT shingle FROM ref)
+              GROUP BY doc_id),
+            tot AS (
+              SELECT doc_id, COUNT(*) AS n_shingles FROM cand
+              GROUP BY doc_id),
+            perdoc AS (
+              SELECT d.doc_id,
+                     COALESCE(t.n_shingles, 0) AS n_shingles,
+                     COALESCE(nv.n_novel, 0) AS n_novel,
+                     CASE WHEN COALESCE(t.n_shingles, 0) = 0 THEN 1.0
+                          ELSE ROUND(CAST(COALESCE(nv.n_novel, 0) AS DOUBLE) /
+                                     CAST(t.n_shingles AS DOUBLE), 4)
+                     END AS novelty
+              FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+              LEFT JOIN tot t USING (doc_id)
+              LEFT JOIN novel nv USING (doc_id))"""
+
+  /** Per-doc n-gram novelty of every non-src0 document against the
+    * src0 reference corpus — the acquisition-value audit (inverse of
+    * the contamination check): shingle-keyed anti join, no doc×doc. */
+  val noveltyPerDoc = Q(
+    "text_novelty_vs_ref",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Novelty.noveltyVsReference(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"), k = 3)
+        .orderBy("doc_id")
+        .limit(500)
+    },
+    Some(noveltyCte +
+      " SELECT doc_id, n_shingles, n_novel, novelty FROM perdoc" +
+      " ORDER BY doc_id LIMIT 500"))
+
+  /** Corpus roll-up of the novelty audit (go/no-go row for ingesting
+    * the candidate source). */
+  val noveltySummaryQ = Q(
+    "text_novelty_summary",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Novelty.noveltySummary(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"), k = 3)
+    },
+    Some(noveltyCte +
+      """ SELECT COUNT(*) AS n_docs,
+                 COALESCE(ROUND(AVG(novelty), 4), 0.0) AS mean_novelty,
+                 SUM(CASE WHEN novelty = 1.0 THEN 1 ELSE 0 END) AS n_fully_novel,
+                 SUM(CASE WHEN novelty = 0.0 THEN 1 ELSE 0 END) AS n_fully_seen
+          FROM perdoc"""))
+
+  /** Nearest-centroid corpus profile over a FIXED deterministic
+    * centroid table (the 8 lowest-id vectors) — no k-means
+    * iterations, so DuckDB re-derives the assignment row for row
+    * (the learned variant is ivfKmeansAssign, pinned in
+    * SimilaritySpec). Centroids broadcast; the corpus never
+    * shuffles before the ≤k-key aggregate. */
+  val clusterProfile = Q(
+    "emb_cluster_profile",
+    (s, d) =>
+      Similarity.fixedCentroidProfile(Tables.embeddings(s, d), k = 8)
+        .orderBy("centroid_id"),
+    Some("""WITH c AS (
+              SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c_vec
+              FROM embeddings ORDER BY vec_id LIMIT 8),
+            scored AS (
+              SELECT e.vec_id, c.c_id,
+                     ROUND(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]), c.c_vec), 6) AS cos,
+                     sqrt(list_dot_product(
+                       CAST(e.embedding AS DOUBLE[]),
+                       CAST(e.embedding AS DOUBLE[]))) AS nrm
+              FROM embeddings e CROSS JOIN c),
+            best AS (
+              SELECT vec_id, c_id, cos, nrm,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY cos DESC, c_id) AS rk
+              FROM scored)
+            SELECT c_id AS centroid_id,
+                   COUNT(*) AS n_vectors,
+                   ROUND(AVG(ROUND(cos, 4)), 4) AS avg_cos,
+                   ROUND(AVG(nrm), 4) AS avg_norm
+            FROM best WHERE rk = 1
+            GROUP BY c_id ORDER BY centroid_id"""))
+
+  /** Hard-negative mining: per query vector, top-5 most-similar
+    * corpus vectors with a DIFFERENT label — the contrastive-training
+    * batch builder. Same broadcast-queries plan as ann_knn_join with
+    * the label predicate fused before the exchange. */
+  val hardNegativesQ = Q(
+    "ann_hard_negatives",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          col("label").as("q_label"))
+      Similarity.hardNegatives(queries, emb, k = 5)
+        .orderBy("q_id", "rank")
+    },
+    Some("""SELECT q_id, vec_id, label, cos_sim, rank FROM (
+              SELECT q.vec_id AS q_id, e.vec_id, e.label,
+                     ROUND(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       CAST(q.embedding AS DOUBLE[])), 4) AS cos_sim,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(
+                         CAST(e.embedding AS DOUBLE[]),
+                         CAST(q.embedding AS DOUBLE[])), 4) DESC,
+                         e.vec_id) AS rank
+              FROM embeddings e,
+                   (SELECT vec_id, label, embedding FROM embeddings
+                    WHERE vec_id < 5) q
+              WHERE e.label <> q.label) t
+            WHERE rank <= 5 ORDER BY q_id, rank"""))
+
   def all: Seq[Q] = Seq(
+    lineDedup, noveltyPerDoc, noveltySummaryQ, clusterProfile,
+    hardNegativesQ,
     dedupStats, dedupKeep, nearDupMinhash, nearDupSimhash, dedupClusters,
     dedupClusterKeep, dedupSweep, ngramJaccard, crossSourceDup,
     dedupIncremental, textNormalize,

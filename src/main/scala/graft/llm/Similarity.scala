@@ -260,4 +260,90 @@ object Similarity {
         round(cosine(col("v_a"), col("v_b")), 4).as("cos_sim"))
       .filter(col("cos_sim") >= minCosine)
   }
+
+  /** Nearest-centroid assignment against a FIXED, deterministic
+    * centroid table — the k lowest-id vectors (no k-means iterations,
+    * so the assignment is a pure function of the data and can be
+    * oracle-checked row for row; `ivfKmeansAssign` is the learned
+    * variant). Centroids broadcast (k rows), every vector scores all
+    * k in its own task via the codegen dot product, and the winner is
+    * an `array_max` over (cos, -centroid_id) structs — no shuffle of
+    * the corpus at all. Ties break to the LOWER centroid id. */
+  def fixedCentroidAssign(
+      embeddings: DataFrame,
+      k: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"centroid count must be ≥ 1: $k")
+    GraftFunctions.register(embeddings.sparkSession)
+    val centroids = embeddings
+      .orderBy(col(idCol)).limit(k)
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+      .groupBy()
+      .agg(collect_list(struct(col("c_id"), col("c_vec"))).as("cents"))
+    embeddings
+      .crossJoin(broadcast(centroids))
+      .select(
+        col(idCol), col(vecCol),
+        array_max(transform(col("cents"), c =>
+          struct(
+            round(cosine(col(vecCol), c.getField("c_vec")), 6).as("cos"),
+            (-c.getField("c_id")).as("ord"),
+            c.getField("c_id").as("cid")))).as("best"))
+      .select(
+        col(idCol), col(vecCol),
+        col("best").getField("cid").as("centroid_id"),
+        round(col("best").getField("cos"), 4).as("cos_to_centroid"))
+  }
+
+  /** Per-cluster profile over [[fixedCentroidAssign]]: size, mean
+    * cosine-to-centroid, mean vector L2 norm — the corpus-structure
+    * audit (are the embeddings collapsing onto a few directions?)
+    * that precedes IVF index sizing. One map-side-combined aggregate
+    * on the k-value centroid key. */
+  def fixedCentroidProfile(
+      embeddings: DataFrame,
+      k: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    fixedCentroidAssign(embeddings, k, idCol, vecCol)
+      .groupBy("centroid_id")
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        round(avg(col("cos_to_centroid")), 4).as("avg_cos"),
+        round(avg(l2norm(col(vecCol))), 4).as("avg_norm"))
+
+  /** Hard-negative mining for contrastive / retrieval training: for
+    * every query vector, the top-k most-similar corpus vectors whose
+    * LABEL differs from the query's — the near-miss examples a
+    * bi-encoder trains against. Same plan shape as [[knnJoin]] (query
+    * batch broadcasts, corpus never shuffles, per-query top-k is a
+    * window over scored id pairs); the label predicate is fused into
+    * the scoring task so mismatched pairs die before the exchange. */
+  def hardNegatives(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int = 5,
+      queryIdCol: String = "q_id",
+      queryVecCol: String = "q_vec",
+      queryLabelCol: String = "q_label",
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    corpus
+      .crossJoin(broadcast(queries.select(
+        col(queryIdCol), col(queryVecCol), col(queryLabelCol))))
+      .filter(col(labelCol) =!= col(queryLabelCol))
+      .select(
+        col(queryIdCol),
+        col(idCol),
+        col(labelCol),
+        round(cosine(col(vecCol), col(queryVecCol)), 4).as("cos_sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(queryIdCol)
+          .orderBy(col("cos_sim").desc, col(idCol))))
+      .filter(col("rank") <= k)
+  }
 }

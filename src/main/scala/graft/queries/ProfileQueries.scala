@@ -201,5 +201,82 @@ object ProfileQueries {
               FROM orders) t
             ORDER BY "check" """))
 
-  def all: Seq[Q] = Seq(a13, a7x, a13x, a21, dq1)
+  /** a22 — range quantiles from per-day equal-width histogram
+    * sketches (`operators/HistogramSketch` — the quantile twin of
+    * a21's HLL tables): merge the overlapping daily histograms by
+    * per-bin addition and walk the cumulative counts, instead of
+    * rescanning and sorting raw rows. The DOMAIN is fixed a priori
+    * ([0, 500), 64 bins → width 7.8125), so the oracle re-derives the
+    * whole estimate — binning, merge, cumulative walk, within-bin
+    * interpolation — in SQL, and additionally pins
+    * |est − exact quantile_cont| ≤ one bin width (the histogram
+    * error bound) as a deterministic boolean. */
+  val a22 = Q(
+    "a22_hist_range_quantile",
+    (s, d) => {
+      import graft.operators.HistogramSketch
+      val lo = 0.0; val hi = 500.0; val nBins = 64
+      val qs = Seq(0.25, 0.5, 0.75, 0.9)
+      val ev = Tables.events(s, d)
+      val daily = HistogramSketch.histogramPerBucket(
+        ev.withColumn("day", to_date(col("ts"))), "day", "value",
+        lo, hi, nBins)
+      val est = HistogramSketch.rangeQuantiles(
+        daily.filter(col("bucket").between("2024-01-02", "2024-01-09")),
+        lo, hi, nBins, qs)
+      val exact = ev
+        .filter(to_date(col("ts")).between("2024-01-02", "2024-01-09"))
+        .agg(percentile(col("value"),
+          array(qs.map(lit(_)): _*)).as("exact_qs"))
+      est.crossJoin(broadcast(exact))
+        .select(
+          col("q"), col("n_range"),
+          round(col("est"), 4).as("est_q"),
+          (abs(col("est") -
+            element_at(col("exact_qs"),
+              array_position(array(qs.map(lit(_)): _*), col("q"))
+                .cast("int"))) <= lit((hi - lo) / nBins))
+            .as("within_binwidth"))
+        .orderBy("q")
+    },
+    Some("""WITH rng AS (
+              SELECT value FROM events
+              WHERE CAST(ts AS DATE)
+                    BETWEEN DATE '2024-01-02' AND DATE '2024-01-09'),
+            binned AS (
+              SELECT LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 7.8125)
+                       AS INTEGER), 0), 63) AS b,
+                     COUNT(*) AS n
+              FROM rng GROUP BY 1),
+            cum AS (
+              SELECT b, n, SUM(n) OVER (ORDER BY b) AS cumv FROM binned),
+            tot AS (SELECT SUM(n) AS total FROM binned),
+            qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.9]) AS q),
+            tgt AS (
+              SELECT q, GREATEST(1, CAST(CEIL(q * total) AS BIGINT)) AS target,
+                     total
+              FROM qs, tot),
+            hitb AS (
+              SELECT t.q, t.target, t.total, MIN(c.b) AS b
+              FROM tgt t JOIN cum c ON c.cumv >= t.target
+              GROUP BY t.q, t.target, t.total),
+            est AS (
+              SELECT h.q, h.total AS n_range,
+                     0.0 + 7.8125 * (CAST(h.b AS DOUBLE) +
+                       CAST(h.target - (c.cumv - c.n) AS DOUBLE) /
+                       CAST(c.n AS DOUBLE)) AS est
+              FROM hitb h JOIN cum c ON c.b = h.b),
+            exact AS (
+              SELECT quantile_cont(value, [0.25, 0.5, 0.75, 0.9]) AS eq
+              FROM rng)
+            SELECT e.q, e.n_range, ROUND(e.est, 4) AS est_q,
+                   (ABS(e.est - x.eq[CASE e.q WHEN 0.25 THEN 1
+                                              WHEN 0.5 THEN 2
+                                              WHEN 0.75 THEN 3
+                                              ELSE 4 END]) <= 7.8125)
+                     AS within_binwidth
+            FROM est e, exact x
+            ORDER BY e.q"""))
+
+  def all: Seq[Q] = Seq(a13, a7x, a13x, a21, a22, dq1)
 }

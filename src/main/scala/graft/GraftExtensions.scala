@@ -85,7 +85,8 @@ object GraftExtensions {
     "bloom_might_contain" -> ((exprs: Seq[Expression]) =>
       BloomMightContain(exprs(0), exprs(1), asInt(exprs(2)))),
     "cm_estimate" -> ((exprs: Seq[Expression]) =>
-      CmEstimate(exprs(0), exprs(1), asInt(exprs(2)), asInt(exprs(3)))))
+      CmEstimate(exprs(0), exprs(1), asInt(exprs(2)), asInt(exprs(3))))) ++
+    graft.functions.TopKAgg.builders
 
   /** Reject join nodes with no condition (Cross, or Inner without ON)
     * unless either side carries a broadcast-style hint. Runs on the

@@ -77,6 +77,15 @@ object GraftSession {
       // stored micros are identical) — at the reader, not via a
       // per-column cast, so ts predicates still push down to parquet.
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // ObjectHashAggregate (collect_top_k / collect_list paths) falls
+      // back to SORT-based aggregation after this many in-memory keys
+      // per task — default 128, sized for unbounded collect buffers.
+      // The engine's bounded heaps (collect_top_k in knnJoin /
+      // hardNegatives: k entries per key) stay tiny per key, and the
+      // fallback would resurrect exactly the full-partition sort the
+      // aggregate exists to avoid, so allow far more keys in memory.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "65536")
       .config("spark.ui.enabled", "false")
     if (sys.props.get("spark.master").isEmpty &&
       sys.env.get("MASTER").isEmpty) b.master(s"local[$n]") else b

@@ -44,6 +44,7 @@ object GraftFunctions {
       TextHash.register(spark)
       BloomExprs.register(spark)
       CountMinExprs.register(spark)
+      TopKAgg.register(spark)
     }
   }
 }

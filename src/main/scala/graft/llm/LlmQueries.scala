@@ -2325,8 +2325,10 @@ object LlmQueries {
     Some(noveltyCte +
       """ SELECT COUNT(*) AS n_docs,
                  COALESCE(ROUND(AVG(novelty), 4), 0.0) AS mean_novelty,
-                 SUM(CASE WHEN novelty = 1.0 THEN 1 ELSE 0 END) AS n_fully_novel,
-                 SUM(CASE WHEN novelty = 0.0 THEN 1 ELSE 0 END) AS n_fully_seen
+                 CAST(SUM(CASE WHEN novelty = 1.0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_fully_novel,
+                 CAST(SUM(CASE WHEN novelty = 0.0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_fully_seen
           FROM perdoc"""))
 
   /** Nearest-centroid corpus profile over a FIXED deterministic

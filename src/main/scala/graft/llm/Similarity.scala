@@ -3,7 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.GraftFunctions
+import graft.functions.{GraftFunctions, TopKAgg}
 import graft.functions.VectorExprs.{array_dot, lsh_buckets}
 
 /** Similarity search over an embedding column (`array<float>`).
@@ -64,11 +64,20 @@ object Similarity {
     * definition — a probe batch, not the corpus), each corpus row
     * scores against all queries in its own task (codegen dot
     * products, no shuffle of the corpus), and per-query top-k is a
-    * window rank over (query, score) pairs — the shuffle carries
-    * |corpus|×|queries| scored ID pairs, never vectors. For corpora
-    * where even that is too much, cut candidates first with the LSH
-    * bucketing (`lshTopK` per query, or `nearDupCosine`'s capped
-    * bucket join) and feed the survivors here.
+    * bounded `collect_top_k` aggregate ([[graft.functions.TopKAgg]]):
+    * every map task keeps one k-sized heap per query, the exchange
+    * carries ≤ k (cos, id) entries per (query, map task) — never the
+    * |corpus|×|queries| scored frame, and never a full sort of it
+    * (which even `WindowGroupLimit`'s partial mode would need). The
+    * final window then ranks ≤ k survivors per query. For corpora
+    * where even scoring every row is too much, cut candidates first
+    * with the LSH bucketing (`lshTopK` per query, or
+    * `nearDupCosine`'s capped bucket join) and feed survivors here.
+    *
+    * Ties at the k boundary are exact: the heap orders by the full
+    * (cos_sim, -id) struct — a total order — so the kept set equals
+    * the window-rank answer row for row (pinned in SimilaritySpec
+    * against a reference window plan).
     *
     * `excludeSelf` (default true) drops corpus rows whose id equals
     * the query id — the right semantics when the query batch is drawn
@@ -96,7 +105,19 @@ object Similarity {
         col(queryIdCol),
         col(idCol),
         round(cosine(col(vecCol), col(queryVecCol)), 4).as("cos_sim"))
-    scored
+    // Largest by (cos_sim, -id) ⇔ cos_sim DESC, id ASC — the window
+    // ordering below, so rank 1..k lands on the same rows.
+    val topk = scored
+      .groupBy(queryIdCol)
+      .agg(TopKAgg.collect_top_k(
+        struct(col("cos_sim"), (-col(idCol)).as("nid")),
+        k, reverse = false).as("top"))
+      .select(col(queryIdCol), explode(col("top")).as("e"))
+      .select(
+        col(queryIdCol),
+        (-col("e.nid")).as(idCol),
+        col("e.cos_sim").as("cos_sim"))
+    topk
       .withColumn("rank", row_number().over(
         Window.partitionBy(queryIdCol)
           .orderBy(col("cos_sim").desc, col(idCol))))
@@ -317,9 +338,13 @@ object Similarity {
     * every query vector, the top-k most-similar corpus vectors whose
     * LABEL differs from the query's — the near-miss examples a
     * bi-encoder trains against. Same plan shape as [[knnJoin]] (query
-    * batch broadcasts, corpus never shuffles, per-query top-k is a
-    * window over scored id pairs); the label predicate is fused into
-    * the scoring task so mismatched pairs die before the exchange. */
+    * batch broadcasts, corpus never shuffles, per-query top-k is the
+    * bounded `collect_top_k` heap — ≤ k entries per (query, map task)
+    * through the exchange, no sort of the scored frame); the label
+    * predicate is fused into the scoring task so mismatched pairs die
+    * before the aggregate. The label rides the heap struct as a
+    * payload field: the (cos_sim, -id) prefix is already a total
+    * order, so it never influences which rows are kept. */
   def hardNegatives(
       queries: DataFrame,
       corpus: DataFrame,
@@ -332,7 +357,7 @@ object Similarity {
       labelCol: String = "label"): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
     import org.apache.spark.sql.expressions.Window
-    corpus
+    val scored = corpus
       .crossJoin(broadcast(queries.select(
         col(queryIdCol), col(queryVecCol), col(queryLabelCol))))
       .filter(col(labelCol) =!= col(queryLabelCol))
@@ -341,6 +366,17 @@ object Similarity {
         col(idCol),
         col(labelCol),
         round(cosine(col(vecCol), col(queryVecCol)), 4).as("cos_sim"))
+    scored
+      .groupBy(queryIdCol)
+      .agg(TopKAgg.collect_top_k(
+        struct(col("cos_sim"), (-col(idCol)).as("nid"), col(labelCol)),
+        k, reverse = false).as("top"))
+      .select(col(queryIdCol), explode(col("top")).as("e"))
+      .select(
+        col(queryIdCol),
+        (-col("e.nid")).as(idCol),
+        col(s"e.$labelCol").as(labelCol),
+        col("e.cos_sim").as("cos_sim"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(queryIdCol)
           .orderBy(col("cos_sim").desc, col(idCol))))

@@ -250,8 +250,8 @@ object ProfileQueries {
               FROM rng GROUP BY 1),
             cum AS (
               SELECT b, n, SUM(n) OVER (ORDER BY b) AS cumv FROM binned),
-            tot AS (SELECT SUM(n) AS total FROM binned),
-            qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.9]) AS q),
+            tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM binned),
+            qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.9]::DOUBLE[]) AS q),
             tgt AS (
               SELECT q, GREATEST(1, CAST(CEIL(q * total) AS BIGINT)) AS target,
                      total

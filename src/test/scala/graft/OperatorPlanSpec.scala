@@ -78,4 +78,29 @@ class OperatorPlanSpec extends AnyFunSuite {
     val n = "minhash_bands".r.findAllIn(p).size
     assert(n == 0, s"LSH banding still live in the plan ($n):\n${p.take(3000)}")
   }
+
+  /** The final per-query window of the k-NN family must rank the
+    * bounded collect_top_k output, never the raw |corpus|×|queries|
+    * scored frame: the tree prints top-down, so the Window node has
+    * to sit ABOVE the aggregate, and the map side must carry a
+    * partial_collect_top_k (k-sized heap per query per task — ≤ k
+    * entries per (query, map task) through the exchange). */
+  private def assertBoundedKnnWindow(p: String): Unit = {
+    assert(p.contains("partial_collect_top_k"),
+      s"map-side bounded heap missing:\n${p.take(3000)}")
+    val w = p.indexOf("Window")
+    val a = p.indexOf("ObjectHashAggregate")
+    val j = p.indexOf("BroadcastNestedLoopJoin")
+    assert(w >= 0 && a >= 0 && j >= 0, s"expected window/agg/join:\n${p.take(3000)}")
+    assert(w < a && a < j,
+      s"window must consume the aggregate, which consumes the scored join:\n${p.take(3000)}")
+  }
+
+  test("knn join: window ranks the bounded top-k aggregate, not the scored frame") {
+    assertBoundedKnnWindow(plan("ann_knn_join"))
+  }
+
+  test("hard negatives: window ranks the bounded top-k aggregate, not the scored frame") {
+    assertBoundedKnnWindow(plan("ann_hard_negatives"))
+  }
 }

@@ -62,9 +62,10 @@ object Bench {
     * sf0.1), which would measure the oracle's missing LSH, not the
     * engine — the honest comparison is over the queries both sides
     * express the same way. */
-  private def duckdbHeadlineTotal(sfDir: String): Double = {
+  private def duckdbHeadlineTotal(sfDir: String): (Double, String) = {
+    val none = (-1.0, "{}")
     val tool = new java.io.File("tools/duckdb_headline.py")
-    if (!tool.isFile) return -1.0
+    if (!tool.isFile) return none
     val sqls = headline
       .filterNot(_ == "dedup_minhash_lsh")
       .flatMap(n => SparkEntry.oracleSql.get(n).map(n -> _))
@@ -85,17 +86,23 @@ object Bench {
       pb.redirectError(ProcessBuilder.Redirect.DISCARD)
       val p = pb.start()
       if (!p.waitFor(180, java.util.concurrent.TimeUnit.SECONDS)) {
-        p.destroyForcibly(); return -1.0
+        p.destroyForcibly(); return none
       }
-      if (p.exitValue() != 0) return -1.0
+      if (p.exitValue() != 0) return none
       val out = new String(p.getInputStream.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8)
-      """"total"\s*:\s*([0-9.]+)""".r
+      val total = """"total"\s*:\s*([0-9.]+)""".r
         .findFirstMatchIn(out).map(_.group(1).toDouble).getOrElse(-1.0)
+      // pass the tool's per-query object through verbatim so the gap
+      // to DuckDB is diagnosable per query from the round's bench
+      // artifacts instead of requiring a judge-side re-run
+      val perQuery = """"queries"\s*:\s*(\{[^}]*\})""".r
+        .findFirstMatchIn(out).map(_.group(1)).getOrElse("{}")
+      (total, perQuery)
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] duckdb headline skipped: ${e.getMessage}")
-        -1.0
+        none
     } finally java.nio.file.Files.deleteIfExists(tmp)
   }
 
@@ -204,7 +211,7 @@ object Bench {
     val headlineTotal = results
       .collect { case (k, _, w) if headline.contains(k) && w >= 0 => w }.sum
     // track the vs-DuckDB gap per round (judge methodology; see scaladoc)
-    val duckdbTotal = duckdbHeadlineTotal(sfDir)
+    val (duckdbTotal, duckdbQueries) = duckdbHeadlineTotal(sfDir)
     val sparkComparable = results
       .collect {
         case (k, _, w)
@@ -226,6 +233,7 @@ object Bench {
         s""""queries_cold":${jmap(results.map { case (k, c, _) => (k, c) })},""" +
         s""""mode":"warm+cached",""" +
         f""""duckdb_headline_total":$duckdbTotal%.4f,""" +
+        s""""duckdb_queries":$duckdbQueries,""" +
         f""""spark_headline_comparable":$sparkComparable%.4f,""" +
         f""""dockets_per_sec":$docketsPerSec%.1f,""" +
         s""""ingest_pass_sec":$ingestPassesJson,""" +
@@ -242,6 +250,7 @@ object Bench {
         s""""queries":$headlineQs,""" +
         f""""headline_total":$headlineTotal%.4f,"n_queries":${results.size},""" +
         f""""duckdb_headline_total":$duckdbTotal%.4f,""" +
+        s""""duckdb_queries":$duckdbQueries,""" +
         f""""spark_headline_comparable":$sparkComparable%.4f,""" +
         s""""mode":"warm+cached",""" +
         f""""dockets_per_sec":$docketsPerSec%.1f,""" +

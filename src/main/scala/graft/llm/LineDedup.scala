@@ -73,23 +73,28 @@ object LineDedup {
     val exploded = explodeLines(docs, idCol, textCol)
     val common = lineFrequencies(docs, idCol, textCol)
       .filter(col("n_docs") >= minDocFreq)
-      .select("line")
+      .select(col("line"), lit(true).as("_rm"))
+    // ONE pass over the exploded lines: tag removed lines with a left
+    // join instead of dropping them with an anti join, so totals and
+    // the kept-line reassembly come out of the same per-doc aggregate
+    // (two text scans total — the frequency count and this one — where
+    // the anti-join formulation re-derived the explode a third time).
     val kept = exploded
-      .join(common, Seq("line"), "left_anti")
+      .join(common, Seq("line"), "left")
       .groupBy(idCol)
       .agg(
-        count(lit(1)).as("n_kept"),
+        count(lit(1)).as("n_lines"),
+        count(when(col("_rm").isNull, 1)).as("n_kept"),
         // sort by position, then re-join: original order survives the
-        // shuffle because the position rides inside the struct
+        // shuffle because the position rides inside the struct;
+        // collect_list skips the nulls `when` leaves on removed lines
         array_join(
           transform(
-            array_sort(collect_list(struct(col("line_pos"), col("line")))),
+            array_sort(collect_list(
+              when(col("_rm").isNull, struct(col("line_pos"), col("line"))))),
             s => s.getField("line")),
           "\n").as("kept_text"))
-    val totals = exploded.groupBy(idCol)
-      .agg(count(lit(1)).as("n_lines"))
     docs.select(col(idCol))
-      .join(totals, Seq(idCol), "left")
       .join(kept, Seq(idCol), "left")
       .select(
         col(idCol),

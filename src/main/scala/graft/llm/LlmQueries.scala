@@ -2312,6 +2312,25 @@ object LlmQueries {
       " SELECT doc_id, n_shingles, n_novel, novelty FROM perdoc" +
       " ORDER BY doc_id LIMIT 500"))
 
+  /** Bloom-pruned novelty — the too-big-to-join reference shape.
+    * Shares [[noveltyPerDoc]]'s oracle VERBATIM: Bloom filters have no
+    * false negatives, so the sketch pre-prune must be row-identical to
+    * the exact anti join (the same same-oracle construction as
+    * `llm_contamination_bloom`). */
+  val noveltyBloom = Q(
+    "text_novelty_bloom",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Novelty.noveltyVsReferenceBloom(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"), k = 3)
+        .orderBy("doc_id")
+        .limit(500)
+    },
+    Some(noveltyCte +
+      " SELECT doc_id, n_shingles, n_novel, novelty FROM perdoc" +
+      " ORDER BY doc_id LIMIT 500"))
+
   /** Corpus roll-up of the novelty audit (go/no-go row for ingesting
     * the candidate source). */
   val noveltySummaryQ = Q(
@@ -2397,7 +2416,7 @@ object LlmQueries {
             WHERE rank <= 5 ORDER BY q_id, rank"""))
 
   def all: Seq[Q] = Seq(
-    lineDedup, noveltyPerDoc, noveltySummaryQ, clusterProfile,
+    lineDedup, noveltyPerDoc, noveltyBloom, noveltySummaryQ, clusterProfile,
     hardNegativesQ,
     dedupStats, dedupKeep, nearDupMinhash, nearDupSimhash, dedupClusters,
     dedupClusterKeep, dedupSweep, ngramJaccard, crossSourceDup,

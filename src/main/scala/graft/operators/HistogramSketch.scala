@@ -58,7 +58,16 @@ object HistogramSketch {
 
   /** Materialize the histogram table (append new buckets with mode
     * Append and a bucket filter upstream — same contract as
-    * [[DistinctSketches.writeSketchTable]]). */
+    * [[DistinctSketches.writeSketchTable]]).
+    *
+    * `rangeFiles > 0` range-partitions the rows by bucket into that
+    * many files before writing, so each file covers a DISJOINT bucket
+    * range and a [[graft.maintain.Manifest]] built on the table
+    * prunes a bucket-range read down to the overlapping files — the
+    * layout for the incremental read path
+    * (`Manifest.readPruned(path, "bucket", lo, hi)`); 0 leaves the
+    * layout to the planner (fine when readers always scan the whole
+    * table). */
   def writeHistogramTable(
       df: DataFrame,
       bucketCol: String,
@@ -67,9 +76,14 @@ object HistogramSketch {
       hi: Double,
       nBins: Int = 64,
       outPath: String,
-      mode: String = "overwrite"): Unit =
-    histogramPerBucket(df, bucketCol, valueCol, lo, hi, nBins)
-      .write.mode(mode).parquet(outPath)
+      mode: String = "overwrite",
+      rangeFiles: Int = 0): Unit = {
+    val hist = histogramPerBucket(df, bucketCol, valueCol, lo, hi, nBins)
+    val laidOut =
+      if (rangeFiles > 0) hist.repartitionByRange(rangeFiles, col("bucket"))
+      else hist
+    laidOut.write.mode(mode).parquet(outPath)
+  }
 
   /** Quantile estimates from (already bucket-filtered) histogram rows
     * `(…, bin, n)`: one output row per requested quantile —

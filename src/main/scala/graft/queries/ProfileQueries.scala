@@ -211,35 +211,84 @@ object ProfileQueries {
     * interpolation — in SQL, and additionally pins
     * |est − exact quantile_cont| ≤ one bin width (the histogram
     * error bound) as a deterministic boolean. */
+  private val histLo = 0.0
+  private val histHi = 500.0
+  private val histBins = 64
+  private val histQs = Seq(0.25, 0.5, 0.75, 0.9)
+
+  /** Shared tail of the a22 family: quantile estimates from the
+    * (already range-filtered) histogram rows, joined against the
+    * exact percentiles with the one-bin-width error bound pinned. */
+  private def histQuantileRows(
+      hist: org.apache.spark.sql.DataFrame,
+      ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.operators.HistogramSketch
+    val est = HistogramSketch.rangeQuantiles(
+      hist, histLo, histHi, histBins, histQs)
+    val exact = ev
+      .filter(to_date(col("ts")).between("2024-01-02", "2024-01-09"))
+      .agg(percentile(col("value"),
+        array(histQs.map(lit(_)): _*)).as("exact_qs"))
+    est.crossJoin(broadcast(exact))
+      .select(
+        col("q"), col("n_range"),
+        round(col("est"), 4).as("est_q"),
+        (abs(col("est") -
+          element_at(col("exact_qs"),
+            array_position(array(histQs.map(lit(_)): _*), col("q"))
+              .cast("int"))) <= lit((histHi - histLo) / histBins))
+          .as("within_binwidth"))
+      .orderBy("q")
+  }
+
   val a22 = Q(
     "a22_hist_range_quantile",
     (s, d) => {
       import graft.operators.HistogramSketch
-      val lo = 0.0; val hi = 500.0; val nBins = 64
-      val qs = Seq(0.25, 0.5, 0.75, 0.9)
       val ev = Tables.events(s, d)
       val daily = HistogramSketch.histogramPerBucket(
         ev.withColumn("day", to_date(col("ts"))), "day", "value",
-        lo, hi, nBins)
-      val est = HistogramSketch.rangeQuantiles(
+        histLo, histHi, histBins)
+      histQuantileRows(
         daily.filter(col("bucket").between("2024-01-02", "2024-01-09")),
-        lo, hi, nBins, qs)
-      val exact = ev
-        .filter(to_date(col("ts")).between("2024-01-02", "2024-01-09"))
-        .agg(percentile(col("value"),
-          array(qs.map(lit(_)): _*)).as("exact_qs"))
-      est.crossJoin(broadcast(exact))
-        .select(
-          col("q"), col("n_range"),
-          round(col("est"), 4).as("est_q"),
-          (abs(col("est") -
-            element_at(col("exact_qs"),
-              array_position(array(qs.map(lit(_)): _*), col("q"))
-                .cast("int"))) <= lit((hi - lo) / nBins))
-            .as("within_binwidth"))
-        .orderBy("q")
+        ev)
     },
-    Some("""WITH rng AS (
+    Some(histQuantileOracle))
+
+  /** The same audit driven off a PERSISTED histogram table read back
+    * through manifest file-skipping — the incremental-maintenance
+    * story of [[graft.operators.HistogramSketch]] end-to-end (the way
+    * a21 is the end-to-end story for the HLL sketch tables): the
+    * per-day histogram is written range-partitioned on the bucket, a
+    * min/max manifest is built over the files, and the range read
+    * touches only the files whose bucket range can overlap — at
+    * 100 TB the read cost is the days asked for, not table history.
+    * Identical rows to a22 (ManifestSpec pins that the pruned listing
+    * really skips files; the oracle is shared verbatim). */
+  val a22x = Q(
+    "a22x_hist_table_pruned",
+    (s, d) => {
+      import graft.maintain.Manifest
+      import graft.operators.HistogramSketch
+      val ev = Tables.events(s, d)
+      // deterministic per-fixture scratch path; rewritten (tiny: ≤64
+      // rows/day) so repeated bench/verify passes stay idempotent
+      val path = "target/hist_table_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      HistogramSketch.writeHistogramTable(
+        ev.withColumn("day", to_date(col("ts"))), "day", "value",
+        histLo, histHi, histBins, outPath = path, rangeFiles = 8)
+      Manifest.build(s, path, Seq("bucket"))
+      val hist = Manifest.readPruned(s, path, "bucket",
+        java.sql.Date.valueOf("2024-01-02"),
+        java.sql.Date.valueOf("2024-01-09"))
+      histQuantileRows(hist, ev)
+    },
+    Some(histQuantileOracle))
+
+  // def, not val: referenced by a22/a22x above during object init —
+  // a later-declared val would still be null at that point
+  private def histQuantileOracle: String = """WITH rng AS (
               SELECT value FROM events
               WHERE CAST(ts AS DATE)
                     BETWEEN DATE '2024-01-02' AND DATE '2024-01-09'),
@@ -276,7 +325,7 @@ object ProfileQueries {
                                               ELSE 4 END]) <= 7.8125)
                      AS within_binwidth
             FROM est e, exact x
-            ORDER BY e.q"""))
+            ORDER BY e.q"""
 
-  def all: Seq[Q] = Seq(a13, a7x, a13x, a21, a22, dq1)
+  def all: Seq[Q] = Seq(a13, a7x, a13x, a21, a22, a22x, dq1)
 }

@@ -78,6 +78,33 @@ class HistogramSketchSpec extends AnyFunSuite {
     assert(est._2 == 100L && math.abs(est._3 - 50.5) <= 10.0)
   }
 
+  test("range-partitioned table + manifest skips files for a bucket range") {
+    // the a22x layout: rangeFiles spreads buckets across files with
+    // disjoint ranges, so a narrow bucket-range read must touch a
+    // strict subset of files and still return identical rows
+    import graft.maintain.Manifest
+    import org.apache.spark.sql.functions.{col, to_date}
+    val dir = java.nio.file.Files.createTempDirectory("histprune").toString
+    val ev = Tables.events(spark, TestSpark.sf0001)
+    HistogramSketch.writeHistogramTable(
+      ev.withColumn("day", to_date(col("ts"))), "day", "value",
+      0.0, 500.0, 64, outPath = dir, rangeFiles = 8)
+    Manifest.build(spark, dir, Seq("bucket"))
+    val lo = java.sql.Date.valueOf("2024-01-02")
+    val hi = java.sql.Date.valueOf("2024-01-09")
+    val all = Manifest.read(spark, dir).count()
+    val cand = Manifest.candidateFiles(spark, dir, "bucket", lo, hi)
+    assert(all == 8L, s"expected 8 range files, manifest has $all")
+    assert(cand.nonEmpty && cand.size < all,
+      s"range read should skip files: ${cand.size} of $all")
+    val pruned = Manifest.readPruned(spark, dir, "bucket", lo, hi)
+      .orderBy("bucket", "bin").collect().toSeq
+    val full = spark.read.parquet(dir)
+      .filter(col("bucket").between(lo, hi))
+      .orderBy("bucket", "bin").collect().toSeq
+    assert(pruned == full)
+  }
+
   test("plan: the quantile walk contains no window operator") {
     val plan = HistogramSketch.rangeQuantiles(hist, 0.0, 100.0, 10, Seq(0.5))
       .queryExecution.executedPlan.toString

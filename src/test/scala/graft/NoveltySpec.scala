@@ -58,6 +58,33 @@ class NoveltySpec extends AnyFunSuite {
     assert(got.forall(_._4 == 1.0))
   }
 
+  test("bloom pre-prune is row-identical to the exact anti join") {
+    // real corpus slice: every non-src0 doc vs the src0 reference
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val cand = docs.filter(col("source") =!= "src0")
+    val ref = docs.filter(col("source") === "src0")
+    val exact = Novelty.noveltyVsReference(cand, ref, k = 3)
+      .orderBy("doc_id").collect().toSeq
+    val bloomed = Novelty.noveltyVsReferenceBloom(cand, ref, k = 3)
+      .orderBy("doc_id").collect().toSeq
+    assert(bloomed == exact)
+  }
+
+  test("bloom variant survives heavy false positives (tiny sketch)") {
+    // a sketch sized for 8 shingles at 50% fpp misroutes many truly
+    // novel shingles into the exact join — the rows must not change
+    val cand = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "completely different words here and more of them"),
+      (3L, "the quick brown cat")).toDF("doc_id", "text")
+    val exact = Novelty.noveltyVsReference(cand, reference, k = 3)
+      .orderBy("doc_id").collect().toSeq
+    val bloomed = Novelty.noveltyVsReferenceBloom(
+        cand, reference, k = 3, expectedShingles = 8L, fpp = 0.5)
+      .orderBy("doc_id").collect().toSeq
+    assert(bloomed == exact)
+  }
+
   test("summary aggregates the per-doc rows") {
     val cand = Seq(
       (1L, "the quick brown fox jumps"),

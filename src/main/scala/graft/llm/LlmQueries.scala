@@ -2384,6 +2384,51 @@ object LlmQueries {
             FROM best WHERE rk = 1
             GROUP BY c_id ORDER BY centroid_id"""))
 
+  /** SemDeDup-style semantic dedup marks over the fixed-centroid
+    * clusters: per vector, keep = no same-cluster vector above the
+    * cosine threshold with higher (cos_to_centroid, -id) priority.
+    * The threshold (0.35) sits in the fixture's natural pair-cosine
+    * tail — ~the 99.9th percentile — so real drops occur without any
+    * planting; the oracle re-derives assignment, pairwise cosine and
+    * the dominance EXISTS row for row. */
+  val semDedupQ = Q(
+    "emb_semdedup",
+    (s, d) =>
+      Similarity.semDedupMarks(
+        Tables.embeddings(s, d), kCentroids = 8, minCosine = 0.35)
+        .orderBy("vec_id"),
+    Some("""WITH c AS (
+              SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c_vec
+              FROM embeddings ORDER BY vec_id LIMIT 8),
+            scored AS (
+              SELECT e.vec_id, c.c_id,
+                     ROUND(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]), c.c_vec), 6) AS cos
+              FROM embeddings e CROSS JOIN c),
+            best AS (
+              SELECT vec_id, c_id, cos,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY cos DESC, c_id) AS rk
+              FROM scored),
+            asg AS (
+              SELECT b.vec_id, b.c_id AS centroid_id,
+                     ROUND(b.cos, 4) AS cc,
+                     CAST(e.embedding AS DOUBLE[]) AS v
+              FROM best b JOIN embeddings e USING (vec_id)
+              WHERE b.rk = 1)
+            SELECT a.vec_id, a.centroid_id,
+                   a.cc AS cos_to_centroid,
+                   NOT EXISTS (
+                     SELECT 1 FROM asg u
+                     WHERE u.centroid_id = a.centroid_id
+                       AND ROUND(list_cosine_similarity(u.v, a.v), 4)
+                             >= 0.35
+                       AND (u.cc > a.cc OR
+                            (u.cc = a.cc AND u.vec_id < a.vec_id))
+                   ) AS keep
+            FROM asg a
+            ORDER BY a.vec_id"""))
+
   /** Hard-negative mining: per query vector, top-5 most-similar
     * corpus vectors with a DIFFERENT label — the contrastive-training
     * batch builder. Same broadcast-queries plan as ann_knn_join with
@@ -2417,6 +2462,7 @@ object LlmQueries {
 
   def all: Seq[Q] = Seq(
     lineDedup, noveltyPerDoc, noveltyBloom, noveltySummaryQ, clusterProfile,
+    semDedupQ,
     hardNegativesQ,
     dedupStats, dedupKeep, nearDupMinhash, nearDupSimhash, dedupClusters,
     dedupClusterKeep, dedupSweep, ngramJaccard, crossSourceDup,

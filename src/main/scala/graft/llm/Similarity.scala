@@ -334,6 +334,110 @@ object Similarity {
         round(avg(col("cos_to_centroid")), 4).as("avg_cos"),
         round(avg(l2norm(col(vecCol))), 4).as("avg_norm"))
 
+  /** SemDeDup-style semantic deduplication marks (cluster, then
+    * drop within-cluster semantic duplicates — the embedding-space
+    * curation pass for pretraining corpora; cf. the public SemDeDup
+    * recipe: k-means the embeddings, prune pairs above a cosine
+    * threshold inside each cluster, keep one representative).
+    *
+    * Deterministic formulation so the whole operator is
+    * oracle-checkable: assignment is [[fixedCentroidAssign]] (pure
+    * function of the data), and the keep rule is greedy dominance —
+    * a vector is DROPPED iff some same-cluster vector u has
+    * `round(cos(u,v),4) ≥ minCosine` and strictly higher keep
+    * priority `(cos_to_centroid, -id)` (closest-to-centroid wins,
+    * ties to the lower id; a vector never dominates itself because
+    * the priority comparison is strict). Returns every input row:
+    * `(idCol, centroid_id, cos_to_centroid, keep)`.
+    *
+    * Scale: this EXACT tier joins each cluster against itself — the
+    * right audit/oracle shape, but within-cluster quadratic (SemDeDup
+    * itself is quadratic inside clusters; it relies on many small
+    * clusters). For corpora where clusters are large, use
+    * [[semDedupMarksLsh]]: identical dominance semantics evaluated
+    * only on cluster-scoped LSH candidate pairs, with the capped
+    * bucket guard. */
+  def semDedupMarks(
+      embeddings: DataFrame,
+      kCentroids: Int = 8,
+      minCosine: Double = 0.95,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val assigned = fixedCentroidAssign(embeddings, kCentroids, idCol, vecCol)
+    val v = assigned.select(
+      col(idCol).as("v_id"), col(vecCol).as("v_vec"),
+      col("centroid_id"), col("cos_to_centroid").as("v_cc"))
+    val u = assigned.select(
+      col(idCol).as("u_id"), col(vecCol).as("u_vec"),
+      col("centroid_id").as("u_centroid"),
+      col("cos_to_centroid").as("u_cc"))
+    val dominated = v.join(u,
+        col("centroid_id") === col("u_centroid") &&
+          round(cosine(col("v_vec"), col("u_vec")), 4) >= lit(minCosine) &&
+          (col("u_cc") > col("v_cc") ||
+            (col("u_cc") === col("v_cc") && col("u_id") < col("v_id"))),
+        "left_semi")
+      .select(col("v_id").as(idCol), lit(true).as("_dropped"))
+    assigned
+      .join(dominated, Seq(idCol), "left")
+      .select(
+        col(idCol), col("centroid_id"), col("cos_to_centroid"),
+        col("_dropped").isNull.as("keep"))
+  }
+
+  /** [[semDedupMarks]] at corpus scale: the dominance predicate is
+    * evaluated ONLY on cluster-scoped LSH candidate pairs — vectors
+    * sharing a (centroid, table, bucket) key — so the pair stage is
+    * bucket-bounded (with [[Dedup.capBuckets]]' degenerate-bucket
+    * guard) instead of cluster-quadratic. Approximate in the usual
+    * LSH direction: a missed candidate pair can only UNDER-drop
+    * (keep a duplicate), never drop a non-duplicate; identical
+    * vectors always collide in every table, so exact copies are
+    * always caught (pinned in SimilaritySpec against the exact
+    * tier). */
+  def semDedupMarksLsh(
+      embeddings: DataFrame,
+      kCentroids: Int = 8,
+      minCosine: Double = 0.95,
+      nBits: Int = 8,
+      nTables: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      maxBucketSize: Int = Dedup.defaultMaxBucket): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    val assigned = fixedCentroidAssign(embeddings, kCentroids, idCol, vecCol)
+    val bucketed = Dedup.capBuckets(
+      assigned.select(
+        col(idCol).as("id"), col("centroid_id"),
+        posexplode(lsh_buckets(col(vecCol), nBits, nTables))
+          .as(Seq("tbl", "bucket"))),
+      Seq("centroid_id", "tbl", "bucket"), maxBucketSize)
+    val candPairs = bucketed.as("a")
+      .join(bucketed.as("b"), Seq("centroid_id", "tbl", "bucket"))
+      .select(col("a.id").as("v_id"), col("b.id").as("u_id"))
+      .filter(col("v_id") =!= col("u_id"))
+      .distinct()
+    val slim = assigned.select(
+      col(idCol), col(vecCol), col("cos_to_centroid"))
+    val dominated = candPairs
+      .join(slim.select(col(idCol).as("v_id"), col(vecCol).as("v_vec"),
+        col("cos_to_centroid").as("v_cc")), Seq("v_id"))
+      .join(slim.select(col(idCol).as("u_id"), col(vecCol).as("u_vec"),
+        col("cos_to_centroid").as("u_cc")), Seq("u_id"))
+      .filter(
+        round(cosine(col("v_vec"), col("u_vec")), 4) >= lit(minCosine) &&
+          (col("u_cc") > col("v_cc") ||
+            (col("u_cc") === col("v_cc") && col("u_id") < col("v_id"))))
+      .select(col("v_id").as(idCol)).distinct()
+      .withColumn("_dropped", lit(true))
+    assigned
+      .join(dominated, Seq(idCol), "left")
+      .select(
+        col(idCol), col("centroid_id"), col("cos_to_centroid"),
+        col("_dropped").isNull.as("keep"))
+  }
+
   /** Hard-negative mining for contrastive / retrieval training: for
     * every query vector, the top-k most-similar corpus vectors whose
     * LABEL differs from the query's — the near-miss examples a

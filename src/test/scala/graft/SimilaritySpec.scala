@@ -115,6 +115,43 @@ class SimilaritySpec extends AnyFunSuite {
     assert(dropped != 3L)
   }
 
+  test("semDedup: exact copies drop to one representative; LSH tier agrees") {
+    // clone vector 50 twice: priority (cos_to_centroid, -id) keeps
+    // the ORIGINAL (lowest id at equal centroid-cosine); at the 0.95
+    // threshold nothing else in the fixture pairs (max natural pair
+    // cosine ≈ 0.51), and identical vectors collide in every LSH
+    // table, so both tiers must produce the same frame
+    val clone = emb.filter($"vec_id" === 50)
+      .select(($"vec_id" * 0 + 9001L).as("vec_id"), $"embedding")
+    val clone2 = emb.filter($"vec_id" === 50)
+      .select(($"vec_id" * 0 + 9002L).as("vec_id"), $"embedding")
+    val corpus = emb.select("vec_id", "embedding")
+      .unionByName(clone).unionByName(clone2)
+    val exact = Similarity.semDedupMarks(corpus, kCentroids = 8,
+      minCosine = 0.95).orderBy("vec_id")
+    val gotExact = exact.select("vec_id", "keep")
+      .as[(Long, Boolean)].collect().toSeq
+    val dropped = gotExact.filterNot(_._2).map(_._1).toSet
+    assert(dropped == Set(9001L, 9002L),
+      s"only the clones drop, the original survives: $dropped")
+    val lsh = Similarity.semDedupMarksLsh(corpus, kCentroids = 8,
+      minCosine = 0.95).orderBy("vec_id")
+    assert(lsh.collect().toSeq == exact.collect().toSeq)
+  }
+
+  test("semDedup LSH tier only under-drops vs exact (never over-drops)") {
+    // at a threshold inside the natural pair tail, candidates the LSH
+    // misses may stay kept, but nothing the exact tier keeps may drop
+    val exactKept = Similarity.semDedupMarks(emb, kCentroids = 8,
+        minCosine = 0.35).filter($"keep")
+      .select("vec_id").as[Long].collect().toSet
+    val lshDropped = Similarity.semDedupMarksLsh(emb, kCentroids = 8,
+        minCosine = 0.35).filter(!$"keep")
+      .select("vec_id").as[Long].collect().toSet
+    assert(lshDropped.intersect(exactKept).isEmpty,
+      s"LSH dropped rows the exact tier keeps: ${lshDropped.intersect(exactKept)}")
+  }
+
   test("embedding near-dup at high threshold finds only true pairs") {
     // construct planted near-identical vectors
     val planted = Seq(

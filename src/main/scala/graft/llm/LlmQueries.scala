@@ -2258,6 +2258,57 @@ object LlmQueries {
             LEFT JOIN agg a USING (doc_id)
             ORDER BY doc_id LIMIT 500"""))
 
+  /** Substring-span dedup: remove every 8-token window that occurs in
+    * ≥2 distinct documents, reassemble, report per doc. The engine
+    * ships only xxhash64 window keys through its shuffles; the oracle
+    * recomputes the whole pipeline string-keyed (same output unless a
+    * 64-bit collision exists in the fixture — none does), including
+    * tokenizer convention (blank → one empty token) and single-space
+    * reassembly. First 500 docs by id. */
+  val spanDedup = Q(
+    "dedup_spans_corpus",
+    (s, d) =>
+      SpanDedup.dedupCorpusSpans(
+        Tables.documents(s, d), windowLen = 8, minDf = 2)
+        .orderBy("doc_id")
+        .limit(500),
+    Some("""WITH tok AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(coalesce(text, ''))),
+                       '\s+') AS ts
+              FROM documents),
+            win AS (
+              SELECT doc_id, t.i AS pos,
+                     array_to_string(ts[t.i:t.i+7], ' ') AS w
+              FROM tok, UNNEST(range(1, greatest(len(ts) - 6, 1))) AS t(i)),
+            hot AS (
+              SELECT w FROM win GROUP BY w
+              HAVING COUNT(DISTINCT doc_id) >= 2),
+            covered AS (
+              SELECT DISTINCT doc_id, pos + o.off AS tp
+              FROM win JOIN hot USING (w),
+                   UNNEST(range(0, 8)) AS o(off)),
+            tokens AS (
+              SELECT doc_id, t.i AS tp, ts[t.i] AS tok
+              FROM tok, UNNEST(range(1, len(ts) + 1)) AS t(i)),
+            kept AS (
+              SELECT k.doc_id,
+                     COUNT(*) AS n_tokens,
+                     CAST(COUNT(c.tp) AS BIGINT) AS n_removed,
+                     COALESCE(string_agg(
+                       CASE WHEN c.tp IS NULL THEN k.tok END, ' '
+                       ORDER BY k.tp), '') AS kept_text
+              FROM tokens k
+              LEFT JOIN covered c
+                ON c.doc_id = k.doc_id AND c.tp = k.tp
+              GROUP BY k.doc_id)
+            SELECT d.doc_id,
+                   COALESCE(kp.n_tokens, 0) AS n_tokens,
+                   COALESCE(kp.n_removed, 0) AS n_removed,
+                   COALESCE(kp.kept_text, '') AS kept_text
+            FROM documents d LEFT JOIN kept kp USING (doc_id)
+            ORDER BY doc_id LIMIT 500"""))
+
   /** Shared DuckDB CTE for the novelty oracles: k=3 word shingles per
     * doc (same list-comprehension idiom the ngramJaccard oracle pins
     * against the codegen WordShingles expression). */
@@ -2461,8 +2512,8 @@ object LlmQueries {
             WHERE rank <= 5 ORDER BY q_id, rank"""))
 
   def all: Seq[Q] = Seq(
-    lineDedup, noveltyPerDoc, noveltyBloom, noveltySummaryQ, clusterProfile,
-    semDedupQ,
+    lineDedup, spanDedup, noveltyPerDoc, noveltyBloom, noveltySummaryQ,
+    clusterProfile, semDedupQ,
     hardNegativesQ,
     dedupStats, dedupKeep, nearDupMinhash, nearDupSimhash, dedupClusters,
     dedupClusterKeep, dedupSweep, ngramJaccard, crossSourceDup,

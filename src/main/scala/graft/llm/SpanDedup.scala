@@ -1,0 +1,129 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Substring-level exact deduplication — remove every token span that
+  * some OTHER document also contains verbatim (the "deduplicating
+  * training data" recipe: corpus-duplicated substrings are memorized
+  * disproportionately, and boilerplate/quoted spans recur across
+  * otherwise-distinct pages). Complements [[Dedup]] (whole-document),
+  * [[LineDedup]] (line-granular, needs newline structure) and
+  * [[TextAnalysis.boilerplateScores]] (signal only): this REMOVES the
+  * duplicated text inside each surviving document, at token-window
+  * granularity, with no reliance on line breaks.
+  *
+  * Rule (deterministic, total): tokens are the `\s+` split of the
+  * lowercased trimmed text (blank/null text is one empty token — the
+  * same convention as the novelty oracle's tokenizer). Every
+  * length-`windowLen` token window whose text occurs in ≥ `minDf`
+  * DISTINCT documents is "hot"; every token covered by ≥1 hot window
+  * is removed; survivors re-join with single spaces in original
+  * order (single-space normalization is part of the contract).
+  * Documents shorter than `windowLen` tokens have no windows and
+  * survive untouched (modulo normalization).
+  *
+  * Scale shape: the only unbounded shuffles are keyed on the WINDOW
+  * — and the window key that actually crosses the wire is its
+  * `xxhash64`, 8 bytes, never the L-token string (collision odds
+  * ~2⁻⁶⁴ per pair; a collision can only over-remove one window, and
+  * the oracle query verifies end-to-end output equality against a
+  * string-keyed recomputation). Covered-position expansion is a
+  * per-row `sequence` explode (≤ windowLen rows per hit), and
+  * reassembly is one doc-keyed aggregate with order restored by
+  * position-in-struct sort — the [[LineDedup]] pattern. Never
+  * doc×doc; a pathologically hot window (site-wide boilerplate in
+  * half the corpus) is the planted-banner shape LineSkewProbe
+  * records: two-phase (window, doc) partial aggregation on the count
+  * side, AQE skew-split on the probe join.
+  */
+object SpanDedup {
+
+  /** `(idCol, ts)` — the token array per document. */
+  private def tokenized(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      split(lower(trim(coalesce(col(textCol), lit("")))), "\\s+").as("ts"))
+
+  /** One row per token window: `(idCol, pos, wh)` where `pos` is the
+    * 1-based position of the window's first token and `wh` the
+    * xxhash64 of its space-joined text. */
+  private def windows(
+      toks: DataFrame, windowLen: Int, idCol: String): DataFrame =
+    toks
+      .select(
+        col(idCol),
+        // sequence(1, n) DESCENDS when n < 1 — guard the short-doc
+        // case to an empty window list instead
+        explode(when(size(col("ts")) >= windowLen,
+          transform(
+            sequence(lit(1), size(col("ts")) - windowLen + 1),
+            i => struct(
+              i.as("pos"),
+              xxhash64(array_join(
+                slice(col("ts"), i, lit(windowLen)), " ")).as("wh"))))
+          .otherwise(array().cast("array<struct<pos:int,wh:bigint>>")))
+          .as("w"))
+      .select(col(idCol), col("w.pos").as("pos"), col("w.wh").as("wh"))
+
+  /** Corpus window inventory at a threshold: `(wh, n_docs)` for hot
+    * windows only — the audit of what [[dedupCorpusSpans]] removes. */
+  def hotWindows(
+      docs: DataFrame,
+      windowLen: Int = 8,
+      minDf: Int = 2,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(windowLen >= 1, s"windowLen must be ≥ 1: $windowLen")
+    require(minDf >= 2, s"minDf must be ≥ 2: $minDf")
+    windows(tokenized(docs, idCol, textCol), windowLen, idCol)
+      .groupBy("wh")
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+      .filter(col("n_docs") >= minDf)
+  }
+
+  /** Remove every token covered by a corpus-duplicated window and
+    * reassemble: `(idCol, n_tokens, n_removed, kept_text)`. */
+  def dedupCorpusSpans(
+      docs: DataFrame,
+      windowLen: Int = 8,
+      minDf: Int = 2,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = tokenized(docs, idCol, textCol)
+    val hot = hotWindows(docs, windowLen, minDf, idCol, textCol)
+      .select("wh")
+    // hit windows → covered token positions (≤ windowLen per hit;
+    // distinct because overlapping hot windows cover shared tokens)
+    val covered = windows(toks, windowLen, idCol)
+      .join(hot, Seq("wh"), "left_semi")
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + windowLen - 1))
+          .as("tp"))
+      .distinct()
+    val tokenRows = toks.select(
+      col(idCol),
+      posexplode(col("ts")).as(Seq("tp0", "tok")))
+      .select(col(idCol), (col("tp0") + 1).as("tp"), col("tok"))
+    val kept = tokenRows
+      .join(covered.withColumn("_rm", lit(true)), Seq(idCol, "tp"), "left")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(when(col("_rm").isNotNull, 1)).as("n_removed"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("_rm").isNull, struct(col("tp"), col("tok"))))),
+            s => s.getField("tok")),
+          " ").as("kept_text"))
+    docs.select(col(idCol))
+      .join(kept, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+}

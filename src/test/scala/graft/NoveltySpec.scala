@@ -85,6 +85,20 @@ class NoveltySpec extends AnyFunSuite {
     assert(bloomed == exact)
   }
 
+  test("bloom variant with an EMPTY reference marks everything novel") {
+    // zero reference rows → the sketch aggregate's zero buffer (an
+    // all-zeros bit array, NOT null) → every candidate shingle is a
+    // provable miss; must equal the exact variant's all-novel answer
+    val cand = Seq((1L, "the quick brown fox")).toDF("doc_id", "text")
+    val emptyRef = reference.filter($"doc_id" < 0)
+    val exact = Novelty.noveltyVsReference(cand, emptyRef, k = 3)
+      .collect().toSeq
+    val bloomed = Novelty.noveltyVsReferenceBloom(cand, emptyRef, k = 3)
+      .collect().toSeq
+    assert(bloomed == exact)
+    assert(bloomed.head.getAs[Double]("novelty") == 1.0)
+  }
+
   test("summary aggregates the per-doc rows") {
     val cand = Seq(
       (1L, "the quick brown fox jumps"),

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.SpanDedup
+
+/** Hand-computed cases for substring-span dedup (SpanDedup): the
+  * "remove corpus-duplicated token windows" rule at windowLen=3 so
+  * the arithmetic stays inspectable. */
+class SpanDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def run(rows: Seq[(Long, String)], l: Int = 3, minDf: Int = 2) =
+    SpanDedup.dedupCorpusSpans(rows.toDF("doc_id", "text"), l, minDf)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+
+  test("a span shared by two docs is removed from both; unique text survives") {
+    val got = run(Seq(
+      (1L, "alpha beta gamma delta unique1 tail1"),
+      (2L, "prefix2 alpha beta gamma delta end2")))
+    // hot 3-windows: "alpha beta gamma", "beta gamma delta" (df=2) →
+    // covered tokens: alpha..delta in both docs
+    assert(got == Seq(
+      (1L, 6L, 4L, "unique1 tail1"),
+      (2L, 6L, 4L, "prefix2 end2")))
+  }
+
+  test("a window repeated only WITHIN one doc is not hot (distinct-doc df)") {
+    val got = run(Seq(
+      (1L, "x y z junk x y z"),
+      (2L, "totally different words here now")))
+    assert(got.head == ((1L, 7L, 0L, "x y z junk x y z")))
+  }
+
+  test("docs shorter than the window survive untouched (normalized)") {
+    val got = run(Seq((1L, "one two"), (2L, "one two")))
+    assert(got == Seq((1L, 2L, 0L, "one two"), (2L, 2L, 0L, "one two")))
+  }
+
+  test("tokenization is lowercased and whitespace-collapsed") {
+    val got = run(Seq(
+      (1L, "Alpha  Beta\tGamma extra1"),
+      (2L, "alpha beta gamma extra2")))
+    assert(got.map(_._3) == Seq(3L, 3L))
+    assert(got.map(_._4) == Seq("extra1", "extra2"))
+  }
+
+  test("fully-duplicated doc empties; null/blank docs survive as one empty token") {
+    val got = run(Seq(
+      (1L, "same three words"),
+      (2L, "same three words"),
+      (3L, null.asInstanceOf[String])))
+    assert(got.take(2) == Seq((1L, 3L, 3L, ""), (2L, 3L, 3L, "")))
+    assert(got(2) == ((3L, 1L, 0L, "")))
+  }
+
+  test("hotWindows audit counts distinct docs per window") {
+    val hot = SpanDedup.hotWindows(Seq(
+        (1L, "a b c d"),
+        (2L, "a b c e"),
+        (3L, "a b c f")).toDF("doc_id", "text"), windowLen = 3)
+      .as[(Long, Long)].collect().toSeq
+    assert(hot.map(_._2) == Seq(3L)) // one hot window "a b c", df=3
+  }
+}

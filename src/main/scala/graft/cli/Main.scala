@@ -36,7 +36,7 @@ object Main {
 
   private def usage(): Unit =
     System.err.println(
-      """usage: graft.cli.Main <convert|query|sql|lint|profile|optimize|manifest|vacuum|curate|dedup-incremental|decontaminate|bench> ...
+      """usage: graft.cli.Main <convert|query|sql|lint|profile|optimize|manifest|vacuum|curate|dedup-incremental|decontaminate|dedup-lines|dedup-spans|semdedup|novelty|bench> ...
         |  convert DATA [--output-path P] [--agency A] [--compression C]
         |  query SFDIR NAME...
         |  sql SFDIR "SELECT ..."
@@ -50,7 +50,15 @@ object Main {
         |  dedup-incremental IN REF OUT [--min-jaccard J] [--compression C]
         |         onboard IN against frozen REF (exact + near dedup)
         |  decontaminate IN BENCH OUT [--shingle-k K] [--compression C]
-        |         drop IN docs sharing a K-shingle with BENCH""".stripMargin)
+        |         drop IN docs sharing a K-shingle with BENCH
+        |  dedup-lines IN OUT [--min-df N] [--compression C]
+        |         remove lines occurring in >= N distinct docs, reassemble
+        |  dedup-spans IN OUT [--window-len L] [--min-df N] [--compression C]
+        |         remove L-token windows occurring in >= N distinct docs
+        |  semdedup IN OUT [--centroids K] [--min-cosine C] [--lsh]
+        |         keep semantic-dedup survivors of an embeddings table
+        |  novelty IN REF [--shingle-k K] [--bloom]
+        |         report corpus novelty of IN against frozen REF""".stripMargin)
 
   private[graft] def run(spark: SparkSession, args: Array[String]): Unit =
     args(0) match {
@@ -245,6 +253,83 @@ object Main {
         val (nIn, nKept) = (probe.count(), spark.read.parquet(out).count())
         System.err.println(
           s"[decontaminate] kept $nKept of $nIn (dropped ${nIn - nKept})")
+
+      case "dedup-lines" =>
+        // dedup-lines IN OUT: drop every line occurring in ≥ --min-df
+        // distinct docs and reassemble; writes the audit+data frame
+        // (doc_id, n_lines, n_kept, n_removed, kept_text).
+        val (in, out) = (args(1), args(2))
+        graft.sources.Preflight.check(spark, in, out)
+        val minDf = arg(args, "--min-df").map(_.toInt).getOrElse(2)
+        val codec = arg(args, "--compression").getOrElse("snappy")
+        val result = graft.llm.LineDedup.dedupCorpusLines(
+          spark.read.parquet(in), minDocFreq = minDf)
+        ParquetSink.write(result, out, codec, partitionCols = Seq.empty)
+        val removed = spark.read.parquet(out)
+          .agg(org.apache.spark.sql.functions.sum("n_removed")).head().getLong(0)
+        System.err.println(s"[dedup-lines] removed $removed lines (df >= $minDf)")
+
+      case "dedup-spans" =>
+        // dedup-spans IN OUT: remove every --window-len token window
+        // occurring in ≥ --min-df distinct docs; writes
+        // (doc_id, n_tokens, n_removed, kept_text).
+        val (in, out) = (args(1), args(2))
+        graft.sources.Preflight.check(spark, in, out)
+        val l = arg(args, "--window-len").map(_.toInt).getOrElse(8)
+        val minDf = arg(args, "--min-df").map(_.toInt).getOrElse(2)
+        val codec = arg(args, "--compression").getOrElse("snappy")
+        val result = graft.llm.SpanDedup.dedupCorpusSpans(
+          spark.read.parquet(in), windowLen = l, minDf = minDf)
+        ParquetSink.write(result, out, codec, partitionCols = Seq.empty)
+        val removed = spark.read.parquet(out)
+          .agg(org.apache.spark.sql.functions.sum("n_removed")).head().getLong(0)
+        System.err.println(
+          s"[dedup-spans] removed $removed tokens (window $l, df >= $minDf)")
+
+      case "semdedup" =>
+        // semdedup IN OUT: semantic dedup over an embeddings table
+        // (vec_id + embedding); keeps rows the dominance rule marks
+        // keep. --lsh switches to the cluster-scoped-LSH scale tier.
+        val (in, out) = (args(1), args(2))
+        graft.sources.Preflight.check(spark, in, out)
+        val kC = arg(args, "--centroids").map(_.toInt).getOrElse(8)
+        val minCos = arg(args, "--min-cosine").map(_.toDouble).getOrElse(0.95)
+        val codec = arg(args, "--compression").getOrElse("snappy")
+        val emb = spark.read.parquet(in)
+        val marks =
+          if (args.contains("--lsh"))
+            graft.llm.Similarity.semDedupMarksLsh(emb, kC, minCos)
+          else graft.llm.Similarity.semDedupMarks(emb, kC, minCos)
+        val kept = emb.join(
+          marks.filter(org.apache.spark.sql.functions.col("keep"))
+            .select("vec_id"),
+          Seq("vec_id"), "left_semi")
+        ParquetSink.write(kept, out, codec, partitionCols = Seq.empty)
+        val (nIn, nKept) = (emb.count(), spark.read.parquet(out).count())
+        System.err.println(
+          s"[semdedup] kept $nKept of $nIn (dropped ${nIn - nKept})")
+
+      case "novelty" =>
+        // novelty IN REF: report-only — per-corpus novelty summary of
+        // IN against the frozen REF corpus; --bloom uses the
+        // sketch-pruned path (identical rows).
+        val (in, ref) = (args(1), args(2))
+        graft.sources.Preflight.checkInput(spark, in)
+        graft.sources.Preflight.checkInput(spark, ref)
+        val k = arg(args, "--shingle-k").map(_.toInt).getOrElse(3)
+        val cand = spark.read.parquet(in)
+        val refDf = spark.read.parquet(ref)
+        val perDoc =
+          if (args.contains("--bloom"))
+            graft.llm.Novelty.noveltyVsReferenceBloom(cand, refDf, k)
+          else graft.llm.Novelty.noveltyVsReference(cand, refDf, k)
+        import org.apache.spark.sql.functions._
+        perDoc.agg(
+          count(lit(1)).as("n_docs"),
+          coalesce(round(avg(col("novelty")), 4), lit(0.0)).as("mean_novelty"),
+          sum(when(col("novelty") === 1.0, 1L).otherwise(0L)).as("n_fully_novel"),
+          sum(when(col("novelty") === 0.0, 1L).otherwise(0L)).as("n_fully_seen"))
+          .show(truncate = false)
 
       case "bench" => graft.Bench.main(Array.empty)
 

@@ -99,6 +99,46 @@ class CliSpec extends AnyFunSuite {
     assert(spark.read.parquet(decOut).count() == 3)
   }
 
+  test("dedup-lines, dedup-spans, semdedup and novelty verbs run end-to-end") {
+    import spark.implicits._
+    val docsDir = TestSpark.tmpDir("cli-ld-in")
+    Seq(
+      (1L, "BANNER LINE\nunique first body"),
+      (2L, "BANNER LINE\nunique second body"),
+      (3L, "only original text here"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(docsDir)
+
+    val ldOut = TestSpark.tmpDir("cli-ld-out") + "/lines"
+    graft.cli.Main.run(spark, Array("dedup-lines", docsDir, ldOut))
+    val ld = spark.read.parquet(ldOut)
+    assert(ld.filter($"doc_id" === 1L).select("kept_text")
+      .as[String].head() == "unique first body")
+
+    val sdOut = TestSpark.tmpDir("cli-sd-out") + "/spans"
+    graft.cli.Main.run(spark,
+      Array("dedup-spans", docsDir, sdOut, "--window-len", "2"))
+    val sd = spark.read.parquet(sdOut)
+    // tokenization crosses the newline, so docs 1+2 share the 2-token
+    // windows "banner line" AND "line unique" → tokens 1-3 removed
+    assert(sd.filter($"doc_id" === 1L)
+      .select("n_removed", "kept_text")
+      .as[(Long, String)].head() == ((3L, "first body")))
+
+    val embDir = TestSpark.tmpDir("cli-sem-in")
+    Tables.embeddings(spark, TestSpark.sf0001)
+      .select("vec_id", "embedding")
+      .write.mode("overwrite").parquet(embDir)
+    val semOut = TestSpark.tmpDir("cli-sem-out") + "/kept"
+    graft.cli.Main.run(spark,
+      Array("semdedup", embDir, semOut, "--min-cosine", "0.35"))
+    val nSem = spark.read.parquet(semOut).count()
+    assert(nSem > 0 && nSem < spark.read.parquet(embDir).count())
+
+    // report-only verb: must not throw, with and without --bloom
+    graft.cli.Main.run(spark, Array("novelty", docsDir, docsDir))
+    graft.cli.Main.run(spark, Array("novelty", docsDir, docsDir, "--bloom"))
+  }
+
   test("profile --approx runs the sketch path") {
     graft.cli.Main.run(spark,
       Array("profile", TestSpark.sf0001, "orders", "--approx"))

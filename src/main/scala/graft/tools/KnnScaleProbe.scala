@@ -51,12 +51,25 @@ object KnnScaleProbe {
     val spark = GraftSession.get()
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val nQueries = args.lift(1).map(_.toInt).getOrElse(1000)
+    // corpus multiplier: replicate the fixture with offset ids so the
+    // scored frame reaches the regime where the window plan's
+    // per-task sort visibly diverges from the heap
+    val mult = args.lift(2).map(_.toInt).getOrElse(1)
     val k = 10
     val metrics = new JobMetrics
     spark.sparkContext.addSparkListener(metrics)
 
-    val emb = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+    val base = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val emb = (if (mult <= 1) base
+      else base
+        .crossJoin(broadcast(
+          spark.range(mult).select(col("id").as("rep"))))
+        .select(
+          (col("vec_id") + col("rep") * 10000000L).as("vec_id"),
+          col("embedding"))
+        .repartition(32))
+      .localCheckpoint(true)
     val queries = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       .localCheckpoint(true)

@@ -134,6 +134,61 @@ object Incremental {
       .drop("__digest")
   }
 
+  /** Shared batch/stream transformation of corpus line dedup's ACT
+    * phase against a FROZEN hot-line set: every trimmed non-blank
+    * line of each incoming document that appears in `hotLines`
+    * (one `line` column — e.g. `LineDedup.lineFrequencies(reference)
+    * .filter(n_docs >= N)`) is removed and the document reassembled.
+    * Output: `(original doc columns minus textCol) + (n_lines,
+    * n_kept, n_removed, kept_text)`.
+    *
+    * Deployment shape: [[graft.llm.LineDedup.dedupCorpusLines]]
+    * derives the hot set from the corpus itself (two corpus-keyed
+    * shuffles — inherently batch); at ingest time the hot set is a
+    * FROZEN model learned from the existing corpus, so cleaning is
+    * pure per-row column algebra against the broadcast line set —
+    * one HOF filter inside the scan's codegen, no aggregation, no
+    * per-doc shuffle — which is exactly what Structured Streaming
+    * supports unchanged in append mode (like [[scoreStream]]'s
+    * frozen vocab). The hot set must be broadcast-bounded; a hot set
+    * too large to broadcast belongs in the batch anti-join path. */
+  def cleanLinesVsHotSet(
+      docs: DataFrame,
+      hotLines: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val hotArr = hotLines.select(col("line")).distinct()
+      .agg(sort_array(collect_list(col("line"))).as("__hot"))
+    val keepCols = docs.columns.filterNot(_ == textCol).map(col).toSeq
+    docs
+      .crossJoin(broadcast(hotArr))
+      .withColumn("__lines",
+        filter(transform(split(coalesce(col(textCol), lit("")), "\n"),
+          l => trim(l)), l => l =!= ""))
+      .withColumn("__kept",
+        filter(col("__lines"), l => !array_contains(col("__hot"), l)))
+      .select(keepCols ++ Seq(
+        size(col("__lines")).cast("long").as("n_lines"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        (size(col("__lines")) - size(col("__kept"))).cast("long")
+          .as("n_removed"),
+        array_join(col("__kept"), "\n").as("kept_text")): _*)
+  }
+
+  /** Streaming arm of [[cleanLinesVsHotSet]] — the boilerplate strip
+    * at ingest, frozen hot set, append mode, memory sink for test
+    * observability; stream ≡ batch pinned in StreamingSpec. */
+  def cleanLinesStream(
+      docs: DataFrame,
+      hotLines: DataFrame,
+      queryName: String): StreamingQuery =
+    cleanLinesVsHotSet(docs, hotLines)
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .start()
+
   /** Streaming incremental dedup (exact phase): drop incoming streamed
     * docs already present in the frozen reference — the continuous
     * arm of [[graft.llm.Dedup.incrementalDedup]]; the near-dup phase

@@ -255,5 +255,85 @@ object StreamQueries {
             WHERE NOT EXISTS (
               SELECT 1 FROM ref r WHERE r.text = i.text)"""))
 
-  def all: Seq[Q] = Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9)
+  /** Stream-static line cleaning, batch twin
+    * ([[Incremental.cleanLinesVsHotSet]] runs unchanged under
+    * readStream — per-row HOF filtering against a broadcast frozen
+    * hot-line set, no aggregation; runtime pinned in StreamingSpec).
+    * Lines are synthesized 8-token chunks (fixture texts have no
+    * newlines — same construction as `dedup_lines_corpus`), a banner
+    * line planted in ~20% of BOTH halves makes the hot set provably
+    * strip it from incoming docs, and the oracle re-derives the
+    * frozen hot set from the reference half and every reassembled
+    * document. */
+  val st10 = Q(
+    "st_clean_lines",
+    (s, d) => {
+      val banner = "streamclean shared banner line"
+      val toks = split(trim(col("text")), "\\s+")
+      val lined = Tables.documents(s, d).select(
+        col("doc_id"),
+        concat(
+          when(col("doc_id") % 100 < 20, lit(banner + "\n"))
+            .otherwise(lit("")),
+          array_join(
+            transform(sequence(lit(0), size(toks) - 1, lit(8)),
+              st => array_join(slice(toks, st + 1, lit(8)), " ")),
+            "\n")).as("text"))
+      val reference = lined.filter(col("doc_id") % 2 === 0)
+      val incoming = lined.filter(col("doc_id") % 2 === 1)
+      val hot = graft.llm.LineDedup.lineFrequencies(reference)
+        .filter(col("n_docs") >= 2).select("line")
+      Incremental.cleanLinesVsHotSet(incoming, hot)
+        .select(
+          col("doc_id"), col("n_lines"), col("n_kept"), col("n_removed"),
+          substring(sha2(col("kept_text"), 256), 1, 16).as("kept_digest"))
+        .orderBy("doc_id")
+        .limit(500)
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+              FROM documents),
+            lined AS (
+              SELECT doc_id,
+                     list_concat(
+                       CASE WHEN doc_id % 100 < 20
+                         THEN ['streamclean shared banner line']
+                         ELSE []::VARCHAR[] END,
+                       list_transform(range(0, GREATEST(len(t), 1), 8),
+                         s -> array_to_string(t[s+1:s+8], ' '))) AS lines
+              FROM toks),
+            exploded AS (
+              SELECT doc_id,
+                     unnest(lines) AS line,
+                     unnest(range(1, len(lines)+1)) AS pos
+              FROM lined),
+            norm AS (
+              SELECT doc_id, trim(line) AS line, pos
+              FROM exploded WHERE trim(line) <> ''),
+            hot AS (
+              SELECT line FROM norm WHERE doc_id % 2 = 0
+              GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2),
+            inc AS (SELECT * FROM norm WHERE doc_id % 2 = 1),
+            kept AS (
+              SELECT i.doc_id, i.line, i.pos FROM inc i
+              WHERE i.line NOT IN (SELECT line FROM hot)),
+            agg AS (
+              SELECT doc_id, COUNT(*) AS n_kept,
+                     string_agg(line, chr(10) ORDER BY pos) AS kept_text
+              FROM kept GROUP BY doc_id),
+            tot AS (
+              SELECT doc_id, COUNT(*) AS n_lines FROM inc GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(t.n_lines, 0) AS n_lines,
+                   COALESCE(a.n_kept, 0) AS n_kept,
+                   COALESCE(t.n_lines, 0) - COALESCE(a.n_kept, 0)
+                     AS n_removed,
+                   substring(sha256(COALESCE(a.kept_text, '')), 1, 16)
+                     AS kept_digest
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+            LEFT JOIN tot t USING (doc_id)
+            LEFT JOIN agg a USING (doc_id)
+            ORDER BY doc_id LIMIT 500"""))
+
+  def all: Seq[Q] = Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10)
 }

@@ -258,6 +258,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(!streamed.exists(_ >= 1000000L))
   }
 
+  test("stream-static line cleaning matches the batch transform") {
+    val srcDir = TestSpark.tmpDir("cleanlines-src")
+    val incoming = Seq(
+      (1L, "HOT BANNER\nunique one"),
+      (2L, "HOT BANNER\nunique two"),
+      (3L, "only fresh text"))
+      .toDF("doc_id", "text")
+    val hot = Seq("HOT BANNER").toDF("line")
+    incoming.write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .parquet(srcDir)
+    val q = graft.streaming.Incremental.cleanLinesStream(
+      stream, hot, "clean_lines_test")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("clean_lines_test")
+      .select("doc_id", "n_removed", "kept_text")
+      .as[(Long, Long, String)].collect().toSet
+    val batch = graft.streaming.Incremental
+      .cleanLinesVsHotSet(incoming, hot)
+      .select("doc_id", "n_removed", "kept_text")
+      .as[(Long, Long, String)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed == Set(
+      (1L, 1L, "unique one"), (2L, 1L, "unique two"),
+      (3L, 0L, "only fresh text")))
+  }
+
   test("stateful streaming sessionize matches batch sessionize") {
     import graft.streaming.Sessionize
     implicit val s: org.apache.spark.sql.SparkSession = spark

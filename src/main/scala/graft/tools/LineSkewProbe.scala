@@ -88,6 +88,18 @@ object LineSkewProbe {
       }
       println(f"PROBE dedup_lines $label removed=${row.getLong(0)} " +
         f"kept=${row.getLong(1)} sec=$tDedup%.2f " + stats.report())
+
+      // span dedup on the same corpus: the banner contributes a run
+      // of hot 8-token windows in half the docs — the window-keyed
+      // analogue of the hot line (xxhash keys, covered-pos explode)
+      stats.reset()
+      val (srow, tSpan) = timed {
+        graft.llm.SpanDedup.dedupCorpusSpans(d, windowLen = 8, minDf = 2)
+          .agg(sum(col("n_removed")).as("removed"),
+            sum(col("n_tokens")).as("toks")).head()
+      }
+      println(f"PROBE dedup_spans $label removed_tokens=${srow.getLong(0)} " +
+        f"total_tokens=${srow.getLong(1)} sec=$tSpan%.2f " + stats.report())
     }
     spark.stop()
   }

@@ -2258,6 +2258,65 @@ object LlmQueries {
             LEFT JOIN agg a USING (doc_id)
             ORDER BY doc_id LIMIT 500"""))
 
+  /** The semDedup SCALE tier, oracle-checked deterministically: at
+    * threshold 0.95 the fixture's natural pairs are all far below
+    * (max pair cosine ≈ 0.51), so the only dominance pairs are the
+    * two planted exact clones of vec 50 — and identical vectors
+    * share every LSH bucket by construction, so the candidate pass
+    * finds them with certainty and the approximate tier's output
+    * equals the exact dominance rule the oracle recomputes (the same
+    * no-false-negatives construction as `llm_contamination_bloom`).
+    * Clone ids keep the low-id original: priority ties on
+    * cos_to_centroid break to the lower id. */
+  val semDedupLshQ = Q(
+    "emb_semdedup_lsh",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val clones = emb.filter(col("vec_id") === 50)
+        .crossJoin(broadcast(
+          s.range(2).select((col("id") + 9000001L).as("clone_id"))))
+        .select(col("clone_id").as("vec_id"), col("embedding"))
+      Similarity.semDedupMarksLsh(
+        emb.unionByName(clones), kCentroids = 8, minCosine = 0.95)
+        .orderBy("vec_id")
+    },
+    Some("""WITH corpus AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings
+              UNION ALL
+              SELECT 9000001 + r.range AS vec_id,
+                     CAST(e.embedding AS DOUBLE[]) AS v
+              FROM embeddings e, range(2) r WHERE e.vec_id = 50),
+            c AS (
+              SELECT vec_id AS c_id, v AS c_vec
+              FROM corpus ORDER BY vec_id LIMIT 8),
+            scored AS (
+              SELECT e.vec_id, c.c_id,
+                     ROUND(list_cosine_similarity(e.v, c.c_vec), 6) AS cos
+              FROM corpus e CROSS JOIN c),
+            best AS (
+              SELECT vec_id, c_id, cos,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY cos DESC, c_id) AS rk
+              FROM scored),
+            asg AS (
+              SELECT b.vec_id, b.c_id AS centroid_id,
+                     ROUND(b.cos, 4) AS cc, e.v
+              FROM best b JOIN corpus e USING (vec_id)
+              WHERE b.rk = 1)
+            SELECT a.vec_id, a.centroid_id,
+                   a.cc AS cos_to_centroid,
+                   NOT EXISTS (
+                     SELECT 1 FROM asg u
+                     WHERE u.centroid_id = a.centroid_id
+                       AND ROUND(list_cosine_similarity(u.v, a.v), 4)
+                             >= 0.95
+                       AND (u.cc > a.cc OR
+                            (u.cc = a.cc AND u.vec_id < a.vec_id))
+                   ) AS keep
+            FROM asg a
+            ORDER BY a.vec_id"""))
+
   /** Substring-span dedup: remove every 8-token window that occurs in
     * ≥2 distinct documents, reassemble, report per doc. The engine
     * ships only xxhash64 window keys through its shuffles; the oracle
@@ -2513,7 +2572,7 @@ object LlmQueries {
 
   def all: Seq[Q] = Seq(
     lineDedup, spanDedup, noveltyPerDoc, noveltyBloom, noveltySummaryQ,
-    clusterProfile, semDedupQ,
+    clusterProfile, semDedupQ, semDedupLshQ,
     hardNegativesQ,
     dedupStats, dedupKeep, nearDupMinhash, nearDupSimhash, dedupClusters,
     dedupClusterKeep, dedupSweep, ngramJaccard, crossSourceDup,

@@ -211,4 +211,60 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+  // ---- round-10 operators: partitioning must never change results ----
+
+  private def docsFixture = {
+    import spark.implicits._
+    Tables.documents(spark, TestSpark.sf0001)
+      .filter($"doc_id" < 200)
+  }
+
+  test("span dedup: repartition-invariant (distributed determinism)") {
+    import graft.llm.SpanDedup
+    val base = SpanDedup.dedupCorpusSpans(docsFixture, windowLen = 5)
+      .orderBy("doc_id").collect().toSeq
+    val reparted = SpanDedup.dedupCorpusSpans(
+        docsFixture.repartition(7), windowLen = 5)
+      .orderBy("doc_id").collect().toSeq
+    assert(reparted == base)
+  }
+
+  test("span dedup conservation: kept + removed tokens = total") {
+    import org.apache.spark.sql.functions._
+    import graft.llm.SpanDedup
+    val out = SpanDedup.dedupCorpusSpans(docsFixture, windowLen = 5)
+      .withColumn("n_kept_tokens",
+        when(col("kept_text") === "", lit(0))
+          .otherwise(size(split(col("kept_text"), " "))))
+    val bad = out.filter(
+      col("n_kept_tokens") + col("n_removed") =!= col("n_tokens")).count()
+    assert(bad == 0L)
+  }
+
+  test("semDedup marks: repartition-invariant, both tiers") {
+    import graft.llm.Similarity
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    for (f <- Seq(
+        Similarity.semDedupMarks(_: org.apache.spark.sql.DataFrame, 8, 0.35),
+        Similarity.semDedupMarksLsh(_: org.apache.spark.sql.DataFrame, 8, 0.35))) {
+      val base = f(emb).orderBy("vec_id").collect().toSeq
+      val reparted = f(emb.repartition(7)).orderBy("vec_id").collect().toSeq
+      assert(reparted == base)
+    }
+  }
+
+  test("line cleaning vs hot set: repartition-invariant and blank-safe") {
+    import spark.implicits._
+    import graft.streaming.Incremental
+    val docs = Seq(
+      (1L, "HOT\nkeep one"), (2L, "keep\n\nHOT"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val hot = Seq("HOT").toDF("line")
+    val base = Incremental.cleanLinesVsHotSet(docs, hot)
+      .orderBy("doc_id").collect().toSeq
+    val reparted = Incremental.cleanLinesVsHotSet(docs.repartition(5), hot)
+      .orderBy("doc_id").collect().toSeq
+    assert(reparted == base)
+    assert(base.map(_.getAs[Long]("n_removed")).sum == 2L)
+  }
 }

@@ -45,6 +45,7 @@ object GraftFunctions {
       BloomExprs.register(spark)
       CountMinExprs.register(spark)
       TopKAgg.register(spark)
+      KllExprs.register(spark)
     }
   }
 }

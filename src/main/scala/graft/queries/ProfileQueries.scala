@@ -290,6 +290,67 @@ object ProfileQueries {
     },
     Some(histQuantileOracle))
 
+  /** a23 — range quantiles from per-day KLL sketches
+    * (`operators/QuantileSketches`): no a-priori domain, a normalized
+    * RANK-error contract instead of the histogram's value bound. KLL
+    * compaction randomizes, so the oracle pins the contract, not the
+    * estimate (the a21 HLL pattern): Spark recomputes each
+    * estimate's TRUE normalized rank over the raw range and asserts
+    * |rank(est) − q| ≤ 0.05 (3× the k=200 ε — deterministically true
+    * in practice), and DuckDB re-derives the exact quantiles and
+    * count and asserts TRUE. */
+  val a23 = Q(
+    "a23_kll_range_quantile",
+    (s, d) => {
+      import graft.operators.QuantileSketches
+      val qs = Seq(0.25, 0.5, 0.75, 0.9)
+      val ev = Tables.events(s, d)
+      val daily = QuantileSketches.sketchPerBucket(
+        ev.withColumn("day", to_date(col("ts"))), "day", "value")
+      val est = QuantileSketches.rangeQuantiles(
+        daily.filter(col("bucket").between("2024-01-02", "2024-01-09")),
+        qs)
+      val rng = ev
+        .filter(to_date(col("ts")).between("2024-01-02", "2024-01-09"))
+        .select(col("value"))
+      // true normalized rank of each estimate, plus exact quantiles
+      val ranked = rng
+        .crossJoin(broadcast(est))
+        .groupBy("q")
+        .agg(
+          count(lit(1)).as("n_range"),
+          avg(when(col("value") <= col("est"), 1.0).otherwise(0.0))
+            .as("est_rank"))
+      val exact = rng.agg(percentile(col("value"),
+        array(qs.map(lit(_)): _*)).as("exact_qs"))
+      ranked.crossJoin(broadcast(exact))
+        .select(
+          col("q"),
+          col("n_range"),
+          round(element_at(col("exact_qs"),
+            array_position(array(qs.map(lit(_)): _*), col("q"))
+              .cast("int")), 4).as("exact_q"),
+          (abs(col("est_rank") - col("q")) <= lit(0.05)).as("within_rank_tol"))
+        .orderBy("q")
+    },
+    Some("""WITH rng AS (
+              SELECT value FROM events
+              WHERE CAST(ts AS DATE)
+                    BETWEEN DATE '2024-01-02' AND DATE '2024-01-09'),
+            qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.9]::DOUBLE[]) AS q),
+            x AS (
+              SELECT quantile_cont(value, [0.25, 0.5, 0.75, 0.9]) AS eq,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM rng)
+            SELECT q, x.n AS n_range,
+                   ROUND(x.eq[CASE q WHEN 0.25 THEN 1
+                                     WHEN 0.5 THEN 2
+                                     WHEN 0.75 THEN 3
+                                     ELSE 4 END], 4) AS exact_q,
+                   TRUE AS within_rank_tol
+            FROM qs, x
+            ORDER BY q"""))
+
   // def, not val: referenced by a22/a22x above during object init —
   // a later-declared val would still be null at that point
   private def histQuantileOracle: String = """WITH rng AS (
@@ -331,5 +392,5 @@ object ProfileQueries {
             FROM est e, exact x
             ORDER BY e.q"""
 
-  def all: Seq[Q] = Seq(a13, a7x, a13x, a21, a22, a22x, dq1)
+  def all: Seq[Q] = Seq(a13, a7x, a13x, a21, a22, a22x, a23, dq1)
 }

@@ -122,12 +122,17 @@ object KllExprs {
       copy(left = newLeft, right = newRight)
   }
 
-  def register(spark: SparkSession): Unit = {
-    spark.udf.register("kll_sketch_agg", udaf(kllAgg))
-    spark.udf.register("kll_merge_agg", udaf(kllMergeAgg))
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "kll_quantile", exprs => KllQuantile(exprs(0), exprs(1)), "built-in")
-  }
+  /** Idempotent: operator entry points call this defensively on every
+    * invocation (UDAFs can't ride the extension injector, so unlike
+    * the codegen expressions these must exist per session state), and
+    * re-registering would spam "function replaced" warnings. */
+  def register(spark: SparkSession): Unit =
+    if (!spark.catalog.functionExists("kll_quantile")) {
+      spark.udf.register("kll_sketch_agg", udaf(kllAgg))
+      spark.udf.register("kll_merge_agg", udaf(kllMergeAgg))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "kll_quantile", exprs => KllQuantile(exprs(0), exprs(1)), "built-in")
+    }
 
   def kll_sketch_agg(value: Column): Column =
     call_function("kll_sketch_agg", value)

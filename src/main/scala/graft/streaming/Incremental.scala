@@ -308,6 +308,43 @@ object Incremental {
       .start()
   }
 
+  /** Streaming quantile-sketch log: per micro-batch, ONE KLL sketch
+    * row of `valueCol` appended to a queryable parquet sketch log —
+    * the streaming arm of [[graft.operators.QuantileSketches]].
+    * Because KLL merge is associative/commutative, any range of
+    * logged batches answers quantile queries by merging its ~KB
+    * sketch rows (`QuantileSketches.rangeQuantilesFromTable` with a
+    * batch_id predicate) — no raw-event retention, no reprocessing.
+    * Same idempotent-sink contract as [[driftStream]]: each batch
+    * overwrites its own `batch_id=` partition, so a replay after a
+    * mid-write crash cannot duplicate a sketch row; per-batch cost is
+    * one map-side-partial sketch aggregate over the batch. */
+  def quantileSketchStream(
+      events: DataFrame,
+      valueCol: String,
+      destDir: String,
+      checkpointDir: String): StreamingQuery = {
+    import graft.functions.KllExprs
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        KllExprs.register(batch.sparkSession)
+        batch
+          .filter(col(valueCol).isNotNull)
+          .agg(KllExprs.kll_sketch_agg(col(valueCol).cast("double"))
+            .as("sketch"))
+          .select(lit(id).as("bucket"), col("sketch"))
+          .withColumn("batch_id", lit(id))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(destDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming numeric-PSI monitor: per micro-batch, the total PSI of
     * the batch's `valueCol` distribution against a FROZEN reference
     * (same fixed-yardstick rationale as [[driftStream]] — batches

@@ -145,6 +145,45 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming quantile-sketch log answers range queries over batches") {
+    import graft.operators.QuantileSketches
+    val srcDir = TestSpark.tmpDir("kll-src")
+    val destDir = TestSpark.tmpDir("kll-log")
+    val ckDir = TestSpark.tmpDir("kll-ck")
+    // two batches with disjoint value ranges so the merged answer is
+    // checkable: batch A = 1..100, batch B = 1001..1100
+    (1 to 100).map(_.toDouble).toDF("value")
+      .repartition(1).write.mode("append").parquet(srcDir)
+    (1001 to 1100).map(_.toDouble).toDF("value")
+      .repartition(1).write.mode("append").parquet(srcDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val q = graft.streaming.Incremental.quantileSketchStream(
+      stream, "value", destDir, ckDir)
+    q.awaitTermination()
+
+    val log = spark.read.parquet(destDir)
+    assert(log.count() == 2, "one sketch row per micro-batch")
+    // merged over BOTH batches: n=200, max=1100, median on the
+    // batch boundary (small n → sketch exact)
+    val all = QuantileSketches.rangeQuantilesFromTable(
+        spark, destDir, lit(true), Seq(0.5, 1.0))
+      .as[(Double, Double)].collect().toMap
+    assert(all(1.0) == 1100.0)
+    assert(all(0.5) == 100.0 || all(0.5) == 1001.0,
+      s"median must sit on the batch boundary: ${all(0.5)}")
+    // single-batch range query: only batch A's sketch participates
+    // partition-discovered batch_id infers as int — read numerically
+    val firstBatch = log.agg(min("batch_id")).head()
+      .getAs[Number](0).longValue()
+    val a = QuantileSketches.rangeQuantilesFromTable(
+        spark, destDir, col("batch_id") === firstBatch, Seq(1.0))
+      .as[(Double, Double)].head()
+    assert(a._2 == 100.0)
+  }
+
   test("stream-static model scoring matches the frozen batch scorer") {
     val docsDir = TestSpark.tmpDir("docs-score-src")
     Tables.documents(spark, TestSpark.sf0001)

@@ -2368,6 +2368,68 @@ object LlmQueries {
             FROM documents d LEFT JOIN kept kp USING (doc_id)
             ORDER BY doc_id LIMIT 500"""))
 
+  /** Deep-clean composition over the new dedup family — span dedup,
+    * then exact dedup on the CLEANED text (span removal collapses
+    * boilerplate-differing docs onto identical remainders that plain
+    * exact dedup misses), per-source audit. One lazy plan; the oracle
+    * recomposes every stage string-keyed in a single statement. */
+  val deepClean = Q(
+    "pipeline_deep_clean",
+    (s, d) =>
+      SpanDedup.deepCleanStats(
+        Tables.documents(s, d), windowLen = 8, minDf = 2)
+        .orderBy("source"),
+    Some("""WITH tok AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(coalesce(text, ''))),
+                       '\s+') AS ts
+              FROM documents),
+            win AS (
+              SELECT doc_id, t.i AS pos,
+                     array_to_string(ts[t.i:t.i+7], ' ') AS w
+              FROM tok, UNNEST(range(1, greatest(len(ts) - 6, 1))) AS t(i)),
+            hot AS (
+              SELECT w FROM win GROUP BY w
+              HAVING COUNT(DISTINCT doc_id) >= 2),
+            covered AS (
+              SELECT DISTINCT doc_id, pos + o.off AS tp
+              FROM win JOIN hot USING (w),
+                   UNNEST(range(0, 8)) AS o(off)),
+            tokens AS (
+              SELECT doc_id, t.i AS tp, ts[t.i] AS tok
+              FROM tok, UNNEST(range(1, len(ts) + 1)) AS t(i)),
+            kept AS (
+              SELECT k.doc_id,
+                     COUNT(*) AS n_tokens,
+                     CAST(COUNT(c.tp) AS BIGINT) AS n_removed,
+                     COALESCE(string_agg(
+                       CASE WHEN c.tp IS NULL THEN k.tok END, ' '
+                       ORDER BY k.tp), '') AS kept_text
+              FROM tokens k
+              LEFT JOIN covered c
+                ON c.doc_id = k.doc_id AND c.tp = k.tp
+              GROUP BY k.doc_id),
+            clean AS (
+              SELECT d.doc_id, d.source,
+                     COALESCE(kp.n_tokens, 0) AS n_tokens,
+                     COALESCE(kp.n_removed, 0) AS n_removed,
+                     COALESCE(kp.kept_text, '') AS kept_text
+              FROM documents d LEFT JOIN kept kp USING (doc_id)),
+            rked AS (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY sha256(kept_text) ORDER BY doc_id) AS rk
+              FROM clean)
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   COUNT(CASE WHEN n_removed = n_tokens
+                              AND n_tokens > 0 THEN 1 END) AS n_emptied,
+                   COUNT(CASE WHEN rk > 1 THEN 1 END) AS n_exact_dropped,
+                   COUNT(CASE WHEN rk = 1 THEN 1 END) AS n_kept,
+                   CAST(SUM(n_tokens) AS BIGINT) AS tokens_in,
+                   CAST(SUM(CASE WHEN rk = 1 THEN n_tokens - n_removed
+                                 ELSE 0 END) AS BIGINT) AS tokens_kept
+            FROM rked GROUP BY source ORDER BY source"""))
+
   /** Shared DuckDB CTE for the novelty oracles: k=3 word shingles per
     * doc (same list-comprehension idiom the ngramJaccard oracle pins
     * against the codegen WordShingles expression). */
@@ -2571,7 +2633,7 @@ object LlmQueries {
             WHERE rank <= 5 ORDER BY q_id, rank"""))
 
   def all: Seq[Q] = Seq(
-    lineDedup, spanDedup, noveltyPerDoc, noveltyBloom, noveltySummaryQ,
+    lineDedup, spanDedup, deepClean, noveltyPerDoc, noveltyBloom, noveltySummaryQ,
     clusterProfile, semDedupQ, semDedupLshQ,
     hardNegativesQ,
     dedupStats, dedupKeep, nearDupMinhash, nearDupSimhash, dedupClusters,

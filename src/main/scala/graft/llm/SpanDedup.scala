@@ -126,4 +126,48 @@ object SpanDedup {
         coalesce(col("n_removed"), lit(0L)).as("n_removed"),
         coalesce(col("kept_text"), lit("")).as("kept_text"))
   }
+
+  /** Deep-clean composition: span dedup, then EXACT dedup over the
+    * cleaned text (span removal makes boilerplate-differing documents
+    * collapse to identical remainders — running exact dedup before
+    * span removal would miss them), keep-lowest-id per digest, rolled
+    * up per `sourceCol`: `(source, n_docs, n_emptied, n_exact_dropped,
+    * n_kept, tokens_in, tokens_kept)`. One lazy plan; the span stage's
+    * shuffles are window-hash-keyed, the exact stage is one digest
+    * window, the roll-up is a ≤|sources|-key aggregate. `n_emptied`
+    * (documents whose every token was corpus-duplicated) stays in
+    * `n_kept` accounting only if their empty remainder survives the
+    * digest dedup — all empties share one digest, so at most ONE
+    * empty doc survives per corpus, the usual curation gate drops it
+    * downstream. */
+  def deepCleanStats(
+      docs: DataFrame,
+      windowLen: Int = 8,
+      minDf: Int = 2,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // digest computed BEFORE the window so the exchange carries
+    // (id, source, counts, 32-B digest), never the cleaned text
+    val cleaned = dedupCorpusSpans(docs, windowLen, minDf, idCol, textCol)
+      .join(docs.select(col(idCol), col(sourceCol)), Seq(idCol))
+      .select(col(idCol), col(sourceCol), col("n_tokens"),
+        col("n_removed"),
+        Dedup.contentHash(col("kept_text")).as("__digest"))
+    val ranked = cleaned.withColumn("rk",
+      row_number().over(
+        Window.partitionBy(col("__digest")).orderBy(col(idCol))))
+    ranked
+      .groupBy(sourceCol)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("n_removed") === col("n_tokens") &&
+          col("n_tokens") > 0, 1)).as("n_emptied"),
+        count(when(col("rk") > 1, 1)).as("n_exact_dropped"),
+        count(when(col("rk") === 1, 1)).as("n_kept"),
+        sum(col("n_tokens")).as("tokens_in"),
+        sum(when(col("rk") === 1, col("n_tokens") - col("n_removed"))
+          .otherwise(lit(0L))).as("tokens_kept"))
+  }
 }

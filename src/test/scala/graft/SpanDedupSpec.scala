@@ -56,6 +56,29 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(got(2) == ((3L, 1L, 0L, "")))
   }
 
+  test("deep clean: span removal exposes exact dups plain dedup misses") {
+    // docs 1 and 2 differ ONLY in their boilerplate banner (which is
+    // corpus-duplicated via docs 3/4) — after span removal both
+    // collapse to "core payload text", so the exact stage drops one;
+    // plain exact dedup on the RAW text would have kept both
+    val rows = Seq(
+      (1L, "banner one two three four five six seven core payload text", "a"),
+      (2L, "other one two three four five six seven core payload text", "a"),
+      (3L, "banner one two three four five six seven tail x", "b"),
+      (4L, "other one two three four five six seven tail y", "b"))
+      .toDF("doc_id", "text", "source")
+    val got = SpanDedup.deepCleanStats(rows, windowLen = 8, minDf = 2)
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // source a: both docs reduce to "core payload text" (8-windows
+    // starting at 'one..' and beyond are shared) → one exact drop
+    val a = got.head
+    assert(a._1 == "a" && a._2 == 2L && a._4 == 1L && a._5 == 1L,
+      s"expected one exact drop in source a: $a")
+    // raw texts are pairwise distinct — plain exact dedup finds none
+    assert(rows.select("text").distinct().count() == 4L)
+  }
+
   test("hotWindows audit counts distinct docs per window") {
     val hot = SpanDedup.hotWindows(Seq(
         (1L, "a b c d"),

@@ -46,6 +46,7 @@ object GraftFunctions {
       CountMinExprs.register(spark)
       TopKAgg.register(spark)
       KllExprs.register(spark)
+      ThetaExprs.register(spark)
     }
   }
 }

@@ -21,14 +21,16 @@ import org.apache.spark.sql.functions._
   * original order.
   *
   * Scale: the only shuffles are keyed on the LINE (distinct + count
-  * partial-aggregate, then the anti join) and one keyed on the doc id
-  * for reassembly — never doc×doc, and the text of a document never
-  * joins against another document's text. A pathologically hot line
-  * (one banner in billions of docs) concentrates its copies in the
-  * anti join's reducer; that is exactly the shape AQE skew-join
-  * splitting handles (enabled in [[graft.GraftSession]]), and the
-  * count side is two-phase (line,doc) partial aggregation so no
-  * reducer ever sees more than one row per (line, doc).
+  * partial-aggregate, then the removed-line probe join) and one keyed
+  * on the doc id for reassembly — never doc×doc, and the text of a
+  * document never joins against another document's text. A
+  * pathologically hot line (one banner in billions of docs)
+  * concentrates its copies in the probe join's reducer; that is
+  * exactly the shape AQE skew-join splitting handles (enabled in
+  * [[graft.GraftSession]], measured in LineSkewProbe /
+  * SCALE_PROBES.md), and the count side is two-phase (line,doc)
+  * partial aggregation so no reducer ever sees more than one row per
+  * (line, doc).
   */
 object LineDedup {
 

@@ -351,6 +351,53 @@ object ProfileQueries {
             FROM qs, x
             ORDER BY q"""))
 
+  /** a24 — week-over-week user retention from per-day THETA sketches
+    * (`operators/ThetaSketches`): |users(week1) ∩ users(week2)| by
+    * unioning each week's daily sketches and intersecting the two —
+    * the overlap question the HLL table (a21) cannot answer. The
+    * fixture's per-day distinct users sit far below the lgK=14
+    * retained-entry budget, so the sketches are in EXACT mode and
+    * the estimate must equal the true overlap; the audit still emits
+    * the a21-style tolerance boolean (|est − exact| ≤ 5%) as the
+    * contract that holds when a 100 TB corpus pushes the sketches
+    * into estimation. */
+  val a24 = Q(
+    "a24_theta_week_overlap",
+    (s, d) => {
+      import graft.operators.ThetaSketches
+      val ev = Tables.events(s, d)
+      val daily = ThetaSketches.sketchPerBucket(
+        ev.withColumn("day", to_date(col("ts"))), "day", "user_id")
+      val est = ThetaSketches.overlapEstimate(
+        daily,
+        col("bucket").between("2024-01-01", "2024-01-07"),
+        col("bucket").between("2024-01-08", "2024-01-14"))
+      val wk1 = ev.filter(
+        to_date(col("ts")).between("2024-01-01", "2024-01-07"))
+        .select("user_id").distinct()
+      val wk2 = ev.filter(
+        to_date(col("ts")).between("2024-01-08", "2024-01-14"))
+        .select("user_id").distinct()
+      val exact = wk1.join(wk2, Seq("user_id"), "left_semi")
+        .agg(count(lit(1)).as("exact_overlap"))
+      exact.crossJoin(broadcast(est))
+        .select(
+          col("exact_overlap"),
+          (abs(col("overlap_est") - col("exact_overlap")) <=
+            col("exact_overlap").cast("double") * 0.05)
+            .as("within_tol"))
+    },
+    Some("""SELECT CAST(COUNT(*) AS BIGINT) AS exact_overlap,
+                   TRUE AS within_tol
+            FROM (
+              SELECT DISTINCT user_id FROM events
+              WHERE CAST(ts AS DATE)
+                    BETWEEN DATE '2024-01-01' AND DATE '2024-01-07'
+              INTERSECT
+              SELECT DISTINCT user_id FROM events
+              WHERE CAST(ts AS DATE)
+                    BETWEEN DATE '2024-01-08' AND DATE '2024-01-14')"""))
+
   // def, not val: referenced by a22/a22x above during object init —
   // a later-declared val would still be null at that point
   private def histQuantileOracle: String = """WITH rng AS (
@@ -392,5 +439,5 @@ object ProfileQueries {
             FROM est e, exact x
             ORDER BY e.q"""
 
-  def all: Seq[Q] = Seq(a13, a7x, a13x, a21, a22, a22x, a23, dq1)
+  def all: Seq[Q] = Seq(a13, a7x, a13x, a21, a22, a22x, a23, a24, dq1)
 }

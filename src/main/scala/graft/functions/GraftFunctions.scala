@@ -34,7 +34,7 @@ object GraftFunctions {
 
   private def doRegister(spark: SparkSession): Unit = {
     // Sessions built with spark.sql.extensions=graft.GraftExtensions
-    // already have every function injected — re-registering them as
+    // already have every EXPRESSION injected — re-registering them as
     // temp functions would only shadow the injected ones and log
     // "function X replaced" warnings. Probe one marker function.
     if (!spark.catalog.functionExists("minhash_bands")) {
@@ -45,8 +45,12 @@ object GraftFunctions {
       BloomExprs.register(spark)
       CountMinExprs.register(spark)
       TopKAgg.register(spark)
-      KllExprs.register(spark)
-      ThetaExprs.register(spark)
     }
+    // UDAF-bearing modules cannot ride the extension injector
+    // (injectFunction takes Expression builders, not UDAFs), so they
+    // register on EVERY session — including extension-backed ones —
+    // and guard their own idempotence.
+    KllExprs.register(spark)
+    ThetaExprs.register(spark)
   }
 }

@@ -2278,6 +2278,7 @@ object LlmQueries {
         .select(col("clone_id").as("vec_id"), col("embedding"))
       Similarity.semDedupMarksLsh(
         emb.unionByName(clones), kCentroids = 8, minCosine = 0.95)
+        .select("vec_id", "centroid_id", "keep")
         .orderBy("vec_id")
     },
     Some("""WITH corpus AS (
@@ -2305,7 +2306,6 @@ object LlmQueries {
               FROM best b JOIN corpus e USING (vec_id)
               WHERE b.rk = 1)
             SELECT a.vec_id, a.centroid_id,
-                   a.cc AS cos_to_centroid,
                    NOT EXISTS (
                      SELECT 1 FROM asg u
                      WHERE u.centroid_id = a.centroid_id
@@ -2562,12 +2562,18 @@ object LlmQueries {
     * The threshold (0.35) sits in the fixture's natural pair-cosine
     * tail — ~the 99.9th percentile — so real drops occur without any
     * planting; the oracle re-derives assignment, pairwise cosine and
-    * the dominance EXISTS row for row. */
+    * the dominance EXISTS row for row. The hashed output is the MARKS
+    * (vec_id, centroid_id, keep) — cos_to_centroid is excluded
+    * because a raw-cosine low-order-bit divergence between engines at
+    * a ROUND(x,4) boundary (~1 row in 2000 at sf0.1) would flip a
+    * display digit while every mark still agrees; same policy in the
+    * LSH twin. */
   val semDedupQ = Q(
     "emb_semdedup",
     (s, d) =>
       Similarity.semDedupMarks(
         Tables.embeddings(s, d), kCentroids = 8, minCosine = 0.35)
+        .select("vec_id", "centroid_id", "keep")
         .orderBy("vec_id"),
     Some("""WITH c AS (
               SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c_vec
@@ -2589,7 +2595,6 @@ object LlmQueries {
               FROM best b JOIN embeddings e USING (vec_id)
               WHERE b.rk = 1)
             SELECT a.vec_id, a.centroid_id,
-                   a.cc AS cos_to_centroid,
                    NOT EXISTS (
                      SELECT 1 FROM asg u
                      WHERE u.centroid_id = a.centroid_id

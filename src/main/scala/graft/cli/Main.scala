@@ -36,7 +36,7 @@ object Main {
 
   private def usage(): Unit =
     System.err.println(
-      """usage: graft.cli.Main <convert|query|sql|lint|profile|optimize|manifest|vacuum|curate|dedup-incremental|decontaminate|dedup-lines|dedup-spans|semdedup|novelty|bench> ...
+      """usage: graft.cli.Main <convert|query|sql|lint|profile|optimize|manifest|vacuum|curate|dedup-incremental|decontaminate|dedup-lines|dedup-spans|semdedup|novelty|sketch-build|sketch-query|bench> ...
         |  convert DATA [--output-path P] [--agency A] [--compression C]
         |  query SFDIR NAME...
         |  sql SFDIR "SELECT ..."
@@ -58,7 +58,11 @@ object Main {
         |  semdedup IN OUT [--centroids K] [--min-cosine C] [--lsh]
         |         keep semantic-dedup survivors of an embeddings table
         |  novelty IN REF [--shingle-k K] [--bloom]
-        |         report corpus novelty of IN against frozen REF""".stripMargin)
+        |         report corpus novelty of IN against frozen REF
+        |  sketch-build IN OUT --type hll|kll|theta|hist --bucket C --key C
+        |         [--lo X --hi Y --bins N]   per-bucket sketch table
+        |  sketch-query PATH --type hll|kll|theta [--from B --to B]
+        |         [--q 0.25,0.5] [--b-from B --b-to B]   query it""".stripMargin)
 
   private[graft] def run(spark: SparkSession, args: Array[String]): Unit =
     args(0) match {
@@ -330,6 +334,79 @@ object Main {
           sum(when(col("novelty") === 1.0, 1L).otherwise(0L)).as("n_fully_novel"),
           sum(when(col("novelty") === 0.0, 1L).otherwise(0L)).as("n_fully_seen"))
           .show(truncate = false)
+
+      case "sketch-build" =>
+        // sketch-build IN OUT --type hll|kll|theta|hist --bucket C --key C
+        //   [--lo X --hi Y --bins N]   (hist only: fixed domain)
+        // One per-bucket sketch row per bucket value; append new
+        // buckets by re-running with a bucket filter upstream.
+        val (in, out) = (args(1), args(2))
+        graft.sources.Preflight.check(spark, in, out)
+        val bucket = arg(args, "--bucket").getOrElse("day")
+        val key = arg(args, "--key").getOrElse("user_id")
+        val df = spark.read.parquet(in)
+        arg(args, "--type").getOrElse("hll") match {
+          case "hll" =>
+            graft.operators.DistinctSketches
+              .writeSketchTable(df, bucket, key, out)
+          case "kll" =>
+            graft.operators.QuantileSketches
+              .writeSketchTable(df, bucket, key, out)
+          case "theta" =>
+            graft.operators.ThetaSketches
+              .writeSketchTable(df, bucket, key, out)
+          case "hist" =>
+            graft.operators.HistogramSketch.writeHistogramTable(
+              df, bucket, key,
+              arg(args, "--lo").map(_.toDouble).getOrElse(0.0),
+              arg(args, "--hi").map(_.toDouble).getOrElse(500.0),
+              arg(args, "--bins").map(_.toInt).getOrElse(64),
+              outPath = out, rangeFiles = 8)
+          case t => throw new IllegalArgumentException(
+            s"unknown sketch type: $t (hll|kll|theta|hist)")
+        }
+        System.err.println(s"[sketch-build] ${spark.read.parquet(out).count()} " +
+          "bucket rows written")
+
+      case "sketch-query" =>
+        // sketch-query PATH --type hll|kll|theta [--from B --to B]
+        //   [--q 0.25,0.5]             (kll: quantile ranks)
+        //   [--b-from B --b-to B]      (theta: second range → overlap)
+        // Answers from the sketch table alone — no raw-data scan.
+        val path = args(1)
+        graft.sources.Preflight.checkInput(spark, path)
+        import org.apache.spark.sql.functions.{col, lit}
+        def rangePred(fromFlag: String, toFlag: String) =
+          (arg(args, fromFlag), arg(args, toFlag)) match {
+            case (Some(a), Some(b)) => col("bucket").between(a, b)
+            case (Some(a), None) => col("bucket") >= a
+            case (None, Some(b)) => col("bucket") <= b
+            case _ => lit(true)
+          }
+        arg(args, "--type").getOrElse("hll") match {
+          case "hll" =>
+            val est = graft.operators.DistinctSketches.estimateRange(
+              spark, path, rangePred("--from", "--to"))
+            println(s"""{"distinct_estimate":$est}""")
+          case "kll" =>
+            val qs = arg(args, "--q").getOrElse("0.5")
+              .split(',').map(_.trim.toDouble).toSeq
+            val rows = graft.operators.QuantileSketches
+              .rangeQuantilesFromTable(
+                spark, path, rangePred("--from", "--to"), qs)
+              .collect()
+              .map(r => s""""${r.getDouble(0)}":${r.get(1)}""")
+            println(rows.mkString("{", ",", "}"))
+          case "theta" =>
+            val est = graft.operators.ThetaSketches.overlapFromTable(
+                spark, path,
+                rangePred("--from", "--to"),
+                rangePred("--b-from", "--b-to"))
+              .head().getDouble(0)
+            println(s"""{"overlap_estimate":$est}""")
+          case t => throw new IllegalArgumentException(
+            s"unknown sketch type: $t (hll|kll|theta)")
+        }
 
       case "bench" => graft.Bench.main(Array.empty)
 

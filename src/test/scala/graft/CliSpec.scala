@@ -139,6 +139,40 @@ class CliSpec extends AnyFunSuite {
     graft.cli.Main.run(spark, Array("novelty", docsDir, docsDir, "--bloom"))
   }
 
+  test("sketch-build and sketch-query verbs run end-to-end") {
+    import spark.implicits._
+    val evDir = TestSpark.tmpDir("cli-sk-in")
+    Tables.events(spark, TestSpark.sf0001)
+      .select(org.apache.spark.sql.functions.to_date($"ts").as("day"),
+        $"user_id", $"value")
+      .write.mode("overwrite").parquet(evDir)
+
+    val kllOut = TestSpark.tmpDir("cli-sk-out") + "/kll"
+    graft.cli.Main.run(spark, Array("sketch-build", evDir, kllOut,
+      "--type", "kll", "--bucket", "day", "--key", "value"))
+    assert(spark.read.parquet(kllOut).columns.toSet == Set("bucket", "sketch"))
+    graft.cli.Main.run(spark, Array("sketch-query", kllOut,
+      "--type", "kll", "--q", "0.5,0.9"))
+
+    val thetaOut = TestSpark.tmpDir("cli-sk-out2") + "/theta"
+    graft.cli.Main.run(spark, Array("sketch-build", evDir, thetaOut,
+      "--type", "theta", "--bucket", "day", "--key", "user_id"))
+    graft.cli.Main.run(spark, Array("sketch-query", thetaOut,
+      "--type", "theta",
+      "--from", "2024-01-01", "--to", "2024-01-03",
+      "--b-from", "2024-01-04", "--b-to", "2024-01-06"))
+
+    val hllOut = TestSpark.tmpDir("cli-sk-out3") + "/hll"
+    graft.cli.Main.run(spark, Array("sketch-build", evDir, hllOut,
+      "--type", "hll", "--bucket", "day", "--key", "user_id"))
+    graft.cli.Main.run(spark, Array("sketch-query", hllOut, "--type", "hll"))
+
+    intercept[IllegalArgumentException] {
+      graft.cli.Main.run(spark, Array("sketch-build", evDir,
+        TestSpark.tmpDir("cli-sk-bad") + "/x", "--type", "nope"))
+    }
+  }
+
   test("profile --approx runs the sketch path") {
     graft.cli.Main.run(spark,
       Array("profile", TestSpark.sf0001, "orders", "--approx"))

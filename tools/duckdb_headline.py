@@ -24,6 +24,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def _timed(con, sql: str) -> float:
+    t0 = time.perf_counter()
+    con.execute(sql).fetchall()
+    return time.perf_counter() - t0
+
+
 def main(sf_dir: str, sql_json: str) -> int:
     con = duckdb.connect()
     for t in TABLES:
@@ -35,9 +41,14 @@ def main(sf_dir: str, sql_json: str) -> int:
     per = {}
     for name, sql in sorted(sqls.items()):
         con.execute(sql).fetchall()  # warm: page cache + plan
-        t0 = time.perf_counter()
-        con.execute(sql).fetchall()
-        dt = time.perf_counter() - t0
+        # best of 3 warm passes, mirroring the Spark side's headline
+        # methodology: DuckDB's parallel window operator in particular
+        # swings 4x run-to-run, and a single sample hands that jitter
+        # to whichever side drew the slow run
+        dt = min(
+            _timed(con, sql),
+            _timed(con, sql),
+            _timed(con, sql))
         per[name] = round(dt, 4)
         total += dt
     print(json.dumps({"total": round(total, 4), "queries": per}))

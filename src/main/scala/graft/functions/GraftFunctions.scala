@@ -46,11 +46,5 @@ object GraftFunctions {
       CountMinExprs.register(spark)
       TopKAgg.register(spark)
     }
-    // UDAF-bearing modules cannot ride the extension injector
-    // (injectFunction takes Expression builders, not UDAFs), so they
-    // register on EVERY session — including extension-backed ones —
-    // and guard their own idempotence.
-    KllExprs.register(spark)
-    ThetaExprs.register(spark)
   }
 }

@@ -324,14 +324,13 @@ object Incremental {
       valueCol: String,
       destDir: String,
       checkpointDir: String): StreamingQuery = {
-    import graft.functions.KllExprs
     events.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        KllExprs.register(batch.sparkSession)
         batch
           .filter(col(valueCol).isNotNull)
-          .agg(KllExprs.kll_sketch_agg(col(valueCol).cast("double"))
-            .as("sketch"))
+          .agg(call_function("kll_sketch_agg_double",
+            col(valueCol).cast("double"),
+            lit(graft.operators.QuantileSketches.DefaultK)).as("sketch"))
           .select(lit(id).as("bucket"), col("sketch"))
           .withColumn("batch_id", lit(id))
           .write.mode("overwrite")

@@ -41,30 +41,6 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(topk.length == 3)
   }
 
-  test("UDAF modules register on extension-backed sessions (no injector path)") {
-    // kll/theta are UDAF-based — injectFunction can't carry them, so
-    // GraftFunctions.register must install them even when the
-    // expression probe says the extension already ran
-    val s2 = spark.newSession()
-    graft.functions.GraftFunctions.register(s2)
-    import s2.implicits._
-    val med = {
-      val df = (1 to 100).map(_.toDouble).toDF("v")
-      df.createOrReplaceTempView("kll_ext_t")
-      s2.sql("""SELECT kll_quantile(kll_sketch_agg(v),
-                  CAST(1.0 AS DOUBLE)) AS m FROM kll_ext_t""")
-        .as[Double].head()
-    }
-    assert(med == 100.0)
-    val est = {
-      (1L to 50L).toDF("u").createOrReplaceTempView("theta_ext_t")
-      s2.sql("""SELECT theta_intersect_estimate(
-                  theta_sketch_agg(u), theta_sketch_agg(u)) AS e
-                FROM theta_ext_t""").as[Double].head()
-    }
-    assert(est == 50.0)
-  }
-
   test("cartesian guard rejects unkeyed joins at analysis time when enabled") {
     val s2 = spark.newSession()
     s2.conf.set("spark.graft.failOnCartesian", "true")

@@ -3,7 +3,6 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-import graft.functions.KllExprs
 import graft.operators.QuantileSketches
 
 /** KLL quantile-sketch laws: the rank-error contract (the only thing
@@ -75,12 +74,12 @@ class KllSpec extends AnyFunSuite {
     assert(math.abs(est(0.5) - 50.0) <= 1.0)
   }
 
-  test("SQL surface resolves: kll_sketch_agg + kll_quantile") {
-    KllExprs.register(spark)
+  test("SQL surface resolves via Spark's native KLL functions") {
     (1 to 50).map(i => i.toDouble).toDF("v")
       .createOrReplaceTempView("kll_probe")
     val out = spark.sql(
-      """SELECT kll_quantile(kll_sketch_agg(v), CAST(1.0 AS DOUBLE)) AS m
+      """SELECT kll_sketch_get_quantile_double(
+           kll_sketch_agg_double(v), CAST(1.0 AS DOUBLE)) AS m
          FROM kll_probe""").as[Double].head()
     assert(out == 50.0)
   }

@@ -83,9 +83,22 @@ object GraftSession {
       // The engine's bounded heaps (collect_top_k in knnJoin /
       // hardNegatives: k entries per key) stay tiny per key, and the
       // fallback would resurrect exactly the full-partition sort the
-      // aggregate exists to avoid, so allow far more keys in memory.
+      // aggregate exists to avoid, so allow more keys in memory.
+      //
+      // Sizing — the conf is session-wide, so it must be safe for the
+      // WORST per-key state it governs, which is not the top-k heaps
+      // (k structs ≈ 1 KB/key) but the unbounded collect_list document
+      // buffers in LineDedup/SpanDedup reassembly (a full document per
+      // key). 4096 keys/task bounds that path to ~40 MB/task at 10 KB
+      // average documents (vs 640 MB at the earlier 65536 — a real
+      // executor-OOM window at 100 TB corpus document sizes), while
+      // still covering every knnJoin/hardNegatives probe batch up to
+      // 4096 query vectors per map task with zero sort fallback.
+      // Larger query batches degrade to the sort-based plan — slower,
+      // never wrong — and should be chunked by the caller anyway (the
+      // batch is broadcast, so it is bounded by driver memory first).
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "65536")
+        "4096")
       .config("spark.ui.enabled", "false")
     if (sys.props.get("spark.master").isEmpty &&
       sys.env.get("MASTER").isEmpty) b.master(s"local[$n]") else b

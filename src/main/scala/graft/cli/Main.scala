@@ -268,9 +268,16 @@ object Main {
         val codec = arg(args, "--compression").getOrElse("snappy")
         val result = graft.llm.LineDedup.dedupCorpusLines(
           spark.read.parquet(in), minDocFreq = minDf)
-        ParquetSink.write(result, out, codec, partitionCols = Seq.empty)
-        val removed = spark.read.parquet(out)
-          .agg(org.apache.spark.sql.functions.sum("n_removed")).head().getLong(0)
+        // honor the sink's skip-if-empty: on a zero-row corpus nothing
+        // is written, so there is no output to re-read (the read-back
+        // used to fail there; sum() over zero rows is null → coalesce)
+        val removed =
+          if (ParquetSink.write(result, out, codec, partitionCols = Seq.empty))
+            spark.read.parquet(out)
+              .agg(org.apache.spark.sql.functions.coalesce(
+                org.apache.spark.sql.functions.sum("n_removed"),
+                org.apache.spark.sql.functions.lit(0L))).head().getLong(0)
+          else 0L
         System.err.println(s"[dedup-lines] removed $removed lines (df >= $minDf)")
 
       case "dedup-spans" =>
@@ -284,9 +291,14 @@ object Main {
         val codec = arg(args, "--compression").getOrElse("snappy")
         val result = graft.llm.SpanDedup.dedupCorpusSpans(
           spark.read.parquet(in), windowLen = l, minDf = minDf)
-        ParquetSink.write(result, out, codec, partitionCols = Seq.empty)
-        val removed = spark.read.parquet(out)
-          .agg(org.apache.spark.sql.functions.sum("n_removed")).head().getLong(0)
+        // same skip-if-empty / null-sum guard as dedup-lines above
+        val removed =
+          if (ParquetSink.write(result, out, codec, partitionCols = Seq.empty))
+            spark.read.parquet(out)
+              .agg(org.apache.spark.sql.functions.coalesce(
+                org.apache.spark.sql.functions.sum("n_removed"),
+                org.apache.spark.sql.functions.lit(0L))).head().getLong(0)
+          else 0L
         System.err.println(
           s"[dedup-spans] removed $removed tokens (window $l, df >= $minDf)")
 

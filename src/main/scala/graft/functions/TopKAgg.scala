@@ -34,15 +34,49 @@ import org.apache.spark.sql.functions.{call_function, lit}
   */
 object TopKAgg {
 
-  private def asInt(e: Expression): Int =
-    e.eval(null).asInstanceOf[Number].intValue()
+  /** Builder-time validation: `k` and `reverse` parameterize the
+    * aggregate's state, so they must be literal-foldable at analysis
+    * (same contract as Spark's own `approx_percentile` accuracy
+    * argument). Without these checks a non-literal argument surfaced
+    * as an opaque NPE/ClassCast from `eval(null)`; now it is an
+    * AnalysisException under Spark's standard error classes. */
+  private def nonFoldable(name: String, tpe: String): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "NON_FOLDABLE_ARGUMENT",
+      messageParameters = Map(
+        "funcName" -> "`collect_top_k`",
+        "paramName" -> s"`$name`",
+        "paramType" -> tpe))
 
-  private def asBool(e: Expression): Boolean =
-    e.eval(null).asInstanceOf[Boolean]
+  private def asInt(e: Expression, name: String): Int = {
+    if (!e.foldable) nonFoldable(name, "\"INT\"")
+    e.eval(null) match {
+      case n: Number => n.intValue()
+      case _ => nonFoldable(name, "\"INT\"")
+    }
+  }
+
+  private def asBool(e: Expression, name: String): Boolean = {
+    if (!e.foldable) nonFoldable(name, "\"BOOLEAN\"")
+    e.eval(null) match {
+      case b: Boolean => b
+      case _ => nonFoldable(name, "\"BOOLEAN\"")
+    }
+  }
 
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "collect_top_k" -> ((exprs: Seq[Expression]) =>
-      GraftCollectTopK(exprs(0), asInt(exprs(1)), asBool(exprs(2)))))
+    "collect_top_k" -> ((exprs: Seq[Expression]) => {
+      if (exprs.length != 3)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> "`collect_top_k`",
+            "expectedNum" -> "3",
+            "actualNum" -> exprs.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      GraftCollectTopK(exprs(0), asInt(exprs(1), "k"),
+        asBool(exprs(2), "reverse"))
+    }))
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, builder) =>
@@ -50,8 +84,9 @@ object TopKAgg {
         name, builder, "built-in")
     }
 
-  /** Keep the k extreme values of `e` per group (largest when
-    * `reverse`, else smallest); returns an UNORDERED array. */
+  /** Keep the k extreme values of `e` per group (SMALLEST when
+    * `reverse`, else largest — pinned by TopKAggSpec); returns an
+    * UNORDERED array. */
   def collect_top_k(e: Column, k: Int, reverse: Boolean): Column =
     call_function("collect_top_k", e, lit(k), lit(reverse))
 }

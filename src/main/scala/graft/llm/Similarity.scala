@@ -74,10 +74,14 @@ object Similarity {
     * with the LSH bucketing (`lshTopK` per query, or
     * `nearDupCosine`'s capped bucket join) and feed survivors here.
     *
-    * Ties at the k boundary are exact: the heap orders by the full
-    * (cos_sim, -id) struct — a total order — so the kept set equals
-    * the window-rank answer row for row (pinned in SimilaritySpec
-    * against a reference window plan).
+    * Ties at the k boundary are exact: the heap keeps the k SMALLEST
+    * by the full (-cos_sim, id) struct — a total order equivalent to
+    * cos_sim DESC, id ASC — so the kept set equals the window-rank
+    * answer row for row (pinned in SimilaritySpec against a reference
+    * window plan). The id rides the struct un-negated, so any
+    * orderable id type works (strings, longs incl. Long.MinValue —
+    * the earlier (cos_sim, -id) formulation required numeric ids and
+    * overflowed on Long.MinValue).
     *
     * `excludeSelf` (default true) drops corpus rows whose id equals
     * the query id — the right semantics when the query batch is drawn
@@ -105,18 +109,20 @@ object Similarity {
         col(queryIdCol),
         col(idCol),
         round(cosine(col(vecCol), col(queryVecCol)), 4).as("cos_sim"))
-    // Largest by (cos_sim, -id) ⇔ cos_sim DESC, id ASC — the window
-    // ordering below, so rank 1..k lands on the same rows.
+    // Smallest by (-cos_sim, id) ⇔ cos_sim DESC, id ASC — the window
+    // ordering below, so rank 1..k lands on the same rows. Negating
+    // the double score (exact for IEEE doubles) instead of the id
+    // keeps the id column type-agnostic.
     val topk = scored
       .groupBy(queryIdCol)
       .agg(TopKAgg.collect_top_k(
-        struct(col("cos_sim"), (-col(idCol)).as("nid")),
-        k, reverse = false).as("top"))
+        struct((-col("cos_sim")).as("neg_cos"), col(idCol).as("nbr")),
+        k, reverse = true).as("top"))
       .select(col(queryIdCol), explode(col("top")).as("e"))
       .select(
         col(queryIdCol),
-        (-col("e.nid")).as(idCol),
-        col("e.cos_sim").as("cos_sim"))
+        col("e.nbr").as(idCol),
+        (-col("e.neg_cos")).as("cos_sim"))
     topk
       .withColumn("rank", row_number().over(
         Window.partitionBy(queryIdCol)
@@ -447,7 +453,7 @@ object Similarity {
     * through the exchange, no sort of the scored frame); the label
     * predicate is fused into the scoring task so mismatched pairs die
     * before the aggregate. The label rides the heap struct as a
-    * payload field: the (cos_sim, -id) prefix is already a total
+    * payload field: the (-cos_sim, id) prefix is already a total
     * order, so it never influences which rows are kept. */
   def hardNegatives(
       queries: DataFrame,
@@ -473,14 +479,15 @@ object Similarity {
     scored
       .groupBy(queryIdCol)
       .agg(TopKAgg.collect_top_k(
-        struct(col("cos_sim"), (-col(idCol)).as("nid"), col(labelCol)),
-        k, reverse = false).as("top"))
+        struct((-col("cos_sim")).as("neg_cos"), col(idCol).as("nbr"),
+          col(labelCol)),
+        k, reverse = true).as("top"))
       .select(col(queryIdCol), explode(col("top")).as("e"))
       .select(
         col(queryIdCol),
-        (-col("e.nid")).as(idCol),
+        col("e.nbr").as(idCol),
         col(s"e.$labelCol").as(labelCol),
-        col("e.cos_sim").as("cos_sim"))
+        (-col("e.neg_cos")).as("cos_sim"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(queryIdCol)
           .orderBy(col("cos_sim").desc, col(idCol))))

@@ -91,12 +91,24 @@ object SpanDedup {
       minDf: Int = 2,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    require(windowLen >= 1, s"windowLen must be ≥ 1: $windowLen")
+    require(minDf >= 2, s"minDf must be ≥ 2: $minDf")
     val toks = tokenized(docs, idCol, textCol)
-    val hot = hotWindows(docs, windowLen, minDf, idCol, textCol)
+    // ONE window construction serves both the hot-set derivation and
+    // the coverage join (the LineDedup r10 fix, mirrored): the earlier
+    // formulation called hotWindows(docs,…), which re-tokenized and
+    // re-windowed the corpus from scratch — three tokenize+explode
+    // passes where two suffice (this frame's two consumers + the
+    // token reassembly below).
+    val w = windows(toks, windowLen, idCol)
+    val hot = w
+      .groupBy("wh")
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+      .filter(col("n_docs") >= minDf)
       .select("wh")
     // hit windows → covered token positions (≤ windowLen per hit;
     // distinct because overlapping hot windows cover shared tokens)
-    val covered = windows(toks, windowLen, idCol)
+    val covered = w
       .join(hot, Seq("wh"), "left_semi")
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + windowLen - 1))

@@ -112,6 +112,20 @@ class ErrorPathSpec extends AnyFunSuite {
     assert(empty.head.getAs[Long]("n_nonnull") == 0)
   }
 
+  test("dedup-lines / dedup-spans on an empty corpus exit cleanly") {
+    import spark.implicits._
+    // zero-row parquet input: the sink skips the write (skip-if-empty)
+    // and the verbs must report 0 removed instead of NPE-ing on a
+    // null sum or re-reading a never-written output path
+    val in = TestSpark.tmpDir("cli-empty-corpus") + "/in"
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(in)
+    val ldOut = TestSpark.tmpDir("cli-empty-corpus-ld") + "/out"
+    graft.cli.Main.run(spark, Array("dedup-lines", in, ldOut))
+    val sdOut = TestSpark.tmpDir("cli-empty-corpus-sd") + "/out"
+    graft.cli.Main.run(spark, Array("dedup-spans", in, sdOut))
+  }
+
   test("round-8 operators reject invalid arguments up front") {
     import spark.implicits._
     val docs = Seq((1L, "a b c", "web")).toDF("doc_id", "text", "source")

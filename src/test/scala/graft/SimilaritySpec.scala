@@ -99,6 +99,29 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("knn join works with STRING ids (tie-break is type-agnostic)") {
+    // the heap struct orders by (-cos_sim, id), so any orderable id
+    // type works — this pins the fix for the earlier numeric-only
+    // (cos_sim, -id) formulation, which failed analysis on strings
+    // and overflowed on Long.MinValue
+    val sCorpus = emb.select(
+      concat(lit("doc-"), format_string("%04d", $"vec_id")).as("vec_id"),
+      $"embedding")
+    val sQueries = sCorpus.filter($"vec_id" < "doc-0003")
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val got = Similarity.knnJoin(sQueries, sCorpus, k = 5)
+      .select("q_id", "vec_id", "rank").as[(String, String, Int)].collect()
+    assert(got.map(_._1).toSet == Set("doc-0000", "doc-0001", "doc-0002"))
+    assert(got.groupBy(_._1).forall(_._2.length == 5))
+    // numeric-id answer at the same k must match under the id mapping
+    val numeric = Similarity
+      .knnJoin(emb.filter($"vec_id" < 3)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_vec")), emb, k = 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .map { case (q, v) => (f"doc-$q%04d", f"doc-$v%04d") }.toSet
+    assert(got.map(t => (t._1, t._2)).toSet == numeric)
+  }
+
   test("knn join external batch: excludeSelf=false keeps a colliding id") {
     // an EXTERNAL query batch whose id coincidentally collides with a
     // corpus id: with excludeSelf=false the collision must not drop a

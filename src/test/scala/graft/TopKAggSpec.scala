@@ -11,7 +11,7 @@ import graft.functions.TopKAgg.collect_top_k
   *  - reverse=false keeps the k LARGEST by struct ordering,
   *    reverse=true the k smallest;
   *  - ties at the boundary resolve by the later struct fields (the
-  *    operators make the struct a total order via -id);
+  *    operators make the struct a total order via (-score, id));
   *  - groups smaller than k return all their rows;
   *  - the plan is a partial ObjectHashAggregate — the exchange
   *    carries bounded buffers, not the input rows.
@@ -74,5 +74,28 @@ class TopKAggSpec extends AnyFunSuite {
       """SELECT g, collect_top_k(named_struct('s', score), 2, false) AS t
          FROM topk_probe GROUP BY g""").count()
     assert(n == 3L)
+  }
+
+  test("SQL form rejects bad arity and non-literal k/reverse cleanly") {
+    df.createOrReplaceTempView("topk_probe")
+    def analysisError(sql: String): String =
+      intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(sql).queryExecution.analyzed
+      }.getMessage
+    assert(analysisError(
+      "SELECT collect_top_k(score, 2) FROM topk_probe GROUP BY g")
+      .contains("3 parameters"))
+    // non-literal k: a column reference is not foldable at analysis
+    assert(analysisError(
+      "SELECT collect_top_k(score, g, false) FROM topk_probe GROUP BY g")
+      .contains("foldable"))
+    // non-literal reverse
+    assert(analysisError(
+      "SELECT collect_top_k(score, 2, g > 1) FROM topk_probe GROUP BY g")
+      .contains("foldable"))
+    // wrong literal type for k
+    assert(analysisError(
+      "SELECT collect_top_k(score, 'two', false) FROM topk_probe GROUP BY g")
+      .contains("foldable"))
   }
 }

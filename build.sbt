@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run`/`runMain` output goes straight to this process's
+// stdout/stderr WITHOUT the sbt logger's `[info] `/`[error] `
+// prefixes: Bench/Verify print one machine-readable JSON line, and a
+// log-prefixed line is not valid JSON to whatever harvests it (every
+// recorded round so far shows the harvester's `parsed` field null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -14,8 +14,28 @@ package graft
   *     run is the steady-state number a resident engine delivers.
   *     `queries` carries warm times (summed into `value`);
   *     `queries_cold` carries the first-run times for transparency.
+  *   - LOAD ROBUSTNESS: two identical-code rounds recorded a 4.3× and
+  *     a 7.7× headline ratio purely from driver-box load (r10→r11:
+  *     `sample_temperature_mix` 0.29→3.82 s with zero code change), so
+  *     the harness defends its samples three ways: (a) headline warm =
+  *     min over 3 passes INTERLEAVED across the whole headline set — a
+  *     transient spike poisons at most one pass of each query instead
+  *     of all samples of one query; (b) every query whose warm min
+  *     still exceeds its cold time gets one extra sample (warm > cold
+  *     on identical plans is load, not work); (c) the 1-minute system
+  *     load average is recorded at start/end (`load_avg`) so a
+  *     contaminated run is *visible* in the artifact instead of
+  *     laundered into the rate.
   *   - failed queries report -1 in both maps and are excluded from the
   *     total (a crashing query must not masquerade as a fast one).
+  *   - SCALE TIER (`x10` in the JSON): the same headline set is also
+  *     timed — Spark and DuckDB both — on a deterministic 10×
+  *     replication of the sf dir (see [[ensureScaledFixture]]). At
+  *     sf0.1's ~10⁵ rows every Spark query is 25 ms–1 s of fixed
+  *     plan/schedule overhead vs DuckDB's <10 ms class, exactly the
+  *     risk BASELINE.md names for tiny inputs; the 10× tier is where
+  *     that fixed cost amortizes and the per-row engine work is what's
+  *     compared. Disable with SPARK_GRAFT_SCALE=0.
   *
   * Also reported, matching the baseline dimensions BASELINE.md calls
   * comparable: `dockets_per_sec` (ingest throughput over a generated
@@ -33,6 +53,54 @@ object Bench {
     "j1_join_broadcast", "j2_join_3way", "w1_topk_per_group",
     "dedup_exact_stats", "dedup_minhash_lsh", "ann_cosine_topk",
     "st_tumbling_hourly")
+
+  /** DuckDB headline twin for queries whose CORRECTNESS oracle is not
+    * the engine-comparable implementation. `dedup_minhash_lsh`'s oracle
+    * is exact all-pairs Jaccard — the right correctness check (any LSH
+    * recall shortfall surfaces as a count mismatch) but a non-starter
+    * as a timing comparable (~35 min at sf0.1: it measures the oracle's
+    * missing LSH, not the engine). This twin is the same banded
+    * algorithm the Spark operator runs — shingle → 64-hash MinHash →
+    * 32 bands of 2 → bucket self-join → exact-Jaccard verify on
+    * candidates only — expressed in DuckDB's idiomatic SQL (list
+    * comprehensions + integer rehashing, each shingle string hashed
+    * exactly once), and it returns the same (n_pairs, avg_jaccard)
+    * summary at the same threshold. With it the recorded ratio
+    * compares all 14 headline queries instead of silently dropping the
+    * one Spark is structurally built for. */
+  val duckdbTwinSql: Map[String, String] = Map(
+    "dedup_minhash_lsh" ->
+      raw"""WITH toks AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                     ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+                            for i in range(1, len(w) - 1)])
+                END AS s
+              FROM toks),
+            hs AS (SELECT doc_id, s, [hash(x) for x in s] AS sh64 FROM sh),
+            sig AS (
+              SELECT doc_id,
+                [list_min([hash(v + h) for v in sh64]) for h in range(0, 64)] AS mh
+              FROM hs),
+            bands AS (
+              SELECT doc_id, b,
+                hash(CAST(mh[2*b+1] AS VARCHAR) || ',' || CAST(mh[2*b+2] AS VARCHAR)) AS bh
+              FROM sig, range(0, 32) t(b)),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+              FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh
+                AND a.doc_id < b.doc_id),
+            pairs AS (
+              SELECT ROUND(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+                           NULLIF(len(list_distinct(list_concat(x.s, y.s))), 0),
+                           4) AS jaccard
+              FROM cand JOIN sh x ON x.doc_id = ida JOIN sh y ON y.doc_id = idb)
+            SELECT COUNT(*) AS n_pairs,
+                   COALESCE(ROUND(AVG(jaccard), 4), 0.0) AS avg_jaccard
+            FROM pairs WHERE jaccard >= 0.5""")
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime()
@@ -53,22 +121,25 @@ object Bench {
       case c             => c.toString
     }
 
-  /** Same-parquet DuckDB comparison: total warm seconds for the
-    * headline queries' oracle SQL, timed by tools/duckdb_headline.py
-    * (driver-side python; the judge's own methodology). -1 when the
-    * tool/stack is unavailable (e.g. a real cluster) — the engine
-    * never depends on it. `dedup_minhash_lsh` is excluded on the
-    * DuckDB side: its oracle is exact all-pairs Jaccard (~35 min at
-    * sf0.1), which would measure the oracle's missing LSH, not the
-    * engine — the honest comparison is over the queries both sides
-    * express the same way. */
-  private def duckdbHeadlineTotal(sfDir: String): (Double, String) = {
+  /** 1-minute system load average (-1 where the JVM can't read it). */
+  private def loadAvg(): Double =
+    java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
+  /** Same-parquet DuckDB comparison over `dir`: warm seconds for the
+    * headline queries' comparable SQL (oracle SQL, or the
+    * [[duckdbTwinSql]] twin where the oracle is not the comparable),
+    * timed by tools/duckdb_headline.py (driver-side python; the
+    * judge's own methodology). (-1, "{}") when the tool/stack is
+    * unavailable (e.g. a real cluster) — the engine never depends on
+    * it. */
+  private[graft] def duckdbHeadline(
+      dir: String, timeoutSec: Long): (Double, String) = {
     val none = (-1.0, "{}")
     val tool = new java.io.File("tools/duckdb_headline.py")
     if (!tool.isFile) return none
-    val sqls = headline
-      .filterNot(_ == "dedup_minhash_lsh")
-      .flatMap(n => SparkEntry.oracleSql.get(n).map(n -> _))
+    val sqls = headline.flatMap(n =>
+      duckdbTwinSql.get(n).orElse(SparkEntry.oracleSql.get(n)).map(n -> _))
     val json = sqls
       .map { case (k, v) => "\"" + jstr(k) + "\":\"" + jstr(v) + "\"" }
       .mkString("{", ",", "}")
@@ -77,15 +148,15 @@ object Bench {
       java.nio.file.Files.write(tmp,
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       val pb = new ProcessBuilder(
-        "python3", tool.getPath, sfDir, tmp.toString)
+        "python3", tool.getPath, dir, tmp.toString)
       // stderr must not back up: an un-drained separate pipe can fill
       // and deadlock a chatty child. Discard it; the payload is the
-      // one-line JSON on stdout. waitFor BEFORE reading so the 180 s
-      // timeout actually fires on a hung child (the JSON is far below
-      // the OS pipe buffer, so the child never blocks on stdout).
+      // one-line JSON on stdout. waitFor BEFORE reading so the timeout
+      // actually fires on a hung child (the JSON is far below the OS
+      // pipe buffer, so the child never blocks on stdout).
       pb.redirectError(ProcessBuilder.Redirect.DISCARD)
       val p = pb.start()
-      if (!p.waitFor(180, java.util.concurrent.TimeUnit.SECONDS)) {
+      if (!p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)) {
         p.destroyForcibly(); return none
       }
       if (p.exitValue() != 0) return none
@@ -106,10 +177,158 @@ object Bench {
     } finally java.nio.file.Files.deleteIfExists(tmp)
   }
 
+  /** Cold + warm times for the headline set over `dir`.
+    *
+    * Warm = min over (a) one sample taken immediately after the cold
+    * run — consecutive execution keeps the plan's code paths hot in
+    * the JIT/code cache, the locality a resident engine's repeated
+    * query enjoys — and (b) 3 passes interleaved ACROSS the set
+    * (pass 1 runs every query once, then pass 2, then pass 3): a load
+    * spike shorter than a full pass (~the r11 `j2_join_3way`
+    * 0.28→1.07 s pathology) lands in at most one of each query's
+    * interleaved samples, where consecutive-only repeats hand every
+    * sample to the same spike. Any query whose warm min still exceeds
+    * its cold time — impossible from the engine's side on an
+    * identical cached plan — draws one extra sample. */
+  private[graft] def runHeadline(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(String, Double, Double)] = {
+    val queries = SparkEntry.queries
+    val names = headline.filter(queries.contains)
+    def once(n: String): Double =
+      try time(queries(n)(spark, dir).count())
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $n failed: ${e.getMessage}")
+          -1.0
+      }
+    val coldAndNext = names.map(n => n -> (once(n), once(n))).toMap
+    val cold = coldAndNext.view.mapValues(_._1).toMap
+    val passes = (1 to 3).map(_ => names.map(n => n -> once(n)).toMap)
+    names.map { n =>
+      val c = cold(n)
+      val samples =
+        (coldAndNext(n)._2 +: passes.map(_(n))).filter(_ >= 0)
+      var w = if (c < 0 || samples.isEmpty) -1.0 else samples.min
+      if (w >= 0 && w > c) {
+        val extra = once(n)
+        if (extra >= 0) w = math.min(w, extra)
+      }
+      (n, c, w)
+    }
+  }
+
+  // ---- scale tier ----------------------------------------------------
+
+  /** Key offset between replicas — far above any fixture key (the
+    * largest sf0.1 key family is ~6·10⁵), so replica key spaces never
+    * collide and join fan-outs scale exactly linearly. */
+  private val scaleStride = 1000000000L
+
+  /** Bump when the generation logic changes: the fixture is cached on
+    * disk across runs and the marker pins (version, source, mult). */
+  private val scaleGenVersion = "v1"
+
+  /** Deterministic `mult`× replication of the sf dir, written once to
+    * a tmp-dir cache and reused by later runs (marker-file keyed on
+    * generator version + source dir + multiplier).
+    *
+    * Replica 0 is the source data verbatim; replica i shifts every
+    * join/id key by i·10⁹ so referential structure (orders→customer,
+    * lineitem→orders/part/supplier) replicates without cross-replica
+    * edges — group counts, join fan-outs and dup-group sizes all scale
+    * exactly linearly, which is the point of the tier: same per-row
+    * work, 10× the rows.
+    *
+    * Two tables need more than key shifts to keep their workload
+    * *semantically* linear:
+    *   - documents.text gets a per-replica salt appended to every 3rd
+    *     word (replica 0 untouched). Every 3-shingle then contains ≥1
+    *     salted word, so texts from different replicas share ZERO
+    *     shingles — near-dup/exact-dup structure is 10 independent
+    *     copies of the original corpus (pair counts ×10), not a 10×
+    *     all-replicas near-dup blowup (pair counts ×100) that would
+    *     benchmark a degenerate corpus no real pipeline sees. Token
+    *     counts are unchanged by construction (salt extends words,
+    *     never adds them).
+    *   - embeddings.embedding is rotated by i positions (norm- and
+    *     distribution-preserving) so the ANN corpus is 10× genuinely
+    *     distinct vectors rather than 10-way cosine ties.
+    * region/nation are fixed dimensions and copy through unscaled. */
+  private[graft] def ensureScaledFixture(
+      spark: org.apache.spark.sql.SparkSession,
+      sfDir: String,
+      mult: Int): String = {
+    import org.apache.spark.sql.{Column, DataFrame}
+    import org.apache.spark.sql.functions._
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val dir = new java.io.File(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft_scale_${mult}x_" +
+        Integer.toHexString(sfDir.hashCode)).getAbsolutePath
+    val marker = new java.io.File(dir, "_GRAFT_SCALE_OK")
+    val tag = s"$scaleGenVersion|$sfDir|$mult"
+    if (marker.isFile &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath), utf8) == tag)
+      return dir
+
+    def rep(df: DataFrame): DataFrame =
+      df.withColumn("__r",
+        explode(array((0 until mult).map(i => lit(i.toLong)): _*)))
+    def shifted(df: DataFrame, keys: Seq[String]): DataFrame =
+      keys.foldLeft(rep(df))((d, k) =>
+        d.withColumn(k, col(k) + col("__r") * lit(scaleStride)))
+
+    // every 3rd word (positions 0,3,6,…) carries a per-replica suffix;
+    // transform() keeps this one codegen'd projection — no UDFs
+    val saltedText: Column = when(col("__r") === 0, col("text")).otherwise(
+      array_join(
+        transform(split(col("text"), "\\s+"),
+          (w, p) => when(p % 3 === 0, concat(w, lit("q"), col("__r")))
+            .otherwise(w)),
+        " "))
+    // cyclic rotation by __r positions; concat/slice preserve the
+    // array<float> element type
+    val rotatedVec: Column = expr(
+      """CASE WHEN __r = 0 THEN embedding ELSE
+           concat(slice(embedding, CAST(__r + 1 AS INT),
+                        size(embedding) - CAST(__r AS INT)),
+                  slice(embedding, 1, CAST(__r AS INT))) END""")
+
+    val tables: Seq[(String, DataFrame)] = Seq(
+      "region" -> Tables.region(spark, sfDir),
+      "nation" -> Tables.nation(spark, sfDir),
+      "customer" -> shifted(Tables.customer(spark, sfDir), Seq("c_custkey")),
+      "supplier" -> shifted(Tables.supplier(spark, sfDir), Seq("s_suppkey")),
+      "part" -> shifted(Tables.part(spark, sfDir), Seq("p_partkey")),
+      "orders" -> shifted(Tables.orders(spark, sfDir),
+        Seq("o_orderkey", "o_custkey")),
+      "lineitem" -> shifted(Tables.lineitem(spark, sfDir),
+        Seq("l_orderkey", "l_partkey", "l_suppkey")),
+      // Tables.events normalizes the fixture's TIMESTAMP(NANOS) to a
+      // proper timestamp, so the scaled copy round-trips as a plain
+      // parquet timestamp both engines read directly
+      "events" -> shifted(Tables.events(spark, sfDir),
+        Seq("event_id", "user_id")),
+      "documents" -> shifted(Tables.documents(spark, sfDir), Seq("doc_id"))
+        .withColumn("text", saltedText)
+        .withColumn("n_chars", length(col("text"))),
+      "embeddings" -> shifted(Tables.embeddings(spark, sfDir), Seq("vec_id"))
+        .withColumn("embedding", rotatedVec))
+
+    tables.foreach { case (name, df) =>
+      df.drop("__r").write.mode("overwrite")
+        .parquet(s"$dir/$name.parquet")
+    }
+    java.nio.file.Files.write(marker.toPath, tag.getBytes(utf8))
+    dir
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get()
     val queries = SparkEntry.queries
+    val loadStart = loadAvg()
     // JIT/codegen warmup: one small untimed action so the first timed
     // query measures the query, not JVM class-loading.
     Tables.lineitem(spark, "/root/testdata/sf0.001")
@@ -137,16 +356,16 @@ object Bench {
     // Split single-file tables into multiple scan partitions first so
     // the cached relations are parallel, not one block each.
     spark.conf.set("spark.sql.files.maxPartitionBytes", "4194304")
-    def recacheBaseTables(): Unit = {
-      Tables.names.foreach(n => Tables.load(spark, sfDir, n).cache())
-      Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
+    def recacheBaseTables(dir: String): Unit = {
+      Tables.names.foreach(n => Tables.load(spark, dir, n).cache())
+      Tables.names.foreach(n => Tables.load(spark, dir, n).count())
     }
-    recacheBaseTables()
+    recacheBaseTables(sfDir)
 
     // ---- session-cache scoping + load telemetry -----------------------
     // Queries that return lazy frames over persisted intermediates
     // (the documented nearDupMinhash contract) leave entries in the
-    // session cache; across a 154-query × 2-pass session those
+    // session cache; across a 169-query × multi-pass session those
     // accumulate until the store thrashes (BENCH_r08: split_leakage_safe
     // warm 52 s vs cold 13.7 s — warm SLOWER than cold is eviction
     // churn, not work). Operators that consume their intermediates now
@@ -174,18 +393,17 @@ object Bench {
     // query of a session and 0.25 s once the JVM is hot). The headline
     // numbers claim steady-state resident-engine latency, so they are
     // measured in the steady state the rest of the suite establishes.
-    val names = queries.keys.filterNot(headline.contains).toSeq.sorted ++
-      headline.filter(queries.contains)
+    val suiteNames = queries.keys.filterNot(headline.contains).toSeq.sorted
 
     val gcStart = gcMs()
     var storagePeak = storageUsedBytes()
     var prevFamily = ""
-    val results = names.map { name =>
+    val suiteResults = suiteNames.map { name =>
       val fam = familyOf(name)
       if (fam != prevFamily) {
         if (prevFamily.nonEmpty) {
           spark.catalog.clearCache()
-          recacheBaseTables()
+          recacheBaseTables(sfDir)
         }
         prevFamily = fam
       }
@@ -197,39 +415,70 @@ object Bench {
             -1.0
         }
       val cold = once()
-      // Headline warm = best of 3 (the vs-DuckDB comparable): the
-      // DuckDB tool times an already-warmed second run per query, so
-      // a single Spark warm sample carries all of this box's
-      // scheduling jitter into the ratio. Everything else keeps one
-      // warm pass — the suite total is a throughput number, not a
-      // comparison.
-      val warmRuns = if (headline.contains(name)) 3 else 1
-      val warm =
+      // Suite warm = min of 2, plus one retry when warm still exceeds
+      // cold (identical cached plans can't be slower warm — that's
+      // load): r11 recorded sample_temperature_mix at 13× its r10 time
+      // on unchanged code from exactly one poisoned single sample.
+      var warm =
         if (cold < 0) -1.0
-        else (0 until warmRuns).map(_ => once()).filter(_ >= 0) match {
+        else Seq(once(), once()).filter(_ >= 0) match {
           case s if s.nonEmpty => s.min
-          case _ => -1.0
+          case _               => -1.0
         }
+      if (warm >= 0 && warm > cold) {
+        val extra = once()
+        if (extra >= 0) warm = math.min(warm, extra)
+      }
       storagePeak = math.max(storagePeak, storageUsedBytes())
       (name, cold, warm)
     }
+
+    // Headline tier, base scale: fresh caches, interleaved warm passes.
+    spark.catalog.clearCache()
+    recacheBaseTables(sfDir)
+    val headlineResults = runHeadline(spark, sfDir)
+    storagePeak = math.max(storagePeak, storageUsedBytes())
+    val results = suiteResults ++ headlineResults
     val gcTotalMs = gcMs() - gcStart
+
+    // track the vs-DuckDB gap per round (judge methodology; see scaladoc)
+    val (duckdbTotal, duckdbQueries) = duckdbHeadline(sfDir, 300)
+
+    // ---- scale tier (see scaladoc): same headline, 10× the rows ------
+    val scaleMult = sys.env.get("SPARK_GRAFT_SCALE") match {
+      case Some("0") => 0
+      case Some(s)   => scala.util.Try(s.trim.toInt).toOption
+        .filter(_ > 1).getOrElse(10)
+      case None      => 10
+    }
+    val (x10Results, x10Duck, x10DuckQueries, x10Dir) =
+      if (scaleMult <= 1) (Seq.empty[(String, Double, Double)], -1.0, "{}", "")
+      else try {
+        val dir = ensureScaledFixture(spark, sfDir, scaleMult)
+        spark.catalog.clearCache()
+        recacheBaseTables(dir)
+        val r = runHeadline(spark, dir)
+        spark.catalog.clearCache()
+        val (d, dq) = duckdbHeadline(dir, 900)
+        (r, d, dq, dir)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] scale tier skipped: ${e.getMessage}")
+          (Seq.empty[(String, Double, Double)], -1.0, "{}", "")
+      }
+    val x10Spark = x10Results.collect { case (_, _, w) if w >= 0 => w }.sum
+    val loadEnd = loadAvg()
 
     def jmap(kv: Seq[(String, Double)]): String =
       kv.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
         .mkString("{", ",", "}")
     val ratios = jmap(codecRatios.toSeq.sortBy(_._1))
     val total = results.collect { case (_, _, w) if w >= 0 => w }.sum
-    val headlineTotal = results
-      .collect { case (k, _, w) if headline.contains(k) && w >= 0 => w }.sum
-    // track the vs-DuckDB gap per round (judge methodology; see scaladoc)
-    val (duckdbTotal, duckdbQueries) = duckdbHeadlineTotal(sfDir)
-    val sparkComparable = results
-      .collect {
-        case (k, _, w)
-            if headline.contains(k) && k != "dedup_minhash_lsh" && w >= 0 =>
-          w
-      }.sum
+    val headlineTotal = headlineResults
+      .collect { case (_, _, w) if w >= 0 => w }.sum
+    // all 14 headline queries are DuckDB-comparable now that the LSH
+    // twin exists — `spark_headline_comparable` is the full set
+    val sparkComparable = headlineTotal
     // Full per-query detail (warm + cold, all queries) goes to a file:
     // the driver that harvests the stdout line keeps only its last
     // ~2000 characters, so the line below must stay compact — per-query
@@ -239,6 +488,11 @@ object Bench {
       .getAbsoluteFile
     val ingestPassesJson = ingestPasses
       .map(p => f"$p%.4f").mkString("[", ",", "]")
+    val x10Json =
+      if (x10Results.isEmpty) "null"
+      else f"""{"mult":$scaleMult,"spark":$x10Spark%.4f,""" +
+        f""""duckdb":$x10Duck%.4f}"""
+    val loadJson = f"""[$loadStart%.2f,$loadEnd%.2f]"""
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec",""" +
         s""""queries":${jmap(results.map { case (k, _, w) => (k, w) })},""" +
@@ -247,6 +501,12 @@ object Bench {
         f""""duckdb_headline_total":$duckdbTotal%.4f,""" +
         s""""duckdb_queries":$duckdbQueries,""" +
         f""""spark_headline_comparable":$sparkComparable%.4f,""" +
+        s""""x10":$x10Json,""" +
+        s""""x10_queries":${jmap(x10Results.map { case (k, _, w) => (k, w) })},""" +
+        s""""x10_queries_cold":${jmap(x10Results.map { case (k, c, _) => (k, c) })},""" +
+        s""""x10_duckdb_queries":$x10DuckQueries,""" +
+        s""""x10_dir":"${jstr(x10Dir)}",""" +
+        s""""load_avg":$loadJson,""" +
         f""""dockets_per_sec":$docketsPerSec%.1f,""" +
         s""""ingest_pass_sec":$ingestPassesJson,""" +
         s""""gc_ms":$gcTotalMs,""" +
@@ -255,8 +515,7 @@ object Bench {
         s""""codec_ratios":$ratios,"sf":"${jstr(sfDir)}"}"""
     java.nio.file.Files.write(detailFile.toPath,
       (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val headlineQs = jmap(
-      results.collect { case (k, _, w) if headline.contains(k) => (k, w) })
+    val headlineQs = jmap(headlineResults.map { case (k, _, w) => (k, w) })
     println(
       s"""{"metric":"total","value":$total,"unit":"sec",""" +
         s""""queries":$headlineQs,""" +
@@ -264,6 +523,8 @@ object Bench {
         f""""duckdb_headline_total":$duckdbTotal%.4f,""" +
         s""""duckdb_queries":$duckdbQueries,""" +
         f""""spark_headline_comparable":$sparkComparable%.4f,""" +
+        s""""x10":$x10Json,""" +
+        s""""load_avg":$loadJson,""" +
         s""""mode":"warm+cached",""" +
         f""""dockets_per_sec":$docketsPerSec%.1f,""" +
         s""""gc_ms":$gcTotalMs,""" +

@@ -15,6 +15,7 @@ Usage: python3 tools/duckdb_headline.py <sfDir> <sql_json>
 Prints one JSON line: {"total": sec, "queries": {name: sec}}
 """
 import json
+import os
 import sys
 import time
 
@@ -33,8 +34,12 @@ def _timed(con, sql: str) -> float:
 def main(sf_dir: str, sql_json: str) -> int:
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # <table>.parquet is a single file in the driver's testdata and
+        # a DIRECTORY of part files when Spark wrote it (the bench's
+        # scale-tier fixture) — glob the directory form.
+        path = f"{sf_dir}/{t}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     with open(sql_json) as f:
         sqls = json.load(f)
     total = 0.0
@@ -44,11 +49,14 @@ def main(sf_dir: str, sql_json: str) -> int:
         # best of 3 warm passes, mirroring the Spark side's headline
         # methodology: DuckDB's parallel window operator in particular
         # swings 4x run-to-run, and a single sample hands that jitter
-        # to whichever side drew the slow run
-        dt = min(
-            _timed(con, sql),
-            _timed(con, sql),
-            _timed(con, sql))
+        # to whichever side drew the slow run. Queries already past 3 s
+        # warm keep the single sample — at that size run-to-run jitter
+        # is a rounding error, and two more passes of a multi-second
+        # query (the scale tier's LSH CTE) would dominate the tool's
+        # wall clock for no extra signal.
+        dt = _timed(con, sql)
+        if dt < 3.0:
+            dt = min(dt, _timed(con, sql), _timed(con, sql))
         per[name] = round(dt, 4)
         total += dt
     print(json.dumps({"total": round(total, 4), "queries": per}))

@@ -676,7 +676,21 @@ object Dedup {
       .groupBy("source_x", "source_y")
       .agg(
         count(lit(1)).as("n_pairs"),
-        round(avg(col("jaccard")), 4).as("avg_jaccard"))
+        round(avg(col("jaccard")), 4).as("avg_jaccard"),
+        // Engine-stable twin of avg_jaccard for oracle comparison:
+        // AVG's divide-by-count can land a 2-pair group's mean exactly
+        // on a ROUND(x,4) half-way (observed at sf0.1: 4 of 148 groups
+        // flipped their last display digit between engines because the
+        // two AVGs produced doubles on opposite sides of .xxxx5). The
+        // sum of per-pair QUANTIZED jaccards scaled to integer has no
+        // such boundary: each addend is ~k/10⁴ with ~1e-16 error, so
+        // the scaled sum sits ~1e-12 from an integer, and exact
+        // rational halves (e.g. 21/32 at the per-pair round) go
+        // HALF_UP in both engines. Same precedent as the semDedup
+        // marks-only hash (COVERAGE 5f): decision/integer surfaces in
+        // the gate, floats in the API.
+        round(sum(round(col("jaccard"), 4)) * 10000).cast("long")
+          .as("jaccard_sum_e4"))
   }
 
   /** Result of [[connectedComponentsWithStats]]: the (id, cluster)

@@ -74,7 +74,16 @@ object LlmQueries {
   val crossSourceDup = Q(
     "dedup_cross_source",
     (s, d) =>
+      // GATE SURFACE: n_pairs + the integer-quantized jaccard sum.
+      // avg_jaccard (kept in the operator API) hash-diverges between
+      // engines when a group's mean lands on a ROUND(x,4) half-way —
+      // observed at sf0.1: 4 of 148 groups flipped the last display
+      // digit because Spark's and DuckDB's AVG produced doubles on
+      // opposite sides of .xxxx5. The scaled integer sum has no such
+      // boundary (see crossSourceDupStats scaladoc); readers derive
+      // the mean as jaccard_sum_e4 / 1e4 / n_pairs.
       Dedup.crossSourceDupStats(Tables.documents(s, d))
+        .select("source_x", "source_y", "n_pairs", "jaccard_sum_e4")
         .orderBy("source_x", "source_y"),
     Some("""WITH sh AS (
               SELECT doc_id, source,
@@ -93,7 +102,7 @@ object LlmQueries {
             SELECT least(sa, sb) AS source_x,
                    greatest(sa, sb) AS source_y,
                    COUNT(*) AS n_pairs,
-                   ROUND(AVG(jaccard), 4) AS avg_jaccard
+                   CAST(ROUND(SUM(jaccard) * 10000) AS BIGINT) AS jaccard_sum_e4
             FROM pairs WHERE jaccard >= 0.5
             GROUP BY 1, 2 ORDER BY source_x, source_y"""))
 

@@ -347,10 +347,14 @@ class DedupSpec extends AnyFunSuite {
     ).toDF("doc_id", "text", "source")
     val got = Dedup.crossSourceDupStats(srcDocs, minJaccard = 0.5)
       .orderBy("source_x", "source_y")
-      .as[(String, String, Long, Double)].collect().toSeq
+      .as[(String, String, Long, Double, Long)].collect().toSeq
     // pairs: (1,2) a-b, (1,3) a-b, (2,3) b-b — sorted source pairs
     assert(got.map(r => (r._1, r._2, r._3)) ==
       Seq(("crawl_a", "crawl_b", 2L), ("crawl_b", "crawl_b", 1L)), got)
     assert(got.forall(_._4 >= 0.5))
+    // the gate's integer surface must be consistent with the API float:
+    // sum_e4 / 1e4 / n_pairs reproduces avg_jaccard to display precision
+    assert(got.forall(r =>
+      math.abs(r._5 / 10000.0 / r._3 - r._4) < 1e-3), got)
   }
 }

@@ -84,13 +84,22 @@ object CoreQueries {
             ORDER BY cnt DESC, c_mktsegment, c_nationkey LIMIT 5"""))
 
   /** a6/f7 — group-by derived date, top-k days.
-    * Ref: demo_optimized_data.py:105-111 (DATE(postedDate) peak days). */
+    * Ref: demo_optimized_data.py:105-111 (DATE(postedDate) peak days).
+    * Group on `to_date` (the 4-byte day int), format AFTER the
+    * aggregate: the string render then runs on ≤n_distinct_days rows
+    * instead of every fact row, and the partial aggregate hashes ints
+    * rather than 10-char strings. Catalyst cannot reorder this itself
+    * (the projection defines the grouping key). Output is identical —
+    * yyyy-MM-dd is lexicographically date-ordered. */
   val a6 = Q(
     "a6_date_topk",
     (s, d) =>
       Tables.orders(s, d)
-        .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+        .groupBy(to_date(col("o_orderdate")).as("d"))
         .agg(count(lit(1)).as("cnt"))
+        .select(
+          date_format(col("d"), "yyyy-MM-dd").as("order_date"),
+          col("cnt"))
         .orderBy(col("cnt").desc, col("order_date"))
         .limit(5),
     Some("""SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,

@@ -17,7 +17,19 @@ import graft.Tables
   */
 object WindowQueries {
 
-  /** w1 — top-3 orders per market segment (top-k within group). */
+  /** w1 — top-3 orders per market segment (top-k within group).
+    *
+    * Plan: bounded `collect_top_k` heap per segment, not a window
+    * rank. With ~5 segments a `Window.partitionBy(c_mktsegment)`
+    * funnels the whole fact table into 5 reducer partitions and sorts
+    * each in full (even `WindowGroupLimit`'s partial mode sorts every
+    * map partition before its limit) — at 100 TB that is 5 tasks
+    * sorting 20 TB each. The heap aggregate keeps one 3-row heap per
+    * (segment, map task) and ships ≤3 rows per segment per task
+    * through the exchange; the struct ordering (-price, orderkey) is
+    * a total order equal to price DESC, orderkey ASC, so the kept set
+    * equals the window-rank answer row for row (pinned against
+    * [[w1WindowPlan]] in QueriesSpec). */
   val w1 = Q(
     "w1_topk_per_group",
     (s, d) => {
@@ -25,12 +37,18 @@ object WindowQueries {
         .join(broadcast(Tables.customer(s, d)),
           col("o_custkey") === col("c_custkey"))
         .select("c_mktsegment", "o_orderkey", "o_totalprice")
-      val w = Window.partitionBy("c_mktsegment")
-        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       joined
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
-        .drop("rn")
+        .groupBy("c_mktsegment")
+        .agg(graft.functions.TopKAgg.collect_top_k(
+          struct(
+            (-col("o_totalprice")).as("neg_price"),
+            col("o_orderkey").as("okey")),
+          3, reverse = true).as("top"))
+        .select(col("c_mktsegment"), explode(col("top")).as("e"))
+        .select(
+          col("c_mktsegment"),
+          col("e.okey").as("o_orderkey"),
+          (-col("e.neg_price")).as("o_totalprice"))
         .orderBy(col("c_mktsegment"), col("o_totalprice").desc, col("o_orderkey"))
     },
     Some("""SELECT c_mktsegment, o_orderkey, o_totalprice FROM (
@@ -40,6 +58,25 @@ object WindowQueries {
               FROM orders JOIN customer ON o_custkey = c_custkey)
             WHERE rn <= 3
             ORDER BY c_mktsegment, o_totalprice DESC, o_orderkey"""))
+
+  /** The window-rank formulation of [[w1]] — the plan a window
+    * `row_number` gives (kept as the semantic reference: QueriesSpec
+    * pins the heap plan frame-equal to this one). Not the headline
+    * plan; see the w1 scaladoc for why the heap wins at scale. */
+  def w1WindowPlan(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val joined = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)),
+        col("o_custkey") === col("c_custkey"))
+      .select("c_mktsegment", "o_orderkey", "o_totalprice")
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    joined
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .drop("rn")
+      .orderBy(col("c_mktsegment"), col("o_totalprice").desc, col("o_orderkey"))
+  }
 
   /** w2 — running per-user cumulative sum over event order. */
   val w2 = Q(

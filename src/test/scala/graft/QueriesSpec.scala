@@ -33,6 +33,18 @@ class QueriesSpec extends AnyFunSuite {
     assert(dups.isEmpty, s"duplicate query names: $dups")
   }
 
+  test("w1 heap plan is frame-equal to the window-rank reference") {
+    // the headline w1 runs on a bounded collect_top_k heap; the window
+    // row_number formulation is the semantic definition — same rows,
+    // same order, including ties at the k boundary
+    val heap = SparkEntry.queries("w1_topk_per_group")(spark, TestSpark.sf0001)
+      .collect().toSeq
+    val window = graft.queries.WindowQueries
+      .w1WindowPlan(spark, TestSpark.sf0001).collect().toSeq
+    assert(heap == window,
+      s"heap=${heap.take(5)} window=${window.take(5)}")
+  }
+
   test("flagship entry returns segment revenue") {
     val rows = SparkEntry.entry(spark).collect()
     assert(rows.length == 5) // five market segments

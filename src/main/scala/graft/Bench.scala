@@ -287,13 +287,17 @@ object Bench {
           (w, p) => when(p % 3 === 0, concat(w, lit("q"), col("__r")))
             .otherwise(w)),
         " "))
-    // cyclic rotation by __r positions; concat/slice preserve the
+    // cyclic rotation by __r mod dim positions (rotation by dim is the
+    // identity, and an un-modded __r >= dim would ask slice() for a
+    // negative length at mult > 64); concat/slice preserve the
     // array<float> element type
     val rotatedVec: Column = expr(
-      """CASE WHEN __r = 0 THEN embedding ELSE
-           concat(slice(embedding, CAST(__r + 1 AS INT),
-                        size(embedding) - CAST(__r AS INT)),
-                  slice(embedding, 1, CAST(__r AS INT))) END""")
+      """CASE WHEN __r % size(embedding) = 0 THEN embedding ELSE
+           concat(slice(embedding,
+                        CAST(__r % size(embedding) + 1 AS INT),
+                        size(embedding) - CAST(__r % size(embedding) AS INT)),
+                  slice(embedding, 1,
+                        CAST(__r % size(embedding) AS INT))) END""")
 
     val tables: Seq[(String, DataFrame)] = Seq(
       "region" -> Tables.region(spark, sfDir),

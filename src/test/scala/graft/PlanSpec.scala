@@ -35,6 +35,36 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("w1 runs the bounded heap, not a window sort") {
+    // the exchange must carry <=k rows per (segment, map task): the
+    // plan is an ObjectHashAggregate over collect_top_k with a partial
+    // phase below the exchange — never a Window/WindowGroupLimit,
+    // which sorts every map partition in full before its limit
+    val p = plan("w1_topk_per_group")
+    assert(p.contains("ObjectHashAggregate") && p.contains("collect_top_k"),
+      s"w1 lost the heap aggregate:\n$p")
+    assert(!p.contains("Window") && !p.contains("WindowGroupLimit"),
+      s"w1 regressed to a window sort:\n$p")
+  }
+
+  test("a6 formats dates per group, never per fact row") {
+    // date_format over every fact row is the regression: the grouping
+    // key must be the 4-byte day int (cast to date), with the string
+    // render only in the Aggregate's result expressions (runs once per
+    // group; Catalyst collapses the post-agg Project into them)
+    val opt = SparkEntry.queries("a6_date_topk")(spark, sf)
+      .queryExecution.optimizedPlan
+    val agg = opt.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.getOrElse(fail(s"no Aggregate in:\n$opt"))
+    assert(agg.groupingExpressions.forall(
+      _.dataType == org.apache.spark.sql.types.DateType),
+      s"grouping key is not the day int:\n$opt")
+    assert(agg.child.expressions.forall(
+      e => !e.toString.contains("date_format")),
+      s"date_format runs below the aggregate (per fact row):\n$opt")
+  }
+
   test("dimension joins broadcast; no shuffle of the fact side") {
     for (q <- Seq("j1_join_broadcast", "j2_join_3way", "w1_topk_per_group")) {
       val p = plan(q)

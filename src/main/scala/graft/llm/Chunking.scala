@@ -35,12 +35,19 @@ object Chunking {
     * `chunk_idx = start_tok / stride`. Null text is treated as empty
     * (one empty chunk, matching the tokenizer's `['']` on empty
     * input). Internal working columns are `__graft_`-prefixed so a
-    * metadata column named `pos`/`col`/`toks` cannot collide. */
+    * metadata column named `pos`/`col`/`toks` cannot collide.
+    *
+    * `keepTokens = true` additionally emits the chunk's token slice as
+    * `chunk_tokens` — for consumers that immediately re-tokenize
+    * `chunk_text` (hash embedding, token counting): handing them the
+    * array skips a per-chunk `array_join` + regex re-split round-trip
+    * (`chunk_text ≡ array_join(chunk_tokens, " ")` by construction). */
   def chunk(
       docs: DataFrame,
       textCol: String = "text",
       chunkSize: Int = 64,
-      overlap: Int = 16): DataFrame = {
+      overlap: Int = 16,
+      keepTokens: Boolean = false): DataFrame = {
     require(chunkSize > 0, s"chunkSize must be positive: $chunkSize")
     require(overlap >= 0 && overlap < chunkSize,
       s"overlap must be in [0, chunkSize): $overlap vs $chunkSize")
@@ -63,7 +70,9 @@ object Chunking {
       .select(pass ++ Seq(
         col("chunk_idx"), col("start_tok"),
         size(col("__graft_chunk")).cast("long").as("n_chunk_tokens"),
-        array_join(col("__graft_chunk"), " ").as("chunk_text")): _*)
+        array_join(col("__graft_chunk"), " ").as("chunk_text")) ++
+        (if (keepTokens) Seq(col("__graft_chunk").as("chunk_tokens"))
+         else Seq.empty): _*)
   }
 
   /** Chunk inventory per document: `(idCol, n_chunks, total_chunk_

@@ -83,11 +83,18 @@ object Retrieval {
     * reproducible on any engine, so retrieval results can be
     * oracle-checked end to end. Pure column algebra (`transform` /
     * `filter` / `size`), O(dims · tokens) per row, zero UDFs. */
-  def hashEmbed(text: Column, dims: Int = 16): Column = {
+  def hashEmbed(text: Column, dims: Int = 16): Column =
+    hashEmbedTokens(TextAnalysis.tokens(coalesce(text, lit(""))), dims)
+
+  /** [[hashEmbed]] over an already-tokenized column — for callers that
+    * hold the token array (chunking's `keepTokens`): skips the
+    * join-to-text + regex re-split round-trip. Identical vectors:
+    * whitespace token boundaries are case-independent, so lowercasing
+    * per token ≡ tokenizing the lowercased text. */
+  def hashEmbedTokens(toks: Column, dims: Int = 16): Column = {
     require(dims > 0, s"dims must be positive: $dims")
-    val hashes = transform(
-      TextAnalysis.tokens(lower(coalesce(text, lit("")))),
-      t => pmod(TextHash.text_hash(t), lit(dims.toLong)))
+    val hashes = transform(toks,
+      t => pmod(TextHash.text_hash(lower(t)), lit(dims.toLong)))
     transform(sequence(lit(0), lit(dims - 1)),
       j => size(filter(hashes, h => h === j)).cast("double"))
   }
@@ -114,9 +121,9 @@ object Retrieval {
     GraftFunctions.register(spark)
     val chunks = Chunking
       .chunk(docs, textCol = textCol, chunkSize = chunkSize,
-        overlap = overlap)
+        overlap = overlap, keepTokens = true)
       .select(col(idCol), col("chunk_idx"),
-        hashEmbed(col("chunk_text"), dims).as("__graft_v"))
+        hashEmbedTokens(col("chunk_tokens"), dims).as("__graft_v"))
     val query = spark.range(1)
       .select(hashEmbed(lit(queryText), dims).as("__graft_q"))
     chunks

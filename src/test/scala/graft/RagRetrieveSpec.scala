@@ -22,6 +22,18 @@ class RagRetrieveSpec extends AnyFunSuite {
     assert(v2.sum == 4.0)
   }
 
+  test("hashEmbedTokens == hashEmbed on mixed-case text") {
+    // whitespace token boundaries are case-independent, so the
+    // per-token lower() in the array path must give identical vectors
+    val text = "  Hash JOIN merge   MERGE  "
+    val (a, b) = spark.range(1)
+      .select(
+        Retrieval.hashEmbed(lit(text), 16).as("a"),
+        Retrieval.hashEmbedTokens(split(trim(lit(text)), "\\s+"), 16).as("b"))
+      .as[(Seq[Double], Seq[Double])].head()
+    assert(a == b, s"$a vs $b")
+  }
+
   test("a chunk that is exactly the query scores cosine 1.0 at rank 1") {
     val docs = Seq(
       (1L, "needle in the stack"),

@@ -728,8 +728,9 @@ object Dedup {
     * yields an empty result, not an error. */
   def connectedComponents(
       pairs: DataFrame,
-      maxIters: Int = 50): DataFrame = {
-    val res = connectedComponentsWithStats(pairs, maxIters)
+      maxIters: Int = 50,
+      collectThreshold: Long = DefaultCcCollectThreshold): DataFrame = {
+    val res = connectedComponentsWithStats(pairs, maxIters, collectThreshold)
     if (!res.converged)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"connectedComponents did not converge in ${res.iterations} " +
@@ -738,16 +739,66 @@ object Dedup {
     res.labels
   }
 
-  /** [[connectedComponents]] with the convergence signal exposed. */
+  /** Directed-edge count under which [[connectedComponentsWithStats]]
+    * collects the edge list and runs union-find on the driver instead
+    * of iterating distributed propagation rounds. 2^20 directed edges
+    * = 2^19 near-dup pairs; worst-case driver footprint is ~2^21 boxed
+    * endpoints in a parent map plus the collected rows — low hundreds
+    * of MB, bounded by construction. Near-dup graphs after LSH+verify
+    * are almost always far below this (duplicates are a small fraction
+    * of the corpus and components are few-doc cliques), so in practice
+    * the fast path serves everything up to corpora several orders of
+    * magnitude beyond the test SFs, and a 100 TB corpus whose pair
+    * graph exceeds it gets the distributed loop unchanged. */
+  val DefaultCcCollectThreshold: Long = 1L << 20
+
+  /** External-value ordering matching Spark's `min` for the id types
+    * the driver union-find supports; `None` → keep the edge list
+    * distributed (exotic id types still work, just without the small-
+    * graph fast path). */
+  private def driverIdOrdering(
+      dt: org.apache.spark.sql.types.DataType): Option[Ordering[Any]] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType    => Some(Ordering.by[Any, Long](_.asInstanceOf[Long]))
+      case IntegerType => Some(Ordering.by[Any, Int](_.asInstanceOf[Int]))
+      case ShortType   => Some(Ordering.by[Any, Short](_.asInstanceOf[Short]))
+      case StringType  =>
+        Some(Ordering.by[Any, String](_.asInstanceOf[String]))
+      case _ => None
+    }
+  }
+
+  /** [[connectedComponents]] with the convergence signal exposed.
+    *
+    * Size-adaptive (the AQE philosophy — pick the physical strategy
+    * from the measured size, not the worst case): the symmetric edge
+    * frame is counted once and, when it fits `collectThreshold` and
+    * the id type is orderable on the driver, the whole component
+    * computation is one collect + driver union-find + local-relation
+    * result (`iterations == 0`, always converged) instead of
+    * O(diameter) join+aggregate shuffle rounds. The local-relation
+    * labels also make the caller's labels⋈corpus join broadcast-able
+    * for free. Pass `collectThreshold = 0` to force the distributed
+    * loop (probes/tests pin its round semantics that way). */
   def connectedComponentsWithStats(
       pairs: DataFrame,
-      maxIters: Int = 50): ComponentsResult = {
+      maxIters: Int = 50,
+      collectThreshold: Long = DefaultCcCollectThreshold): ComponentsResult = {
     import org.apache.spark.storage.StorageLevel
     val edges = pairs
       .select(col("id_a").as("u"), col("id_b").as("v"))
       .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val idType = edges.schema("u").dataType
+    val ordOpt =
+      if (collectThreshold > 0) driverIdOrdering(idType) else None
+    if (ordOpt.isDefined && edges.count() <= collectThreshold) {
+      val labels = driverUnionFind(edges, idType, ordOpt.get)
+      edges.unpersist()
+      return ComponentsResult(labels, converged = true, iterations = 0)
+    }
     // lazy localCheckpoint: materialized by labelSum's action below,
     // after which the plan is a single LogicalRDD leaf — constant
     // depth regardless of how many rounds follow.
@@ -784,6 +835,48 @@ object Dedup {
     }
     edges.unpersist()
     ComponentsResult(labels, converged, iter)
+  }
+
+  /** Driver-side union-find over a collected symmetric edge list,
+    * bounded by [[DefaultCcCollectThreshold]] at the call site. Roots
+    * are kept at the component MINIMUM id (union attaches the larger
+    * root under the smaller), so `find(node)` IS the cluster label —
+    * identical to the distributed min-label fixpoint. Path compression
+    * keeps the total near-linear in edges. Returns a local relation
+    * `(id, cluster)` over every node in the edge list. */
+  private def driverUnionFind(
+      edges: DataFrame,
+      idType: org.apache.spark.sql.types.DataType,
+      ord: Ordering[Any]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var r = x
+      var p = parent.getOrDefault(r, r)
+      while (p != r) { r = p; p = parent.getOrDefault(r, r) }
+      var c = x // second pass: compress the walked path onto the root
+      while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    // one collect, not toLocalIterator: the latter schedules a job per
+    // partition (the per-job overhead this path exists to avoid), and
+    // the call-site threshold already bounds the collected size.
+    edges.collect().foreach { row =>
+      val (ra, rb) = (find(row.get(0)), find(row.get(1)))
+      if (ra != rb) {
+        if (ord.lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+      parent.putIfAbsent(row.get(0), row.get(0))
+      parent.putIfAbsent(row.get(1), row.get(1))
+    }
+    val out = parent.keySet().asScala.toSeq
+      .map(id => Row(id, find(id))).asJava
+    edges.sparkSession.createDataFrame(out,
+      StructType(Seq(
+        StructField("id", idType, nullable = false),
+        StructField("cluster", idType, nullable = false))))
   }
 
   /** The deduplicated corpus under CLUSTER semantics: one keeper (the

@@ -90,7 +90,8 @@ object CcSkewProbe {
     val star = spark.range(1, famSize.toLong)
       .select(lit(0L).as("id_a"), col("id").as("id_b"))
     val (starRes, tStar) = timed {
-      Dedup.connectedComponentsWithStats(star.toDF())
+      Dedup.connectedComponentsWithStats(star.toDF(),
+        collectThreshold = 0) // probe the distributed rounds, not the fast path
     }
     val starMax = starRes.labels.groupBy("cluster")
       .agg(count(lit(1)).as("sz")).agg(max(col("sz"))).head().getLong(0)
@@ -102,7 +103,8 @@ object CcSkewProbe {
     val chain = spark.range(0, 1000L)
       .select(col("id").as("id_a"), (col("id") + 1L).as("id_b"))
     val (chainRes, tChain) = timed {
-      Dedup.connectedComponentsWithStats(chain.toDF(), maxIters = 50)
+      Dedup.connectedComponentsWithStats(chain.toDF(), maxIters = 50,
+        collectThreshold = 0)
     }
     println(f"PROBE cc_chain nodes=1001 iters=${chainRes.iterations} " +
       f"converged=${chainRes.converged} sec=$tChain%.2f " +

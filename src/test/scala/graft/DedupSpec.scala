@@ -161,6 +161,36 @@ class DedupSpec extends AnyFunSuite {
     assert(labels.size == 10)
   }
 
+  test("components fast path == distributed path; 0 rounds, converged") {
+    // chain + pair + triangle (the multi-round graph above): the
+    // driver union-find must produce byte-identical labels to the
+    // propagation loop, in zero propagation rounds
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)
+    ).toDF("id_a", "id_b")
+    val fast = Dedup.connectedComponentsWithStats(pairs)
+    assert(fast.converged && fast.iterations == 0,
+      s"small graph should take the collect path: $fast")
+    val slow =
+      Dedup.connectedComponentsWithStats(pairs, collectThreshold = 0)
+    assert(fast.labels.as[(Long, Long)].collect().toMap ==
+      slow.labels.as[(Long, Long)].collect().toMap)
+  }
+
+  test("components fast path: string ids, min label is lexicographic") {
+    val pairs = Seq(
+      ("doc-b", "doc-a"), ("doc-b", "doc-c"), // one component, min doc-a
+      ("zz-2", "zz-1")
+    ).toDF("id_a", "id_b")
+    val res = Dedup.connectedComponentsWithStats(pairs)
+    assert(res.iterations == 0)
+    val labels = res.labels.as[(String, String)].collect().toMap
+    assert(Seq("doc-a", "doc-b", "doc-c").forall(labels(_) == "doc-a"))
+    assert(labels("zz-1") == "zz-1" && labels("zz-2") == "zz-1")
+  }
+
   test("clean corpus (zero near-dup pairs): cluster ops return, not NPE") {
     // every doc unique → the LSH pair graph is EMPTY; sum over an empty
     // labels frame is null, which used to NPE in the convergence check
@@ -187,7 +217,8 @@ class DedupSpec extends AnyFunSuite {
     // must leave the final labels' analyzed plan a single leaf, not a
     // tree that grew with the iteration count
     val chain = (1L until 10L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val res = Dedup.connectedComponentsWithStats(chain)
+    val res =
+      Dedup.connectedComponentsWithStats(chain, collectThreshold = 0)
     assert(res.converged && res.iterations > 3)
     val planNodes = res.labels.queryExecution.analyzed.collect { case p => p }
     assert(planNodes.size <= 2,
@@ -199,7 +230,8 @@ class DedupSpec extends AnyFunSuite {
 
   test("non-convergence (diameter > maxIters) is signalled, not silent") {
     val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val res = Dedup.connectedComponentsWithStats(chain, maxIters = 2)
+    val res = Dedup.connectedComponentsWithStats(chain, maxIters = 2,
+      collectThreshold = 0)
     assert(!res.converged && res.iterations == 2)
     // truncated labels: the far end of the chain can't have reached 1
     val labels = res.labels.as[(Long, Long)].collect().toMap

@@ -179,6 +179,26 @@ class DedupSpec extends AnyFunSuite {
       slow.labels.as[(Long, Long)].collect().toMap)
   }
 
+  test("components fast path == distributed on random graphs (seeded)") {
+    // three deterministic random edge lists spanning sparse (many
+    // small components), dense (few big ones), and self-loop/dup-edge
+    // noise — the fast path must agree with the propagation loop on
+    // every node's label, not just the hand-built shapes above
+    val rnd = new scala.util.Random(12L)
+    for ((nNodes, nEdges) <- Seq((40, 25), (40, 120), (15, 60))) {
+      val pairs = Seq.fill(nEdges)(
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .toDF("id_a", "id_b")
+      val fast = Dedup.connectedComponentsWithStats(pairs)
+      val slow =
+        Dedup.connectedComponentsWithStats(pairs, collectThreshold = 0)
+      assert(fast.iterations == 0 && fast.converged)
+      assert(fast.labels.as[(Long, Long)].collect().toMap ==
+        slow.labels.as[(Long, Long)].collect().toMap,
+        s"fast/distributed divergence on n=$nNodes e=$nEdges")
+    }
+  }
+
   test("components fast path: string ids, min label is lexicographic") {
     val pairs = Seq(
       ("doc-b", "doc-a"), ("doc-b", "doc-c"), // one component, min doc-a

@@ -786,9 +786,16 @@ object Dedup {
       maxIters: Int = 50,
       collectThreshold: Long = DefaultCcCollectThreshold): ComponentsResult = {
     import org.apache.spark.storage.StorageLevel
-    val edges = pairs
+    // null-id edges are dropped EXPLICITLY so both strategies agree:
+    // the propagation join is null-rejecting anyway, but the driver
+    // union-find's hash map would happily carry a null node and the
+    // two paths would silently diverge on corrupt input.
+    val nonNullPairs =
+      pairs.filter(col("id_a").isNotNull && col("id_b").isNotNull)
+    val edges = nonNullPairs
       .select(col("id_a").as("u"), col("id_b").as("v"))
-      .unionByName(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .unionByName(
+        nonNullPairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val idType = edges.schema("u").dataType

@@ -179,6 +179,22 @@ class DedupSpec extends AnyFunSuite {
       slow.labels.as[(Long, Long)].collect().toMap)
   }
 
+  test("components drop null-id edges identically on both strategies") {
+    val pairs = Seq(
+      (Some(1L), Some(2L)),
+      (Some(2L), Option.empty[Long]), // corrupt: must not create a null node
+      (Option.empty[Long], Some(9L)),
+      (Some(5L), Some(6L))
+    ).toDF("id_a", "id_b")
+    for (thr <- Seq(Dedup.DefaultCcCollectThreshold, 0L)) {
+      val labels = Dedup
+        .connectedComponentsWithStats(pairs, collectThreshold = thr)
+        .labels.as[(Long, Long)].collect().toMap
+      assert(labels == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L),
+        s"threshold=$thr: $labels")
+    }
+  }
+
   test("components fast path == distributed on random graphs (seeded)") {
     // three deterministic random edge lists spanning sparse (many
     // small components), dense (few big ones), and self-loop/dup-edge

@@ -1086,6 +1086,60 @@ object LlmQueries {
                    (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT)
                     FROM kept) AS kept_id_sum"""))
 
+  /** Span-level decontamination ([[SpanDedup.decontaminateSpans]]):
+    * excise every 4-token window the benchmark slice (doc_id % 50 = 0)
+    * contains verbatim from each training doc and keep the remainder —
+    * the surgical alternative to [[Dedup.decontaminate]]'s whole-doc
+    * drop. The engine ships only xxhash64 window keys; the oracle
+    * recomputes the pipeline string-keyed end to end (bench window
+    * set, covered positions, in-order reassembly). windowLen=4 for
+    * the fixture's ~40-word vocabulary, like `llm_contamination`. */
+  val decontaminateSpansQ = Q(
+    "llm_decontaminate_spans",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      SpanDedup.decontaminateSpans(
+          probe = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+          bench = docs.filter(pmod(col("doc_id"), lit(50)) === 0),
+          windowLen = 4)
+        .orderBy("doc_id")
+        .limit(500)
+    },
+    Some("""WITH tok AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(coalesce(text, ''))),
+                       '\s+') AS ts
+              FROM documents),
+            win AS (
+              SELECT doc_id, t.i AS pos,
+                     array_to_string(ts[t.i:t.i+3], ' ') AS w
+              FROM tok, UNNEST(range(1, greatest(len(ts) - 2, 1))) AS t(i)),
+            hot AS (
+              SELECT DISTINCT w FROM win WHERE doc_id % 50 = 0),
+            covered AS (
+              SELECT DISTINCT p.doc_id, p.pos + o.off AS tp
+              FROM (SELECT doc_id, pos, w FROM win
+                    WHERE doc_id % 50 <> 0) p
+              JOIN hot USING (w),
+                   UNNEST(range(0, 4)) AS o(off)),
+            tokens AS (
+              SELECT doc_id, t.i AS tp, ts[t.i] AS tok
+              FROM tok, UNNEST(range(1, len(ts) + 1)) AS t(i)
+              WHERE doc_id % 50 <> 0),
+            kept AS (
+              SELECT k.doc_id,
+                     COUNT(*) AS n_tokens,
+                     CAST(COUNT(c.tp) AS BIGINT) AS n_removed,
+                     COALESCE(string_agg(
+                       CASE WHEN c.tp IS NULL THEN k.tok END, ' '
+                       ORDER BY k.tp), '') AS kept_text
+              FROM tokens k
+              LEFT JOIN covered c
+                ON c.doc_id = k.doc_id AND c.tp = k.tp
+              GROUP BY k.doc_id)
+            SELECT doc_id, n_tokens, n_removed, kept_text
+            FROM kept ORDER BY doc_id LIMIT 500"""))
+
   /** Bloom-pruned contamination twin: identical answer (no false
     * negatives), same oracle; the probe's shingle stream is pre-
     * filtered against a sketch of the bench shingles inside codegen
@@ -2664,7 +2718,8 @@ object LlmQueries {
     boilerplate,
     unigramScore, bigramScore, bm25TopK, bpePairs, bpeEncode, corpusDrift,
     driftBySource, numericPsi,
-    textRedact, contamination, contaminationBloom, decontaminate, mmStats,
+    textRedact, contamination, contaminationBloom, decontaminate,
+    decontaminateSpansQ, mmStats,
     mmDecodePlanted, mmResizePlanted, mmAudioFrames, curate,
     qualityGate,
     pipelineCurateSplit)

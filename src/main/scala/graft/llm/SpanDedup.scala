@@ -139,6 +139,88 @@ object SpanDedup {
         coalesce(col("kept_text"), lit("")).as("kept_text"))
   }
 
+  /** Span-level decontamination: remove every probe token covered by a
+    * `windowLen`-token window that occurs VERBATIM anywhere in the
+    * benchmark corpus, and reassemble — the exact-substring
+    * decontamination recipe. [[Dedup.decontaminate]] drops whole
+    * documents on any shingle overlap; this keeps the document and
+    * excises only the leaked span, so a page that merely quotes one
+    * benchmark sentence still contributes its clean remainder to
+    * training. Same tokenizer/reassembly contract as
+    * [[dedupCorpusSpans]] (lowercased `\s+` tokens, single-space
+    * rejoin); probe documents shorter than `windowLen` tokens have no
+    * windows and survive untouched (a bench string can only match a
+    * FULL-length probe window, so sub-window overlaps are out of
+    * scope by construction — that granularity is
+    * [[Dedup.decontaminate]]'s k-shingle drop). Returns
+    * `(idCol, n_tokens, n_removed, kept_text)` for every probe row.
+    *
+    * Scale shape: eval suites are tiny next to a training corpus, so
+    * the bench window-hash set (`distinct wh`, 8 bytes each) is
+    * BROADCAST — the probe corpus flows through one codegen window
+    * explode and a broadcast semi-join, never a shuffle keyed on
+    * corpus data. Only documents with ≥1 bench hit (≪ corpus in the
+    * common mostly-clean case) pay the doc-keyed reassembly
+    * aggregate; clean documents take a row-local normalize-only
+    * projection. The covered-position frame is eagerly materialized
+    * (`localCheckpoint`), so this call runs the corpus window pass
+    * exactly once and is EAGER, like [[Dedup.incrementalDedup]]; the
+    * hit-doc id set it yields is broadcast on both paths — bounded by
+    * the contaminated-doc count, which in any corpus worth shipping
+    * is ≪ corpus (a corpus where it isn't needs
+    * [[Dedup.decontaminate]]'s drop-everything answer, not span
+    * surgery). Never doc×doc. */
+  def decontaminateSpans(
+      probe: DataFrame,
+      bench: DataFrame,
+      windowLen: Int = 8,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(windowLen >= 1, s"windowLen must be ≥ 1: $windowLen")
+    val toks = tokenized(probe, idCol, textCol)
+    val w = windows(toks, windowLen, idCol)
+    val benchWh = windows(tokenized(bench, idCol, textCol),
+        windowLen, idCol)
+      .select("wh").distinct()
+    // windows hit by the bench set → covered token positions. This is
+    // the one product of the corpus-wide window pass and it is small
+    // (≤ windowLen rows per hit), but THREE consumers read it below
+    // (hit-doc broadcasts on both paths + the coverage join) — eagerly
+    // materialize it once so the corpus window explode runs exactly
+    // once and the hit-doc set has a known (small) size to broadcast.
+    val covered = w.join(broadcast(benchWh), Seq("wh"), "left_semi")
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + windowLen - 1))
+          .as("tp"))
+      .distinct()
+      .localCheckpoint(true)
+    val hitDocs = covered.select(col(idCol)).distinct()
+    // dirty path: token explode + coverage tag + in-order reassembly,
+    // for hit documents only
+    val dirtyToks = toks.join(broadcast(hitDocs), Seq(idCol), "left_semi")
+    val dirty = dirtyToks
+      .select(col(idCol), posexplode(col("ts")).as(Seq("tp0", "tok")))
+      .select(col(idCol), (col("tp0") + 1).as("tp"), col("tok"))
+      .join(covered.withColumn("_rm", lit(true)), Seq(idCol, "tp"), "left")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(when(col("_rm").isNotNull, 1)).as("n_removed"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("_rm").isNull, struct(col("tp"), col("tok"))))),
+            s => s.getField("tok")),
+          " ").as("kept_text"))
+    // clean path: row-local — normalize and count, no shuffle
+    val clean = toks.join(broadcast(hitDocs), Seq(idCol), "left_anti")
+      .select(col(idCol),
+        size(col("ts")).cast("long").as("n_tokens"),
+        lit(0L).as("n_removed"),
+        array_join(col("ts"), " ").as("kept_text"))
+    clean.unionByName(dirty)
+  }
+
   /** Deep-clean composition: span dedup, then EXACT dedup over the
     * cleaned text (span removal makes boilerplate-differing documents
     * collapse to identical remainders — running exact dedup before

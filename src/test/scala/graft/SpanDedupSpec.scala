@@ -79,6 +79,55 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(rows.select("text").distinct().count() == 4L)
   }
 
+  private def runDecon(
+      probe: Seq[(Long, String)], bench: Seq[(Long, String)], l: Int = 3) =
+    SpanDedup.decontaminateSpans(
+        probe.toDF("doc_id", "text"), bench.toDF("doc_id", "text"), l)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+
+  test("decontaminateSpans excises only the bench-overlapping span") {
+    val got = runDecon(
+      probe = Seq(
+        (1L, "intro the exact answer is here tail1"),
+        (2L, "completely unrelated training words")),
+      bench = Seq((100L, "question: the exact answer is here")))
+    // bench 3-windows include "the exact answer", "exact answer is",
+    // "answer is here" → probe doc 1 loses tokens 2..7; doc 2 clean
+    assert(got == Seq(
+      (1L, 7L, 5L, "intro tail1"),
+      (2L, 4L, 0L, "completely unrelated training words")))
+  }
+
+  test("decontaminateSpans: probe window must match FULL-length; short bench docs contribute nothing") {
+    val got = runDecon(
+      probe = Seq((1L, "alpha beta gamma delta")),
+      bench = Seq((100L, "alpha beta"))) // < windowLen → no windows
+    assert(got == Seq((1L, 4L, 0L, "alpha beta gamma delta")))
+  }
+
+  test("decontaminateSpans: fully-leaked doc empties; blank/short probe docs survive normalized") {
+    val got = runDecon(
+      probe = Seq(
+        (1L, "Same  Three\tWords"), // normalization + full cover
+        (2L, "two toks"),           // shorter than window → untouched
+        (3L, "")),                  // blank → one empty token
+      bench = Seq((100L, "prefix same three words suffix")))
+    assert(got == Seq(
+      (1L, 3L, 3L, ""),
+      (2L, 2L, 0L, "two toks"),
+      (3L, 1L, 0L, "")))
+  }
+
+  test("decontaminateSpans: overlap WITHIN the probe corpus alone is not removed") {
+    val got = runDecon(
+      probe = Seq(
+        (1L, "shared probe phrase one"),
+        (2L, "shared probe phrase two")),
+      bench = Seq((100L, "nothing in common here at all")))
+    assert(got.map(_._3) == Seq(0L, 0L))
+  }
+
   test("hotWindows audit counts distinct docs per window") {
     val hot = SpanDedup.hotWindows(Seq(
         (1L, "a b c d"),

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.SimHash64.simhash64
 
@@ -472,6 +472,164 @@ object Dedup {
       maxBucketSize: Int = defaultMaxBucket): DataFrame =
     incrementalDedupWithAudit(incoming, reference, idCol, textCol,
       shingleK, numHashes, bands, minJaccard, maxBucketSize)._2
+
+  // ---- persisted LSH index (build once, probe many) -------------------
+
+  /** Does an LSH index already exist at `path`? (Checks the meta
+    * table's `_SUCCESS` marker — the LAST table [[writeLshIndex]]
+    * writes, so a half-built index from a crashed build reads as
+    * absent and is rebuilt.) */
+  def lshIndexExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/meta/_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Materialize the frozen reference corpus's dedup index at `path` —
+    * the build-once/probe-many form of [[incrementalDedup]]. The
+    * onboarding loop at 100 TB probes the SAME reference with every
+    * incoming batch; without an index each probe re-reads, re-tokenizes,
+    * re-shingles and re-minhashes the full reference corpus, the single
+    * largest cost in the pipeline. This writes that precomputation
+    * once (parquet, all mergeable into the next rebuild):
+    *
+    *   - `path/meta`     — one row (shingle_k, num_hashes, bands):
+    *                       probes hash with the STORED parameters, so
+    *                       a build/probe mismatch cannot happen
+    *   - `path/digests`  — distinct content digests (32 B/doc): the
+    *                       exact phase
+    *   - `path/bands`    — (id, band, band_hash), uncapped (the probe
+    *                       applies its own [[capBuckets]] bound): the
+    *                       candidate phase, 20 B/row × bands per doc
+    *   - `path/shingles` — (id, sh): the verify phase's reference
+    *                       side. The one corpus-sized table, read only
+    *                       through a join that keeps candidate ids; a
+    *                       production deployment would additionally
+    *                       bucket it by id for file pruning
+    *                       ([[graft.maintain.Layout]] provides that).
+    *
+    * The reference is shingled ONCE (persisted) and feeds both the
+    * bands and shingles writes. */
+  def writeLshIndex(
+      reference: DataFrame,
+      path: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleK: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 32): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val spark = reference.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    reference
+      .select(contentHash(col(textCol)).as("digest")).distinct()
+      .write.mode("overwrite").parquet(s"$path/digests")
+    val (sh, handle) = persistIfNew(
+      reference.select(
+        col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      sh.select(col("id"),
+          posexplode(graft.functions.TextExprs.minhash_bands(
+            col("sh"), numHashes, bands)).as(Seq("band", "band_hash")))
+        .write.mode("overwrite").parquet(s"$path/bands")
+      sh.write.mode("overwrite").parquet(s"$path/shingles")
+    } finally release(handle.toSeq)
+    // meta LAST: its _SUCCESS is the index's validity marker
+    spark.range(1).select(
+        lit(shingleK).as("shingle_k"),
+        lit(numHashes).as("num_hashes"),
+        lit(bands).as("bands"))
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** [[incrementalDedup]] against a PERSISTED index instead of the
+    * live reference frame: same two phases, same thresholds, same
+    * output — `(kept rows, one-row audit)` like
+    * [[incrementalDedupWithAudit]] — but the reference corpus
+    * contributes only its stored digests, band hashes and (for
+    * verified candidates) shingle arrays. Hashing parameters come
+    * from the index's meta table, so the probe is always consistent
+    * with the build. */
+  def incrementalDedupIndexedWithAudit(
+      incoming: DataFrame,
+      indexPath: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minJaccard: Double = 0.5,
+      maxBucketSize: Int = defaultMaxBucket): (DataFrame, DataFrame) = {
+    val spark = incoming.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    require(lshIndexExists(spark, indexPath),
+      s"no LSH index at $indexPath — writeLshIndex first")
+    val meta = spark.read.parquet(s"$indexPath/meta").head()
+    val shingleK = meta.getAs[Int]("shingle_k")
+    val numHashes = meta.getAs[Int]("num_hashes")
+    val bands = meta.getAs[Int]("bands")
+
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val handles = Seq.newBuilder[DataFrame]
+    def tracked(df: DataFrame): DataFrame = {
+      val (p, h) = persistIfNew(df, level)
+      handles ++= h; p
+    }
+    try {
+      // phase 1 — exact, against the stored digest set
+      val refDigests = spark.read.parquet(s"$indexPath/digests")
+        .withColumnRenamed("digest", "__graft_digest")
+      val exactSurvivors = tracked(incoming
+        .withColumn("__graft_digest", contentHash(col(textCol)))
+        .join(refDigests, Seq("__graft_digest"), "left_anti")
+        .drop("__graft_digest"))
+      // phase 2 — near: incoming bands vs STORED bands (both sides
+      // bucket-capped, exactly like the live incrementalPhases)
+      val incSh = tracked(exactSurvivors.select(
+        col(idCol).as("jid"), shingles(col(textCol), shingleK).as("jsh")))
+      val incBands = capBuckets(
+        incSh.select(col("jid").as("id"),
+          posexplode(graft.functions.TextExprs.minhash_bands(
+            col("jsh"), numHashes, bands)).as(Seq("band", "band_hash"))),
+        Seq("band", "band_hash"), maxBucketSize)
+      val refBands = capBuckets(
+        spark.read.parquet(s"$indexPath/bands"),
+        Seq("band", "band_hash"), maxBucketSize)
+      val candidates = incBands
+        .select(col("band"), col("band_hash"), col("id").as("id_a"))
+        .join(refBands
+          .select(col("band"), col("band_hash"), col("id").as("id_b")),
+          Seq("band", "band_hash"))
+        .select("id_a", "id_b").distinct()
+      val refSh = spark.read.parquet(s"$indexPath/shingles")
+      val nearDropped = candidates
+        .join(incSh.select(col("jid").as("id_a"), col("jsh").as("sh_a")),
+          Seq("id_a"))
+        .join(refSh.select(col("id").as("id_b"), col("sh").as("sh_b")),
+          Seq("id_b"))
+        .filter(round(jaccard(col("sh_a"), col("sh_b")), 4) >= minJaccard)
+        .select(col("id_a").as(idCol)).distinct()
+        .localCheckpoint(true)
+      val nSurv = exactSurvivors.count()
+      val nDrop = nearDropped.count()
+      val nInc = incoming.count()
+      val kept = exactSurvivors.join(nearDropped, Seq(idCol), "left_anti")
+      val audit = spark.range(1).select(
+        lit(nInc).as("n_incoming"),
+        lit(nInc - nSurv).as("n_exact_dropped"),
+        lit(nDrop).as("n_near_dropped"),
+        lit(nSurv - nDrop).as("n_kept"))
+      (kept, audit)
+    } finally release(handles.result())
+  }
+
+  /** Kept rows only, from the persisted index. */
+  def incrementalDedupIndexed(
+      incoming: DataFrame,
+      indexPath: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minJaccard: Double = 0.5,
+      maxBucketSize: Int = defaultMaxBucket): DataFrame =
+    incrementalDedupIndexedWithAudit(
+      incoming, indexPath, idCol, textCol, minJaccard, maxBucketSize)._1
 
   // ---- SimHash ------------------------------------------------------
 

@@ -582,6 +582,33 @@ object LlmQueries {
                 OR (lang = 'zh' AND b < 2500)
              GROUP BY lang ORDER BY lang"""))
 
+  /** Per-source domain cap ([[Sampling.capPerSource]]): every source
+    * keeps at most 40 documents, chosen by deterministic salted-hash
+    * order, never rand(). The oracle recomputes the identical hash
+    * and the per-source rank, and pins exact membership via the kept
+    * id-sum — a different winner set with the right count would still
+    * fail. */
+  val capPerSourceQ = Q(
+    "sample_cap_per_source",
+    (s, d) =>
+      Sampling.capPerSource(Tables.documents(s, d), maxDocs = 40)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy("source"),
+    Some(s"""WITH h AS (
+               SELECT source, doc_id,
+                      ${duckdbTextHash(
+                        "CAST(doc_id AS VARCHAR) || '#cap'")} AS hh
+               FROM documents),
+             kept AS (
+               SELECT source, doc_id FROM h
+               QUALIFY row_number() OVER (
+                 PARTITION BY source ORDER BY hh, doc_id) <= 40)
+             SELECT source, COUNT(*) AS n_docs,
+                    CAST(SUM(doc_id) AS BIGINT) AS id_sum
+             FROM kept GROUP BY source ORDER BY source"""))
+
   /** Leakage-safe split ([[Sampling.leakageSafeSplit]]): split key is
     * the near-dup component label, so a duplicate family can never
     * straddle train and test. The oracle recomputes the components
@@ -1993,6 +2020,33 @@ object LlmQueries {
                    (SELECT COUNT(*) FROM surv)
                      - (SELECT COUNT(*) FROM near) AS n_kept"""))
 
+  /** Indexed twin of `dedup_incremental`: the reference corpus's
+    * digests/bands/shingles are materialized ONCE to a parquet LSH
+    * index ([[Dedup.writeLshIndex]], build-once/probe-many — the
+    * onboarding shape where every batch probes the same frozen
+    * reference) and the batch is deduped against the INDEX
+    * ([[Dedup.incrementalDedupIndexedWithAudit]]). Same phases, same
+    * thresholds ⇒ the `dedup_incremental` oracle applies verbatim —
+    * a drift between the live and indexed paths surfaces as a count
+    * mismatch here. The index is written under target/ keyed on the
+    * fixture dir (immutable fixtures; delete target/ to rebuild). */
+  val dedupIncrementalIndexed = Q(
+    "dedup_incremental_indexed",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val reference = docs.filter(col("doc_id") % 2 === 0)
+      val planted = reference.filter(col("doc_id") < 20)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      val incoming = docs.filter(col("doc_id") % 2 === 1)
+        .unionByName(planted)
+      val path = "target/lsh_index_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      if (!Dedup.lshIndexExists(s, path))
+        Dedup.writeLshIndex(reference, path)
+      Dedup.incrementalDedupIndexedWithAudit(incoming, path)._2
+    },
+    dedupIncremental.oracle)
+
   /** Numeric PSI drift ([[Drift.psiNumeric]]): even events are the
     * frozen reference, odd events the current batch; equal-width bins
     * off exact reference min/max make every count engine-reproducible.
@@ -2706,11 +2760,12 @@ object LlmQueries {
     hardNegativesQ,
     dedupStats, dedupKeep, nearDupMinhash, nearDupSimhash, dedupClusters,
     dedupClusterKeep, dedupSweep, ngramJaccard, crossSourceDup,
-    dedupIncremental, textNormalize,
+    dedupIncremental, dedupIncrementalIndexed, textNormalize,
     annBrute, annLsh, annLshPlanted, annIvf, annIvfPlanted, annKnnJoin,
     nearDupCosine,
     embCentroids, embNormProfile, quantizeInt8, annQuantized,
-    splitCounts, stratSample, leakageSplit, budgetSample, temperatureMix,
+    splitCounts, stratSample, capPerSourceQ, leakageSplit, budgetSample,
+    temperatureMix,
     epochOrder,
     pipelinePrepShards, packShards, packPaddingWaste, packShardDigests,
     chunkDocs, ragRetrieve, coverageAudit, oovBySource, qualityGrid,

@@ -3,7 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{GraftFunctions, TextHash}
+import graft.functions.{GraftFunctions, TextHash, TopKAgg}
 
 /** Dataset splitting and sampling for training-data pipelines.
   *
@@ -234,6 +234,49 @@ object Sampling {
   /** Per-stratum deterministic downsample: keep ~`fraction` of each
     * stratum (e.g. language) using the same id-hash, so the sample is
     * reproducible and join-stable. One narrow filter — no shuffle. */
+  /** Cap every source/domain at `maxDocs` documents — the C4/CCNet-
+    * style domain cap that stops one giant site from dominating the
+    * training mixture. Selection is DETERMINISTIC and repartition-
+    * stable: each source keeps its `maxDocs` lowest documents by
+    * `(text_hash(id‖"#cap"), id)` — a salted hash order, never
+    * `rand()` — so re-processing a corpus keeps the same winners, and
+    * the salt decorrelates the kept set from the split buckets and
+    * the other samplers. Sources at or under the cap pass through
+    * whole.
+    *
+    * Scale shape: NOT a per-source window rank — a window ships every
+    * row of a giant source through one exchange partition (the skew
+    * [[graft.llm.Curate.topQualityPerSource]] documents). Here the
+    * winner ids come from the bounded `collect_top_k` heap aggregate:
+    * ≤ `maxDocs` entries per (source, map task) cross the wire, so a
+    * source with a billion rows costs its map-side heaps, not a
+    * shuffle of a billion rows into one task. The kept-id frame
+    * (≤ sources × maxDocs rows of (id) — tiny next to the corpus)
+    * then semi-joins back; AQE broadcasts it whenever the source
+    * count is bounded, and at web scale (millions of domains) it
+    * degrades to one hash join keyed on the id — still skew-free. */
+  def capPerSource(
+      df: DataFrame,
+      maxDocs: Int,
+      sourceCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    require(maxDocs >= 1, s"maxDocs must be ≥ 1: $maxDocs")
+    GraftFunctions.register(df.sparkSession)
+    val keptIds = df
+      .select(
+        col(sourceCol).as("__src"),
+        struct(
+          TextHash.text_hash(
+            concat(col(idCol).cast("string"), lit("#cap"))).as("h"),
+          col(idCol).as("kid")).as("__e"))
+      .groupBy("__src")
+      .agg(TopKAgg.collect_top_k(col("__e"), maxDocs, reverse = true)
+        .as("top"))
+      .select(explode(col("top")).as("e"))
+      .select(col("e.kid").as(idCol))
+    df.join(keptIds, Seq(idCol), "left_semi")
+  }
+
   def stratifiedSample(
       df: DataFrame,
       strataCol: String,

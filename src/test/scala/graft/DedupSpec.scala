@@ -340,6 +340,70 @@ class DedupSpec extends AnyFunSuite {
     assert(zero.getAs[Long]("n_kept") == 0)
   }
 
+  test("persisted LSH index: probe matches the live incremental path") {
+    val reference = Seq(
+      (10L, base),
+      (11L, "completely different content about spark query engines and scale"),
+      (12L, "unrelated short text")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (20L, base), // exact copy of ref 10 → phase-1 drop
+      (21L, base.replace("today", "tomorrow")), // near dup → phase-2 drop
+      (22L, "a genuinely fresh document with entirely new words inside")
+    ).toDF("doc_id", "text")
+    val path = "target/test_lsh_index_" + System.nanoTime()
+
+    assert(!Dedup.lshIndexExists(spark, path))
+    Dedup.writeLshIndex(reference, path)
+    assert(Dedup.lshIndexExists(spark, path))
+
+    val (kept, audit0) =
+      Dedup.incrementalDedupIndexedWithAudit(incoming, path)
+    assert(kept.select("doc_id").as[Long].collect().toSeq == Seq(22L))
+    val audit = audit0.head()
+    assert(audit.getAs[Long]("n_incoming") == 3)
+    assert(audit.getAs[Long]("n_exact_dropped") == 1)
+    assert(audit.getAs[Long]("n_near_dropped") == 1)
+    assert(audit.getAs[Long]("n_kept") == 1)
+
+    // empty incoming batch → all-zero audit, not a crash
+    val zero = Dedup.incrementalDedupIndexedWithAudit(
+      incoming.filter(lit(false)), path)._2.head()
+    assert(zero.getAs[Long]("n_incoming") == 0)
+    assert(zero.getAs[Long]("n_kept") == 0)
+
+    // probing a path with no index fails loudly, not with a read error
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalDedupIndexed(incoming, path + "_nope").count()
+    }
+    assert(e.getMessage.contains("writeLshIndex"))
+  }
+
+  test("persisted LSH index: probe ≡ live path on a planted corpus slice") {
+    // 30 docs with overlapping shingle structure + planted exact and
+    // near dups — the indexed probe must return EXACTLY the live
+    // incrementalDedup's kept set (same phases, same thresholds)
+    val reference = (0L until 30L).map(i =>
+      (i, s"reference document number $i with shared vocabulary words " +
+        s"alpha beta gamma ${"filler " * (i % 5).toInt}token$i"))
+      .toDF("doc_id", "text")
+    val incoming = ((100L until 115L).map(i =>
+      (i, s"incoming fresh document $i with novel content entirely " +
+        s"different words omega sigma token$i")) ++
+      Seq((200L, "reference document number 7 with shared vocabulary words " +
+        "alpha beta gamma filler filler token7"), // exact copy of ref 7
+        (201L, "reference document number 8 with shared vocabulary words " +
+          "alpha beta gamma filler filler filler token8 extra"))) // near dup
+      .toDF("doc_id", "text")
+    val path = "target/test_lsh_index_" + System.nanoTime()
+    Dedup.writeLshIndex(reference, path)
+    val live = Dedup.incrementalDedup(incoming, reference)
+      .select("doc_id").as[Long].collect().toSet
+    val indexed = Dedup.incrementalDedupIndexed(incoming, path)
+      .select("doc_id").as[Long].collect().toSet
+    assert(indexed == live, s"indexed=$indexed live=$live")
+  }
+
   // ---- cache lifecycle contract --------------------------------------
   // The probe frames below reconstruct EXACTLY the plans the operators
   // persist internally (same column aliases, same shingle params), so

@@ -44,6 +44,31 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("capPerSource truncates big sources, passes small ones whole, deterministically") {
+    val full = docs.groupBy("source").count().as[(String, Long)]
+      .collect().toMap
+    val cap = 5
+    val c1 = Sampling.capPerSource(docs, cap)
+    val c2 = Sampling.capPerSource(docs.repartition(13), cap)
+    val got1 = c1.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got1 == c2.select("doc_id").as[Long].collect().sorted.toSeq,
+      "kept set must be repartition-stable")
+    // subset of the corpus
+    assert(c1.join(docs, Seq("doc_id"), "left_anti").count() == 0)
+    val bydSrc = c1.groupBy("source").count().as[(String, Long)]
+      .collect().toMap
+    assert(bydSrc.keySet == full.keySet, "every source keeps ≥1 doc")
+    bydSrc.foreach { case (src, n) =>
+      assert(n == math.min(cap.toLong, full(src)),
+        s"source $src kept $n of ${full(src)} at cap $cap")
+    }
+    // a cap above every source size is the identity
+    assert(Sampling.capPerSource(docs, 1000000).count() == docs.count())
+    intercept[IllegalArgumentException] {
+      Sampling.capPerSource(docs, 0)
+    }
+  }
+
   test("stratified sample is a deterministic subset with ~right fractions") {
     val fr = Map("en" -> 0.5, "de" -> 1.0)
     val s1 = Sampling.stratifiedSample(docs, "lang", fr)

@@ -36,7 +36,7 @@ object Main {
 
   private def usage(): Unit =
     System.err.println(
-      """usage: graft.cli.Main <convert|query|sql|lint|profile|optimize|manifest|vacuum|curate|dedup-incremental|decontaminate|dedup-lines|dedup-spans|semdedup|novelty|sketch-build|sketch-query|bench> ...
+      """usage: graft.cli.Main <convert|query|sql|lint|profile|optimize|manifest|vacuum|curate|dedup-incremental|index-build|index-probe|decontaminate|decontaminate-spans|cap-source|dedup-lines|dedup-spans|semdedup|novelty|sketch-build|sketch-query|bench> ...
         |  convert DATA [--output-path P] [--agency A] [--compression C]
         |  query SFDIR NAME...
         |  sql SFDIR "SELECT ..."
@@ -49,8 +49,16 @@ object Main {
         |         [--min-chars N] [--langs en,de] [--compression C]
         |  dedup-incremental IN REF OUT [--min-jaccard J] [--compression C]
         |         onboard IN against frozen REF (exact + near dedup)
+        |  index-build REF OUT [--shingle-k K] [--num-hashes H] [--bands B]
+        |         materialize REF's LSH dedup index (build once, probe many)
+        |  index-probe IN INDEX OUT [--min-jaccard J] [--compression C]
+        |         dedup-incremental against a persisted index
         |  decontaminate IN BENCH OUT [--shingle-k K] [--compression C]
         |         drop IN docs sharing a K-shingle with BENCH
+        |  decontaminate-spans IN BENCH OUT [--window-len L] [--compression C]
+        |         excise BENCH-overlapping L-token windows, keep the rest
+        |  cap-source IN OUT --max-docs N [--source-col C] [--compression C]
+        |         keep at most N docs per source (deterministic hash order)
         |  dedup-lines IN OUT [--min-df N] [--compression C]
         |         remove lines occurring in >= N distinct docs, reassemble
         |  dedup-spans IN OUT [--window-len L] [--min-df N] [--compression C]
@@ -241,6 +249,69 @@ object Main {
           incoming, reference, minJaccard = minJ)
         ParquetSink.write(kept, out, codec, partitionCols = Seq.empty)
         audit.show(truncate = false)
+
+      case "index-build" =>
+        // index-build REF OUT: materialize REF's digests/bands/shingles
+        // as a parquet LSH index for index-probe (build once, probe many).
+        val (ref, out) = (args(1), args(2))
+        graft.sources.Preflight.checkInput(spark, ref)
+        val k = arg(args, "--shingle-k").map(_.toInt).getOrElse(3)
+        val h = arg(args, "--num-hashes").map(_.toInt).getOrElse(64)
+        val b = arg(args, "--bands").map(_.toInt).getOrElse(32)
+        graft.llm.Dedup.writeLshIndex(
+          spark.read.parquet(ref), out,
+          shingleK = k, numHashes = h, bands = b)
+        System.err.println(s"[index-build] wrote LSH index at $out " +
+          s"(shingle-k $k, $h hashes, $b bands)")
+
+      case "index-probe" =>
+        // index-probe IN INDEX OUT: dedup-incremental, but the frozen
+        // reference comes from a persisted index; prints the audit.
+        val (in, idx, out) = (args(1), args(2), args(3))
+        graft.sources.Preflight.check(spark, in, out)
+        val minJ = arg(args, "--min-jaccard").map(_.toDouble).getOrElse(0.5)
+        val codec = arg(args, "--compression").getOrElse("snappy")
+        val (kept, audit) = graft.llm.Dedup.incrementalDedupIndexedWithAudit(
+          spark.read.parquet(in), idx, minJaccard = minJ)
+        ParquetSink.write(kept, out, codec, partitionCols = Seq.empty)
+        audit.show(truncate = false)
+
+      case "decontaminate-spans" =>
+        // decontaminate-spans IN BENCH OUT: excise every BENCH-
+        // overlapping L-token window from IN docs, keep the remainder;
+        // writes (doc_id, n_tokens, n_removed, kept_text).
+        val (in, bench, out) = (args(1), args(2), args(3))
+        graft.sources.Preflight.check(spark, in, out)
+        graft.sources.Preflight.checkInput(spark, bench)
+        val l = arg(args, "--window-len").map(_.toInt).getOrElse(8)
+        val codec = arg(args, "--compression").getOrElse("snappy")
+        val result = graft.llm.SpanDedup.decontaminateSpans(
+          spark.read.parquet(in), spark.read.parquet(bench), windowLen = l)
+        // same skip-if-empty / null-sum guard as dedup-lines below
+        val removed =
+          if (ParquetSink.write(result, out, codec, partitionCols = Seq.empty))
+            spark.read.parquet(out)
+              .agg(org.apache.spark.sql.functions.coalesce(
+                org.apache.spark.sql.functions.sum("n_removed"),
+                org.apache.spark.sql.functions.lit(0L))).head().getLong(0)
+          else 0L
+        System.err.println(
+          s"[decontaminate-spans] removed $removed tokens (window $l)")
+
+      case "cap-source" =>
+        // cap-source IN OUT --max-docs N: keep at most N docs per
+        // source by deterministic salted-hash order.
+        val (in, out) = (args(1), args(2))
+        graft.sources.Preflight.check(spark, in, out)
+        val n = arg(args, "--max-docs").map(_.toInt).getOrElse(
+          sys.error("cap-source requires --max-docs N"))
+        val srcCol = arg(args, "--source-col").getOrElse("source")
+        val codec = arg(args, "--compression").getOrElse("snappy")
+        val df = spark.read.parquet(in)
+        val kept = graft.llm.Sampling.capPerSource(df, n, sourceCol = srcCol)
+        ParquetSink.write(kept, out, codec, partitionCols = Seq.empty)
+        System.err.println(
+          s"[cap-source] kept ${kept.count()} of ${df.count()} (cap $n/$srcCol)")
 
       case "decontaminate" =>
         // decontaminate IN BENCH OUT: drop IN docs sharing a k-word

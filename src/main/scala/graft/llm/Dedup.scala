@@ -475,13 +475,22 @@ object Dedup {
 
   // ---- persisted LSH index (build once, probe many) -------------------
 
-  /** Does an LSH index already exist at `path`? (Checks the meta
-    * table's `_SUCCESS` marker — the LAST table [[writeLshIndex]]
-    * writes, so a half-built index from a crashed build reads as
-    * absent and is rebuilt.) */
+  /** Current LSH index layout version; bumped when the stored tables
+    * change shape so an old index reads as absent and is rebuilt. */
+  val LshIndexFormat: Int = 2
+
+  /** Does a CURRENT-format LSH index exist at `path`? (Checks the
+    * meta table's `_SUCCESS` marker — the LAST table
+    * [[writeLshIndex]] writes, so a half-built index from a crashed
+    * build reads as absent and is rebuilt — then the format version,
+    * so a stale layout is rebuilt rather than mis-read.) */
   def lshIndexExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(s"$path/meta/_SUCCESS")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p) && {
+      val m = spark.read.parquet(s"$path/meta")
+      m.columns.contains("format") &&
+        m.head().getAs[Int]("format") == LshIndexFormat
+    }
   }
 
   /** Materialize the frozen reference corpus's dedup index at `path` —
@@ -528,14 +537,23 @@ object Dedup {
         col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh")),
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // bucket_n is precomputed AT BUILD: every probe needs the
+      // bucket-cap filter, and computing it here turns a per-probe
+      // window shuffle over the whole bands table into a pushed-down
+      // per-probe FILTER — the probe's cost must not grow with the
+      // reference's aggregate statistics
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("band", "band_hash")
       sh.select(col("id"),
           posexplode(graft.functions.TextExprs.minhash_bands(
             col("sh"), numHashes, bands)).as(Seq("band", "band_hash")))
+        .withColumn("bucket_n", count(lit(1)).over(w))
         .write.mode("overwrite").parquet(s"$path/bands")
       sh.write.mode("overwrite").parquet(s"$path/shingles")
     } finally release(handle.toSeq)
     // meta LAST: its _SUCCESS is the index's validity marker
     spark.range(1).select(
+        lit(LshIndexFormat).as("format"),
         lit(shingleK).as("shingle_k"),
         lit(numHashes).as("num_hashes"),
         lit(bands).as("bands"))
@@ -589,16 +607,36 @@ object Dedup {
           posexplode(graft.functions.TextExprs.minhash_bands(
             col("jsh"), numHashes, bands)).as(Seq("band", "band_hash"))),
         Seq("band", "band_hash"), maxBucketSize)
-      val refBands = capBuckets(
-        spark.read.parquet(s"$indexPath/bands"),
-        Seq("band", "band_hash"), maxBucketSize)
+      // ref-side bucket cap is a FILTER on the build-time bucket_n
+      // column, not a re-aggregation of the stored table
+      val refBands = spark.read.parquet(s"$indexPath/bands")
+        .filter(col("bucket_n") <= maxBucketSize)
+        .drop("bucket_n")
+      // candidates are a natural materialization point (the live path
+      // counts them too, for its broadcast-verify choice); here the
+      // count additionally gates the index's verify READ: when the
+      // candidate set is small — the common mostly-fresh batch — the
+      // ref shingle ids go INTO the shingles scan as a pushed filter,
+      // so the verify reads the candidate rows' row groups instead of
+      // scanning and shuffling the corpus-sized shingles table (the
+      // whole point of probing an index). Past the cap it degrades to
+      // the full-scan join, which is then proportionate to a genuinely
+      // dup-heavy batch.
       val candidates = incBands
         .select(col("band"), col("band_hash"), col("id").as("id_a"))
         .join(refBands
           .select(col("band"), col("band_hash"), col("id").as("id_b")),
           Seq("band", "band_hash"))
         .select("id_a", "id_b").distinct()
-      val refSh = spark.read.parquet(s"$indexPath/shingles")
+        .localCheckpoint(true)
+      val refSh0 = spark.read.parquet(s"$indexPath/shingles")
+      val refSh =
+        if (candidates.count() <= broadcastPairCap) {
+          val ids = candidates.select("id_b").distinct()
+            .collect().map(_.get(0)).toSeq
+          if (ids.isEmpty) refSh0.filter(lit(false))
+          else refSh0.filter(col("id").isin(ids: _*))
+        } else refSh0
       val nearDropped = candidates
         .join(incSh.select(col("jid").as("id_a"), col("jsh").as("sh_a")),
           Seq("id_a"))

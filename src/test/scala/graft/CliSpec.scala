@@ -99,6 +99,50 @@ class CliSpec extends AnyFunSuite {
     assert(spark.read.parquet(decOut).count() == 3)
   }
 
+  test("index-build, index-probe, decontaminate-spans and cap-source verbs run end-to-end") {
+    import spark.implicits._
+    val refDir = TestSpark.tmpDir("cli-idx-ref")
+    val inDir = TestSpark.tmpDir("cli-idx-in")
+    val idxDir = TestSpark.tmpDir("cli-idx") + "/index"
+    val outDir = TestSpark.tmpDir("cli-idx-out") + "/kept"
+    val base = "the quick brown fox jumps over the lazy dog again today"
+    Seq((10L, base), (11L, "totally different reference content here"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(refDir)
+    Seq(
+      (20L, base),                              // exact dup → dropped
+      (21L, base.replace("today", "tomorrow")), // near dup → dropped
+      (22L, "a brand new incoming document with fresh words"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(inDir)
+    graft.cli.Main.run(spark, Array("index-build", refDir, idxDir))
+    graft.cli.Main.run(spark, Array("index-probe", inDir, idxDir, outDir))
+    assert(spark.read.parquet(outDir)
+      .select("doc_id").as[Long].collect().toSeq == Seq(22L))
+
+    val benchDir = TestSpark.tmpDir("cli-dspan-bench")
+    val dsOut = TestSpark.tmpDir("cli-dspan-out") + "/clean"
+    Seq((100L, "prefix quick brown fox jumps suffix"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(benchDir)
+    graft.cli.Main.run(spark, Array(
+      "decontaminate-spans", inDir, benchDir, dsOut, "--window-len", "4"))
+    val ds = spark.read.parquet(dsOut)
+    // doc 20 contains the bench 4-window "quick brown fox jumps" →
+    // covered tokens excised, remainder kept; doc 22 untouched
+    assert(ds.filter($"doc_id" === 20L)
+      .select("n_removed").as[Long].head() > 0)
+    assert(ds.filter($"doc_id" === 22L)
+      .select("n_removed").as[Long].head() == 0)
+
+    val capOut = TestSpark.tmpDir("cli-cap-out") + "/capped"
+    val docsDir = TestSpark.tmpDir("cli-cap-in")
+    Tables.documents(spark, TestSpark.sf0001)
+      .write.mode("overwrite").parquet(docsDir)
+    graft.cli.Main.run(spark,
+      Array("cap-source", docsDir, capOut, "--max-docs", "3"))
+    val perSrc = spark.read.parquet(capOut)
+      .groupBy("source").count().as[(String, Long)].collect()
+    assert(perSrc.nonEmpty && perSrc.forall(_._2 <= 3))
+  }
+
   test("dedup-lines, dedup-spans, semdedup and novelty verbs run end-to-end") {
     import spark.implicits._
     val docsDir = TestSpark.tmpDir("cli-ld-in")

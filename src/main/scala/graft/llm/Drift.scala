@@ -335,4 +335,42 @@ object Drift {
         max(col("absdiff")).as("top_drift_abs"))
       .orderBy("source")
   }
+
+  /** Membership diff between two corpus snapshots — the release-diff
+    * every dataset version bump ships with ("what changed since the
+    * corpus the last model trained on?"). Documents pair by id; a
+    * paired doc counts as changed when its CONTENT digest differs
+    * (so a re-crawl that rewrites a page is `changed`, not
+    * removed+added). One row:
+    * `(n_prev, n_cur, n_added, n_removed, n_changed, n_unchanged,
+    * added_id_sum, removed_id_sum)` — the id sums pin membership, not
+    * just counts.
+    *
+    * Scale shape: each side collapses to `(id, 32-B digest)` in a
+    * narrow projection — the text never shuffles — then ONE
+    * full-outer hash join keyed on the id and a map-side-combined
+    * global aggregate over the category flags. At 100 TB this is two
+    * digest passes + one join of 40-B rows. */
+  def corpusDiff(
+      prev: DataFrame,
+      cur: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    def digests(df: DataFrame, dg: String) = df.select(
+      col(idCol), Dedup.contentHash(col(textCol)).as(dg))
+    digests(prev, "dg_prev")
+      .join(digests(cur, "dg_cur"), Seq(idCol), "full_outer")
+      .agg(
+        count(col("dg_prev")).as("n_prev"),
+        count(col("dg_cur")).as("n_cur"),
+        count(when(col("dg_prev").isNull, 1)).as("n_added"),
+        count(when(col("dg_cur").isNull, 1)).as("n_removed"),
+        count(when(col("dg_prev").isNotNull && col("dg_cur").isNotNull &&
+          col("dg_prev") =!= col("dg_cur"), 1)).as("n_changed"),
+        count(when(col("dg_prev") === col("dg_cur"), 1)).as("n_unchanged"),
+        coalesce(sum(when(col("dg_prev").isNull, col(idCol))), lit(0L))
+          .as("added_id_sum"),
+        coalesce(sum(when(col("dg_cur").isNull, col(idCol))), lit(0L))
+          .as("removed_id_sum"))
+  }
 }

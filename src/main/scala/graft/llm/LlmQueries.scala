@@ -1434,6 +1434,52 @@ object LlmQueries {
     * pairs ever shuffle). The oracle recomputes the full recipe —
     * vocab cut, smoothing, every divergence, and the argmax-drift
     * token — in DuckDB. */
+  /** Snapshot membership diff ([[Drift.corpusDiff]]): prev = docs with
+    * id % 7 ≠ 0, cur = docs with id % 5 ≠ 0 and every id % 11 = 0 doc
+    * rewritten — all four categories (added/removed/changed/unchanged)
+    * non-empty by construction. Engine pairs by id and compares
+    * content DIGESTS; the oracle compares the raw text (digest
+    * equality ≡ text equality) and re-derives every count plus the
+    * membership-pinning id sums. */
+  val corpusDiffQ = Q(
+    "corpus_diff",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val prev = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      val cur = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(11)) === 0,
+            concat(col("text"), lit(" rewritten-v2")))
+            .otherwise(col("text")))
+      Drift.corpusDiff(prev, cur)
+    },
+    Some("""WITH prev AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+            cur AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 11 = 0
+                       THEN text || ' rewritten-v2' ELSE text END AS text
+              FROM documents WHERE doc_id % 5 <> 0),
+            j AS (
+              SELECT COALESCE(p.doc_id, c.doc_id) AS doc_id,
+                     p.text AS t_prev, c.text AS t_cur,
+                     p.doc_id IS NOT NULL AS in_prev,
+                     c.doc_id IS NOT NULL AS in_cur
+              FROM prev p FULL OUTER JOIN cur c ON p.doc_id = c.doc_id)
+            SELECT COUNT(CASE WHEN in_prev THEN 1 END) AS n_prev,
+                   COUNT(CASE WHEN in_cur THEN 1 END) AS n_cur,
+                   COUNT(CASE WHEN NOT in_prev THEN 1 END) AS n_added,
+                   COUNT(CASE WHEN NOT in_cur THEN 1 END) AS n_removed,
+                   COUNT(CASE WHEN in_prev AND in_cur
+                              AND t_prev <> t_cur THEN 1 END) AS n_changed,
+                   COUNT(CASE WHEN in_prev AND in_cur
+                              AND t_prev = t_cur THEN 1 END) AS n_unchanged,
+                   CAST(COALESCE(SUM(CASE WHEN NOT in_prev
+                     THEN doc_id END), 0) AS BIGINT) AS added_id_sum,
+                   CAST(COALESCE(SUM(CASE WHEN NOT in_cur
+                     THEN doc_id END), 0) AS BIGINT) AS removed_id_sum
+            FROM j"""))
+
   val corpusDrift = Q(
     "text_corpus_drift",
     (s, d) => {
@@ -2673,6 +2719,40 @@ object LlmQueries {
             FROM best WHERE rk = 1
             GROUP BY c_id ORDER BY centroid_id"""))
 
+  /** Embedding outlier scan ([[Similarity.embOutliers]]): per
+    * centroid, how many vectors sit below cosine 0.0 to their OWN
+    * nearest centroid (near-orthogonal to every density mode — the
+    * corrupt-embedding signature), membership pinned by the outlier
+    * id-sum. The 0.0 threshold lands near the fixture's p1 (measured:
+    * p0.1%≈−0.05/−0.02, p1%≈0.001/0.02 at sf0.01/sf0.1), so real
+    * outliers exist at every SF without planting. DuckDB re-derives
+    * the assignment and every flag. */
+  val embOutliersQ = Q(
+    "emb_outliers",
+    (s, d) =>
+      Similarity.embOutliers(Tables.embeddings(s, d), k = 8, minCos = 0.0)
+        .orderBy("centroid_id"),
+    Some("""WITH c AS (
+              SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c_vec
+              FROM embeddings ORDER BY vec_id LIMIT 8),
+            scored AS (
+              SELECT e.vec_id, c.c_id,
+                     ROUND(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]), c.c_vec), 6) AS cos
+              FROM embeddings e CROSS JOIN c),
+            best AS (
+              SELECT vec_id, c_id, ROUND(cos, 4) AS cos4,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY cos DESC, c_id) AS rk
+              FROM scored)
+            SELECT c_id AS centroid_id,
+                   COUNT(*) AS n_vectors,
+                   COUNT(CASE WHEN cos4 < 0.0 THEN 1 END) AS n_outliers,
+                   CAST(COALESCE(SUM(CASE WHEN cos4 < 0.0
+                     THEN vec_id END), 0) AS BIGINT) AS outlier_id_sum
+            FROM best WHERE rk = 1
+            GROUP BY c_id ORDER BY centroid_id"""))
+
   /** SemDeDup-style semantic dedup marks over the fixed-centroid
     * clusters: per vector, keep = no same-cluster vector above the
     * cosine threshold with higher (cos_to_centroid, -id) priority.
@@ -2756,7 +2836,7 @@ object LlmQueries {
 
   def all: Seq[Q] = Seq(
     lineDedup, spanDedup, deepClean, noveltyPerDoc, noveltyBloom, noveltySummaryQ,
-    clusterProfile, semDedupQ, semDedupLshQ,
+    clusterProfile, embOutliersQ, semDedupQ, semDedupLshQ,
     hardNegativesQ,
     dedupStats, dedupKeep, nearDupMinhash, nearDupSimhash, dedupClusters,
     dedupClusterKeep, dedupSweep, ngramJaccard, crossSourceDup,
@@ -2772,7 +2852,7 @@ object LlmQueries {
     textTokens, textQuality, langDist, textAnalyze, textRepetition,
     boilerplate,
     unigramScore, bigramScore, bm25TopK, bpePairs, bpeEncode, corpusDrift,
-    driftBySource, numericPsi,
+    driftBySource, numericPsi, corpusDiffQ,
     textRedact, contamination, contaminationBloom, decontaminate,
     decontaminateSpansQ, mmStats,
     mmDecodePlanted, mmResizePlanted, mmAudioFrames, curate,

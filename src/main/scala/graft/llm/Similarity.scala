@@ -340,6 +340,34 @@ object Similarity {
         round(avg(col("cos_to_centroid")), 4).as("avg_cos"),
         round(avg(l2norm(col(vecCol))), 4).as("avg_norm"))
 
+  /** Embedding outlier scan over [[fixedCentroidAssign]]: flag every
+    * vector whose cosine to its NEAREST centroid falls below
+    * `minCos` — the corrupt-embedding detector (zero/garbage vectors,
+    * wrong-modality rows, encoder-version drift) run before an
+    * embedding table feeds ANN indexing or SemDeDup. A healthy
+    * embedding lies near some density mode; a vector nearly
+    * orthogonal to ALL centroids belongs to no mode. Returns
+    * per-centroid accounting `(centroid_id, n_vectors, n_outliers,
+    * outlier_id_sum)` — the id sum pins outlier membership, not just
+    * counts. Same scale shape as the profile: centroids broadcast,
+    * corpus scored in its own tasks, one ≤k-key aggregate; the
+    * corpus never shuffles. */
+  def embOutliers(
+      embeddings: DataFrame,
+      k: Int = 8,
+      minCos: Double = 0.0,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    fixedCentroidAssign(embeddings, k, idCol, vecCol)
+      .select(col(idCol), col("centroid_id"),
+        (col("cos_to_centroid") < minCos).as("is_outlier"))
+      .groupBy("centroid_id")
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        count(when(col("is_outlier"), 1)).as("n_outliers"),
+        coalesce(sum(when(col("is_outlier"), col(idCol))), lit(0L))
+          .as("outlier_id_sum"))
+
   /** SemDeDup-style semantic deduplication marks (cluster, then
     * drop within-cluster semantic duplicates — the embedding-space
     * curation pass for pretraining corpora; cf. the public SemDeDup

@@ -166,4 +166,39 @@ class DriftSpec extends AnyFunSuite {
     assert(r.getLong(0) == 0L && r.getDouble(5) == 0.0)
     assert(r.isNullAt(6), "top_drift_token must be null on empty input")
   }
+
+  test("corpusDiff: every category lands where planted, id-sums pin membership") {
+    val prev = Seq(
+      (1L, "kept unchanged text"),
+      (2L, "soon to be rewritten"),
+      (3L, "soon to be removed"),
+      (4L, "also unchanged here")).toDF("doc_id", "text")
+    val cur = Seq(
+      (1L, "kept unchanged text"),
+      (2L, "rewritten content now"),
+      (4L, "also unchanged here"),
+      (9L, "brand new document")).toDF("doc_id", "text")
+    val r = Drift.corpusDiff(prev, cur).head()
+    assert(r.getAs[Long]("n_prev") == 4)
+    assert(r.getAs[Long]("n_cur") == 4)
+    assert(r.getAs[Long]("n_added") == 1)
+    assert(r.getAs[Long]("n_removed") == 1)
+    assert(r.getAs[Long]("n_changed") == 1)
+    assert(r.getAs[Long]("n_unchanged") == 2)
+    assert(r.getAs[Long]("added_id_sum") == 9L)
+    assert(r.getAs[Long]("removed_id_sum") == 3L)
+
+    // identical snapshots: all unchanged, zero churn
+    val same = Drift.corpusDiff(prev, prev).head()
+    assert(same.getAs[Long]("n_added") == 0)
+    assert(same.getAs[Long]("n_removed") == 0)
+    assert(same.getAs[Long]("n_changed") == 0)
+    assert(same.getAs[Long]("n_unchanged") == 4)
+
+    // empty current snapshot: everything removed, sums don't NPE
+    val gone = Drift.corpusDiff(prev, cur.filter("doc_id < 0")).head()
+    assert(gone.getAs[Long]("n_removed") == 4)
+    assert(gone.getAs[Long]("removed_id_sum") == 10L)
+    assert(gone.getAs[Long]("added_id_sum") == 0L)
+  }
 }

@@ -175,6 +175,32 @@ class SimilaritySpec extends AnyFunSuite {
       s"LSH dropped rows the exact tier keeps: ${lshDropped.intersect(exactKept)}")
   }
 
+  test("embOutliers flags vectors near-orthogonal to every centroid") {
+    // centroids = 2 lowest-id vectors (axes e0, e1); id 10 hugs e0,
+    // id 11 hugs e1, id 12 is orthogonal to BOTH (planted corrupt row)
+    // and id 13 points AWAY from its nearest centroid
+    val vecs = Seq(
+      (0L, Array.tabulate(8)(i => if (i == 0) 1.0f else 0.0f)),
+      (1L, Array.tabulate(8)(i => if (i == 1) 1.0f else 0.0f)),
+      (10L, Array.tabulate(8)(i => if (i == 0) 1.0f else 0.01f)),
+      (11L, Array.tabulate(8)(i => if (i == 1) 1.0f else 0.01f)),
+      (12L, Array.tabulate(8)(i => if (i >= 2) 0.5f else 0.0f)),
+      (13L, Array.tabulate(8)(i => if (i == 0) -1.0f else -0.01f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.embOutliers(vecs, k = 2, minCos = 0.1)
+      .orderBy("centroid_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // vector 12: cos 0.0 to both centroids → outlier; vector 13:
+    // negative cos to both → outlier; 0/1/10/11 healthy
+    val flagged = got.map(_._4).sum // id sums identify the outliers
+    assert(got.map(_._2).sum == 6L, s"all vectors accounted: $got")
+    assert(got.map(_._3).sum == 2L, s"exactly two outliers: $got")
+    assert(flagged == 12L + 13L, s"outliers are 12 and 13: $got")
+    // a permissive threshold flags nothing
+    assert(Similarity.embOutliers(vecs, k = 2, minCos = -1.0)
+      .agg(sum("n_outliers")).head().getLong(0) == 0L)
+  }
+
   test("embedding near-dup at high threshold finds only true pairs") {
     // construct planted near-identical vectors
     val planted = Seq(

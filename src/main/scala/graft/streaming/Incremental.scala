@@ -216,6 +216,39 @@ object Incremental {
       .outputMode("append")
       .start()
 
+  /** [[dedupVsCorpus]] with the static side served by a PERSISTED LSH
+    * index ([[graft.llm.Dedup.writeLshIndex]]): the anti-join probes
+    * the index's stored digest table read straight from parquet — the
+    * streaming deployment never re-reads or re-digests the reference
+    * corpus at setup, which is the point of having built the index.
+    * Works unchanged on batch or streaming `docs` (stream-static
+    * anti-join, append mode). */
+  def dedupVsIndex(docs: DataFrame, indexPath: String): DataFrame = {
+    val spark = docs.sparkSession
+    require(graft.llm.Dedup.lshIndexExists(spark, indexPath),
+      s"no LSH index at $indexPath — writeLshIndex first")
+    val refDigests = spark.read.parquet(s"$indexPath/digests")
+      .withColumnRenamed("digest", "__digest")
+    docs
+      .withColumn("__digest", graft.llm.Dedup.contentHash(col("text")))
+      .join(refDigests, Seq("__digest"), "left_anti")
+      .drop("__digest")
+  }
+
+  /** Streaming arm of [[dedupVsIndex]] (memory sink for test
+    * observability; parity with the corpus-served transformation
+    * pinned by StreamingSpec). */
+  def dedupIndexStream(
+      docs: DataFrame,
+      indexPath: String,
+      queryName: String): StreamingQuery =
+    dedupVsIndex(docs, indexPath)
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .start()
+
   /** Streaming upsert sink: apply each micro-batch as a MERGE into a
     * parquet table via foreachBatch + maintain.Upsert — the CDC
     * pattern (a stream of keyed updates continuously folded into a

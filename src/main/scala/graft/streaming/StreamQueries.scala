@@ -255,6 +255,31 @@ object StreamQueries {
             WHERE NOT EXISTS (
               SELECT 1 FROM ref r WHERE r.text = i.text)"""))
 
+  /** Index-served twin of `st_dedup_vs_corpus`
+    * ([[Incremental.dedupVsIndex]]): the anti-join's static side is a
+    * persisted LSH index's digest table — the streaming deployment
+    * never re-digests the reference at setup. Same planted copies,
+    * same oracle verbatim (index-served ≡ corpus-served by
+    * construction; a drift between them fails this row). Runtime
+    * parity pinned in StreamingSpec. */
+  val st9x = Q(
+    "st_dedup_vs_index",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val reference = docs.filter(col("doc_id") % 2 === 0)
+      val incoming = docs.filter(col("doc_id") % 2 === 1)
+        .unionByName(reference.filter(col("doc_id") < 20)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      val path = "target/lsh_index_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      if (!graft.llm.Dedup.lshIndexExists(s, path))
+        graft.llm.Dedup.writeLshIndex(reference, path)
+      Incremental.dedupVsIndex(incoming, path)
+        .agg(count(lit(1)).as("n_kept"),
+          count(when(col("doc_id") >= 1000000L, true)).as("n_planted_kept"))
+    },
+    st9.oracle)
+
   /** Stream-static line cleaning, batch twin
     * ([[Incremental.cleanLinesVsHotSet]] runs unchanged under
     * readStream — per-row HOF filtering against a broadcast frozen
@@ -335,5 +360,6 @@ object StreamQueries {
             LEFT JOIN agg a USING (doc_id)
             ORDER BY doc_id LIMIT 500"""))
 
-  def all: Seq[Q] = Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10)
+  def all: Seq[Q] = Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st9x,
+    st10)
 }

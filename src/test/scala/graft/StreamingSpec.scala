@@ -297,6 +297,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(!streamed.exists(_ >= 1000000L))
   }
 
+  test("stream-static dedup against a persisted index matches the corpus-served path") {
+    val srcDir = TestSpark.tmpDir("dedup-idx-src")
+    val idxPath = TestSpark.tmpDir("dedup-idx") + "/index"
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val reference = docs.filter($"doc_id" % 2 === 0)
+    val incoming = docs.filter($"doc_id" % 2 === 1)
+      .unionByName(reference.filter($"doc_id" < 20)
+        .withColumn("doc_id", $"doc_id" + 1000000L))
+    graft.llm.Dedup.writeLshIndex(reference, idxPath)
+    incoming.write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .parquet(srcDir)
+    val q = graft.streaming.Incremental.dedupIndexStream(
+      stream, idxPath, "dedup_idx_stream_test")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("dedup_idx_stream_test")
+      .select("doc_id").as[Long].collect().toSet
+    // index-served ≡ corpus-served, for a stream AND for a batch frame
+    val corpusServed = graft.streaming.Incremental
+      .dedupVsCorpus(incoming, reference)
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed == corpusServed)
+    assert(streamed.nonEmpty && !streamed.exists(_ >= 1000000L))
+    val batchServed = graft.streaming.Incremental
+      .dedupVsIndex(incoming, idxPath)
+      .select("doc_id").as[Long].collect().toSet
+    assert(batchServed == corpusServed)
+  }
+
   test("stream-static line cleaning matches the batch transform") {
     val srcDir = TestSpark.tmpDir("cleanlines-src")
     val incoming = Seq(

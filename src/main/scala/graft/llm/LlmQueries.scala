@@ -2325,6 +2325,70 @@ object LlmQueries {
             FROM documents d FULL OUTER JOIN embeddings e
               ON d.doc_id = e.vec_id"""))
 
+  /** Markup stripping ([[TextAnalysis.stripMarkup]]): tags planted
+    * around every doc_id % 3 = 0 text (plus escaped entities, with an
+    * `&amp;lt;` that must survive as literal `&lt;`) are removed and
+    * entities unescaped — the oracle replays the identical
+    * tag → entity → whitespace replace chain with RE2 global
+    * replaces, character for character. */
+  val stripMarkupQ = Q(
+    "text_strip_markup",
+    (s, d) => {
+      val planted = Tables.documents(s, d).select(
+        col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit("<div class=\"x\"> "), col("text"),
+            lit(" </div> <br/> &amp;lt; &quot;q&#39;")))
+          .otherwise(col("text")).as("text"))
+      planted.select(col("doc_id"),
+          TextAnalysis.stripMarkup(col("text")).as("clean_text"))
+        .orderBy("doc_id").limit(500)
+    },
+    Some("""WITH planted AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0
+                       THEN '<div class="x"> ' || text ||
+                            ' </div> <br/> &amp;lt; &quot;q&#39;'
+                       ELSE text END AS t
+              FROM documents)
+            SELECT doc_id,
+                   trim(regexp_replace(
+                     regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(regexp_replace(regexp_replace(
+                         t, '<[^>]*>', ' ', 'g'),
+                       '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+                       '&quot;', '"', 'g'), '&#39;', '''', 'g'),
+                     '&amp;', '&', 'g'), '\s+', ' ', 'g')) AS clean_text
+            FROM planted
+            ORDER BY doc_id LIMIT 500"""))
+
+  /** Top bigrams per source ([[TextAnalysis.topNgramsBySource]]):
+    * exact integer occurrence counts, ties cut (count DESC, gram ASC)
+    * — DuckDB rebuilds the per-source bigram table and the ranking
+    * row for row. */
+  val topNgramsQ = Q(
+    "text_top_ngrams",
+    (s, d) =>
+      TextAnalysis.topNgramsBySource(Tables.documents(s, d), n = 2, k = 5)
+        .orderBy("source", "rank"),
+    Some("""WITH tok AS (
+              SELECT source,
+                     string_split_regex(lower(trim(text)), '\s+') AS ts
+              FROM documents WHERE text IS NOT NULL),
+            g AS (
+              SELECT source, ts[t.i] || ' ' || ts[t.i + 1] AS gram
+              FROM tok, UNNEST(range(1, len(ts))) AS t(i)),
+            c AS (
+              SELECT source, gram, COUNT(*) AS n_occurrences
+              FROM g GROUP BY source, gram),
+            r AS (
+              SELECT source, gram, n_occurrences,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY n_occurrences DESC, gram) AS INT) AS rank
+              FROM c)
+            SELECT source, gram, n_occurrences, rank
+            FROM r WHERE rank <= 5 ORDER BY source, rank"""))
+
   /** Canonical normalization audit ([[TextAnalysis.normalizeText]]):
     * per-doc normalized length, token count, and digest prefix —
     * DuckDB applies the identical lowercase → `\p{Cc}`→space →
@@ -2850,7 +2914,7 @@ object LlmQueries {
     pipelinePrepShards, packShards, packPaddingWaste, packShardDigests,
     chunkDocs, ragRetrieve, coverageAudit, oovBySource, qualityGrid,
     textTokens, textQuality, langDist, textAnalyze, textRepetition,
-    boilerplate,
+    boilerplate, stripMarkupQ, topNgramsQ,
     unigramScore, bigramScore, bm25TopK, bpePairs, bpeEncode, corpusDrift,
     driftBySource, numericPsi, corpusDiffQ,
     textRedact, contamination, contaminationBloom, decontaminate,

@@ -109,7 +109,7 @@ object TextAnalysis {
     * a 10-minute single-task stall at sf0.1). The zip_with chain
     * below evaluates each shifted slice ONCE per row and the lambdas
     * touch only their element variables: O(n·T) per row. */
-  private def ngrams(t: Column, n: Int): Column = {
+  private[llm] def ngrams(t: Column, n: Int): Column = {
     val m = greatest(size(t) - (n - 1), lit(0))
     (0 until n)
       .map(k => slice(t, lit(k + 1), m))
@@ -221,6 +221,68 @@ object TextAnalysis {
   def normalizeText(text: Column): Column =
     trim(regexp_replace(
       regexp_replace(lower(text), "\\p{Cc}", " "), "\\s+", " "))
+
+  /** Strip HTML/XML markup and unescape the basic entities — the
+    * text-extraction normalize a web-crawl corpus runs before any
+    * tokenizing/dedup (tags survive naive extraction and then pollute
+    * shingles, n-gram stats and dedup keys). Tags (`<[^>]*>`) become
+    * spaces, the five standard entities unescape (`&amp;` LAST, so
+    * `&amp;lt;` yields the literal `&lt;` rather than re-unescaping
+    * to `<`), whitespace collapses, ends trim. Pure codegen column
+    * algebra; every pattern is Java-regex ∩ RE2 so an RE2 oracle
+    * replays it verbatim. */
+  def stripMarkup(text: Column): Column = {
+    val noTags = regexp_replace(text, "<[^>]*>", " ")
+    val unescaped = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+      "&amp;" -> "&") // amp last — see scaladoc
+      .foldLeft(noTags) { case (c, (pat, rep)) =>
+        regexp_replace(c, pat, rep)
+      }
+    trim(regexp_replace(unescaped, "\\s+", " "))
+  }
+
+  /** Top-k n-grams per source — the "what is actually in my corpus"
+    * audit (crawl-template discovery, tokenizer sanity, boilerplate
+    * triage) over exact integer counts. Tokens are the lowercased
+    * `\s+` split; documents shorter than `n` tokens contribute
+    * nothing; ties cut `(count DESC, gram ASC)` so the ranking is
+    * total and engine-reproducible.
+    *
+    * Scale shape: one `(source, gram)`-keyed aggregate with map-side
+    * partial counts (the explode never crosses the wire raw), then
+    * per-source top-k through the bounded `collect_top_k` heap —
+    * ≤ k rows per (source, map task) cross the second exchange, so a
+    * source with a billion distinct grams costs its partial counts,
+    * not a sorted shuffle; the final rank is a window over ≤ k rows
+    * per source. */
+  def topNgramsBySource(
+      docs: DataFrame,
+      n: Int = 2,
+      k: Int = 10,
+      sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    require(n >= 1, s"n must be ≥ 1: $n")
+    require(k >= 1, s"k must be ≥ 1: $k")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(col(sourceCol).as("source"),
+        explode(ngrams(tokens(lower(trim(col(textCol)))), n)).as("gram"))
+      .groupBy("source", "gram")
+      .agg(count(lit(1)).as("n_occurrences"))
+    counts
+      .groupBy("source")
+      .agg(graft.functions.TopKAgg.collect_top_k(
+        struct((-col("n_occurrences")).as("neg_n"), col("gram")),
+        k, reverse = true).as("top"))
+      .select(col("source"), explode(col("top")).as("e"))
+      .select(col("source"), col("e.gram").as("gram"),
+        (-col("e.neg_n")).as("n_occurrences"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("source")
+          .orderBy(col("n_occurrences").desc, col("gram"))))
+  }
 
   /** Full per-document text-analysis projection. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {

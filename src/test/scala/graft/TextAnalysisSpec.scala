@@ -9,6 +9,43 @@ class TextAnalysisSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("stripMarkup removes tags, unescapes entities in the safe order") {
+    val got = Seq(
+      "<div class=\"x\">hello <b>bold</b> world</div>",
+      "a &lt;tag&gt; &quot;quoted&quot; isn&#39;t escaped",
+      "double-escaped &amp;lt; stays literal",
+      "no markup at all",
+      null.asInstanceOf[String])
+      .toDF("text")
+      .select(TextAnalysis.stripMarkup(col("text")).as("c"))
+      .as[String].collect().toSeq
+    assert(got(0) == "hello bold world")
+    assert(got(1) == "a <tag> \"quoted\" isn't escaped")
+    // &amp;lt; → literal "&lt;", NOT re-unescaped to "<"
+    assert(got(2) == "double-escaped &lt; stays literal")
+    assert(got(3) == "no markup at all")
+    assert(got(4) == null)
+  }
+
+  test("topNgramsBySource: hand counts, tie order, short docs, k cut") {
+    val docs = Seq(
+      (1L, "a", "x y x y z"),     // bigrams: x y (2), y x (1), y z (1)
+      (2L, "a", "x y tail"),      // x y (+1), y tail (1)
+      (3L, "a", "solo"),          // 1 token → no bigrams
+      (4L, "b", "p q p q")        // p q (2), q p (1)
+    ).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.topNgramsBySource(docs, n = 2, k = 2)
+      .orderBy("source", "rank")
+      .as[(String, String, Long, Int)].collect().toSeq
+    // source a: "x y"=3 rank 1; then ties at 1 cut by gram asc →
+    // "y tail" < "y x" < "y z": rank 2 = "y tail"
+    assert(got == Seq(
+      ("a", "x y", 3L, 1),
+      ("a", "y tail", 1L, 2),
+      ("b", "p q", 2L, 1),
+      ("b", "q p", 1L, 2)))
+  }
+
   test("token counting incl. irregular whitespace") {
     val got = Seq("a b  c", " x ", "one", "a\tb\nc d")
       .toDF("t").select(TextAnalysis.tokenCount($"t")).collect()

@@ -2817,6 +2817,46 @@ object LlmQueries {
             FROM best WHERE rk = 1
             GROUP BY c_id ORDER BY centroid_id"""))
 
+  /** Product-quantization codes ([[Quantize.pqCodes]]): every vector
+    * compressed to 8 codes over a 16-entry deterministic codebook
+    * (the 16 lowest-id vectors' sub-vectors — the
+    * [[Similarity.fixedCentroidAssign]] trick, so every code is an
+    * exact integer DuckDB re-derives: argmin squared-L2 per subspace,
+    * distances rounded to 6, ties to the lower codebook index).
+    * Codes emitted as a join string to keep the compared surface a
+    * plain column. */
+  val pqCodesQ = Q(
+    "emb_pq_codes",
+    (s, d) =>
+      Quantize.pqCodes(Tables.embeddings(s, d), m = 8, k = 16)
+        .select(col("vec_id"),
+          concat_ws("-",
+            transform(col("codes"), c => c.cast("string"))).as("codes_str"))
+        .orderBy("vec_id"),
+    Some("""WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+            cb AS (
+              SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS ci,
+                     v AS c_vec
+              FROM e ORDER BY vec_id LIMIT 16),
+            scored AS (
+              SELECT e.vec_id, sp.s AS s, cb.ci,
+                     ROUND(list_sum([
+                       (e.v[sp.s * 8 + i] - cb.c_vec[sp.s * 8 + i]) ^ 2
+                       for i in range(1, 9)]), 6) AS dist
+              FROM e, UNNEST(range(0, 8)) AS sp(s), cb),
+            best AS (
+              SELECT vec_id, s, ci,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                       ORDER BY dist, ci) AS rk
+              FROM scored)
+            SELECT vec_id,
+                   string_agg(CAST(ci AS VARCHAR), '-' ORDER BY s)
+                     AS codes_str
+            FROM best WHERE rk = 1
+            GROUP BY vec_id ORDER BY vec_id"""))
+
   /** SemDeDup-style semantic dedup marks over the fixed-centroid
     * clusters: per vector, keep = no same-cluster vector above the
     * cosine threshold with higher (cos_to_centroid, -id) priority.
@@ -2907,7 +2947,7 @@ object LlmQueries {
     dedupIncremental, dedupIncrementalIndexed, textNormalize,
     annBrute, annLsh, annLshPlanted, annIvf, annIvfPlanted, annKnnJoin,
     nearDupCosine,
-    embCentroids, embNormProfile, quantizeInt8, annQuantized,
+    embCentroids, embNormProfile, quantizeInt8, annQuantized, pqCodesQ,
     splitCounts, stratSample, capPerSourceQ, leakageSplit, budgetSample,
     temperatureMix,
     epochOrder,

@@ -92,4 +92,109 @@ object Quantize {
         round(
           aggregate(col("__graft_errs"), lit(0.0), (a, e) => a + e * e) /
             size(col("__graft_v")).cast("double"), 12).as("mse"))
+
+  // ---- product quantization -----------------------------------------
+
+  /** Squared L2 distance between two equal-length double arrays. */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, e) => acc + e)
+
+  /** The deterministic PQ codebook: per subspace, the sub-vectors of
+    * the `k` LOWEST-ID vectors, in id order — a pure function of the
+    * data (the fixed-centroid trick from
+    * [[Similarity.fixedCentroidAssign]], so every code is
+    * oracle-checkable; a learned k-means codebook slots in the same
+    * shape). One row: `cb = array<struct(c_id, c_vec)>` sorted by
+    * id. */
+  private def codebook(
+      embs: DataFrame, k: Int, idCol: String, vecCol: String) =
+    embs.orderBy(col(idCol)).limit(k)
+      .select(struct(col(idCol).as("c_id"),
+        asDouble(vecCol).as("c_vec")).as("e"))
+      .groupBy()
+      .agg(sort_array(collect_list(col("e"))).as("cb"))
+
+  /** Product-quantization codes — the billion-vector ANN storage
+    * shape (IVF-PQ): the `dim`-dimensional vector splits into `m`
+    * subspaces and each sub-vector is replaced by the index of its
+    * nearest codebook entry, `m·log₂k` bits total (8 codes × 16
+    * entries = 4 B/vector here vs 256 B float32 at dim 64). Code
+    * assignment is argmin squared-L2 per subspace over the
+    * deterministic codebook, distances rounded to 6, ties to the
+    * LOWER codebook index — total order, engine-reproducible.
+    * Output: `(idCol, codes: array<int> of length m)`.
+    *
+    * Scale shape: the codebook (k rows) broadcasts; every vector
+    * encodes inside its own task via HOF column algebra — zero UDFs,
+    * zero shuffles, fuses into the preceding scan. `dim` must be
+    * divisible by `m` (checked per row by construction: slice
+    * lengths). */
+  def pqCodes(
+      embs: DataFrame,
+      m: Int = 8,
+      k: Int = 16,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(m >= 1, s"m must be ≥ 1: $m")
+    require(k >= 1, s"k must be ≥ 1: $k")
+    val cb = codebook(embs, k, idCol, vecCol)
+    val sub = size(col("__graft_v")) / m // subspace width (int div)
+    embs
+      .select(col(idCol), asDouble(vecCol).as("__graft_v"))
+      .crossJoin(broadcast(cb))
+      .select(
+        col(idCol),
+        transform(sequence(lit(0), lit(m - 1)), s => {
+          val lo = s * sub + 1
+          array_min(transform(col("cb"), (c, ci) =>
+            struct(
+              round(sqDist(
+                slice(col("__graft_v"), lo, sub),
+                slice(c.getField("c_vec"), lo, sub)), 6).as("dist"),
+              ci.as("code"))))
+            .getField("code")
+        }).as("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: the query stays
+    * float, each corpus vector is its `m` codes, and the approximate
+    * squared distance is the sum over subspaces of the PRECOMPUTED
+    * (query sub-vector ↔ codebook entry) table — `m` lookups per
+    * corpus vector instead of `dim` multiplies. Query + distance
+    * table + codebook all broadcast; corpus rows score in their own
+    * tasks and the only exchange is the bounded
+    * `TakeOrderedAndProject` for the final k. Returns
+    * `(idCol, adc_dist)`, ordered `(dist ASC, id ASC)` —
+    * [[Similarity.bruteForceTopK]]'s output convention. */
+  def pqTopK(
+      embs: DataFrame,
+      queryVec: Array[Double],
+      topK: Int = 10,
+      m: Int = 8,
+      k: Int = 16,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val codes = pqCodes(embs, m, k, idCol, vecCol)
+    val cb = codebook(embs, k, idCol, vecCol)
+    val q = typedLit(queryVec.toSeq)
+    val sub = queryVec.length / m
+    // dtab[s][c] = ||q_sub(s) − cb[c]_sub(s)||², m×k doubles, built
+    // once per task from the broadcast codebook row
+    val dtab = transform(sequence(lit(0), lit(m - 1)), s => {
+      val lo = s * sub + 1
+      transform(col("cb"), c =>
+        round(sqDist(slice(q, lo, lit(sub)),
+          slice(c.getField("c_vec"), lo, lit(sub))), 6))
+    })
+    codes
+      .crossJoin(broadcast(cb))
+      .select(col(idCol),
+        round(aggregate(
+          zip_with(dtab, col("codes"),
+            (row, code) => element_at(row, code + 1)),
+          lit(0.0), (acc, e) => acc + e), 4).as("adc_dist"))
+      .orderBy(col("adc_dist"), col(idCol))
+      .limit(topK)
+  }
 }

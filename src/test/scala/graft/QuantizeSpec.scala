@@ -78,6 +78,47 @@ class QuantizeSpec extends AnyFunSuite {
       s"float $floatTop vs quantized $quantTop")
   }
 
+  test("PQ codes: hand case, codebook self-encoding, bounds") {
+    // 4-dim, m=2 subspaces of 2, k=2 codebook = vectors 0 and 1
+    val embs = Seq(
+      (0L, Array(0.0f, 0.0f, 1.0f, 1.0f)),   // codebook entry 0
+      (1L, Array(1.0f, 1.0f, 0.0f, 0.0f)),   // codebook entry 1
+      (2L, Array(0.1f, 0.1f, 0.9f, 0.9f)),   // near entry 0 in both
+      (3L, Array(0.9f, 0.9f, 0.9f, 0.9f)))   // sub0→1, sub1→0
+      .toDF("vec_id", "embedding")
+    val got = Quantize.pqCodes(embs, m = 2, k = 2)
+      .orderBy("vec_id")
+      .as[(Long, Seq[Int])].collect().toSeq
+    assert(got == Seq(
+      (0L, Seq(0, 0)), (1L, Seq(1, 1)), (2L, Seq(0, 0)), (3L, Seq(1, 0))))
+
+    // real vectors: every code in [0, k), length m
+    val real = Quantize.pqCodes(
+      Tables.embeddings(spark, "/root/testdata/sf0.001"), m = 8, k = 16)
+      .as[(Long, Seq[Int])].collect()
+    assert(real.forall(_._2.length == 8))
+    assert(real.forall(_._2.forall(c => c >= 0 && c < 16)))
+  }
+
+  test("PQ ADC top-k retrieves a planted exact duplicate of the query") {
+    val base = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val qRow = base.filter($"vec_id" === 42L)
+      .as[(Long, Seq[Float])].head()
+    // plant an exact duplicate of vector 42 under a fresh id
+    val planted = base.unionByName(
+      Seq((999999L, qRow._2.toArray)).toDF("vec_id", "embedding"))
+    val qVec = qRow._2.map(_.toDouble).toArray
+    val top = Quantize.pqTopK(planted, qVec, topK = 5)
+      .as[(Long, Double)].collect().toSeq
+    // 42 and its duplicate share codes → identical ADC distance; both
+    // must appear, ranked by id among equals
+    val ids = top.map(_._1)
+    assert(ids.contains(42L) && ids.contains(999999L), s"got $top")
+    assert(top.map(_._2).sorted == top.map(_._2),
+      "ADC distances must be ascending")
+  }
+
   test("quantization plan is shuffle-free") {
     val embs = Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
     val plan = Quantize.int8Profile(embs)

@@ -2857,6 +2857,53 @@ object LlmQueries {
             FROM best WHERE rk = 1
             GROUP BY vec_id ORDER BY vec_id"""))
 
+  /** PQ ADC search ([[Quantize.pqTopK]]): top-10 by asymmetric
+    * distance for query vector 7 — DuckDB re-derives the codes, the
+    * query↔codebook distance table, and every summed ADC distance;
+    * ranking is on the ROUND-4 distance with id tie-break, the
+    * `ann_quantized_topk` convention. */
+  val pqTopKQ = Q(
+    "ann_pq_topk",
+    (s, d) => {
+      val embs = Tables.embeddings(s, d)
+      val qv = embs.filter(col("vec_id") === 7)
+        .select(col("embedding")).head()
+        .getSeq[Float](0).map(_.toDouble).toArray
+      Quantize.pqTopK(embs, qv, topK = 10, m = 8, k = 16)
+    },
+    Some("""WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+            cb AS (
+              SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS ci,
+                     v AS c_vec
+              FROM e ORDER BY vec_id LIMIT 16),
+            scored AS (
+              SELECT e.vec_id, sp.s AS s, cb.ci,
+                     ROUND(list_sum([
+                       (e.v[sp.s * 8 + i] - cb.c_vec[sp.s * 8 + i]) ^ 2
+                       for i in range(1, 9)]), 6) AS dist
+              FROM e, UNNEST(range(0, 8)) AS sp(s), cb),
+            best AS (
+              SELECT vec_id, s, ci,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                       ORDER BY dist, ci) AS rk
+              FROM scored),
+            q AS (SELECT v FROM e WHERE vec_id = 7),
+            dt AS (
+              SELECT sp.s AS s, cb.ci,
+                     ROUND(list_sum([
+                       (q.v[sp.s * 8 + i] - cb.c_vec[sp.s * 8 + i]) ^ 2
+                       for i in range(1, 9)]), 6) AS d
+              FROM q, UNNEST(range(0, 8)) AS sp(s), cb),
+            adc AS (
+              SELECT b.vec_id, ROUND(SUM(dt.d), 4) AS adc_dist
+              FROM (SELECT * FROM best WHERE rk = 1) b
+              JOIN dt ON dt.s = b.s AND dt.ci = b.ci
+              GROUP BY b.vec_id)
+            SELECT vec_id, adc_dist FROM adc
+            ORDER BY adc_dist, vec_id LIMIT 10"""))
+
   /** SemDeDup-style semantic dedup marks over the fixed-centroid
     * clusters: per vector, keep = no same-cluster vector above the
     * cosine threshold with higher (cos_to_centroid, -id) priority.
@@ -2948,6 +2995,7 @@ object LlmQueries {
     annBrute, annLsh, annLshPlanted, annIvf, annIvfPlanted, annKnnJoin,
     nearDupCosine,
     embCentroids, embNormProfile, quantizeInt8, annQuantized, pqCodesQ,
+    pqTopKQ,
     splitCounts, stratSample, capPerSourceQ, leakageSplit, budgetSample,
     temperatureMix,
     epochOrder,

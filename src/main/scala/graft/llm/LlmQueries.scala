@@ -1480,6 +1480,79 @@ object LlmQueries {
                      THEN doc_id END), 0) AS BIGINT) AS removed_id_sum
             FROM j"""))
 
+  /** Curation-v2 composition: span-level decontamination
+    * ([[SpanDedup.decontaminateSpans]]) → drop fully-leaked (emptied)
+    * docs → per-source domain cap ([[Sampling.capPerSource]]) →
+    * per-source audit, ONE lazy plan. The oracle recomposes all three
+    * stages in a single DuckDB statement — bench window set, covered
+    * positions, reassembly, the emptied-doc filter, the salted-hash
+    * cap ranking, and the audit counts with membership-pinning id
+    * sums — so the COMPOSITION is verified, not just the pieces. */
+  val pipelineDeconCap = Q(
+    "pipeline_decon_cap",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val probe = docs.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+      val bench = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+      val alive = SpanDedup.decontaminateSpans(probe, bench, windowLen = 4)
+        .filter(col("kept_text") =!= "")
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      Sampling.capPerSource(alive, maxDocs = 40)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(col("n_removed")).as("tokens_removed"))
+        .orderBy("source")
+    },
+    Some(s"""WITH tok AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(coalesce(text, ''))),
+                       '\\s+') AS ts
+              FROM documents),
+            win AS (
+              SELECT doc_id, t.i AS pos,
+                     array_to_string(ts[t.i:t.i+3], ' ') AS w
+              FROM tok, UNNEST(range(1, greatest(len(ts) - 2, 1))) AS t(i)),
+            hot AS (
+              SELECT DISTINCT w FROM win WHERE doc_id % 50 = 0),
+            covered AS (
+              SELECT DISTINCT p.doc_id, p.pos + o.off AS tp
+              FROM (SELECT doc_id, pos, w FROM win
+                    WHERE doc_id % 50 <> 0) p
+              JOIN hot USING (w),
+                   UNNEST(range(0, 4)) AS o(off)),
+            tokens AS (
+              SELECT doc_id, t.i AS tp, ts[t.i] AS tok
+              FROM tok, UNNEST(range(1, len(ts) + 1)) AS t(i)
+              WHERE doc_id % 50 <> 0),
+            kept AS (
+              SELECT k.doc_id,
+                     CAST(COUNT(c.tp) AS BIGINT) AS n_removed,
+                     COALESCE(string_agg(
+                       CASE WHEN c.tp IS NULL THEN k.tok END, ' '
+                       ORDER BY k.tp), '') AS kept_text
+              FROM tokens k
+              LEFT JOIN covered c
+                ON c.doc_id = k.doc_id AND c.tp = k.tp
+              GROUP BY k.doc_id),
+            alive AS (
+              SELECT k.doc_id, d.source, k.n_removed
+              FROM kept k JOIN documents d USING (doc_id)
+              WHERE k.kept_text <> ''),
+            capped AS (
+              SELECT doc_id, source, n_removed FROM (
+                SELECT a.*,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                         ORDER BY ${duckdbTextHash(
+                           "CAST(doc_id AS VARCHAR) || '#cap'")},
+                         doc_id) AS rn
+                FROM alive a)
+              WHERE rn <= 40)
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+                   CAST(SUM(n_removed) AS BIGINT) AS tokens_removed
+            FROM capped GROUP BY source ORDER BY source"""))
+
   val corpusDrift = Q(
     "text_corpus_drift",
     (s, d) => {
@@ -3004,7 +3077,7 @@ object LlmQueries {
     textTokens, textQuality, langDist, textAnalyze, textRepetition,
     boilerplate, stripMarkupQ, topNgramsQ,
     unigramScore, bigramScore, bm25TopK, bpePairs, bpeEncode, corpusDrift,
-    driftBySource, numericPsi, corpusDiffQ,
+    driftBySource, numericPsi, corpusDiffQ, pipelineDeconCap,
     textRedact, contamination, contaminationBloom, decontaminate,
     decontaminateSpansQ, mmStats,
     mmDecodePlanted, mmResizePlanted, mmAudioFrames, curate,

@@ -2939,9 +2939,12 @@ object LlmQueries {
     "ann_pq_topk",
     (s, d) => {
       val embs = Tables.embeddings(s, d)
+      // headOption + zero-vector fallback: a zero-row corpus must
+      // yield zero rows, not a driver NoSuchElementException
       val qv = embs.filter(col("vec_id") === 7)
-        .select(col("embedding")).head()
-        .getSeq[Float](0).map(_.toDouble).toArray
+        .select(col("embedding")).collect().headOption
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+        .getOrElse(Array.fill(64)(0.0))
       Quantize.pqTopK(embs, qv, topK = 10, m = 8, k = 16)
     },
     Some("""WITH e AS (

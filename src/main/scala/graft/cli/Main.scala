@@ -36,7 +36,7 @@ object Main {
 
   private def usage(): Unit =
     System.err.println(
-      """usage: graft.cli.Main <convert|query|sql|lint|profile|optimize|manifest|vacuum|curate|dedup-incremental|index-build|index-probe|decontaminate|decontaminate-spans|cap-source|dedup-lines|dedup-spans|semdedup|novelty|sketch-build|sketch-query|bench> ...
+      """usage: graft.cli.Main <convert|query|sql|lint|profile|optimize|manifest|vacuum|curate|dedup-incremental|index-build|index-probe|decontaminate|decontaminate-spans|cap-source|pq-encode|dedup-lines|dedup-spans|semdedup|novelty|sketch-build|sketch-query|bench> ...
         |  convert DATA [--output-path P] [--agency A] [--compression C]
         |  query SFDIR NAME...
         |  sql SFDIR "SELECT ..."
@@ -59,6 +59,8 @@ object Main {
         |         excise BENCH-overlapping L-token windows, keep the rest
         |  cap-source IN OUT --max-docs N [--source-col C] [--compression C]
         |         keep at most N docs per source (deterministic hash order)
+        |  pq-encode IN OUT [--m M] [--k K] [--compression C]
+        |         product-quantize an embeddings table to (id, codes)
         |  dedup-lines IN OUT [--min-df N] [--compression C]
         |         remove lines occurring in >= N distinct docs, reassemble
         |  dedup-spans IN OUT [--window-len L] [--min-df N] [--compression C]
@@ -312,6 +314,19 @@ object Main {
         ParquetSink.write(kept, out, codec, partitionCols = Seq.empty)
         System.err.println(
           s"[cap-source] kept ${kept.count()} of ${df.count()} (cap $n/$srcCol)")
+
+      case "pq-encode" =>
+        // pq-encode IN OUT: product-quantize an embeddings table —
+        // writes (vec_id, codes array<int>) at m*log2(k) bits/vector.
+        val (in, out) = (args(1), args(2))
+        graft.sources.Preflight.check(spark, in, out)
+        val m = arg(args, "--m").map(_.toInt).getOrElse(8)
+        val k = arg(args, "--k").map(_.toInt).getOrElse(16)
+        val codec = arg(args, "--compression").getOrElse("snappy")
+        val codes = graft.llm.Quantize.pqCodes(
+          spark.read.parquet(in), m = m, k = k)
+        ParquetSink.write(codes, out, codec, partitionCols = Seq.empty)
+        System.err.println(s"[pq-encode] wrote PQ codes (m=$m, k=$k)")
 
       case "decontaminate" =>
         // decontaminate IN BENCH OUT: drop IN docs sharing a k-word

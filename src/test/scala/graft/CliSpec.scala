@@ -141,6 +141,16 @@ class CliSpec extends AnyFunSuite {
     val perSrc = spark.read.parquet(capOut)
       .groupBy("source").count().as[(String, Long)].collect()
     assert(perSrc.nonEmpty && perSrc.forall(_._2 <= 3))
+
+    val embDir2 = TestSpark.tmpDir("cli-pq-in")
+    Tables.embeddings(spark, TestSpark.sf0001)
+      .select("vec_id", "embedding")
+      .write.mode("overwrite").parquet(embDir2)
+    val pqOut = TestSpark.tmpDir("cli-pq-out") + "/codes"
+    graft.cli.Main.run(spark, Array("pq-encode", embDir2, pqOut))
+    val pq = spark.read.parquet(pqOut)
+      .as[(Long, Seq[Int])].collect()
+    assert(pq.length == 500 && pq.forall(_._2.length == 8))
   }
 
   test("dedup-lines, dedup-spans, semdedup and novelty verbs run end-to-end") {

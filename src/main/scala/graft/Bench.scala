@@ -226,8 +226,19 @@ object Bench {
   private val scaleStride = 1000000000L
 
   /** Bump when the generation logic changes: the fixture is cached on
-    * disk across runs and the marker pins (version, source, mult). */
-  private val scaleGenVersion = "v1"
+    * disk across runs and the marker pins (version, source, mult).
+    * v2: scaled tables written as 32 files each (see below). */
+  private val scaleGenVersion = "v2"
+
+  /** Output file count per scaled table. The source fixture is one
+    * single-row-group file per table — fine at 10⁵ rows, but the scaled
+    * copy inherits that layout if written as-is (explode runs in the one
+    * scan task → one output file → every x10 scan is a ONE-task serial
+    * read on a 32-core box; a row group is the atomic split unit, so
+    * `maxPartitionBytes` can't recover parallelism afterwards). 32 files
+    * is also the honest cluster shape: 100 TB never arrives as one file
+    * per table. */
+  private val scaleOutFiles = 32
 
   /** Deterministic `mult`× replication of the sf dir, written once to
     * a tmp-dir cache and reused by later runs (marker-file keyed on
@@ -320,9 +331,14 @@ object Bench {
       "embeddings" -> shifted(Tables.embeddings(spark, sfDir), Seq("vec_id"))
         .withColumn("embedding", rotatedVec))
 
+    // Fixed dims (region/nation) stay single-file; everything replicated
+    // fans out to scaleOutFiles so scans of the scaled tier parallelize.
+    val fixedDims = Set("region", "nation")
     tables.foreach { case (name, df) =>
-      df.drop("__r").write.mode("overwrite")
-        .parquet(s"$dir/$name.parquet")
+      val out = df.drop("__r")
+      val shaped =
+        if (fixedDims(name)) out.coalesce(1) else out.repartition(scaleOutFiles)
+      shaped.write.mode("overwrite").parquet(s"$dir/$name.parquet")
     }
     java.nio.file.Files.write(marker.toPath, tag.getBytes(utf8))
     dir

@@ -373,4 +373,93 @@ object Drift {
         coalesce(sum(when(col("dg_cur").isNull, col(idCol))), lit(0L))
           .as("removed_id_sum"))
   }
+
+  /** Per-source distinctive terms: which tokens OVER-index in each
+    * source versus the rest of the corpus. [[driftBySource]] names the
+    * drifting source; this names the terms responsible — the
+    * drill-down a curation pipeline runs before deciding whether a
+    * drifted source is a scraper bug (boilerplate tokens dominate) or
+    * a genuine topic shift. Scoring is the log-odds-ratio with an
+    * informative Dirichlet prior (Monroe, Colaresi & Quinn 2008,
+    * "Fightin' Words"), the standard corpus-comparison statistic:
+    * for source s and token w with in-vocab counts `y_sw`, per-source
+    * total `n_s`, global count `y_w`, global total `n`:
+    *
+    *   α_w = α₀·y_w/n                       (prior mass ∝ global rate)
+    *   δ   = ln[(y_sw+α_w)/(n_s+α₀−y_sw−α_w)]
+    *         − ln[(y_w−y_sw+α_w)/(n−n_s+α₀−(y_w−y_sw)−α_w)]
+    *   σ²  ≈ 1/(y_sw+α_w) + 1/(y_w−y_sw+α_w)
+    *   z   = δ/σ
+    *
+    * The prior shrinks rare-token noise (a token seen 3 times in one
+    * source scores near 0, not ∞) without the min-count cutoffs a raw
+    * log-odds needs. Keeps the `topN` tokens per source by
+    * `(round(z,6) DESC, token ASC)` — deterministic under ties.
+    * Returns `(source, rank, token, cnt, z_score)` with z rounded to
+    * 4 for display/oracle hashing.
+    *
+    * Scale shape (same as [[driftBySource]]): the corpus collapses
+    * ONCE to the `(source, token, cnt)` grid map-side; the vocab cut
+    * is a TakeOrdered over bounded counts; every formula above runs on
+    * the dense broadcast-vocab × sources frame (K·S rows by
+    * construction); the final rank is a window over ≤K rows per
+    * source. No stage is proportional to corpus size except the one
+    * token-count scan. Single-source corpora degrade gracefully: the
+    * "rest" side is pure prior mass, so every z collapses toward 0
+    * rather than dividing by zero. */
+  def distinctiveTerms(
+      docs: DataFrame,
+      sourceCol: String = "source",
+      textCol: String = "text",
+      vocabSize: Int = 500,
+      topN: Int = 5,
+      alpha0: Double = 100.0): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive: $vocabSize")
+    require(topN > 0, s"topN must be positive: $topN")
+    require(alpha0 > 0, s"alpha0 must be positive: $alpha0")
+    import org.apache.spark.sql.expressions.Window
+    // same materialize-once economics as driftBySource (see the
+    // localCheckpoint note there)
+    val tokSrc = docs
+      .select(
+        col(sourceCol).as("source"),
+        explode(TextAnalysis.tokens(
+          lower(coalesce(col(textCol), lit(""))))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val vocab = tokSrc
+      .groupBy("token").agg(sum(col("cnt")).as("gcnt"))
+      .orderBy(col("gcnt").desc, col("token"))
+      .limit(vocabSize)
+    val inVocab = tokSrc
+      .join(broadcast(vocab.select(col("token"))), Seq("token"))
+    val perSrc = inVocab.groupBy("source")
+      .agg(sum(col("cnt")).as("tot_s"))
+    val globTot = vocab.agg(
+      coalesce(sum(col("gcnt")), lit(0L)).cast("double").as("tot_g"))
+    val a0 = lit(alpha0)
+    val scored = broadcast(vocab)
+      .crossJoin(perSrc)
+      .join(inVocab, Seq("source", "token"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .crossJoin(broadcast(globTot))
+      .withColumn("aw", a0 * col("gcnt") / col("tot_g"))
+      .withColumn("delta",
+        log((col("cnt") + col("aw")) /
+          (col("tot_s") + a0 - col("cnt") - col("aw"))) -
+          log((col("gcnt") - col("cnt") + col("aw")) /
+            (col("tot_g") - col("tot_s") + a0 -
+              (col("gcnt") - col("cnt")) - col("aw"))))
+      .withColumn("z",
+        col("delta") / sqrt(lit(1.0) / (col("cnt") + col("aw")) +
+          lit(1.0) / (col("gcnt") - col("cnt") + col("aw"))))
+    scored
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(col("source"))
+          .orderBy(round(col("z"), 6).desc, col("token"))))
+      .filter(col("rank") <= topN)
+      .select(col("source"), col("rank").cast("long").as("rank"),
+        col("token"), col("cnt"), round(col("z"), 4).as("z_score"))
+      .orderBy("source", "rank")
+  }
 }

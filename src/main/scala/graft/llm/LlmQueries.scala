@@ -504,6 +504,92 @@ object LlmQueries {
                   FROM embeddings)
             GROUP BY label, pos ORDER BY label, dim"""))
 
+  /** Unrolled DuckDB twin of [[Similarity.kmeansLloyd]] — kept in
+    * lockstep with the engine's (k, iters) by generating one CTE
+    * chain per Lloyd round: assignment = row_number over
+    * `(round(cos,6) DESC, cid)`, update = per-position round-6 mean
+    * with a COALESCE empty-cluster keep, exactly the engine contract.
+    * Vectors cast to DOUBLE[] on both engines so the cosine is the
+    * same IEEE arithmetic. */
+  private def kmeansAssignCtes(k: Int, iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""s$i AS (SELECT e.vec_id, e.v, c.cid,
+                        round(list_cosine_similarity(e.v, c.c), 6) AS cos
+                 FROM emb e CROSS JOIN c${i - 1} c),
+          a$i AS (SELECT vec_id, v, cid FROM (
+                    SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY cos DESC, cid) AS rn FROM s$i)
+                  WHERE rn = 1),
+          m$i AS (SELECT cid, pos, ROUND(AVG(e), 6) AS m
+                  FROM (SELECT cid, unnest(v) AS e,
+                               unnest(generate_series(1, len(v))) AS pos
+                        FROM a$i)
+                  GROUP BY cid, pos),
+          n$i AS (SELECT cid, list(m ORDER BY pos) AS c
+                  FROM m$i GROUP BY cid),
+          c$i AS (SELECT p.cid, coalesce(n.c, p.c) AS c
+                  FROM c${i - 1} p LEFT JOIN n$i n USING (cid))"""
+    }.mkString(",\n")
+    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                     FROM embeddings),
+        c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                        AS BIGINT) AS cid, v AS c
+               FROM (SELECT vec_id, v FROM emb
+                     ORDER BY vec_id LIMIT $k)),
+        $rounds,
+        sf AS (SELECT e.vec_id, c.cid,
+                      round(list_cosine_similarity(e.v, c.c), 6) AS cos
+               FROM emb e CROSS JOIN c$iters c),
+        af AS (SELECT vec_id, cid, cos FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cos DESC, cid) AS rn FROM sf)
+               WHERE rn = 1)"""
+  }
+
+  private def kmeansOracleSql(k: Int, iters: Int): String =
+    s"""${kmeansAssignCtes(k, iters)}
+        SELECT cid AS cluster_id, COUNT(*) AS n_vecs,
+               ROUND(AVG(cos), 4) AS avg_cos
+        FROM af GROUP BY cid ORDER BY cluster_id"""
+
+  private def kmeansBalancedOracleSql(k: Int, iters: Int, cap: Int): String =
+    s"""${kmeansAssignCtes(k, iters)},
+        ranked AS (SELECT cid, vec_id,
+                          row_number() OVER (PARTITION BY cid
+                            ORDER BY cos DESC, vec_id) AS rk
+                   FROM af)
+        SELECT cid AS cluster_id, COUNT(*) AS n_vecs,
+               COUNT(CASE WHEN rk <= $cap THEN 1 END) AS n_kept,
+               CAST(COALESCE(SUM(CASE WHEN rk <= $cap THEN vec_id END), 0)
+                    AS BIGINT) AS kept_id_sum
+        FROM ranked GROUP BY cid ORDER BY cluster_id"""
+
+  /** Trained clustering ([[Similarity.kmeansLloyd]]): 2 full Lloyd
+    * rounds from the deterministic lowest-id init, then the final
+    * assignment profile. The oracle re-runs BOTH rounds — init,
+    * argmax assignment, round-6 centroid means, empty-cluster keep —
+    * so the iterative training loop itself is what's verified, not
+    * just a fixed assignment (that's `emb_cluster_profile`). */
+  val kmeansQ = Q(
+    "emb_kmeans",
+    (s, d) =>
+      Similarity.kmeansLloyd(Tables.embeddings(s, d), k = 4, iters = 2),
+    Some(kmeansOracleSql(k = 4, iters = 2)))
+
+  /** Cluster-balanced subsample ([[Similarity.kmeansBalancedSample]]):
+    * cap each trained cluster at 60 members, keep the most
+    * prototypical (highest cosine-to-centroid, lower-id ties). The
+    * oracle re-trains the same 2 Lloyd rounds, re-ranks every cluster
+    * with a window, and pins the kept MEMBERSHIP via the id sum — so
+    * the heap-based engine path (bounded `collect_top_k`, no corpus
+    * through the exchange) is checked against the exhaustive rank. */
+  val kmeansBalancedQ = Q(
+    "emb_kmeans_balanced",
+    (s, d) =>
+      Similarity.kmeansBalancedSample(Tables.embeddings(s, d),
+        k = 4, iters = 2, maxPerCluster = 60),
+    Some(kmeansBalancedOracleSql(k = 4, iters = 2, cap = 60)))
+
   /** Embedding validation profile: per-label count + squared-norm
     * stats through the codegen `array_dot` (one pass, no shuffle
     * beyond the label combine) — the "are these vectors normalized"
@@ -1678,6 +1764,59 @@ object LlmQueries {
             FROM summary s
             JOIN ranked r ON r.source = s.source AND r.rn = 1
             ORDER BY s.source"""))
+
+  /** Per-source distinctive terms ([[Drift.distinctiveTerms]]):
+    * Monroe-style log-odds with informative Dirichlet prior, top-5
+    * tokens per source — the term-level drill-down behind
+    * `text_drift_by_source`. The oracle rebuilds the dense grid and
+    * every formula (prior mass, both log-odds, the variance, the
+    * round-6 rank cut) in DuckDB; arithmetic is written with
+    * identical association on both engines so each computes the same
+    * IEEE double before rounding. */
+  val distinctiveTermsQ = Q(
+    "text_distinctive_terms",
+    (s, d) =>
+      Drift.distinctiveTerms(Tables.documents(s, d),
+        vocabSize = 500, topN = 5, alpha0 = 100.0),
+    Some("""WITH toks AS (
+              SELECT source, unnest(string_split_regex(
+                trim(lower(coalesce(text, ''))), '\s+')) AS token
+              FROM documents),
+            cs AS (
+              SELECT source, token, COUNT(*) AS cnt
+              FROM toks GROUP BY source, token),
+            g AS (SELECT token, SUM(cnt) AS gcnt FROM cs GROUP BY token),
+            vocab AS (
+              SELECT token, gcnt FROM g
+              ORDER BY gcnt DESC, token LIMIT 500),
+            tot AS (
+              SELECT CAST(SUM(gcnt) AS DOUBLE) AS tot_g FROM vocab),
+            ps AS (
+              SELECT cs.source, SUM(cs.cnt) AS tot_s
+              FROM cs JOIN vocab USING (token) GROUP BY cs.source),
+            grid AS (
+              SELECT ps.source, v.token, ps.tot_s, v.gcnt,
+                     coalesce(cs.cnt, 0) AS cnt
+              FROM vocab v CROSS JOIN ps
+              LEFT JOIN cs
+                ON cs.source = ps.source AND cs.token = v.token),
+            scored AS (
+              SELECT source, token, cnt,
+                     (ln((cnt + aw) / (tot_s + 100.0 - cnt - aw))
+                    - ln((gcnt - cnt + aw)
+                         / (tot_g - tot_s + 100.0 - (gcnt - cnt) - aw)))
+                    / sqrt(1.0 / (cnt + aw) + 1.0 / (gcnt - cnt + aw))
+                       AS z
+              FROM (SELECT *, 100.0 * gcnt / tot_g AS aw
+                    FROM grid, tot)),
+            ranked AS (
+              SELECT source, token, cnt, z,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY round(z, 6) DESC, token) AS rank
+              FROM scored)
+            SELECT source, CAST(rank AS BIGINT) AS rank, token, cnt,
+                   ROUND(z, 4) AS z_score
+            FROM ranked WHERE rank <= 5 ORDER BY source, rank"""))
 
   /** BM25 retrieval top-k ([[Retrieval.bm25TopK]]): the oracle
     * recomputes N/avgdl/df/tf and the full Lucene-flavored score for
@@ -3070,8 +3209,8 @@ object LlmQueries {
     dedupIncremental, dedupIncrementalIndexed, textNormalize,
     annBrute, annLsh, annLshPlanted, annIvf, annIvfPlanted, annKnnJoin,
     nearDupCosine,
-    embCentroids, embNormProfile, quantizeInt8, annQuantized, pqCodesQ,
-    pqTopKQ,
+    embCentroids, embNormProfile, kmeansQ, kmeansBalancedQ, quantizeInt8,
+    annQuantized, pqCodesQ, pqTopKQ,
     splitCounts, stratSample, capPerSourceQ, leakageSplit, budgetSample,
     temperatureMix,
     epochOrder,
@@ -3080,7 +3219,8 @@ object LlmQueries {
     textTokens, textQuality, langDist, textAnalyze, textRepetition,
     boilerplate, stripMarkupQ, topNgramsQ,
     unigramScore, bigramScore, bm25TopK, bpePairs, bpeEncode, corpusDrift,
-    driftBySource, numericPsi, corpusDiffQ, pipelineDeconCap,
+    driftBySource, distinctiveTermsQ, numericPsi, corpusDiffQ,
+    pipelineDeconCap,
     textRedact, contamination, contaminationBloom, decontaminate,
     decontaminateSpansQ, mmStats,
     mmDecodePlanted, mmResizePlanted, mmAudioFrames, curate,

@@ -368,6 +368,157 @@ object Similarity {
         coalesce(sum(when(col("is_outlier"), col(idCol))), lit(0L))
           .as("outlier_id_sum"))
 
+  /** Distributed Lloyd k-means over the embedding column — the
+    * trained-clustering primitive (IVF list training, SemDeDup
+    * clustering, cluster-balanced sampling) expressed so every round
+    * is oracle-recomputable, unlike [[ivfKmeansAssign]]'s spark.ml
+    * fit (random init + implementation-defined tie handling):
+    *
+    *   - init: the k lowest-`idCol` vectors, cluster ids 0..k-1 in id
+    *     order (pure function of the data);
+    *   - assign: argmax of `round(cosine, 6)` over the broadcast
+    *     centroids, ties to the LOWER cluster id (same contract as
+    *     [[fixedCentroidAssign]] — the 6-dp round is what makes the
+    *     argmax engine-portable);
+    *   - update: element-wise mean of each cluster's vectors, rounded
+    *     to 6 dp (same cross-engine determinism trick); a cluster that
+    *     loses all members keeps its previous centroid;
+    *   - repeat `iters` times, then profile the FINAL assignment.
+    *
+    * Returns `(cluster_id, n_vecs, avg_cos)` ordered by cluster id.
+    *
+    * Scale shape — the canonical distributed k-means: centroids live
+    * on the driver (k·dim doubles, k-means state is small by
+    * definition) and enter each pass as a broadcast literal; each
+    * iteration is ONE corpus scan (assignment fused into it, no
+    * shuffle of the vectors) plus ONE map-side-combined aggregate
+    * whose shuffle carries k·dim partial sums. Nothing is ever
+    * cached — at 100 TB you cannot hold the corpus in memory anyway,
+    * so the per-iteration re-scan IS the production cost model (or
+    * fit on a sample and assign once, which this operator supports by
+    * passing a sampled frame). Driver collects k·dim rows per
+    * iteration — bounded by construction. */
+  def kmeansLloyd(
+      embeddings: DataFrame,
+      k: Int = 4,
+      iters: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    kmeansAssign(embeddings, k, iters, idCol, vecCol)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_vecs"), round(avg(col("cos")), 4).as("avg_cos"))
+      .orderBy("cluster_id")
+
+  /** The assignment surface under [[kmeansLloyd]]: runs the full
+    * training loop, then returns the FINAL per-vector assignment
+    * `(idCol, cluster_id, cos)` with `cos` the round-6 cosine to the
+    * winning trained centroid. Same contract and scale shape as the
+    * profile (see [[kmeansLloyd]]); exposed so downstream curation
+    * (balanced sampling, cluster-scoped dedup) can reuse the trained
+    * assignment without re-deriving it. */
+  def kmeansAssign(
+      embeddings: DataFrame,
+      k: Int = 4,
+      iters: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"cluster count must be ≥ 1: $k")
+    require(iters >= 0, s"iteration count must be ≥ 0: $iters")
+    GraftFunctions.register(embeddings.sparkSession)
+    val vecs = embeddings.select(
+      col(idCol).as("vid"), col(vecCol).cast("array<double>").as("v"))
+
+    val init: Array[(Long, Seq[Double])] = vecs
+      .orderBy(col("vid")).limit(k)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Double](1)) }
+    if (init.isEmpty)
+      // empty corpus: empty frame, id type preserved from the input
+      return vecs.select(
+        col("vid").as(idCol),
+        lit(null).cast("long").as("cluster_id"),
+        lit(null).cast("double").as("cos")).limit(0)
+
+    def assign(cents: Array[(Long, Seq[Double])]): DataFrame = {
+      val centsCol = array(cents.map { case (cid, c) =>
+        struct(lit(cid).as("c_id"), typedlit(c).as("c_vec"))
+      }: _*)
+      vecs.select(
+        col("vid"), col("v"),
+        array_max(transform(centsCol, c =>
+          struct(
+            round(cosine(col("v"), c.getField("c_vec")), 6).as("cos"),
+            (-c.getField("c_id")).as("ord"),
+            c.getField("c_id").as("cid")))).as("best"))
+        .select(col("vid"), col("v"),
+          col("best").getField("cid").as("cid"),
+          col("best").getField("cos").as("cos"))
+    }
+
+    var centroids = init
+    var it = 0
+    while (it < iters) {
+      val means = assign(centroids)
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "e")))
+        .groupBy("cid", "pos").agg(round(avg(col("e")), 6).as("m"))
+        .collect()
+      val byCid: Map[Long, Seq[Double]] = means
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      centroids = centroids.map { case (cid, old) =>
+        (cid, byCid.getOrElse(cid, old))
+      }
+      it += 1
+    }
+
+    assign(centroids).select(
+      col("vid").as(idCol), col("cid").as("cluster_id"), col("cos"))
+  }
+
+  /** Cluster-balanced subsampling over the trained [[kmeansAssign]]:
+    * cap every cluster at `maxPerCluster` members, keeping the most
+    * PROTOTYPICAL ones (highest round-6 cosine to the trained
+    * centroid, ties to the lower id) — the embedding-space analog of
+    * the per-source domain cap: an over-crawled topic cluster can't
+    * dominate the training mix, and what survives is the canonical
+    * core of each cluster, not a random slice. Returns per-cluster
+    * accounting `(cluster_id, n_vecs, n_kept, kept_id_sum)` — the id
+    * sum pins the kept MEMBERSHIP, not just counts (requires a
+    * numeric id, like every other id-sum fingerprint here).
+    *
+    * Scale: the cap rides the bounded `collect_top_k` heap — at most
+    * `maxPerCluster` (neg_cos, id) pairs per cluster cross the
+    * exchange, never the corpus (same idiom as [[knnJoin]]; a window
+    * rank over k partitions would funnel the whole corpus through k
+    * tasks). The kept-id sum folds over the heap array with a HOF —
+    * no explode, no second shuffle. */
+  def kmeansBalancedSample(
+      embeddings: DataFrame,
+      k: Int = 4,
+      iters: Int = 2,
+      maxPerCluster: Int = 100,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(maxPerCluster >= 1, s"cap must be ≥ 1: $maxPerCluster")
+    kmeansAssign(embeddings, k, iters, idCol, vecCol)
+      .groupBy("cluster_id")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        TopKAgg.collect_top_k(
+          struct((-col("cos")).as("neg_cos"), col(idCol).as("kid")),
+          maxPerCluster, reverse = true).as("top"))
+      .select(
+        col("cluster_id"), col("n_vecs"),
+        size(col("top")).cast("long").as("n_kept"),
+        aggregate(col("top"), lit(0L),
+          (acc, x) => acc + x.getField("kid").cast("long"))
+          .as("kept_id_sum"))
+      .orderBy("cluster_id")
+  }
+
   /** SemDeDup-style semantic deduplication marks (cluster, then
     * drop within-cluster semantic duplicates — the embedding-space
     * curation pass for pretraining corpora; cf. the public SemDeDup

@@ -75,4 +75,90 @@ class CentroidSpec extends AnyFunSuite {
     assert(got.count() == 4)
     assert(got.filter(col("label") === 0).count() == 0)
   }
+
+  test("kmeansLloyd recovers two planted direction clusters") {
+    // ids 0,1 seed the two clusters; the rest split 4/3 between the
+    // x-ish and y-ish directions — after 2 Lloyd rounds the profile
+    // must report exactly that split with high within-cluster cosine
+    val docs = Seq(
+      (0L, Array(1f, 0.05f, 0f)),
+      (1L, Array(0.05f, 1f, 0f)),
+      (2L, Array(2f, 0.1f, 0.1f)),
+      (3L, Array(5f, 0.2f, 0f)),
+      (4L, Array(0.9f, 0.1f, 0.05f)),
+      (5L, Array(0.1f, 3f, 0.1f)),
+      (6L, Array(0f, 0.8f, 0.05f))).toDF("vec_id", "embedding")
+    val prof = Similarity.kmeansLloyd(docs, k = 2, iters = 2)
+      .collect()
+    assert(prof.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    assert(prof.map(_.getLong(1)).toSeq == Seq(4L, 3L))
+    assert(prof.forall(_.getDouble(2) > 0.95))
+  }
+
+  test("kmeansLloyd with iters=0 profiles the raw lowest-id init") {
+    val prof = Similarity.kmeansLloyd(corpus, k = 2, iters = 0).collect()
+    // same memberships as fixedCentroidAssign on the same corpus:
+    // 3 vectors on centroid 0, 2 on centroid 1
+    assert(prof.map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(0L -> 3L, 1L -> 2L))
+  }
+
+  test("kmeansLloyd: duplicate init vectors exercise the empty-cluster keep") {
+    // ids 0 and 1 are identical → round-1 assignment ties everything
+    // to cid 0, so the round-1 UPDATE sees cluster 1 empty and must
+    // keep its previous centroid (the kept centroid may then win rows
+    // back once cluster 0's centroid moves — legitimate Lloyd
+    // dynamics, so only conservation is pinned, not the split).
+    val tied = Seq(
+      (0L, Array(1f, 0f)),
+      (1L, Array(1f, 0f)),
+      (2L, Array(0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val prof = Similarity.kmeansLloyd(tied, k = 2, iters = 2).collect()
+    assert(prof.map(_.getLong(1)).sum == 3L)
+    assert(prof.map(_.getLong(0)).forall(Set(0L, 1L)))
+  }
+
+  test("kmeansLloyd on an empty corpus returns an empty, well-typed frame") {
+    val empty = corpus.filter(col("vec_id") < 0)
+      .select("vec_id", "embedding")
+    val prof = Similarity.kmeansLloyd(empty, k = 3, iters = 2)
+    assert(prof.columns.toSeq == Seq("cluster_id", "n_vecs", "avg_cos"))
+    assert(prof.count() == 0)
+  }
+
+  test("kmeansBalancedSample keeps the most prototypical members up to the cap") {
+    // x-direction cluster has 4 members (ids 0,2,3,4 by construction
+    // below), y-direction has 3; cap=2 must keep exactly 2 per
+    // cluster, and for the x cluster the 2 HIGHEST-cosine ids
+    val docs = Seq(
+      (0L, Array(1f, 0f)), // seed cluster 0
+      (1L, Array(0f, 1f)), // seed cluster 1
+      (2L, Array(1f, 0.01f)),
+      (3L, Array(1f, 0.3f)), // least x-aligned of the x group
+      (4L, Array(1f, 0.02f)),
+      (5L, Array(0.02f, 1f)),
+      (6L, Array(0.3f, 1f))).toDF("vec_id", "embedding")
+    val got = Similarity.kmeansBalancedSample(
+      docs, k = 2, iters = 1, maxPerCluster = 2).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    assert(got.map(_.getLong(1)).toSeq == Seq(4L, 3L)) // n_vecs
+    assert(got.map(_.getLong(2)).toSeq == Seq(2L, 2L)) // n_kept
+    // kept membership matches an exhaustive per-cluster rank by
+    // (cos DESC, id): recompute from the assignment surface
+    val byRank = Similarity.kmeansAssign(docs, k = 2, iters = 1)
+      .collect()
+      .groupBy(_.getLong(1))
+      .map { case (cid, rows) =>
+        cid -> rows.sortBy(r => (-r.getDouble(2), r.getLong(0)))
+          .take(2).map(_.getLong(0)).sum
+      }
+    assert(got.map(r => r.getLong(0) -> r.getLong(3)).toMap == byRank)
+  }
+
+  test("kmeansBalancedSample with a loose cap keeps everything") {
+    val got = Similarity.kmeansBalancedSample(
+      corpus, k = 2, iters = 2, maxPerCluster = 100).collect()
+    assert(got.map(_.getLong(1)).sum == 5L)
+    assert(got.forall(r => r.getLong(1) == r.getLong(2)))
+  }
 }

@@ -201,4 +201,55 @@ class DriftSpec extends AnyFunSuite {
     assert(gone.getAs[Long]("removed_id_sum") == 10L)
     assert(gone.getAs[Long]("added_id_sum") == 0L)
   }
+
+  test("distinctiveTerms: a planted over-indexing token ranks first, hand-checked z") {
+    // source A: 'zebra' appears 10 times, only in A; shared filler
+    // 'the' dominates both sources (so the prior mass concentrates
+    // there and the z-ordering is doing real work).
+    val docs = Seq(
+      (1L, "A", "zebra zebra zebra zebra zebra the the the"),
+      (2L, "A", "zebra zebra zebra zebra zebra the the the"),
+      (3L, "B", "the the the the the the the the"),
+      (4L, "B", "the the the the the the the the")).toDF(
+      "doc_id", "source", "text")
+    val r = Drift.distinctiveTerms(docs, topN = 2, alpha0 = 10.0)
+      .collect()
+    val aTop = r.filter(_.getString(0) == "A").sortBy(_.getLong(1))
+    assert(aTop.head.getString(2) == "zebra")
+    assert(aTop.head.getLong(3) == 10L)
+    // hand-compute the planted token's z: y_sw=10, n_s=16, y_w=10,
+    // n=32, a0=10 → aw=10*10/32=3.125
+    val aw = 10.0 * 10.0 / 32.0
+    val delta = math.log((10 + aw) / (16 + 10.0 - 10 - aw)) -
+      math.log((0 + aw) / (32.0 - 16 + 10.0 - 0 - aw))
+    val z = delta / math.sqrt(1.0 / (10 + aw) + 1.0 / (0 + aw))
+    assert(math.abs(aTop.head.getDouble(4) - z) < 1e-4)
+    // the token absent from B must UNDER-index there (negative z)
+    val bZebra = Drift.distinctiveTerms(docs, topN = 500, alpha0 = 10.0)
+      .filter("source = 'B' AND token = 'zebra'").collect()
+    assert(bZebra.length == 1 && bZebra.head.getDouble(4) < 0)
+  }
+
+  test("distinctiveTerms: rank is dense 1..topN per source, capped by topN") {
+    val docs = Seq(
+      (1L, "A", "alpha beta gamma delta"),
+      (2L, "B", "beta gamma delta epsilon")).toDF(
+      "doc_id", "source", "text")
+    val r = Drift.distinctiveTerms(docs, topN = 3).collect()
+    val bySrc = r.groupBy(_.getString(0))
+    assert(bySrc.keySet == Set("A", "B"))
+    bySrc.values.foreach { rows =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L, 3L))
+    }
+  }
+
+  test("distinctiveTerms: single-source corpus degrades to finite z, not div0") {
+    val docs = Seq(
+      (1L, "only", "some words repeated words"),
+      (2L, "only", "more words here")).toDF("doc_id", "source", "text")
+    val r = Drift.distinctiveTerms(docs, topN = 5).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(row => !row.getDouble(4).isNaN &&
+      !row.getDouble(4).isInfinite))
+  }
 }

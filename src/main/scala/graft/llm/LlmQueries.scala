@@ -537,10 +537,10 @@ object LlmQueries {
                FROM (SELECT vec_id, v FROM emb
                      ORDER BY vec_id LIMIT $k)),
         $rounds,
-        sf AS (SELECT e.vec_id, c.cid,
+        sf AS (SELECT e.vec_id, e.v, c.cid,
                       round(list_cosine_similarity(e.v, c.c), 6) AS cos
                FROM emb e CROSS JOIN c$iters c),
-        af AS (SELECT vec_id, cid, cos FROM (
+        af AS (SELECT vec_id, v, cid, cos FROM (
                  SELECT *, row_number() OVER (PARTITION BY vec_id
                    ORDER BY cos DESC, cid) AS rn FROM sf)
                WHERE rn = 1)"""
@@ -589,6 +589,35 @@ object LlmQueries {
       Similarity.kmeansBalancedSample(Tables.embeddings(s, d),
         k = 4, iters = 2, maxPerCluster = 60),
     Some(kmeansBalancedOracleSql(k = 4, iters = 2, cap = 60)))
+
+  /** Trained-IVF ANN ([[Similarity.ivfTrainedTopK]]): Lloyd-trained
+    * centroids, probe the 2 best lists, exact top-10 — ROW-LEVEL
+    * oracle, not a gate: DuckDB re-trains both Lloyd rounds, re-ranks
+    * the probes, and re-scores every probed-list vector, so ids,
+    * cosines, ordering and the probe pruning are all checked. */
+  val annIvfTrained = Q(
+    "ann_ivf_trained",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_vec"))
+      Similarity.ivfTrainedTopK(emb, query, k = 10, nlist = 4,
+        iters = 2, nprobe = 2, excludeId = 0L)
+    },
+    Some(s"""${kmeansAssignCtes(k = 4, iters = 2)},
+        qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings
+               WHERE vec_id = 0),
+        probe AS (SELECT cid FROM (
+                    SELECT c.cid,
+                           round(list_cosine_similarity(c.c, q.v), 6)
+                             AS qc
+                    FROM c2 c CROSS JOIN qv q)
+                  ORDER BY qc DESC, cid LIMIT 2)
+        SELECT af.vec_id,
+               round(list_cosine_similarity(af.v, q.v), 4) AS cos_sim
+        FROM af JOIN probe USING (cid) CROSS JOIN qv q
+        WHERE af.vec_id <> 0
+        ORDER BY cos_sim DESC, af.vec_id LIMIT 10"""))
 
   /** Embedding validation profile: per-label count + squared-norm
     * stats through the codegen `array_dot` (one pass, no shuffle
@@ -3207,7 +3236,8 @@ object LlmQueries {
     dedupStats, dedupKeep, nearDupMinhash, nearDupSimhash, dedupClusters,
     dedupClusterKeep, dedupSweep, ngramJaccard, crossSourceDup,
     dedupIncremental, dedupIncrementalIndexed, textNormalize,
-    annBrute, annLsh, annLshPlanted, annIvf, annIvfPlanted, annKnnJoin,
+    annBrute, annLsh, annLshPlanted, annIvf, annIvfPlanted, annIvfTrained,
+    annKnnJoin,
     nearDupCosine,
     embCentroids, embNormProfile, kmeansQ, kmeansBalancedQ, quantizeInt8,
     annQuantized, pqCodesQ, pqTopKQ,

@@ -422,44 +422,65 @@ object Similarity {
       iters: Int = 2,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    require(k >= 1, s"cluster count must be ≥ 1: $k")
-    require(iters >= 0, s"iteration count must be ≥ 0: $iters")
-    GraftFunctions.register(embeddings.sparkSession)
-    val vecs = embeddings.select(
-      col(idCol).as("vid"), col(vecCol).cast("array<double>").as("v"))
-
-    val init: Array[(Long, Seq[Double])] = vecs
-      .orderBy(col("vid")).limit(k)
-      .collect()
-      .zipWithIndex
-      .map { case (r, i) => (i.toLong, r.getSeq[Double](1)) }
-    if (init.isEmpty)
+    val vecs = doubleVecs(embeddings, idCol, vecCol)
+    val cents = lloydCentroids(vecs, k, iters)
+    if (cents.isEmpty)
       // empty corpus: empty frame, id type preserved from the input
       return vecs.select(
         col("vid").as(idCol),
         lit(null).cast("long").as("cluster_id"),
         lit(null).cast("double").as("cos")).limit(0)
+    assignToCentroids(vecs, cents).select(
+      col("vid").as(idCol), col("cid").as("cluster_id"), col("cos"))
+  }
 
-    def assign(cents: Array[(Long, Seq[Double])]): DataFrame = {
-      val centsCol = array(cents.map { case (cid, c) =>
-        struct(lit(cid).as("c_id"), typedlit(c).as("c_vec"))
-      }: _*)
-      vecs.select(
-        col("vid"), col("v"),
-        array_max(transform(centsCol, c =>
-          struct(
-            round(cosine(col("v"), c.getField("c_vec")), 6).as("cos"),
-            (-c.getField("c_id")).as("ord"),
-            c.getField("c_id").as("cid")))).as("best"))
-        .select(col("vid"), col("v"),
-          col("best").getField("cid").as("cid"),
-          col("best").getField("cos").as("cos"))
-    }
+  private def doubleVecs(
+      embeddings: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    GraftFunctions.register(embeddings.sparkSession)
+    embeddings.select(
+      col(idCol).as("vid"), col(vecCol).cast("array<double>").as("v"))
+  }
+
+  /** One broadcast-centroid assignment pass over a `(vid, v)` frame:
+    * `(vid, v, cid, cos)` with the round-6 argmax/lower-cid-tie
+    * contract. The centroid set enters as a plan literal — k·dim
+    * doubles, k-means state is small by definition. */
+  private def assignToCentroids(
+      vecs: DataFrame, cents: Array[(Long, Seq[Double])]): DataFrame = {
+    val centsCol = array(cents.map { case (cid, c) =>
+      struct(lit(cid).as("c_id"), typedlit(c).as("c_vec"))
+    }: _*)
+    vecs.select(
+      col("vid"), col("v"),
+      array_max(transform(centsCol, c =>
+        struct(
+          round(cosine(col("v"), c.getField("c_vec")), 6).as("cos"),
+          (-c.getField("c_id")).as("ord"),
+          c.getField("c_id").as("cid")))).as("best"))
+      .select(col("vid"), col("v"),
+        col("best").getField("cid").as("cid"),
+        col("best").getField("cos").as("cos"))
+  }
+
+  /** The Lloyd training loop behind [[kmeansAssign]]/[[kmeansLloyd]]:
+    * returns the trained centroids (empty array on an empty corpus).
+    * See [[kmeansLloyd]] for the determinism contract and scale
+    * shape. */
+  private def lloydCentroids(
+      vecs: DataFrame, k: Int, iters: Int): Array[(Long, Seq[Double])] = {
+    require(k >= 1, s"cluster count must be ≥ 1: $k")
+    require(iters >= 0, s"iteration count must be ≥ 0: $iters")
+    val init: Array[(Long, Seq[Double])] = vecs
+      .orderBy(col("vid")).limit(k)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Double](1)) }
+    if (init.isEmpty) return init
 
     var centroids = init
     var it = 0
     while (it < iters) {
-      val means = assign(centroids)
+      val means = assignToCentroids(vecs, centroids)
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "e")))
         .groupBy("cid", "pos").agg(round(avg(col("e")), 6).as("m"))
         .collect()
@@ -473,9 +494,61 @@ object Similarity {
       }
       it += 1
     }
+    centroids
+  }
 
-    assign(centroids).select(
-      col("vid").as(idCol), col("cid").as("cluster_id"), col("cos"))
+  /** IVF ANN over LLOYD-TRAINED centroids — end-to-end
+    * oracle-recomputable, unlike [[ivfKmeansAssign]] (spark.ml's
+    * random init) and row-level unlike [[ivfTopK]]'s gate audit:
+    * train with [[lloydCentroids]] (deterministic), rank the trained
+    * centroids by round-6 query cosine (ties to the lower list id),
+    * scan only the `nprobe` best lists, return exact top-k by
+    * `(round-4 cosine DESC, id ASC)`.
+    *
+    * Scale: training as in [[kmeansLloyd]]; the search itself is one
+    * corpus assignment scan filtered by a BROADCAST nprobe-row list
+    * set (at 100 TB the assignment would be precomputed once — see
+    * [[ivfAssign]]'s persisted-index shape — so the per-query cost is
+    * the probed fraction only; this operator keeps train+search in
+    * one call so the whole path stays oracle-checkable). */
+  def ivfTrainedTopK(
+      embeddings: DataFrame,
+      query: DataFrame,
+      k: Int = 10,
+      nlist: Int = 4,
+      iters: Int = 2,
+      nprobe: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      excludeId: Long = -1L): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be ≥ 1: $nprobe")
+    val vecs = doubleVecs(embeddings, idCol, vecCol)
+    val cents = lloydCentroids(vecs, nlist, iters)
+    val q = query.select(col("q_vec").cast("array<double>").as("qv"))
+    if (cents.isEmpty)
+      return vecs.crossJoin(q).select(
+        col("vid").as(idCol),
+        lit(null).cast("double").as("cos_sim")).limit(0)
+    val centDf = embeddings.sparkSession.range(1)
+      .select(explode(array(cents.map { case (cid, c) =>
+        struct(lit(cid).as("list_id"), typedlit(c).as("c_vec"))
+      }: _*)).as("c"))
+      .select(col("c.list_id").as("list_id"), col("c.c_vec").as("c_vec"))
+    val probeLists = centDf
+      .crossJoin(broadcast(q))
+      .select(col("list_id"),
+        round(cosine(col("c_vec"), col("qv")), 6).as("qc"))
+      .orderBy(col("qc").desc, col("list_id"))
+      .limit(nprobe)
+      .select("list_id")
+    assignToCentroids(vecs, cents)
+      .filter(col("vid") =!= lit(excludeId))
+      .join(broadcast(probeLists), col("cid") === col("list_id"))
+      .crossJoin(broadcast(q))
+      .select(col("vid").as(idCol),
+        round(cosine(col("v"), col("qv")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
   }
 
   /** Cluster-balanced subsampling over the trained [[kmeansAssign]]:

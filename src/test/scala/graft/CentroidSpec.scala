@@ -161,4 +161,33 @@ class CentroidSpec extends AnyFunSuite {
     assert(got.map(_.getLong(1)).sum == 5L)
     assert(got.forall(r => r.getLong(1) == r.getLong(2)))
   }
+
+  test("ivfTrainedTopK returns a planted exact copy as top-1 through the probe") {
+    // the copy of the query vector assigns to the query's own best
+    // list (identical cosines to every centroid), which is always the
+    // first probed list — must come back top-1 at cosine 1
+    val emb = corpus.select("vec_id", "embedding")
+    val withCopy = emb.unionByName(
+      emb.filter(col("vec_id") === 0L)
+        .select(lit(1000L).as("vec_id"), col("embedding")))
+    val query = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").as("q_vec"))
+    val got = Similarity.ivfTrainedTopK(withCopy, query, k = 1,
+      nlist = 2, iters = 1, nprobe = 1, excludeId = 0L).collect()
+    assert(got.length == 1)
+    assert(got.head.getLong(0) == 1000L)
+    assert(got.head.getDouble(1) == 1.0)
+  }
+
+  test("ivfTrainedTopK with all lists probed equals brute force") {
+    val emb = corpus.select("vec_id", "embedding")
+    val query = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").as("q_vec"))
+    val ivf = Similarity.ivfTrainedTopK(emb, query, k = 3, nlist = 2,
+      iters = 2, nprobe = 2, excludeId = 0L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val bf = Similarity.bruteForceTopK(emb, query, k = 3, excludeId = 0L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(ivf == bf)
+  }
 }

@@ -590,6 +590,21 @@ object LlmQueries {
         k = 4, iters = 2, maxPerCluster = 60),
     Some(kmeansBalancedOracleSql(k = 4, iters = 2, cap = 60)))
 
+  /** Row-level trained assignment ([[Similarity.kmeansAssign]]) — the
+    * batch twin of the streaming cluster router's output surface
+    * (`Incremental.routeStream` applies the SAME frozen-assigner
+    * body per micro-batch; StreamingSpec pins stream ≡ batch). Emits
+    * only the DECISION surface (id, cluster) — the cosine stays in
+    * the operator API, per the float-hashing contract. */
+  val kmeansAssignQ = Q(
+    "emb_kmeans_assign",
+    (s, d) =>
+      Similarity.kmeansAssign(Tables.embeddings(s, d), k = 4, iters = 2)
+        .select(col("vec_id"), col("cluster_id"))
+        .orderBy("vec_id"),
+    Some(s"""${kmeansAssignCtes(k = 4, iters = 2)}
+        SELECT vec_id, cid AS cluster_id FROM af ORDER BY vec_id"""))
+
   /** Trained-IVF ANN ([[Similarity.ivfTrainedTopK]]): Lloyd-trained
     * centroids, probe the 2 best lists, exact top-10 — ROW-LEVEL
     * oracle, not a gate: DuckDB re-trains both Lloyd rounds, re-ranks
@@ -3237,7 +3252,7 @@ object LlmQueries {
     dedupClusterKeep, dedupSweep, ngramJaccard, crossSourceDup,
     dedupIncremental, dedupIncrementalIndexed, textNormalize,
     annBrute, annLsh, annLshPlanted, annIvf, annIvfPlanted, annIvfTrained,
-    annKnnJoin,
+    annKnnJoin, kmeansAssignQ,
     nearDupCosine,
     embCentroids, embNormProfile, kmeansQ, kmeansBalancedQ, quantizeInt8,
     annQuantized, pqCodesQ, pqTopKQ,

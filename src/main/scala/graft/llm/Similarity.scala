@@ -497,6 +497,28 @@ object Similarity {
     centroids
   }
 
+  /** Train once on a reference corpus, return a pure row-assignment
+    * function against the FROZEN trained centroids — the cluster
+    * ROUTER deployment shape: the same function applies to a batch
+    * frame or a streaming micro-batch (stateless projection, so
+    * Structured Streaming runs it in append mode with no stream-side
+    * aggregation), routing each incoming vector to its trained
+    * cluster `(idCol, cluster_id, cos)` under [[kmeansAssign]]'s
+    * exact contract. Centroids are captured as plan literals at
+    * train time — no stream-static join, no state store. */
+  def frozenAssigner(
+      reference: DataFrame,
+      k: Int = 4,
+      iters: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame => DataFrame = {
+    val cents = lloydCentroids(doubleVecs(reference, idCol, vecCol), k, iters)
+    require(cents.nonEmpty, "cannot train a cluster router on an empty reference")
+    (df: DataFrame) =>
+      assignToCentroids(doubleVecs(df, idCol, vecCol), cents)
+        .select(col("vid").as(idCol), col("cid").as("cluster_id"), col("cos"))
+  }
+
   /** IVF ANN over LLOYD-TRAINED centroids — end-to-end
     * oracle-recomputable, unlike [[ivfKmeansAssign]] (spark.ml's
     * random init) and row-level unlike [[ivfTopK]]'s gate audit:

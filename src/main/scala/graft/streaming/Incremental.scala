@@ -322,6 +322,29 @@ object Incremental {
     * appending duplicate rows — exactly-once in the log even though
     * foreachBatch itself only guarantees at-least-once execution.
     * No stream-stream state anywhere. */
+  /** Streaming cluster router: every incoming vector is assigned to
+    * its nearest FROZEN Lloyd-trained centroid — the deployment shape
+    * for routing fresh documents to per-domain pipelines (or experts)
+    * with a model trained ONCE on a reference corpus. Training
+    * happens at stream setup ([[graft.llm.Similarity.frozenAssigner]]);
+    * the per-row assignment is a stateless codegen projection against
+    * plan-literal centroids, so the stream runs append-mode with no
+    * state store, no stream-static join, and per-batch cost linear in
+    * the batch alone. Batch ≡ stream by construction: the SAME
+    * function body serves both (pinned by StreamingSpec). */
+  def routeStream(
+      vecs: DataFrame,
+      reference: DataFrame,
+      queryName: String,
+      k: Int = 4,
+      iters: Int = 2): StreamingQuery =
+    graft.llm.Similarity.frozenAssigner(reference, k = k, iters = iters)(vecs)
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .start()
+
   def driftStream(
       docs: DataFrame,
       refDocs: DataFrame,

@@ -209,6 +209,30 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming cluster router matches the frozen batch assignment") {
+    val vecsDir = TestSpark.tmpDir("vecs-route-src")
+    Tables.embeddings(spark, TestSpark.sf0001)
+      .select("vec_id", "embedding")
+      .write.mode("overwrite").parquet(vecsDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(vecsDir).schema)
+      .parquet(vecsDir)
+    val reference = Tables.embeddings(spark, TestSpark.sf0001)
+    val q = Incremental.routeStream(stream, reference,
+      "route_stream_test", k = 4, iters = 2)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("route_stream_test")
+      .select("vec_id", "cluster_id")
+      .as[(Long, Long)].collect().toMap
+    val batch = graft.llm.Similarity
+      .kmeansAssign(reference, k = 4, iters = 2)
+      .select("vec_id", "cluster_id")
+      .as[(Long, Long)].collect().toMap
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("streaming PSI log matches per-batch frozen-reference PSI") {
     import graft.llm.Drift
     val srcDir = TestSpark.tmpDir("psi-src")

@@ -1124,4 +1124,105 @@ object Dedup {
         coalesce(sum(col("sz")), lit(0L)).as("n_clustered_docs"),
         coalesce(max(col("sz")), lit(0L)).as("max_cluster"))))
   }
+
+  /** Directed containment detection: pairs `(id_a, id_b)` where
+    * `containment(a in b) = |S(a) ∩ S(b)| / |S(a)| ≥ minContainment`
+    * over k-word shingle sets — the ASYMMETRIC near-dup Jaccard-based
+    * LSH structurally misses: a short document quoted whole inside a
+    * long one has Jaccard ≈ |S(a)|/|S(b)| (arbitrarily small, so no
+    * MinHash band ever collides) but containment 1. This is the
+    * quotation / partial-copy / page-wrapped-in-navigation detector a
+    * web-scale pipeline runs next to the symmetric one.
+    *
+    * Plan (no all-pairs stage anywhere):
+    *  1. one exploded `(id, shingle)` frame (shingle sets are distinct
+    *     per doc by construction);
+    *  2. document frequency per shingle as a window over the SAME key
+    *     the join below shuffles on (no extra exchange), dropping
+    *     shingles with `df > maxShingleDf` — the boilerplate guard: a
+    *     shingle present in thousands of documents contributes df²
+    *     join rows and signals template text, not quotation (the same
+    *     quadratic-degeneracy reasoning as [[capBuckets]]); the drop
+    *     is part of the operator's SEMANTICS (containment over the
+    *     informative shingle space) and the oracle applies the
+    *     identical rule;
+    *  3. shingle-keyed equi-join — each shingle contributes ≤ df²
+    *     ≤ maxShingleDf² pair rows, so the worst case is bounded per
+    *     key and skew-free under AQE;
+    *  4. per-pair shared counts vs the contained side's kept-shingle
+    *     count. Documents with fewer than `minShingles` kept shingles
+    *     are excluded as the contained side (a 1-shingle doc is
+    *     trivially "contained" everywhere its one phrase appears).
+    *
+    * The exploded frame feeds the df window, both join sides, and the
+    * per-doc sizes, so it is session-cached once ([[persistIfNew]] —
+    * same reuse contract as [[nearDupMinhash]]'s shingle frame).
+    *
+    * Determinism: `containment` is a single IEEE division of two
+    * exact integers, rounded to 4 for display — bit-identical on any
+    * engine, no summation-order exposure. */
+  def containmentPairs(
+      docs: DataFrame,
+      minContainment: Double = 0.8,
+      shingleK: Int = 3,
+      maxShingleDf: Int = 1000,
+      minShingles: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(minContainment > 0.0 && minContainment <= 1.0,
+      s"minContainment must be in (0,1]: $minContainment")
+    require(maxShingleDf >= 1 && minShingles >= 1,
+      s"caps must be >= 1: df=$maxShingleDf, min=$minShingles")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("sh")
+    val kept0 = docs
+      .select(col(idCol).as("id"),
+        explode(shingles(col(textCol), shingleK)).as("sh"))
+      .withColumn("__df", count(lit(1)).over(w))
+      .filter(col("__df") <= maxShingleDf)
+      .drop("__df")
+    val (kept, _) = persistIfNew(kept0,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = kept.groupBy("id").agg(count(lit(1)).as("n_a"))
+    val pairs = kept.as("x")
+      .join(kept.as("y"), col("x.sh") === col("y.sh")
+        && col("x.id") =!= col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.withColumnRenamed("id", "id_a"), Seq("id_a"))
+      .filter(col("n_a") >= minShingles)
+      .withColumn("containment",
+        round(col("shared").cast("double") / col("n_a"), 4))
+      .filter(col("containment") >= minContainment)
+      .select("id_a", "id_b", "shared", "n_a", "containment")
+  }
+
+  /** The act step of [[containmentPairs]]: drop every document
+    * contained (at `minContainment`) in a LARGER document — ties on
+    * equal sizes break by keeping the lower id, so mutual 100%
+    * containment (an exact duplicate pair) removes exactly one side
+    * and a containment CHAIN (a ⊂ b ⊂ c) keeps only the largest. The
+    * drop list is bounded by the pair count (≪ corpus), so the final
+    * anti-join broadcasts. */
+  def containmentDedup(
+      docs: DataFrame,
+      minContainment: Double = 0.8,
+      shingleK: Int = 3,
+      maxShingleDf: Int = 1000,
+      minShingles: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val pairs = containmentPairs(docs, minContainment, shingleK,
+      maxShingleDf, minShingles, idCol, textCol)
+    val sized = docs.select(col(idCol).as("id"),
+      length(coalesce(col(textCol), lit(""))).as("len"))
+    val drop = pairs
+      .join(sized.select(col("id").as("id_a"), col("len").as("len_a")), Seq("id_a"))
+      .join(sized.select(col("id").as("id_b"), col("len").as("len_b")), Seq("id_b"))
+      .filter(col("len_a") < col("len_b")
+        || (col("len_a") === col("len_b") && col("id_a") > col("id_b")))
+      .select(col("id_a").as(idCol)).distinct()
+    docs.join(broadcast(drop), Seq(idCol), "left_anti")
+  }
 }

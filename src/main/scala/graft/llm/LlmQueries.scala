@@ -106,6 +106,94 @@ object LlmQueries {
             FROM pairs WHERE jaccard >= 0.5
             GROUP BY 1, 2 ORDER BY source_x, source_y"""))
 
+  /** Directed containment pairs ([[Dedup.containmentPairs]]): the
+    * asymmetric quotation/partial-copy detector — |S(a)∩S(b)|/|S(a)|
+    * over df-capped 3-shingles. Full row-level oracle: DuckDB applies
+    * the identical df cap, min-shingle floor, and single-division
+    * rounding, so every pair, count, and score is recomputed. */
+  val containmentPairsQ = Q(
+    "dedup_containment",
+    (s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d),
+          minContainment = 0.8)
+        .orderBy("id_a", "id_b"),
+    Some("""WITH toks AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                  ELSE list_distinct([array_to_string(t[i:i+2], ' ')
+                        for i in range(1, len(t) - 1)])
+                END AS s
+              FROM toks),
+            ex AS (SELECT doc_id AS id, unnest(s) AS sh FROM sh),
+            df AS (SELECT sh, COUNT(*) AS df FROM ex GROUP BY sh),
+            kept AS (
+              SELECT e.id, e.sh FROM ex e JOIN df USING (sh)
+              WHERE df.df <= 1000),
+            sizes AS (SELECT id, COUNT(*) AS n_a FROM kept GROUP BY id),
+            pairs AS (
+              SELECT x.id AS id_a, y.id AS id_b, COUNT(*) AS shared
+              FROM kept x JOIN kept y ON x.sh = y.sh AND x.id <> y.id
+              GROUP BY 1, 2)
+            SELECT p.id_a, p.id_b, p.shared, s.n_a,
+                   ROUND(CAST(p.shared AS DOUBLE) / s.n_a, 4) AS containment
+            FROM pairs p JOIN sizes s ON s.id = p.id_a
+            WHERE s.n_a >= 3
+              AND ROUND(CAST(p.shared AS DOUBLE) / s.n_a, 4) >= 0.8
+            ORDER BY id_a, id_b"""))
+
+  /** The act step ([[Dedup.containmentDedup]]): drop every document
+    * contained in a larger one (ties keep the lower id); kept-count +
+    * id-sum pins exact membership. */
+  val containmentDedupQ = Q(
+    "dedup_containment_keep",
+    (s, d) =>
+      Dedup.containmentDedup(Tables.documents(s, d), minContainment = 0.8)
+        .agg(
+          count(lit(1)).as("n_kept"),
+          coalesce(sum(col("doc_id")), lit(0L)).as("kept_id_sum")),
+    Some("""WITH toks AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                  ELSE list_distinct([array_to_string(t[i:i+2], ' ')
+                        for i in range(1, len(t) - 1)])
+                END AS s
+              FROM toks),
+            ex AS (SELECT doc_id AS id, unnest(s) AS sh FROM sh),
+            df AS (SELECT sh, COUNT(*) AS df FROM ex GROUP BY sh),
+            kept AS (
+              SELECT e.id, e.sh FROM ex e JOIN df USING (sh)
+              WHERE df.df <= 1000),
+            sizes AS (SELECT id, COUNT(*) AS n_a FROM kept GROUP BY id),
+            pairs AS (
+              SELECT x.id AS id_a, y.id AS id_b, COUNT(*) AS shared
+              FROM kept x JOIN kept y ON x.sh = y.sh AND x.id <> y.id
+              GROUP BY 1, 2),
+            hits AS (
+              SELECT p.id_a, p.id_b
+              FROM pairs p JOIN sizes s ON s.id = p.id_a
+              WHERE s.n_a >= 3
+                AND ROUND(CAST(p.shared AS DOUBLE) / s.n_a, 4) >= 0.8),
+            lens AS (
+              SELECT doc_id, length(coalesce(text, '')) AS len
+              FROM documents),
+            dropped AS (
+              SELECT DISTINCT h.id_a
+              FROM hits h
+              JOIN lens la ON la.doc_id = h.id_a
+              JOIN lens lb ON lb.doc_id = h.id_b
+              WHERE la.len < lb.len
+                 OR (la.len = lb.len AND h.id_a > h.id_b))
+            SELECT COUNT(*) AS n_kept,
+                   CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) AS kept_id_sum
+            FROM documents
+            WHERE doc_id NOT IN (SELECT id_a FROM dropped)"""))
+
   /** SimHash near-dup with a planted ground truth (custom codegen
     * expression inside). The corpus is documents UNION exact copies at
     * shifted ids; an exact token-multiset copy has an identical SimHash
@@ -1941,6 +2029,101 @@ object LlmQueries {
             FROM toks t LEFT JOIN v USING (token), tot
             GROUP BY t.doc_id ORDER BY t.doc_id"""))
 
+  /** DSIR-style importance weights ([[Importance.importanceWeights]]):
+    * every document's mean hashed-unigram log-ratio against an
+    * English-slice target model. Full row-level oracle: DuckDB
+    * rebuilds both bucket models with the identical rolling hash and
+    * recomputes every score (same round-4 display contract as
+    * `text_unigram_logprob`). */
+  val dsirWeights = Q(
+    "text_dsir_weights",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Importance.importanceWeights(
+          raw = docs,
+          target = docs.filter(col("lang") === "en"),
+          numBuckets = 4096)
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("avg_log_ratio"), 4).as("avg_log_ratio"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH toks AS (
+               SELECT doc_id, lang,
+                      unnest(string_split_regex(
+                        trim(lower(coalesce(text, ''))), '\\s+')) AS token
+               FROM documents),
+             f AS (
+               SELECT doc_id, lang,
+                      ${duckdbTextHash("token || '#dsir'")} % 4096 AS feat
+               FROM toks),
+             tc AS (
+               SELECT feat, COUNT(*) AS cnt_t FROM f
+               WHERE lang = 'en' GROUP BY feat),
+             rc AS (SELECT feat, COUNT(*) AS cnt_r FROM f GROUP BY feat),
+             tot AS (
+               SELECT (SELECT SUM(cnt_t) FROM tc) AS n_t,
+                      (SELECT SUM(cnt_r) FROM rc) AS n_r)
+             SELECT f.doc_id, COUNT(*) AS n_tokens,
+                    ROUND(AVG(
+                      ln(CAST(coalesce(tc.cnt_t, 0) + 1 AS DOUBLE) /
+                         CAST(tot.n_t + 4096 AS DOUBLE)) -
+                      ln(CAST(rc.cnt_r + 1 AS DOUBLE) /
+                         CAST(tot.n_r + 4096 AS DOUBLE))), 4)
+                      AS avg_log_ratio
+             FROM f LEFT JOIN tc USING (feat) JOIN rc USING (feat), tot
+             GROUP BY f.doc_id ORDER BY f.doc_id"""))
+
+  /** The act step ([[Importance.importanceSelect]]): keep the 100
+    * most target-like documents; the per-lang membership (count +
+    * id-sum) pins exactly WHICH documents the ranking kept — the
+    * selection should visibly skew toward the target language. */
+  val dsirSelect = Q(
+    "text_dsir_select",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Importance.importanceSelect(
+          raw = docs,
+          target = docs.filter(col("lang") === "en"),
+          n = 100, numBuckets = 4096)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("kept_id_sum"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH toks AS (
+               SELECT doc_id, lang,
+                      unnest(string_split_regex(
+                        trim(lower(coalesce(text, ''))), '\\s+')) AS token
+               FROM documents),
+             f AS (
+               SELECT doc_id, lang,
+                      ${duckdbTextHash("token || '#dsir'")} % 4096 AS feat
+               FROM toks),
+             tc AS (
+               SELECT feat, COUNT(*) AS cnt_t FROM f
+               WHERE lang = 'en' GROUP BY feat),
+             rc AS (SELECT feat, COUNT(*) AS cnt_r FROM f GROUP BY feat),
+             tot AS (
+               SELECT (SELECT SUM(cnt_t) FROM tc) AS n_t,
+                      (SELECT SUM(cnt_r) FROM rc) AS n_r),
+             scores AS (
+               SELECT f.doc_id,
+                      ROUND(AVG(
+                        ln(CAST(coalesce(tc.cnt_t, 0) + 1 AS DOUBLE) /
+                           CAST(tot.n_t + 4096 AS DOUBLE)) -
+                        ln(CAST(rc.cnt_r + 1 AS DOUBLE) /
+                           CAST(tot.n_r + 4096 AS DOUBLE))), 4) AS w
+               FROM f LEFT JOIN tc USING (feat) JOIN rc USING (feat), tot
+               GROUP BY f.doc_id),
+             sel AS (
+               SELECT doc_id FROM scores
+               ORDER BY w DESC, doc_id LIMIT 100)
+             SELECT d.lang, COUNT(*) AS n_docs,
+                    CAST(SUM(d.doc_id) AS BIGINT) AS kept_id_sum
+             FROM documents d JOIN sel USING (doc_id)
+             GROUP BY d.lang ORDER BY d.lang"""))
+
   /** Composed prep pipeline: token-budget mixture sampling → epoch-
     * seeded training order → per-shard doc/token accounting, ONE lazy
     * plan (filter and ordering are narrow projections over the same
@@ -3073,6 +3256,71 @@ object LlmQueries {
             FROM best WHERE rk = 1
             GROUP BY c_id ORDER BY centroid_id"""))
 
+  /** Embedding-space decontamination scan
+    * ([[Similarity.semanticContamination]]): every corpus vector's max
+    * cosine to the broadcast eval slice (`vec_id % 50 = 0` — the same
+    * holdout convention as the n-gram contamination rows), flagged at
+    * 0.9. Full row-level oracle: each pairwise cosine is rounded to 4
+    * BEFORE the order-independent max, so DuckDB recomputes every
+    * row's score and flag bit-for-bit. */
+  val semanticContaminationQ = Q(
+    "emb_semantic_contamination",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.semanticContamination(
+          corpus = emb.filter(pmod(col("vec_id"), lit(50)) =!= 0),
+          eval = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+            .select(col("vec_id").as("eval_id"),
+              col("embedding").as("eval_vec")),
+          minCosine = 0.9)
+        .orderBy("vec_id")
+    },
+    Some("""WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+            ev AS (SELECT vec_id, v FROM e WHERE vec_id % 50 = 0),
+            corpus AS (SELECT vec_id, v FROM e WHERE vec_id % 50 <> 0)
+            SELECT c.vec_id,
+                   MAX(ROUND(list_cosine_similarity(c.v, ev.v), 4))
+                     AS max_cos_eval,
+                   MAX(ROUND(list_cosine_similarity(c.v, ev.v), 4)) >= 0.9
+                     AS contaminated
+            FROM corpus c CROSS JOIN ev
+            GROUP BY c.vec_id ORDER BY c.vec_id"""))
+
+  /** The act step ([[Similarity.semanticDecontaminate]]): corpus size
+    * and id-sum after dropping every eval-adjacent vector — the
+    * membership fingerprint pins exactly WHICH rows were removed, not
+    * just how many. */
+  val semanticDeconQ = Q(
+    "emb_semantic_decon",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.semanticDecontaminate(
+          corpus = emb.filter(pmod(col("vec_id"), lit(50)) =!= 0),
+          eval = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+            .select(col("vec_id").as("eval_id"),
+              col("embedding").as("eval_vec")),
+          minCosine = 0.9)
+        .agg(
+          count(lit(1)).as("n_kept"),
+          coalesce(sum(col("vec_id")), lit(0L)).as("kept_id_sum"))
+    },
+    Some("""WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+            ev AS (SELECT vec_id, v FROM e WHERE vec_id % 50 = 0),
+            corpus AS (SELECT vec_id, v FROM e WHERE vec_id % 50 <> 0),
+            flagged AS (
+              SELECT c.vec_id
+              FROM corpus c CROSS JOIN ev
+              GROUP BY c.vec_id
+              HAVING MAX(ROUND(list_cosine_similarity(c.v, ev.v), 4))
+                       >= 0.9)
+            SELECT COUNT(*) AS n_kept,
+                   CAST(COALESCE(SUM(vec_id), 0) AS BIGINT) AS kept_id_sum
+            FROM corpus WHERE vec_id NOT IN (SELECT vec_id FROM flagged)"""))
+
   /** Product-quantization codes ([[Quantize.pqCodes]]): every vector
     * compressed to 8 codes over a 16-entry deterministic codebook
     * (the 16 lowest-id vectors' sub-vectors — the
@@ -3247,9 +3495,11 @@ object LlmQueries {
   def all: Seq[Q] = Seq(
     lineDedup, spanDedup, deepClean, noveltyPerDoc, noveltyBloom, noveltySummaryQ,
     clusterProfile, embOutliersQ, semDedupQ, semDedupLshQ,
+    semanticContaminationQ, semanticDeconQ,
     hardNegativesQ,
     dedupStats, dedupKeep, nearDupMinhash, nearDupSimhash, dedupClusters,
     dedupClusterKeep, dedupSweep, ngramJaccard, crossSourceDup,
+    containmentPairsQ, containmentDedupQ,
     dedupIncremental, dedupIncrementalIndexed, textNormalize,
     annBrute, annLsh, annLshPlanted, annIvf, annIvfPlanted, annIvfTrained,
     annKnnJoin, kmeansAssignQ,
@@ -3257,7 +3507,7 @@ object LlmQueries {
     embCentroids, embNormProfile, kmeansQ, kmeansBalancedQ, quantizeInt8,
     annQuantized, pqCodesQ, pqTopKQ,
     splitCounts, stratSample, capPerSourceQ, leakageSplit, budgetSample,
-    temperatureMix,
+    temperatureMix, dsirWeights, dsirSelect,
     epochOrder,
     pipelinePrepShards, packShards, packPaddingWaste, packShardDigests,
     chunkDocs, ragRetrieve, coverageAudit, oovBySource, qualityGrid,

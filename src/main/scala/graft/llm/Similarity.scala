@@ -767,4 +767,67 @@ object Similarity {
           .orderBy(col("cos_sim").desc, col(idCol))))
       .filter(col("rank") <= k)
   }
+
+  /** Embedding-space decontamination scan: for every corpus vector,
+    * its maximum cosine to ANY vector of a (small, broadcast) eval
+    * set, and a `contaminated` flag at `minCosine` — the SEMANTIC
+    * counterpart of the n-gram checks ([[Dedup.contaminationHits]]):
+    * a paraphrased eval question shares no 4-shingle with the
+    * training doc, but its embedding sits right next to it, which is
+    * exactly what this scan sees and the lexical one cannot.
+    *
+    * Determinism: each pairwise cosine runs through the codegen
+    * `array_dot` (left-to-right double accumulation, bit-identical to
+    * DuckDB's list_cosine_similarity on DOUBLE[]) and is rounded to 4
+    * digits BEFORE the max, so `max_cos_eval` is an order-independent
+    * max over identical doubles on both engines — a full row-level
+    * oracle, no tolerance needed.
+    *
+    * Scale: the eval set broadcasts (it is small by definition —
+    * thousands of benchmark items vs a corpus of billions); every
+    * corpus row scores all eval vectors inside its own task, and the
+    * groupBy collapses map-side (≤ one partial row per corpus id per
+    * task), so the exchange carries |corpus| partials, never the
+    * |corpus|×|eval| scored frame. The corpus itself is read once and
+    * never shuffled wide. */
+  def semanticContamination(
+      corpus: DataFrame,
+      eval: DataFrame,
+      minCosine: Double = 0.9,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      evalIdCol: String = "eval_id",
+      evalVecCol: String = "eval_vec"): DataFrame = {
+    require(minCosine >= -1.0 && minCosine <= 1.0,
+      s"minCosine must be in [-1,1]: $minCosine")
+    GraftFunctions.register(corpus.sparkSession)
+    corpus
+      .crossJoin(broadcast(eval.select(col(evalIdCol), col(evalVecCol))))
+      .select(
+        col(idCol),
+        round(cosine(col(vecCol), col(evalVecCol)), 4).as("cos"))
+      .groupBy(idCol)
+      .agg(max(col("cos")).as("max_cos_eval"))
+      .withColumn("contaminated", col("max_cos_eval") >= minCosine)
+  }
+
+  /** The act step of [[semanticContamination]]: the corpus with every
+    * flagged row removed. One scan + the same broadcast probe — the
+    * anti-join is on the flag computed in-plan, so no second pass over
+    * the corpus and no id shuffle (the semi-join key frame is the
+    * bounded flagged-id set). */
+  def semanticDecontaminate(
+      corpus: DataFrame,
+      eval: DataFrame,
+      minCosine: Double = 0.9,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      evalIdCol: String = "eval_id",
+      evalVecCol: String = "eval_vec"): DataFrame = {
+    val flagged = semanticContamination(corpus, eval, minCosine,
+      idCol, vecCol, evalIdCol, evalVecCol)
+      .filter(col("contaminated"))
+      .select(col(idCol))
+    corpus.join(flagged, Seq(idCol), "left_anti")
+  }
 }

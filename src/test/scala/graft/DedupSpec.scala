@@ -489,4 +489,59 @@ class DedupSpec extends AnyFunSuite {
     assert(got.forall(r =>
       math.abs(r._5 / 10000.0 / r._3 - r._4) < 1e-3), got)
   }
+
+  test("containment finds the quoted short doc Jaccard-LSH misses") {
+    // doc 10 (8 tokens, 6 trigrams) is quoted whole inside doc 11's
+    // much longer text: containment(10 in 11) = 1.0, but Jaccard is
+    // 6/56 ≈ 0.11 — below any useful near-dup threshold
+    val quote = "alpha beta gamma delta epsilon zeta eta theta"
+    val filler = (1 to 50).map(i => s"w$i").mkString(" ")
+    val cdocs = Seq(
+      (10L, quote),
+      (11L, s"$filler $quote"),
+      (12L, "entirely unrelated content about other things here")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(cdocs, minContainment = 0.8)
+      .select("id_a", "id_b", "containment")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((10L, 11L)), pairs.toString)
+    assert(pairs.head._3 == 1.0, pairs.toString)
+    // the symmetric Jaccard detector does NOT see this pair
+    val jpairs = Dedup.nearDupMinhash(cdocs, minJaccard = 0.5,
+      numHashes = 64, bands = 32)
+    assert(jpairs.count() == 0L, "jaccard near-dup must miss the quotation")
+    // act step: the short contained doc is dropped, the container kept
+    val kept = Dedup.containmentDedup(cdocs, minContainment = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(11L, 12L), kept.toString)
+  }
+
+  test("containment act step: mutual containment keeps the lower id, chains keep the largest") {
+    val t = "one two three four five six seven eight nine ten"
+    val cdocs = Seq(
+      (20L, t), (21L, t), // exact pair: mutual containment 1.0
+      (30L, "aa bb cc dd ee"),
+      (31L, s"aa bb cc dd ee ff gg hh"),
+      (32L, s"aa bb cc dd ee ff gg hh ii jj kk ll")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.containmentDedup(cdocs, minContainment = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(20L) && !kept.contains(21L),
+      s"equal-size mutual containment keeps the lower id: $kept")
+    assert(kept.intersect(Set(30L, 31L, 32L)) == Set(32L),
+      s"a containment chain keeps only the largest: $kept")
+  }
+
+  test("containment df cap drops boilerplate shingles from the measure") {
+    // two docs share ONLY a boilerplate phrase; with the cap at 1 the
+    // shared shingles (df=2) are excluded, so no pair survives
+    val cdocs = Seq(
+      (40L, "copyright all rights reserved contact us"),
+      (41L, "copyright all rights reserved contact us plus unique content here today")
+    ).toDF("doc_id", "text")
+    assert(Dedup.containmentPairs(cdocs, minContainment = 0.5,
+      maxShingleDf = 1).count() == 0L)
+    assert(Dedup.containmentPairs(cdocs, minContainment = 0.5,
+      maxShingleDf = 1000).count() >= 1L)
+  }
 }

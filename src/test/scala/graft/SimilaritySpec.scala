@@ -212,4 +212,48 @@ class SimilaritySpec extends AnyFunSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((100L, 101L)))
   }
+
+  test("semanticContamination flags the planted eval copy, not the orthogonal row") {
+    // eval = e0 axis; corpus has an exact copy (200), a near-copy
+    // (201), an orthogonal row (202) and an antipodal row (203)
+    val eval = Seq((0L, Array.tabulate(8)(i => if (i == 0) 1.0f else 0.0f)))
+      .toDF("eval_id", "eval_vec")
+    val corpus = Seq(
+      (200L, Array.tabulate(8)(i => if (i == 0) 1.0f else 0.0f)),
+      (201L, Array.tabulate(8)(i => if (i == 0) 1.0f else 0.01f)),
+      (202L, Array.tabulate(8)(i => if (i == 1) 1.0f else 0.0f)),
+      (203L, Array.tabulate(8)(i => if (i == 0) -1.0f else 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semanticContamination(corpus, eval, minCosine = 0.9)
+      .as[(Long, Double, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(got.map(_._1) == Seq(200L, 201L, 202L, 203L))
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(200L)._2 == 1.0 && byId(200L)._3, s"exact copy flags: $got")
+    assert(byId(201L)._3, s"near copy (cos≈0.9997) flags: $got")
+    assert(byId(202L)._2 == 0.0 && !byId(202L)._3, s"orthogonal clean: $got")
+    assert(byId(203L)._2 == -1.0 && !byId(203L)._3, s"antipodal clean: $got")
+
+    // act step removes exactly the flagged rows
+    val kept = Similarity.semanticDecontaminate(corpus, eval, minCosine = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(202L, 203L), s"decontaminate keeps the clean rows: $kept")
+  }
+
+  test("semanticContamination is threshold-monotone and empty-eval safe") {
+    val eval = Seq((0L, Array.tabulate(4)(i => if (i == 0) 1.0f else 0.0f)))
+      .toDF("eval_id", "eval_vec")
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.8f, 0.6f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val strict = Similarity.semanticContamination(corpus, eval, 0.99)
+      .filter($"contaminated").count()
+    val loose = Similarity.semanticContamination(corpus, eval, 0.5)
+      .filter($"contaminated").count()
+    assert(strict == 1L && loose == 2L, s"monotone: $strict / $loose")
+    // an empty eval set flags nothing and keeps everything
+    val kept = Similarity.semanticDecontaminate(
+      corpus, eval.filter($"eval_id" < 0), minCosine = 0.5).count()
+    assert(kept == 2L)
+  }
 }

@@ -2029,6 +2029,131 @@ object LlmQueries {
             FROM toks t LEFT JOIN v USING (token), tot
             GROUP BY t.doc_id ORDER BY t.doc_id"""))
 
+  /** Naive Bayes quality classifier ([[Classifier.nbClassify]]):
+    * train on the corpus's own language labels (positive = English),
+    * score every document. Full row-level oracle — DuckDB re-learns
+    * the vocab (identical tie cut), both class counts, every llr, the
+    * prior, and every document's score; the predicted label is pinned
+    * on the ROUND-4 score (integer decision surface, per the float-
+    * hashing contract). */
+  val nbClassifierQ = Q(
+    "text_nb_classifier",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Classifier.nbClassify(
+          train = docs, label = col("lang") === "en", docs = docs,
+          vocabSize = 1000)
+        .select(col("doc_id"), col("n_tokens"), col("n_vocab_hits"),
+          round(col("nb_score"), 4).as("nb_score"))
+        .withColumn("pred_positive", col("nb_score") > 0.0)
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, lang,
+                     unnest(string_split_regex(
+                       trim(lower(coalesce(text, ''))), '\s+')) AS token
+              FROM documents),
+            counts AS (
+              SELECT token,
+                     COUNT(CASE WHEN lang = 'en' THEN 1 END) AS cnt_pos,
+                     COUNT(CASE WHEN lang <> 'en' OR lang IS NULL
+                       THEN 1 END) AS cnt_neg
+              FROM toks GROUP BY token),
+            vocab AS (
+              SELECT token, cnt_pos, cnt_neg FROM counts
+              ORDER BY (cnt_pos + cnt_neg) DESC, token LIMIT 1000),
+            tot AS (
+              SELECT SUM(cnt_pos) AS n_pos, SUM(cnt_neg) AS n_neg
+              FROM vocab),
+            llr AS (
+              SELECT token,
+                     ln(CAST(cnt_pos + 1 AS DOUBLE) /
+                        CAST(tot.n_pos + 1000 AS DOUBLE)) -
+                     ln(CAST(cnt_neg + 1 AS DOUBLE) /
+                        CAST(tot.n_neg + 1000 AS DOUBLE)) AS llr
+              FROM vocab, tot),
+            prior AS (
+              SELECT ln(CAST(COUNT(CASE WHEN lang = 'en' THEN 1 END)
+                          + 1 AS DOUBLE) /
+                        CAST(COUNT(CASE WHEN lang <> 'en' OR lang IS NULL
+                          THEN 1 END) + 1 AS DOUBLE)) AS log_prior
+              FROM documents)
+            SELECT t.doc_id,
+                   COUNT(*) AS n_tokens,
+                   COUNT(l.llr) AS n_vocab_hits,
+                   ROUND(SUM(coalesce(l.llr, 0.0)) + ANY_VALUE(p.log_prior),
+                     4) AS nb_score,
+                   ROUND(SUM(coalesce(l.llr, 0.0)) + ANY_VALUE(p.log_prior),
+                     4) > 0.0 AS pred_positive
+            FROM toks t LEFT JOIN llr l USING (token), prior p
+            GROUP BY t.doc_id ORDER BY t.doc_id"""))
+
+  /** Zipf rank-frequency audit ([[TextAnalysis.zipfAudit]]): OLS
+    * slope/intercept of ln(freq) on ln(rank) over the top-200 tokens.
+    * The regression inputs are per-row quantized integers, so every
+    * OLS sum is exact on both engines and the slope is one scalar
+    * double expression — no summation-order exposure at all. */
+  val zipfAuditQ = Q(
+    "text_zipf_audit",
+    (s, d) => TextAnalysis.zipfAudit(Tables.documents(s, d), topK = 200),
+    Some("""WITH toks AS (
+              SELECT unnest(string_split_regex(
+                trim(lower(coalesce(text, ''))), '\s+')) AS token
+              FROM documents),
+            counts AS (
+              SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+            stats AS (
+              SELECT COUNT(*) AS n_distinct_tokens,
+                     CAST(SUM(cnt) AS BIGINT) AS n_tokens
+              FROM counts),
+            ranked AS (
+              SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, token)
+                       AS rank
+              FROM counts ORDER BY cnt DESC, token LIMIT 200),
+            pts AS (
+              SELECT CAST(ROUND(ln(CAST(rank AS DOUBLE)) * 1e6) AS BIGINT)
+                       AS x,
+                     CAST(ROUND(ln(CAST(cnt AS DOUBLE)) * 1e6) AS BIGINT)
+                       AS y
+              FROM ranked),
+            sums AS (
+              SELECT COUNT(*) AS k,
+                     CAST(SUM(x) AS BIGINT) AS sx,
+                     CAST(SUM(y) AS BIGINT) AS sy,
+                     CAST(SUM(x * y) AS BIGINT) AS sxy,
+                     CAST(SUM(x * x) AS BIGINT) AS sxx
+              FROM pts)
+            SELECT stats.n_distinct_tokens, stats.n_tokens,
+                   k AS n_fit_points,
+                   ROUND(CAST(k * sxy - sx * sy AS DOUBLE) /
+                         CAST(k * sxx - sx * sx AS DOUBLE), 4)
+                     AS zipf_slope,
+                   ROUND(((CAST(sy AS DOUBLE) -
+                           (CAST(k * sxy - sx * sy AS DOUBLE) /
+                            CAST(k * sxx - sx * sx AS DOUBLE)) *
+                           CAST(sx AS DOUBLE)) / CAST(k AS DOUBLE)) / 1e6,
+                     4) AS zipf_intercept
+            FROM sums, stats"""))
+
+  /** Tokenizer fertility per language ([[TextAnalysis
+    * .tokenizerFertility]]): chars per whitespace token — exact
+    * integer sums + one display division. */
+  val fertilityQ = Q(
+    "text_fertility",
+    (s, d) => TextAnalysis.tokenizerFertility(Tables.documents(s, d)),
+    Some("""SELECT lang,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(length(coalesce(text, ''))) AS BIGINT)
+                     AS n_chars,
+                   CAST(SUM(len(string_split_regex(
+                     trim(coalesce(text, '')), '\s+'))) AS BIGINT)
+                     AS n_tokens,
+                   ROUND(CAST(SUM(length(coalesce(text, ''))) AS DOUBLE) /
+                         CAST(SUM(len(string_split_regex(
+                           trim(coalesce(text, '')), '\s+'))) AS DOUBLE), 4)
+                     AS chars_per_token
+            FROM documents GROUP BY lang ORDER BY lang"""))
+
   /** DSIR-style importance weights ([[Importance.importanceWeights]]):
     * every document's mean hashed-unigram log-ratio against an
     * English-slice target model. Full row-level oracle: DuckDB
@@ -3513,6 +3638,7 @@ object LlmQueries {
     chunkDocs, ragRetrieve, coverageAudit, oovBySource, qualityGrid,
     textTokens, textQuality, langDist, textAnalyze, textRepetition,
     boilerplate, stripMarkupQ, topNgramsQ,
+    nbClassifierQ, zipfAuditQ, fertilityQ,
     unigramScore, bigramScore, bm25TopK, bpePairs, bpeEncode, corpusDrift,
     driftBySource, distinctiveTermsQ, numericPsi, corpusDiffQ,
     pipelineDeconCap,

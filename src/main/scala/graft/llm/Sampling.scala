@@ -195,6 +195,21 @@ object Sampling {
       totalBudgetTokens: Long,
       idCol: String = "doc_id",
       textCol: String = "text",
+      sourceCol: String = "source"): DataFrame =
+    applyTemperatureThresholds(
+      docs,
+      temperatureThresholds(docs, totalBudgetTokens, textCol, sourceCol),
+      idCol, sourceCol)
+
+  /** The model half of [[temperatureSample]]: the per-source keep
+    * thresholds (ppm integers), one bounded row per source. Split out
+    * so a STREAMING deployment can freeze the mixture recipe once at
+    * setup ([[graft.streaming.Incremental.sampleVsFrozen]]) and each
+    * micro-batch pays only the narrow membership filter. */
+  def temperatureThresholds(
+      docs: DataFrame,
+      totalBudgetTokens: Long,
+      textCol: String = "text",
       sourceCol: String = "source"): DataFrame = {
     require(totalBudgetTokens >= 0 && totalBudgetTokens < (1L << 43),
       s"budget out of range: $totalBudgetTokens")
@@ -214,7 +229,7 @@ object Sampling {
         floor(sqrt((col("share_ppm") * lit(1000000L)).cast("double")))
           .cast("long"))
     val sumW = weighted.agg(sum(col("w")).as("sum_w"))
-    val thr = weighted
+    weighted
       .crossJoin(broadcast(sumW))
       .withColumn("target_tokens",
         expr(s"${totalBudgetTokens}L * w div sum_w"))
@@ -223,10 +238,23 @@ object Sampling {
         least(lit(1000000L),
           expr("target_tokens * 1000000L div src_tokens"))
           .as("keep_threshold"))
+  }
+
+  /** The membership half of [[temperatureSample]]: keep iff the
+    * salted id-hash lands under the source's threshold — one
+    * broadcast probe + narrow filter, the corpus never shuffles.
+    * Works unchanged on a streaming frame (stream-static broadcast
+    * join + filter, append mode, stateless). */
+  def applyTemperatureThresholds(
+      docs: DataFrame,
+      thresholds: DataFrame,
+      idCol: String = "doc_id",
+      sourceCol: String = "source"): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
     val b = pmod(TextHash.text_hash(
       concat(col(idCol).cast("string"), lit("#temp"))), lit(1000000L))
     docs
-      .join(broadcast(thr), col(sourceCol) <=> col("__graft_src"))
+      .join(broadcast(thresholds), col(sourceCol) <=> col("__graft_src"))
       .filter(b < col("keep_threshold"))
       .drop("keep_threshold", "__graft_src")
   }

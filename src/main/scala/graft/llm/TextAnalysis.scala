@@ -284,6 +284,93 @@ object TextAnalysis {
           .orderBy(col("n_occurrences").desc, col("gram"))))
   }
 
+  /** Zipf rank-frequency audit: the OLS slope of `ln(freq)` on
+    * `ln(rank)` over the corpus's top-`topK` tokens — natural text
+    * sits near −1; a slope far off it flags synthetic, templated, or
+    * degenerate corpora (the cheap corpus-health check run per crawl
+    * snapshot).
+    *
+    * Determinism: the regression inputs are quantized per vocab row
+    * (`x = round(ln(rank)·1e6)`, `y = round(ln(cnt)·1e6)` as exact
+    * integers — one `ln` + one round each, bit-identical on any IEEE
+    * engine), so all OLS sums are exact integer arithmetic and the
+    * slope/intercept are each one fixed scalar double expression over
+    * those integers. No float summation order anywhere. Envelope:
+    * Σx·y ≤ topK·(ln(topK)·1e6)·(ln(cnt_max)·1e6) — safe under 2^63
+    * for topK ≤ 10⁴ and cnt ≤ 10¹⁵.
+    *
+    * Scale: one map-side-combined token count, a bounded top-K cut
+    * (ties `(cnt DESC, token)`), then a scalar aggregate over ≤ topK
+    * rows. The corpus collapses once and never shuffles wide. */
+  def zipfAudit(
+      docs: DataFrame,
+      topK: Int = 200,
+      textCol: String = "text"): DataFrame = {
+    require(topK >= 2 && topK <= 10000, s"topK out of range: $topK")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(explode(tokens(lower(trim(coalesce(col(textCol),
+        lit("")))))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(
+      count(lit(1)).as("n_distinct_tokens"),
+      coalesce(sum(col("cnt")), lit(0L)).as("n_tokens"))
+    val ranked = counts
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("token"))))
+    // quantized regression inputs: exact integers from here on. The
+    // global window above runs over ≤ topK rows (post-limit), so the
+    // single-partition sort PlanLint flags elsewhere is bounded here.
+    val pts = ranked.select(
+      round(log(col("rank").cast("double")) * lit(1e6)).cast("long").as("x"),
+      round(log(col("cnt").cast("double")) * lit(1e6)).cast("long").as("y"))
+    val sums = pts.agg(
+      count(lit(1)).as("k"),
+      sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    sums.crossJoin(broadcast(stats))
+      .select(
+        col("n_distinct_tokens"), col("n_tokens"),
+        col("k").as("n_fit_points"),
+        round(
+          (col("k") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("k") * col("sxx") - col("sx") * col("sx")).cast("double"), 4)
+          .as("zipf_slope"),
+        round(
+          ((col("sy").cast("double") -
+            ((col("k") * col("sxy") - col("sx") * col("sy")).cast("double") /
+             (col("k") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            col("sx").cast("double")) / col("k").cast("double")) / lit(1e6), 4)
+          .as("zipf_intercept"))
+  }
+
+  /** Tokenizer fertility per language: characters per whitespace
+    * token — the cheap proxy for how many subword pieces a tokenizer
+    * will spend per word in each language (CJK text without spaces
+    * shows up immediately as a huge value). Exact integer sums + one
+    * display division. One map-side-combined aggregate. */
+  def tokenizerFertility(
+      docs: DataFrame,
+      langCol: String = "lang",
+      textCol: String = "text"): DataFrame =
+    docs
+      .groupBy(col(langCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(coalesce(col(textCol), lit("")))).cast("long")
+          .as("n_chars"),
+        sum(tokenCount(coalesce(col(textCol), lit("")))).as("n_tokens"))
+      .withColumn("chars_per_token",
+        round(col("n_chars").cast("double") /
+          col("n_tokens").cast("double"), 4))
+      .orderBy(langCol)
+
   /** Full per-document text-analysis projection. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -345,6 +345,41 @@ object Incremental {
       .outputMode("append")
       .start()
 
+  /** Frozen-recipe temperature sampling as a shared batch/stream
+    * transformation: the per-source keep thresholds are derived ONCE
+    * from a reference corpus ([[graft.llm.Sampling
+    * .temperatureThresholds]], ≤ one bounded row per source, eagerly
+    * localCheckpoint'd so setup cost is paid exactly once and no
+    * session-cache entry outlives the stream), then every micro-batch
+    * pays only the stream-static broadcast probe + narrow filter —
+    * append mode, stateless, per-batch cost linear in the batch. This
+    * is the deployment shape of a mixture sampler: the recipe freezes
+    * when the training run is provisioned; fresh documents flow
+    * through it. Batch ≡ stream by construction (the SAME
+    * `applyTemperatureThresholds` body serves both). */
+  def sampleVsFrozen(
+      docs: DataFrame,
+      reference: DataFrame,
+      totalBudgetTokens: Long): DataFrame = {
+    val thr = graft.llm.Sampling
+      .temperatureThresholds(reference, totalBudgetTokens)
+      .localCheckpoint(true)
+    graft.llm.Sampling.applyTemperatureThresholds(docs, thr)
+  }
+
+  /** [[sampleVsFrozen]] wired to a memory sink (append mode). */
+  def sampleStream(
+      docs: DataFrame,
+      reference: DataFrame,
+      totalBudgetTokens: Long,
+      queryName: String): StreamingQuery =
+    sampleVsFrozen(docs, reference, totalBudgetTokens)
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .start()
+
   def driftStream(
       docs: DataFrame,
       refDocs: DataFrame,

@@ -360,6 +360,65 @@ object StreamQueries {
             LEFT JOIN agg a USING (doc_id)
             ORDER BY doc_id LIMIT 500"""))
 
+  /** Frozen-recipe temperature sampling, batch twin of
+    * [[Incremental.sampleVsFrozen]] (the streaming mixture-sampler
+    * deployment: thresholds frozen at setup, micro-batches filter
+    * narrowly — StreamingSpec pins stream ≡ batch). Reference here is
+    * the corpus itself, so the result is exactly the one-shot
+    * `temperatureSample` at budget 900; the oracle rederives the full
+    * integer recipe and the exact kept set, membership pinned by
+    * id-sum. */
+  val st11 = Q(
+    "st_temperature_sample",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Incremental.sampleVsFrozen(docs, docs, totalBudgetTokens = 900L)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs_kept"),
+          sum(graft.llm.TextAnalysis.tokenCount(col("text")))
+            .as("n_tokens_kept"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy("source")
+    },
+    Some("""WITH t AS (
+              SELECT doc_id, source,
+                     CAST(len(string_split_regex(trim(text), '\s+'))
+                       AS BIGINT) AS n_tokens,
+                     list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                         list_transform(string_split_regex(
+                           CAST(doc_id AS VARCHAR) || '#temp', ''),
+                           c -> CAST(ascii(c) AS BIGINT))),
+                       (acc, x) -> (acc * 131 + x) % 2147483647) % 1000000
+                       AS b
+              FROM documents),
+            per_src AS (
+              SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+              FROM t GROUP BY source),
+            tot AS (
+              SELECT CAST(SUM(src_tokens) AS BIGINT) AS total_tokens
+              FROM per_src),
+            w AS (
+              SELECT source, src_tokens,
+                     CAST(floor(sqrt(CAST(
+                       (src_tokens * 1000000 // total_tokens) * 1000000
+                       AS DOUBLE))) AS BIGINT) AS w
+              FROM per_src, tot),
+            sw AS (SELECT CAST(SUM(w) AS BIGINT) AS sum_w FROM w),
+            thr AS (
+              SELECT source,
+                     least(1000000,
+                       (900 * w // sum_w) * 1000000 // src_tokens)
+                       AS keep_threshold
+              FROM w, sw)
+            SELECT t.source, COUNT(*) AS n_docs_kept,
+                   CAST(SUM(t.n_tokens) AS BIGINT) AS n_tokens_kept,
+                   CAST(SUM(t.doc_id) AS BIGINT) AS id_sum
+            FROM t JOIN thr ON t.source = thr.source
+            WHERE t.b < thr.keep_threshold
+            GROUP BY t.source ORDER BY t.source"""))
+
   def all: Seq[Q] = Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st9x,
-    st10)
+    st10, st11)
 }

@@ -209,6 +209,27 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming temperature sampler matches the frozen batch recipe") {
+    val docsDir = TestSpark.tmpDir("docs-sample-src")
+    Tables.documents(spark, TestSpark.sf0001)
+      .write.mode("overwrite").parquet(docsDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(docsDir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(docsDir)
+    val reference = Tables.documents(spark, TestSpark.sf0001)
+    val q = Incremental.sampleStream(stream, reference, 900L,
+      "sample_stream_test")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sample_stream_test")
+      .select("doc_id").as[Long].collect().toSet
+    val batch = graft.llm.Sampling.temperatureSample(reference, 900L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed.nonEmpty && streamed == batch,
+      s"stream kept ${streamed.size}, batch kept ${batch.size}")
+  }
+
   test("streaming cluster router matches the frozen batch assignment") {
     val vecsDir = TestSpark.tmpDir("vecs-route-src")
     Tables.embeddings(spark, TestSpark.sf0001)

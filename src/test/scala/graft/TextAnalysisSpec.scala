@@ -204,4 +204,45 @@ class TextAnalysisSpec extends AnyFunSuite {
     // fixture text is drawn from an English-ish vocab incl. 'the'
     assert(out.filter($"lang_pred" === "en").count() > 250)
   }
+
+  test("zipfAudit: exact power-law corpus recovers its exponent") {
+    // plant freq(token_r) = floor(1000 / r): a corpus whose rank-
+    // frequency curve IS a power law with slope −1 (modulo floor)
+    val rows = (1 to 20).flatMap { r =>
+      Seq.fill(1000 / r)(s"tok$r")
+    }.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val docs = rows.toDF("doc_id", "text")
+    val got = TextAnalysis.zipfAudit(docs, topK = 20).head()
+    assert(got.getAs[Long]("n_distinct_tokens") == 20L)
+    assert(got.getAs[Long]("n_fit_points") == 20L)
+    val slope = got.getAs[Double]("zipf_slope")
+    assert(slope > -1.05 && slope < -0.95, s"slope ≈ −1, got $slope")
+    // intercept ≈ ln(1000)/1 ≈ 6.9
+    val icept = got.getAs[Double]("zipf_intercept")
+    assert(icept > 6.5 && icept < 7.2, s"intercept ≈ ln(1000), got $icept")
+  }
+
+  test("zipfAudit: uniform corpus has slope ~0 and honors the topK cut") {
+    val docs = (1 to 30).flatMap(i => Seq.fill(5)(s"w$i"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.zipfAudit(docs, topK = 10).head()
+    assert(got.getAs[Long]("n_distinct_tokens") == 30L)
+    assert(got.getAs[Long]("n_fit_points") == 10L, "limit respected")
+    assert(got.getAs[Double]("zipf_slope") == 0.0,
+      "equal frequencies fit a flat line exactly")
+  }
+
+  test("tokenizerFertility: per-language chars-per-token") {
+    val docs = Seq(
+      (1L, "aa bb cc", "en"),   // 8 chars, 3 tokens
+      (2L, "dddd eeee", "en"),  // 9 chars, 2 tokens
+      (3L, "xxxxxxxxxx", "zh")  // 10 chars, 1 token
+    ).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.tokenizerFertility(docs)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("en", 2L, 17L, 5L, 3.4),
+      ("zh", 1L, 10L, 1L, 10.0)), got.toString)
+  }
 }

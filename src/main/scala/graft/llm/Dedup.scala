@@ -1125,6 +1125,85 @@ object Dedup {
         coalesce(max(col("sz")), lit(0L)).as("max_cluster"))))
   }
 
+  /** Source-level similarity matrix from MERGEABLE MinHash
+    * signatures: one `numHashes`-component signature per source
+    * (component i = min over the source's distinct shingles of
+    * `xxhash64(shingle, i)`), pairwise similarity estimated as the
+    * fraction of matching components — the corpus-provenance audit
+    * ("how much does crawl A overlap crawl B?") at a cost that never
+    * touches pairs of documents.
+    *
+    * Scale: `min` is associative/commutative, so the signature is ONE
+    * map-side-combined aggregate over the exploded (source, shingle)
+    * frame and can be maintained incrementally (new batch → min-merge
+    * into the stored signature; this is why MinHash, not exact sets).
+    * The pairwise comparison runs on |sources|² signature ROWS — at
+    * web scale (10⁶ domains) that is a self-join of a 10⁶-row,
+    * numHashes-column table, independent of corpus size.
+    *
+    * Verification contract (the `a7x_approx_distinct` pattern): the
+    * hash family is engine-internal, so the gate row emits the EXACT
+    * per-pair Jaccard (recomputed from shingle sets — affordable at
+    * gate scale only) plus `est_within_tol = |estimate − exact| ≤
+    * tolerance`. The estimate is deterministic for a fixed corpus
+    * (min over a fixed hash family — no RNG, no order dependence), so
+    * the boolean is a deterministic decision surface the oracle pins
+    * by recomputing the exact side and asserting TRUE. Default
+    * tolerance 0.15 ≈ 3.4σ of the estimator's worst-case standard
+    * error at numHashes = 128. */
+  def sourceSimilarity(
+      docs: DataFrame,
+      numHashes: Int = 128,
+      tolerance: Double = 0.15,
+      shingleK: Int = 3,
+      sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    require(numHashes >= 16 && numHashes <= 512,
+      s"numHashes out of range: $numHashes")
+    require(tolerance > 0 && tolerance <= 1, s"bad tolerance: $tolerance")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sh0 = docs
+      .select(col(sourceCol).as("src"),
+        explode(shingles(col(textCol), shingleK)).as("sh"))
+      .distinct()
+    val (sh, _) = persistIfNew(sh0,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val minCols = (0 until numHashes)
+      .map(i => min(xxhash64(col("sh"), lit(i))).as(s"__m$i"))
+    val sig = sh.groupBy("src")
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("src"),
+        array((0 until numHashes).map(i => col(s"__m$i")): _*).as("sig"))
+    val sizes = sh.groupBy("src").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("x")
+      .join(sh.as("y"), col("x.sh") === col("y.sh")
+        && col("x.src") < col("y.src"))
+      .groupBy(col("x.src").as("source_x"), col("y.src").as("source_y"))
+      .agg(count(lit(1)).as("inter"))
+    sig.as("a")
+      .join(sig.as("b"), col("a.src") < col("b.src"))
+      .select(
+        col("a.src").as("source_x"), col("b.src").as("source_y"),
+        (aggregate(
+          zip_with(col("a.sig"), col("b.sig"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), _ + _).cast("double") / numHashes).as("est"))
+      .join(sizes.select(col("src").as("source_x"),
+        col("n_sh").as("n_x")), Seq("source_x"))
+      .join(sizes.select(col("src").as("source_y"),
+        col("n_sh").as("n_y")), Seq("source_y"))
+      .join(inter, Seq("source_x", "source_y"), "left")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .select(
+        col("source_x"), col("source_y"), col("n_x"), col("n_y"),
+        round(col("inter").cast("double") /
+          (col("n_x") + col("n_y") - col("inter")), 4).as("j_exact"),
+        (abs(col("est") - col("inter").cast("double") /
+          (col("n_x") + col("n_y") - col("inter"))) <= tolerance)
+          .as("est_within_tol"))
+      .orderBy("source_x", "source_y")
+  }
+
   /** Directed containment detection: pairs `(id_a, id_b)` where
     * `containment(a in b) = |S(a) ∩ S(b)| / |S(a)| ≥ minContainment`
     * over k-word shingle sets — the ASYMMETRIC near-dup Jaccard-based

@@ -462,4 +462,58 @@ object Drift {
         col("token"), col("cnt"), round(col("z"), 4).as("z_score"))
       .orderBy("source", "rank")
   }
+
+  /** Embedding-space drift between two corpus snapshots: assign BOTH
+    * to the reference snapshot's frozen centroids
+    * ([[Similarity.fixedCentroidAssignFrom]] — one yardstick, so the
+    * cluster shares are comparable on the same axis), then the PSI of
+    * the per-cluster share distribution — the semantic counterpart of
+    * the token-level [[driftSummary]]: a scraper that starts emitting
+    * a new TOPIC mix moves cluster mass even when its token
+    * distribution looks stable.
+    *
+    * Output: one row per centroid `(centroid_id, n_ref, n_cur,
+    * psi_term)` — clusters a snapshot never hits appear with count 0
+    * (the dense grid comes from the centroid table, not the data).
+    * Laplace-smoothed shares (`(n + 0.5) / (N + 0.5k)`) keep every
+    * term finite. `psi_term` is a fixed scalar expression over exact
+    * integers (two divisions, one ln, one product — no summation
+    * order); readers sum it for the total PSI.
+    *
+    * Scale: both assignment passes are broadcast-centroid projections
+    * (the snapshots never shuffle wide); each collapses map-side to
+    * ≤k rows; the PSI algebra runs on the k-row grid. */
+  def embeddingDrift(
+      reference: DataFrame,
+      current: DataFrame,
+      k: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val grid = reference.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).as("centroid_id"))
+    def shares(df: DataFrame, name: String) =
+      Similarity.fixedCentroidAssignFrom(reference, df, k, idCol, vecCol)
+        .groupBy(col("centroid_id"))
+        .agg(count(lit(1)).as(name))
+    val counts = grid
+      .join(shares(reference, "n_ref"), Seq("centroid_id"), "left")
+      .join(shares(current, "n_cur"), Seq("centroid_id"), "left")
+      .select(col("centroid_id"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val totals = counts.agg(
+      sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("centroid_id"), col("n_ref"), col("n_cur"),
+        round(
+          (((col("n_cur") + lit(0.5)) /
+            (col("t_cur") + lit(0.5) * k)) -
+           ((col("n_ref") + lit(0.5)) /
+            (col("t_ref") + lit(0.5) * k))) *
+          log(((col("n_cur") + lit(0.5)) / (col("t_cur") + lit(0.5) * k)) /
+              ((col("n_ref") + lit(0.5)) / (col("t_ref") + lit(0.5) * k))),
+          6).as("psi_term"))
+      .orderBy("centroid_id")
+  }
 }

@@ -106,6 +106,113 @@ object LlmQueries {
             FROM pairs WHERE jaccard >= 0.5
             GROUP BY 1, 2 ORDER BY source_x, source_y"""))
 
+  /** Source-level MinHash similarity matrix ([[Dedup
+    * .sourceSimilarity]]): mergeable per-source signatures, pairwise
+    * overlap estimate. Gate surface per the `a7x_approx_distinct`
+    * pattern — the EXACT per-pair Jaccard (which DuckDB recomputes
+    * from shingle sets) plus the deterministic `est_within_tol`
+    * boolean the oracle asserts TRUE. */
+  val sourceMatrixQ = Q(
+    "dedup_source_matrix",
+    (s, d) => Dedup.sourceSimilarity(Tables.documents(s, d)),
+    Some("""WITH toks AS (
+              SELECT source, string_split_regex(lower(trim(text)), '\s+')
+                       AS t
+              FROM documents),
+            shx AS (
+              SELECT source,
+                unnest(CASE WHEN len(t) < 3
+                  THEN [array_to_string(t, ' ')]
+                  ELSE list_distinct([array_to_string(t[i:i+2], ' ')
+                        for i in range(1, len(t) - 1)])
+                END) AS sh
+              FROM toks),
+            sh AS (SELECT DISTINCT source AS src, sh FROM shx),
+            sizes AS (SELECT src, COUNT(*) AS n_sh FROM sh GROUP BY src),
+            inter AS (
+              SELECT x.src AS sa, y.src AS sb, COUNT(*) AS inter
+              FROM sh x JOIN sh y ON x.sh = y.sh AND x.src < y.src
+              GROUP BY 1, 2),
+            grid AS (
+              SELECT a.src AS sa, b.src AS sb
+              FROM sizes a JOIN sizes b ON a.src < b.src)
+            SELECT g.sa AS source_x, g.sb AS source_y,
+                   za.n_sh AS n_x, zb.n_sh AS n_y,
+                   ROUND(CAST(coalesce(i.inter, 0) AS DOUBLE) /
+                     (za.n_sh + zb.n_sh - coalesce(i.inter, 0)), 4)
+                     AS j_exact,
+                   TRUE AS est_within_tol
+            FROM grid g
+            JOIN sizes za ON za.src = g.sa
+            JOIN sizes zb ON zb.src = g.sb
+            LEFT JOIN inter i ON i.sa = g.sa AND i.sb = g.sb
+            ORDER BY source_x, source_y"""))
+
+  /** Embedding-snapshot drift ([[Drift.embeddingDrift]]): cluster-
+    * share PSI of the odd-id snapshot against the even-id snapshot's
+    * frozen centroids. Full row-level oracle — DuckDB re-derives both
+    * assignments (round-6 argmax, lower-centroid ties) and every
+    * smoothed PSI term. */
+  val embDriftQ = Q(
+    "emb_snapshot_drift",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      Drift.embeddingDrift(
+        reference = e.filter(pmod(col("vec_id"), lit(2)) === 0),
+        current = e.filter(pmod(col("vec_id"), lit(2)) === 1),
+        k = 8)
+    },
+    Some("""WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+            ref AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+            cur AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+            c AS (
+              SELECT vec_id AS c_id, v AS c_vec
+              FROM ref ORDER BY vec_id LIMIT 8),
+            aref AS (
+              SELECT r.vec_id, c.c_id,
+                     ROUND(list_cosine_similarity(r.v, c.c_vec), 6) AS cos
+              FROM ref r CROSS JOIN c),
+            bref AS (
+              SELECT c_id, ROW_NUMBER() OVER (PARTITION BY vec_id
+                ORDER BY cos DESC, c_id) AS rk
+              FROM aref),
+            nref AS (
+              SELECT c_id, COUNT(*) AS n_ref FROM bref
+              WHERE rk = 1 GROUP BY c_id),
+            acur AS (
+              SELECT r.vec_id, c.c_id,
+                     ROUND(list_cosine_similarity(r.v, c.c_vec), 6) AS cos
+              FROM cur r CROSS JOIN c),
+            bcur AS (
+              SELECT c_id, ROW_NUMBER() OVER (PARTITION BY vec_id
+                ORDER BY cos DESC, c_id) AS rk
+              FROM acur),
+            ncur AS (
+              SELECT c_id, COUNT(*) AS n_cur FROM bcur
+              WHERE rk = 1 GROUP BY c_id),
+            counts AS (
+              SELECT c.c_id,
+                     coalesce(nr.n_ref, 0) AS n_ref,
+                     coalesce(nc.n_cur, 0) AS n_cur
+              FROM c
+              LEFT JOIN nref nr ON nr.c_id = c.c_id
+              LEFT JOIN ncur nc ON nc.c_id = c.c_id),
+            tot AS (
+              SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur
+              FROM counts)
+            SELECT c_id AS centroid_id,
+                   CAST(n_ref AS BIGINT) AS n_ref,
+                   CAST(n_cur AS BIGINT) AS n_cur,
+                   ROUND(
+                     (((n_cur + 0.5) / (t_cur + 0.5 * 8)) -
+                      ((n_ref + 0.5) / (t_ref + 0.5 * 8))) *
+                     ln(((n_cur + 0.5) / (t_cur + 0.5 * 8)) /
+                        ((n_ref + 0.5) / (t_ref + 0.5 * 8))), 6)
+                     AS psi_term
+            FROM counts, tot ORDER BY centroid_id"""))
+
   /** Directed containment pairs ([[Dedup.containmentPairs]]): the
     * asymmetric quotation/partial-copy detector — |S(a)∩S(b)|/|S(a)|
     * over df-capped 3-shingles. Full row-level oracle: DuckDB applies
@@ -3624,7 +3731,7 @@ object LlmQueries {
     hardNegativesQ,
     dedupStats, dedupKeep, nearDupMinhash, nearDupSimhash, dedupClusters,
     dedupClusterKeep, dedupSweep, ngramJaccard, crossSourceDup,
-    containmentPairsQ, containmentDedupQ,
+    containmentPairsQ, containmentDedupQ, sourceMatrixQ, embDriftQ,
     dedupIncremental, dedupIncrementalIndexed, textNormalize,
     annBrute, annLsh, annLshPlanted, annIvf, annIvfPlanted, annIvfTrained,
     annKnnJoin, kmeansAssignQ,

@@ -300,10 +300,23 @@ object Similarity {
       embeddings: DataFrame,
       k: Int = 8,
       idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    fixedCentroidAssignFrom(embeddings, embeddings, k, idCol, vecCol)
+
+  /** [[fixedCentroidAssign]] with the centroid table drawn from a
+    * SEPARATE frame — the frozen-yardstick shape ([[graft.llm.Drift
+    * .embeddingDrift]] assigns two snapshots to ONE snapshot's
+    * centroids so their cluster shares are comparable on the same
+    * axis). Centroids are `centroidSource`'s k lowest-id vectors. */
+  def fixedCentroidAssignFrom(
+      centroidSource: DataFrame,
+      embeddings: DataFrame,
+      k: Int = 8,
+      idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     require(k >= 1, s"centroid count must be ≥ 1: $k")
     GraftFunctions.register(embeddings.sparkSession)
-    val centroids = embeddings
+    val centroids = centroidSource
       .orderBy(col(idCol)).limit(k)
       .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
       .groupBy()

@@ -532,6 +532,26 @@ class DedupSpec extends AnyFunSuite {
       s"a containment chain keeps only the largest: $kept")
   }
 
+  test("sourceSimilarity: signature estimate tracks exact jaccard") {
+    // source A and B share half their text; C is disjoint
+    val shared = (1 to 30).map(i => s"common$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$shared ${(1 to 30).map(i => s"a$i").mkString(" ")}", "srcA"),
+      (2L, s"$shared ${(1 to 30).map(i => s"b$i").mkString(" ")}", "srcB"),
+      (3L, (1 to 60).map(i => s"c$i").mkString(" "), "srcC")
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.sourceSimilarity(docs, numHashes = 128, tolerance = 0.15)
+      .as[(String, String, Long, Long, Double, Boolean)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) ==
+      Seq(("srcA", "srcB"), ("srcA", "srcC"), ("srcB", "srcC")), got.toString)
+    val byPair = got.map(r => (r._1, r._2) -> r).toMap
+    // A∩B ≈ 28 shared trigrams of ~119 union → j ≈ 0.3; disjoint pairs 0
+    assert(byPair(("srcA", "srcB"))._5 > 0.15, got.toString)
+    assert(byPair(("srcA", "srcC"))._5 == 0.0, got.toString)
+    assert(byPair(("srcB", "srcC"))._5 == 0.0, got.toString)
+    assert(got.forall(_._6), s"every estimate within tolerance: $got")
+  }
+
   test("containment df cap drops boilerplate shingles from the measure") {
     // two docs share ONLY a boilerplate phrase; with the cap at 1 the
     // shared shingles (df=2) are excluded, so no pair survives

@@ -252,4 +252,33 @@ class DriftSpec extends AnyFunSuite {
     assert(r.forall(row => !row.getDouble(4).isNaN &&
       !row.getDouble(4).isInfinite))
   }
+
+  test("embeddingDrift: identical snapshots score ~0, topic shift moves mass") {
+    import org.apache.spark.sql.DataFrame
+    // two orthogonal "topics": e0-aligned (centroid 0) and e1-aligned
+    // (centroid 1); centroids come from the reference's lowest ids
+    def vecs(rows: Seq[(Long, Int)]): DataFrame =
+      rows.map { case (id, axis) =>
+        (id, Array.tabulate(8)(i => if (i == axis) 1.0f else 0.0f))
+      }.toDF("vec_id", "embedding")
+    val ref = vecs(Seq((0L, 0), (1L, 1), (2L, 0), (3L, 1), (4L, 0), (5L, 1)))
+    // identical snapshot → every psi term 0 after rounding
+    val same = Drift.embeddingDrift(ref, ref, k = 2)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(same.map(_._1) == Seq(0L, 1L))
+    assert(same.forall(r => r._2 == r._3 && r._4 == 0.0), same.toString)
+    // shifted snapshot: everything lands on topic e1 → cluster 0
+    // starves, cluster 1 swells, both PSI terms strictly positive
+    val cur = vecs(Seq((10L, 1), (11L, 1), (12L, 1), (13L, 1)))
+    val moved = Drift.embeddingDrift(ref, cur, k = 2)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val byC = moved.map(r => r._1 -> r).toMap
+    assert(byC(0L)._2 == 3L && byC(0L)._3 == 0L, moved.toString)
+    assert(byC(1L)._2 == 3L && byC(1L)._3 == 4L, moved.toString)
+    assert(moved.forall(_._4 > 0.0),
+      s"both directions of mass movement have positive PSI terms: $moved")
+    // empty current snapshot still yields the dense k-row grid
+    val empty = Drift.embeddingDrift(ref, cur.filter($"vec_id" < 0), k = 2)
+    assert(empty.count() == 2L)
+  }
 }

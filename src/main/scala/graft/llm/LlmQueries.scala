@@ -3553,6 +3553,101 @@ object LlmQueries {
                    CAST(COALESCE(SUM(vec_id), 0) AS BIGINT) AS kept_id_sum
             FROM corpus WHERE vec_id NOT IN (SELECT vec_id FROM flagged)"""))
 
+  /** The JL sign recurrence in DuckDB: rolling text-hash of
+    * "rp#j#i" mod 2 → ±1, for lambda variables j/i in scope. */
+  private def duckdbJlSign(j: String, i: String): String =
+    s"""(CASE WHEN list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split_regex(
+               'rp#' || CAST($j AS VARCHAR) || '#' || CAST($i AS VARCHAR),
+               ''),
+               c -> CAST(ascii(c) AS BIGINT))),
+           (acc, x) -> (acc * 131 + x) % 2147483647) % 2 = 0
+         THEN 1.0 ELSE -1.0 END)"""
+
+  /** Johnson–Lindenstrauss 64→16 projection audit
+    * ([[Quantize.jlProject]]): per vector, the first projected
+    * component, the projected squared norm, and the norm-preservation
+    * ratio. Full row-level oracle — the sign matrix is a pure hash
+    * function both engines re-derive, and every sum is a matched left
+    * fold (the `emb_quantize_int8` contract). */
+  val jlProjectQ = Q(
+    "emb_jl_project",
+    (s, d) => {
+      val proj = Quantize.jlProject(Tables.embeddings(s, d), 64, 16)
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+        .join(proj, Seq("vec_id"))
+        .select(
+          col("vec_id"),
+          round(element_at(col("jl_vec"), 1), 6).as("y0"),
+          round(aggregate(col("jl_vec"), lit(0.0),
+            (a, x) => a + x * x), 6).as("proj_sqnorm"),
+          round(
+            aggregate(col("jl_vec"), lit(0.0), (a, x) => a + x * x) /
+            aggregate(transform(col("embedding"), x => x.cast("double")),
+              lit(0.0), (a, x) => a + x * x), 4).as("norm_ratio"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH e AS (
+               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+             p AS (
+               SELECT vec_id, v,
+                 [list_reduce(list_prepend(0.0,
+                    [v[i + 1] * ${duckdbJlSign("j", "i")}
+                     for i in range(0, 64)]),
+                    (a, b) -> a + b) * 0.25
+                  for j in range(0, 16)] AS y
+               FROM e)
+             SELECT vec_id,
+                    ROUND(y[1], 6) AS y0,
+                    ROUND(list_reduce(list_prepend(0.0,
+                      [t * t for t in y]), (a, b) -> a + b), 6)
+                      AS proj_sqnorm,
+                    ROUND(list_reduce(list_prepend(0.0,
+                        [t * t for t in y]), (a, b) -> a + b) /
+                      list_reduce(list_prepend(0.0,
+                        [t * t for t in v]), (a, b) -> a + b), 4)
+                      AS norm_ratio
+             FROM p ORDER BY vec_id"""))
+
+  /** ANN search in the JL-projected space ([[Quantize.jlProject]] →
+    * cosine top-10): the compressed-index query path. Unlike the LSH
+    * rows this is a FULL row-level oracle — the projection is exactly
+    * reproducible, so DuckDB re-derives every projected vector and
+    * the complete ranking. */
+  val annJlQ = Q(
+    "ann_jl_topk",
+    (s, d) => {
+      val proj = Quantize.jlProject(Tables.embeddings(s, d), 64, 16)
+      val query = proj.filter(col("vec_id") === 0)
+        .select(col("jl_vec").as("q_vec"))
+      proj.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(query))
+        .select(col("vec_id"),
+          round(Similarity.cosine(col("jl_vec"), col("q_vec")), 4)
+            .as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+    },
+    Some(s"""WITH e AS (
+               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+             p AS (
+               SELECT vec_id,
+                 [list_reduce(list_prepend(0.0,
+                    [v[i + 1] * ${duckdbJlSign("j", "i")}
+                     for i in range(0, 64)]),
+                    (a, b) -> a + b) * 0.25
+                  for j in range(0, 16)] AS y
+               FROM e),
+             q AS (SELECT y FROM p WHERE vec_id = 0)
+             SELECT d.vec_id,
+                    ROUND(list_cosine_similarity(d.y, q.y), 4) AS cos_sim
+             FROM p d, q WHERE d.vec_id <> 0
+             ORDER BY cos_sim DESC, d.vec_id LIMIT 10"""))
+
   /** Product-quantization codes ([[Quantize.pqCodes]]): every vector
     * compressed to 8 codes over a 16-entry deterministic codebook
     * (the 16 lowest-id vectors' sub-vectors — the
@@ -3737,7 +3832,7 @@ object LlmQueries {
     annKnnJoin, kmeansAssignQ,
     nearDupCosine,
     embCentroids, embNormProfile, kmeansQ, kmeansBalancedQ, quantizeInt8,
-    annQuantized, pqCodesQ, pqTopKQ,
+    annQuantized, pqCodesQ, pqTopKQ, jlProjectQ, annJlQ,
     splitCounts, stratSample, capPerSourceQ, leakageSplit, budgetSample,
     temperatureMix, dsirWeights, dsirSelect,
     epochOrder,

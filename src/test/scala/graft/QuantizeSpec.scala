@@ -125,4 +125,56 @@ class QuantizeSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("jlSign is a deterministic ±1 function") {
+    val s = Quantize.jlSign(3, 7)
+    assert(s == 1.0 || s == -1.0)
+    assert(Quantize.jlSign(3, 7) == s, "pure function")
+    // the matrix is not degenerate: both signs occur
+    val signs = for (j <- 0 until 16; i <- 0 until 64)
+      yield Quantize.jlSign(j, i)
+    assert(signs.count(_ == 1.0) > 200 && signs.count(_ == -1.0) > 200,
+      s"balanced-ish matrix: ${signs.count(_ == 1.0)} positive of 1024")
+  }
+
+  test("jlProject: identical vectors stay identical; norms are JL-preserved") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+      .select("vec_id", "embedding")
+    val proj = Quantize.jlProject(emb, 64, 16).cache()
+    assert(proj.count() == 500)
+    // a planted duplicate projects to the identical vector (the
+    // projection is a pure function of the input)
+    val dup = emb.filter($"vec_id" === 7L)
+      .withColumn("vec_id", lit(888888L)).unionByName(emb)
+    val pd = Quantize.jlProject(dup, 64, 16)
+      .filter($"vec_id".isin(7L, 888888L))
+      .select("jl_vec").as[Seq[Double]].collect()
+    assert(pd.length == 2 && pd(0) == pd(1), "duplicate projects identically")
+    // norm preservation on the real fixture: mean ratio near 1, no
+    // catastrophic collapse (JL distortion at 16 dims is wide per
+    // vector but tight in aggregate)
+    val ratios = proj.join(emb, "vec_id")
+      .select(
+        (aggregate($"jl_vec", lit(0.0), (a, x) => a + x * x) /
+         aggregate(transform($"embedding", _.cast("double")),
+           lit(0.0), (a, x) => a + x * x)).as("r"))
+      .as[Double].collect()
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.8 && mean < 1.2, s"mean norm ratio ≈ 1: $mean")
+    // JL guarantees are distributional at 16 dims (χ²₁₆/16 per-vector
+    // tails are wide): every ratio positive, the bulk near 1
+    assert(ratios.forall(_ > 0.0), "no exact collapse")
+    val bulk = ratios.count(r => r > 0.4 && r < 2.5)
+    assert(bulk > ratios.length / 2,
+      s"most vectors preserved: $bulk of ${ratios.length}")
+  }
+
+  test("jlProject: wrong-dimension rows surface as null, not truncation") {
+    val mixed = Seq(
+      (1L, Array.fill(64)(1.0f)),
+      (2L, Array.fill(32)(1.0f))).toDF("vec_id", "embedding")
+    val got = Quantize.jlProject(mixed, 64, 16)
+      .orderBy("vec_id").select("jl_vec").collect()
+    assert(got(0).get(0) != null && got(1).get(0) == null)
+  }
 }

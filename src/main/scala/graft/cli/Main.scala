@@ -61,6 +61,17 @@ object Main {
         |         keep at most N docs per source (deterministic hash order)
         |  pq-encode IN OUT [--m M] [--k K] [--compression C]
         |         product-quantize an embeddings table to (id, codes)
+        |  containment-dedup IN OUT [--min-containment C] [--max-df N]
+        |         drop docs contained in a larger doc (quotation cleanup)
+        |  nb-filter IN TRAIN OUT --label-col C [--vocab V]
+        |         keep docs a Naive Bayes classifier (trained on TRAIN's
+        |         boolean label) predicts positive
+        |  dsir-select IN TARGET OUT --n N [--buckets B]
+        |         keep the N docs most distribution-similar to TARGET
+        |  semantic-decon IN EVAL OUT [--min-cosine C]
+        |         drop vectors within C cosine of any EVAL vector
+        |  jl-project IN OUT --in-dim D [--out-dim D2]
+        |         JL-compress an embeddings table (deterministic signs)
         |  dedup-lines IN OUT [--min-df N] [--compression C]
         |         remove lines occurring in >= N distinct docs, reassemble
         |  dedup-spans IN OUT [--window-len L] [--min-df N] [--compression C]
@@ -327,6 +338,98 @@ object Main {
           spark.read.parquet(in), m = m, k = k)
         ParquetSink.write(codes, out, codec, partitionCols = Seq.empty)
         System.err.println(s"[pq-encode] wrote PQ codes (m=$m, k=$k)")
+
+      case "containment-dedup" =>
+        // containment-dedup IN OUT: drop documents whose shingle set
+        // is contained (>= --min-containment) in a LARGER document —
+        // the quotation/partial-copy cleanup symmetric near-dup misses.
+        val (in, out) = (args(1), args(2))
+        graft.sources.Preflight.check(spark, in, out)
+        val minC = arg(args, "--min-containment").map(_.toDouble)
+          .getOrElse(0.8)
+        val maxDf = arg(args, "--max-df").map(_.toInt).getOrElse(1000)
+        val codec = arg(args, "--compression").getOrElse("snappy")
+        val docs = spark.read.parquet(in)
+        val kept = graft.llm.Dedup.containmentDedup(
+          docs, minContainment = minC, maxShingleDf = maxDf)
+        ParquetSink.write(kept, out, codec, partitionCols = Seq.empty)
+        val (nIn, nKept) = (docs.count(), spark.read.parquet(out).count())
+        System.err.println(
+          s"[containment-dedup] kept $nKept of $nIn (dropped ${nIn - nKept})")
+
+      case "nb-filter" =>
+        // nb-filter IN TRAIN OUT --label-col C: train a Naive Bayes
+        // quality classifier on TRAIN's boolean label column, keep
+        // the IN documents it predicts positive.
+        val (in, train, out) = (args(1), args(2), args(3))
+        graft.sources.Preflight.check(spark, in, out)
+        graft.sources.Preflight.checkInput(spark, train)
+        val labelCol = arg(args, "--label-col").getOrElse(
+          sys.error("nb-filter requires --label-col C (boolean)"))
+        val vocab = arg(args, "--vocab").map(_.toInt).getOrElse(1000)
+        val codec = arg(args, "--compression").getOrElse("snappy")
+        val docs = spark.read.parquet(in)
+        val kept = graft.llm.Classifier.nbFilter(
+          spark.read.parquet(train), org.apache.spark.sql.functions
+            .col(labelCol), docs, vocabSize = vocab)
+        ParquetSink.write(kept, out, codec, partitionCols = Seq.empty)
+        val (nIn, nKept) = (docs.count(), spark.read.parquet(out).count())
+        System.err.println(
+          s"[nb-filter] kept $nKept of $nIn (vocab $vocab)")
+
+      case "dsir-select" =>
+        // dsir-select IN TARGET OUT --n N: keep the N documents of IN
+        // whose hashed-n-gram distribution is most like TARGET.
+        val (in, target, out) = (args(1), args(2), args(3))
+        graft.sources.Preflight.check(spark, in, out)
+        graft.sources.Preflight.checkInput(spark, target)
+        val n = arg(args, "--n").map(_.toInt).getOrElse(
+          sys.error("dsir-select requires --n N"))
+        val buckets = arg(args, "--buckets").map(_.toInt).getOrElse(4096)
+        val codec = arg(args, "--compression").getOrElse("snappy")
+        val kept = graft.llm.Importance.importanceSelect(
+          spark.read.parquet(in), spark.read.parquet(target),
+          n = n, numBuckets = buckets)
+        ParquetSink.write(kept, out, codec, partitionCols = Seq.empty)
+        System.err.println(
+          s"[dsir-select] kept ${spark.read.parquet(out).count()} " +
+            s"(top $n by importance, $buckets buckets)")
+
+      case "semantic-decon" =>
+        // semantic-decon IN EVAL OUT: drop IN vectors within
+        // --min-cosine of ANY EVAL vector (embedding-space
+        // decontamination; both tables are (vec_id, embedding)).
+        val (in, eval, out) = (args(1), args(2), args(3))
+        graft.sources.Preflight.check(spark, in, out)
+        graft.sources.Preflight.checkInput(spark, eval)
+        val minCos = arg(args, "--min-cosine").map(_.toDouble)
+          .getOrElse(0.9)
+        val codec = arg(args, "--compression").getOrElse("snappy")
+        val corpus = spark.read.parquet(in)
+        val kept = graft.llm.Similarity.semanticDecontaminate(
+          corpus,
+          spark.read.parquet(eval).select(
+            org.apache.spark.sql.functions.col("vec_id").as("eval_id"),
+            org.apache.spark.sql.functions.col("embedding").as("eval_vec")),
+          minCosine = minCos)
+        ParquetSink.write(kept, out, codec, partitionCols = Seq.empty)
+        val (nIn, nKept) = (corpus.count(), spark.read.parquet(out).count())
+        System.err.println(
+          s"[semantic-decon] kept $nKept of $nIn (min-cosine $minCos)")
+
+      case "jl-project" =>
+        // jl-project IN OUT --in-dim D [--out-dim D2]: compress an
+        // embeddings table with the deterministic JL sign projection.
+        val (in, out) = (args(1), args(2))
+        graft.sources.Preflight.check(spark, in, out)
+        val inDim = arg(args, "--in-dim").map(_.toInt).getOrElse(
+          sys.error("jl-project requires --in-dim D"))
+        val outDim = arg(args, "--out-dim").map(_.toInt).getOrElse(inDim / 4)
+        val codec = arg(args, "--compression").getOrElse("snappy")
+        val proj = graft.llm.Quantize.jlProject(
+          spark.read.parquet(in), inDim, outDim)
+        ParquetSink.write(proj, out, codec, partitionCols = Seq.empty)
+        System.err.println(s"[jl-project] $inDim -> $outDim dims")
 
       case "decontaminate" =>
         // decontaminate IN BENCH OUT: drop IN docs sharing a k-word

@@ -193,6 +193,70 @@ class CliSpec extends AnyFunSuite {
     graft.cli.Main.run(spark, Array("novelty", docsDir, docsDir, "--bloom"))
   }
 
+  test("containment-dedup, nb-filter, dsir-select, semantic-decon, jl-project verbs run end-to-end") {
+    import spark.implicits._
+    // containment-dedup: quoted doc dropped, container kept
+    val cdIn = TestSpark.tmpDir("cli-cd-in")
+    val quote = "alpha beta gamma delta epsilon zeta eta theta"
+    Seq(
+      (1L, quote),
+      (2L, (1 to 40).map(i => s"w$i").mkString(" ") + " " + quote),
+      (3L, "unrelated other content entirely here")
+    ).toDF("doc_id", "text").write.mode("overwrite").parquet(cdIn)
+    val cdOut = TestSpark.tmpDir("cli-cd-out") + "/kept"
+    graft.cli.Main.run(spark, Array("containment-dedup", cdIn, cdOut))
+    assert(spark.read.parquet(cdOut).select("doc_id").as[Long]
+      .collect().toSet == Set(2L, 3L))
+
+    // nb-filter: spam dropped
+    val trainDir = TestSpark.tmpDir("cli-nb-train")
+    Seq(
+      (1L, "the experiment measured the careful reaction", true),
+      (2L, "buy cheap pills casino discount now", false)
+    ).toDF("doc_id", "text", "good")
+      .write.mode("overwrite").parquet(trainDir)
+    val nbIn = TestSpark.tmpDir("cli-nb-in")
+    Seq(
+      (10L, "the reaction measured in the experiment"),
+      (11L, "casino pills cheap discount")
+    ).toDF("doc_id", "text").write.mode("overwrite").parquet(nbIn)
+    val nbOut = TestSpark.tmpDir("cli-nb-out") + "/kept"
+    graft.cli.Main.run(spark,
+      Array("nb-filter", nbIn, trainDir, nbOut, "--label-col", "good"))
+    assert(spark.read.parquet(nbOut).select("doc_id").as[Long]
+      .collect().toSet == Set(10L))
+
+    // dsir-select: the target-like doc wins
+    val dsirTarget = TestSpark.tmpDir("cli-dsir-target")
+    Seq((100L, "stars galaxies telescope orbit nebulae"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dsirTarget)
+    val dsirOut = TestSpark.tmpDir("cli-dsir-out") + "/kept"
+    graft.cli.Main.run(spark,
+      Array("dsir-select", nbIn, dsirTarget, dsirOut, "--n", "1"))
+    assert(spark.read.parquet(dsirOut).count() == 1L)
+
+    // semantic-decon: the eval-identical vector is dropped
+    val sdIn = TestSpark.tmpDir("cli-sd-in")
+    Seq(
+      (1L, Array.tabulate(8)(i => if (i == 0) 1.0f else 0.0f)),
+      (2L, Array.tabulate(8)(i => if (i == 1) 1.0f else 0.0f))
+    ).toDF("vec_id", "embedding").write.mode("overwrite").parquet(sdIn)
+    val evalDir = TestSpark.tmpDir("cli-sd-eval")
+    Seq((50L, Array.tabulate(8)(i => if (i == 0) 1.0f else 0.0f)))
+      .toDF("vec_id", "embedding").write.mode("overwrite").parquet(evalDir)
+    val sdOut = TestSpark.tmpDir("cli-sd-out") + "/kept"
+    graft.cli.Main.run(spark, Array("semantic-decon", sdIn, evalDir, sdOut))
+    assert(spark.read.parquet(sdOut).select("vec_id").as[Long]
+      .collect().toSet == Set(2L))
+
+    // jl-project: 8 -> 2 dims
+    val jlOut = TestSpark.tmpDir("cli-jl-out") + "/proj"
+    graft.cli.Main.run(spark,
+      Array("jl-project", sdIn, jlOut, "--in-dim", "8", "--out-dim", "2"))
+    val jl = spark.read.parquet(jlOut).as[(Long, Seq[Double])].collect()
+    assert(jl.length == 2 && jl.forall(_._2.length == 2))
+  }
+
   test("sketch-build and sketch-query verbs run end-to-end") {
     import spark.implicits._
     val evDir = TestSpark.tmpDir("cli-sk-in")

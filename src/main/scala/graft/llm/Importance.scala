@@ -61,17 +61,15 @@ object Importance {
       .agg(count(lit(1)).as("cnt"))
   }
 
-  /** Per-document importance weights of the raw corpus against a
-    * target corpus: `(idCol, n_tokens, avg_log_ratio)`. Higher =
-    * more target-like. Both feature models are bounded aggregates
-    * joined broadcast; the raw corpus is read once for its own model
-    * and once for scoring (the minimum when the denominator
-    * distribution is derived from the data itself). */
-  def importanceWeights(
+  /** The bounded importance MODEL: `(feat, log_ratio)` — ≤
+    * `numBuckets` rows at any corpus size. Split out so a streaming
+    * deployment can freeze it once at setup
+    * ([[graft.streaming.Incremental.dsirStream]]) and score
+    * micro-batches with a broadcast probe. */
+  def importanceModel(
       raw: DataFrame,
       target: DataFrame,
       numBuckets: Int = 4096,
-      idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(numBuckets >= 2 && numBuckets <= (1 << 24),
       s"numBuckets out of range: $numBuckets")
@@ -90,26 +88,105 @@ object Importance {
       sum(col("cnt_t")).as("n_t"),
       sum(col("cnt_r")).as("n_r"))
     val b = lit(numBuckets.toLong)
-    val scoredModel = model.crossJoin(broadcast(totals))
+    model.crossJoin(broadcast(totals))
       .select(col("feat"),
         (log((col("cnt_t") + lit(1L)).cast("double") /
              (col("n_t") + b).cast("double")) -
          log((col("cnt_r") + lit(1L)).cast("double") /
              (col("n_r") + b).cast("double"))).as("log_ratio"))
-    val toks = raw.select(
-      col(idCol),
-      explode(TextAnalysis.tokens(
-        lower(coalesce(col(textCol), lit(""))))).as("token"))
-    toks
+  }
+
+  /** Score documents against a precomputed [[importanceModel]]:
+    * `(idCol, n_tokens, avg_log_ratio)`. One narrow pass (explode →
+    * bucket → broadcast probe → per-doc aggregate); works unchanged
+    * on a streaming frame (stream-static join + aggregate). */
+  def scoreWithModel(
+      docs: DataFrame,
+      model: DataFrame,
+      numBuckets: Int = 4096,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(
+        col(idCol),
+        explode(TextAnalysis.tokens(
+          lower(coalesce(col(textCol), lit(""))))).as("token"))
       .select(col(idCol), featureId(col("token"), numBuckets).as("feat"))
-      .join(broadcast(scoredModel), Seq("feat"), "left")
+      .join(broadcast(model), Seq("feat"), "left")
       .groupBy(idCol)
       .agg(
         count(lit(1)).as("n_tokens"),
-        // an unseen bucket cannot occur for raw tokens (the raw model
-        // saw every raw token by construction), but keep the score
-        // null-safe for composition with pre-filtered models
+        // an unseen bucket cannot occur when the model was built over
+        // these docs' own raw distribution, but keep the score
+        // null-safe for frozen models scoring FRESH documents
         avg(coalesce(col("log_ratio"), lit(0.0))).as("avg_log_ratio"))
+  }
+
+  /** Per-document importance weights of the raw corpus against a
+    * target corpus: `(idCol, n_tokens, avg_log_ratio)`. Higher =
+    * more target-like. Both feature models are bounded aggregates
+    * joined broadcast; the raw corpus is read once for its own model
+    * and once for scoring (the minimum when the denominator
+    * distribution is derived from the data itself). */
+  def importanceWeights(
+      raw: DataFrame,
+      target: DataFrame,
+      numBuckets: Int = 4096,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    scoreWithModel(raw,
+      importanceModel(raw, target, numBuckets, textCol),
+      numBuckets, idCol, textCol)
+
+  /** Threshold act step: keep every document whose mean log-ratio is
+    * at least `minAvgLogRatio` — unlike [[importanceSelect]]'s top-n
+    * (which needs a global rank) this is streamable: frozen model →
+    * broadcast probe → narrow filter. */
+  def importanceFilter(
+      docs: DataFrame,
+      model: DataFrame,
+      minAvgLogRatio: Double,
+      numBuckets: Int = 4096,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val keep = scoreWithModel(docs, model, numBuckets, idCol, textCol)
+      .filter(round(col("avg_log_ratio"), 4) >= minAvgLogRatio)
+      .select(col(idCol))
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** Frozen ROW-LOCAL scorer: collects the bounded model (≤
+    * `numBuckets` rows — bounded by construction, so the collect is
+    * model-sized, never corpus-sized) into ONE map literal and
+    * returns a transformation that scores and threshold-filters any
+    * frame as a stateless projection — no explode, no aggregation, no
+    * shuffle, and therefore APPEND-SAFE on a stream
+    * ([[graft.streaming.Incremental.dsirStream]] deploys it). The
+    * per-doc score is `round(Σ lookup / n_tokens, 4)`, a left fold
+    * over the token array; the threshold compares the rounded value
+    * (integer decision surface, per the float-hashing contract).
+    * Batch ≡ stream because the SAME returned body serves both. */
+  def frozenScorer(
+      raw: DataFrame,
+      target: DataFrame,
+      minAvgLogRatio: Double,
+      numBuckets: Int = 4096,
+      textCol: String = "text"): DataFrame => DataFrame = {
+    val rows = importanceModel(raw, target, numBuckets, textCol)
+      .collect()
+    val entries = rows.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val m = typedLit(entries)
+    df => {
+      val toks = TextAnalysis.tokens(
+        lower(coalesce(col(textCol), lit(""))))
+      val s = aggregate(toks, lit(0.0), (acc, t) =>
+        acc + coalesce(
+          element_at(m, featureId(t, numBuckets)), lit(0.0)))
+      df.withColumn("avg_log_ratio",
+          round(s / size(toks).cast("double"), 4))
+        .filter(col("avg_log_ratio") >= minAvgLogRatio)
+    }
   }
 
   /** The act step: keep the `n` most target-like raw documents —

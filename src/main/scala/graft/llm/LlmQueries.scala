@@ -2195,6 +2195,38 @@ object LlmQueries {
             FROM toks t LEFT JOIN llr l USING (token), prior p
             GROUP BY t.doc_id ORDER BY t.doc_id"""))
 
+  /** One-row dataset card ([[TextAnalysis.corpusCard]]): the release
+    * summary block — sizes, exact-dup rate, language-mix entropy.
+    * Exact integers + fixed scalar expressions; full oracle. */
+  val corpusCardQ = Q(
+    "corpus_card",
+    (s, d) => TextAnalysis.corpusCard(Tables.documents(s, d)),
+    Some("""WITH base AS (
+              SELECT COUNT(*) AS n_docs,
+                     CAST(SUM(len(string_split_regex(
+                       trim(coalesce(text, '')), '\s+'))) AS BIGINT)
+                       AS n_tokens,
+                     CAST(SUM(length(coalesce(text, ''))) AS BIGINT)
+                       AS n_chars,
+                     COUNT(DISTINCT sha256(text)) AS n_distinct_docs
+              FROM documents),
+            l AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+            lt AS (
+              SELECT COUNT(*) AS n_langs, CAST(SUM(n) AS DOUBLE) AS t
+              FROM l),
+            ent AS (
+              SELECT ANY_VALUE(lt.n_langs) AS n_langs,
+                     ROUND(SUM(-(l.n / lt.t) * ln(l.n / lt.t)), 4)
+                       AS lang_entropy
+              FROM l, lt)
+            SELECT b.n_docs, b.n_tokens, b.n_chars, b.n_distinct_docs,
+                   ROUND(1.0 - CAST(b.n_distinct_docs AS DOUBLE) /
+                     b.n_docs, 4) AS exact_dup_rate,
+                   ent.n_langs, ent.lang_entropy,
+                   ROUND(CAST(b.n_tokens AS DOUBLE) / b.n_docs, 4)
+                     AS avg_tokens_per_doc
+            FROM base b, ent"""))
+
   /** Zipf rank-frequency audit ([[TextAnalysis.zipfAudit]]): OLS
     * slope/intercept of ln(freq) on ln(rank) over the top-200 tokens.
     * The regression inputs are per-row quantized integers, so every
@@ -3840,7 +3872,7 @@ object LlmQueries {
     chunkDocs, ragRetrieve, coverageAudit, oovBySource, qualityGrid,
     textTokens, textQuality, langDist, textAnalyze, textRepetition,
     boilerplate, stripMarkupQ, topNgramsQ,
-    nbClassifierQ, zipfAuditQ, fertilityQ,
+    nbClassifierQ, zipfAuditQ, fertilityQ, corpusCardQ,
     unigramScore, bigramScore, bm25TopK, bpePairs, bpeEncode, corpusDrift,
     driftBySource, distinctiveTermsQ, numericPsi, corpusDiffQ,
     pipelineDeconCap,

@@ -371,6 +371,44 @@ object TextAnalysis {
           col("n_tokens").cast("double"), 4))
       .orderBy(langCol)
 
+  /** One-row "dataset card" for a corpus: the summary block a
+    * training-data release ships — sizes, exact-dup rate, language
+    * mix entropy. Every column is either an exact integer or one
+    * fixed scalar expression over exact integers (the entropy sums ≤
+    * |languages| terms); three bounded aggregates total, the corpus
+    * never shuffles wide. */
+  def corpusCard(
+      docs: DataFrame,
+      textCol: String = "text",
+      langCol: String = "lang"): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(tokenCount(t)).as("n_tokens"),
+      sum(length(t)).cast("long").as("n_chars"),
+      countDistinct(Dedup.contentHash(col(textCol)))
+        .as("n_distinct_docs"))
+    val langs = docs.groupBy(col(langCol)).agg(count(lit(1)).as("n"))
+    val lt = langs.agg(
+      count(lit(1)).as("n_langs"),
+      sum(col("n")).cast("double").as("t"))
+    val p = col("n").cast("double") / col("t")
+    val ent = langs.crossJoin(broadcast(lt))
+      .agg(
+        first(col("n_langs")).as("n_langs"),
+        round(sum(-p * log(p)), 4).as("lang_entropy"))
+    base.crossJoin(broadcast(ent))
+      .select(
+        col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("n_distinct_docs"),
+        round(lit(1.0) -
+          col("n_distinct_docs").cast("double") / col("n_docs"), 4)
+          .as("exact_dup_rate"),
+        col("n_langs"), col("lang_entropy"),
+        round(col("n_tokens").cast("double") / col("n_docs"), 4)
+          .as("avg_tokens_per_doc"))
+  }
+
   /** Full per-document text-analysis projection. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -367,6 +367,29 @@ object Incremental {
     graft.llm.Sampling.applyTemperatureThresholds(docs, thr)
   }
 
+  /** DSIR importance filtering on a stream: the bounded hashed-n-gram
+    * importance model is learned ONCE at setup from frozen raw/target
+    * reference corpora ([[graft.llm.Importance.frozenScorer]] — the
+    * model collapses to a ≤numBuckets-entry map literal), then every
+    * micro-batch is scored and threshold-filtered as a STATELESS
+    * row-local projection: no explode, no aggregation, no state store,
+    * append mode. Batch ≡ stream because the same scorer body serves
+    * both (StreamingSpec pins it). */
+  def dsirStream(
+      docs: DataFrame,
+      rawRef: DataFrame,
+      target: DataFrame,
+      minAvgLogRatio: Double,
+      queryName: String,
+      numBuckets: Int = 4096): StreamingQuery =
+    graft.llm.Importance.frozenScorer(
+      rawRef, target, minAvgLogRatio, numBuckets)(docs)
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .start()
+
   /** [[sampleVsFrozen]] wired to a memory sink (append mode). */
   def sampleStream(
       docs: DataFrame,

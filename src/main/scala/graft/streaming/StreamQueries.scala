@@ -419,6 +419,66 @@ object StreamQueries {
             WHERE t.b < thr.keep_threshold
             GROUP BY t.source ORDER BY t.source"""))
 
+  /** Frozen-model DSIR filtering, batch twin of
+    * [[Incremental.dsirStream]] (the streaming importance filter:
+    * model frozen at setup as a map literal, micro-batches scored and
+    * filtered row-locally — StreamingSpec pins stream ≡ batch).
+    * Raw/target references are the corpus itself / its English slice;
+    * the threshold sits at the sf0.01 fixture's median score so the
+    * filter visibly splits that corpus (scores scale-shift with
+    * corpus size — at sf0.1 everything clears it, which the oracle
+    * reproduces); membership pinned per-lang by count + id-sum. */
+  val st12 = Q(
+    "st_dsir_filter",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.llm.Importance.frozenScorer(
+          raw = docs,
+          target = docs.filter(col("lang") === "en"),
+          minAvgLogRatio = -0.1585)(docs)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy("lang")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, lang,
+                     unnest(string_split_regex(
+                       trim(lower(coalesce(text, ''))), '\s+')) AS token
+              FROM documents),
+            f AS (
+              SELECT doc_id, lang,
+                     list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                         list_transform(string_split_regex(
+                           token || '#dsir', ''),
+                           c -> CAST(ascii(c) AS BIGINT))),
+                       (acc, x) -> (acc * 131 + x) % 2147483647) % 4096
+                       AS feat
+              FROM toks),
+            tc AS (
+              SELECT feat, COUNT(*) AS cnt_t FROM f
+              WHERE lang = 'en' GROUP BY feat),
+            rc AS (SELECT feat, COUNT(*) AS cnt_r FROM f GROUP BY feat),
+            tot AS (
+              SELECT (SELECT SUM(cnt_t) FROM tc) AS n_t,
+                     (SELECT SUM(cnt_r) FROM rc) AS n_r),
+            scores AS (
+              SELECT f.doc_id,
+                     ROUND(AVG(
+                       ln(CAST(coalesce(tc.cnt_t, 0) + 1 AS DOUBLE) /
+                          CAST(tot.n_t + 4096 AS DOUBLE)) -
+                       ln(CAST(rc.cnt_r + 1 AS DOUBLE) /
+                          CAST(tot.n_r + 4096 AS DOUBLE))), 4) AS w
+              FROM f LEFT JOIN tc USING (feat) JOIN rc USING (feat), tot
+              GROUP BY f.doc_id),
+            kept AS (SELECT doc_id FROM scores WHERE w >= -0.1585)
+            SELECT d.lang, COUNT(*) AS n_kept,
+                   CAST(SUM(d.doc_id) AS BIGINT) AS id_sum
+            FROM documents d JOIN kept USING (doc_id)
+            GROUP BY d.lang ORDER BY d.lang"""))
+
   def all: Seq[Q] = Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st9x,
-    st10, st11)
+    st10, st11, st12)
 }

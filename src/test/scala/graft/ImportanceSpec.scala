@@ -44,6 +44,33 @@ class ImportanceSpec extends AnyFunSuite {
     assert(Importance.importanceSelect(raw, target, n = 10).count() == 3L)
   }
 
+  test("frozenScorer matches the distributed scorer and filters at the threshold") {
+    val scoreAll = graft.llm.Importance.frozenScorer(
+      raw, target, minAvgLogRatio = -1e9)(raw)
+    val rowLocal = scoreAll.select("doc_id", "avg_log_ratio")
+      .as[(Long, Double)].collect().toMap
+    val dist = Importance.importanceWeights(raw, target)
+      .select("doc_id", "avg_log_ratio").as[(Long, Double)].collect().toMap
+    assert(rowLocal.keySet == dist.keySet)
+    rowLocal.foreach { case (id, w) =>
+      assert(math.abs(w - dist(id)) < 1e-3,
+        s"doc $id: row-local $w vs distributed ${dist(id)}")
+    }
+    // threshold keeps exactly the docs at/above it
+    val thr = rowLocal(3L) // the mixed doc's score
+    val kept = graft.llm.Importance.frozenScorer(raw, target, thr)(raw)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L), s"on-target + mixed clear the bar: $kept")
+  }
+
+  test("importanceFilter keeps docs at or above the threshold") {
+    val model = Importance.importanceModel(raw, target)
+    val all = Importance.importanceFilter(raw, model, -1e9)
+    assert(all.count() == 3L)
+    val none = Importance.importanceFilter(raw, model, 1e9)
+    assert(none.count() == 0L)
+  }
+
   test("degenerate edges: empty target and identical corpora") {
     // empty target: every bucket numerator is the +1 smoothing floor —
     // scores are finite and the op does not crash

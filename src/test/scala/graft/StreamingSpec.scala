@@ -230,6 +230,36 @@ class StreamingSpec extends AnyFunSuite {
       s"stream kept ${streamed.size}, batch kept ${batch.size}")
   }
 
+  test("streaming DSIR filter matches the frozen batch scorer") {
+    val docsDir = TestSpark.tmpDir("docs-dsir-src")
+    Tables.documents(spark, TestSpark.sf0001)
+      .write.mode("overwrite").parquet(docsDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(docsDir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(docsDir)
+    val ref = Tables.documents(spark, TestSpark.sf0001)
+    val target = ref.filter(col("lang") === "en")
+    // threshold at the batch median so the filter genuinely splits
+    // the corpus in this test, whatever the fixture's score scale
+    val scores = graft.llm.Importance
+      .frozenScorer(ref, target, -1e9)(ref)
+      .select("avg_log_ratio").as[Double].collect().sorted
+    val thr = scores(scores.length / 2)
+    val q = Incremental.dsirStream(stream, ref, target, thr,
+      "dsir_stream_test")
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("dsir_stream_test")
+      .select("doc_id").as[Long].collect().toSet
+    val batch = graft.llm.Importance.frozenScorer(ref, target, thr)(ref)
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed.nonEmpty && streamed.size < 500,
+      s"the median threshold splits the corpus: ${streamed.size}")
+    assert(streamed == batch,
+      s"stream kept ${streamed.size}, batch kept ${batch.size}")
+  }
+
   test("streaming cluster router matches the frozen batch assignment") {
     val vecsDir = TestSpark.tmpDir("vecs-route-src")
     Tables.embeddings(spark, TestSpark.sf0001)

@@ -233,6 +233,24 @@ class TextAnalysisSpec extends AnyFunSuite {
       "equal frequencies fit a flat line exactly")
   }
 
+  test("corpusCard: one-row release summary with exact fields") {
+    val docs = Seq(
+      (1L, "aa bb cc", "en"),
+      (2L, "aa bb cc", "en"),   // exact dup of 1
+      (3L, "dd ee", "de")
+    ).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.corpusCard(docs).head()
+    assert(got.getAs[Long]("n_docs") == 3L)
+    assert(got.getAs[Long]("n_tokens") == 8L)
+    assert(got.getAs[Long]("n_chars") == 21L)
+    assert(got.getAs[Long]("n_distinct_docs") == 2L)
+    assert(got.getAs[Double]("exact_dup_rate") == 0.3333)
+    assert(got.getAs[Long]("n_langs") == 2L)
+    // entropy of (2/3, 1/3) = ln3 - (2/3)ln2 ≈ 0.6365
+    assert(math.abs(got.getAs[Double]("lang_entropy") - 0.6365) < 1e-4)
+    assert(got.getAs[Double]("avg_tokens_per_doc") == 2.6667)
+  }
+
   test("tokenizerFertility: per-language chars-per-token") {
     val docs = Seq(
       (1L, "aa bb cc", "en"),   // 8 chars, 3 tokens

@@ -1180,8 +1180,12 @@ object Dedup {
         && col("x.src") < col("y.src"))
       .groupBy(col("x.src").as("source_x"), col("y.src").as("source_y"))
       .agg(count(lit(1)).as("inter"))
+    // explicit broadcast: the signature frame is |sources| rows by
+    // construction, but it comes out of an aggregate Catalyst has no
+    // stats for — unhinted, the <-condition join would plan a
+    // CartesianProduct (PlanLint Error) instead of a bounded BNLJ
     sig.as("a")
-      .join(sig.as("b"), col("a.src") < col("b.src"))
+      .join(broadcast(sig.as("b")), col("a.src") < col("b.src"))
       .select(
         col("a.src").as("source_x"), col("b.src").as("source_y"),
         (aggregate(

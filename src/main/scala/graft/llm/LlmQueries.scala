@@ -2519,6 +2519,43 @@ object LlmQueries {
                              AS BIGINT) END AS duration_ms
             FROM documents WHERE doc_id < 60 ORDER BY media_id"""))
 
+  /** Pixel-level image dedup over planted PNG variants
+    * ([[Multimodal.pixelDedupGroups]]): metadata-wrapped copies (same
+    * pixels, different container bytes) MUST group with their
+    * originals — only a true decode can see that — while byte-exact
+    * copies group at both levels. The oracle re-derives every group
+    * size and keeper from the planting arithmetic alone, so a decode
+    * that merely hashes bytes fails the row. */
+  val mmPixelDedup = Q(
+    "mm_pixel_dedup",
+    (s, d) => {
+      implicit val spark: org.apache.spark.sql.SparkSession = s
+      Multimodal.pixelDedupGroups(
+          Multimodal.plantedImageVariants(Tables.documents(s, d)))
+        .orderBy("media_id")
+    },
+    Some("""WITH ids AS (
+              SELECT doc_id AS id FROM documents
+              WHERE doc_id < 60 AND doc_id % 2 = 0),
+            rows AS (
+              SELECT id AS media_id,
+                     CASE WHEN id < 8 THEN 3 WHEN id < 20 THEN 2
+                          ELSE 1 END AS pixel_group_size,
+                     CASE WHEN id < 8 THEN 2 ELSE 1 END AS byte_group_size,
+                     id AS keep_id
+              FROM ids
+              UNION ALL
+              SELECT id + 1000000,
+                     CASE WHEN id < 8 THEN 3 ELSE 2 END, 1, id
+              FROM ids WHERE id < 20
+              UNION ALL
+              SELECT id + 2000000, 3, 2, id FROM ids WHERE id < 8)
+            SELECT media_id,
+                   CAST(pixel_group_size AS BIGINT) AS pixel_group_size,
+                   CAST(byte_group_size AS BIGINT) AS byte_group_size,
+                   CAST(keep_id AS BIGINT) AS keep_id
+            FROM rows ORDER BY media_id"""))
+
   /** Real-image-resize audit over the planted PNGs: ImageIO decode →
     * bilinear scale to maxDim 10 → per-row output dims. The oracle
     * recomputes round(dim · 10/max(w,h)) from the planting arithmetic;
@@ -3878,7 +3915,7 @@ object LlmQueries {
     pipelineDeconCap,
     textRedact, contamination, contaminationBloom, decontaminate,
     decontaminateSpansQ, mmStats,
-    mmDecodePlanted, mmResizePlanted, mmAudioFrames, curate,
+    mmDecodePlanted, mmResizePlanted, mmAudioFrames, mmPixelDedup, curate,
     qualityGate,
     pipelineCurateSplit)
 }

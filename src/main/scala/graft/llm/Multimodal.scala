@@ -335,6 +335,114 @@ object Multimodal {
       }
   }
 
+  /** Splice a PNG ancillary `tEXt` chunk immediately after IHDR:
+    * SAME pixels, DIFFERENT container bytes — the shape of real-world
+    * image duplicates (metadata stripped/added, re-tagged) that
+    * byte-level dedup misses. Pure byte surgery: PNG signature (8) +
+    * IHDR chunk (25) = offset 33, spec-mandated; chunk CRC is the
+    * standard CRC-32 over type+data. */
+  def withTextChunk(
+      png: Array[Byte], keyword: String, value: String): Array[Byte] = {
+    val payload = (keyword + " " + value).getBytes("ISO-8859-1")
+    val chunk = new Array[Byte](12 + payload.length)
+    val bb = java.nio.ByteBuffer.wrap(chunk)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.putInt(payload.length)
+    bb.put("tEXt".getBytes("US-ASCII"))
+    bb.put(payload)
+    val crc = new java.util.zip.CRC32()
+    crc.update(chunk, 4, 4 + payload.length)
+    bb.putInt(crc.getValue.toInt)
+    val out = new Array[Byte](png.length + chunk.length)
+    System.arraycopy(png, 0, out, 0, 33)
+    System.arraycopy(chunk, 0, out, 33, chunk.length)
+    System.arraycopy(png, 33, out, 33 + chunk.length, png.length - 33)
+    out
+  }
+
+  private def sha256Hex(b: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256").digest(b)
+    d.map("%02x".format(_)).mkString
+  }
+
+  /** SHA-256 of the DECODED pixel raster (w, h, row-major ARGB ints)
+    * — the content identity of an image, invariant to container-level
+    * byte differences. None if the payload doesn't decode. */
+  def pixelDigest(bytes: Array[Byte]): Option[String] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        val hdr = java.nio.ByteBuffer.allocate(8)
+        hdr.putInt(img.getWidth).putInt(img.getHeight)
+        md.update(hdr.array())
+        val row = java.nio.ByteBuffer.allocate(img.getWidth * 4)
+        var y = 0
+        while (y < img.getHeight) {
+          row.clear()
+          var x = 0
+          while (x < img.getWidth) { row.putInt(img.getRGB(x, y)); x += 1 }
+          md.update(row.array())
+          y += 1
+        }
+        Some(md.digest().map("%02x".format(_)).mkString)
+      }
+    } catch { case _: Throwable => None }
+
+  /** Pixel-level image dedup audit: per image, the size of its
+    * PIXEL-identity group vs its BYTE-identity group, and the group's
+    * keeper (lowest media_id) — `pixel_group_size > byte_group_size`
+    * is exactly the re-encoded/metadata-variant duplicate class a
+    * byte digest cannot see. The decode runs Iterator→Iterator per
+    * partition (the vectorized-codec execution shape); the digests
+    * are 32 B/row, so the two group-size windows shuffle digest keys,
+    * never payloads. Undecodable payloads fall back to their byte
+    * digest (grouped only with byte-identical rows — never silently
+    * merged). */
+  def pixelDedupGroups(media: Dataset[MediaRow])(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val digests = media
+      .filter(_.modality == "image")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bd = sha256Hex(r.payload)
+          (r.media_id, bd, pixelDigest(r.payload).getOrElse("raw:" + bd))
+        }
+      }
+      .toDF("media_id", "byte_digest", "pixel_digest")
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy("pixel_digest")
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy("byte_digest")
+    digests
+      .withColumn("pixel_group_size", count(lit(1)).over(wp))
+      .withColumn("byte_group_size", count(lit(1)).over(wb))
+      .withColumn("keep_id", min(col("media_id")).over(wp))
+      .select("media_id", "pixel_group_size", "byte_group_size", "keep_id")
+  }
+
+  /** Planted variant corpus for the pixel-dedup oracle: the planted
+    * PNGs, plus metadata-wrapped copies (same pixels, different
+    * bytes — `withTextChunk`) of the images with base id < 20, plus
+    * byte-exact copies of those with base id < 8; shifted ids encode
+    * the provenance so the oracle can re-derive every group size from
+    * the planting arithmetic alone. */
+  def plantedImageVariants(docs: DataFrame, n: Int = 60)(
+      implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    val base = plantedMedia(docs, n).filter(_.modality == "image")
+    val wrapped = base.filter(_.media_id < 20)
+      .map(r => r.copy(
+        media_id = r.media_id + 1000000L,
+        payload = withTextChunk(r.payload, "comment", "variant")))
+    val copies = base.filter(_.media_id < 8)
+      .map(r => r.copy(media_id = r.media_id + 2000000L))
+    base.union(wrapped).union(copies)
+  }
+
   /** End-to-end plumbing: media table → typed Dataset → batched decode
     * → per-modality stats. Partitioned by modality before the decode so
     * a real codec's native libs load once per (executor, modality). */

@@ -308,7 +308,6 @@ object TextAnalysis {
       textCol: String = "text"): DataFrame = {
     require(topK >= 2 && topK <= 10000, s"topK out of range: $topK")
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    import org.apache.spark.sql.expressions.Window
     val counts = docs
       .select(explode(tokens(lower(trim(coalesce(col(textCol),
         lit("")))))).as("token"))
@@ -317,23 +316,36 @@ object TextAnalysis {
     val stats = counts.agg(
       count(lit(1)).as("n_distinct_tokens"),
       coalesce(sum(col("cnt")), lit(0L)).as("n_tokens"))
-    val ranked = counts
-      .orderBy(col("cnt").desc, col("token"))
-      .limit(topK)
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("cnt").desc, col("token"))))
-    // quantized regression inputs: exact integers from here on. The
-    // global window above runs over ≤ topK rows (post-limit), so the
-    // single-partition sort PlanLint flags elsewhere is bounded here.
-    val pts = ranked.select(
-      round(log(col("rank").cast("double")) * lit(1e6)).cast("long").as("x"),
-      round(log(col("cnt").cast("double")) * lit(1e6)).cast("long").as("y"))
-    val sums = pts.agg(
-      count(lit(1)).as("k"),
-      sum(col("x")).as("sx"),
-      sum(col("y")).as("sy"),
-      sum(col("x") * col("y")).as("sxy"),
-      sum(col("x") * col("x")).as("sxx"))
+    // Ranking without a global window (the HistogramSketch pattern —
+    // PlanLint's unpartitioned-window rule stays clean): the bounded
+    // top-K cut is a TakeOrdered, the ≤topK survivors collapse into
+    // ONE collect_list row, and rank = position after an in-row
+    // array_sort by (cnt DESC, token). Quantized regression inputs
+    // (`x = round(ln(rank)·1e6)` etc.) make every OLS sum exact
+    // integer arithmetic — no float summation order anywhere.
+    val top = counts.orderBy(col("cnt").desc, col("token")).limit(topK)
+    val oneRow = top.agg(collect_list(
+      struct((-col("cnt")).as("negc"), col("token").as("t"),
+        col("cnt").as("c"))).as("a"))
+    val pts = transform(array_sort(col("a")), (e, i) => struct(
+      round(log((i + lit(1)).cast("double")) * lit(1e6)).cast("long")
+        .as("x"),
+      round(log(e.getField("c").cast("double")) * lit(1e6)).cast("long")
+        .as("y")))
+    val zero = struct(lit(0L).as("k"), lit(0L).as("sx"), lit(0L).as("sy"),
+      lit(0L).as("sxy"), lit(0L).as("sxx"))
+    val folded = aggregate(pts, zero, (acc, p) => struct(
+      (acc.getField("k") + lit(1L)).as("k"),
+      (acc.getField("sx") + p.getField("x")).as("sx"),
+      (acc.getField("sy") + p.getField("y")).as("sy"),
+      (acc.getField("sxy") + p.getField("x") * p.getField("y")).as("sxy"),
+      (acc.getField("sxx") + p.getField("x") * p.getField("x")).as("sxx")))
+    val sums = oneRow.select(
+      folded.getField("k").as("k"),
+      folded.getField("sx").as("sx"),
+      folded.getField("sy").as("sy"),
+      folded.getField("sxy").as("sxy"),
+      folded.getField("sxx").as("sxx"))
     sums.crossJoin(broadcast(stats))
       .select(
         col("n_distinct_tokens"), col("n_tokens"),

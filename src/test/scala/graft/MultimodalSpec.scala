@@ -255,4 +255,42 @@ class MultimodalSpec extends AnyFunSuite {
         .toDS(), everyMs = 25).collect().head
     assert(off.frames.exists(a => math.abs(a) > 0.1))
   }
+
+  test("withTextChunk changes bytes, preserves pixels and decodability") {
+    val png = realPng(9, 7)
+    val wrapped = Multimodal.withTextChunk(png, "comment", "variant")
+    assert(!java.util.Arrays.equals(png, wrapped), "container bytes differ")
+    assert(wrapped.length == png.length + 12 + "comment variant".length)
+    // both decode, to identical pixels
+    val pd1 = Multimodal.pixelDigest(png)
+    val pd2 = Multimodal.pixelDigest(wrapped)
+    assert(pd1.isDefined && pd1 == pd2, "pixel identity survives the chunk")
+    // a genuinely different image has a different pixel digest
+    assert(Multimodal.pixelDigest(realPng(9, 8)) != pd1)
+    // non-image bytes don't decode
+    assert(Multimodal.pixelDigest("not a png".getBytes).isEmpty)
+  }
+
+  test("pixelDedupGroups: metadata variants group by pixels, not bytes") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    val a = realPng(8, 8)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", a, 1L),
+      Multimodal.MediaRow(2L, "image",
+        Multimodal.withTextChunk(a, "k", "v"), 2L),   // pixel dup of 1
+      Multimodal.MediaRow(3L, "image", a.clone(), 3L), // byte dup of 1
+      Multimodal.MediaRow(4L, "image", realPng(5, 5), 4L),
+      Multimodal.MediaRow(5L, "audio", realWav(8000, 100, 50), 5L))
+    val got = Multimodal.pixelDedupGroups(rows.toDS())
+      .orderBy("media_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 3L, 4L), "images only")
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(1L) == ((1L, 3L, 2L, 1L)), got.toString)
+    assert(byId(2L) == ((2L, 3L, 1L, 1L)),
+      s"the wrapped copy joins the pixel group but not the byte group: $got")
+    assert(byId(3L) == ((3L, 3L, 2L, 1L)), got.toString)
+    assert(byId(4L) == ((4L, 1L, 1L, 4L)), got.toString)
+  }
 }

@@ -2556,6 +2556,41 @@ object LlmQueries {
                    CAST(keep_id AS BIGINT) AS keep_id
             FROM rows ORDER BY media_id"""))
 
+  /** PCM-level audio dedup over planted WAV variants
+    * ([[Multimodal.audioDedupGroups]]) — the audio twin of
+    * `mm_pixel_dedup`: LIST-metadata-wrapped copies (same PCM,
+    * different container bytes) MUST group with their originals,
+    * which only a real RIFF data-chunk decode can see. */
+  val mmAudioDedup = Q(
+    "mm_audio_dedup",
+    (s, d) => {
+      implicit val spark: org.apache.spark.sql.SparkSession = s
+      Multimodal.audioDedupGroups(
+          Multimodal.plantedAudioVariants(Tables.documents(s, d)))
+        .orderBy("media_id")
+    },
+    Some("""WITH ids AS (
+              SELECT doc_id AS id FROM documents
+              WHERE doc_id < 60 AND doc_id % 2 = 1),
+            rows AS (
+              SELECT id AS media_id,
+                     CASE WHEN id < 8 THEN 3 WHEN id < 20 THEN 2
+                          ELSE 1 END AS pixel_group_size,
+                     CASE WHEN id < 8 THEN 2 ELSE 1 END AS byte_group_size,
+                     id AS keep_id
+              FROM ids
+              UNION ALL
+              SELECT id + 1000000,
+                     CASE WHEN id < 8 THEN 3 ELSE 2 END, 1, id
+              FROM ids WHERE id < 20
+              UNION ALL
+              SELECT id + 2000000, 3, 2, id FROM ids WHERE id < 8)
+            SELECT media_id,
+                   CAST(pixel_group_size AS BIGINT) AS pixel_group_size,
+                   CAST(byte_group_size AS BIGINT) AS byte_group_size,
+                   CAST(keep_id AS BIGINT) AS keep_id
+            FROM rows ORDER BY media_id"""))
+
   /** Real-image-resize audit over the planted PNGs: ImageIO decode →
     * bilinear scale to maxDim 10 → per-row output dims. The oracle
     * recomputes round(dim · 10/max(w,h)) from the planting arithmetic;
@@ -3915,7 +3950,8 @@ object LlmQueries {
     pipelineDeconCap,
     textRedact, contamination, contaminationBloom, decontaminate,
     decontaminateSpansQ, mmStats,
-    mmDecodePlanted, mmResizePlanted, mmAudioFrames, mmPixelDedup, curate,
+    mmDecodePlanted, mmResizePlanted, mmAudioFrames, mmPixelDedup,
+    mmAudioDedup, curate,
     qualityGate,
     pipelineCurateSplit)
 }

@@ -402,19 +402,40 @@ object Multimodal {
     * digest (grouped only with byte-identical rows — never silently
     * merged). */
   def pixelDedupGroups(media: Dataset[MediaRow])(
+      implicit spark: SparkSession): DataFrame =
+    contentDedupGroups(media, "image", pixelDigest)
+
+  /** [[pixelDedupGroups]] for audio: content identity = the decoded
+    * PCM stream ([[pcmDigest]]), invariant to RIFF metadata chunks —
+    * the re-tagged-audio duplicate class a byte digest cannot see. */
+  def audioDedupGroups(media: Dataset[MediaRow])(
+      implicit spark: SparkSession): DataFrame =
+    contentDedupGroups(media, "audio", pcmDigest)
+
+  /** Shared content-vs-byte dedup audit: per row of `modality`, the
+    * content-identity group size (via `contentId` — the real decode),
+    * the byte-identity group size, and the content group's keeper
+    * (lowest media_id). Decode runs Iterator→Iterator per partition;
+    * the group windows shuffle 32 B digests, never payloads.
+    * Undecodable payloads fall back to byte identity — grouped only
+    * with byte-identical rows, never silently merged. */
+  private def contentDedupGroups(
+      media: Dataset[MediaRow],
+      modality: String,
+      contentId: Array[Byte] => Option[String])(
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     val digests = media
-      .filter(_.modality == "image")
+      .filter(_.modality == modality)
       .mapPartitions { rows =>
         rows.map { r =>
           val bd = sha256Hex(r.payload)
-          (r.media_id, bd, pixelDigest(r.payload).getOrElse("raw:" + bd))
+          (r.media_id, bd, contentId(r.payload).getOrElse("raw:" + bd))
         }
       }
-      .toDF("media_id", "byte_digest", "pixel_digest")
+      .toDF("media_id", "byte_digest", "content_digest")
     val wp = org.apache.spark.sql.expressions.Window
-      .partitionBy("pixel_digest")
+      .partitionBy("content_digest")
     val wb = org.apache.spark.sql.expressions.Window
       .partitionBy("byte_digest")
     digests
@@ -422,6 +443,79 @@ object Multimodal {
       .withColumn("byte_group_size", count(lit(1)).over(wb))
       .withColumn("keep_id", min(col("media_id")).over(wp))
       .select("media_id", "pixel_group_size", "byte_group_size", "keep_id")
+  }
+
+  /** SHA-256 of the decoded PCM content: (byteRate, data-chunk bytes)
+    * — the audio identity, invariant to LIST/INFO metadata chunks.
+    * None if the payload is not a parseable RIFF/WAVE. */
+  def pcmDigest(bytes: Array[Byte]): Option[String] =
+    try {
+      if (bytes.length < 44 ||
+        new String(bytes, 0, 4, "US-ASCII") != "RIFF" ||
+        new String(bytes, 8, 4, "US-ASCII") != "WAVE") None
+      else {
+        def leInt(off: Int): Long =
+          java.nio.ByteBuffer.wrap(bytes, off, 4)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt.toLong &
+            0xFFFFFFFFL
+        var off = 12
+        var byteRate = -1L
+        var dataOff = -1
+        var dataLen = -1L
+        while (off + 8 <= bytes.length && (byteRate < 0 || dataOff < 0)) {
+          val id = new String(bytes, off, 4, "US-ASCII")
+          val size = leInt(off + 4)
+          if (id == "fmt " && off + 20 <= bytes.length)
+            byteRate = leInt(off + 16)
+          else if (id == "data") { dataOff = off + 8; dataLen = size }
+          off = off + 8 + size.toInt + (size.toInt & 1)
+        }
+        if (byteRate < 0 || dataOff < 0 ||
+          dataOff + dataLen > bytes.length) None
+        else {
+          val md = java.security.MessageDigest.getInstance("SHA-256")
+          val hdr = java.nio.ByteBuffer.allocate(8)
+          hdr.putLong(byteRate)
+          md.update(hdr.array())
+          md.update(bytes, dataOff, dataLen.toInt)
+          Some(md.digest().map("%02x".format(_)).mkString)
+        }
+      }
+    } catch { case _: Throwable => None }
+
+  /** Append a RIFF `LIST`/INFO metadata chunk to a WAV: same PCM,
+    * different container bytes (the re-tagged-file duplicate shape).
+    * The RIFF size field is updated so the container stays valid. */
+  def withInfoChunk(wav: Array[Byte], comment: String): Array[Byte] = {
+    val payload = ("INFOICMT" + comment).getBytes("US-ASCII")
+    val padded = if (payload.length % 2 == 0) payload
+      else payload :+ 0.toByte
+    val out = new Array[Byte](wav.length + 8 + padded.length)
+    System.arraycopy(wav, 0, out, 0, wav.length)
+    val bb = java.nio.ByteBuffer.wrap(out)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.position(wav.length)
+    bb.put("LIST".getBytes("US-ASCII")).putInt(padded.length)
+    bb.put(padded)
+    // RIFF chunk size (bytes 4..7) covers everything after it
+    bb.putInt(4, out.length - 8)
+    out
+  }
+
+  /** Audio counterpart of [[plantedImageVariants]]: planted WAVs plus
+    * metadata-wrapped copies (base odd id < 20) and byte-exact copies
+    * (base odd id < 8) at shifted ids. */
+  def plantedAudioVariants(docs: DataFrame, n: Int = 60)(
+      implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    val base = plantedMedia(docs, n).filter(_.modality == "audio")
+    val wrapped = base.filter(_.media_id < 20)
+      .map(r => r.copy(
+        media_id = r.media_id + 1000000L,
+        payload = withInfoChunk(r.payload, "variant")))
+    val copies = base.filter(_.media_id < 8)
+      .map(r => r.copy(media_id = r.media_id + 2000000L))
+    base.union(wrapped).union(copies)
   }
 
   /** Planted variant corpus for the pixel-dedup oracle: the planted

@@ -271,6 +271,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.pixelDigest("not a png".getBytes).isEmpty)
   }
 
+  test("withInfoChunk + pcmDigest: metadata chunk changes bytes, not PCM identity") {
+    val wav = realWav(8000, 100, 50)
+    val wrapped = Multimodal.withInfoChunk(wav, "re-tagged by tool")
+    assert(!java.util.Arrays.equals(wav, wrapped))
+    val d1 = Multimodal.pcmDigest(wav)
+    val d2 = Multimodal.pcmDigest(wrapped)
+    assert(d1.isDefined && d1 == d2, "PCM identity survives the chunk")
+    // different audio content → different digest; garbage → None
+    assert(Multimodal.pcmDigest(realWav(8000, 100, 51)) != d1)
+    assert(Multimodal.pcmDigest("not a wav".getBytes).isEmpty)
+    // the wrapped container still parses (duration unchanged)
+    assert(Multimodal.MediaHeaders.wavDurationMs(wrapped) ==
+      Multimodal.MediaHeaders.wavDurationMs(wav))
+  }
+
   test("pixelDedupGroups: metadata variants group by pixels, not bytes") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     import spark.implicits._

@@ -1259,6 +1259,100 @@ object LlmQueries {
                      GREATEST(CAST(LENGTH(text) AS DOUBLE), 1.0), 4) AS punct_ratio
             FROM documents ORDER BY doc_id LIMIT 500"""))
 
+  /** Shared DuckDB CTEs re-deriving every Gopher metric (identical
+    * tokenization, integer counts, and round-4 ratio arithmetic to
+    * [[TextAnalysis.gopherFlags]]); `r` has one row per doc with all
+    * seven metrics. */
+  private val gopherMetricCtes: String =
+    """WITH b AS (
+         SELECT doc_id, source, coalesce(text, '') AS t,
+                string_split_regex(trim(coalesce(text, '')), '\s+') AS toks
+         FROM documents),
+       m AS (
+         SELECT doc_id, source,
+                CAST(len(toks) AS BIGINT) AS n_words,
+                GREATEST(CAST(len(toks) AS DOUBLE), 1.0) AS nw,
+                list_reduce(list_prepend(0,
+                  [length(w) for w in toks]), (a, b) -> a + b) AS sum_len,
+                length(t) - length(replace(t, '#', '')) AS hashes,
+                (length(t) - length(replace(t, '...', ''))) // 3
+                  AS ellipses,
+                len(list_filter(toks,
+                  w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words,
+                CAST(len(list_filter(
+                  ['the','be','to','of','and','that','have','with'],
+                  s -> list_contains(toks, s))) AS BIGINT) AS n_stop,
+                string_split(t, chr(10)) AS lines
+         FROM b),
+       r AS (
+         SELECT doc_id, source, n_words,
+                ROUND(sum_len / nw, 4) AS mean_word_len,
+                ROUND((hashes + ellipses) / nw, 4) AS symbol_ratio,
+                ROUND(alpha_words / nw, 4) AS alpha_frac,
+                n_stop,
+                ROUND(len(list_filter(lines,
+                    l -> starts_with(l, '• ') OR starts_with(l, '- '))) /
+                  GREATEST(CAST(len(lines) AS DOUBLE), 1.0), 4)
+                  AS bullet_frac,
+                ROUND(len(list_filter(lines, l -> ends_with(l, '...'))) /
+                  GREATEST(CAST(len(lines) AS DOUBLE), 1.0), 4)
+                  AS ellipsis_frac
+         FROM m)"""
+
+  /** Gopher quality rules ([[TextAnalysis.gopherFlags]], Rae et al.
+    * 2021 §A1.1): per-doc metrics, all seven per-rule booleans, and
+    * the composite pass — the canonical published pre-training filter
+    * set as one codegen scan. FULL row-level oracle: DuckDB re-derives
+    * every metric, every rule boundary, and the conjunction. The
+    * 30-word floor sits inside the fixture's 10–99-word range so both
+    * outcomes of the discriminating rules are present. */
+  val gopherRulesQ = Q(
+    "text_gopher_rules",
+    (s, d) =>
+      TextAnalysis.gopherFlags(Tables.documents(s, d), minWords = 30)
+        .orderBy("doc_id")
+        .limit(500),
+    Some(s"""$gopherMetricCtes
+        SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+               alpha_frac, n_stop, bullet_frac, ellipsis_frac,
+               n_words >= 30 AND n_words <= 100000 AS r_words,
+               mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                 AS r_wordlen,
+               symbol_ratio <= 0.1 AS r_symbol,
+               alpha_frac >= 0.8 AS r_alpha,
+               n_stop >= 2 AS r_stop,
+               bullet_frac <= 0.9 AS r_bullet,
+               ellipsis_frac <= 0.3 AS r_ellipsis,
+               (n_words >= 30 AND n_words <= 100000)
+                 AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+                 AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
+                 AND n_stop >= 2 AND bullet_frac <= 0.9
+                 AND ellipsis_frac <= 0.3 AS pass
+        FROM r ORDER BY doc_id LIMIT 500"""))
+
+  /** The Gopher act step ([[TextAnalysis.gopherFilter]]): per-source
+    * survival accounting with the kept membership pinned by the id
+    * sum. The oracle recomputes every rule and the aggregate. */
+  val gopherFilterQ = Q(
+    "text_gopher_filter",
+    (s, d) =>
+      TextAnalysis.gopherFilter(Tables.documents(s, d), minWords = 30),
+    Some(s"""$gopherMetricCtes,
+        p AS (
+          SELECT source, doc_id,
+                 (n_words >= 30 AND n_words <= 100000)
+                   AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+                   AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
+                   AND n_stop >= 2 AND bullet_frac <= 0.9
+                   AND ellipsis_frac <= 0.3 AS pass
+          FROM r)
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_kept,
+               CAST(SUM(CASE WHEN pass THEN doc_id ELSE 0 END) AS BIGINT)
+                 AS kept_id_sum
+        FROM p GROUP BY source ORDER BY source"""))
+
   /** Language distribution over the ground-truth lang column. */
   val langDist = Q(
     "text_lang_dist",
@@ -3842,6 +3936,65 @@ object LlmQueries {
             SELECT vec_id, adc_dist FROM adc
             ORDER BY adc_dist, vec_id LIMIT 10"""))
 
+  /** IVF-PQ composed search ([[Quantize.ivfPqTopK]]): Lloyd-trained
+    * coarse quantizer → probe the 2 best lists → ADC over PQ codes
+    * on the probed rows only — the FAISS-style IVFADC serving shape.
+    * FULL row-level oracle: DuckDB re-trains both Lloyd rounds,
+    * re-ranks the probes, re-derives the codebook, every code, the
+    * query distance table, and every summed ADC distance — training,
+    * pruning and compressed-domain scoring all checked end to end. */
+  val ivfPqTopKQ = Q(
+    "ann_ivfpq_topk",
+    (s, d) => {
+      val embs = Tables.embeddings(s, d)
+      val qv = embs.filter(col("vec_id") === 7)
+        .select(col("embedding")).collect().headOption
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+        .getOrElse(Array.fill(64)(0.0))
+      Quantize.ivfPqTopK(embs, qv, topK = 10, nlist = 4, iters = 2,
+        nprobe = 2, m = 8, k = 16, excludeId = 7L)
+    },
+    Some(s"""${kmeansAssignCtes(k = 4, iters = 2)},
+            qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings
+                   WHERE vec_id = 7),
+            probe AS (SELECT cid FROM (
+                        SELECT c.cid,
+                               round(list_cosine_similarity(c.c, q.v), 6)
+                                 AS qc
+                        FROM c2 c CROSS JOIN qv q)
+                      ORDER BY qc DESC, cid LIMIT 2),
+            cb AS (
+              SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS ci,
+                     v AS c_vec
+              FROM emb ORDER BY vec_id LIMIT 16),
+            pr AS (
+              SELECT af.vec_id, af.v FROM af JOIN probe USING (cid)
+              WHERE af.vec_id <> 7),
+            scored AS (
+              SELECT pr.vec_id, sp.s AS s, cb.ci,
+                     ROUND(list_sum([
+                       (pr.v[sp.s * 8 + i] - cb.c_vec[sp.s * 8 + i]) ^ 2
+                       for i in range(1, 9)]), 6) AS dist
+              FROM pr, UNNEST(range(0, 8)) AS sp(s), cb),
+            best AS (
+              SELECT vec_id, s, ci,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                       ORDER BY dist, ci) AS rk
+              FROM scored),
+            dt AS (
+              SELECT sp.s AS s, cb.ci,
+                     ROUND(list_sum([
+                       (q.v[sp.s * 8 + i] - cb.c_vec[sp.s * 8 + i]) ^ 2
+                       for i in range(1, 9)]), 6) AS d
+              FROM qv q, UNNEST(range(0, 8)) AS sp(s), cb),
+            adc AS (
+              SELECT b.vec_id, ROUND(SUM(dt.d), 4) AS adc_dist
+              FROM (SELECT * FROM best WHERE rk = 1) b
+              JOIN dt ON dt.s = b.s AND dt.ci = b.ci
+              GROUP BY b.vec_id)
+            SELECT vec_id, adc_dist FROM adc
+            ORDER BY adc_dist, vec_id LIMIT 10"""))
+
   /** SemDeDup-style semantic dedup marks over the fixed-centroid
     * clusters: per vector, keep = no same-cluster vector above the
     * cosine threshold with higher (cos_to_centroid, -id) priority.
@@ -3936,13 +4089,14 @@ object LlmQueries {
     annKnnJoin, kmeansAssignQ,
     nearDupCosine,
     embCentroids, embNormProfile, kmeansQ, kmeansBalancedQ, quantizeInt8,
-    annQuantized, pqCodesQ, pqTopKQ, jlProjectQ, annJlQ,
+    annQuantized, pqCodesQ, pqTopKQ, ivfPqTopKQ, jlProjectQ, annJlQ,
     splitCounts, stratSample, capPerSourceQ, leakageSplit, budgetSample,
     temperatureMix, dsirWeights, dsirSelect,
     epochOrder,
     pipelinePrepShards, packShards, packPaddingWaste, packShardDigests,
     chunkDocs, ragRetrieve, coverageAudit, oovBySource, qualityGrid,
-    textTokens, textQuality, langDist, textAnalyze, textRepetition,
+    textTokens, textQuality, gopherRulesQ, gopherFilterQ, langDist,
+    textAnalyze, textRepetition,
     boilerplate, stripMarkupQ, topNgramsQ,
     nbClassifierQ, zipfAuditQ, fertilityQ, corpusCardQ,
     unigramScore, bigramScore, bm25TopK, bpePairs, bpeEncode, corpusDrift,

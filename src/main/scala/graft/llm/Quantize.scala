@@ -254,4 +254,96 @@ object Quantize {
       col(idCol),
       when(size(col(vecCol)) === inDim, proj).as("jl_vec"))
   }
+
+  /** IVF-PQ (IVFADC) search — the composed billion-vector serving
+    * shape: a Lloyd-trained coarse quantizer prunes the corpus to the
+    * `nprobe` most query-similar inverted lists, and only those rows
+    * are scored, by asymmetric distance over their `m` PQ codes
+    * (query stays float; per-subspace distances come from the
+    * precomputed query↔codebook table). At 100 TB the serving set is
+    * codes + list ids — `m·log₂k` bits per vector, the coarse
+    * assignment precomputed once ([[Similarity.ivfAssign]]'s
+    * persisted-index shape) — so per-query cost is
+    * `nprobe/nlist` of the corpus × `m` table lookups, no float
+    * vectors touched. This operator keeps train + encode + search in
+    * one call so the whole path stays oracle-checkable end to end.
+    *
+    * Determinism contract (all engine-reproducible in SQL):
+    * training/probing as [[Similarity.ivfTrainedTopK]] (round-6
+    * cosine, lower list id ties), codes as [[pqCodes]] (round-6
+    * squared-L2 argmin, lower code ties, codebook = `k` lowest-id
+    * vectors of the FULL corpus), ADC as [[pqTopK]] (round-6 table
+    * entries, round-4 sum, `(dist ASC, id ASC)` order).
+    *
+    * Scale shape: centroids and the k-row codebook are plan
+    * literals / broadcasts; the corpus makes ONE scan (assign →
+    * probe filter → encode → ADC fused in a single whole-stage
+    * pipeline) and the only exchange is the bounded
+    * `TakeOrderedAndProject` for the final k. */
+  def ivfPqTopK(
+      embs: DataFrame,
+      queryVec: Array[Double],
+      topK: Int = 10,
+      nlist: Int = 4,
+      iters: Int = 2,
+      nprobe: Int = 2,
+      m: Int = 8,
+      k: Int = 16,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      excludeId: Long = -1L): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be ≥ 1: $nprobe")
+    require(queryVec.length % m == 0,
+      s"dim ${queryVec.length} must be divisible by m=$m")
+    val vecs = Similarity.doubleVecs(embs, idCol, vecCol)
+    val cents = Similarity.lloydCentroids(vecs, nlist, iters)
+    if (cents.isEmpty)
+      return embs.select(col(idCol),
+        lit(null).cast("double").as("adc_dist")).limit(0)
+    val q = typedLit(queryVec.toSeq)
+    val sub = queryVec.length / m
+    // probe ranking runs in-plan on the nlist-row centroid frame so
+    // the round-6 cosine is the ENGINE's arithmetic, not the driver's
+    val centDf = embs.sparkSession.range(1)
+      .select(explode(array(cents.map { case (cid, c) =>
+        struct(lit(cid).as("list_id"), typedlit(c).as("c_vec"))
+      }: _*)).as("c"))
+      .select(col("c.list_id").as("list_id"), col("c.c_vec").as("c_vec"))
+    val probeLists = centDf
+      .select(col("list_id"),
+        round(Similarity.cosine(col("c_vec"), q), 6).as("qc"))
+      .orderBy(col("qc").desc, col("list_id"))
+      .limit(nprobe)
+      .select("list_id")
+    val cb = codebook(embs, k, idCol, vecCol)
+    // dtab[s][c] = round₆‖q_sub(s) − cb[c]_sub(s)‖², m×k doubles from
+    // the broadcast codebook row (built once per task)
+    val dtab = transform(sequence(lit(0), lit(m - 1)), s => {
+      val lo = s * sub + 1
+      transform(col("cb"), c =>
+        round(sqDist(slice(q, lo, lit(sub)),
+          slice(c.getField("c_vec"), lo, lit(sub))), 6))
+    })
+    Similarity.assignToCentroids(vecs, cents)
+      .filter(col("vid") =!= lit(excludeId))
+      .join(broadcast(probeLists), col("cid") === col("list_id"))
+      .crossJoin(broadcast(cb))
+      .select(col("vid").as(idCol),
+        round(aggregate(
+          transform(sequence(lit(0), lit(m - 1)), s => {
+            val lo = s * sub + 1
+            // per-subspace code: argmin round-6 sqDist, lower index
+            // ties — pqCodes' exact assignment, fused inline so the
+            // probed rows encode and score in the same scan
+            val code = array_min(transform(col("cb"), (c, ci) =>
+              struct(
+                round(sqDist(slice(col("v"), lo, lit(sub)),
+                  slice(c.getField("c_vec"), lo, lit(sub))), 6).as("dist"),
+                ci.as("code")))).getField("code")
+            element_at(element_at(dtab, (s + 1).cast("int")), code + 1)
+          }),
+          lit(0.0), (acc, e) => acc + e), 4).as("adc_dist"))
+      .orderBy(col("adc_dist"), col(idCol))
+      .limit(topK)
+  }
 }

@@ -447,7 +447,7 @@ object Similarity {
       col("vid").as(idCol), col("cid").as("cluster_id"), col("cos"))
   }
 
-  private def doubleVecs(
+  private[llm] def doubleVecs(
       embeddings: DataFrame, idCol: String, vecCol: String): DataFrame = {
     GraftFunctions.register(embeddings.sparkSession)
     embeddings.select(
@@ -458,7 +458,7 @@ object Similarity {
     * `(vid, v, cid, cos)` with the round-6 argmax/lower-cid-tie
     * contract. The centroid set enters as a plan literal — k·dim
     * doubles, k-means state is small by definition. */
-  private def assignToCentroids(
+  private[llm] def assignToCentroids(
       vecs: DataFrame, cents: Array[(Long, Seq[Double])]): DataFrame = {
     val centsCol = array(cents.map { case (cid, c) =>
       struct(lit(cid).as("c_id"), typedlit(c).as("c_vec"))
@@ -479,7 +479,7 @@ object Similarity {
     * returns the trained centroids (empty array on an empty corpus).
     * See [[kmeansLloyd]] for the determinism contract and scale
     * shape. */
-  private def lloydCentroids(
+  private[llm] def lloydCentroids(
       vecs: DataFrame, k: Int, iters: Int): Array[(Long, Seq[Double])] = {
     require(k >= 1, s"cluster count must be ≥ 1: $k")
     require(iters >= 0, s"iteration count must be ≥ 0: $iters")

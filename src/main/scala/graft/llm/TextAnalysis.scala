@@ -421,6 +421,107 @@ object TextAnalysis {
           .as("avg_tokens_per_doc"))
   }
 
+  /** The Gopher stopword set (Rae et al. 2021 §A1.1: a document must
+    * contain ≥ 2 of these to pass the "contains stop words" rule). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style quality-rule flags (Rae et al. 2021 §A1.1 — the
+    * canonical published pre-training filter set), one row per doc
+    * with every metric, every per-rule boolean, and the composite
+    * `pass`. Rules:
+    *   r_words    — word count in [minWords, maxWords]
+    *   r_wordlen  — mean word length in [3, 10]
+    *   r_symbol   — (# + …)-to-word ratio ≤ 0.1
+    *   r_alpha    — ≥ 80% of words contain an alphabetic char
+    *   r_stop     — ≥ 2 DISTINCT Gopher stopwords present
+    *   r_bullet   — ≤ 90% of lines start with a bullet ("• "/"- ")
+    *   r_ellipsis — ≤ 30% of lines end with "..."
+    *
+    * Every metric is deterministic integer/ratio algebra (round-4
+    * ratios), so the whole rule surface is oracle-recomputable.
+    * Scale shape: pure per-row column algebra — HOFs over the token
+    * split, zero UDFs, zero shuffles; fuses into the preceding scan,
+    * and as a filter it pushes to wherever the corpus is scanned. */
+  def gopherFlags(
+      docs: DataFrame,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id") +: gopherMetricCols(textCol): _*)
+      .withColumn("r_words",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("r_wordlen",
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+      .withColumn("r_symbol", col("symbol_ratio") <= 0.1)
+      .withColumn("r_alpha", col("alpha_frac") >= 0.8)
+      .withColumn("r_stop", col("n_stop") >= 2)
+      .withColumn("r_bullet", col("bullet_frac") <= 0.9)
+      .withColumn("r_ellipsis", col("ellipsis_frac") <= 0.3)
+      .withColumn("pass",
+        col("r_words") && col("r_wordlen") && col("r_symbol") &&
+          col("r_alpha") && col("r_stop") && col("r_bullet") &&
+          col("r_ellipsis"))
+
+  /** The seven Gopher metric columns, shared by [[gopherFlags]] and
+    * [[gopherFilter]] so the act step re-derives NOTHING through a
+    * self-join — the rules evaluate inline in the corpus scan. */
+  private def gopherMetricCols(textCol: String): Seq[Column] = {
+    val t = coalesce(col(textCol), lit(""))
+    val toks = tokens(t)
+    val nWords = size(toks).cast("long")
+    val nw = greatest(nWords.cast("double"), lit(1.0))
+    val sumLen = aggregate(toks, lit(0L), (acc, w) => acc + length(w))
+    val hashes = length(t) - length(regexp_replace(t, "#", ""))
+    val ellipses =
+      (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3
+    val alphaWords = size(filter(toks, w => w.rlike("[A-Za-z]")))
+    val stopArr = array(GopherStopwords.map(lit): _*)
+    val nStop = size(filter(stopArr, s => array_contains(toks, s)))
+      .cast("long")
+    val lines = split(t, "\n")
+    val nLines = greatest(size(lines).cast("double"), lit(1.0))
+    val bulletFrac = round(size(filter(lines, l =>
+      l.startsWith("• ") || l.startsWith("- "))).cast("double") / nLines, 4)
+    val ellipsisFrac = round(size(filter(lines, l =>
+      l.endsWith("..."))).cast("double") / nLines, 4)
+    Seq(
+      nWords.as("n_words"),
+      round(sumLen.cast("double") / nw, 4).as("mean_word_len"),
+      round((hashes + ellipses).cast("double") / nw, 4).as("symbol_ratio"),
+      round(alphaWords.cast("double") / nw, 4).as("alpha_frac"),
+      nStop.as("n_stop"),
+      bulletFrac.as("bullet_frac"),
+      ellipsisFrac.as("ellipsis_frac"))
+  }
+
+  /** The [[gopherFlags]] act step: per-source survival accounting
+    * `(source, n_docs, n_kept, kept_id_sum)` — the id sum pins the
+    * kept MEMBERSHIP, not just counts. The rules evaluate INLINE in
+    * the corpus scan (no self-join) and the only exchange is the
+    * bounded per-source map-side-combined aggregate; the corpus text
+    * never shuffles. */
+  def gopherFilter(
+      docs: DataFrame,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      textCol: String = "text"): DataFrame =
+    docs.select(Seq(col("source"), col("doc_id")) ++
+        gopherMetricCols(textCol): _*)
+      .withColumn("pass",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("symbol_ratio") <= 0.1 && col("alpha_frac") >= 0.8 &&
+          col("n_stop") >= 2 && col("bullet_frac") <= 0.9 &&
+          col("ellipsis_frac") <= 0.3)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("pass"), col("doc_id")).otherwise(0L))
+          .as("kept_id_sum"))
+      .orderBy("source")
+
   /** Full per-document text-analysis projection. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -424,10 +424,12 @@ object StreamQueries {
     * model frozen at setup as a map literal, micro-batches scored and
     * filtered row-locally — StreamingSpec pins stream ≡ batch).
     * Raw/target references are the corpus itself / its English slice;
-    * the threshold sits at the sf0.01 fixture's median score so the
-    * filter visibly splits that corpus (scores scale-shift with
-    * corpus size — at sf0.1 everything clears it, which the oracle
-    * reproduces); membership pinned per-lang by count + id-sum. */
+    * the threshold sits inside the OVERLAP of the sf0.001 and sf0.01
+    * score ranges (scores scale-shift with corpus size), so the
+    * filter visibly splits BOTH small fixtures — 5/500 kept at
+    * sf0.001, 497/500 at sf0.01 — and never degenerates to zero rows;
+    * at sf0.1 everything clears it, which the oracle reproduces.
+    * Membership pinned per-lang by count + id-sum. */
   val st12 = Q(
     "st_dsir_filter",
     (s, d) => {
@@ -435,7 +437,7 @@ object StreamQueries {
       graft.llm.Importance.frozenScorer(
           raw = docs,
           target = docs.filter(col("lang") === "en"),
-          minAvgLogRatio = -0.1585)(docs)
+          minAvgLogRatio = -0.18)(docs)
         .groupBy("lang")
         .agg(
           count(lit(1)).as("n_kept"),
@@ -473,7 +475,7 @@ object StreamQueries {
                           CAST(tot.n_r + 4096 AS DOUBLE))), 4) AS w
               FROM f LEFT JOIN tc USING (feat) JOIN rc USING (feat), tot
               GROUP BY f.doc_id),
-            kept AS (SELECT doc_id FROM scores WHERE w >= -0.1585)
+            kept AS (SELECT doc_id FROM scores WHERE w >= -0.18)
             SELECT d.lang, COUNT(*) AS n_kept,
                    CAST(SUM(d.doc_id) AS BIGINT) AS id_sum
             FROM documents d JOIN kept USING (doc_id)

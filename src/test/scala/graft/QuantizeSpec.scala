@@ -119,6 +119,40 @@ class QuantizeSpec extends AnyFunSuite {
       "ADC distances must be ascending")
   }
 
+  test("IVF-PQ with nprobe = nlist degrades to exact PQ ADC search") {
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val qVec = embs.filter($"vec_id" === 42L)
+      .select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].head()._2.map(_.toDouble).toArray
+    // probing every list removes the IVF pruning entirely, so the
+    // result must be pqTopK's ranking minus the excluded query row
+    val full = Quantize.pqTopK(embs, qVec, topK = 11)
+      .as[(Long, Double)].collect().toSeq
+      .filter(_._1 != 42L).take(10)
+    val ivf = Quantize.ivfPqTopK(embs, qVec, topK = 10, nlist = 4,
+      iters = 2, nprobe = 4, excludeId = 42L)
+      .as[(Long, Double)].collect().toSeq
+    assert(ivf == full, s"ivf=$ivf\nfull=$full")
+  }
+
+  test("IVF-PQ finds a planted duplicate through the probe pruning") {
+    val base = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val qRow = base.filter($"vec_id" === 42L)
+      .as[(Long, Seq[Float])].head()
+    val planted = base.unionByName(
+      Seq((999999L, qRow._2.toArray)).toDF("vec_id", "embedding"))
+    val qVec = qRow._2.map(_.toDouble).toArray
+    // the duplicate assigns to the query's own nearest list, which is
+    // always probe rank 1 — so nprobe=2 of 4 lists must still find it
+    val top = Quantize.ivfPqTopK(planted, qVec, topK = 5, nlist = 4,
+      iters = 2, nprobe = 2, excludeId = 42L)
+      .as[(Long, Double)].collect().toSeq
+    assert(top.map(_._1).contains(999999L), s"got $top")
+    assert(top.map(_._2).sorted == top.map(_._2),
+      "ADC distances must be ascending")
+  }
+
   test("quantization plan is shuffle-free") {
     val embs = Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
     val plan = Quantize.int8Profile(embs)

@@ -263,4 +263,49 @@ class TextAnalysisSpec extends AnyFunSuite {
       ("en", 2L, 17L, 5L, 3.4),
       ("zh", 1L, 10L, 1L, 10.0)), got.toString)
   }
+
+  test("gopherFlags: hand-computed rule surface, one failing rule each") {
+    val docs = Seq(
+      (1L, "the cat sat with the dog"),  // all rules pass
+      (2L, "tiny doc"),                  // r_words + r_stop fail
+      (3L, "the data #x# #y# with tags"),// r_symbol fails (4/6 > 0.1)
+      (4L, "a b c d e"),                 // r_wordlen (mean 1) + r_stop
+      (5L, "• x\n• y\n• z"),             // r_bullet (3/3 > 0.9)
+      (6L, "the story ends with this...")// r_ellipsis untripped: 1 line
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherFlags(docs, minWords = 3)
+      .orderBy("doc_id").collect()
+    def flags(i: Int, name: String): Boolean =
+      got(i).getAs[Boolean](name)
+    // doc 1: 6 words, mean (3+3+3+4+3+3)/6 = 3.1667, stops {the, with}
+    assert(got(0).getAs[Long]("n_words") == 6L)
+    assert(got(0).getAs[Double]("mean_word_len") == 3.1667)
+    assert(got(0).getAs[Long]("n_stop") == 2L)
+    assert(flags(0, "pass"))
+    // doc 2: 2 words < 3
+    assert(!flags(1, "r_words") && !flags(1, "r_stop") && !flags(1, "pass"))
+    // doc 3: 4 '#' over 6 words = 0.6667
+    assert(got(2).getAs[Double]("symbol_ratio") == 0.6667)
+    assert(!flags(2, "r_symbol") && flags(2, "r_stop") && !flags(2, "pass"))
+    // doc 4: mean word length 1
+    assert(!flags(3, "r_wordlen") && !flags(3, "pass"))
+    // doc 5: every line bullet-led
+    assert(got(4).getAs[Double]("bullet_frac") == 1.0)
+    assert(!flags(4, "r_bullet") && !flags(4, "pass"))
+    // doc 6: single line ends '...' → frac 1.0 > 0.3 → fails; and the
+    // '...' also counts as a symbol: 1 over 5 words = 0.2 > 0.1
+    assert(got(5).getAs[Double]("symbol_ratio") == 0.2)
+    assert(!flags(5, "r_ellipsis") && !flags(5, "pass"))
+  }
+
+  test("gopherFilter: per-source survival with id-sum membership") {
+    val docs = Seq(
+      (1L, "the cat sat with the dog", "s1"),
+      (2L, "tiny doc", "s1"),
+      (3L, "the dog ran with the cat", "s2")
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.gopherFilter(docs, minWords = 3)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("s1", 2L, 1L, 1L), ("s2", 1L, 1L, 3L)), got)
+  }
 }

@@ -2650,6 +2650,47 @@ object LlmQueries {
                    CAST(keep_id AS BIGINT) AS keep_id
             FROM rows ORDER BY media_id"""))
 
+  /** Perceptual (dHash) image near-dup over planted PNG variants
+    * ([[Multimodal.perceptualDedupGroups]]): GRAYSCALE re-renders —
+    * different pixels AND bytes — MUST group with their originals at
+    * the perceptual level, which neither a byte digest nor the exact
+    * pixel digest can see; metadata-wrapped pixel-identical copies
+    * group at pixel+perceptual. Three nested identity levels
+    * (byte ⊆ pixel ⊆ dHash) re-derived by the oracle from the
+    * planting arithmetic alone, so a "perceptual" hash that secretly
+    * hashes pixels or bytes fails the row. */
+  val mmPhashDedup = Q(
+    "mm_phash_dedup",
+    (s, d) => {
+      implicit val spark: org.apache.spark.sql.SparkSession = s
+      Multimodal.perceptualDedupGroups(
+          Multimodal.plantedPerceptualVariants(Tables.documents(s, d)))
+        .orderBy("media_id")
+    },
+    Some("""WITH ids AS (
+              SELECT doc_id AS id FROM documents
+              WHERE doc_id < 60 AND doc_id % 2 = 0),
+            rows AS (
+              SELECT id AS media_id,
+                     CASE WHEN id < 8 THEN 3 WHEN id < 20 THEN 2
+                          ELSE 1 END AS phash_group_size,
+                     CASE WHEN id < 8 THEN 2 ELSE 1 END AS pixel_group_size,
+                     1 AS byte_group_size,
+                     id AS keep_id
+              FROM ids
+              UNION ALL
+              SELECT id + 1000000,
+                     CASE WHEN id < 8 THEN 3 ELSE 2 END, 1, 1, id
+              FROM ids WHERE id < 20
+              UNION ALL
+              SELECT id + 2000000, 3, 2, 1, id FROM ids WHERE id < 8)
+            SELECT media_id,
+                   CAST(phash_group_size AS BIGINT) AS phash_group_size,
+                   CAST(pixel_group_size AS BIGINT) AS pixel_group_size,
+                   CAST(byte_group_size AS BIGINT) AS byte_group_size,
+                   CAST(keep_id AS BIGINT) AS keep_id
+            FROM rows ORDER BY media_id"""))
+
   /** PCM-level audio dedup over planted WAV variants
     * ([[Multimodal.audioDedupGroups]]) — the audio twin of
     * `mm_pixel_dedup`: LIST-metadata-wrapped copies (same PCM,
@@ -4105,7 +4146,7 @@ object LlmQueries {
     textRedact, contamination, contaminationBloom, decontaminate,
     decontaminateSpansQ, mmStats,
     mmDecodePlanted, mmResizePlanted, mmAudioFrames, mmPixelDedup,
-    mmAudioDedup, curate,
+    mmPhashDedup, mmAudioDedup, curate,
     qualityGate,
     pipelineCurateSplit)
 }

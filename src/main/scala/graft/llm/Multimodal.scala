@@ -412,6 +412,146 @@ object Multimodal {
       implicit spark: SparkSession): DataFrame =
     contentDedupGroups(media, "audio", pcmDigest)
 
+  /** 64-bit difference hash (dHash) of the decoded raster — the
+    * PERCEPTUAL image identity: a 9×8 grid of block-averaged integer
+    * luma, one bit per horizontal luma gradient
+    * (`bit(y·8+x) = cell(x+1,y) > cell(x,y)`). All arithmetic is
+    * integer (luma `(77r+150g+29b)>>8`, block sums, floor division),
+    * so the hash is engine-reproducible and EXACTLY invariant under
+    * uniform luma-preserving recolorings — in particular grayscale
+    * conversion, since a gray pixel `(v,v,v)` has luma
+    * `(77+150+29)v>>8 = v`. None if the payload doesn't decode or is
+    * smaller than the 9×8 grid. */
+  def dhash64(bytes: Array[Byte]): Option[Long] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth < 9 || img.getHeight < 8) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val sums = Array.ofDim[Long](8, 9)
+        val cnts = Array.ofDim[Long](8, 9)
+        var y = 0
+        while (y < h) {
+          val gy = y * 8 / h
+          var x = 0
+          while (x < w) {
+            val gx = x * 9 / w
+            val p = img.getRGB(x, y)
+            val lum = (77 * ((p >> 16) & 255) + 150 * ((p >> 8) & 255) +
+              29 * (p & 255)) >> 8
+            sums(gy)(gx) += lum
+            cnts(gy)(gx) += 1
+            x += 1
+          }
+          y += 1
+        }
+        var bits = 0L
+        var gy = 0
+        while (gy < 8) {
+          var gx = 0
+          while (gx < 8) {
+            if (sums(gy)(gx + 1) / cnts(gy)(gx + 1) >
+              sums(gy)(gx) / cnts(gy)(gx))
+              bits |= 1L << (gy * 8 + gx)
+            gx += 1
+          }
+          gy += 1
+        }
+        Some(bits)
+      }
+    } catch { case _: Throwable => None }
+
+  /** Grayscale re-render of a PNG: every pixel replaced by
+    * `(v,v,v)` with `v` its integer luma — DIFFERENT pixels and
+    * bytes, IDENTICAL [[dhash64]] (see the invariance note there).
+    * The colorspace-converted duplicate class pixel-exact dedup
+    * cannot see. */
+  def withGrayscale(png: Array[Byte]): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(png))
+    val out = new java.awt.image.BufferedImage(
+      img.getWidth, img.getHeight,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val p = img.getRGB(x, y)
+        val v = (77 * ((p >> 16) & 255) + 150 * ((p >> 8) & 255) +
+          29 * (p & 255)) >> 8
+        out.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Perceptual image dedup audit — THREE nested identity levels per
+    * image: byte ⊆ pixel ⊆ perceptual ([[dhash64]]). A recolored or
+    * grayscale re-encode groups ONLY at the perceptual level; a
+    * metadata-wrapped re-container groups at pixel+perceptual; a
+    * byte-exact copy at all three. Keeper = lowest media_id of the
+    * PERCEPTUAL group. Same scale shape as [[pixelDedupGroups]]:
+    * Iterator→Iterator decode, the windows shuffle 32 B digests /
+    * 8 B hashes, never payloads; undecodable payloads fall back to
+    * byte identity at both content levels. */
+  def perceptualDedupGroups(media: Dataset[MediaRow])(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val digests = media
+      .filter(_.modality == "image")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bd = sha256Hex(r.payload)
+          (r.media_id, bd,
+            pixelDigest(r.payload).getOrElse("raw:" + bd),
+            dhash64(r.payload).map(b => f"ph:$b%016x")
+              .getOrElse("raw:" + bd))
+        }
+      }
+      .toDF("media_id", "byte_digest", "pixel_digest", "phash_digest")
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy("phash_digest")
+    val wx = org.apache.spark.sql.expressions.Window
+      .partitionBy("pixel_digest")
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy("byte_digest")
+    digests
+      .withColumn("phash_group_size", count(lit(1)).over(wp))
+      .withColumn("pixel_group_size", count(lit(1)).over(wx))
+      .withColumn("byte_group_size", count(lit(1)).over(wb))
+      .withColumn("keep_id", min(col("media_id")).over(wp))
+      .select("media_id", "phash_group_size", "pixel_group_size",
+        "byte_group_size", "keep_id")
+  }
+
+  /** Planted variant corpus for the perceptual-dedup oracle: the
+    * planted PNGs, plus GRAYSCALE re-renders (same dHash, different
+    * pixels and bytes — [[withGrayscale]]) of the images with base
+    * id < 20, plus metadata-wrapped pixel-identical copies
+    * ([[withTextChunk]]) of those with base id < 8; shifted ids
+    * encode provenance so the oracle re-derives every group size
+    * from the planting arithmetic alone. */
+  def plantedPerceptualVariants(docs: DataFrame, n: Int = 60)(
+      implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    val base = plantedMedia(docs, n).filter(_.modality == "image")
+    val gray = base.filter(_.media_id < 20)
+      .map(r => r.copy(
+        media_id = r.media_id + 1000000L,
+        payload = withGrayscale(r.payload)))
+    val wrapped = base.filter(_.media_id < 8)
+      .map(r => r.copy(
+        media_id = r.media_id + 2000000L,
+        payload = withTextChunk(r.payload, "comment", "variant")))
+    base.union(gray).union(wrapped)
+  }
+
   /** Shared content-vs-byte dedup audit: per row of `modality`, the
     * content-identity group size (via `contentId` — the real decode),
     * the byte-identity group size, and the content group's keeper

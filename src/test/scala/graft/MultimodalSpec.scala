@@ -157,6 +157,18 @@ class MultimodalSpec extends AnyFunSuite {
     bos.toByteArray
   }
 
+  /** [[realPng]] with the horizontal gradient reversed — a genuinely
+    * different luma-gradient signature at any size. */
+  private def reversedPng(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h)
+      img.setRGB(x, y, ((255 - x * 255 / w) << 16) | ((y * 255 / h) << 8))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** A real 16-bit mono PCM WAV of a sine at `freq` Hz. */
   private def realWav(rate: Int, ms: Int, freq: Double): Array[Byte] = {
     val n = rate * ms / 1000
@@ -307,5 +319,70 @@ class MultimodalSpec extends AnyFunSuite {
       s"the wrapped copy joins the pixel group but not the byte group: $got")
     assert(byId(3L) == ((3L, 3L, 2L, 1L)), got.toString)
     assert(byId(4L) == ((4L, 1L, 1L, 4L)), got.toString)
+  }
+
+  test("dhash64: hand-computed gradient bits on a step image") {
+    // 9x8, columns 0-3 black, 4-8 white: exactly one rising gradient
+    // per row, at gx=3 → bits {y*8+3 | y<8}, every other bit clear
+    val img = new java.awt.image.BufferedImage(
+      9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 9; y <- 0 until 8)
+      img.setRGB(x, y, if (x < 4) 0x000000 else 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val got = Multimodal.dhash64(bos.toByteArray).get
+    val want = (0 until 8).map(y => 1L << (y * 8 + 3)).reduce(_ | _)
+    assert(got == want, f"got $got%016x want $want%016x")
+  }
+
+  test("withGrayscale preserves dhash64, changes pixels and bytes") {
+    val png = realPng(16, 12)
+    val gray = Multimodal.withGrayscale(png)
+    assert(!java.util.Arrays.equals(png, gray))
+    assert(Multimodal.pixelDigest(png) != Multimodal.pixelDigest(gray),
+      "grayscale re-render must have different pixels")
+    assert(Multimodal.dhash64(png) == Multimodal.dhash64(gray),
+      "dHash is exactly invariant under the integer-luma grayscale")
+    assert(Multimodal.dhash64(png).isDefined)
+  }
+
+  test("dhash64 discriminates: 30 distinct planted images, 30 hashes") {
+    import spark.implicits._
+    val docs = spark.range(60).toDF("doc_id")
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val hashes = Multimodal.plantedMedia(docs)
+      .filter(_.modality == "image")
+      .collect()
+      .map(r => Multimodal.dhash64(r.payload).get)
+    assert(hashes.length == 30)
+    assert(hashes.distinct.length == 30,
+      "planted base images must not collide perceptually")
+  }
+
+  test("perceptualDedupGroups: three nested identity levels") {
+    import spark.implicits._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val a = realPng(16, 12)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", a, 1L),
+      Multimodal.MediaRow(2L, "image", Multimodal.withGrayscale(a), 2L),
+      Multimodal.MediaRow(3L, "image",
+        Multimodal.withTextChunk(a, "k", "v"), 3L),
+      Multimodal.MediaRow(4L, "image", a.clone(), 4L),
+      // NOT realPng(20,15): dHash is scale-invariant by design, so a
+      // rescaled copy of the same gradient would (correctly) join the
+      // perceptual group — use a reversed gradient instead
+      Multimodal.MediaRow(5L, "image", reversedPng(16, 12), 5L))
+    val got = Multimodal.perceptualDedupGroups(rows.toDS())
+      .orderBy("media_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      .map(r => r._1 -> r).toMap
+    // 1,3,4 share pixels; 1,4 share bytes; 1,2,3,4 share the dHash
+    assert(got(1L) == ((1L, 4L, 3L, 2L, 1L)), got.toString)
+    assert(got(2L) == ((2L, 4L, 1L, 1L, 1L)),
+      s"gray re-render groups only perceptually: $got")
+    assert(got(3L) == ((3L, 4L, 3L, 1L, 1L)), got.toString)
+    assert(got(4L) == ((4L, 4L, 3L, 2L, 1L)), got.toString)
+    assert(got(5L) == ((5L, 1L, 1L, 1L, 5L)), got.toString)
   }
 }

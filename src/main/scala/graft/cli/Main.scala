@@ -66,6 +66,10 @@ object Main {
         |  nb-filter IN TRAIN OUT --label-col C [--vocab V]
         |         keep docs a Naive Bayes classifier (trained on TRAIN's
         |         boolean label) predicts positive
+        |  gopher-filter IN OUT [--min-words N] [--max-words N]
+        |         keep docs passing the Gopher quality rule set
+        |  phash-dedup IN OUT [--keep]
+        |         perceptual (dHash) image dedup audit / keepers
         |  dsir-select IN TARGET OUT --n N [--buckets B]
         |         keep the N docs most distribution-similar to TARGET
         |  semantic-decon IN EVAL OUT [--min-cosine C]
@@ -356,6 +360,48 @@ object Main {
         val (nIn, nKept) = (docs.count(), spark.read.parquet(out).count())
         System.err.println(
           s"[containment-dedup] kept $nKept of $nIn (dropped ${nIn - nKept})")
+
+      case "gopher-filter" =>
+        // gopher-filter IN OUT [--min-words N] [--max-words N]:
+        // keep only documents passing the published Gopher quality
+        // rule set (word count, mean word length, symbol ratio, alpha
+        // fraction, stopwords, bullet/ellipsis lines).
+        val (in, out) = (args(1), args(2))
+        graft.sources.Preflight.check(spark, in, out)
+        val minW = arg(args, "--min-words").map(_.toInt).getOrElse(50)
+        val maxW = arg(args, "--max-words").map(_.toInt).getOrElse(100000)
+        val codec = arg(args, "--compression").getOrElse("snappy")
+        val docs = spark.read.parquet(in)
+        val kept = graft.llm.TextAnalysis.gopherKeep(
+          docs, minWords = minW, maxWords = maxW)
+        ParquetSink.write(kept, out, codec, partitionCols = Seq.empty)
+        val (nIn, nKept) = (docs.count(), spark.read.parquet(out).count())
+        System.err.println(
+          s"[gopher-filter] kept $nKept of $nIn (words in [$minW, $maxW])")
+
+      case "phash-dedup" =>
+        // phash-dedup IN OUT [--keep]: perceptual (dHash) image dedup
+        // audit over a media parquet (media_id, modality, payload) —
+        // writes the byte/pixel/perceptual group sizes per image, or
+        // with --keep only one image per perceptual group.
+        val (in, out) = (args(1), args(2))
+        graft.sources.Preflight.check(spark, in, out)
+        val codec = arg(args, "--compression").getOrElse("snappy")
+        implicit val s: org.apache.spark.sql.SparkSession = spark
+        import spark.implicits._
+        val media = spark.read.parquet(in)
+          .as[graft.llm.Multimodal.MediaRow]
+        val groups = graft.llm.Multimodal.perceptualDedupGroups(media)
+        val result =
+          if (args.contains("--keep"))
+            groups.filter(org.apache.spark.sql.functions
+              .col("media_id") === org.apache.spark.sql.functions
+              .col("keep_id"))
+          else groups
+        ParquetSink.write(result, out, codec, partitionCols = Seq.empty)
+        System.err.println(
+          s"[phash-dedup] wrote ${spark.read.parquet(out).count()} rows" +
+            (if (args.contains("--keep")) " (perceptual keepers)" else ""))
 
       case "nb-filter" =>
         // nb-filter IN TRAIN OUT --label-col C: train a Naive Bayes

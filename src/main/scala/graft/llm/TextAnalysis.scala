@@ -522,6 +522,31 @@ object TextAnalysis {
           .as("kept_id_sum"))
       .orderBy("source")
 
+  /** The kept-corpus arm of the Gopher act step: the input rows (all
+    * columns) that pass every rule — the CLI/materialization surface;
+    * [[gopherFilter]] is the accounting twin. A single narrow filter,
+    * so it pushes into the corpus scan. */
+  def gopherKeep(
+      docs: DataFrame,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      textCol: String = "text"): DataFrame = {
+    val m = gopherMetricCols(textCol)
+    // evaluate the metrics as a struct so the filter stays one
+    // expression over the original row (no join, no extra columns)
+    val s = struct(m: _*)
+    docs.filter(
+      s.getField("n_words") >= minWords &&
+        s.getField("n_words") <= maxWords &&
+        s.getField("mean_word_len") >= 3.0 &&
+        s.getField("mean_word_len") <= 10.0 &&
+        s.getField("symbol_ratio") <= 0.1 &&
+        s.getField("alpha_frac") >= 0.8 &&
+        s.getField("n_stop") >= 2 &&
+        s.getField("bullet_frac") <= 0.9 &&
+        s.getField("ellipsis_frac") <= 0.3)
+  }
+
   /** Full per-document text-analysis projection. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -257,6 +257,41 @@ class CliSpec extends AnyFunSuite {
     assert(jl.length == 2 && jl.forall(_._2.length == 2))
   }
 
+  test("gopher-filter and phash-dedup verbs run end-to-end") {
+    import spark.implicits._
+    // gopher-filter: the stopword-bearing doc passes, the fragment fails
+    val gIn = TestSpark.tmpDir("cli-gopher-in")
+    Seq(
+      (1L, "the cat sat with the dog near the barn", "s1"),
+      (2L, "tiny doc", "s1")
+    ).toDF("doc_id", "text", "source").write.mode("overwrite").parquet(gIn)
+    val gOut = TestSpark.tmpDir("cli-gopher-out") + "/kept"
+    graft.cli.Main.run(spark,
+      Array("gopher-filter", gIn, gOut, "--min-words", "3"))
+    assert(spark.read.parquet(gOut).select("doc_id").as[Long]
+      .collect().toSet == Set(1L))
+
+    // phash-dedup --keep: grayscale re-render collapses onto its
+    // original; the distinct image survives
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val base = graft.llm.Multimodal
+      .plantedMedia(spark.range(60).toDF("doc_id"))
+      .filter(_.modality == "image")
+      .filter(_.media_id < 4)   // one base image (id 0 or 2)
+      .collect()
+    val mIn = TestSpark.tmpDir("cli-phash-in")
+    (base.toSeq ++ base.map(r => r.copy(
+        media_id = r.media_id + 100L,
+        payload = graft.llm.Multimodal.withGrayscale(r.payload))))
+      .toDS().write.mode("overwrite").parquet(mIn)
+    val mOut = TestSpark.tmpDir("cli-phash-out") + "/keepers"
+    graft.cli.Main.run(spark, Array("phash-dedup", mIn, mOut, "--keep"))
+    val keepers = spark.read.parquet(mOut)
+      .select("media_id").as[Long].collect().toSet
+    assert(keepers == base.map(_.media_id).toSet,
+      s"originals keep, gray variants collapse: $keepers")
+  }
+
   test("sketch-build and sketch-query verbs run end-to-end") {
     import spark.implicits._
     val evDir = TestSpark.tmpDir("cli-sk-in")

@@ -304,4 +304,72 @@ object LanguageModel {
         count(lit(1)).as("n_bigrams"),
         avg(col("logp")).as("avg_logprob"))
   }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    * every document with the interpolated bigram LM
+    * ([[scoreBigram]]), split the corpus into head / middle / tail
+    * terciles of LM score (head = highest log-prob = lowest
+    * perplexity = cleanest), and return per-document
+    * `(idCol, si, bucket)` where `si` is the INTEGER score surrogate
+    * `round(avg_logprob·10⁴, 0)` — the round-to-0-places result is an
+    * exactly-integer-valued double in BOTH engines (unlike
+    * `round(x,4)·10⁴`, whose product can sit 1 ulp under the integer
+    * and truncate differently across engines), so every downstream
+    * comparison is integer-vs-threshold and bucket membership is
+    * deterministic and oracle-reproducible bit for bit.
+    *
+    * Determinism: tercile thresholds are the exact interpolated
+    * percentiles of the INTEGER surrogates (both engines interpolate
+    * the same rank formula over identical integers → identical
+    * doubles). Docs with < 2 tokens have no bigrams and are not
+    * scored — same contract as [[scoreBigram]].
+    *
+    * Scale shape: the LM scoring is [[scoreBigram]]'s broadcast plan;
+    * the thresholds are ONE extra bounded aggregate — and because the
+    * percentile runs on the 4-dp integer surrogate, its exact-
+    * percentile buffer is bounded by the number of DISTINCT rounded
+    * scores (a value-count map, not the corpus), so the exact path
+    * survives scale where raw-double `percentile` would not (compare
+    * the a18 caveat). Thresholds broadcast; the bucket label is a
+    * narrow per-row comparison. */
+  def pplBuckets(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      vocabSize: Int = 1000,
+      bigramVocabSize: Int = 2000,
+      lambda: Double = 0.7): DataFrame = {
+    val scored = scoreBigram(docs, idCol, textCol, vocabSize,
+      bigramVocabSize, lambda)
+      .select(col(idCol),
+        round(col("avg_logprob") * 10000, 0).cast("long").as("si"))
+    val thr = scored.agg(
+      expr("percentile(si, 1.0/3.0)").as("t1"),
+      expr("percentile(si, 2.0/3.0)").as("t2"))
+    scored.crossJoin(broadcast(thr))
+      .select(col(idCol), col("si"),
+        when(col("si") >= col("t2"), lit("head"))
+          .when(col("si") >= col("t1"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
+  /** The [[pplBuckets]] act step: keep only the documents in
+    * `keepBuckets` (CCNet keeps head+middle and discards the
+    * noisiest tail third). Returns the input rows (all columns) that
+    * survive — one broadcast-threshold comparison per row, the
+    * corpus never shuffles. */
+  def pplKeep(
+      docs: DataFrame,
+      keepBuckets: Seq[String] = Seq("head", "middle"),
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      vocabSize: Int = 1000,
+      bigramVocabSize: Int = 2000,
+      lambda: Double = 0.7): DataFrame = {
+    val marks = pplBuckets(docs, idCol, textCol, vocabSize,
+      bigramVocabSize, lambda)
+      .filter(col("bucket").isin(keepBuckets: _*))
+      .select(col(idCol))
+    docs.join(marks, Seq(idCol), "left_semi")
+  }
 }

@@ -1783,6 +1783,89 @@ object LlmQueries {
             CROSS JOIN tot
             GROUP BY bg.doc_id ORDER BY bg.doc_id"""))
 
+  /** The bigram-LM score CTEs shared by the perplexity-bucket rows:
+    * identical models to `text_bigram_logprob`, ending in
+    * `sc(doc_id, si)` — the integer score surrogate
+    * `round(avg_logprob·10⁴, 0)` (exactly integer-valued in both
+    * engines) — and `thr(t1, t2)`, the interpolated tercile
+    * thresholds over those integers. */
+  private val pplScoreCtes: String =
+    """WITH t AS (
+         SELECT doc_id, lang,
+                string_split_regex(trim(lower(coalesce(text, ''))),
+                  '\s+') AS toks
+         FROM documents),
+       tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+       counts AS (
+         SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+       tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM counts),
+       uni AS (
+         SELECT token, cnt FROM counts
+         ORDER BY cnt DESC, token LIMIT 1000),
+       idx AS (
+         SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+         FROM t WHERE len(toks) >= 2),
+       bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM idx),
+       bc AS (
+         SELECT w1, w2, COUNT(*) AS bcnt FROM bg GROUP BY w1, w2
+         ORDER BY bcnt DESC, w1, w2 LIMIT 2000),
+       sc AS (
+         SELECT bg.doc_id,
+                CAST(ROUND(AVG(ln(
+                  0.7 * coalesce(CAST(bc.bcnt AS DOUBLE)
+                                 / CAST(u1.cnt AS DOUBLE), 0.0)
+                  + (1.0 - 0.7) * (coalesce(CAST(u2.cnt AS DOUBLE), 0.5)
+                                   / tot.total))) * 10000, 0) AS BIGINT)
+                  AS si
+         FROM bg
+         LEFT JOIN bc ON bg.w1 = bc.w1 AND bg.w2 = bc.w2
+         LEFT JOIN uni u1 ON bg.w1 = u1.token
+         LEFT JOIN uni u2 ON bg.w2 = u2.token
+         CROSS JOIN tot
+         GROUP BY bg.doc_id),
+       thr AS (
+         SELECT quantile_cont(si, 1.0/3.0) AS t1,
+                quantile_cont(si, 2.0/3.0) AS t2
+         FROM sc)"""
+
+  /** CCNet-style perplexity terciles ([[LanguageModel.pplBuckets]]):
+    * every scoreable doc labeled head / middle / tail by its integer
+    * bigram-LM score surrogate vs the interpolated tercile
+    * thresholds. ROW-LEVEL oracle: DuckDB re-learns both LM models,
+    * re-derives every integer score, both thresholds, and every
+    * bucket decision. */
+  val pplBucketsQ = Q(
+    "text_ppl_buckets",
+    (s, d) =>
+      LanguageModel.pplBuckets(Tables.documents(s, d))
+        .orderBy("doc_id")
+        .limit(500),
+    Some(s"""$pplScoreCtes
+        SELECT doc_id, si,
+               CASE WHEN si >= t2 THEN 'head'
+                    WHEN si >= t1 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM sc, thr ORDER BY doc_id LIMIT 500"""))
+
+  /** The CCNet act step ([[LanguageModel.pplKeep]]): drop the
+    * noisiest (tail-tercile) third, keep head+middle — per-lang
+    * survival accounting with kept membership pinned by the id sum. */
+  val pplKeepQ = Q(
+    "text_ppl_keep",
+    (s, d) =>
+      LanguageModel.pplKeep(Tables.documents(s, d))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy("lang"),
+    Some(s"""$pplScoreCtes,
+        kept AS (SELECT doc_id FROM sc, thr WHERE si >= t1)
+        SELECT d.lang, COUNT(*) AS n_kept,
+               CAST(SUM(d.doc_id) AS BIGINT) AS id_sum
+        FROM documents d JOIN kept USING (doc_id)
+        GROUP BY d.lang ORDER BY d.lang"""))
+
   /** BPE merge-candidate table ([[LanguageModel.bpeMergePairs]]): the
     * first tokenizer-training iteration's frequency-weighted adjacent
     * char-pair counts. Fully integer + lexicographic tie-break, so
@@ -4140,7 +4223,8 @@ object LlmQueries {
     textAnalyze, textRepetition,
     boilerplate, stripMarkupQ, topNgramsQ,
     nbClassifierQ, zipfAuditQ, fertilityQ, corpusCardQ,
-    unigramScore, bigramScore, bm25TopK, bpePairs, bpeEncode, corpusDrift,
+    unigramScore, bigramScore, pplBucketsQ, pplKeepQ, bm25TopK, bpePairs,
+    bpeEncode, corpusDrift,
     driftBySource, distinctiveTermsQ, numericPsi, corpusDiffQ,
     pipelineDeconCap,
     textRedact, contamination, contaminationBloom, decontaminate,

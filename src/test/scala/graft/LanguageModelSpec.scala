@@ -155,4 +155,31 @@ class LanguageModelSpec extends AnyFunSuite {
       .select("doc_id", "avg_logprob").as[(Long, Double)].collect().toMap
     assert(scores(0L) > scores(99L))
   }
+
+  test("pplBuckets: tercile split is monotone in score, roughly even") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val got = LanguageModel.pplBuckets(docs)
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got.nonEmpty)
+    val byBucket = got.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    // monotone: every head score >= every middle score >= every tail
+    assert(byBucket("head").min >= byBucket("middle").max)
+    assert(byBucket("middle").min >= byBucket("tail").max)
+    // terciles: no bucket is off by more than the tie mass at the
+    // boundary (scores are near-unique in the fixture; allow slack)
+    val n = got.size
+    byBucket.values.foreach(b =>
+      assert(math.abs(b.size - n / 3) <= n / 6, byBucket.view.mapValues(_.size).toMap))
+  }
+
+  test("pplKeep drops exactly the tail bucket") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val buckets = LanguageModel.pplBuckets(docs)
+      .as[(Long, Long, String)].collect().toSeq
+    val wantKept = buckets.filter(b => b._3 != "tail").map(_._1).toSet
+    val kept = LanguageModel.pplKeep(docs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == wantKept)
+  }
 }

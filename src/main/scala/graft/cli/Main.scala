@@ -66,7 +66,7 @@ object Main {
         |  nb-filter IN TRAIN OUT --label-col C [--vocab V]
         |         keep docs a Naive Bayes classifier (trained on TRAIN's
         |         boolean label) predicts positive
-        |  gopher-filter IN OUT [--min-words N] [--max-words N]
+        |  gopher-filter IN OUT [--min-words N] [--max-words N] [--min-stop N]
         |         keep docs passing the Gopher quality rule set
         |  phash-dedup IN OUT [--keep]
         |         perceptual (dHash) image dedup audit / keepers
@@ -370,10 +370,11 @@ object Main {
         graft.sources.Preflight.check(spark, in, out)
         val minW = arg(args, "--min-words").map(_.toInt).getOrElse(50)
         val maxW = arg(args, "--max-words").map(_.toInt).getOrElse(100000)
+        val minStop = arg(args, "--min-stop").map(_.toInt).getOrElse(2)
         val codec = arg(args, "--compression").getOrElse("snappy")
         val docs = spark.read.parquet(in)
         val kept = graft.llm.TextAnalysis.gopherKeep(
-          docs, minWords = minW, maxWords = maxW)
+          docs, minWords = minW, maxWords = maxW, minStopwords = minStop)
         ParquetSink.write(kept, out, codec, partitionCols = Seq.empty)
         val (nIn, nKept) = (docs.count(), spark.read.parquet(out).count())
         System.err.println(

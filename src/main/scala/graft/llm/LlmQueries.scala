@@ -1304,12 +1304,16 @@ object LlmQueries {
     * the composite pass — the canonical published pre-training filter
     * set as one codegen scan. FULL row-level oracle: DuckDB re-derives
     * every metric, every rule boundary, and the conjunction. The
-    * 30-word floor sits inside the fixture's 10–99-word range so both
-    * outcomes of the discriminating rules are present. */
+    * 30-word floor sits inside the fixture's 10–99-word range and the
+    * stopword floor is 1 (the synthetic vocabulary carries only 'the'
+    * of the canonical eight — at the published floor of 2 the filter
+    * would degenerate to keep-nothing), so both outcomes of the
+    * discriminating rules are present: ~2/3 of docs survive. */
   val gopherRulesQ = Q(
     "text_gopher_rules",
     (s, d) =>
-      TextAnalysis.gopherFlags(Tables.documents(s, d), minWords = 30)
+      TextAnalysis.gopherFlags(Tables.documents(s, d), minWords = 30,
+          minStopwords = 1)
         .orderBy("doc_id")
         .limit(500),
     Some(s"""$gopherMetricCtes
@@ -1320,13 +1324,13 @@ object LlmQueries {
                  AS r_wordlen,
                symbol_ratio <= 0.1 AS r_symbol,
                alpha_frac >= 0.8 AS r_alpha,
-               n_stop >= 2 AS r_stop,
+               n_stop >= 1 AS r_stop,
                bullet_frac <= 0.9 AS r_bullet,
                ellipsis_frac <= 0.3 AS r_ellipsis,
                (n_words >= 30 AND n_words <= 100000)
                  AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
                  AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
-                 AND n_stop >= 2 AND bullet_frac <= 0.9
+                 AND n_stop >= 1 AND bullet_frac <= 0.9
                  AND ellipsis_frac <= 0.3 AS pass
         FROM r ORDER BY doc_id LIMIT 500"""))
 
@@ -1336,14 +1340,15 @@ object LlmQueries {
   val gopherFilterQ = Q(
     "text_gopher_filter",
     (s, d) =>
-      TextAnalysis.gopherFilter(Tables.documents(s, d), minWords = 30),
+      TextAnalysis.gopherFilter(Tables.documents(s, d), minWords = 30,
+        minStopwords = 1),
     Some(s"""$gopherMetricCtes,
         p AS (
           SELECT source, doc_id,
                  (n_words >= 30 AND n_words <= 100000)
                    AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
                    AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
-                   AND n_stop >= 2 AND bullet_frac <= 0.9
+                   AND n_stop >= 1 AND bullet_frac <= 0.9
                    AND ellipsis_frac <= 0.3 AS pass
           FROM r)
         SELECT source, COUNT(*) AS n_docs,

@@ -138,7 +138,19 @@ object Quantize {
       vecCol: String = "embedding"): DataFrame = {
     require(m >= 1, s"m must be ≥ 1: $m")
     require(k >= 1, s"k must be ≥ 1: $k")
-    val cb = codebook(embs, k, idCol, vecCol)
+    pqCodesWith(embs, codebook(embs, k, idCol, vecCol), m, idCol, vecCol)
+  }
+
+  /** [[pqCodes]] against an already-derived codebook frame — so
+    * [[pqTopK]] derives the codebook ONCE for both the encode and the
+    * distance table instead of paying a second corpus order-limit
+    * pass. */
+  private def pqCodesWith(
+      embs: DataFrame,
+      cb: DataFrame,
+      m: Int,
+      idCol: String,
+      vecCol: String): DataFrame = {
     val sub = size(col("__graft_v")) / m // subspace width (int div)
     embs
       .select(col(idCol), asDouble(vecCol).as("__graft_v"))
@@ -175,8 +187,8 @@ object Quantize {
       k: Int = 16,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val codes = pqCodes(embs, m, k, idCol, vecCol)
     val cb = codebook(embs, k, idCol, vecCol)
+    val codes = pqCodesWith(embs, cb, m, idCol, vecCol)
     val q = typedLit(queryVec.toSeq)
     val sub = queryVec.length / m
     // dtab[s][c] = ||q_sub(s) − cb[c]_sub(s)||², m×k doubles, built

@@ -434,7 +434,10 @@ object TextAnalysis {
     *   r_wordlen  — mean word length in [3, 10]
     *   r_symbol   — (# + …)-to-word ratio ≤ 0.1
     *   r_alpha    — ≥ 80% of words contain an alphabetic char
-    *   r_stop     — ≥ 2 DISTINCT Gopher stopwords present
+    *   r_stop     — ≥ `minStopwords` DISTINCT Gopher stopwords present
+    *                (published default 2; parameterized because a
+    *                synthetic fixture vocabulary may carry fewer of
+    *                the canonical eight)
     *   r_bullet   — ≤ 90% of lines start with a bullet ("• "/"- ")
     *   r_ellipsis — ≤ 30% of lines end with "..."
     *
@@ -447,6 +450,7 @@ object TextAnalysis {
       docs: DataFrame,
       minWords: Int = 50,
       maxWords: Int = 100000,
+      minStopwords: Int = 2,
       textCol: String = "text"): DataFrame =
     docs.select(col("doc_id") +: gopherMetricCols(textCol): _*)
       .withColumn("r_words",
@@ -455,7 +459,7 @@ object TextAnalysis {
         col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
       .withColumn("r_symbol", col("symbol_ratio") <= 0.1)
       .withColumn("r_alpha", col("alpha_frac") >= 0.8)
-      .withColumn("r_stop", col("n_stop") >= 2)
+      .withColumn("r_stop", col("n_stop") >= minStopwords)
       .withColumn("r_bullet", col("bullet_frac") <= 0.9)
       .withColumn("r_ellipsis", col("ellipsis_frac") <= 0.3)
       .withColumn("pass",
@@ -505,6 +509,7 @@ object TextAnalysis {
       docs: DataFrame,
       minWords: Int = 50,
       maxWords: Int = 100000,
+      minStopwords: Int = 2,
       textCol: String = "text"): DataFrame =
     docs.select(Seq(col("source"), col("doc_id")) ++
         gopherMetricCols(textCol): _*)
@@ -512,7 +517,7 @@ object TextAnalysis {
         col("n_words") >= minWords && col("n_words") <= maxWords &&
           col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
           col("symbol_ratio") <= 0.1 && col("alpha_frac") >= 0.8 &&
-          col("n_stop") >= 2 && col("bullet_frac") <= 0.9 &&
+          col("n_stop") >= minStopwords && col("bullet_frac") <= 0.9 &&
           col("ellipsis_frac") <= 0.3)
       .groupBy("source")
       .agg(
@@ -530,6 +535,7 @@ object TextAnalysis {
       docs: DataFrame,
       minWords: Int = 50,
       maxWords: Int = 100000,
+      minStopwords: Int = 2,
       textCol: String = "text"): DataFrame = {
     val m = gopherMetricCols(textCol)
     // evaluate the metrics as a struct so the filter stays one
@@ -542,7 +548,7 @@ object TextAnalysis {
         s.getField("mean_word_len") <= 10.0 &&
         s.getField("symbol_ratio") <= 0.1 &&
         s.getField("alpha_frac") >= 0.8 &&
-        s.getField("n_stop") >= 2 &&
+        s.getField("n_stop") >= minStopwords &&
         s.getField("bullet_frac") <= 0.9 &&
         s.getField("ellipsis_frac") <= 0.3)
   }

@@ -390,6 +390,26 @@ object Incremental {
       .outputMode("append")
       .start()
 
+  /** Streaming Gopher quality filter: the published rule set
+    * ([[graft.llm.TextAnalysis.gopherKeep]]) applied to every
+    * micro-batch — the rules are STATIC column algebra (no trained
+    * state at all), so the ingest-time deployment is the pure
+    * stateless-append case: no frozen model, no stream-static join,
+    * no state store; batch ≡ stream because the identical filter
+    * expression serves both. */
+  def gopherStream(
+      docs: DataFrame,
+      queryName: String,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minStopwords: Int = 2): StreamingQuery =
+    graft.llm.TextAnalysis.gopherKeep(docs, minWords, maxWords, minStopwords)
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .start()
+
   /** [[sampleVsFrozen]] wired to a memory sink (append mode). */
   def sampleStream(
       docs: DataFrame,

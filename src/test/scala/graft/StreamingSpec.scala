@@ -260,6 +260,32 @@ class StreamingSpec extends AnyFunSuite {
       s"stream kept ${streamed.size}, batch kept ${batch.size}")
   }
 
+  test("streaming Gopher filter matches the batch rule set") {
+    val docsDir = TestSpark.tmpDir("docs-gopher-src")
+    Tables.documents(spark, TestSpark.sf0001)
+      .write.mode("overwrite").parquet(docsDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(docsDir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(docsDir)
+    // stopword floor 1: the synthetic vocabulary carries only 'the'
+    // of the canonical eight (same setting as the oracle rows)
+    val q = Incremental.gopherStream(stream, "gopher_stream_test",
+      minWords = 30, minStopwords = 1)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("gopher_stream_test")
+      .select("doc_id").as[Long].collect().toSet
+    val batch = graft.llm.TextAnalysis
+      .gopherKeep(Tables.documents(spark, TestSpark.sf0001),
+        minWords = 30, minStopwords = 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed.nonEmpty && streamed.size < 500,
+      s"the 30-word floor splits the fixture: ${streamed.size}")
+    assert(streamed == batch,
+      s"stream kept ${streamed.size}, batch kept ${batch.size}")
+  }
+
   test("streaming cluster router matches the frozen batch assignment") {
     val vecsDir = TestSpark.tmpDir("vecs-route-src")
     Tables.embeddings(spark, TestSpark.sf0001)

@@ -3593,6 +3593,57 @@ object LlmQueries {
             FROM documents d LEFT JOIN kept kp USING (doc_id)
             ORDER BY doc_id LIMIT 500"""))
 
+  /** Intra-document span dedup ([[SpanDedup.dedupDocSpans]]): remove
+    * tokens covered by REPEAT occurrences of a 3-token window within
+    * the same document — the in-document repetition act step
+    * (`text_repetition` is the signal). The oracle recomputes
+    * string-keyed first-occurrence positions, the repeat coverage and
+    * every reassembled document, so the hash-keyed engine path is
+    * verified end to end. */
+  val spanDedupIntra = Q(
+    "dedup_spans_intradoc",
+    (s, d) =>
+      SpanDedup.dedupDocSpans(Tables.documents(s, d), windowLen = 3)
+        .orderBy("doc_id")
+        .limit(500),
+    Some("""WITH tok AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(coalesce(text, ''))),
+                       '\s+') AS ts
+              FROM documents),
+            win AS (
+              SELECT doc_id, t.i AS pos,
+                     array_to_string(ts[t.i:t.i+2], ' ') AS w
+              FROM tok, UNNEST(range(1, greatest(len(ts) - 1, 1))) AS t(i)),
+            firstpos AS (
+              SELECT doc_id, w, MIN(pos) AS fp FROM win
+              GROUP BY doc_id, w),
+            covered AS (
+              SELECT DISTINCT win.doc_id, win.pos + o.off AS tp
+              FROM win JOIN firstpos USING (doc_id, w),
+                   UNNEST(range(0, 3)) AS o(off)
+              WHERE win.pos > firstpos.fp),
+            tokens AS (
+              SELECT doc_id, t.i AS tp, ts[t.i] AS tok
+              FROM tok, UNNEST(range(1, len(ts) + 1)) AS t(i)),
+            kept AS (
+              SELECT k.doc_id,
+                     COUNT(*) AS n_tokens,
+                     CAST(COUNT(c.tp) AS BIGINT) AS n_removed,
+                     COALESCE(string_agg(
+                       CASE WHEN c.tp IS NULL THEN k.tok END, ' '
+                       ORDER BY k.tp), '') AS kept_text
+              FROM tokens k
+              LEFT JOIN covered c
+                ON c.doc_id = k.doc_id AND c.tp = k.tp
+              GROUP BY k.doc_id)
+            SELECT d.doc_id,
+                   COALESCE(kp.n_tokens, 0) AS n_tokens,
+                   COALESCE(kp.n_removed, 0) AS n_removed,
+                   COALESCE(kp.kept_text, '') AS kept_text
+            FROM documents d LEFT JOIN kept kp USING (doc_id)
+            ORDER BY doc_id LIMIT 500"""))
+
   /** Deep-clean composition over the new dedup family — span dedup,
     * then exact dedup on the CLEANED text (span removal collapses
     * boilerplate-differing docs onto identical remainders that plain
@@ -4206,7 +4257,8 @@ object LlmQueries {
             WHERE rank <= 5 ORDER BY q_id, rank"""))
 
   def all: Seq[Q] = Seq(
-    lineDedup, spanDedup, deepClean, noveltyPerDoc, noveltyBloom, noveltySummaryQ,
+    lineDedup, spanDedup, spanDedupIntra, deepClean, noveltyPerDoc,
+    noveltyBloom, noveltySummaryQ,
     clusterProfile, embOutliersQ, semDedupQ, semDedupLshQ,
     semanticContaminationQ, semanticDeconQ,
     hardNegativesQ,

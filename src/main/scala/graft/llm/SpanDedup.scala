@@ -114,6 +114,18 @@ object SpanDedup {
         explode(sequence(col("pos"), col("pos") + windowLen - 1))
           .as("tp"))
       .distinct()
+    reassembleWithout(docs, toks, covered, idCol)
+  }
+
+  /** Shared removal+reassembly tail: drop every `(idCol, tp)` token
+    * position in `covered`, rejoin survivors with single spaces in
+    * original order, and restore rows for documents with no windows —
+    * `(idCol, n_tokens, n_removed, kept_text)`. */
+  private def reassembleWithout(
+      docs: DataFrame,
+      toks: DataFrame,
+      covered: DataFrame,
+      idCol: String): DataFrame = {
     val tokenRows = toks.select(
       col(idCol),
       posexplode(col("ts")).as(Seq("tp0", "tok")))
@@ -137,6 +149,45 @@ object SpanDedup {
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"),
         coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
+  /** INTRA-document span dedup — remove every token covered by a
+    * REPEAT occurrence of a window within the SAME document (the
+    * RefinedWeb-style in-document repetition cleanup: generator loops,
+    * copy-paste stutter, chorus spam — [[TextAnalysis.dupNgramFraction]]
+    * is the signal, this is the act). An occurrence at position `p`
+    * is a repeat iff the same window text occurs earlier in the same
+    * document (`p > min pos`); the FIRST occurrence's span is kept
+    * (except where a repeat overlaps it — greedy covered-position
+    * semantics, same as [[dedupCorpusSpans]]). Same tokenizer and
+    * reassembly contract; documents shorter than `windowLen` survive
+    * untouched (modulo normalization).
+    *
+    * Scale shape: windows shuffle keyed `(doc, window-hash)` — 8-byte
+    * hashes, never window text — for the min-pos aggregate; the
+    * repeat join lands on the SAME key, so it co-partitions with no
+    * extra exchange; reassembly is the shared doc-keyed aggregate.
+    * Never doc×doc, and unlike the corpus-wide variants there is no
+    * hot-key risk at all: every shuffle key is scoped to one
+    * document. */
+  def dedupDocSpans(
+      docs: DataFrame,
+      windowLen: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(windowLen >= 1, s"windowLen must be ≥ 1: $windowLen")
+    val toks = tokenized(docs, idCol, textCol)
+    val w = windows(toks, windowLen, idCol)
+    val firstPos = w.groupBy(col(idCol), col("wh"))
+      .agg(min(col("pos")).as("fp"))
+    val covered = w
+      .join(firstPos, Seq(idCol, "wh"))
+      .filter(col("pos") > col("fp"))
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + windowLen - 1))
+          .as("tp"))
+      .distinct()
+    reassembleWithout(docs, toks, covered, idCol)
   }
 
   /** Span-level decontamination: remove every probe token covered by a

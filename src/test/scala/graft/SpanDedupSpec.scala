@@ -128,6 +128,36 @@ class SpanDedupSpec extends AnyFunSuite {
     assert(got.map(_._3) == Seq(0L, 0L))
   }
 
+  test("dedupDocSpans: repeat occurrences excised, first kept, greedy overlap") {
+    val got = SpanDedup.dedupDocSpans(Seq(
+        // "a b c" repeats at pos 5; covered {5,6,7} — the unique
+        // trailing window "b c y" loses its b,c (greedy semantics)
+        (1L, "x a b c a b c y"),
+        // repetition only across docs, none within → untouched
+        (2L, "p q r s"),
+        (3L, "p q r t"),
+        // shorter than the window → untouched (normalized)
+        (4L, "one two")
+      ).toDF("doc_id", "text"), windowLen = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got(0) == ((1L, 8L, 3L, "x a b c y")), got.toString)
+    assert(got(1) == ((2L, 4L, 0L, "p q r s")))
+    assert(got(2) == ((3L, 4L, 0L, "p q r t")))
+    assert(got(3) == ((4L, 2L, 0L, "one two")))
+  }
+
+  test("dedupDocSpans: adjacent self-repetition collapses to one copy") {
+    // "spam spam spam spam" with L=2: windows all identical at pos
+    // 1..3; repeats at 2,3 cover {2,3,4} → kept = first token + the
+    // first window's intact prefix
+    val got = SpanDedup.dedupDocSpans(
+        Seq((1L, "spam spam spam spam")).toDF("doc_id", "text"),
+        windowLen = 2)
+      .as[(Long, Long, Long, String)].head()
+    assert(got == ((1L, 4L, 3L, "spam")), got.toString)
+  }
+
   test("hotWindows audit counts distinct docs per window") {
     val hot = SpanDedup.hotWindows(Seq(
         (1L, "a b c d"),

@@ -1259,6 +1259,91 @@ object LlmQueries {
                      GREATEST(CAST(LENGTH(text) AS DOUBLE), 1.0), 4) AS punct_ratio
             FROM documents ORDER BY doc_id LIMIT 500"""))
 
+  /** Shared winnowing CTEs: k=4-token grams hashed with the rolling
+    * `acc·131 + char mod 2³¹−1` recurrence (the engine's TextHash),
+    * w=4 window minima via a per-doc SQL window MIN, distinct set per
+    * doc — ends in `wfps(doc_id, mn)`. */
+  private val winnowCtes: String =
+    """WITH t AS (
+         SELECT doc_id,
+                string_split_regex(trim(lower(coalesce(text, ''))),
+                  '\s+') AS ts
+         FROM documents),
+       kg AS (
+         SELECT doc_id, g.i AS pos,
+                array_to_string(ts[g.i:g.i+3], ' ') AS g
+         FROM t, UNNEST(range(1, greatest(len(ts) - 2, 1))) AS g(i)),
+       h AS (
+         SELECT doc_id, pos,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(string_split_regex(g, ''),
+                    c -> CAST(ascii(c) AS BIGINT))),
+                  (acc, x) -> (acc * 131 + x) % 2147483647) AS hh
+         FROM kg),
+       mins AS (
+         SELECT doc_id, pos,
+                MIN(hh) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn,
+                COUNT(*) OVER (PARTITION BY doc_id) AS nk
+         FROM h),
+       wfps AS (
+         SELECT DISTINCT doc_id, mn FROM mins WHERE pos <= nk - 3)"""
+
+  /** Winnowing fingerprints ([[TextAnalysis.winnowFingerprints]],
+    * Schleimer et al. 2003): per doc, the sorted distinct w-window
+    * minima of the rolling k-gram hashes — the MOSS copy-detection
+    * selector, guaranteeing any ≥(k+w−1)-token shared run yields a
+    * shared fingerprint at ~1/w the k-gram storage. ROW-LEVEL oracle:
+    * DuckDB re-derives every k-gram hash, every window minimum, and
+    * the full per-doc set (emitted as a joined string). */
+  val winnowFpQ = Q(
+    "text_winnow_fp",
+    (s, d) =>
+      TextAnalysis.winnowFingerprints(Tables.documents(s, d), k = 4, w = 4)
+        .select(col("doc_id"), col("n_kgrams"),
+          concat_ws("-",
+            transform(col("fps"), f => f.cast("string"))).as("fp_str"))
+        .orderBy("doc_id")
+        .limit(500),
+    Some(s"""$winnowCtes,
+        agg AS (
+          SELECT doc_id,
+                 string_agg(CAST(mn AS VARCHAR), '-' ORDER BY mn)
+                   AS fp_str
+          FROM wfps GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(greatest(len(string_split_regex(
+                 trim(lower(coalesce(d.text, ''))), '\\s+')) - 3, 0)
+                 AS BIGINT) AS n_kgrams,
+               COALESCE(a.fp_str, '') AS fp_str
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+        ORDER BY doc_id LIMIT 500"""))
+
+  /** Winnowing copy-candidate pairs ([[TextAnalysis.winnowPairs]]):
+    * docs sharing ≥2 selected fingerprints after the df-10
+    * boilerplate cap — the MOSS join. The oracle recomputes the
+    * selection, the cap, and every pair count. */
+  val winnowPairsQ = Q(
+    "dedup_winnow_pairs",
+    (s, d) =>
+      TextAnalysis.winnowPairs(Tables.documents(s, d),
+          k = 4, w = 4, minShared = 2, maxDf = 10)
+        .orderBy("id_a", "id_b"),
+    Some(s"""$winnowCtes,
+        dfc AS (
+          SELECT mn, COUNT(*) AS c FROM wfps GROUP BY mn),
+        capped AS (
+          SELECT wfps.doc_id, wfps.mn FROM wfps
+          JOIN dfc USING (mn) WHERE dfc.c <= 10),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 COUNT(*) AS n_shared
+          FROM capped a JOIN capped b
+            ON a.mn = b.mn AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+        SELECT id_a, id_b, n_shared FROM pairs
+        WHERE n_shared >= 2 ORDER BY id_a, id_b"""))
+
   /** Shared DuckDB CTEs re-deriving every Gopher metric (identical
     * tokenization, integer counts, and round-4 ratio arithmetic to
     * [[TextAnalysis.gopherFlags]]); `r` has one row per doc with all
@@ -4280,6 +4365,7 @@ object LlmQueries {
     textAnalyze, textRepetition,
     boilerplate, stripMarkupQ, topNgramsQ,
     nbClassifierQ, zipfAuditQ, fertilityQ, corpusCardQ,
+    winnowFpQ, winnowPairsQ,
     unigramScore, bigramScore, pplBucketsQ, pplKeepQ, bm25TopK, bpePairs,
     bpeEncode, corpusDrift,
     driftBySource, distinctiveTermsQ, numericPsi, corpusDiffQ,

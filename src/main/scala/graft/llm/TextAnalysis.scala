@@ -421,6 +421,82 @@ object TextAnalysis {
           .as("avg_tokens_per_doc"))
   }
 
+  /** Winnowing fingerprints (Schleimer et al. 2003, the MOSS
+    * copy-detection selector): hash every `k`-token gram with the
+    * engine's rolling [[fingerprint]] hash, slide a `w`-wide window
+    * over the hash sequence, and keep each window's MINIMUM — the
+    * guarantee is that any shared substring of ≥ `k+w-1` tokens
+    * yields at least one shared fingerprint, at ~1/w the storage of
+    * the full k-gram set. Output: `(idCol, n_kgrams, fps)` with `fps`
+    * the sorted DISTINCT window minima (winnowing's dedup of
+    * consecutive repeats, strengthened to set semantics so the
+    * surface is order-free and oracle-comparable).
+    *
+    * Shape note: the window minima come from a `zip_with` chain over
+    * `w` shifted slices — each shifted copy of the hash array
+    * evaluates ONCE per row (the [[ngrams]] lesson: a lambda indexing
+    * back into the outer array re-evaluates its whole expression tree
+    * per element, O(H²·k) per row). Pure row-local column algebra —
+    * zero UDFs, zero shuffles, fuses into the scan. */
+  def winnowFingerprints(
+      docs: DataFrame,
+      k: Int = 4,
+      w: Int = 4,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be ≥ 1: $k")
+    require(w >= 1, s"w must be ≥ 1: $w")
+    val toks = tokens(lower(trim(coalesce(col(textCol), lit("")))))
+    val hs = transform(ngrams(toks, k),
+      g => graft.functions.TextHash.text_hash(g))
+    val m = greatest(size(hs) - (w - 1), lit(0))
+    val minima = (0 until w)
+      .map(j => slice(hs, lit(j + 1), m))
+      .reduceLeft((a, b) => zip_with(a, b, (x, y) => least(x, y)))
+    docs.select(
+      col(idCol),
+      size(hs).cast("long").as("n_kgrams"),
+      array_sort(array_distinct(minima)).as("fps"))
+  }
+
+  /** Copy-candidate pairs by shared winnowing fingerprints: documents
+    * sharing ≥ `minShared` distinct selected fingerprints — the MOSS
+    * plagiarism-detection join. A fingerprint's document frequency is
+    * capped at `maxDf` (same boilerplate-excision role as the
+    * containment dedup's shingle cap: a fingerprint in half the
+    * corpus is boilerplate, not copying, and would otherwise fan the
+    * join out df²). Returns `(id_a, id_b, n_shared)`, `id_a < id_b`.
+    *
+    * Scale shape: the corpus collapses to `(doc, fp)` — 8-byte
+    * fingerprints, ~1/w of the k-gram count per doc; the df window
+    * rides the join's own key (no extra exchange) and the cap bounds
+    * every fingerprint's pair fan-out to maxDf². Never doc×doc. */
+  def winnowPairs(
+      docs: DataFrame,
+      k: Int = 4,
+      w: Int = 4,
+      minShared: Int = 2,
+      maxDf: Int = 10,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(minShared >= 1, s"minShared must be ≥ 1: $minShared")
+    require(maxDf >= 2, s"maxDf must be ≥ 2: $maxDf")
+    val fp = winnowFingerprints(docs, k, w, idCol, textCol)
+      .select(col(idCol), explode(col("fps")).as("fp"))
+    val dfw = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val capped = fp
+      .withColumn("df", count(lit(1)).over(dfw))
+      .filter(col("df") <= maxDf)
+      .select(col(idCol), col("fp"))
+    val a = capped.select(col(idCol).as("id_a"), col("fp"))
+    val b = capped.select(col(idCol).as("id_b"), col("fp"))
+    a.join(b, Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** The Gopher stopword set (Rae et al. 2021 §A1.1: a document must
     * contain ≥ 2 of these to pass the "contains stop words" rule). */
   val GopherStopwords: Seq[String] =

@@ -264,6 +264,45 @@ class TextAnalysisSpec extends AnyFunSuite {
       ("zh", 1L, 10L, 1L, 10.0)), got.toString)
   }
 
+  test("winnowing: a shared (k+w-1)-token run guarantees a shared fingerprint") {
+    val shared = "alpha beta gamma delta epsilon zeta eta" // 7 = k+w-1
+    val docs = Seq(
+      (1L, "one two " + shared + " three"),
+      (2L, shared + " nine ten eleven"),
+      (3L, "totally different words entirely present here now")
+    ).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(docs, k = 4, w = 4)
+      .as[(Long, Long, Seq[Long])].collect()
+      .map(r => r._1 -> r._3.toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty,
+      "the winnowing guarantee: >= k+w-1 shared tokens -> shared fp")
+    assert((fps(1L) & fps(3L)).isEmpty)
+  }
+
+  test("winnowing minima match a hand recomputation") {
+    val docs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val got = TextAnalysis.winnowFingerprints(docs, k = 2, w = 2)
+      .as[(Long, Long, Seq[Long])].head()
+    // k=2 grams: "a b","b c","c d","e f"... 5 grams; w=2 -> 4 minima
+    val hs = Seq("a b", "b c", "c d", "d e", "e f")
+      .map(graft.functions.TextHash.roll)
+    val want = hs.sliding(2).map(_.min).toSeq.distinct.sorted
+    assert(got._2 == 5L)
+    assert(got._3 == want, s"got ${got._3} want $want")
+  }
+
+  test("winnowPairs finds the planted copy and nothing else") {
+    val span = "pp qq rr ss tt uu vv" // 7 tokens = k+w-1
+    val docs = Seq(
+      (1L, "xx yy " + span),
+      (2L, span + " zz ww"),
+      (3L, "unrelated totally different content right here")
+    ).toDF("doc_id", "text")
+    val pairs = TextAnalysis.winnowPairs(docs, k = 4, w = 4, minShared = 1)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)), pairs.toString)
+  }
+
   test("gopherFlags: hand-computed rule surface, one failing rule each") {
     val docs = Seq(
       (1L, "the cat sat with the dog"),  // all rules pass

@@ -66,6 +66,10 @@ object Main {
         |  nb-filter IN TRAIN OUT --label-col C [--vocab V]
         |         keep docs a Naive Bayes classifier (trained on TRAIN's
         |         boolean label) predicts positive
+        |  dedup-spans-intradoc IN OUT [--window-len L]
+        |         excise repeated windows WITHIN each document
+        |  winnow-pairs IN OUT [--k K] [--w W] [--min-shared N] [--max-df D]
+        |         MOSS-style copy-candidate pairs (winnowing)
         |  gopher-filter IN OUT [--min-words N] [--max-words N] [--min-stop N]
         |         keep docs passing the Gopher quality rule set
         |  phash-dedup IN OUT [--keep]
@@ -360,6 +364,45 @@ object Main {
         val (nIn, nKept) = (docs.count(), spark.read.parquet(out).count())
         System.err.println(
           s"[containment-dedup] kept $nKept of $nIn (dropped ${nIn - nKept})")
+
+      case "dedup-spans-intradoc" =>
+        // dedup-spans-intradoc IN OUT [--window-len L]: excise repeat
+        // occurrences of a token window WITHIN each document (the
+        // in-document repetition cleanup; dedup-spans is the
+        // cross-document variant).
+        val (in, out) = (args(1), args(2))
+        graft.sources.Preflight.check(spark, in, out)
+        val winLen = arg(args, "--window-len").map(_.toInt).getOrElse(3)
+        val codec = arg(args, "--compression").getOrElse("snappy")
+        val cleaned = graft.llm.SpanDedup.dedupDocSpans(
+          spark.read.parquet(in), windowLen = winLen)
+        ParquetSink.write(cleaned, out, codec, partitionCols = Seq.empty)
+        val removed = spark.read.parquet(out)
+          .agg(org.apache.spark.sql.functions
+            .coalesce(org.apache.spark.sql.functions
+              .sum("n_removed"), org.apache.spark.sql.functions.lit(0L)))
+          .head().getLong(0)
+        System.err.println(
+          s"[dedup-spans-intradoc] removed $removed tokens (L=$winLen)")
+
+      case "winnow-pairs" =>
+        // winnow-pairs IN OUT [--k K] [--w W] [--min-shared N]
+        //   [--max-df D]: MOSS-style copy-candidate pairs by shared
+        //   winnowing fingerprints.
+        val (in, out) = (args(1), args(2))
+        graft.sources.Preflight.check(spark, in, out)
+        val k = arg(args, "--k").map(_.toInt).getOrElse(4)
+        val w = arg(args, "--w").map(_.toInt).getOrElse(4)
+        val minShared = arg(args, "--min-shared").map(_.toInt).getOrElse(2)
+        val maxDf = arg(args, "--max-df").map(_.toInt).getOrElse(10)
+        val codec = arg(args, "--compression").getOrElse("snappy")
+        val pairs = graft.llm.TextAnalysis.winnowPairs(
+          spark.read.parquet(in), k = k, w = w,
+          minShared = minShared, maxDf = maxDf)
+        ParquetSink.write(pairs, out, codec, partitionCols = Seq.empty)
+        System.err.println(
+          s"[winnow-pairs] ${spark.read.parquet(out).count()} candidate " +
+            s"pairs (k=$k, w=$w, minShared=$minShared, maxDf=$maxDf)")
 
       case "gopher-filter" =>
         // gopher-filter IN OUT [--min-words N] [--max-words N]:

@@ -292,6 +292,30 @@ class CliSpec extends AnyFunSuite {
       s"originals keep, gray variants collapse: $keepers")
   }
 
+  test("dedup-spans-intradoc and winnow-pairs verbs run end-to-end") {
+    import spark.implicits._
+    val in = TestSpark.tmpDir("cli-intra-in")
+    val span = "aa bb cc dd ee ff gg"
+    Seq(
+      (1L, "x a b c a b c y"),        // intra-doc repeat of "a b c"
+      (2L, "pp qq " + span),          // shares a 7-token run with 3
+      (3L, span + " rr ss")
+    ).toDF("doc_id", "text").write.mode("overwrite").parquet(in)
+
+    val intraOut = TestSpark.tmpDir("cli-intra-out") + "/cleaned"
+    graft.cli.Main.run(spark, Array("dedup-spans-intradoc", in, intraOut))
+    val cleaned = spark.read.parquet(intraOut)
+      .select("doc_id", "kept_text").as[(Long, String)].collect().toMap
+    assert(cleaned(1L) == "x a b c y", cleaned.toString)
+
+    val pairsOut = TestSpark.tmpDir("cli-winnow-out") + "/pairs"
+    graft.cli.Main.run(spark,
+      Array("winnow-pairs", in, pairsOut, "--min-shared", "1"))
+    val pairs = spark.read.parquet(pairsOut)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((2L, 3L)), pairs.toString)
+  }
+
   test("sketch-build and sketch-query verbs run end-to-end") {
     import spark.implicits._
     val evDir = TestSpark.tmpDir("cli-sk-in")

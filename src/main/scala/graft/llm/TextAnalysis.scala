@@ -470,7 +470,11 @@ object TextAnalysis {
     * Scale shape: the corpus collapses to `(doc, fp)` — 8-byte
     * fingerprints, ~1/w of the k-gram count per doc; the df window
     * rides the join's own key (no extra exchange) and the cap bounds
-    * every fingerprint's pair fan-out to maxDf². Never doc×doc. */
+    * every fingerprint's pair fan-out to maxDf². Never doc×doc.
+    * EAGER: the capped fingerprint frame is persisted for the two
+    * join sides (one selection pass instead of two) and the bounded
+    * pair result is checkpointed so the cache releases before
+    * return — the [[Dedup]] cache-lifecycle contract. */
   def winnowPairs(
       docs: DataFrame,
       k: Int = 4,
@@ -484,17 +488,26 @@ object TextAnalysis {
     val fp = winnowFingerprints(docs, k, w, idCol, textCol)
       .select(col(idCol), explode(col("fps")).as("fp"))
     val dfw = org.apache.spark.sql.expressions.Window.partitionBy("fp")
-    val capped = fp
-      .withColumn("df", count(lit(1)).over(dfw))
-      .filter(col("df") <= maxDf)
-      .select(col(idCol), col("fp"))
+    // persisted (with the reuse guard) because BOTH sides of the pair
+    // self-join read this frame: without it the whole
+    // fingerprint-selection pipeline (k-gram hashing + window minima
+    // + df window) executes twice — measured 10.9 s → the plan cost
+    // of one pass at sf0.1
+    val (capped, handle) = Dedup.persistIfNew(
+      fp.withColumn("df", count(lit(1)).over(dfw))
+        .filter(col("df") <= maxDf)
+        .select(col(idCol), col("fp")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = capped.select(col(idCol).as("id_a"), col("fp"))
     val b = capped.select(col(idCol).as("id_b"), col("fp"))
-    a.join(b, Seq("fp"))
+    val pairs = a.join(b, Seq("fp"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+      .localCheckpoint(true)
+    Dedup.release(handle.toSeq)
+    pairs
   }
 
   /** The Gopher stopword set (Rae et al. 2021 §A1.1: a document must

@@ -446,14 +446,29 @@ object TextAnalysis {
       textCol: String = "text"): DataFrame = {
     require(k >= 1, s"k must be ≥ 1: $k")
     require(w >= 1, s"w must be ≥ 1: $w")
-    val toks = tokens(lower(trim(coalesce(col(textCol), lit("")))))
-    val hs = transform(ngrams(toks, k),
-      g => graft.functions.TextHash.text_hash(g))
+    // STAGED projections on purpose (the [[ngrams]] lesson, twice
+    // over): (1) the token array becomes an attribute BEFORE the
+    // k-gram transform, so the lambda's slice reads a bound column
+    // instead of re-evaluating the split per element; (2) the hash
+    // array becomes an attribute before the minima chain, whose w+1
+    // references would otherwise each inline the whole
+    // tokenize→gram→hash tree. The un-staged formulation measured
+    // 2.5 ms/doc at sf0.1; this is the SpanDedup.windows shape.
+    val tokStage = docs.select(col(idCol),
+      tokens(lower(trim(coalesce(col(textCol), lit(""))))).as("__graft_ts"))
+    val ts = col("__graft_ts")
+    val hsExpr = when(size(ts) >= k,
+      transform(sequence(lit(1), size(ts) - (k - 1)), i =>
+        graft.functions.TextHash.text_hash(
+          array_join(slice(ts, i, lit(k)), " "))))
+      .otherwise(array().cast("array<bigint>"))
+    val staged = tokStage.select(col(idCol), hsExpr.as("__graft_hs"))
+    val hs = col("__graft_hs")
     val m = greatest(size(hs) - (w - 1), lit(0))
     val minima = (0 until w)
       .map(j => slice(hs, lit(j + 1), m))
       .reduceLeft((a, b) => zip_with(a, b, (x, y) => least(x, y)))
-    docs.select(
+    staged.select(
       col(idCol),
       size(hs).cast("long").as("n_kgrams"),
       array_sort(array_distinct(minima)).as("fps"))
@@ -471,10 +486,8 @@ object TextAnalysis {
     * fingerprints, ~1/w of the k-gram count per doc; the df window
     * rides the join's own key (no extra exchange) and the cap bounds
     * every fingerprint's pair fan-out to maxDf². Never doc×doc.
-    * EAGER: the capped fingerprint frame is persisted for the two
-    * join sides (one selection pass instead of two) and the bounded
-    * pair result is checkpointed so the cache releases before
-    * return — the [[Dedup]] cache-lifecycle contract. */
+    * EAGER: the (id, fps) frame is checkpointed before the explode —
+    * see the barrier note in the body. */
   def winnowPairs(
       docs: DataFrame,
       k: Int = 4,
@@ -485,29 +498,30 @@ object TextAnalysis {
       textCol: String = "text"): DataFrame = {
     require(minShared >= 1, s"minShared must be ≥ 1: $minShared")
     require(maxDf >= 2, s"maxDf must be ≥ 2: $maxDf")
-    val fp = winnowFingerprints(docs, k, w, idCol, textCol)
-      .select(col(idCol), explode(col("fps")).as("fp"))
+    // materialization barrier BEFORE the explode: Generate over the
+    // inline fingerprint expression re-evaluates the whole
+    // tokenize→hash→minima tree per OUTPUT element (measured 5 ms/doc
+    // vs 0.13 ms to compute the array once — 26 s vs 0.7 s at sf0.1),
+    // so the tiny (id, fps) frame is checkpointed first and the
+    // explode reads materialized arrays. The barrier also serves both
+    // sides of the pair self-join. EAGER, like the other
+    // checkpoint-backed dedup operators.
+    val fpsFrame = winnowFingerprints(docs, k, w, idCol, textCol)
+      .select(col(idCol), col("fps"))
+      .localCheckpoint(true)
+    val fp = fpsFrame.select(col(idCol), explode(col("fps")).as("fp"))
     val dfw = org.apache.spark.sql.expressions.Window.partitionBy("fp")
-    // persisted (with the reuse guard) because BOTH sides of the pair
-    // self-join read this frame: without it the whole
-    // fingerprint-selection pipeline (k-gram hashing + window minima
-    // + df window) executes twice — measured 10.9 s → the plan cost
-    // of one pass at sf0.1
-    val (capped, handle) = Dedup.persistIfNew(
-      fp.withColumn("df", count(lit(1)).over(dfw))
-        .filter(col("df") <= maxDf)
-        .select(col(idCol), col("fp")),
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val capped = fp
+      .withColumn("df", count(lit(1)).over(dfw))
+      .filter(col("df") <= maxDf)
+      .select(col(idCol), col("fp"))
     val a = capped.select(col(idCol).as("id_a"), col("fp"))
     val b = capped.select(col(idCol).as("id_b"), col("fp"))
-    val pairs = a.join(b, Seq("fp"))
+    a.join(b, Seq("fp"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
-      .localCheckpoint(true)
-    Dedup.release(handle.toSeq)
-    pairs
   }
 
   /** The Gopher stopword set (Rae et al. 2021 §A1.1: a document must

@@ -241,6 +241,36 @@ class PropertySpec extends AnyFunSuite {
     assert(bad == 0L)
   }
 
+  test("intra-doc span dedup: repartition-invariant, conservative, idempotent") {
+    import org.apache.spark.sql.functions._
+    import graft.llm.SpanDedup
+    val base = SpanDedup.dedupDocSpans(docsFixture, windowLen = 3)
+      .orderBy("doc_id").collect().toSeq
+    val reparted = SpanDedup.dedupDocSpans(
+        docsFixture.repartition(7), windowLen = 3)
+      .orderBy("doc_id").collect().toSeq
+    assert(reparted == base)
+    // conservation: kept + removed = total, every doc
+    val out = SpanDedup.dedupDocSpans(docsFixture, windowLen = 3)
+      .withColumn("n_kept_tokens",
+        when(col("kept_text") === "", lit(0))
+          .otherwise(size(split(col("kept_text"), " "))))
+    assert(out.filter(
+      col("n_kept_tokens") + col("n_removed") =!= col("n_tokens"))
+      .count() == 0L)
+    // idempotence: a cleaned corpus has no intra-doc repeats left of
+    // the SAME window length... only where removal can't create new
+    // adjacencies that repeat — so assert the weaker, always-true law:
+    // re-running removes no more tokens than the first pass did
+    val once = SpanDedup.dedupDocSpans(docsFixture, windowLen = 3)
+      .select(col("doc_id"), col("kept_text").as("text"))
+    val twice = SpanDedup.dedupDocSpans(once, windowLen = 3)
+    val firstRemoved = out.agg(sum("n_removed")).head().getLong(0)
+    val secondRemoved = twice.agg(sum("n_removed")).head().getLong(0)
+    assert(secondRemoved <= firstRemoved,
+      s"second pass removed $secondRemoved > first $firstRemoved")
+  }
+
   test("semDedup marks: repartition-invariant, both tiers") {
     import graft.llm.Similarity
     val emb = Tables.embeddings(spark, TestSpark.sf0001)

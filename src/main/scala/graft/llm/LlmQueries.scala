@@ -1259,6 +1259,75 @@ object LlmQueries {
                      GREATEST(CAST(LENGTH(text) AS DOUBLE), 1.0), 4) AS punct_ratio
             FROM documents ORDER BY doc_id LIMIT 500"""))
 
+  /** Water-filling mixture plan ([[Sampling.mixturePlan]]): split a
+    * 7000-token budget across the sources of a deterministically
+    * SKEWED corpus (each source keeps only doc_ids divisible by
+    * `1 + ascii(last char) mod 4`, giving a 3.5× availability spread —
+    * the uniform fixture would saturate all-or-nothing). The greedy-
+    * prefix water-filling contract is fully static, so the oracle
+    * re-derives the skew, every availability, the α=1/2 integer
+    * weights, the ratio ordering, the saturated prefix and every
+    * allocation with one window pass — 4 of 10 surviving sources
+    * saturate at sf0.01, the rest split the refill by weight. */
+  val mixturePlanQ = Q(
+    "sample_mixture_plan",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val skew = docs.filter(pmod(col("doc_id"),
+        lit(1) + pmod(ascii(substring(col("source"), -1, 1)), lit(4)))
+        === 0)
+      Sampling.mixturePlan(skew, totalBudgetTokens = 7000L)
+        .orderBy("source")
+    },
+    Some("""WITH sk AS (
+              SELECT doc_id, source, text FROM documents
+              WHERE doc_id % (1 + ascii(right(source, 1)) % 4) = 0),
+            ps AS (
+              SELECT source,
+                     CAST(SUM(len(string_split_regex(trim(text), '\s+')))
+                       AS BIGINT) AS avail
+              FROM sk GROUP BY source),
+            tot AS (SELECT CAST(SUM(avail) AS BIGINT) AS t FROM ps),
+            wt AS (
+              SELECT source, avail,
+                     GREATEST(1, CAST(floor(sqrt(CAST(
+                       (avail * 1000000 // t) * 1000000 AS DOUBLE)))
+                       AS BIGINT)) AS w
+              FROM ps, tot),
+            tw AS (SELECT CAST(SUM(w) AS BIGINT) AS wtot FROM wt),
+            ord AS (
+              SELECT source, avail, w,
+                     CAST(SUM(avail) OVER (ORDER BY avail * 1000000 // w,
+                       source ROWS UNBOUNDED PRECEDING) - avail
+                       AS BIGINT) AS pa0,
+                     CAST(SUM(w) OVER (ORDER BY avail * 1000000 // w,
+                       source ROWS UNBOUNDED PRECEDING) - w
+                       AS BIGINT) AS pw0
+              FROM wt),
+            cond AS (
+              SELECT ord.*, tw.wtot,
+                     CASE WHEN (wtot - pw0) > 0 AND
+                       (7000 - pa0) * w // (wtot - pw0) >= avail
+                       THEN 1 ELSE 0 END AS ok
+              FROM ord, tw),
+            pref AS (
+              SELECT *, MIN(ok) OVER (ORDER BY avail * 1000000 // w,
+                source ROWS UNBOUNDED PRECEDING) AS sat
+              FROM cond),
+            agg AS (
+              SELECT CAST(COALESCE(SUM(CASE WHEN sat = 1 THEN avail END), 0)
+                       AS BIGINT) AS pa,
+                     CAST(COALESCE(SUM(CASE WHEN sat = 1 THEN w END), 0)
+                       AS BIGINT) AS pw
+              FROM pref)
+            SELECT p.source, p.avail AS avail_tokens, p.w AS weight,
+                   CAST(CASE WHEN p.sat = 1 THEN p.avail
+                        WHEN (p.wtot - a.pw) > 0
+                          THEN (7000 - a.pa) * p.w // (p.wtot - a.pw)
+                        ELSE 0 END AS BIGINT) AS alloc_tokens,
+                   p.sat = 1 AS saturated
+            FROM pref p, agg a ORDER BY p.source"""))
+
   /** Shared winnowing CTEs: k=4-token grams hashed with the rolling
     * `acc·131 + char mod 2³¹−1` recurrence (the engine's TextHash),
     * w=4 window minima via a per-doc SQL window MIN, distinct set per
@@ -4357,7 +4426,7 @@ object LlmQueries {
     embCentroids, embNormProfile, kmeansQ, kmeansBalancedQ, quantizeInt8,
     annQuantized, pqCodesQ, pqTopKQ, ivfPqTopKQ, jlProjectQ, annJlQ,
     splitCounts, stratSample, capPerSourceQ, leakageSplit, budgetSample,
-    temperatureMix, dsirWeights, dsirSelect,
+    temperatureMix, mixturePlanQ, dsirWeights, dsirSelect,
     epochOrder,
     pipelinePrepShards, packShards, packPaddingWaste, packShardDigests,
     chunkDocs, ragRetrieve, coverageAudit, oovBySource, qualityGrid,

@@ -321,4 +321,85 @@ object Sampling {
     }
     df.filter(keep)
   }
+
+  /** Water-filling mixture allocation: split a global token budget
+    * across sources proportionally to a weight, but never allocate a
+    * source more than it HAS — the surplus of saturated sources
+    * refills the unsaturated ones (the budget-planning step
+    * [[temperatureThresholds]] skips: its proportional targets
+    * silently under-spend the budget when a small source can't absorb
+    * its share). Weight = the α=1/2 temperature weight
+    * (`isqrt(share_ppm·10⁶)` — the exact-integer recipe from
+    * [[temperatureThresholds]]), so over-crawled sources still can't
+    * dominate the refill.
+    *
+    * Contract (deterministic, greedy-prefix — the standard
+    * water-filling fixed point, expressed statically): sort sources
+    * by `(avail·10⁶ div w) ASC, source ASC`; source i is SATURATED iff
+    * every source before it is saturated and
+    * `(B − PA_{i−1}) · w_i div (W − PW_{i−1}) ≥ avail_i`, with PA/PW
+    * the prefix sums of saturated avail/weight in that order —
+    * saturating in order accumulates exactly those prefix sums, so
+    * the greedy loop and this static rule coincide (and the rule is
+    * one window pass in SQL, which is what the oracle runs).
+    * Saturated sources get `alloc = avail`; the rest get
+    * `(B − PA_k) · w div (W − PW_k)` (floor division; the ≤ S-token
+    * remainder stays unallocated by design). All arithmetic is Long
+    * and overflow-free by the budget/weight bounds.
+    *
+    * Scale shape: ONE map-side-combined per-source aggregate over the
+    * corpus; the plan itself runs on the DRIVER over the ≤|sources|
+    * collected rows (mixture planning is a driver-side decision over
+    * bounded per-source state, like the Lloyd centroids) and returns
+    * a local frame `(source, avail_tokens, weight, alloc_tokens,
+    * saturated)`. */
+  def mixturePlan(
+      docs: DataFrame,
+      totalBudgetTokens: Long,
+      textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    require(totalBudgetTokens >= 0 && totalBudgetTokens < (1L << 40),
+      s"budget out of range: $totalBudgetTokens")
+    val spark = docs.sparkSession
+    val perSrc = docs
+      .groupBy(col(sourceCol))
+      .agg(sum(TextAnalysis.tokenCount(col(textCol))).as("avail"))
+      .collect()
+      .map(r => (Option(r.getString(0)).getOrElse(""), r.getLong(1)))
+    import spark.implicits._
+    if (perSrc.isEmpty)
+      return Seq.empty[(String, Long, Long, Long, Boolean)]
+        .toDF(sourceCol, "avail_tokens", "weight", "alloc_tokens",
+          "saturated")
+    val total = perSrc.map(_._2).sum
+    require(total < (1L << 43), s"corpus token total out of range: $total")
+    val rows = perSrc.map { case (s, a) =>
+      val sharePpm = if (total > 0) a * 1000000L / total else 0L
+      // floor-at-1 guards the ratio sort's division for zero-share
+      // sources (temperatureThresholds never divides by w, so it
+      // needs no floor)
+      val w = math.max(1L, math.sqrt((sharePpm * 1000000L).toDouble).toLong)
+      (s, a, w)
+    }
+    val sorted = rows.sortBy { case (s, a, w) => (a * 1000000L / w, s) }
+    val wTotal = sorted.map(_._3).sum
+    var pa = 0L
+    var pw = 0L
+    var prefixHolds = true
+    val marked = sorted.map { case (s, a, w) =>
+      val remW = wTotal - pw
+      val sat = prefixHolds && remW > 0 &&
+        (totalBudgetTokens - pa) * w / remW >= a
+      if (sat) { pa += a; pw += w } else prefixHolds = false
+      (s, a, w, sat)
+    }
+    val remB = totalBudgetTokens - pa
+    val remW = wTotal - pw
+    marked.map { case (s, a, w, sat) =>
+      val alloc = if (sat) a else if (remW > 0) remB * w / remW else 0L
+      (s, a, w, alloc, sat)
+    }.toSeq
+      .toDF(sourceCol, "avail_tokens", "weight", "alloc_tokens",
+        "saturated")
+  }
 }

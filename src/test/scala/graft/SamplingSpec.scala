@@ -82,4 +82,48 @@ class SamplingSpec extends AnyFunSuite {
     val enFrac = byLang("en").toDouble / full("en")
     assert(enFrac > 0.3 && enFrac < 0.7, s"en fraction $enFrac far from 0.5")
   }
+
+  test("mixturePlan: tiny source saturates, lone unsaturated gets the rest") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "one two three four five", "tiny"),            // 5 tokens
+      (2L, (1 to 5000).map(i => s"t$i").mkString(" "), "big")
+    ).toDF("doc_id", "text", "source")
+    val plan = Sampling.mixturePlan(docs, totalBudgetTokens = 1000L)
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Boolean)].collect().toSeq
+      .map(r => r._1 -> r).toMap
+    // tiny (5 of 5005 tokens) has the smaller avail/weight ratio: it
+    // saturates at its 5 tokens; the lone unsaturated source gets the
+    // exact remainder R·w div w = R = 995
+    assert(plan("tiny") == (("tiny", 5L, plan("tiny")._3, 5L, true)), plan)
+    assert(plan("big")._4 == 995L && !plan("big")._5, plan)
+  }
+
+  test("mixturePlan laws on the fixture corpus") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val total = docs.agg(sum(graft.llm.TextAnalysis
+      .tokenCount(col("text")))).head().getLong(0)
+    val b = total / 2
+    val plan = Sampling.mixturePlan(docs, b)
+      .as[(String, Long, Long, Long, Boolean)].collect().toSeq
+    // never over-allocate: per source and in total
+    assert(plan.forall(r => r._4 <= r._2), plan.toString)
+    assert(plan.map(_._4).sum <= b)
+    // saturated set is a prefix of the avail/weight-ratio order
+    val sorted = plan.sortBy(r => (r._2 * 1000000L / r._3, r._1))
+    val firstUnsat = sorted.indexWhere(!_._5)
+    if (firstUnsat >= 0)
+      assert(sorted.drop(firstUnsat).forall(!_._5),
+        "saturation must be a ratio prefix")
+    // budget >= total available: everything saturates at its avail
+    val all = Sampling.mixturePlan(docs, total + 100)
+      .as[(String, Long, Long, Long, Boolean)].collect().toSeq
+    assert(all.forall(r => r._5 && r._4 == r._2))
+    // zero budget: zero allocation everywhere
+    val zero = Sampling.mixturePlan(docs, 0L)
+      .as[(String, Long, Long, Long, Boolean)].collect().toSeq
+    assert(zero.forall(r => r._4 == 0L && !r._5))
+  }
 }

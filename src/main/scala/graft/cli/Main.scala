@@ -73,7 +73,8 @@ object Main {
         |  gopher-filter IN OUT [--min-words N] [--max-words N] [--min-stop N]
         |         keep docs passing the Gopher quality rule set
         |  phash-dedup IN OUT [--keep]
-        |         perceptual (dHash) image dedup audit / keepers
+        |         perceptual (dHash) image dedup audit / keepers over
+        |         (media_id, modality, payload[, source_doc])
         |  dsir-select IN TARGET OUT --n N [--buckets B]
         |         keep the N docs most distribution-similar to TARGET
         |  semantic-decon IN EVAL OUT [--min-cosine C]
@@ -425,7 +426,8 @@ object Main {
 
       case "phash-dedup" =>
         // phash-dedup IN OUT [--keep]: perceptual (dHash) image dedup
-        // audit over a media parquet (media_id, modality, payload) —
+        // audit over a media parquet (media_id, modality, payload
+        // [, source_doc — defaulted to media_id when absent]) —
         // writes the byte/pixel/perceptual group sizes per image, or
         // with --keep only one image per perceptual group.
         val (in, out) = (args(1), args(2))
@@ -433,7 +435,10 @@ object Main {
         val codec = arg(args, "--compression").getOrElse("snappy")
         implicit val s: org.apache.spark.sql.SparkSession = spark
         import spark.implicits._
-        val media = spark.read.parquet(in)
+        val raw = spark.read.parquet(in)
+        val media = (if (raw.columns.contains("source_doc")) raw
+          else raw.withColumn("source_doc",
+            org.apache.spark.sql.functions.col("media_id")))
           .as[graft.llm.Multimodal.MediaRow]
         val groups = graft.llm.Multimodal.perceptualDedupGroups(media)
         val result =

@@ -339,10 +339,15 @@ object LanguageModel {
       vocabSize: Int = 1000,
       bigramVocabSize: Int = 2000,
       lambda: Double = 0.7): DataFrame = {
+    // the scored (id, si) frame feeds BOTH the tercile thresholds and
+    // the bucketing projection — materialize it once (the winnowPairs
+    // barrier pattern) so the scoreBigram subtree (two vocab
+    // order-limit passes + the LM joins) doesn't run twice
     val scored = scoreBigram(docs, idCol, textCol, vocabSize,
       bigramVocabSize, lambda)
       .select(col(idCol),
         round(col("avg_logprob") * 10000, 0).cast("long").as("si"))
+      .localCheckpoint(true)
     val thr = scored.agg(
       expr("percentile(si, 1.0/3.0)").as("t1"),
       expr("percentile(si, 2.0/3.0)").as("t2"))
@@ -353,11 +358,18 @@ object LanguageModel {
           .otherwise(lit("tail")).as("bucket"))
   }
 
-  /** The [[pplBuckets]] act step: keep only the documents in
-    * `keepBuckets` (CCNet keeps head+middle and discards the
-    * noisiest tail third). Returns the input rows (all columns) that
-    * survive — one broadcast-threshold comparison per row, the
-    * corpus never shuffles. */
+  /** The [[pplBuckets]] act step: drop the documents whose bucket is
+    * NOT in `keepBuckets` (CCNet keeps head+middle and discards the
+    * noisiest tail third). Documents with < 2 tokens have no bigrams,
+    * get no score and no bucket ([[scoreBigram]]'s contract) — they
+    * PASS THROUGH: the act step drops docs affirmatively labeled
+    * noisy, never docs the LM produced no evidence about (dropping
+    * them silently would be data loss dressed as filtering; a caller
+    * that wants them gone filters on token count explicitly).
+    * Implemented as an anti-join on the dropped-bucket ids, so the
+    * pass-through is structural, not a special case. Returns the
+    * input rows (all columns) that survive — one broadcast-threshold
+    * comparison per scored row, the corpus never shuffles. */
   def pplKeep(
       docs: DataFrame,
       keepBuckets: Seq[String] = Seq("head", "middle"),
@@ -366,10 +378,10 @@ object LanguageModel {
       vocabSize: Int = 1000,
       bigramVocabSize: Int = 2000,
       lambda: Double = 0.7): DataFrame = {
-    val marks = pplBuckets(docs, idCol, textCol, vocabSize,
+    val dropped = pplBuckets(docs, idCol, textCol, vocabSize,
       bigramVocabSize, lambda)
-      .filter(col("bucket").isin(keepBuckets: _*))
+      .filter(!col("bucket").isin(keepBuckets: _*))
       .select(col(idCol))
-    docs.join(marks, Seq(idCol), "left_semi")
+    docs.join(dropped, Seq(idCol), "left_anti")
   }
 }

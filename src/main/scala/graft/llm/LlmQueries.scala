@@ -1,5 +1,6 @@
 package graft.llm
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.queries.Q
@@ -2008,7 +2009,10 @@ object LlmQueries {
 
   /** The CCNet act step ([[LanguageModel.pplKeep]]): drop the
     * noisiest (tail-tercile) third, keep head+middle — per-lang
-    * survival accounting with kept membership pinned by the id sum. */
+    * survival accounting with kept membership pinned by the id sum.
+    * Unscoreable (<2-token) docs PASS THROUGH (no LM evidence ⇒ not
+    * "noisy"); the oracle mirrors that contract with the same
+    * anti-join shape: kept = NOT affirmatively tail-bucketed. */
   val pplKeepQ = Q(
     "text_ppl_keep",
     (s, d) =>
@@ -2019,10 +2023,10 @@ object LlmQueries {
           sum(col("doc_id")).as("id_sum"))
         .orderBy("lang"),
     Some(s"""$pplScoreCtes,
-        kept AS (SELECT doc_id FROM sc, thr WHERE si >= t1)
+        dropped AS (SELECT doc_id FROM sc, thr WHERE si < t1)
         SELECT d.lang, COUNT(*) AS n_kept,
                CAST(SUM(d.doc_id) AS BIGINT) AS id_sum
-        FROM documents d JOIN kept USING (doc_id)
+        FROM documents d ANTI JOIN dropped USING (doc_id)
         GROUP BY d.lang ORDER BY d.lang"""))
 
   /** BPE merge-candidate table ([[LanguageModel.bpeMergePairs]]): the
@@ -4329,6 +4333,53 @@ object LlmQueries {
             SELECT vec_id, adc_dist FROM adc
             ORDER BY adc_dist, vec_id LIMIT 10"""))
 
+  /** The per-fixture persisted PQ index path (immutable fixtures —
+    * delete target/ to rebuild), built once and shared by the two
+    * indexed ANN twins below. */
+  private def pqIndexPath(d: String): String =
+    "target/pq_index_" + java.lang.Integer.toHexString(d.hashCode)
+
+  private def pqIndexFor(s: SparkSession, d: String): String = {
+    val path = pqIndexPath(d)
+    if (!Quantize.pqIndexExists(s, path))
+      Quantize.writePqIndex(Tables.embeddings(s, d), path,
+        nlist = 4, iters = 2, m = 8, k = 16)
+    path
+  }
+
+  private def queryVec7(s: SparkSession, d: String): Array[Double] =
+    Tables.embeddings(s, d).filter(col("vec_id") === 7)
+      .select(col("embedding")).collect().headOption
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .getOrElse(Array.fill(64)(0.0))
+
+  /** Indexed twin of `ann_ivfpq_topk`: Lloyd training, the PQ
+    * codebook and the coarse assignment are materialized ONCE to a
+    * parquet serving index ([[Quantize.writePqIndex]],
+    * build-once/probe-many — the deployment shape where every query
+    * probes the same frozen corpus) and the search reads ONLY
+    * centroids + codebook + the list-filtered code table
+    * ([[Quantize.ivfPqTopKIndexed]]). Same training, same codes, same
+    * ADC arithmetic ⇒ the `ann_ivfpq_topk` oracle applies verbatim —
+    * a drift between the live and indexed paths surfaces as a hash
+    * mismatch here. */
+  val ivfPqIndexedQ = Q(
+    "ann_ivfpq_indexed",
+    (s, d) => Quantize.ivfPqTopKIndexed(
+      s, pqIndexFor(s, d), queryVec7(s, d), topK = 10, nprobe = 2,
+      excludeId = 7L),
+    ivfPqTopKQ.oracle)
+
+  /** Indexed twin of `ann_pq_topk`: full ADC over the SAME persisted
+    * index's code table (no list filter), codebook derivation
+    * amortized into the build — the `ann_pq_topk` oracle applies
+    * verbatim. */
+  val pqIndexedQ = Q(
+    "ann_pq_indexed",
+    (s, d) => Quantize.pqTopKIndexed(
+      s, pqIndexFor(s, d), queryVec7(s, d), topK = 10),
+    pqTopKQ.oracle)
+
   /** SemDeDup-style semantic dedup marks over the fixed-centroid
     * clusters: per vector, keep = no same-cluster vector above the
     * cosine threshold with higher (cos_to_centroid, -id) priority.
@@ -4424,7 +4475,8 @@ object LlmQueries {
     annKnnJoin, kmeansAssignQ,
     nearDupCosine,
     embCentroids, embNormProfile, kmeansQ, kmeansBalancedQ, quantizeInt8,
-    annQuantized, pqCodesQ, pqTopKQ, ivfPqTopKQ, jlProjectQ, annJlQ,
+    annQuantized, pqCodesQ, pqTopKQ, ivfPqTopKQ, ivfPqIndexedQ,
+    pqIndexedQ, jlProjectQ, annJlQ,
     splitCounts, stratSample, capPerSourceQ, leakageSplit, budgetSample,
     temperatureMix, mixturePlanQ, dsirWeights, dsirSelect,
     epochOrder,

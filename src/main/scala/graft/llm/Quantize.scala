@@ -336,26 +336,237 @@ object Quantize {
         round(sqDist(slice(q, lo, lit(sub)),
           slice(c.getField("c_vec"), lo, lit(sub))), 6))
     })
+    // per-subspace codes: argmin round-6 sqDist, lower index ties —
+    // pqCodes' exact assignment, fused inline so the probed rows
+    // encode and score in the same scan
+    val codesExpr = transform(sequence(lit(0), lit(m - 1)), s => {
+      val lo = s * sub + 1
+      array_min(transform(col("cb"), (c, ci) =>
+        struct(
+          round(sqDist(slice(col("v"), lo, lit(sub)),
+            slice(c.getField("c_vec"), lo, lit(sub))), 6).as("dist"),
+          ci.as("code")))).getField("code")
+    })
+    // dtab and codesExpr sit in zip_with ARGUMENT position (pqTopK's
+    // shape), so each evaluates once per row — referencing dtab from
+    // inside a per-subspace lambda would re-evaluate the whole m×k
+    // table m times per row (the measured HOF outer-reference trap,
+    // SURVEY §4; PlanLint's hof-outer-reference rule flags it)
     Similarity.assignToCentroids(vecs, cents)
       .filter(col("vid") =!= lit(excludeId))
       .join(broadcast(probeLists), col("cid") === col("list_id"))
       .crossJoin(broadcast(cb))
       .select(col("vid").as(idCol),
         round(aggregate(
-          transform(sequence(lit(0), lit(m - 1)), s => {
-            val lo = s * sub + 1
-            // per-subspace code: argmin round-6 sqDist, lower index
-            // ties — pqCodes' exact assignment, fused inline so the
-            // probed rows encode and score in the same scan
-            val code = array_min(transform(col("cb"), (c, ci) =>
-              struct(
-                round(sqDist(slice(col("v"), lo, lit(sub)),
-                  slice(c.getField("c_vec"), lo, lit(sub))), 6).as("dist"),
-                ci.as("code")))).getField("code")
-            element_at(element_at(dtab, (s + 1).cast("int")), code + 1)
-          }),
+          zip_with(dtab, codesExpr,
+            (row, code) => element_at(row, code + 1)),
           lit(0.0), (acc, e) => acc + e), 4).as("adc_dist"))
       .orderBy(col("adc_dist"), col(idCol))
       .limit(topK)
   }
+
+  // ---- persisted IVF-PQ serving index ---------------------------------
+
+  /** Bump when the on-disk layout changes — a stale index is rebuilt,
+    * never mis-read. */
+  val PqIndexFormat: Int = 1
+
+  /** Does a CURRENT-format PQ index exist at `path`? Same validity
+    * protocol as [[Dedup.lshIndexExists]]: the meta table is written
+    * LAST, so its `_SUCCESS` marker certifies every other table; a
+    * format mismatch reads as absent. */
+  def pqIndexExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/meta/_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p) && {
+      val m = spark.read.parquet(s"$path/meta")
+      m.columns.contains("format") &&
+        m.head().getAs[Int]("format") == PqIndexFormat
+    }
+  }
+
+  /** Materialize the IVF-PQ serving index at `path` — the
+    * build-once/probe-many form of [[ivfPqTopK]] (and of [[pqTopK]]:
+    * one index serves both, the IVF probe just adds a list filter).
+    * A serving deployment trains the coarse quantizer and derives the
+    * PQ codebook ONCE; per query it touches only centroids (nlist
+    * rows), the codebook (k rows) and the code table — `m·log₂k` bits
+    * per vector, no float vectors. This writes that precomputation
+    * (parquet, same pattern as [[Dedup.writeLshIndex]]):
+    *
+    *   - `path/centroids` — (list_id, c_vec): the Lloyd-trained
+    *                        coarse quantizer, nlist rows
+    *   - `path/codebook`  — (ci, c_vec): the deterministic PQ
+    *                        codebook in code order, k rows
+    *   - `path/codes`     — (id, cid, codes): per vector, its coarse
+    *                        list and its m PQ codes — the ONLY
+    *                        corpus-sized table, read through the
+    *                        probe's broadcast list filter
+    *   - `path/meta`      — LAST (its `_SUCCESS` is the validity
+    *                        marker): format, nlist, iters, m, k — the
+    *                        probe hashes with the STORED parameters,
+    *                        so a build/probe mismatch cannot happen
+    *
+    * Determinism: training/codebook/codes carry [[ivfPqTopK]]'s exact
+    * contracts (round-6 arithmetic, lower-id/lower-index ties), so an
+    * indexed probe is bit-equal to the live composed call. */
+  def writePqIndex(
+      embs: DataFrame,
+      path: String,
+      nlist: Int = 4,
+      iters: Int = 2,
+      m: Int = 8,
+      k: Int = 16,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    require(m >= 1, s"m must be ≥ 1: $m")
+    require(k >= 1, s"k must be ≥ 1: $k")
+    val spark = embs.sparkSession
+    val vecs = Similarity.doubleVecs(embs, idCol, vecCol)
+    val cents = Similarity.lloydCentroids(vecs, nlist, iters)
+    if (cents.isEmpty) {
+      // a zero-row corpus yields a VALID empty index (probes return
+      // no rows) — an engine meets empty inputs constantly, and a
+      // build that crashes on nothing-to-do is not production-grade
+      vecs.select(col("vid").cast("long").as("list_id"),
+          col("v").as("c_vec")).limit(0)
+        .write.mode("overwrite").parquet(s"$path/centroids")
+      vecs.select(lit(0).as("ci"), col("v").as("c_vec")).limit(0)
+        .write.mode("overwrite").parquet(s"$path/codebook")
+      vecs.select(col("vid").as("id"), lit(0L).as("cid"),
+          typedlit(Seq.empty[Int]).as("codes")).limit(0)
+        .write.mode("overwrite").parquet(s"$path/codes")
+      spark.range(1).select(
+          lit(PqIndexFormat).as("format"),
+          lit(nlist).as("nlist"),
+          lit(iters).as("iters"),
+          lit(m).as("m"),
+          lit(k).as("k"))
+        .write.mode("overwrite").parquet(s"$path/meta")
+      return
+    }
+    spark.range(1)
+      .select(explode(array(cents.map { case (cid, c) =>
+        struct(lit(cid).as("list_id"), typedlit(c).as("c_vec"))
+      }: _*)).as("c"))
+      .select(col("c.list_id").as("list_id"), col("c.c_vec").as("c_vec"))
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    val cb = codebook(embs, k, idCol, vecCol)
+    cb.select(posexplode(col("cb")).as(Seq("ci", "e")))
+      .select(col("ci"), col("e").getField("c_vec").as("c_vec"))
+      .write.mode("overwrite").parquet(s"$path/codebook")
+    // codes: coarse assignment + PQ encode fused in one corpus scan —
+    // pqCodes' exact per-subspace argmin (round-6 sqDist, lower index
+    // ties) against the broadcast codebook row
+    val sub = size(col("v")) / m
+    Similarity.assignToCentroids(vecs, cents)
+      .crossJoin(broadcast(cb))
+      .select(col("vid").as("id"), col("cid"),
+        transform(sequence(lit(0), lit(m - 1)), s => {
+          val lo = s * sub + 1
+          array_min(transform(col("cb"), (c, ci) =>
+            struct(
+              round(sqDist(slice(col("v"), lo, sub),
+                slice(c.getField("c_vec"), lo, sub)), 6).as("dist"),
+              ci.as("code")))).getField("code")
+        }).as("codes"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+    // meta LAST: its _SUCCESS is the index's validity marker
+    spark.range(1).select(
+        lit(PqIndexFormat).as("format"),
+        lit(nlist).as("nlist"),
+        lit(iters).as("iters"),
+        lit(m).as("m"),
+        lit(k).as("k"))
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** The shared indexed ADC scan: probe the stored code table with a
+    * float query, optionally filtered to the `nprobe` most
+    * query-similar coarse lists. Per probed row the cost is `m` table
+    * lookups; the query↔codebook distance table and the probe list
+    * set broadcast; the only exchange is the bounded
+    * `TakeOrderedAndProject` for the final k. */
+  private def adcTopKIndexed(
+      spark: SparkSession,
+      indexPath: String,
+      queryVec: Array[Double],
+      topK: Int,
+      nprobe: Option[Int],
+      excludeId: Long,
+      idCol: String): DataFrame = {
+    require(pqIndexExists(spark, indexPath),
+      s"no PQ index at $indexPath — writePqIndex first")
+    val meta = spark.read.parquet(s"$indexPath/meta").head()
+    val m = meta.getAs[Int]("m")
+    require(queryVec.length % m == 0,
+      s"dim ${queryVec.length} must be divisible by stored m=$m")
+    val sub = queryVec.length / m
+    val q = typedLit(queryVec.toSeq)
+    // rebuild the one-row codebook array in ci order — positions must
+    // match the stored codes (struct sorts on its first field, ci)
+    val cb = spark.read.parquet(s"$indexPath/codebook")
+      .select(struct(col("ci"), col("c_vec")).as("e"))
+      .groupBy().agg(sort_array(collect_list(col("e"))).as("cb"))
+    val dtab = transform(sequence(lit(0), lit(m - 1)), s => {
+      val lo = s * sub + 1
+      transform(col("cb"), c =>
+        round(sqDist(slice(q, lo, lit(sub)),
+          slice(c.getField("c_vec"), lo, lit(sub))), 6))
+    })
+    val codes0 = spark.read.parquet(s"$indexPath/codes")
+      .filter(col("id") =!= lit(excludeId))
+    val codes = nprobe match {
+      case Some(np) =>
+        require(np >= 1, s"nprobe must be ≥ 1: $np")
+        // probe ranking runs in-plan on the stored nlist-row centroid
+        // table — the round-6 cosine is the ENGINE's arithmetic
+        val probeLists = spark.read.parquet(s"$indexPath/centroids")
+          .select(col("list_id"),
+            round(Similarity.cosine(col("c_vec"), q), 6).as("qc"))
+          .orderBy(col("qc").desc, col("list_id"))
+          .limit(np)
+          .select("list_id")
+        codes0.join(broadcast(probeLists), col("cid") === col("list_id"))
+      case None => codes0
+    }
+    codes
+      .crossJoin(broadcast(cb))
+      .select(col("id").as(idCol),
+        round(aggregate(
+          zip_with(dtab, col("codes"),
+            (row, code) => element_at(row, code + 1)),
+          lit(0.0), (acc, e) => acc + e), 4).as("adc_dist"))
+      .orderBy(col("adc_dist"), col(idCol))
+      .limit(topK)
+  }
+
+  /** [[ivfPqTopK]] against a PERSISTED index instead of in-query
+    * training: same probe ranking, same codes, same ADC arithmetic,
+    * same `(adc_dist ASC, id ASC)` output — but Lloyd training, the
+    * codebook derivation and the coarse assignment are amortized into
+    * [[writePqIndex]], so the per-query cost is
+    * `nprobe/nlist × corpus × m` lookups, the serving cost model. */
+  def ivfPqTopKIndexed(
+      spark: SparkSession,
+      indexPath: String,
+      queryVec: Array[Double],
+      topK: Int = 10,
+      nprobe: Int = 2,
+      excludeId: Long = -1L,
+      idCol: String = "vec_id"): DataFrame =
+    adcTopKIndexed(spark, indexPath, queryVec, topK, Some(nprobe),
+      excludeId, idCol)
+
+  /** [[pqTopK]] against the same persisted index — full ADC scan of
+    * the stored codes (no list filter), codebook derivation amortized
+    * into the build. */
+  def pqTopKIndexed(
+      spark: SparkSession,
+      indexPath: String,
+      queryVec: Array[Double],
+      topK: Int = 10,
+      excludeId: Long = -1L,
+      idCol: String = "vec_id"): DataFrame =
+    adcTopKIndexed(spark, indexPath, queryVec, topK, None,
+      excludeId, idCol)
 }

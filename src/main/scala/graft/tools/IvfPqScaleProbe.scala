@@ -83,6 +83,33 @@ object IvfPqScaleProbe {
       println(f"PROBE ivfpq nprobe=$nprobe sec=$t%.2f (train+search)")
     }
 
+    // (b2) the serving path: training + codebook + coarse assignment
+    // amortized into a persisted index (writePqIndex); per-query cost
+    // is the probed fraction × m code lookups, nothing retrained
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("ivfpq_probe_index").toString
+    val (_, tBuild) = timed(Quantize.writePqIndex(
+      emb, idxPath, nlist = nlist, iters = iters))
+    println(f"PROBE index_build sec=$tBuild%.2f (once, amortized)")
+    Quantize.ivfPqTopKIndexed(spark, idxPath, qVec, topK = k,
+      nprobe = 1, excludeId = 7L).count() // warm
+    for (nprobe <- Seq(1, 2)) {
+      val (_, t) = timed(Quantize.ivfPqTopKIndexed(spark, idxPath,
+        qVec, topK = k, nprobe = nprobe, excludeId = 7L).count())
+      println(f"PROBE ivfpq_indexed nprobe=$nprobe sec=$t%.2f (search only)")
+    }
+    val (_, tAdcIdx) = timed(Quantize.pqTopKIndexed(spark, idxPath,
+      qVec, topK = k).count())
+    println(f"PROBE pq_indexed_full_adc sec=$tAdcIdx%.2f (search only)")
+    // indexed ≡ live at the probe scale
+    val liveTop = Quantize.ivfPqTopK(emb, qVec, topK = k,
+      nlist = nlist, iters = iters, nprobe = 2, excludeId = 7L)
+      .collect().toSeq.map(r => (r.getLong(0), r.getDouble(1)))
+    val idxTop = Quantize.ivfPqTopKIndexed(spark, idxPath, qVec,
+      topK = k, nprobe = 2, excludeId = 7L)
+      .collect().toSeq.map(r => (r.getLong(0), r.getDouble(1)))
+    println(s"PROBE indexed_equality match=${idxTop == liveTop}")
+
     // (c) correctness anchor: nprobe = nlist ≡ exact ADC minus query
     val full = Quantize.pqTopK(emb, qVec, topK = k + 1)
       .collect().toSeq.map(r => (r.getLong(0), r.getDouble(1)))

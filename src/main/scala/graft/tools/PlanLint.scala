@@ -1,9 +1,10 @@
 package graft.tools
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, HigherOrderFunction, LambdaFunction, NamedLambdaVariable}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
-import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, ProjectExec, SortExec, SparkPlan, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, GenerateExec, ProjectExec, SortExec, SparkPlan, TakeOrderedAndProjectExec}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
@@ -128,7 +129,63 @@ object PlanLint {
       case _ => ()
     }
 
-    // 5. Shuffle inventory (Info): every Exchange is a full
+    // 5. Generate over a non-trivial INLINE computed array: the
+    // measured winnowPairs trap (SURVEY §4 — 26 s vs 0.7 s at sf0.1).
+    // The cost model is (array-expression tree size × output
+    // fan-out); an explode over an attribute, or over a small inline
+    // expression (posexplode of minhash bands, a bigram struct
+    // builder), is fine — a heavyweight array pipeline inlined into
+    // the generator is not: stage it as a column behind a
+    // materialization barrier (localCheckpoint of the tiny
+    // (id, array) frame) before exploding. Invisible in plan SHAPE —
+    // this rule is the static tripwire wall-clock used to be.
+    nodes.foreach {
+      case g: GenerateExec =>
+        g.generator.children.foreach { child =>
+          val w = nodeCount(child)
+          if (!child.isInstanceOf[Attribute] && w > GenerateInlineMax)
+            findings += Finding(Warn, "generate-inline-array",
+              s"Generate over an inline computed array ($w expression " +
+                "nodes) — the array tree re-evaluates with the " +
+                "generator; stage it as a column behind a " +
+                "materialization barrier before exploding: " +
+                trunc(child.sql))
+        }
+      case _ => ()
+    }
+
+    // 6. HOF lambda referencing a non-cheap OUTER expression: the
+    // measured ngrams/winnowing-minima trap (SURVEY §4 — lambda
+    // bodies inline their outer references, so a lambda-invariant
+    // subtree re-evaluates once per ELEMENT: O(T²) per row for a
+    // T-sized array over a T-sized invariant). Cheap invariants
+    // (an attribute, a literal, size(attr)) are fine; a big computed
+    // array indexed from inside the lambda is not — stage it as a
+    // column attribute in a PRIOR projection, or move it to HOF
+    // ARGUMENT position (zip_with(bigExpr, …)), where it evaluates
+    // once per row.
+    nodes.foreach { n =>
+      n.expressions.foreach { root =>
+        root.foreach {
+          case hof: HigherOrderFunction =>
+            hof.functions.foreach {
+              case LambdaFunction(body, _, _) =>
+                val w = maxInvariantWeight(body)
+                if (w > HofInvariantMax)
+                  findings += Finding(Warn, "hof-outer-reference",
+                    s"HOF lambda references a lambda-invariant subtree " +
+                      s"of $w expression nodes — it re-evaluates per " +
+                      "array ELEMENT; stage it in a prior projection " +
+                      "or move it to HOF argument position: " +
+                      trunc(body.sql))
+              case _ => ()
+            }
+          case _ => ()
+        }
+      }
+    }
+
+    // 7. Shuffle inventory (Info): every Exchange is a full
     // materialization of its input — the first number to minimize.
     val exchanges = nodes.count {
       case _: ShuffleExchangeExec => true
@@ -147,6 +204,38 @@ object PlanLint {
       case _: CodegenFallback => true
       case _ => false
     }
+
+  /** Tuning knobs for rules 5/6, calibrated against MEASUREMENTS on
+    * the engine's own queries: the winnowing fingerprint pipeline
+    * inlined into an explode (~100+ nodes, the 26 s incident) must
+    * trip; `text_top_ngrams`' bigram zip_with chain (50 nodes) and
+    * the KLL explode (53) were re-measured round 14 at sf0.1 as
+    * staging-neutral (0.78 s inline vs 0.75 s staged) and must stay
+    * quiet. The HOF bound is lower because the invariant re-evaluates
+    * per ELEMENT (fan-out multiplies the tree), not per row. */
+  val GenerateInlineMax = 80
+  val HofInvariantMax = 24
+
+  private def nodeCount(e: Expression): Int =
+    1 + e.children.map(nodeCount).sum
+
+  /** The largest lambda-invariant subtree (expression nodes) a lambda
+    * body re-evaluates per element: a subtree free of ALL lambda
+    * variables evaluates to the same value for every element, so its
+    * full tree cost is paid once per element instead of once per row.
+    * Literals and attributes are weight-1 (cheap to re-read). */
+  private def maxInvariantWeight(body: Expression): Int = {
+    def hasVar(e: Expression): Boolean =
+      e.exists(_.isInstanceOf[NamedLambdaVariable])
+    def go(e: Expression): Int =
+      if (!hasVar(e)) nodeCount(e)
+      else if (e.children.isEmpty) 0
+      else e.children.map(go).max
+    go(body)
+  }
+
+  private def trunc(s: String, n: Int = 160): String =
+    if (s.length <= n) s else s.take(n) + "…"
 
   /** Throw if the plan has findings at or above `failAt`. */
   def assertClean(df: DataFrame, failAt: Severity = Error): Unit = {

@@ -290,6 +290,17 @@ class CliSpec extends AnyFunSuite {
       .select("media_id").as[Long].collect().toSet
     assert(keepers == base.map(_.media_id).toSet,
       s"originals keep, gray variants collapse: $keepers")
+
+    // the advertised 3-column schema (no source_doc) must also work:
+    // the verb defaults source_doc to media_id
+    val mIn3 = TestSpark.tmpDir("cli-phash-in3")
+    spark.read.parquet(mIn).select("media_id", "modality", "payload")
+      .write.mode("overwrite").parquet(mIn3)
+    val mOut3 = TestSpark.tmpDir("cli-phash-out3") + "/keepers"
+    graft.cli.Main.run(spark, Array("phash-dedup", mIn3, mOut3, "--keep"))
+    val keepers3 = spark.read.parquet(mOut3)
+      .select("media_id").as[Long].collect().toSet
+    assert(keepers3 == keepers, "3-column input matches the 4-column run")
   }
 
   test("dedup-spans-intradoc and winnow-pairs verbs run end-to-end") {

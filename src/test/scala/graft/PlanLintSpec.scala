@@ -47,6 +47,74 @@ class PlanLintSpec extends AnyFunSuite {
     assert(f.exists(_.rule == "shuffle-count"))
   }
 
+  test("flags Generate over a heavyweight inline array as Warn") {
+    // the winnowPairs trap: a non-trivial array pipeline inlined into
+    // the explode — re-evaluates with the generator. Build an array
+    // expression comfortably over GenerateInlineMax nodes.
+    val docs = Seq((1L, "a b c d e f g h i j k l m n o p"))
+      .toDF("doc_id", "text")
+    val toks = split($"text", " ")
+    val heavy = (0 until 24).foldLeft(toks) { (acc, i) =>
+      transform(acc, x => concat(x, lit(i.toString)))
+    }
+    val trapped = docs.select($"doc_id", explode(heavy).as("t"))
+    assert(PlanLint.lint(trapped)
+      .exists(f => f.rule == "generate-inline-array" && f.severity == Warn),
+      PlanLint.lint(trapped).mkString("\n"))
+    // the fixed shape: explode over a STAGED column attribute (behind
+    // a barrier) carries no inline tree — no finding
+    val staged = docs.select($"doc_id", heavy.as("arr"))
+      .localCheckpoint(true)
+      .select($"doc_id", explode($"arr").as("t"))
+    assert(!PlanLint.lint(staged)
+      .exists(_.rule == "generate-inline-array"),
+      PlanLint.lint(staged).mkString("\n"))
+  }
+
+  test("flags a HOF lambda over a big lambda-invariant subtree as Warn") {
+    // the ngrams/winnowing trap: transform(seq, i => f(bigExpr, i))
+    // inlines bigExpr into the lambda — one full evaluation per
+    // ELEMENT. Input built over range() (a local Seq would be
+    // constant-folded into a LocalTableScan, expression and all).
+    val docs = spark.range(5).select($"id".as("doc_id"),
+      concat_ws(" ", lit("a b c"), $"id".cast("string"),
+        lit("e f g h")).as("text"))
+    val toks = split($"text", " ")
+    val big = (0 until 10).foldLeft(toks) { (acc, _) =>
+      reverse(array_distinct(concat(acc, acc)))
+    }
+    val trapped = docs.select($"doc_id",
+      transform(sequence(lit(1), size(toks)),
+        i => element_at(big, i)).as("out"))
+    assert(PlanLint.lint(trapped)
+      .exists(f => f.rule == "hof-outer-reference" && f.severity == Warn),
+      PlanLint.lint(trapped).mkString("\n"))
+    // argument position evaluates once per row — no finding
+    val fixedShape = docs.select($"doc_id",
+      zip_with(big, toks, (a, b) => concat(a, b)).as("out"))
+    assert(!PlanLint.lint(fixedShape)
+      .exists(_.rule == "hof-outer-reference"),
+      PlanLint.lint(fixedShape).mkString("\n"))
+  }
+
+  test("cheap per-element generators and lambdas stay quiet") {
+    // scoreBigram's shape: explode of a small transform over an
+    // attribute — legitimate, must not warn
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val toks = split($"text", " ")
+    val bigrams = docs
+      .select($"doc_id", toks.as("tk"))
+      .select($"doc_id", explode(transform(
+        sequence(lit(0), size($"tk") - 2),
+        i => struct(
+          element_at($"tk", i + 1).as("w1"),
+          element_at($"tk", i + 2).as("w2")))).as("bg"))
+    val f = PlanLint.lint(bigrams)
+      .filter(x => x.rule == "generate-inline-array" ||
+        x.rule == "hof-outer-reference")
+    assert(f.isEmpty, f.mkString("\n"))
+  }
+
   test("every registered engine query lints clean at Error level") {
     // the product guarantee: nothing the engine ships plans a
     // cluster-killer shape. Warn-level findings are allowed (bounded

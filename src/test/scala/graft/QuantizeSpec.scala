@@ -153,6 +153,75 @@ class QuantizeSpec extends AnyFunSuite {
       "ADC distances must be ascending")
   }
 
+  test("persisted PQ index: indexed probe ≡ live composed call") {
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val qVec = embs.filter($"vec_id" === 7L)
+      .select("embedding")
+      .as[Seq[Float]].head().map(_.toDouble).toArray
+    val path = java.nio.file.Files
+      .createTempDirectory("pq_index").toString
+    assert(!Quantize.pqIndexExists(spark, path), "no index yet")
+    Quantize.writePqIndex(embs, path, nlist = 4, iters = 2, m = 8, k = 16)
+    assert(Quantize.pqIndexExists(spark, path), "index is valid after build")
+    // IVF-PQ: indexed probe must be bit-equal to the live composed
+    // call (same training, same codes, same ADC arithmetic)
+    val live = Quantize.ivfPqTopK(embs, qVec, topK = 10, nlist = 4,
+      iters = 2, nprobe = 2, m = 8, k = 16, excludeId = 7L)
+      .as[(Long, Double)].collect().toSeq
+    val indexed = Quantize.ivfPqTopKIndexed(spark, path, qVec,
+      topK = 10, nprobe = 2, excludeId = 7L)
+      .as[(Long, Double)].collect().toSeq
+    assert(indexed == live, s"indexed=$indexed\nlive=$live")
+    // plain PQ ADC over the same index's code table ≡ live pqTopK
+    val liveAdc = Quantize.pqTopK(embs, qVec, topK = 10, m = 8, k = 16)
+      .as[(Long, Double)].collect().toSeq
+    val indexedAdc = Quantize.pqTopKIndexed(spark, path, qVec, topK = 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(indexedAdc == liveAdc, s"indexed=$indexedAdc\nlive=$liveAdc")
+  }
+
+  test("indexed IVF-PQ probe finds a planted duplicate; plan reads no floats") {
+    val base = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val qRow = base.filter($"vec_id" === 42L)
+      .as[(Long, Seq[Float])].head()
+    val planted = base.unionByName(
+      Seq((999999L, qRow._2.toArray)).toDF("vec_id", "embedding"))
+    val qVec = qRow._2.map(_.toDouble).toArray
+    val path = java.nio.file.Files
+      .createTempDirectory("pq_index_planted").toString
+    Quantize.writePqIndex(planted, path, nlist = 4, iters = 2,
+      m = 8, k = 16)
+    val probe = Quantize.ivfPqTopKIndexed(spark, path, qVec,
+      topK = 5, nprobe = 2, excludeId = 42L)
+    val top = probe.as[(Long, Double)].collect().toSeq
+    assert(top.map(_._1).contains(999999L), s"got $top")
+    // serving-cost contract: the probe plan scans codes/centroids/
+    // codebook only — the float embedding table never appears
+    val scanned = probe.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation.asInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.rootPaths.mkString(",")
+    }.mkString("\n")
+    assert(!scanned.contains("embeddings"), s"float table scanned:\n$scanned")
+    assert(scanned.contains("codes"), s"code table not scanned:\n$scanned")
+  }
+
+  test("a half-built or stale-format PQ index reads as absent") {
+    val path = java.nio.file.Files
+      .createTempDirectory("pq_index_stale").toString
+    // no meta at all
+    assert(!Quantize.pqIndexExists(spark, path))
+    // meta present but wrong format version → rebuilt, not mis-read
+    spark.range(1).select(
+        lit(Quantize.PqIndexFormat + 1).as("format"),
+        lit(4).as("nlist"), lit(2).as("iters"),
+        lit(8).as("m"), lit(16).as("k"))
+      .write.mode("overwrite").parquet(s"$path/meta")
+    assert(!Quantize.pqIndexExists(spark, path))
+  }
+
   test("quantization plan is shuffle-free") {
     val embs = Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
     val plan = Quantize.int8Profile(embs)

@@ -134,11 +134,12 @@ object Bench {
     * unavailable (e.g. a real cluster) — the engine never depends on
     * it. */
   private[graft] def duckdbHeadline(
-      dir: String, timeoutSec: Long): (Double, String) = {
+      dir: String, timeoutSec: Long,
+      names: Seq[String] = headline): (Double, String) = {
     val none = (-1.0, "{}")
     val tool = new java.io.File("tools/duckdb_headline.py")
     if (!tool.isFile) return none
-    val sqls = headline.flatMap(n =>
+    val sqls = names.flatMap(n =>
       duckdbTwinSql.get(n).orElse(SparkEntry.oracleSql.get(n)).map(n -> _))
     val json = sqls
       .map { case (k, v) => "\"" + jstr(k) + "\":\"" + jstr(v) + "\"" }
@@ -192,9 +193,10 @@ object Bench {
     * identical cached plan — draws one extra sample. */
   private[graft] def runHeadline(
       spark: org.apache.spark.sql.SparkSession,
-      dir: String): Seq[(String, Double, Double)] = {
+      dir: String,
+      subset: Seq[String] = headline): Seq[(String, Double, Double)] = {
     val queries = SparkEntry.queries
-    val names = headline.filter(queries.contains)
+    val names = subset.filter(queries.contains)
     def once(n: String): Double =
       try time(queries(n)(spark, dir).count())
       catch {
@@ -487,6 +489,41 @@ object Bench {
           (Seq.empty[(String, Double, Double)], -1.0, "{}", "")
       }
     val x10Spark = x10Results.collect { case (_, _, w) if w >= 0 => w }.sum
+
+    // ---- x100 SPOT tier: the comparables whose x10 ratio is pure
+    // fixed per-query overhead (a5 16×, a6 15×, j2 12× at x10 in r13,
+    // each 50 ms–1.2 s absolute) — timed at 100× to DEMONSTRATE the
+    // amortization claim instead of asserting it. Spot-only (3
+    // queries, 3 cached tables) so the tier stays minutes, not an
+    // hour. Disable with SPARK_GRAFT_X100=0.
+    val x100Names = Seq("a5_topk_group", "a6_date_topk", "j2_join_3way")
+    val x100Mult = sys.env.get("SPARK_GRAFT_X100") match {
+      case Some("0") => 0
+      case Some(s)   => scala.util.Try(s.trim.toInt).toOption
+        .filter(_ > 1).getOrElse(100)
+      case None      => 100
+    }
+    val (x100Results, x100Duck, x100DuckQueries) =
+      if (x100Mult <= 1 || scaleMult <= 1)
+        (Seq.empty[(String, Double, Double)], -1.0, "{}")
+      else try {
+        val dir = ensureScaledFixture(spark, sfDir, x100Mult)
+        spark.catalog.clearCache()
+        // cache only what the spot set touches
+        Seq("customer", "orders", "lineitem").foreach { n =>
+          Tables.load(spark, dir, n).cache()
+          Tables.load(spark, dir, n).count()
+        }
+        val r = runHeadline(spark, dir, x100Names)
+        spark.catalog.clearCache()
+        val (dd, dq) = duckdbHeadline(dir, 1800, x100Names)
+        (r, dd, dq)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] x100 spot tier skipped: ${e.getMessage}")
+          (Seq.empty[(String, Double, Double)], -1.0, "{}")
+      }
+    val x100Spark = x100Results.collect { case (_, _, w) if w >= 0 => w }.sum
     val loadEnd = loadAvg()
 
     def jmap(kv: Seq[(String, Double)]): String =
@@ -512,6 +549,12 @@ object Bench {
       if (x10Results.isEmpty) "null"
       else f"""{"mult":$scaleMult,"spark":$x10Spark%.4f,""" +
         f""""duckdb":$x10Duck%.4f}"""
+    val x100Json =
+      if (x100Results.isEmpty) "null"
+      else f"""{"mult":$x100Mult,"spark":$x100Spark%.4f,""" +
+        f""""duckdb":$x100Duck%.4f,""" +
+        s""""queries":${jmap(x100Results.map { case (k, _, w) => (k, w) })},""" +
+        s""""duckdb_queries":$x100DuckQueries}"""
     val loadJson = f"""[$loadStart%.2f,$loadEnd%.2f]"""
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec",""" +
@@ -526,6 +569,7 @@ object Bench {
         s""""x10_queries_cold":${jmap(x10Results.map { case (k, c, _) => (k, c) })},""" +
         s""""x10_duckdb_queries":$x10DuckQueries,""" +
         s""""x10_dir":"${jstr(x10Dir)}",""" +
+        s""""x100_spot":$x100Json,""" +
         s""""load_avg":$loadJson,""" +
         f""""dockets_per_sec":$docketsPerSec%.1f,""" +
         s""""ingest_pass_sec":$ingestPassesJson,""" +
@@ -544,6 +588,7 @@ object Bench {
         s""""duckdb_queries":$duckdbQueries,""" +
         f""""spark_headline_comparable":$sparkComparable%.4f,""" +
         s""""x10":$x10Json,""" +
+        s""""x100_spot":$x100Json,""" +
         s""""load_avg":$loadJson,""" +
         s""""mode":"warm+cached",""" +
         f""""dockets_per_sec":$docketsPerSec%.1f,""" +

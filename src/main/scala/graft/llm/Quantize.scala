@@ -457,18 +457,9 @@ object Quantize {
     // codes: coarse assignment + PQ encode fused in one corpus scan —
     // pqCodes' exact per-subspace argmin (round-6 sqDist, lower index
     // ties) against the broadcast codebook row
-    val sub = size(col("v")) / m
     Similarity.assignToCentroids(vecs, cents)
       .crossJoin(broadcast(cb))
-      .select(col("vid").as("id"), col("cid"),
-        transform(sequence(lit(0), lit(m - 1)), s => {
-          val lo = s * sub + 1
-          array_min(transform(col("cb"), (c, ci) =>
-            struct(
-              round(sqDist(slice(col("v"), lo, sub),
-                slice(c.getField("c_vec"), lo, sub)), 6).as("dist"),
-              ci.as("code")))).getField("code")
-        }).as("codes"))
+      .select(col("vid").as("id"), col("cid"), fusedCodes(m).as("codes"))
       .write.mode("overwrite").parquet(s"$path/codes")
     // meta LAST: its _SUCCESS is the index's validity marker
     spark.range(1).select(
@@ -478,6 +469,70 @@ object Quantize {
         lit(m).as("m"),
         lit(k).as("k"))
       .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** The per-vector PQ encode over a `(vid, v, cid)` frame cross-
+    * joined with the one-row broadcast `cb` codebook: pqCodes' exact
+    * per-subspace argmin (round-6 sqDist, lower index ties) — shared
+    * by the index build and the append path so the two cannot
+    * drift. */
+  private def fusedCodes(m: Int): Column = {
+    val sub = size(col("v")) / m
+    transform(sequence(lit(0), lit(m - 1)), s => {
+      val lo = s * sub + 1
+      array_min(transform(col("cb"), (c, ci) =>
+        struct(
+          round(sqDist(slice(col("v"), lo, sub),
+            slice(c.getField("c_vec"), lo, sub)), 6).as("dist"),
+          ci.as("code")))).getField("code")
+    })
+  }
+
+  /** Incremental index maintenance: assign NEW vectors to the FROZEN
+    * coarse quantizer, encode them with the FROZEN codebook, and
+    * append their codes to the persisted index — the serving-index
+    * update path (a retrain is a new [[writePqIndex]]; this is the
+    * between-retrains append a streaming ingest performs per
+    * micro-batch — see [[graft.streaming.Incremental
+    * .annIndexAppendStream]]). The centroid and codebook tables are
+    * immutable under append, so concurrent probes stay consistent;
+    * new codes land as new parquet files in `codes/`. Appending to a
+    * still-EMPTY index bootstraps it instead: trains on this first
+    * batch with the index's stored (nlist, iters, m, k) — the
+    * streaming deployment's cold start.
+    *
+    * Scale shape: per batch, ONE scan of the new vectors (assign →
+    * encode fused, centroids + codebook broadcast), zero shuffles,
+    * zero reads of existing codes. */
+  def appendToPqIndex(
+      newVecs: DataFrame,
+      path: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val spark = newVecs.sparkSession
+    require(pqIndexExists(spark, path),
+      s"no PQ index at $path — writePqIndex first")
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val m = meta.getAs[Int]("m")
+    val cents: Array[(Long, Seq[Double])] =
+      spark.read.parquet(s"$path/centroids")
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    if (cents.isEmpty) {
+      // cold start: the empty index trains on its first batch, with
+      // the parameters the index was declared with
+      writePqIndex(newVecs, path,
+        nlist = meta.getAs[Int]("nlist"), iters = meta.getAs[Int]("iters"),
+        m = m, k = meta.getAs[Int]("k"), idCol = idCol, vecCol = vecCol)
+      return
+    }
+    val cb = spark.read.parquet(s"$path/codebook")
+      .select(struct(col("ci"), col("c_vec")).as("e"))
+      .groupBy().agg(sort_array(collect_list(col("e"))).as("cb"))
+    Similarity.assignToCentroids(
+        Similarity.doubleVecs(newVecs, idCol, vecCol), cents)
+      .crossJoin(broadcast(cb))
+      .select(col("vid").as("id"), col("cid"), fusedCodes(m).as("codes"))
+      .write.mode("append").parquet(s"$path/codes")
   }
 
   /** The shared indexed ADC scan: probe the stored code table with a

@@ -44,10 +44,16 @@ object JoinQueries {
     * viable plan is a shuffle on the join key — the hint makes the small-SF
     * plan the same shape as the at-scale plan instead of letting the
     * optimizer broadcast a fact table it could never broadcast in
-    * production. (Measured locally it is also faster: rebuilding the
-    * 150k-row orders HashedRelation cost ~180 ms per execution.) Hash
-    * rather than merge because count-per-segment needs no sort order and
-    * SHJ skips both sorts; AQE's skew-join splitting still applies. */
+    * production. Hash rather than merge because count-per-segment needs
+    * no sort order and SHJ skips both sorts; AQE's skew-join splitting
+    * still applies.
+    *
+    * Hint audited round 14 (J2HintProbe, recorded in SCALE_PROBES.md):
+    * unhinted AQE broadcasts the orders FACT at sf0.1 (0.37 s — fast
+    * locally, impossible at 100 TB) and picks SortMergeJoin at x10;
+    * at x10 the pinned SHUFFLE_HASH wins every scale-representative
+    * comparison (4.61 s vs AQE's SMJ 4.75 s vs hinted merge 4.90 s),
+    * so the hint stays. PlanSpec pins the ShuffledHashJoin shape. */
   val j2 = Q(
     "j2_join_3way",
     (s, d) =>

@@ -109,15 +109,27 @@ object JsonApi {
   }.sortBy(d => (d.agency, d.docketId, d.kind)) // deterministic (SURVEY O3)
 
   /** Distributed permissive read of one table-kind across many docket
-    * dirs in a single job. multiLine: one JSON document per file. */
+    * dirs in a single job. multiLine: one JSON document per file.
+    *
+    * The `*.json` selection rides `pathGlobFilter` over plain
+    * directory roots, NOT a per-directory `*.json` suffix glob: glob
+    * patterns are expanded serially on the driver (~40 ms each —
+    * measured round 14 as a 9.5 s PLANNING floor at 240 dockets that
+    * dwarfed the 1.9 s of actual parse work), while plain roots above
+    * `spark.sql.sources.parallelPartitionDiscovery.threshold` are
+    * listed by a distributed job and the filter applies at the leaf.
+    * Same files selected either way (IngestSpec pins non-json files
+    * are excluded); at a real corpus's 250k dockets the serial-glob
+    * plan would be ~3 h of driver time before the first task. */
   def readRaw(spark: SparkSession, dirs: Seq[String]): DataFrame = {
     require(dirs.nonEmpty, "no input directories")
     spark.read
       .option("multiLine", "true")
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("pathGlobFilter", "*.json")
       .schema(envelope)
-      .json(dirs.map(d => s"$d/*.json"): _*)
+      .json(dirs: _*)
       .withColumn("src_file", input_file_name())
   }
 

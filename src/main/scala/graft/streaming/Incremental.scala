@@ -345,6 +345,32 @@ object Incremental {
       .outputMode("append")
       .start()
 
+  /** Streaming ANN-index maintenance: every micro-batch of fresh
+    * vectors is appended to a persisted IVF-PQ serving index
+    * ([[graft.llm.Quantize.appendToPqIndex]] — assign to the FROZEN
+    * coarse quantizer, encode with the FROZEN codebook, append the
+    * codes). foreachBatch because the sink is the index layout, not a
+    * row stream; per-batch cost is one scan of the batch (centroids +
+    * codebook broadcast, zero shuffles, existing codes never read), so
+    * the stream's cost is linear in arrivals and probes stay
+    * consistent throughout (the tables a probe ranks with are
+    * immutable under append). Batch ≡ stream by construction: the
+    * SAME appendToPqIndex body serves both (pinned in StreamingSpec —
+    * streamed-in index probe ≡ batch-appended index probe), and the
+    * `st_ann_index_append` row pins appended-index search against a
+    * DuckDB re-derivation of frozen-train + full-corpus scoring. */
+  def annIndexAppendStream(
+      vecs: DataFrame,
+      indexPath: String,
+      checkpointDir: String): StreamingQuery =
+    vecs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.llm.Quantize.appendToPqIndex(batch, indexPath)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Frozen-recipe temperature sampling as a shared batch/stream
     * transformation: the per-source keep thresholds are derived ONCE
     * from a reference corpus ([[graft.llm.Sampling

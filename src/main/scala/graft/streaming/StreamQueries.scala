@@ -430,6 +430,123 @@ object StreamQueries {
     * sf0.001, 497/500 at sf0.01 — and never degenerates to zero rows;
     * at sf0.1 everything clears it, which the oracle reproduces.
     * Membership pinned per-lang by count + id-sum. */
+  /** Incremental ANN-index maintenance, batch twin
+    * ([[graft.llm.Quantize.appendToPqIndex]]; the stream arm is
+    * [[Incremental.annIndexAppendStream]], runtime parity pinned in
+    * StreamingSpec): the even half of the corpus trains a persisted
+    * IVF-PQ index ONCE, the odd half arrives later and is appended —
+    * assigned to the FROZEN coarse quantizer and encoded with the
+    * FROZEN codebook — and the probe searches the grown index. FULL
+    * row-level oracle: DuckDB re-trains both Lloyd rounds on the even
+    * half only, assigns ALL vectors to those frozen centroids,
+    * re-derives the frozen 16-entry codebook (even half's lowest
+    * ids), every code, the query distance table, and every summed
+    * ADC distance. A fresh temp index per run keeps the append
+    * idempotent. Query vector 7 is itself an APPENDED vector —
+    * probing with it proves appended rows are first-class
+    * searchable. */
+  val st13 = Q(
+    "st_ann_index_append",
+    (s, d) => {
+      import graft.llm.Quantize
+      val embs = Tables.embeddings(s, d)
+      val base = embs.filter(col("vec_id") % 2 === 0)
+      val incoming = embs.filter(col("vec_id") % 2 === 1)
+      val path = java.nio.file.Files
+        .createTempDirectory("pq_append_index").toString
+      Quantize.writePqIndex(base, path, nlist = 4, iters = 2,
+        m = 8, k = 16)
+      Quantize.appendToPqIndex(incoming, path)
+      val qv = embs.filter(col("vec_id") === 7)
+        .select(col("embedding")).collect().headOption
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+        .getOrElse(Array.fill(64)(0.0))
+      Quantize.ivfPqTopKIndexed(s, path, qv, topK = 10, nprobe = 2,
+        excludeId = 7L)
+    },
+    Some("""WITH allv AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                          FROM embeddings),
+            emb AS (SELECT vec_id, v FROM allv WHERE vec_id % 2 = 0),
+            c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                            AS BIGINT) AS cid, v AS c
+                   FROM (SELECT vec_id, v FROM emb
+                         ORDER BY vec_id LIMIT 4)),
+            s1 AS (SELECT e.vec_id, e.v, c.cid,
+                          round(list_cosine_similarity(e.v, c.c), 6) AS cos
+                   FROM emb e CROSS JOIN c0 c),
+            a1 AS (SELECT vec_id, v, cid FROM (
+                     SELECT *, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cos DESC, cid) AS rn FROM s1)
+                   WHERE rn = 1),
+            m1 AS (SELECT cid, pos, ROUND(AVG(e), 6) AS m
+                   FROM (SELECT cid, unnest(v) AS e,
+                                unnest(generate_series(1, len(v))) AS pos
+                         FROM a1)
+                   GROUP BY cid, pos),
+            n1 AS (SELECT cid, list(m ORDER BY pos) AS c
+                   FROM m1 GROUP BY cid),
+            c1 AS (SELECT p.cid, coalesce(n.c, p.c) AS c
+                   FROM c0 p LEFT JOIN n1 n USING (cid)),
+            s2 AS (SELECT e.vec_id, e.v, c.cid,
+                          round(list_cosine_similarity(e.v, c.c), 6) AS cos
+                   FROM emb e CROSS JOIN c1 c),
+            a2 AS (SELECT vec_id, v, cid FROM (
+                     SELECT *, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cos DESC, cid) AS rn FROM s2)
+                   WHERE rn = 1),
+            m2 AS (SELECT cid, pos, ROUND(AVG(e), 6) AS m
+                   FROM (SELECT cid, unnest(v) AS e,
+                                unnest(generate_series(1, len(v))) AS pos
+                         FROM a2)
+                   GROUP BY cid, pos),
+            n2 AS (SELECT cid, list(m ORDER BY pos) AS c
+                   FROM m2 GROUP BY cid),
+            c2 AS (SELECT p.cid, coalesce(n.c, p.c) AS c
+                   FROM c1 p LEFT JOIN n2 n USING (cid)),
+            sf AS (SELECT e.vec_id, e.v, c.cid,
+                          round(list_cosine_similarity(e.v, c.c), 6) AS cos
+                   FROM allv e CROSS JOIN c2 c),
+            af AS (SELECT vec_id, v, cid FROM (
+                     SELECT *, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cos DESC, cid) AS rn FROM sf)
+                   WHERE rn = 1),
+            qv AS (SELECT v FROM allv WHERE vec_id = 7),
+            probe AS (SELECT cid FROM (
+                        SELECT c.cid,
+                               round(list_cosine_similarity(c.c, q.v), 6)
+                                 AS qc
+                        FROM c2 c CROSS JOIN qv q)
+                      ORDER BY qc DESC, cid LIMIT 2),
+            cb AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS ci,
+                          v AS c_vec
+                   FROM emb ORDER BY vec_id LIMIT 16),
+            pr AS (SELECT af.vec_id, af.v FROM af JOIN probe USING (cid)
+                   WHERE af.vec_id <> 7),
+            scored AS (
+              SELECT pr.vec_id, sp.s AS s, cb.ci,
+                     ROUND(list_sum([
+                       (pr.v[sp.s * 8 + i] - cb.c_vec[sp.s * 8 + i]) ^ 2
+                       for i in range(1, 9)]), 6) AS dist
+              FROM pr, UNNEST(range(0, 8)) AS sp(s), cb),
+            best AS (
+              SELECT vec_id, s, ci,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                       ORDER BY dist, ci) AS rk
+              FROM scored),
+            dt AS (
+              SELECT sp.s AS s, cb.ci,
+                     ROUND(list_sum([
+                       (q.v[sp.s * 8 + i] - cb.c_vec[sp.s * 8 + i]) ^ 2
+                       for i in range(1, 9)]), 6) AS d
+              FROM qv q, UNNEST(range(0, 8)) AS sp(s), cb),
+            adc AS (
+              SELECT b.vec_id, ROUND(SUM(dt.d), 4) AS adc_dist
+              FROM (SELECT * FROM best WHERE rk = 1) b
+              JOIN dt ON dt.s = b.s AND dt.ci = b.ci
+              GROUP BY b.vec_id)
+            SELECT vec_id, adc_dist FROM adc
+            ORDER BY adc_dist, vec_id LIMIT 10"""))
+
   val st12 = Q(
     "st_dsir_filter",
     (s, d) => {
@@ -482,5 +599,5 @@ object StreamQueries {
             GROUP BY d.lang ORDER BY d.lang"""))
 
   def all: Seq[Q] = Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st9x,
-    st10, st11, st12)
+    st10, st11, st12, st13)
 }

@@ -32,6 +32,28 @@ class CliSpec extends AnyFunSuite {
       spark.read.parquet(s"$out/documents").count() == 1)
   }
 
+  test("object-store URI dispatch: convert reads AND writes through a registered non-file scheme") {
+    // the offline K3 shrink: everything on our side of the Hadoop
+    // FileSystem API — scheme dispatch, discovery, preflight, the
+    // parquet committer — runs against a registered mock3:// scheme
+    // exactly as it would against fs.s3a.impl; see MockObjectStoreFs
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.mock3.impl", classOf[MockObjectStoreFs].getName)
+    conf.set("fs.mock3.impl.disable.cache", "true")
+    val ingest = new IngestSpec
+    val root = ingest.root
+    val out = TestSpark.tmpDir("cli-mock3-out")
+    graft.cli.Main.run(spark, Array("convert", s"mock3:$root",
+      "--output-path", s"mock3:$out", "--compression", "zstd"))
+    // the write landed through the mock3 filesystem at its backing dir
+    val c = spark.read.parquet(s"$out/comments")
+    assert(c.count() == 5)
+    assert(c.columns.contains("agency"))
+    // and reading back THROUGH the scheme dispatches correctly too
+    assert(spark.read.parquet(s"mock3:$out/comments").count() == 5)
+    assert(spark.read.parquet(s"mock3:$out/docket_info").count() == 3)
+  }
+
   test("optimize compacts via the CLI") {
     val path = TestSpark.tmpDir("cli-compact") + "/t"
     graft.maintain.Compaction.fragment(

@@ -170,4 +170,25 @@ class IngestSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: [isnotnull(agency"))
     assert(back.filter(col("agency") === "DEA").count() == 3)
   }
+
+  test("readRaw selects only .json files (pathGlobFilter contract)") {
+    // the round-14 listing fix moved the *.json selection from a
+    // per-dir driver glob to pathGlobFilter over plain roots — this
+    // pins that the selection is unchanged: a planted non-json file
+    // in a comments dir must not reach the reader
+    val dir = TestSpark.tmpDir("readraw-filter") + "/comments"
+    new java.io.File(dir).mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "c1.json"),
+      """{"data":{"id":"X-1","type":"comments","attributes":{},"links":{}}}"""
+        .getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "README.txt"),
+      "not json".getBytes("UTF-8"))
+    val raw = graft.sources.JsonApi.readRaw(spark, Seq(dir))
+    assert(raw.count() == 1)
+    val files = raw.select("src_file").distinct()
+      .collect().map(_.getString(0)).toSeq
+    assert(files.forall(_.endsWith(".json")), files.mkString(","))
+  }
 }

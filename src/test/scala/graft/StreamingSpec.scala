@@ -310,6 +310,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streamed ANN index appends match the batch append, probe-for-probe") {
+    import graft.llm.Quantize
+    val embs = Tables.embeddings(spark, TestSpark.sf0001)
+      .select("vec_id", "embedding")
+    val base = embs.filter($"vec_id" % 2 === 0)
+    val incoming = embs.filter($"vec_id" % 2 === 1)
+    val qVec = embs.filter($"vec_id" === 7L)
+      .select("embedding")
+      .as[Seq[Float]].head().map(_.toDouble).toArray
+
+    // batch-appended index
+    val batchIdx = TestSpark.tmpDir("ann-append-batch")
+    Quantize.writePqIndex(base, batchIdx, nlist = 4, iters = 2,
+      m = 8, k = 16)
+    Quantize.appendToPqIndex(incoming, batchIdx)
+
+    // stream-appended index: the incoming half arrives as files and
+    // flows through annIndexAppendStream micro-batches
+    val streamIdx = TestSpark.tmpDir("ann-append-stream")
+    Quantize.writePqIndex(base, streamIdx, nlist = 4, iters = 2,
+      m = 8, k = 16)
+    val srcDir = TestSpark.tmpDir("ann-append-src")
+    incoming.repartition(3) // several files → several batch appends
+      .write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val q = Incremental.annIndexAppendStream(
+      stream, streamIdx, TestSpark.tmpDir("ann-append-ck"))
+    q.awaitTermination()
+
+    def probe(path: String) =
+      Quantize.ivfPqTopKIndexed(spark, path, qVec, topK = 10,
+        nprobe = 2, excludeId = 7L)
+        .as[(Long, Double)].collect().toSeq
+    val viaBatch = probe(batchIdx)
+    val viaStream = probe(streamIdx)
+    assert(viaStream == viaBatch, s"stream=$viaStream\nbatch=$viaBatch")
+    // appended rows are first-class searchable: odd ids CAN rank
+    assert(viaBatch.exists(_._1 % 2 == 1),
+      s"no appended vector in the top-10: $viaBatch")
+    // and the appended code table is the union, not a rebuild
+    val n = spark.read.parquet(s"$streamIdx/codes").count()
+    assert(n == embs.count(), s"codes rows $n")
+  }
+
   test("streaming PSI log matches per-batch frozen-reference PSI") {
     import graft.llm.Drift
     val srcDir = TestSpark.tmpDir("psi-src")

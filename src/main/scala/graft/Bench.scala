@@ -509,6 +509,16 @@ object Bench {
       else try {
         val dir = ensureScaledFixture(spark, sfDir, x100Mult)
         spark.catalog.clearCache()
+        // the suite's SMALL-INPUT tuning (AQE off, 8 shuffle
+        // partitions — right for a few-MB cached fixture) is exactly
+        // wrong at 100× the rows: j2's 60M-row fact⋈fact shuffle
+        // through 8 partitions measured 9.9 s where the
+        // scale-appropriate config takes the same plan to a fraction
+        // of that. The x100 tier claims scale behavior, so it runs
+        // the production posture (AQE on, 32 partitions — what
+        // GraftSession ships) and restores the suite tuning after.
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
         // cache only what the spot set touches
         Seq("customer", "orders", "lineitem").foreach { n =>
           Tables.load(spark, dir, n).cache()
@@ -516,6 +526,8 @@ object Bench {
         }
         val r = runHeadline(spark, dir, x100Names)
         spark.catalog.clearCache()
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
         val (dd, dq) = duckdbHeadline(dir, 1800, x100Names)
         (r, dd, dq)
       } catch {

@@ -525,14 +525,31 @@ object Quantize {
         m = m, k = meta.getAs[Int]("k"), idCol = idCol, vecCol = vecCol)
       return
     }
-    val cb = spark.read.parquet(s"$path/codebook")
-      .select(struct(col("ci"), col("c_vec")).as("e"))
-      .groupBy().agg(sort_array(collect_list(col("e"))).as("cb"))
     Similarity.assignToCentroids(
         Similarity.doubleVecs(newVecs, idCol, vecCol), cents)
-      .crossJoin(broadcast(cb))
+      .withColumn("cb", readCodebookLiteral(spark, path))
       .select(col("vid").as("id"), col("cid"), fusedCodes(m).as("codes"))
       .write.mode("append").parquet(s"$path/codes")
+  }
+
+  /** The stored codebook as a PLAN LITERAL `array<struct(ci, c_vec)>`
+    * in ci order: k rows × dim doubles — bounded model state by
+    * construction (the same treatment the live path gives Lloyd
+    * centroids). Collecting it once beats rebuilding a one-row frame
+    * per probe with a `groupBy().collect_list` shuffle; the values
+    * are read verbatim from parquet (no arithmetic), so literal ≡
+    * frame bit for bit. */
+  private def readCodebookLiteral(
+      spark: SparkSession, path: String): Column = {
+    val rows = spark.read.parquet(s"$path/codebook")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    if (rows.isEmpty)
+      array().cast("array<struct<ci:int,c_vec:array<double>>>")
+    else array(rows.map { case (ci, vec) =>
+      struct(lit(ci).as("ci"), typedlit(vec).as("c_vec"))
+    }.toIndexedSeq: _*)
   }
 
   /** The shared indexed ADC scan: probe the stored code table with a
@@ -557,14 +574,12 @@ object Quantize {
       s"dim ${queryVec.length} must be divisible by stored m=$m")
     val sub = queryVec.length / m
     val q = typedLit(queryVec.toSeq)
-    // rebuild the one-row codebook array in ci order — positions must
-    // match the stored codes (struct sorts on its first field, ci)
-    val cb = spark.read.parquet(s"$indexPath/codebook")
-      .select(struct(col("ci"), col("c_vec")).as("e"))
-      .groupBy().agg(sort_array(collect_list(col("e"))).as("cb"))
+    // the stored codebook enters as a plan literal in ci order —
+    // positions must match the stored codes
+    val cbLit = readCodebookLiteral(spark, indexPath)
     val dtab = transform(sequence(lit(0), lit(m - 1)), s => {
       val lo = s * sub + 1
-      transform(col("cb"), c =>
+      transform(cbLit, c =>
         round(sqDist(slice(q, lo, lit(sub)),
           slice(c.getField("c_vec"), lo, lit(sub))), 6))
     })
@@ -585,7 +600,6 @@ object Quantize {
       case None => codes0
     }
     codes
-      .crossJoin(broadcast(cb))
       .select(col("id").as(idCol),
         round(aggregate(
           zip_with(dtab, col("codes"),

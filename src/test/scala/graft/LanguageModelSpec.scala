@@ -182,4 +182,23 @@ class LanguageModelSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == wantKept)
   }
+
+  test("pplKeep passes unscoreable (<2-token) docs through") {
+    // the round-14 contract: the act step drops docs affirmatively
+    // labeled tail — a doc the LM produced no evidence about (no
+    // bigrams) is KEPT, not silently lost
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text")
+      .unionByName(Seq(
+        (7000001L, "solo"),
+        (7000002L, "")).toDF("doc_id", "text"))
+    val kept = LanguageModel.pplKeep(docs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(7000001L) && kept.contains(7000002L),
+      "unscoreable docs pass through")
+    // and they are genuinely unscored, not scored-and-kept
+    val scored = LanguageModel.pplBuckets(docs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!scored.contains(7000001L) && !scored.contains(7000002L))
+  }
 }

@@ -2442,6 +2442,27 @@ object LlmQueries {
             GROUP BY tf.doc_id
             ORDER BY bm25 DESC, doc_id LIMIT 15"""))
 
+  /** Indexed twin of `text_bm25_topk`: the corpus is tokenized ONCE
+    * into a persisted inverted index ([[Retrieval.writeBm25Index]] —
+    * token-sorted postings + precomputed df + corpus stats,
+    * build-once/probe-many) and the query reads only its own terms'
+    * rows through a pushed-down `token IN` filter
+    * ([[Retrieval.bm25TopKIndexed]]). Same arithmetic, same ranking ⇒
+    * the `text_bm25_topk` oracle applies verbatim — a live↔indexed
+    * drift surfaces as a hash mismatch. Index built under target/
+    * keyed on the immutable fixture dir. */
+  val bm25Indexed = Q(
+    "text_bm25_indexed",
+    (s, d) => {
+      val path = "target/bm25_index_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      if (!Retrieval.bm25IndexExists(s, path))
+        Retrieval.writeBm25Index(Tables.documents(s, d), path)
+      Retrieval.bm25TopKIndexed(s, path,
+        Seq("hash", "merge", "scan"), k = 15)
+    },
+    bm25TopK.oracle)
+
   /** Unigram LM quality score ([[LanguageModel.scoreUnigram]]): the
     * deterministic perplexity-filter stand-in. The oracle re-learns
     * the same top-1000 vocab (ties broken `(cnt DESC, token)` on both
@@ -4487,7 +4508,8 @@ object LlmQueries {
     boilerplate, stripMarkupQ, topNgramsQ,
     nbClassifierQ, zipfAuditQ, fertilityQ, corpusCardQ,
     winnowFpQ, winnowPairsQ,
-    unigramScore, bigramScore, pplBucketsQ, pplKeepQ, bm25TopK, bpePairs,
+    unigramScore, bigramScore, pplBucketsQ, pplKeepQ, bm25TopK,
+    bm25Indexed, bpePairs,
     bpeEncode, corpusDrift,
     driftBySource, distinctiveTermsQ, numericPsi, corpusDiffQ,
     pipelineDeconCap,

@@ -150,4 +150,125 @@ object Retrieval {
       .orderBy(col("bm25").desc, col(idCol))
       .limit(k)
   }
+
+  // ---- persisted BM25 serving index -----------------------------------
+
+  /** Bump when the on-disk layout changes. */
+  val Bm25IndexFormat: Int = 1
+
+  /** Does a CURRENT-format BM25 index exist at `path`? Meta-last
+    * validity protocol, as in [[Dedup.lshIndexExists]] /
+    * [[Quantize.pqIndexExists]]. */
+  def bm25IndexExists(
+      spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/meta/_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p) && {
+      val m = spark.read.parquet(s"$path/meta")
+      m.columns.contains("format") &&
+        m.head().getAs[Int]("format") == Bm25IndexFormat
+    }
+  }
+
+  /** Materialize the BM25 inverted index at `path` — the
+    * build-once/probe-many form of [[bm25Scores]]. The scan-time
+    * scorer above is right for ONE-OFF corpus probes (an index build
+    * would dominate a single query); a SERVING deployment answering
+    * many queries over a frozen corpus amortizes exactly that build,
+    * after which a query touches only its own terms' postings. Tables
+    * (parquet, meta written LAST as the validity marker):
+    *
+    *   - `path/postings` — (token, id, tf, dl): one row per
+    *     (document, term) — the corpus-sized table, range-partitioned
+    *     AND sorted by token so a query's `token IN (…)` pushes into
+    *     the scan and prunes row groups by min/max stats: probe I/O
+    *     is proportional to the query terms' postings, not the corpus
+    *   - `path/df` — (token, df): per-token document frequency,
+    *     precomputed at build (the [[Dedup.writeLshIndex]] `bucket_n`
+    *     principle: a probe must not re-aggregate corpus statistics),
+    *     same token-sorted pruning
+    *   - `path/stats` — one row (n_docs, avgdl)
+    *   - `path/meta` — format version
+    *
+    * Scoring parameters (k1, b) stay query-time — they multiply
+    * stored counts, so one index serves any parameterization. */
+  def writeBm25Index(
+      docs: DataFrame,
+      path: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    val spark = docs.sparkSession
+    val toks = TextAnalysis.tokens(lower(coalesce(col(textCol), lit(""))))
+    val withLen = docs
+      .select(col(idCol).as("id"), toks.as("__graft_toks"))
+      .select(col("id"), col("__graft_toks"),
+        size(col("__graft_toks")).cast("long").as("dl"))
+      .localCheckpoint(true) // feeds stats AND postings: one tokenize
+    withLen
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1)).cast("double"))
+          .as("avgdl"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+    val postings = withLen
+      .select(col("id"), col("dl"),
+        explode(col("__graft_toks")).as("token"))
+      .groupBy(col("token"), col("id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    postings
+      .repartitionByRange(32, col("token"))
+      .sortWithinPartitions("token")
+      .write.mode("overwrite").parquet(s"$path/postings")
+    postings.groupBy("token").agg(count(lit(1)).as("df"))
+      .repartitionByRange(32, col("token"))
+      .sortWithinPartitions("token")
+      .write.mode("overwrite").parquet(s"$path/df")
+    spark.range(1).select(lit(Bm25IndexFormat).as("format"))
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** [[bm25TopK]] against the PERSISTED index: same Lucene-flavored
+    * arithmetic, same `(bm25 DESC, id ASC)` output — but tokenize,
+    * postings, document frequencies and corpus stats are amortized
+    * into [[writeBm25Index]]; the probe reads the one-row stats
+    * table, the query terms' df rows (broadcast), and the query
+    * terms' postings through a pushed-down `token IN` filter on the
+    * token-sorted table. The only exchanges are the |query|-row
+    * broadcast and the bounded `TakeOrderedAndProject`. */
+  def bm25TopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      queryTerms: Seq[String],
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      idCol: String = "doc_id"): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k > 0, s"k must be positive: $k")
+    require(k1 >= 0 && b >= 0 && b <= 1, s"bad BM25 params k1=$k1 b=$b")
+    require(bm25IndexExists(spark, indexPath),
+      s"no BM25 index at $indexPath — writeBm25Index first")
+    val stats = spark.read.parquet(s"$indexPath/stats")
+    val dfreq = spark.read.parquet(s"$indexPath/df")
+      .filter(col("token").isin(queryTerms: _*))
+    spark.read.parquet(s"$indexPath/postings")
+      .filter(col("token").isin(queryTerms: _*))
+      .join(broadcast(dfreq), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) +
+          (col("n_docs").cast("double") - col("df").cast("double") +
+            lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))))
+      .withColumn("term_score",
+        col("idf") * (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) +
+              lit(b) * col("dl").cast("double") / col("avgdl"))))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_terms_hit"),
+        round(sum(col("term_score")), 4).as("bm25"))
+      .select(col("id").as(idCol), col("n_terms_hit"), col("bm25"))
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
+  }
 }

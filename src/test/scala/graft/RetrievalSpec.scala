@@ -57,4 +57,39 @@ class RetrievalSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("persisted BM25 index: indexed probe ≡ live scoring") {
+    val corpus = Tables.documents(spark, TestSpark.sf0001)
+    val path = java.nio.file.Files
+      .createTempDirectory("bm25_index").toString
+    assert(!Retrieval.bm25IndexExists(spark, path))
+    Retrieval.writeBm25Index(corpus, path)
+    assert(Retrieval.bm25IndexExists(spark, path))
+    val terms = Seq("hash", "merge", "scan")
+    val live = Retrieval.bm25TopK(corpus, terms, k = 15)
+      .as[(Long, Long, Double)].collect().toSeq
+    val indexed = Retrieval.bm25TopKIndexed(spark, path, terms, k = 15)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(indexed == live, s"indexed=$indexed\nlive=$live")
+    // non-default params reuse the same index (k1/b are query-time)
+    val live2 = Retrieval.bm25TopK(corpus, terms, k = 15,
+      k1 = 0.9, b = 0.4).as[(Long, Long, Double)].collect().toSeq
+    val indexed2 = Retrieval.bm25TopKIndexed(spark, path, terms,
+      k = 15, k1 = 0.9, b = 0.4)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(indexed2 == live2)
+    // probe I/O contract: the query terms' token IN filter reaches
+    // the postings scan as a pushed data filter
+    val plan = Retrieval.bm25TopKIndexed(spark, path, terms, k = 15)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(token"), plan)
+  }
+
+  test("BM25 index on a zero-row corpus builds and probes empty") {
+    val path = java.nio.file.Files
+      .createTempDirectory("bm25_index_empty").toString
+    Retrieval.writeBm25Index(docs.limit(0), path)
+    assert(Retrieval.bm25IndexExists(spark, path))
+    assert(Retrieval.bm25TopKIndexed(spark, path, Seq("x")).isEmpty)
+  }
 }

@@ -153,8 +153,11 @@ object Retrieval {
 
   // ---- persisted BM25 serving index -----------------------------------
 
-  /** Bump when the on-disk layout changes. */
-  val Bm25IndexFormat: Int = 1
+  /** Bump when the on-disk layout changes. v2: stats hold exact
+    * integers (n_docs, total_dl) instead of a derived avgdl, so
+    * incremental appends merge EXACTLY (long addition) and the probe
+    * derives avgdl with the live path's own division. */
+  val Bm25IndexFormat: Int = 2
 
   /** Does a CURRENT-format BM25 index exist at `path`? Meta-last
     * validity protocol, as in [[Dedup.lshIndexExists]] /
@@ -205,8 +208,7 @@ object Retrieval {
       .localCheckpoint(true) // feeds stats AND postings: one tokenize
     withLen
       .agg(count(lit(1)).as("n_docs"),
-        (sum(col("dl")).cast("double") / count(lit(1)).cast("double"))
-          .as("avgdl"))
+        coalesce(sum(col("dl")), lit(0L)).as("total_dl"))
       .write.mode("overwrite").parquet(s"$path/stats")
     val postings = withLen
       .select(col("id"), col("dl"),
@@ -223,6 +225,76 @@ object Retrieval {
       .write.mode("overwrite").parquet(s"$path/df")
     spark.range(1).select(lit(Bm25IndexFormat).as("format"))
       .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Incremental index maintenance: fold a batch of NEW documents
+    * into the persisted index. BM25's stored state is all corpus
+    * AGGREGATES — per-(doc, term) tf/dl rows, per-token df, (n_docs,
+    * total_dl) — every one of them associative, so unlike the IVF-PQ
+    * append (whose quantizer stays frozen) the appended BM25 index is
+    * EXACTLY the index a full rebuild over the grown corpus would
+    * produce: postings append, df and stats merge by integer
+    * addition. Steps: (1) append the batch's postings; (2) rewrite
+    * the vocab-sized df table with the merged counts via the
+    * crash-safe [[graft.maintain.Swap]] rename protocol; (3) same for
+    * the one-row stats. A crash between steps leaves a VALID but
+    * momentarily stale-scored index (postings ahead of df/stats by
+    * one batch — scores shift, no corruption); re-running the append
+    * is NOT idempotent, so the caller replays at batch granularity
+    * (the streaming arm's checkpoint does exactly that). */
+  def appendToBm25Index(
+      newDocs: DataFrame,
+      path: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    val spark = newDocs.sparkSession
+    require(bm25IndexExists(spark, path),
+      s"no BM25 index at $path — writeBm25Index first")
+    val toks = TextAnalysis.tokens(lower(coalesce(col(textCol), lit(""))))
+    val withLen = newDocs
+      .select(col(idCol).as("id"), toks.as("__graft_toks"))
+      .select(col("id"), col("__graft_toks"),
+        size(col("__graft_toks")).cast("long").as("dl"))
+      .localCheckpoint(true)
+    val postings = withLen
+      .select(col("id"), col("dl"),
+        explode(col("__graft_toks")).as("token"))
+      .groupBy(col("token"), col("id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // feeds the append AND the df delta
+    postings
+      .repartitionByRange(32, col("token"))
+      .sortWithinPartitions("token")
+      .write.mode("append").parquet(s"$path/postings")
+
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def swapIn(table: String)(build: String => Unit): Unit = {
+      val (p, tmp, bak) = (new Path(s"$path/$table"),
+        new Path(s"$path/${table}__swap_tmp"),
+        new Path(s"$path/${table}__swap_bak"))
+      graft.maintain.Swap.recover(fs, p, bak)
+      build(tmp.toString)
+      graft.maintain.Swap.replace(fs, p, tmp, bak)
+    }
+    swapIn("df") { tmp =>
+      spark.read.parquet(s"$path/df")
+        .unionByName(postings.groupBy("token").agg(count(lit(1)).as("df")))
+        .groupBy("token").agg(sum(col("df")).as("df"))
+        .repartitionByRange(32, col("token"))
+        .sortWithinPartitions("token")
+        .write.parquet(tmp)
+    }
+    swapIn("stats") { tmp =>
+      spark.read.parquet(s"$path/stats")
+        .unionByName(withLen.agg(
+          count(lit(1)).as("n_docs"),
+          coalesce(sum(col("dl")), lit(0L)).as("total_dl")))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("total_dl")).as("total_dl"))
+        .write.parquet(tmp)
+    }
   }
 
   /** [[bm25TopK]] against the PERSISTED index: same Lucene-flavored
@@ -246,7 +318,13 @@ object Retrieval {
     require(k1 >= 0 && b >= 0 && b <= 1, s"bad BM25 params k1=$k1 b=$b")
     require(bm25IndexExists(spark, indexPath),
       s"no BM25 index at $indexPath — writeBm25Index first")
+    // avgdl derives from the stored EXACT integers with the live
+    // path's own division, so appended and rebuilt indexes score
+    // bit-identically
     val stats = spark.read.parquet(s"$indexPath/stats")
+      .select(col("n_docs"),
+        (col("total_dl").cast("double") / col("n_docs").cast("double"))
+          .as("avgdl"))
     val dfreq = spark.read.parquet(s"$indexPath/df")
       .filter(col("token").isin(queryTerms: _*))
     spark.read.parquet(s"$indexPath/postings")

@@ -371,6 +371,29 @@ object Incremental {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming BM25-index maintenance: every micro-batch of fresh
+    * documents folds into the persisted inverted index
+    * ([[graft.llm.Retrieval.appendToBm25Index]] — postings append,
+    * df/stats merge by exact integer addition under the crash-safe
+    * Swap protocol). Unlike the frozen-quantizer ANN append, the
+    * result is bit-identical to a full rebuild over the grown corpus
+    * (every stored statistic is associative), so the serving index
+    * never degrades as the stream runs. foreachBatch + checkpoint
+    * give batch-granularity replay, which is what the non-idempotent
+    * append step requires. Batch ≡ stream by construction (the SAME
+    * appendToBm25Index body; pinned in StreamingSpec). */
+  def bm25IndexAppendStream(
+      docs: DataFrame,
+      indexPath: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.llm.Retrieval.appendToBm25Index(batch, indexPath)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Frozen-recipe temperature sampling as a shared batch/stream
     * transformation: the per-source keep thresholds are derived ONCE
     * from a reference corpus ([[graft.llm.Sampling

@@ -562,6 +562,45 @@ object StreamQueries {
             SELECT vec_id, adc_dist FROM adc
             ORDER BY adc_dist, vec_id LIMIT 10"""))
 
+  /** Incremental BM25-index maintenance, batch twin
+    * ([[graft.llm.Retrieval.appendToBm25Index]]; stream arm
+    * [[Incremental.bm25IndexAppendStream]], runtime parity in
+    * StreamingSpec): the even half of the corpus builds the inverted
+    * index ONCE, the odd half arrives later and FOLDS IN — postings
+    * append, df/stats merge exactly — and the probe searches the
+    * grown index. Because every stored statistic is associative, the
+    * appended index ≡ a full-corpus rebuild ≡ live full-corpus
+    * scoring, so the `text_bm25_topk` oracle applies VERBATIM — the
+    * strongest possible append contract (the ANN twin's frozen
+    * quantizer can only claim append ≡ frozen-train; this claims
+    * append ≡ rebuild). Fresh temp copy of the base index per run
+    * keeps the non-idempotent append repeatable. */
+  val st14 = Q(
+    "st_bm25_index_append",
+    (s, d) => {
+      import graft.llm.Retrieval
+      val docs = Tables.documents(s, d)
+      val basePath = "target/bm25_append_base_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      if (!Retrieval.bm25IndexExists(s, basePath))
+        Retrieval.writeBm25Index(
+          docs.filter(col("doc_id") % 2 === 0), basePath)
+      val path = java.nio.file.Files
+        .createTempDirectory("bm25_append_index").toString + "/idx"
+      val conf = s.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(basePath)
+        .getFileSystem(conf)
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, new org.apache.hadoop.fs.Path(basePath),
+        fs, new org.apache.hadoop.fs.Path(path),
+        false, true, conf)
+      Retrieval.appendToBm25Index(
+        docs.filter(col("doc_id") % 2 === 1), path)
+      Retrieval.bm25TopKIndexed(s, path,
+        Seq("hash", "merge", "scan"), k = 15)
+    },
+    graft.llm.LlmQueries.bm25TopK.oracle)
+
   val st12 = Q(
     "st_dsir_filter",
     (s, d) => {
@@ -614,5 +653,5 @@ object StreamQueries {
             GROUP BY d.lang ORDER BY d.lang"""))
 
   def all: Seq[Q] = Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st9x,
-    st10, st11, st12, st13)
+    st10, st11, st12, st13, st14)
 }

@@ -85,6 +85,34 @@ class RetrievalSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: [In(token"), plan)
   }
 
+  test("BM25 append ≡ full rebuild, probe-for-probe (associativity)") {
+    val corpus = Tables.documents(spark, TestSpark.sf0001)
+    val base = corpus.filter($"doc_id" % 2 === 0)
+    val late = corpus.filter($"doc_id" % 2 === 1)
+    val appended = java.nio.file.Files
+      .createTempDirectory("bm25_appended").toString
+    Retrieval.writeBm25Index(base, appended)
+    Retrieval.appendToBm25Index(late, appended)
+    val rebuilt = java.nio.file.Files
+      .createTempDirectory("bm25_rebuilt").toString
+    Retrieval.writeBm25Index(corpus, rebuilt)
+    val terms = Seq("hash", "merge", "scan")
+    val a = Retrieval.bm25TopKIndexed(spark, appended, terms, k = 15)
+      .as[(Long, Long, Double)].collect().toSeq
+    val r = Retrieval.bm25TopKIndexed(spark, rebuilt, terms, k = 15)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(a == r, s"appended=$a\nrebuilt=$r")
+    // the merged aggregates themselves are exact, not just the top-k
+    val sA = spark.read.parquet(s"$appended/stats")
+      .as[(Long, Long)].head()
+    val sR = spark.read.parquet(s"$rebuilt/stats")
+      .as[(Long, Long)].head()
+    assert(sA == sR, s"stats appended=$sA rebuilt=$sR")
+    val dfDiff = spark.read.parquet(s"$appended/df")
+      .exceptAll(spark.read.parquet(s"$rebuilt/df")).count()
+    assert(dfDiff == 0, s"df tables differ in $dfDiff rows")
+  }
+
   test("BM25 index on a zero-row corpus builds and probes empty") {
     val path = java.nio.file.Files
       .createTempDirectory("bm25_index_empty").toString

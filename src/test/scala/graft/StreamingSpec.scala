@@ -357,6 +357,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(n == embs.count(), s"codes rows $n")
   }
 
+  test("streamed BM25 index appends match the batch append, probe-for-probe") {
+    import graft.llm.Retrieval
+    val corpus = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text")
+    val base = corpus.filter($"doc_id" % 2 === 0)
+    val late = corpus.filter($"doc_id" % 2 === 1)
+    val terms = Seq("hash", "merge", "scan")
+
+    val batchIdx = TestSpark.tmpDir("bm25-append-batch")
+    Retrieval.writeBm25Index(base, batchIdx)
+    Retrieval.appendToBm25Index(late, batchIdx)
+
+    val streamIdx = TestSpark.tmpDir("bm25-append-stream")
+    Retrieval.writeBm25Index(base, streamIdx)
+    val srcDir = TestSpark.tmpDir("bm25-append-src")
+    late.repartition(3)
+      .write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val q = Incremental.bm25IndexAppendStream(
+      stream, streamIdx, TestSpark.tmpDir("bm25-append-ck"))
+    q.awaitTermination()
+
+    def probe(p: String) =
+      Retrieval.bm25TopKIndexed(spark, p, terms, k = 15)
+        .as[(Long, Long, Double)].collect().toSeq
+    val viaBatch = probe(batchIdx)
+    val viaStream = probe(streamIdx)
+    assert(viaStream == viaBatch, s"stream=$viaStream\nbatch=$viaBatch")
+    // and both equal LIVE scoring over the grown corpus — the
+    // associativity contract, end to end through the stream
+    val live = Retrieval.bm25TopK(corpus, terms, k = 15)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(viaStream == live, s"stream=$viaStream\nlive=$live")
+  }
+
   test("streaming PSI log matches per-batch frozen-reference PSI") {
     import graft.llm.Drift
     val srcDir = TestSpark.tmpDir("psi-src")

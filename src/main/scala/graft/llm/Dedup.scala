@@ -476,8 +476,14 @@ object Dedup {
   // ---- persisted LSH index (build once, probe many) -------------------
 
   /** Current LSH index layout version; bumped when the stored tables
-    * change shape so an old index reads as absent and is rebuilt. */
-  val LshIndexFormat: Int = 2
+    * change shape so an old index reads as absent and is rebuilt.
+    * v3: per-bucket sizes move from a denormalized `bucket_n` column
+    * on every bands row to a separate `bucket_counts` table — counts
+    * are associative there, which is what makes [[appendToLshIndex]]
+    * exact (append ≡ rebuild); the probe's cap becomes a broadcast
+    * anti-join against the (tiny by nature) oversized-bucket set
+    * instead of a pushed column filter. */
+  val LshIndexFormat: Int = 3
 
   /** Does a CURRENT-format LSH index exist at `path`? (Checks the
     * meta table's `_SUCCESS` marker — the LAST table
@@ -537,18 +543,24 @@ object Dedup {
         col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh")),
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // bucket_n is precomputed AT BUILD: every probe needs the
-      // bucket-cap filter, and computing it here turns a per-probe
-      // window shuffle over the whole bands table into a pushed-down
-      // per-probe FILTER — the probe's cost must not grow with the
-      // reference's aggregate statistics
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("band", "band_hash")
-      sh.select(col("id"),
+      // bucket sizes are precomputed AT BUILD: every probe needs the
+      // bucket-cap filter, and computing them here means a probe never
+      // re-aggregates the reference's statistics. v3 keeps them in
+      // their own `bucket_counts` table (counts are associative there,
+      // making appends exact) and the probe reads only the OVERSIZED
+      // buckets — tiny by nature (boilerplate families) — as a
+      // broadcast anti-join set
+      val bandRows = persistIfNew(
+        sh.select(col("id"),
           posexplode(graft.functions.TextExprs.minhash_bands(
-            col("sh"), numHashes, bands)).as(Seq("band", "band_hash")))
-        .withColumn("bucket_n", count(lit(1)).over(w))
-        .write.mode("overwrite").parquet(s"$path/bands")
+            col("sh"), numHashes, bands)).as(Seq("band", "band_hash"))),
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        bandRows._1.write.mode("overwrite").parquet(s"$path/bands")
+        bandRows._1.groupBy("band", "band_hash")
+          .agg(count(lit(1)).as("n"))
+          .write.mode("overwrite").parquet(s"$path/bucket_counts")
+      } finally release(bandRows._2.toSeq)
       sh.write.mode("overwrite").parquet(s"$path/shingles")
     } finally release(handle.toSeq)
     // meta LAST: its _SUCCESS is the index's validity marker
@@ -558,6 +570,65 @@ object Dedup {
         lit(numHashes).as("num_hashes"),
         lit(bands).as("bands"))
       .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Incremental index maintenance: fold NEW reference documents
+    * (a vetted batch joining the frozen corpus) into the persisted
+    * LSH index — the onboarding loop's "accepted docs become
+    * tomorrow's reference" step, without a rebuild. Every stored
+    * table merges exactly: digests and bands and shingles are
+    * per-document rows (append), bucket sizes are associative counts
+    * (merge by addition under the crash-safe [[graft.maintain.Swap]]
+    * protocol) — so the appended index is bit-identical to a rebuild
+    * over the grown reference (pinned in DedupSpec). Hashing
+    * parameters come from the stored meta, so an append can never
+    * diverge from the build. A crash between steps leaves a VALID
+    * index at most one batch stale in its bucket counts; replay at
+    * batch granularity (the streaming arm's checkpoint) repairs it. */
+  def appendToLshIndex(
+      newReference: DataFrame,
+      path: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    val spark = newReference.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    require(lshIndexExists(spark, path),
+      s"no LSH index at $path — writeLshIndex first")
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val shingleK = meta.getAs[Int]("shingle_k")
+    val numHashes = meta.getAs[Int]("num_hashes")
+    val bands = meta.getAs[Int]("bands")
+    newReference
+      .select(contentHash(col(textCol)).as("digest")).distinct()
+      .write.mode("append").parquet(s"$path/digests")
+    val (sh, handle) = persistIfNew(
+      newReference.select(
+        col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val bandRows = persistIfNew(
+        sh.select(col("id"),
+          posexplode(graft.functions.TextExprs.minhash_bands(
+            col("sh"), numHashes, bands)).as(Seq("band", "band_hash"))),
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        bandRows._1.write.mode("append").parquet(s"$path/bands")
+        val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val (p, tmp, bak) = (
+          new org.apache.hadoop.fs.Path(s"$path/bucket_counts"),
+          new org.apache.hadoop.fs.Path(s"$path/bucket_counts__swap_tmp"),
+          new org.apache.hadoop.fs.Path(s"$path/bucket_counts__swap_bak"))
+        graft.maintain.Swap.recover(fs, p, bak)
+        spark.read.parquet(s"$path/bucket_counts")
+          .unionByName(bandRows._1.groupBy("band", "band_hash")
+            .agg(count(lit(1)).as("n")))
+          .groupBy("band", "band_hash").agg(sum(col("n")).as("n"))
+          .write.parquet(tmp.toString)
+        graft.maintain.Swap.replace(fs, p, tmp, bak)
+      } finally release(bandRows._2.toSeq)
+      sh.write.mode("append").parquet(s"$path/shingles")
+    } finally release(handle.toSeq)
   }
 
   /** [[incrementalDedup]] against a PERSISTED index instead of the
@@ -607,11 +678,16 @@ object Dedup {
           posexplode(graft.functions.TextExprs.minhash_bands(
             col("jsh"), numHashes, bands)).as(Seq("band", "band_hash"))),
         Seq("band", "band_hash"), maxBucketSize)
-      // ref-side bucket cap is a FILTER on the build-time bucket_n
-      // column, not a re-aggregation of the stored table
+      // ref-side bucket cap: the build-time bucket_counts table,
+      // filtered to the OVERSIZED buckets (tiny by nature — they are
+      // the boilerplate families the cap exists to excise), excluded
+      // from the stored bands by broadcast anti-join — never a
+      // re-aggregation of the corpus-sized table
+      val oversized = spark.read.parquet(s"$indexPath/bucket_counts")
+        .filter(col("n") > maxBucketSize)
+        .select("band", "band_hash")
       val refBands = spark.read.parquet(s"$indexPath/bands")
-        .filter(col("bucket_n") <= maxBucketSize)
-        .drop("bucket_n")
+        .join(broadcast(oversized), Seq("band", "band_hash"), "left_anti")
       // candidates are a natural materialization point (the live path
       // counts them too, for its broadcast-verify choice); here the
       // count additionally gates the index's verify READ: when the

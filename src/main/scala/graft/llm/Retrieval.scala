@@ -186,7 +186,7 @@ object Retrieval {
     *     the scan and prunes row groups by min/max stats: probe I/O
     *     is proportional to the query terms' postings, not the corpus
     *   - `path/df` — (token, df): per-token document frequency,
-    *     precomputed at build (the [[Dedup.writeLshIndex]] `bucket_n`
+    *     precomputed at build (the [[Dedup.writeLshIndex]] bucket-counts
     *     principle: a probe must not re-aggregate corpus statistics),
     *     same token-sorted pruning
     *   - `path/stats` — one row (n_docs, avgdl)
@@ -320,10 +320,14 @@ object Retrieval {
       s"no BM25 index at $indexPath — writeBm25Index first")
     // avgdl derives from the stored EXACT integers with the live
     // path's own division, so appended and rebuilt indexes score
-    // bit-identically
+    // bit-identically. Zero-doc guard: an empty index has no postings
+    // (no rows reach the division's consumers), but ANSI mode faults
+    // 0/0 eagerly — make it an explicit null instead
     val stats = spark.read.parquet(s"$indexPath/stats")
       .select(col("n_docs"),
-        (col("total_dl").cast("double") / col("n_docs").cast("double"))
+        when(col("n_docs") === 0L, lit(null).cast("double"))
+          .otherwise(col("total_dl").cast("double") /
+            col("n_docs").cast("double"))
           .as("avgdl"))
     val dfreq = spark.read.parquet(s"$indexPath/df")
       .filter(col("token").isin(queryTerms: _*))

@@ -394,6 +394,27 @@ object Incremental {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming LSH-dedup-index maintenance: every micro-batch of
+    * newly-vetted reference documents folds into the persisted dedup
+    * index ([[graft.llm.Dedup.appendToLshIndex]] — digests/bands/
+    * shingles append, bucket counts merge exactly under the Swap
+    * protocol), completing the serving-index triad's stream arms
+    * (ANN codes, BM25 postings, dedup bands). Append ≡ rebuild by
+    * associativity, so the onboarding loop's reference never needs a
+    * rebuild as accepted docs flow in. Batch ≡ stream by construction
+    * (same appendToLshIndex body; pinned in StreamingSpec). */
+  def lshIndexAppendStream(
+      docs: DataFrame,
+      indexPath: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.llm.Dedup.appendToLshIndex(batch, indexPath)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Frozen-recipe temperature sampling as a shared batch/stream
     * transformation: the per-source keep thresholds are derived ONCE
     * from a reference corpus ([[graft.llm.Sampling

@@ -601,6 +601,48 @@ object StreamQueries {
     },
     graft.llm.LlmQueries.bm25TopK.oracle)
 
+  /** Incremental LSH-dedup-index maintenance, batch twin
+    * ([[graft.llm.Dedup.appendToLshIndex]]; stream arm
+    * [[Incremental.lshIndexAppendStream]], runtime parity in
+    * StreamingSpec): half the reference corpus (doc_id % 4 == 0)
+    * builds the dedup index ONCE, the other half (% 4 == 2) is
+    * vetted later and FOLDS IN — rows append, bucket counts merge
+    * exactly — and the incoming batch dedups against the GROWN index.
+    * Appended reference = the even half = `dedup_incremental`'s
+    * reference, and append ≡ rebuild by associativity, so the
+    * `dedup_incremental` oracle applies VERBATIM. Fresh temp copy of
+    * the base index per run keeps the non-idempotent append
+    * repeatable. */
+  val st15 = Q(
+    "st_lsh_index_append",
+    (s, d) => {
+      import graft.llm.Dedup
+      val docs = Tables.documents(s, d)
+      val baseRef = docs.filter(col("doc_id") % 4 === 0)
+      val lateRef = docs.filter(col("doc_id") % 4 === 2)
+      val planted = docs.filter(col("doc_id") % 2 === 0)
+        .filter(col("doc_id") < 20)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      val incoming = docs.filter(col("doc_id") % 2 === 1)
+        .unionByName(planted)
+      val basePath = "target/lsh_append_base_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      if (!Dedup.lshIndexExists(s, basePath))
+        Dedup.writeLshIndex(baseRef, basePath)
+      val path = java.nio.file.Files
+        .createTempDirectory("lsh_append_index").toString + "/idx"
+      val conf = s.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(basePath)
+        .getFileSystem(conf)
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, new org.apache.hadoop.fs.Path(basePath),
+        fs, new org.apache.hadoop.fs.Path(path),
+        false, true, conf)
+      Dedup.appendToLshIndex(lateRef, path)
+      Dedup.incrementalDedupIndexedWithAudit(incoming, path)._2
+    },
+    graft.llm.LlmQueries.dedupIncremental.oracle)
+
   val st12 = Q(
     "st_dsir_filter",
     (s, d) => {
@@ -653,5 +695,5 @@ object StreamQueries {
             GROUP BY d.lang ORDER BY d.lang"""))
 
   def all: Seq[Q] = Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st9x,
-    st10, st11, st12, st13, st14)
+    st10, st11, st12, st13, st14, st15)
 }

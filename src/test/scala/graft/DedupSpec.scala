@@ -379,6 +379,37 @@ class DedupSpec extends AnyFunSuite {
     assert(e.getMessage.contains("writeLshIndex"))
   }
 
+  test("LSH index append ≡ rebuild over the grown reference") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text")
+    val baseRef = docs.filter($"doc_id" % 4 === 0)
+    val lateRef = docs.filter($"doc_id" % 4 === 2)
+    val incoming = docs.filter($"doc_id" % 2 === 1)
+      .unionByName(docs.filter($"doc_id" % 2 === 0)
+        .filter($"doc_id" < 20)
+        .withColumn("doc_id", $"doc_id" + 1000000L))
+
+    val appended = "target/test_lsh_append_" + System.nanoTime()
+    Dedup.writeLshIndex(baseRef, appended)
+    Dedup.appendToLshIndex(lateRef, appended)
+    val rebuilt = "target/test_lsh_rebuilt_" + System.nanoTime()
+    Dedup.writeLshIndex(baseRef.unionByName(lateRef), rebuilt)
+
+    def audit(p: String) =
+      Dedup.incrementalDedupIndexedWithAudit(incoming, p)._2
+        .head().toString
+    assert(audit(appended) == audit(rebuilt))
+    // the merged bucket counts themselves are exact, not just probes
+    val diff = spark.read.parquet(s"$appended/bucket_counts")
+      .exceptAll(spark.read.parquet(s"$rebuilt/bucket_counts")).count()
+    assert(diff == 0, s"bucket_counts differ in $diff rows")
+    // appending to a missing index fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Dedup.appendToLshIndex(lateRef, appended + "_nope")
+    }
+    assert(e.getMessage.contains("writeLshIndex"))
+  }
+
   test("persisted LSH index: probe ≡ live path on a planted corpus slice") {
     // 30 docs with overlapping shingle structure + planted exact and
     // near dups — the indexed probe must return EXACTLY the live

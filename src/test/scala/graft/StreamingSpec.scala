@@ -395,6 +395,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(viaStream == live, s"stream=$viaStream\nlive=$live")
   }
 
+  test("streamed LSH index appends match the batch append, probe-for-probe") {
+    import graft.llm.Dedup
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text")
+    val baseRef = docs.filter($"doc_id" % 4 === 0)
+    val lateRef = docs.filter($"doc_id" % 4 === 2)
+    val incoming = docs.filter($"doc_id" % 2 === 1)
+
+    val batchIdx = TestSpark.tmpDir("lsh-append-batch")
+    Dedup.writeLshIndex(baseRef, batchIdx)
+    Dedup.appendToLshIndex(lateRef, batchIdx)
+
+    val streamIdx = TestSpark.tmpDir("lsh-append-stream")
+    Dedup.writeLshIndex(baseRef, streamIdx)
+    val srcDir = TestSpark.tmpDir("lsh-append-src")
+    lateRef.repartition(3).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val q = Incremental.lshIndexAppendStream(
+      stream, streamIdx, TestSpark.tmpDir("lsh-append-ck"))
+    q.awaitTermination()
+
+    def audit(p: String) =
+      Dedup.incrementalDedupIndexedWithAudit(incoming, p)._2
+        .head().toString
+    assert(audit(streamIdx) == audit(batchIdx))
+    val diff = spark.read.parquet(s"$streamIdx/bucket_counts")
+      .exceptAll(spark.read.parquet(s"$batchIdx/bucket_counts")).count()
+    assert(diff == 0, s"bucket_counts differ in $diff rows")
+  }
+
   test("streaming PSI log matches per-batch frozen-reference PSI") {
     import graft.llm.Drift
     val srcDir = TestSpark.tmpDir("psi-src")

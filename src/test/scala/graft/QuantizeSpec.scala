@@ -208,6 +208,37 @@ class QuantizeSpec extends AnyFunSuite {
     assert(scanned.contains("codes"), s"code table not scanned:\n$scanned")
   }
 
+  test("appended index compacts without changing probe results") {
+    // operational story: many small appends fragment the code table
+    // into tiny files; maintain.Compaction consolidates it and the
+    // probe is unchanged (the index tables are plain parquet, so the
+    // whole maintenance toolbox applies to them)
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val qVec = embs.filter($"vec_id" === 7L)
+      .select("embedding").as[Seq[Float]].head().map(_.toDouble).toArray
+    val path = java.nio.file.Files
+      .createTempDirectory("pq_index_compact").toString
+    Quantize.writePqIndex(embs.filter($"vec_id" % 2 === 0), path,
+      nlist = 4, iters = 2, m = 8, k = 16)
+    // five small appends → fragmented codes table
+    for (r <- 1 to 9 by 2)
+      Quantize.appendToPqIndex(embs.filter($"vec_id" % 10 === r), path)
+    val before = Quantize.ivfPqTopKIndexed(spark, path, qVec,
+      topK = 10, nprobe = 2, excludeId = 7L)
+      .as[(Long, Double)].collect().toSeq
+    val fragFiles = graft.maintain.Compaction
+      .stats(spark, s"$path/codes").files
+    assert(fragFiles >= 6, s"appends should fragment: $fragFiles files")
+    graft.maintain.Compaction.compact(spark, s"$path/codes", 2)
+    assert(graft.maintain.Compaction
+      .stats(spark, s"$path/codes").files <= 2)
+    val after = Quantize.ivfPqTopKIndexed(spark, path, qVec,
+      topK = 10, nprobe = 2, excludeId = 7L)
+      .as[(Long, Double)].collect().toSeq
+    assert(after == before, s"after=$after\nbefore=$before")
+  }
+
   test("a half-built or stale-format PQ index reads as absent") {
     val path = java.nio.file.Files
       .createTempDirectory("pq_index_stale").toString

@@ -786,6 +786,36 @@ object LlmQueries {
         k = 4, iters = 2, maxPerCluster = 60),
     Some(kmeansBalancedOracleSql(k = 4, iters = 2, cap = 60)))
 
+  /** Cluster label purity ([[Similarity.clusterPurity]]): per trained
+    * cluster, the majority label's share of members — the sanity
+    * audit a pipeline runs before trusting cluster-scoped decisions
+    * (balanced sampling, SemDeDup, routing). The oracle re-trains the
+    * same 2 Lloyd rounds, joins the stored labels, and re-derives
+    * every cluster's mode (ties to the LOWER label) and purity
+    * ratio. */
+  val clusterPurityQ = Q(
+    "emb_cluster_purity",
+    (s, d) =>
+      Similarity.clusterPurity(Tables.embeddings(s, d), k = 4, iters = 2),
+    Some(s"""${kmeansAssignCtes(k = 4, iters = 2)},
+        lab AS (SELECT af.cid, CAST(e.label AS BIGINT) AS label
+                FROM af JOIN embeddings e USING (vec_id)),
+        cnt AS (SELECT cid, label, COUNT(*) AS n
+                FROM lab GROUP BY cid, label),
+        best AS (SELECT cid, label, n,
+                        ROW_NUMBER() OVER (PARTITION BY cid
+                          ORDER BY n DESC, label) AS rk
+                 FROM cnt),
+        tot AS (SELECT cid, CAST(SUM(n) AS BIGINT) AS n_vecs
+                FROM cnt GROUP BY cid)
+        SELECT t.cid AS cluster_id, tot.n_vecs,
+               t.label AS majority_label,
+               CAST(t.n AS BIGINT) AS n_majority,
+               ROUND(CAST(t.n AS DOUBLE) / CAST(tot.n_vecs AS DOUBLE), 4)
+                 AS purity
+        FROM (SELECT * FROM best WHERE rk = 1) t JOIN tot USING (cid)
+        ORDER BY cluster_id"""))
+
   /** Row-level trained assignment ([[Similarity.kmeansAssign]]) — the
     * batch twin of the streaming cluster router's output surface
     * (`Incremental.routeStream` applies the SAME frozen-assigner
@@ -4495,7 +4525,8 @@ object LlmQueries {
     annBrute, annLsh, annLshPlanted, annIvf, annIvfPlanted, annIvfTrained,
     annKnnJoin, kmeansAssignQ,
     nearDupCosine,
-    embCentroids, embNormProfile, kmeansQ, kmeansBalancedQ, quantizeInt8,
+    embCentroids, embNormProfile, kmeansQ, kmeansBalancedQ,
+    clusterPurityQ, quantizeInt8,
     annQuantized, pqCodesQ, pqTopKQ, ivfPqTopKQ, ivfPqIndexedQ,
     pqIndexedQ, jlProjectQ, annJlQ,
     splitCounts, stratSample, capPerSourceQ, leakageSplit, budgetSample,

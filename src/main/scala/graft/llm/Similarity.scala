@@ -627,6 +627,49 @@ object Similarity {
       .orderBy("cluster_id")
   }
 
+  /** Cluster-quality audit over the trained [[kmeansAssign]]: per
+    * cluster, how label-pure its membership is — `(cluster_id,
+    * n_vecs, majority_label, n_majority, purity)` with purity =
+    * n_majority / n_vecs rounded to 4. The standard sanity metric a
+    * pipeline runs before trusting cluster-scoped decisions
+    * (balanced sampling, SemDeDup, routing): clusters that mix
+    * labels freely mean the embedding space doesn't separate the
+    * property you are about to act on. Majority ties break to the
+    * LOWER label — deterministic, oracle-reproducible.
+    *
+    * Scale: one assignment scan, then two keyed aggregations whose
+    * row counts are (clusters × labels) then clusters — bounded by
+    * construction, map-side combined; the label mode rides an
+    * `array_max` over the per-cluster label-count struct, never a
+    * window. */
+  def clusterPurity(
+      embeddings: DataFrame,
+      k: Int = 8,
+      iters: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val labels = embeddings.select(
+      col(idCol), col(labelCol).cast("long").as("__graft_label"))
+    kmeansAssign(embeddings, k, iters, idCol, vecCol)
+      .join(labels, Seq(idCol))
+      .groupBy(col("cluster_id"), col("__graft_label"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("cluster_id")
+      .agg(
+        sum(col("n")).as("n_vecs"),
+        max(struct(col("n"), (-col("__graft_label")).as("neg_label")))
+          .as("m"))
+      .select(
+        col("cluster_id"),
+        col("n_vecs"),
+        (-col("m.neg_label")).as("majority_label"),
+        col("m.n").as("n_majority"),
+        round(col("m.n").cast("double") / col("n_vecs").cast("double"), 4)
+          .as("purity"))
+      .orderBy("cluster_id")
+  }
+
   /** SemDeDup-style semantic deduplication marks (cluster, then
     * drop within-cluster semantic duplicates — the embedding-space
     * curation pass for pretraining corpora; cf. the public SemDeDup

@@ -256,4 +256,24 @@ class SimilaritySpec extends AnyFunSuite {
       corpus, eval.filter($"eval_id" < 0), minCosine = 0.5).count()
     assert(kept == 2L)
   }
+
+  test("clusterPurity: hand case with a majority tie to the lower label") {
+    // two orthogonal directions → 2 clean clusters at k=2 (init =
+    // vectors 0 and 1, one Lloyd round keeps them apart)
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f), 5),
+      (1L, Array(0.0f, 1.0f), 7),
+      (2L, Array(0.9f, 0.1f), 5),
+      (3L, Array(0.8f, 0.2f), 3),  // cluster 0: labels 5,5,3,3 → tie
+      (4L, Array(0.1f, 0.9f), 7),
+      (5L, Array(0.85f, 0.15f), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.clusterPurity(embs, k = 2, iters = 1)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    // cluster 0 = {0,2,3,5}: two 5s, two 3s → majority tie → LOWER
+    // label 3 wins; cluster 1 = {1,4}: pure 7
+    assert(got == Seq(
+      (0L, 4L, 3L, 2L, 0.5),
+      (1L, 2L, 7L, 2L, 1.0)), got.toString)
+  }
 }

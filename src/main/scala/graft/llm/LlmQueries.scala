@@ -677,6 +677,76 @@ object LlmQueries {
               WHERE e.vec_id <> q.vec_id) t
             WHERE rank <= 3 ORDER BY q_id, rank"""))
 
+  /** ANN recall@10 audit ([[Similarity.ivfKnnJoin]] vs the exact
+    * [[Similarity.knnJoin]]): for five query vectors, how much of the
+    * true top-10 the IVF probe pruning retains at nprobe=2 of 4
+    * lists — THE serving-quality metric for an approximate index
+    * (speed claims without recall numbers are meaningless). FULL
+    * row-level oracle: DuckDB re-trains both Lloyd rounds, re-ranks
+    * each query's probes, re-derives both top-10 sets and every
+    * overlap count. Zero-overlap queries emit 0 rows, not absence
+    * (left join from the query set on both engines). */
+  val annIvfRecall = Q(
+    "ann_ivf_recall",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id").isin(1L, 3L, 5L, 7L, 9L))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val ivf = Similarity.ivfKnnJoin(queries, emb, k = 10,
+        nlist = 4, iters = 2, nprobe = 2)
+        .select("q_id", "vec_id")
+      val exact = Similarity.knnJoin(queries, emb, k = 10)
+        .select("q_id", "vec_id")
+      val overlap = ivf.join(exact, Seq("q_id", "vec_id"))
+        .groupBy("q_id").agg(count(lit(1)).as("n"))
+      queries.select(col("q_id"))
+        .join(overlap, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n"), lit(0L)).as("n_overlap"),
+          round(coalesce(col("n"), lit(0L)).cast("double") / lit(10.0), 4)
+            .as("recall_at_10"))
+        .orderBy("q_id")
+    },
+    Some(s"""${kmeansAssignCtes(k = 4, iters = 2)},
+        q AS (SELECT vec_id AS q_id, v AS qv FROM emb
+              WHERE vec_id IN (1, 3, 5, 7, 9)),
+        pr AS (SELECT q_id, cid FROM (
+                 SELECT q.q_id, c.cid,
+                        ROW_NUMBER() OVER (PARTITION BY q.q_id
+                          ORDER BY round(
+                            list_cosine_similarity(c.c, q.qv), 6) DESC,
+                            c.cid) AS rk
+                 FROM c2 c CROSS JOIN q)
+               WHERE rk <= 2),
+        ivfs AS (SELECT q.q_id, af.vec_id,
+                        ROUND(list_cosine_similarity(af.v, q.qv), 4)
+                          AS cos
+                 FROM af JOIN pr ON af.cid = pr.cid
+                 JOIN q ON q.q_id = pr.q_id
+                 WHERE af.vec_id <> q.q_id),
+        ivftop AS (SELECT q_id, vec_id FROM (
+                     SELECT q_id, vec_id,
+                            ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY cos DESC, vec_id) AS rk
+                     FROM ivfs)
+                   WHERE rk <= 10),
+        bts AS (SELECT q.q_id, e.vec_id,
+                       ROUND(list_cosine_similarity(e.v, q.qv), 4) AS cos
+                FROM emb e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+        btop AS (SELECT q_id, vec_id FROM (
+                   SELECT q_id, vec_id,
+                          ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cos DESC, vec_id) AS rk
+                   FROM bts)
+                 WHERE rk <= 10),
+        ov AS (SELECT q_id, COUNT(*) AS n
+               FROM ivftop JOIN btop USING (q_id, vec_id)
+               GROUP BY q_id)
+        SELECT q.q_id, CAST(COALESCE(ov.n, 0) AS BIGINT) AS n_overlap,
+               ROUND(COALESCE(ov.n, 0) / 10.0, 4) AS recall_at_10
+        FROM q LEFT JOIN ov USING (q_id)
+        ORDER BY q_id"""))
+
   /** Per-label embedding centroids: posexplode to (label, dim) and
     * average. The ×64 row expansion collapses map-side (partial agg),
     * so the shuffle carries only labels × dims partial sums — the
@@ -4523,7 +4593,7 @@ object LlmQueries {
     containmentPairsQ, containmentDedupQ, sourceMatrixQ, embDriftQ,
     dedupIncremental, dedupIncrementalIndexed, textNormalize,
     annBrute, annLsh, annLshPlanted, annIvf, annIvfPlanted, annIvfTrained,
-    annKnnJoin, kmeansAssignQ,
+    annKnnJoin, annIvfRecall, kmeansAssignQ,
     nearDupCosine,
     embCentroids, embNormProfile, kmeansQ, kmeansBalancedQ,
     clusterPurityQ, quantizeInt8,

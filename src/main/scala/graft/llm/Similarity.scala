@@ -130,6 +130,88 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF-accelerated batch k-NN join — [[knnJoin]] with the coarse
+    * quantizer's probe pruning applied PER QUERY: the quantizer
+    * trains once ([[lloydCentroids]], deterministic), each query
+    * ranks the trained centroids (round-6 cosine, lower list id
+    * ties) and keeps its `nprobe` best lists, and a corpus row is
+    * scored only against the queries probing its list. At 100 TB
+    * this cuts the scored-pair count to ≈ nprobe/nlist of the
+    * brute-force join's |corpus|·|queries| — the batch-serving shape
+    * (the single-query form is [[ivfTrainedTopK]]). Output is
+    * [[knnJoin]]'s exact convention: `(q_id, idCol, cos_sim, rank)`,
+    * rank by `(cos_sim DESC, id ASC)` within each query.
+    *
+    * Scale: training as in [[kmeansLloyd]]; ONE corpus assignment
+    * scan; the (query, probed-list) pairs broadcast (nq·nprobe rows,
+    * bounded by the query batch); the per-query top-k rides the
+    * bounded `collect_top_k` heap — ≤ k rows per (query, map task)
+    * cross the exchange, never the scored pairs. */
+  def ivfKnnJoin(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int = 10,
+      nlist: Int = 4,
+      iters: Int = 2,
+      nprobe: Int = 2,
+      queryIdCol: String = "q_id",
+      queryVecCol: String = "q_vec",
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      excludeSelf: Boolean = true): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be ≥ 1: $nprobe")
+    GraftFunctions.register(corpus.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val vecs = doubleVecs(corpus, idCol, vecCol)
+    val cents = lloydCentroids(vecs, nlist, iters)
+    val q = queries.select(col(queryIdCol).as("__graft_qid"),
+      col(queryVecCol).cast("array<double>").as("__graft_qv"))
+    if (cents.isEmpty)
+      return vecs.crossJoin(q).select(
+        col("__graft_qid").as(queryIdCol),
+        col("vid").as(idCol),
+        lit(null).cast("double").as("cos_sim"),
+        lit(null).cast("int").as("rank")).limit(0)
+    val centDf = corpus.sparkSession.range(1)
+      .select(explode(array(cents.map { case (cid, c) =>
+        struct(lit(cid).as("list_id"), typedlit(c).as("c_vec"))
+      }: _*)).as("c"))
+      .select(col("c.list_id").as("list_id"), col("c.c_vec").as("c_vec"))
+    // per-query probe ranking: an (nq × nlist)-row frame, bounded by
+    // the query batch — the window is over that tiny frame, never the
+    // corpus
+    val probeSet = centDf
+      .crossJoin(broadcast(q))
+      .select(col("__graft_qid"), col("__graft_qv"), col("list_id"),
+        round(cosine(col("c_vec"), col("__graft_qv")), 6).as("qc"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("__graft_qid")
+          .orderBy(col("qc").desc, col("list_id"))))
+      .filter(col("rk") <= nprobe)
+      .select("__graft_qid", "__graft_qv", "list_id")
+    val joined = assignToCentroids(vecs, cents)
+      .join(broadcast(probeSet), col("cid") === col("list_id"))
+    val scored = (if (excludeSelf)
+        joined.filter(col("vid") =!= col("__graft_qid"))
+      else joined)
+      .select(col("__graft_qid"), col("vid"),
+        round(cosine(col("v"), col("__graft_qv")), 4).as("cos_sim"))
+    scored
+      .groupBy("__graft_qid")
+      .agg(TopKAgg.collect_top_k(
+        struct((-col("cos_sim")).as("neg_cos"), col("vid").as("nbr")),
+        k, reverse = true).as("top"))
+      .select(col("__graft_qid"), explode(col("top")).as("e"))
+      .select(
+        col("__graft_qid").as(queryIdCol),
+        col("e.nbr").as(idCol),
+        (-col("e.neg_cos")).as("cos_sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(queryIdCol)
+          .orderBy(col("cos_sim").desc, col(idCol))))
+      .filter(col("rank") <= k)
+  }
+
   /** Candidate ids sharing an LSH bucket with the query in ≥1 table. */
   private def lshCandidates(
       embeddings: DataFrame,

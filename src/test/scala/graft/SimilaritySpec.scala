@@ -257,6 +257,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(kept == 2L)
   }
 
+  test("ivfKnnJoin: probing every list degrades to the exact knnJoin") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    val queries = emb.filter($"vec_id".isin(1L, 3L, 5L))
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val exact = Similarity.knnJoin(queries, emb, k = 10)
+      .select("q_id", "vec_id", "cos_sim", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq.sorted
+    val ivfAll = Similarity.ivfKnnJoin(queries, emb, k = 10,
+      nlist = 4, iters = 2, nprobe = 4)
+      .select("q_id", "vec_id", "cos_sim", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq.sorted
+    assert(ivfAll == exact, s"ivf=$ivfAll\nexact=$exact")
+    // pruned probing returns ≤ k rows per query, all from the exact
+    // candidate space (cos values match the exact join's on shared ids)
+    val pruned = Similarity.ivfKnnJoin(queries, emb, k = 10,
+      nlist = 4, iters = 2, nprobe = 1)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSeq
+    assert(pruned.nonEmpty && pruned.groupBy(_._1).forall(_._2.size <= 10))
+  }
+
   test("clusterPurity: hand case with a majority tie to the lower label") {
     // two orthogonal directions → 2 clean clusters at k=2 (init =
     // vectors 0 and 1, one Lloyd round keeps them apart)

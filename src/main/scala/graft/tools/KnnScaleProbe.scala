@@ -110,6 +110,23 @@ object KnnScaleProbe {
       .exceptAll(windowPlan().select("q_id", "vec_id", "cos_sim", "rank"))
       .count()
     println(s"PROBE row_equality except_all_diff=$diff")
+
+    // round-14 addition: the IVF-pruned batch join — same heap
+    // top-k, but each corpus row scores only against the queries
+    // probing its list, so the scored-pair count falls to
+    // ≈ nprobe/nlist of brute force (recall cost recorded by the
+    // ann_ivf_recall oracle row)
+    val (nlist, iters) = (8, 2)
+    for (nprobe <- Seq(1, 2)) {
+      Similarity.ivfKnnJoin(queries, emb, k = k, nlist = nlist,
+        iters = iters, nprobe = nprobe).count() // warm (incl. training)
+      metrics.reset()
+      val (nIvf, tIvf) = timed(
+        Similarity.ivfKnnJoin(queries, emb, k = k, nlist = nlist,
+          iters = iters, nprobe = nprobe).count())
+      println(f"PROBE ivf_knn nprobe=$nprobe/$nlist rows=$nIvf " +
+        f"sec=$tIvf%.2f (train+search) " + metrics.report())
+    }
     spark.stop()
   }
 }

@@ -53,6 +53,17 @@ object Main {
         |         materialize REF's LSH dedup index (build once, probe many)
         |  index-probe IN INDEX OUT [--min-jaccard J] [--compression C]
         |         dedup-incremental against a persisted index
+        |  index-append IN INDEX
+        |         fold newly-vetted docs into the LSH index (≡ rebuild)
+        |  bm25-index DOCS OUT | bm25-index --append IN INDEX
+        |         build / grow the persisted BM25 inverted index
+        |  bm25-search INDEX --terms a,b,c [--k N]
+        |         top-k by BM25 from the persisted index
+        |  ann-index EMB OUT [--nlist N --iters I --m M --k K]
+        |         | ann-index --append IN INDEX
+        |         build / grow the persisted IVF-PQ serving index
+        |  ann-search INDEX QUERIES --query-id N [--topk K] [--nprobe P]
+        |         IVF-PQ top-k for a query vector from the index
         |  decontaminate IN BENCH OUT [--shingle-k K] [--compression C]
         |         drop IN docs sharing a K-shingle with BENCH
         |  decontaminate-spans IN BENCH OUT [--window-len L] [--compression C]
@@ -297,6 +308,82 @@ object Main {
           spark.read.parquet(in), idx, minJaccard = minJ)
         ParquetSink.write(kept, out, codec, partitionCols = Seq.empty)
         audit.show(truncate = false)
+
+      case "index-append" =>
+        // index-append IN INDEX: fold newly-vetted reference docs into
+        // the persisted LSH dedup index (append ≡ rebuild exactly).
+        val (in, idx) = (args(1), args(2))
+        graft.sources.Preflight.checkInput(spark, in)
+        val n = spark.read.parquet(in).count()
+        graft.llm.Dedup.appendToLshIndex(spark.read.parquet(in), idx)
+        System.err.println(s"[index-append] folded $n docs into $idx")
+
+      case "bm25-index" =>
+        // bm25-index DOCS OUT | bm25-index --append IN INDEX:
+        // build (or grow) the persisted BM25 inverted index.
+        if (args.contains("--append")) {
+          val rest = args.filterNot(_ == "--append")
+          val (in, idx) = (rest(1), rest(2))
+          graft.sources.Preflight.checkInput(spark, in)
+          graft.llm.Retrieval.appendToBm25Index(spark.read.parquet(in), idx)
+          System.err.println(s"[bm25-index] appended $in into $idx")
+        } else {
+          val (docs, out) = (args(1), args(2))
+          graft.sources.Preflight.checkInput(spark, docs)
+          graft.llm.Retrieval.writeBm25Index(spark.read.parquet(docs), out)
+          System.err.println(s"[bm25-index] wrote BM25 index at $out")
+        }
+
+      case "bm25-search" =>
+        // bm25-search INDEX --terms a,b,c [--k N]: top-k by BM25 from
+        // the persisted index; prints (doc_id, n_terms_hit, bm25).
+        val idx = args(1)
+        val terms = arg(args, "--terms").getOrElse(
+          sys.error("bm25-search requires --terms a,b,c"))
+          .split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSeq
+        val k = arg(args, "--k").map(_.toInt).getOrElse(10)
+        graft.llm.Retrieval.bm25TopKIndexed(spark, idx, terms, k = k)
+          .show(k, truncate = false)
+
+      case "ann-index" =>
+        // ann-index EMB OUT [--nlist N --iters I --m M --k K] |
+        // ann-index --append IN INDEX: build (or grow) the persisted
+        // IVF-PQ serving index over an embeddings parquet.
+        if (args.contains("--append")) {
+          val rest = args.filterNot(_ == "--append")
+          val (in, idx) = (rest(1), rest(2))
+          graft.sources.Preflight.checkInput(spark, in)
+          graft.llm.Quantize.appendToPqIndex(spark.read.parquet(in), idx)
+          System.err.println(s"[ann-index] appended $in into $idx")
+        } else {
+          val (emb, out) = (args(1), args(2))
+          graft.sources.Preflight.checkInput(spark, emb)
+          graft.llm.Quantize.writePqIndex(spark.read.parquet(emb), out,
+            nlist = arg(args, "--nlist").map(_.toInt).getOrElse(4),
+            iters = arg(args, "--iters").map(_.toInt).getOrElse(2),
+            m = arg(args, "--m").map(_.toInt).getOrElse(8),
+            k = arg(args, "--k").map(_.toInt).getOrElse(16))
+          System.err.println(s"[ann-index] wrote IVF-PQ index at $out")
+        }
+
+      case "ann-search" =>
+        // ann-search INDEX QUERIES --query-id N [--topk K] [--nprobe P]:
+        // IVF-PQ top-k for the vector with vec_id N in the QUERIES
+        // parquet; prints (vec_id, adc_dist).
+        val (idx, qsrc) = (args(1), args(2))
+        graft.sources.Preflight.checkInput(spark, qsrc)
+        val qid = arg(args, "--query-id").map(_.toLong).getOrElse(
+          sys.error("ann-search requires --query-id N"))
+        val topK = arg(args, "--topk").map(_.toInt).getOrElse(10)
+        val nprobe = arg(args, "--nprobe").map(_.toInt).getOrElse(2)
+        val qv = spark.read.parquet(qsrc)
+          .filter(org.apache.spark.sql.functions.col("vec_id") === qid)
+          .select("embedding").collect().headOption
+          .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+          .getOrElse(sys.error(s"no vector with vec_id=$qid in $qsrc"))
+        graft.llm.Quantize.ivfPqTopKIndexed(spark, idx, qv,
+          topK = topK, nprobe = nprobe, excludeId = qid)
+          .show(topK, truncate = false)
 
       case "decontaminate-spans" =>
         // decontaminate-spans IN BENCH OUT: excise every BENCH-

@@ -54,6 +54,48 @@ class CliSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"mock3:$out/docket_info").count() == 3)
   }
 
+  test("serving-index verbs: build, append, and search end-to-end") {
+    import spark.implicits._
+    val sf = TestSpark.sf0001
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val docsDir = TestSpark.tmpDir("cli-idx-docs")
+    docs.filter($"doc_id" % 2 === 0).write.mode("overwrite").parquet(docsDir)
+    val lateDir = TestSpark.tmpDir("cli-idx-late")
+    docs.filter($"doc_id" % 2 === 1).write.mode("overwrite").parquet(lateDir)
+
+    // LSH append verb ≡ programmatic append
+    val lshIdx = TestSpark.tmpDir("cli-idx-lsh") + "/idx"
+    graft.cli.Main.run(spark, Array("index-build", docsDir, lshIdx))
+    graft.cli.Main.run(spark, Array("index-append", lateDir, lshIdx))
+    assert(spark.read.parquet(s"$lshIdx/digests").count() == docs.count())
+
+    // BM25 build + append + search
+    val bmIdx = TestSpark.tmpDir("cli-idx-bm25") + "/idx"
+    graft.cli.Main.run(spark, Array("bm25-index", docsDir, bmIdx))
+    graft.cli.Main.run(spark,
+      Array("bm25-index", "--append", lateDir, bmIdx))
+    graft.cli.Main.run(spark,
+      Array("bm25-search", bmIdx, "--terms", "hash,merge", "--k", "5"))
+    val live = graft.llm.Retrieval.bm25TopK(docs, Seq("hash", "merge"), k = 5)
+      .as[(Long, Long, Double)].collect().toSeq
+    val idxd = graft.llm.Retrieval.bm25TopKIndexed(spark, bmIdx,
+      Seq("hash", "merge"), k = 5).as[(Long, Long, Double)].collect().toSeq
+    assert(idxd == live, s"idx=$idxd live=$live")
+
+    // ANN build + append + search
+    val embs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val embDir = TestSpark.tmpDir("cli-idx-emb")
+    embs.filter($"vec_id" % 2 === 0).write.mode("overwrite").parquet(embDir)
+    val embLate = TestSpark.tmpDir("cli-idx-emb-late")
+    embs.filter($"vec_id" % 2 === 1).write.mode("overwrite").parquet(embLate)
+    val annIdx = TestSpark.tmpDir("cli-idx-ann") + "/idx"
+    graft.cli.Main.run(spark, Array("ann-index", embDir, annIdx))
+    graft.cli.Main.run(spark, Array("ann-index", "--append", embLate, annIdx))
+    graft.cli.Main.run(spark, Array("ann-search", annIdx, embDir,
+      "--query-id", "2", "--topk", "5"))
+    assert(spark.read.parquet(s"$annIdx/codes").count() == embs.count())
+  }
+
   test("optimize compacts via the CLI") {
     val path = TestSpark.tmpDir("cli-compact") + "/t"
     graft.maintain.Compaction.fragment(

@@ -156,8 +156,18 @@ object Retrieval {
   /** Bump when the on-disk layout changes. v2: stats hold exact
     * integers (n_docs, total_dl) instead of a derived avgdl, so
     * incremental appends merge EXACTLY (long addition) and the probe
-    * derives avgdl with the live path's own division. */
-  val Bm25IndexFormat: Int = 2
+    * derives avgdl with the live path's own division. v3: every
+    * appendable table becomes a directory of SEGMENTS
+    * ([[graft.maintain.Segments]]) — the build writes `seg=base`, each
+    * append writes exactly one new segment with overwrite-own-directory
+    * semantics, so an at-least-once replay of the same batch (the
+    * streaming arm's crash-between-sink-and-checkpoint window)
+    * converges to the identical index instead of double-counting tf/df
+    * rows. df and stats hold PER-SEGMENT exact integers summed at
+    * probe time (same arithmetic as a merged table, bit-identical
+    * scores); [[compactBm25Index]] restores the single-segment
+    * canonical layout a fresh build produces. */
+  val Bm25IndexFormat: Int = 3
 
   /** Does a CURRENT-format BM25 index exist at `path`? Meta-last
     * validity protocol, as in [[Dedup.lshIndexExists]] /
@@ -181,15 +191,19 @@ object Retrieval {
     * (parquet, meta written LAST as the validity marker):
     *
     *   - `path/postings` — (token, id, tf, dl): one row per
-    *     (document, term) — the corpus-sized table, range-partitioned
-    *     AND sorted by token so a query's `token IN (…)` pushes into
-    *     the scan and prunes row groups by min/max stats: probe I/O
-    *     is proportional to the query terms' postings, not the corpus
-    *   - `path/df` — (token, df): per-token document frequency,
-    *     precomputed at build (the [[Dedup.writeLshIndex]] bucket-counts
-    *     principle: a probe must not re-aggregate corpus statistics),
-    *     same token-sorted pruning
-    *   - `path/stats` — one row (n_docs, avgdl)
+    *     (document, term) — the corpus-sized table, each segment
+    *     range-partitioned AND sorted by token so a query's
+    *     `token IN (…)` pushes into the scan and prunes row groups by
+    *     min/max stats: probe I/O is proportional to the query terms'
+    *     postings, not the corpus
+    *   - `path/df` — (token, df): PER-SEGMENT token document
+    *     frequency, precomputed at build/append (the
+    *     [[Dedup.writeLshIndex]] bucket-counts principle: a probe must
+    *     not re-aggregate corpus statistics — it sums the query
+    *     terms' ≤|terms|·segments pre-counted rows), same token-sorted
+    *     pruning
+    *   - `path/stats` — one (n_docs, total_dl) row per segment,
+    *     summed at probe time
     *   - `path/meta` — format version
     *
     * Scoring parameters (k1, b) stay query-time — they multiply
@@ -200,29 +214,38 @@ object Retrieval {
       idCol: String = "doc_id",
       textCol: String = "text"): Unit = {
     val spark = docs.sparkSession
+    // a rebuild-in-place must first invalidate the OLD index: meta is
+    // the validity marker, so with it gone a crash mid-build reads as
+    // "no index" instead of old-meta-over-new-halves
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(metaPath) && !fs.delete(metaPath, true))
+      throw new graft.maintain.Swap.SwapFailedException(
+        s"could not clear stale meta at $metaPath")
     val toks = TextAnalysis.tokens(lower(coalesce(col(textCol), lit(""))))
     val withLen = docs
       .select(col(idCol).as("id"), toks.as("__graft_toks"))
       .select(col("id"), col("__graft_toks"),
         size(col("__graft_toks")).cast("long").as("dl"))
       .localCheckpoint(true) // feeds stats AND postings: one tokenize
-    withLen
-      .agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(col("dl")), lit(0L)).as("total_dl"))
-      .write.mode("overwrite").parquet(s"$path/stats")
+    graft.maintain.Segments.writeBase(
+      withLen.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("total_dl")),
+      s"$path/stats")
     val postings = withLen
       .select(col("id"), col("dl"),
         explode(col("__graft_toks")).as("token"))
       .groupBy(col("token"), col("id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
-    postings
-      .repartitionByRange(32, col("token"))
-      .sortWithinPartitions("token")
-      .write.mode("overwrite").parquet(s"$path/postings")
-    postings.groupBy("token").agg(count(lit(1)).as("df"))
-      .repartitionByRange(32, col("token"))
-      .sortWithinPartitions("token")
-      .write.mode("overwrite").parquet(s"$path/df")
+    graft.maintain.Segments.writeBase(
+      postings.repartitionByRange(32, col("token"))
+        .sortWithinPartitions("token"),
+      s"$path/postings")
+    graft.maintain.Segments.writeBase(
+      postings.groupBy("token").agg(count(lit(1)).as("df"))
+        .repartitionByRange(32, col("token"))
+        .sortWithinPartitions("token"),
+      s"$path/df")
     spark.range(1).select(lit(Bm25IndexFormat).as("format"))
       .write.mode("overwrite").parquet(s"$path/meta")
   }

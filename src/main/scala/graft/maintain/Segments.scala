@@ -1,0 +1,90 @@
+package graft.maintain
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Segmented table layout for the persisted serving indexes (LSH dedup,
+  * BM25, IVF-PQ) — the Lucene-segments idea expressed as parquet
+  * partition directories.
+  *
+  * Every APPENDABLE index table is a directory of segments
+  * `table/seg=<segId>/…`; the initial build writes segment
+  * [[BaseSeg]], and each incremental append writes exactly one new
+  * segment. The point is idempotency under at-least-once replay: a
+  * streaming micro-batch append (`foreachBatch` replays a batch whose
+  * sink work committed but whose checkpoint didn't) re-runs with the
+  * SAME deterministic segment id, and [[writeSegment]]'s
+  * overwrite-own-directory semantics make the replay converge to the
+  * exact same table instead of duplicating rows — the failure mode a
+  * plain `mode("append")` sink has under replay (duplicated postings
+  * double-count BM25 tf; duplicated codes return duplicate ANN ids).
+  *
+  * Readers see one logical table: Spark's partition discovery exposes
+  * the segment id as a string `seg` column, which probes simply never
+  * select. Associative statistics (BM25 df/stats, LSH bucket counts)
+  * are stored per segment and SUMMED at probe time — exact integer
+  * addition, so probe results are bit-identical to a merged table.
+  * [[replaceTable]] is the compaction arm: it rewrites a
+  * many-segment table as a single canonical [[BaseSeg]] under the
+  * crash-safe [[Swap]] rename protocol, restoring the exact layout a
+  * fresh build would produce.
+  */
+object Segments {
+
+  /** The initial build's segment id. */
+  val BaseSeg = "base"
+
+  /** A fresh unique segment id for one-off batch appends (callers with
+    * a replay story — the streaming arms — pass their batch id
+    * instead, which is what makes the replay idempotent). */
+  def freshSegId(): String =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+
+  private val SegIdPattern = "[A-Za-z0-9_-]+"
+
+  /** Write `df` as segment `segId` of `tablePath` — IDEMPOTENT per
+    * (tablePath, segId): the write targets the segment's own directory
+    * with overwrite mode, so re-running the identical write replaces
+    * the segment instead of appending beside it. An empty `df` still
+    * writes a schema-bearing empty file (a freshly-built empty index
+    * must read back as an empty table, not a read error). */
+  def writeSegment(df: DataFrame, tablePath: String, segId: String): Unit = {
+    require(segId.matches(SegIdPattern),
+      s"segment id must match $SegIdPattern: '$segId'")
+    df.write.mode("overwrite").parquet(s"$tablePath/seg=$segId")
+  }
+
+  /** Clear `tablePath` entirely and write `df` as its single
+    * [[BaseSeg]] segment — the full-build form ([[writeSegment]] on a
+    * dirty path would leave stale sibling segments or, worse, root
+    * files from a pre-segment layout beside partition dirs, which
+    * breaks partition discovery). */
+  def writeBase(df: DataFrame, tablePath: String): Unit = {
+    val p = new Path(tablePath)
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && !fs.delete(p, true))
+      throw new Swap.SwapFailedException(s"could not clear $tablePath")
+    writeSegment(df, tablePath, BaseSeg)
+  }
+
+  /** Replace the whole (multi-segment) table with the single-segment
+    * canonical form produced by `canonical` (a function of the current
+    * table contents), under the crash-safe [[Swap]] protocol: readers
+    * see the old table or the new one, never halves; an interrupted
+    * prior replace is healed first. The `seg` partition column is
+    * dropped from the frame `canonical` receives. */
+  def replaceTable(
+      spark: SparkSession,
+      tablePath: String)(canonical: DataFrame => DataFrame): Unit = {
+    val p = new Path(tablePath)
+    val tmp = new Path(tablePath.stripSuffix("/") + "__swap_tmp")
+    val bak = new Path(tablePath.stripSuffix("/") + "__swap_bak")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Swap.recover(fs, p, bak)
+    if (fs.exists(tmp) && !fs.delete(tmp, true))
+      throw new Swap.SwapFailedException(s"could not clear stale $tmp")
+    canonical(spark.read.parquet(tablePath).drop("seg"))
+      .write.parquet(s"$tmp/seg=$BaseSeg")
+    Swap.replace(fs, p, tmp, bak)
+  }
+}

@@ -71,6 +71,64 @@ object JoinQueries {
             JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
+  /** The bucketed fact layout behind [[j2b]]: lineitem and orders
+    * written ONCE per fixture dir as bucketed+sorted managed tables on
+    * their join key ([[graft.maintain.Bucketing.writeBucketed]], 32
+    * buckets both sides). Idempotent per (session catalog, dir): an
+    * existing layout with the source's row count is reused — fixture
+    * dirs are immutable, so the count check only guards the
+    * regenerated-in-place case. This is the serving-index pattern
+    * applied to join layout: the one-time write is the amortized
+    * cost, every query on the key plans with NO Exchange after it. */
+  private def bucketedFacts(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = {
+    val tag = java.lang.Integer.toHexString(d.hashCode)
+    def ensure(name: String, src: org.apache.spark.sql.DataFrame,
+        key: String): org.apache.spark.sql.DataFrame = {
+      val full = s"graft_${name}_bkt_$tag"
+      if (!s.catalog.tableExists(full) ||
+          s.table(full).count() != src.count()) {
+        // the in-memory catalog is per-session but the warehouse dir
+        // persists: an orphan location from a previous session blocks
+        // CREATE TABLE, so clear both the entry and the directory
+        s.sql(s"DROP TABLE IF EXISTS $full")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), full)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+        graft.maintain.Bucketing.writeBucketed(src, full, key, 32)
+      }
+      s.table(full)
+    }
+    (ensure("lineitem", Tables.lineitem(s, d), "l_orderkey"),
+      ensure("orders", Tables.orders(s, d), "o_orderkey"))
+  }
+
+  /** j2b — j2's aggregation over the BUCKETED fact layout: both fact
+    * tables pre-bucketed (and sorted) on the join key, so the
+    * lineitem⋈orders join plans with NO Exchange on either side — the
+    * at-scale answer to j2's recurring 60M+15M-row shuffle (measured:
+    * J2BucketedProbe, 3× faster at the x100 tier after a one-time
+    * 13.7 s layout; SCALE_PROBES.md). The `merge` hint keeps the
+    * small-SF plan the at-scale shape (a broadcast of a fact table
+    * would mask the layout exactly the way j2's scaladoc describes).
+    * Shares j2's oracle verbatim — the layout must change the plan,
+    * never the rows. */
+  val j2b = Q(
+    "j2b_bucketed_3way",
+    (s, d) => {
+      val (li, ord) = bucketedFacts(s, d)
+      li.join(ord.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_items"))
+        .orderBy("c_mktsegment")
+    },
+    j2.oracle)
+
   /** j3 — left-semi existence (dockets having comments analog). */
   val j3 = Q(
     "j3_semi_join",
@@ -280,5 +338,5 @@ object JoinQueries {
                                      WHERE o_orderpriority = '1-URGENT'
                                        AND o_totalprice > 200000)"""))
 
-  def all: Seq[Q] = Seq(j1, j2, j3, j4, j6, j6b, j9, j10, u1, u2, u3)
+  def all: Seq[Q] = Seq(j1, j2, j2b, j3, j4, j6, j6b, j9, j10, u1, u2, u3)
 }

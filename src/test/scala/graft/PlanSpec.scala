@@ -84,6 +84,23 @@ class PlanSpec extends AnyFunSuite {
       s"<=> degenerated to a non-equi plan:\n$p")
   }
 
+  test("j2b: bucketed fact join plans with NO Exchange on either fact side") {
+    val df = SparkEntry.queries("j2b_bucketed_3way")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), s"j2b lost the merge join:\n$p")
+    // the FACT join must not shuffle: no Exchange keyed on either join
+    // key (the post-join groupBy(c_mktsegment) exchange is a few-row
+    // aggregate and is supposed to be there)
+    assert(!"Exchange hashpartitioning\\((l_orderkey|o_orderkey)".r
+      .findFirstIn(p).isDefined,
+      s"bucketed fact join still shuffles:\n$p")
+    assert(p.contains("Bucketed: true"), s"scan is not bucket-aware:\n$p")
+    // layout must change the plan, never the rows: j2b ≡ j2 row for row
+    val j2 = SparkEntry.queries("j2_join_3way")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(df.collect().map(_.toString).toSeq == j2)
+  }
+
   test("full-outer sides pre-aggregate BEFORE the join") {
     // the partial aggregates must sit below the join: the shuffle then
     // carries one row per user, not one per event

@@ -64,6 +64,8 @@ object Main {
         |         build / grow the persisted IVF-PQ serving index
         |  ann-search INDEX QUERIES --query-id N [--topk K] [--nprobe P]
         |         IVF-PQ top-k for a query vector from the index
+        |  index-compact <lsh|bm25|ann> INDEX [--target-files N]
+        |         merge appended segments back to the canonical layout
         |  decontaminate IN BENCH OUT [--shingle-k K] [--compression C]
         |         drop IN docs sharing a K-shingle with BENCH
         |  decontaminate-spans IN BENCH OUT [--window-len L] [--compression C]
@@ -365,6 +367,23 @@ object Main {
             k = arg(args, "--k").map(_.toInt).getOrElse(16))
           System.err.println(s"[ann-index] wrote IVF-PQ index at $out")
         }
+
+      case "index-compact" =>
+        // index-compact KIND INDEX [--target-files N]: merge an
+        // appended serving index's segments back to the canonical
+        // single-segment layout a fresh build produces (crash-safe
+        // swap per table; probes unchanged). KIND: lsh | bm25 | ann.
+        val (kind, idx) = (args(1), args(2))
+        kind match {
+          case "lsh"  => graft.llm.Dedup.compactLshIndex(spark, idx)
+          case "bm25" => graft.llm.Retrieval.compactBm25Index(spark, idx)
+          case "ann"  => graft.llm.Quantize.compactPqIndex(spark, idx,
+            targetFiles = arg(args, "--target-files").map(_.toInt)
+              .getOrElse(32))
+          case other  => sys.error(
+            s"index-compact: unknown kind '$other' (lsh | bm25 | ann)")
+        }
+        System.err.println(s"[index-compact] compacted $kind index at $idx")
 
       case "ann-search" =>
         // ann-search INDEX QUERIES --query-id N [--topk K] [--nprobe P]:

@@ -482,8 +482,20 @@ object Dedup {
     * are associative there, which is what makes [[appendToLshIndex]]
     * exact (append ≡ rebuild); the probe's cap becomes a broadcast
     * anti-join against the (tiny by nature) oversized-bucket set
-    * instead of a pushed column filter. */
-  val LshIndexFormat: Int = 3
+    * instead of a pushed column filter.
+    *
+    * v4: every table becomes a directory of SEGMENTS
+    * ([[graft.maintain.Segments]] — build writes `seg=base`, each
+    * append exactly one new segment, overwrite-own-directory): an
+    * at-least-once replay of the same append batch (the streaming
+    * arm's crash-between-sink-and-checkpoint window) converges to the
+    * identical index instead of duplicating digest/band/shingle rows
+    * and double-counting buckets. bucket_counts holds PER-SEGMENT
+    * counts summed at probe time (integer addition — the same
+    * arithmetic the v3 swap-merge precomputed); [[compactLshIndex]]
+    * restores the canonical single-segment layout a rebuild
+    * produces. */
+  val LshIndexFormat: Int = 4
 
   /** Does a CURRENT-format LSH index exist at `path`? (Checks the
     * meta table's `_SUCCESS` marker — the LAST table
@@ -535,9 +547,17 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val spark = reference.sparkSession
     graft.functions.GraftFunctions.register(spark)
-    reference
-      .select(contentHash(col(textCol)).as("digest")).distinct()
-      .write.mode("overwrite").parquet(s"$path/digests")
+    // invalidate an OLD index at this path first (meta is the validity
+    // marker) so a crash mid-rebuild reads as absent, not as stale
+    // meta over half-rebuilt tables
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val mfs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (mfs.exists(metaPath) && !mfs.delete(metaPath, true))
+      throw new graft.maintain.Swap.SwapFailedException(
+        s"could not clear stale meta at $metaPath")
+    graft.maintain.Segments.writeBase(
+      reference.select(contentHash(col(textCol)).as("digest")).distinct(),
+      s"$path/digests")
     val (sh, handle) = persistIfNew(
       reference.select(
         col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh")),
@@ -545,23 +565,25 @@ object Dedup {
     try {
       // bucket sizes are precomputed AT BUILD: every probe needs the
       // bucket-cap filter, and computing them here means a probe never
-      // re-aggregates the reference's statistics. v3 keeps them in
-      // their own `bucket_counts` table (counts are associative there,
-      // making appends exact) and the probe reads only the OVERSIZED
-      // buckets — tiny by nature (boilerplate families) — as a
-      // broadcast anti-join set
+      // re-tokenizes or re-hashes the reference. The counts live in
+      // their own `bucket_counts` table, one count per (segment,
+      // bucket) — associative, so appends stay exact — and the probe
+      // reads only the OVERSIZED buckets (sum over segments > cap) —
+      // tiny by nature (boilerplate families) — as a broadcast
+      // anti-join set
       val bandRows = persistIfNew(
         sh.select(col("id"),
           posexplode(graft.functions.TextExprs.minhash_bands(
             col("sh"), numHashes, bands)).as(Seq("band", "band_hash"))),
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        bandRows._1.write.mode("overwrite").parquet(s"$path/bands")
-        bandRows._1.groupBy("band", "band_hash")
-          .agg(count(lit(1)).as("n"))
-          .write.mode("overwrite").parquet(s"$path/bucket_counts")
+        graft.maintain.Segments.writeBase(bandRows._1, s"$path/bands")
+        graft.maintain.Segments.writeBase(
+          bandRows._1.groupBy("band", "band_hash")
+            .agg(count(lit(1)).as("n")),
+          s"$path/bucket_counts")
       } finally release(bandRows._2.toSeq)
-      sh.write.mode("overwrite").parquet(s"$path/shingles")
+      graft.maintain.Segments.writeBase(sh, s"$path/shingles")
     } finally release(handle.toSeq)
     // meta LAST: its _SUCCESS is the index's validity marker
     spark.range(1).select(
@@ -576,20 +598,35 @@ object Dedup {
     * (a vetted batch joining the frozen corpus) into the persisted
     * LSH index — the onboarding loop's "accepted docs become
     * tomorrow's reference" step, without a rebuild. Every stored
-    * table merges exactly: digests and bands and shingles are
-    * per-document rows (append), bucket sizes are associative counts
-    * (merge by addition under the crash-safe [[graft.maintain.Swap]]
-    * protocol) — so the appended index is bit-identical to a rebuild
-    * over the grown reference (pinned in DedupSpec). Hashing
-    * parameters come from the stored meta, so an append can never
-    * diverge from the build. A crash between steps leaves a VALID
-    * index at most one batch stale in its bucket counts; replay at
-    * batch granularity (the streaming arm's checkpoint) repairs it. */
+    * table merges exactly: digests/bands/shingles are per-document
+    * rows and bucket sizes are associative per-segment counts (summed
+    * at probe time), so the appended index PROBES identically to a
+    * rebuild over the grown reference, and [[compactLshIndex]]
+    * reduces its layout to the rebuild's (both pinned in DedupSpec).
+    * Hashing parameters come from the stored meta, so an append can
+    * never diverge from the build.
+    *
+    * The append writes ONE new segment per table ([[graft.maintain
+    * .Segments.writeSegment]], overwrite-own-directory) — IDEMPOTENT
+    * per `segId`: the streaming arm's at-least-once replay (crash
+    * after the sink work, before the checkpoint commit) re-runs with
+    * the same batch-derived segId and converges; a crash MID-append
+    * leaves a valid index whose tables are at most one batch apart
+    * until that replay. Batch callers without a replay story omit
+    * `segId` and get a fresh unique segment.
+    *
+    * Digests are deduplicated within the batch only: appending a doc
+    * whose text already exists in the stored reference leaves one
+    * duplicate digest row across segments. Probe semantics are
+    * unchanged (the exact phase is an anti-join — membership, not
+    * counts) and [[compactLshIndex]] restores global distinctness;
+    * both are pinned in DedupSpec. */
   def appendToLshIndex(
       newReference: DataFrame,
       path: String,
       idCol: String = "doc_id",
-      textCol: String = "text"): Unit = {
+      textCol: String = "text",
+      segId: String = graft.maintain.Segments.freshSegId()): Unit = {
     val spark = newReference.sparkSession
     graft.functions.GraftFunctions.register(spark)
     require(lshIndexExists(spark, path),
@@ -598,9 +635,10 @@ object Dedup {
     val shingleK = meta.getAs[Int]("shingle_k")
     val numHashes = meta.getAs[Int]("num_hashes")
     val bands = meta.getAs[Int]("bands")
-    newReference
-      .select(contentHash(col(textCol)).as("digest")).distinct()
-      .write.mode("append").parquet(s"$path/digests")
+    graft.maintain.Segments.writeSegment(
+      newReference
+        .select(contentHash(col(textCol)).as("digest")).distinct(),
+      s"$path/digests", segId)
     val (sh, handle) = persistIfNew(
       newReference.select(
         col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh")),
@@ -612,23 +650,36 @@ object Dedup {
             col("sh"), numHashes, bands)).as(Seq("band", "band_hash"))),
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        bandRows._1.write.mode("append").parquet(s"$path/bands")
-        val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
-          spark.sparkContext.hadoopConfiguration)
-        val (p, tmp, bak) = (
-          new org.apache.hadoop.fs.Path(s"$path/bucket_counts"),
-          new org.apache.hadoop.fs.Path(s"$path/bucket_counts__swap_tmp"),
-          new org.apache.hadoop.fs.Path(s"$path/bucket_counts__swap_bak"))
-        graft.maintain.Swap.recover(fs, p, bak)
-        spark.read.parquet(s"$path/bucket_counts")
-          .unionByName(bandRows._1.groupBy("band", "band_hash")
-            .agg(count(lit(1)).as("n")))
-          .groupBy("band", "band_hash").agg(sum(col("n")).as("n"))
-          .write.parquet(tmp.toString)
-        graft.maintain.Swap.replace(fs, p, tmp, bak)
+        graft.maintain.Segments.writeSegment(
+          bandRows._1, s"$path/bands", segId)
+        graft.maintain.Segments.writeSegment(
+          bandRows._1.groupBy("band", "band_hash")
+            .agg(count(lit(1)).as("n")),
+          s"$path/bucket_counts", segId)
       } finally release(bandRows._2.toSeq)
-      sh.write.mode("append").parquet(s"$path/shingles")
+      graft.maintain.Segments.writeSegment(sh, s"$path/shingles", segId)
     } finally release(handle.toSeq)
+  }
+
+  /** Compact an appended index back to the canonical single-segment
+    * layout a fresh [[writeLshIndex]] over the grown reference
+    * produces: digests globally DISTINCT again (an appended re-digest
+    * of an already-indexed text leaves a cross-segment duplicate row —
+    * see [[appendToLshIndex]]), bucket counts summed to their merged
+    * form, bands/shingles consolidated. Each table replaces under the
+    * crash-safe [[graft.maintain.Swap]] protocol — a concurrent probe
+    * sees the old table or the new one, never halves — and probe
+    * results are unchanged by construction (pinned in DedupSpec
+    * against a rebuild). */
+  def compactLshIndex(spark: SparkSession, path: String): Unit = {
+    require(lshIndexExists(spark, path),
+      s"no LSH index at $path — writeLshIndex first")
+    graft.maintain.Segments.replaceTable(spark, s"$path/digests")(
+      _.distinct())
+    graft.maintain.Segments.replaceTable(spark, s"$path/bands")(identity)
+    graft.maintain.Segments.replaceTable(spark, s"$path/bucket_counts")(
+      _.groupBy("band", "band_hash").agg(sum(col("n")).as("n")))
+    graft.maintain.Segments.replaceTable(spark, s"$path/shingles")(identity)
   }
 
   /** [[incrementalDedup]] against a PERSISTED index instead of the
@@ -678,12 +729,17 @@ object Dedup {
           posexplode(graft.functions.TextExprs.minhash_bands(
             col("jsh"), numHashes, bands)).as(Seq("band", "band_hash"))),
         Seq("band", "band_hash"), maxBucketSize)
-      // ref-side bucket cap: the build-time bucket_counts table,
+      // ref-side bucket cap: the build-time bucket_counts table —
+      // per-segment counts summed to global bucket sizes (one
+      // map-side-combined aggregate over a table of bucket keys, a
+      // sliver of the bands table the probe joins anyway; a compacted
+      // index has one segment and the combine is a pass-through) —
       // filtered to the OVERSIZED buckets (tiny by nature — they are
       // the boilerplate families the cap exists to excise), excluded
-      // from the stored bands by broadcast anti-join — never a
-      // re-aggregation of the corpus-sized table
+      // from the stored bands by broadcast anti-join. The probe never
+      // re-tokenizes, re-hashes or re-counts the reference corpus
       val oversized = spark.read.parquet(s"$indexPath/bucket_counts")
+        .groupBy("band", "band_hash").agg(sum(col("n")).as("n"))
         .filter(col("n") > maxBucketSize)
         .select("band", "band_hash")
       val refBands = spark.read.parquet(s"$indexPath/bands")

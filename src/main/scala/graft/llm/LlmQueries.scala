@@ -4501,6 +4501,76 @@ object LlmQueries {
       s, pqIndexFor(s, d), queryVec7(s, d), topK = 10),
     pqTopKQ.oracle)
 
+  /** Index-served BATCH ANN ([[Quantize.ivfPqKnnJoinIndexed]]): top-5
+    * approximate neighbors for five query vectors in ONE plan against
+    * the PERSISTED index — the backfill / hard-negative-mining serving
+    * shape. Nothing trains or encodes in-query (the round-14
+    * `ivfKnnJoin` batch API re-paid Lloyd per call — this is the
+    * amortized form): probes rank on the stored centroids, each
+    * query's ADC table rides the broadcast probe pairs into the
+    * stored codes, per-query top-k is the bounded heap. FULL row-level
+    * oracle: DuckDB re-trains both Lloyd rounds, re-ranks every
+    * query's probes, re-derives the codebook, every corpus code, each
+    * query's distance table and every summed, ranked ADC distance. */
+  val ivfKnnIndexedQ = Q(
+    "ann_ivf_knn_indexed",
+    (s, d) => {
+      val queries = Tables.embeddings(s, d)
+        .filter(col("vec_id").isin(1L, 3L, 5L, 7L, 9L))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Quantize.ivfPqKnnJoinIndexed(s, pqIndexFor(s, d), queries,
+        k = 5, nprobe = 2)
+        .orderBy("q_id", "rank")
+    },
+    Some(s"""${kmeansAssignCtes(k = 4, iters = 2)},
+        q AS (SELECT vec_id AS q_id, v AS qv FROM emb
+              WHERE vec_id IN (1, 3, 5, 7, 9)),
+        pr AS (SELECT q_id, cid FROM (
+                 SELECT q.q_id, c.cid,
+                        ROW_NUMBER() OVER (PARTITION BY q.q_id
+                          ORDER BY round(
+                            list_cosine_similarity(c.c, q.qv), 6) DESC,
+                            c.cid) AS rk
+                 FROM c2 c CROSS JOIN q)
+               WHERE rk <= 2),
+        cb AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS ci,
+                      v AS c_vec
+               FROM emb ORDER BY vec_id LIMIT 16),
+        scored AS (
+          SELECT e.vec_id, sp.s AS s, cb.ci,
+                 ROUND(list_sum([
+                   (e.v[sp.s * 8 + i] - cb.c_vec[sp.s * 8 + i]) ^ 2
+                   for i in range(1, 9)]), 6) AS dist
+          FROM emb e, UNNEST(range(0, 8)) AS sp(s), cb),
+        codes AS (SELECT vec_id, s, ci FROM (
+                    SELECT vec_id, s, ci,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                             ORDER BY dist, ci) AS rk
+                    FROM scored)
+                  WHERE rk = 1),
+        dt AS (SELECT q.q_id, sp.s AS s, cb.ci,
+                      ROUND(list_sum([
+                        (q.qv[sp.s * 8 + i] - cb.c_vec[sp.s * 8 + i]) ^ 2
+                        for i in range(1, 9)]), 6) AS d
+               FROM q, UNNEST(range(0, 8)) AS sp(s), cb),
+        cand AS (SELECT pr.q_id, af.vec_id
+                 FROM af JOIN pr ON af.cid = pr.cid
+                 WHERE af.vec_id <> pr.q_id),
+        adc AS (SELECT cand.q_id, cand.vec_id,
+                       ROUND(SUM(dt.d), 4) AS adc_dist
+                FROM cand
+                JOIN codes ON codes.vec_id = cand.vec_id
+                JOIN dt ON dt.q_id = cand.q_id AND dt.s = codes.s
+                       AND dt.ci = codes.ci
+                GROUP BY cand.q_id, cand.vec_id)
+        SELECT q_id, vec_id, adc_dist, rank FROM (
+          SELECT q_id, vec_id, adc_dist,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY adc_dist, vec_id) AS INT) AS rank
+          FROM adc)
+        WHERE rank <= 5
+        ORDER BY q_id, rank"""))
+
   /** SemDeDup-style semantic dedup marks over the fixed-centroid
     * clusters: per vector, keep = no same-cluster vector above the
     * cosine threshold with higher (cos_to_centroid, -id) priority.
@@ -4598,7 +4668,7 @@ object LlmQueries {
     embCentroids, embNormProfile, kmeansQ, kmeansBalancedQ,
     clusterPurityQ, quantizeInt8,
     annQuantized, pqCodesQ, pqTopKQ, ivfPqTopKQ, ivfPqIndexedQ,
-    pqIndexedQ, jlProjectQ, annJlQ,
+    pqIndexedQ, ivfKnnIndexedQ, jlProjectQ, annJlQ,
     splitCounts, stratSample, capPerSourceQ, leakageSplit, budgetSample,
     temperatureMix, mixturePlanQ, dsirWeights, dsirSelect,
     epochOrder,

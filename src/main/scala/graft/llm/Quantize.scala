@@ -368,8 +368,16 @@ object Quantize {
   // ---- persisted IVF-PQ serving index ---------------------------------
 
   /** Bump when the on-disk layout changes — a stale index is rebuilt,
-    * never mis-read. */
-  val PqIndexFormat: Int = 1
+    * never mis-read. v2: the code table becomes a directory of
+    * SEGMENTS ([[graft.maintain.Segments]] — build writes `seg=base`,
+    * each append one new segment with overwrite-own-directory
+    * semantics, so an at-least-once streaming replay of the same
+    * batch converges instead of duplicating code rows and returning
+    * duplicate ids from top-k); meta additionally stores the vector
+    * `dim` so a wrong-dimension query that happens to be divisible by
+    * `m` is rejected instead of slicing the codebook at wrong offsets
+    * and returning silently wrong ADC distances. */
+  val PqIndexFormat: Int = 2
 
   /** Does a CURRENT-format PQ index exist at `path`? Same validity
     * protocol as [[Dedup.lshIndexExists]]: the meta table is written
@@ -400,11 +408,15 @@ object Quantize {
     *   - `path/codes`     — (id, cid, codes): per vector, its coarse
     *                        list and its m PQ codes — the ONLY
     *                        corpus-sized table, read through the
-    *                        probe's broadcast list filter
+    *                        probe's broadcast list filter; segmented
+    *                        (build = `seg=base`, appends add segments
+    *                        idempotently — see [[appendToPqIndex]])
     *   - `path/meta`      — LAST (its `_SUCCESS` is the validity
-    *                        marker): format, nlist, iters, m, k — the
-    *                        probe hashes with the STORED parameters,
-    *                        so a build/probe mismatch cannot happen
+    *                        marker): format, nlist, iters, m, k, dim —
+    *                        the probe hashes with the STORED
+    *                        parameters and rejects wrong-dimension
+    *                        queries, so a build/probe mismatch cannot
+    *                        happen
     *
     * Determinism: training/codebook/codes carry [[ivfPqTopK]]'s exact
     * contracts (round-6 arithmetic, lower-id/lower-index ties), so an
@@ -421,29 +433,45 @@ object Quantize {
     require(m >= 1, s"m must be ≥ 1: $m")
     require(k >= 1, s"k must be ≥ 1: $k")
     val spark = embs.sparkSession
-    val vecs = Similarity.doubleVecs(embs, idCol, vecCol)
-    val cents = Similarity.lloydCentroids(vecs, nlist, iters)
-    if (cents.isEmpty) {
-      // a zero-row corpus yields a VALID empty index (probes return
-      // no rows) — an engine meets empty inputs constantly, and a
-      // build that crashes on nothing-to-do is not production-grade
-      vecs.select(col("vid").cast("long").as("list_id"),
-          col("v").as("c_vec")).limit(0)
-        .write.mode("overwrite").parquet(s"$path/centroids")
-      vecs.select(lit(0).as("ci"), col("v").as("c_vec")).limit(0)
-        .write.mode("overwrite").parquet(s"$path/codebook")
-      vecs.select(col("vid").as("id"), lit(0L).as("cid"),
-          typedlit(Seq.empty[Int]).as("codes")).limit(0)
-        .write.mode("overwrite").parquet(s"$path/codes")
+    // invalidate an OLD index at this path first: with meta (the
+    // validity marker) gone, a crash mid-rebuild reads as "no index"
+    // instead of stale-meta-over-new-halves
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val mfs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (mfs.exists(metaPath) && !mfs.delete(metaPath, true))
+      throw new graft.maintain.Swap.SwapFailedException(
+        s"could not clear stale meta at $metaPath")
+    def writeMeta(dim: Int): Unit =
       spark.range(1).select(
           lit(PqIndexFormat).as("format"),
           lit(nlist).as("nlist"),
           lit(iters).as("iters"),
           lit(m).as("m"),
-          lit(k).as("k"))
+          lit(k).as("k"),
+          lit(dim).as("dim"))
         .write.mode("overwrite").parquet(s"$path/meta")
+    val vecs = Similarity.doubleVecs(embs, idCol, vecCol)
+    val cents = Similarity.lloydCentroids(vecs, nlist, iters)
+    if (cents.isEmpty) {
+      // a zero-row corpus yields a VALID empty index (probes return
+      // no rows) — an engine meets empty inputs constantly, and a
+      // build that crashes on nothing-to-do is not production-grade.
+      // dim is unknown (-1): the first non-empty bootstrap append
+      // rebuilds with the real dimension
+      vecs.select(col("vid").cast("long").as("list_id"),
+          col("v").as("c_vec")).limit(0)
+        .write.mode("overwrite").parquet(s"$path/centroids")
+      vecs.select(lit(0).as("ci"), col("v").as("c_vec")).limit(0)
+        .write.mode("overwrite").parquet(s"$path/codebook")
+      graft.maintain.Segments.writeBase(
+        vecs.select(col("vid").as("id"), lit(0L).as("cid"),
+          typedlit(Seq.empty[Int]).as("codes")).limit(0),
+        s"$path/codes")
+      writeMeta(dim = -1)
       return
     }
+    val dim = cents.head._2.length
+    require(dim % m == 0, s"dim $dim must be divisible by m=$m")
     spark.range(1)
       .select(explode(array(cents.map { case (cid, c) =>
         struct(lit(cid).as("list_id"), typedlit(c).as("c_vec"))
@@ -457,18 +485,13 @@ object Quantize {
     // codes: coarse assignment + PQ encode fused in one corpus scan —
     // pqCodes' exact per-subspace argmin (round-6 sqDist, lower index
     // ties) against the broadcast codebook row
-    Similarity.assignToCentroids(vecs, cents)
-      .crossJoin(broadcast(cb))
-      .select(col("vid").as("id"), col("cid"), fusedCodes(m).as("codes"))
-      .write.mode("overwrite").parquet(s"$path/codes")
+    graft.maintain.Segments.writeBase(
+      Similarity.assignToCentroids(vecs, cents)
+        .crossJoin(broadcast(cb))
+        .select(col("vid").as("id"), col("cid"), fusedCodes(m).as("codes")),
+      s"$path/codes")
     // meta LAST: its _SUCCESS is the index's validity marker
-    spark.range(1).select(
-        lit(PqIndexFormat).as("format"),
-        lit(nlist).as("nlist"),
-        lit(iters).as("iters"),
-        lit(m).as("m"),
-        lit(k).as("k"))
-      .write.mode("overwrite").parquet(s"$path/meta")
+    writeMeta(dim)
   }
 
   /** The per-vector PQ encode over a `(vid, v, cid)` frame cross-
@@ -496,10 +519,16 @@ object Quantize {
     * micro-batch — see [[graft.streaming.Incremental
     * .annIndexAppendStream]]). The centroid and codebook tables are
     * immutable under append, so concurrent probes stay consistent;
-    * new codes land as new parquet files in `codes/`. Appending to a
-    * still-EMPTY index bootstraps it instead: trains on this first
-    * batch with the index's stored (nlist, iters, m, k) — the
-    * streaming deployment's cold start.
+    * new codes land as a new SEGMENT of `codes/` ([[graft.maintain
+    * .Segments.writeSegment]]) — IDEMPOTENT per `segId`, so the
+    * streaming arm's at-least-once replay of a batch (crash after the
+    * codes write, before the checkpoint commit) overwrites its own
+    * segment instead of duplicating code rows (which would surface as
+    * duplicate ids in top-k). Appending to a still-EMPTY index
+    * bootstraps it instead: trains on this first batch with the
+    * index's stored (nlist, iters, m, k) — the streaming deployment's
+    * cold start (every bootstrap write is itself an overwrite, so the
+    * replay converges there too).
     *
     * Scale shape: per batch, ONE scan of the new vectors (assign →
     * encode fused, centroids + codebook broadcast), zero shuffles,
@@ -508,7 +537,8 @@ object Quantize {
       newVecs: DataFrame,
       path: String,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): Unit = {
+      vecCol: String = "embedding",
+      segId: String = graft.maintain.Segments.freshSegId()): Unit = {
     val spark = newVecs.sparkSession
     require(pqIndexExists(spark, path),
       s"no PQ index at $path — writePqIndex first")
@@ -525,11 +555,29 @@ object Quantize {
         m = m, k = meta.getAs[Int]("k"), idCol = idCol, vecCol = vecCol)
       return
     }
-    Similarity.assignToCentroids(
-        Similarity.doubleVecs(newVecs, idCol, vecCol), cents)
-      .withColumn("cb", readCodebookLiteral(spark, path))
-      .select(col("vid").as("id"), col("cid"), fusedCodes(m).as("codes"))
-      .write.mode("append").parquet(s"$path/codes")
+    graft.maintain.Segments.writeSegment(
+      Similarity.assignToCentroids(
+          Similarity.doubleVecs(newVecs, idCol, vecCol), cents)
+        .withColumn("cb", readCodebookLiteral(spark, path))
+        .select(col("vid").as("id"), col("cid"), fusedCodes(m).as("codes")),
+      s"$path/codes", segId)
+  }
+
+  /** Compact an appended index's code table back to the canonical
+    * single-segment layout ([[graft.maintain.Segments.replaceTable]] —
+    * crash-safe swap, probes see old-or-new). Code rows cluster by
+    * their coarse list on the way through, so a probe's broadcast
+    * `cid` filter skips whole row groups — the file-pruning layout a
+    * fresh build's assignment scan does not bother to impose but a
+    * compaction pass gets for free. Probe results are unchanged (same
+    * rows, same arithmetic; pinned in QuantizeSpec). */
+  def compactPqIndex(
+      spark: SparkSession, path: String, targetFiles: Int = 32): Unit = {
+    require(pqIndexExists(spark, path),
+      s"no PQ index at $path — writePqIndex first")
+    graft.maintain.Segments.replaceTable(spark, s"$path/codes")(
+      _.repartitionByRange(targetFiles, col("cid"), col("id"))
+        .sortWithinPartitions("cid", "id"))
   }
 
   /** The stored codebook as a PLAN LITERAL `array<struct(ci, c_vec)>`
@@ -570,6 +618,13 @@ object Quantize {
       s"no PQ index at $indexPath — writePqIndex first")
     val meta = spark.read.parquet(s"$indexPath/meta").head()
     val m = meta.getAs[Int]("m")
+    // the stored build dimension gates the query: a wrong-dim query
+    // that is still divisible by m would slice the codebook at wrong
+    // offsets and return silently wrong distances (dim = -1 only on a
+    // never-bootstrapped empty index, whose probe returns no rows)
+    val storedDim = meta.getAs[Int]("dim")
+    require(storedDim < 0 || queryVec.length == storedDim,
+      s"query dim ${queryVec.length} != index dim $storedDim")
     require(queryVec.length % m == 0,
       s"dim ${queryVec.length} must be divisible by stored m=$m")
     val sub = queryVec.length / m
@@ -638,4 +693,114 @@ object Quantize {
       idCol: String = "vec_id"): DataFrame =
     adcTopKIndexed(spark, indexPath, queryVec, topK, None,
       excludeId, idCol)
+
+  /** Index-served BATCH ANN — the k-NN JOIN against the PERSISTED
+    * IVF-PQ index: top-k approximate neighbors for EVERY query row,
+    * one plan, nothing trained or encoded in-query. This is the shape
+    * a backfill or hard-negative-mining run actually executes at
+    * serving time: [[graft.llm.Similarity.ivfKnnJoin]] re-trains the
+    * coarse quantizer per invocation (the right form for a one-off
+    * oracle-checkable call); here training, the codebook and the
+    * corpus encode are all amortized into [[writePqIndex]], and the
+    * per-run cost is `nprobe/nlist × |codes| × m` table lookups — no
+    * float corpus vectors are read at all.
+    *
+    * Plan shape: the stored centroid table (nlist rows) ranks each
+    * query's probes in-plan (a window over the bounded nq×nlist
+    * frame — the engine's arithmetic, round-6 cosine, lower list id
+    * ties); each query's m×k ADC distance table is derived ONCE on
+    * the nq-row query frame and rides the broadcast (query, probed
+    * list) pairs into the stored code table; per-row scoring is `m`
+    * array lookups ([[pqTopK]]'s exact zip_with shape); per-query
+    * top-k is the bounded `collect_top_k` heap — ≤ k rows per
+    * (query, map task) cross the exchange, never the scored pairs.
+    *
+    * Output: `(queryIdCol, idCol, adc_dist, rank)`, rank by
+    * `(adc_dist ASC, id ASC)` within each query — a row-level oracle
+    * surface (`ann_ivf_knn_indexed` re-derives training, probes,
+    * codes, distance tables and every rank in SQL). `excludeSelf`
+    * as in [[graft.llm.Similarity.knnJoin]]. */
+  def ivfPqKnnJoinIndexed(
+      spark: SparkSession,
+      indexPath: String,
+      queries: DataFrame,
+      k: Int = 10,
+      nprobe: Int = 2,
+      queryIdCol: String = "q_id",
+      queryVecCol: String = "q_vec",
+      idCol: String = "vec_id",
+      excludeSelf: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TopKAgg
+    require(k > 0, s"k must be positive: $k")
+    require(nprobe >= 1, s"nprobe must be ≥ 1: $nprobe")
+    require(pqIndexExists(spark, indexPath),
+      s"no PQ index at $indexPath — writePqIndex first")
+    graft.functions.GraftFunctions.register(spark)
+    val meta = spark.read.parquet(s"$indexPath/meta").head()
+    val m = meta.getAs[Int]("m")
+    val storedDim = meta.getAs[Int]("dim")
+    val q = queries.select(
+      col(queryIdCol).as("__graft_qid"),
+      col(queryVecCol).cast("array<double>").as("__graft_qv"))
+    // stored dim gates every query row (storedDim = -1 only on a
+    // never-bootstrapped empty index, whose code table is empty)
+    val qChecked =
+      if (storedDim < 0) q
+      else q.select(col("__graft_qid"),
+        when(size(col("__graft_qv")) === storedDim, col("__graft_qv"))
+          .otherwise(raise_error(concat(
+            lit(s"query dim != index dim $storedDim for id "),
+            col("__graft_qid").cast("string")))).as("__graft_qv"))
+    // per-query ADC distance table, derived ONCE on the nq-row query
+    // frame from the stored codebook literal (adcTopKIndexed's exact
+    // round-6 arithmetic); sub is resolved per row from the checked
+    // query length, so it equals storedDim/m
+    val cbLit = readCodebookLiteral(spark, indexPath)
+    val sub = size(col("__graft_qv")) / m
+    val dtab = transform(sequence(lit(0), lit(m - 1)), s => {
+      val lo = s * sub + 1
+      transform(cbLit, c =>
+        round(sqDist(slice(col("__graft_qv"), lo, sub),
+          slice(c.getField("c_vec"), lo, sub)), 6))
+    })
+    val qTabs = qChecked.select(
+      col("__graft_qid"), col("__graft_qv"), dtab.as("__graft_dtab"))
+    // probe ranking in-plan on the stored nlist-row centroid table —
+    // a window over the bounded nq×nlist frame, never the corpus
+    val probeSet = spark.read.parquet(s"$indexPath/centroids")
+      .crossJoin(broadcast(qTabs))
+      .select(col("__graft_qid"), col("__graft_dtab"), col("list_id"),
+        round(Similarity.cosine(col("c_vec"), col("__graft_qv")), 6)
+          .as("qc"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("__graft_qid")
+          .orderBy(col("qc").desc, col("list_id"))))
+      .filter(col("rk") <= nprobe)
+      .select("__graft_qid", "__graft_dtab", "list_id")
+    val joined = spark.read.parquet(s"$indexPath/codes")
+      .join(broadcast(probeSet), col("cid") === col("list_id"))
+    val scored = (if (excludeSelf)
+        joined.filter(col("id") =!= col("__graft_qid"))
+      else joined)
+      .select(col("__graft_qid"), col("id"),
+        round(aggregate(
+          zip_with(col("__graft_dtab"), col("codes"),
+            (row, code) => element_at(row, code + 1)),
+          lit(0.0), (acc, e) => acc + e), 4).as("adc_dist"))
+    scored
+      .groupBy("__graft_qid")
+      .agg(TopKAgg.collect_top_k(
+        struct(col("adc_dist"), col("id").as("nbr")),
+        k, reverse = true).as("top"))
+      .select(col("__graft_qid"), explode(col("top")).as("e"))
+      .select(
+        col("__graft_qid").as(queryIdCol),
+        col("e.nbr").as(idCol),
+        col("e.adc_dist").as("adc_dist"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(queryIdCol)
+          .orderBy(col("adc_dist"), col(idCol))))
+      .filter(col("rank") <= k)
+  }
 }

@@ -254,22 +254,28 @@ object Retrieval {
     * into the persisted index. BM25's stored state is all corpus
     * AGGREGATES — per-(doc, term) tf/dl rows, per-token df, (n_docs,
     * total_dl) — every one of them associative, so unlike the IVF-PQ
-    * append (whose quantizer stays frozen) the appended BM25 index is
-    * EXACTLY the index a full rebuild over the grown corpus would
-    * produce: postings append, df and stats merge by integer
-    * addition. Steps: (1) append the batch's postings; (2) rewrite
-    * the vocab-sized df table with the merged counts via the
-    * crash-safe [[graft.maintain.Swap]] rename protocol; (3) same for
-    * the one-row stats. A crash between steps leaves a VALID but
-    * momentarily stale-scored index (postings ahead of df/stats by
-    * one batch — scores shift, no corruption); re-running the append
-    * is NOT idempotent, so the caller replays at batch granularity
-    * (the streaming arm's checkpoint does exactly that). */
+    * append (whose quantizer stays frozen) the appended index SCORES
+    * exactly as a full rebuild over the grown corpus would (summing
+    * per-segment exact integers is the same arithmetic as pre-merged
+    * ones), and [[compactBm25Index]] reduces the appended layout to
+    * the rebuild's bit for bit.
+    *
+    * The append writes ONE new segment per table ([[graft.maintain
+    * .Segments.writeSegment]]: overwrite-own-directory), which makes
+    * it IDEMPOTENT per `segId` — the at-least-once replay of the
+    * streaming arm (crash after the sink work, before the checkpoint
+    * commit) re-runs with the same batch-derived segId and converges
+    * to the identical index instead of double-counting tf/df rows. A
+    * crash MID-append leaves at most a valid index whose tables are
+    * one batch apart (momentarily stale-scored, no corruption); the
+    * replay overwrites every partial segment. Batch callers without a
+    * replay story omit `segId` and get a fresh unique segment. */
   def appendToBm25Index(
       newDocs: DataFrame,
       path: String,
       idCol: String = "doc_id",
-      textCol: String = "text"): Unit = {
+      textCol: String = "text",
+      segId: String = graft.maintain.Segments.freshSegId()): Unit = {
     val spark = newDocs.sparkSession
     require(bm25IndexExists(spark, path),
       s"no BM25 index at $path — writeBm25Index first")
@@ -285,49 +291,55 @@ object Retrieval {
       .groupBy(col("token"), col("id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint(true) // feeds the append AND the df delta
-    postings
-      .repartitionByRange(32, col("token"))
-      .sortWithinPartitions("token")
-      .write.mode("append").parquet(s"$path/postings")
-
-    import org.apache.hadoop.fs.Path
-    val fs = new Path(path).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    def swapIn(table: String)(build: String => Unit): Unit = {
-      val (p, tmp, bak) = (new Path(s"$path/$table"),
-        new Path(s"$path/${table}__swap_tmp"),
-        new Path(s"$path/${table}__swap_bak"))
-      graft.maintain.Swap.recover(fs, p, bak)
-      build(tmp.toString)
-      graft.maintain.Swap.replace(fs, p, tmp, bak)
-    }
-    swapIn("df") { tmp =>
-      spark.read.parquet(s"$path/df")
-        .unionByName(postings.groupBy("token").agg(count(lit(1)).as("df")))
-        .groupBy("token").agg(sum(col("df")).as("df"))
+    graft.maintain.Segments.writeSegment(
+      postings.repartitionByRange(32, col("token"))
+        .sortWithinPartitions("token"),
+      s"$path/postings", segId)
+    graft.maintain.Segments.writeSegment(
+      postings.groupBy("token").agg(count(lit(1)).as("df"))
         .repartitionByRange(32, col("token"))
-        .sortWithinPartitions("token")
-        .write.parquet(tmp)
-    }
-    swapIn("stats") { tmp =>
-      spark.read.parquet(s"$path/stats")
-        .unionByName(withLen.agg(
-          count(lit(1)).as("n_docs"),
-          coalesce(sum(col("dl")), lit(0L)).as("total_dl")))
-        .agg(sum(col("n_docs")).as("n_docs"),
-          sum(col("total_dl")).as("total_dl"))
-        .write.parquet(tmp)
-    }
+        .sortWithinPartitions("token"),
+      s"$path/df", segId)
+    graft.maintain.Segments.writeSegment(
+      withLen.agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("total_dl")),
+      s"$path/stats", segId)
+  }
+
+  /** Compact an appended index back to the canonical single-segment
+    * layout a fresh build produces — postings re-range-partitioned and
+    * re-sorted by token (so row-group pruning keeps its build-time
+    * selectivity after many appends fragment the token ranges), df and
+    * stats summed to their merged form. Each table replaces under the
+    * crash-safe [[graft.maintain.Swap]] protocol: a concurrent probe
+    * sees the old table or the new one, never halves, and probe
+    * results are unchanged by construction (the sums the probe
+    * computes are just precomputed). */
+  def compactBm25Index(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    require(bm25IndexExists(spark, path),
+      s"no BM25 index at $path — writeBm25Index first")
+    graft.maintain.Segments.replaceTable(spark, s"$path/postings")(
+      _.repartitionByRange(32, col("token")).sortWithinPartitions("token"))
+    graft.maintain.Segments.replaceTable(spark, s"$path/df")(
+      _.groupBy("token").agg(sum(col("df")).as("df"))
+        .repartitionByRange(32, col("token")).sortWithinPartitions("token"))
+    graft.maintain.Segments.replaceTable(spark, s"$path/stats")(
+      _.agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+        coalesce(sum(col("total_dl")), lit(0L)).as("total_dl")))
   }
 
   /** [[bm25TopK]] against the PERSISTED index: same Lucene-flavored
     * arithmetic, same `(bm25 DESC, id ASC)` output — but tokenize,
     * postings, document frequencies and corpus stats are amortized
-    * into [[writeBm25Index]]; the probe reads the one-row stats
-    * table, the query terms' df rows (broadcast), and the query
-    * terms' postings through a pushed-down `token IN` filter on the
-    * token-sorted table. The only exchanges are the |query|-row
-    * broadcast and the bounded `TakeOrderedAndProject`. */
+    * into [[writeBm25Index]]; the probe reads the per-segment stats
+    * rows (summed — one row per segment, bounded by appends since the
+    * last [[compactBm25Index]]), the query terms' df rows (summed,
+    * then broadcast), and the query terms' postings through a
+    * pushed-down `token IN` filter on the token-sorted table. The
+    * only exchanges are the |query|-row broadcast and the bounded
+    * `TakeOrderedAndProject`. */
   def bm25TopKIndexed(
       spark: org.apache.spark.sql.SparkSession,
       indexPath: String,
@@ -341,19 +353,26 @@ object Retrieval {
     require(k1 >= 0 && b >= 0 && b <= 1, s"bad BM25 params k1=$k1 b=$b")
     require(bm25IndexExists(spark, indexPath),
       s"no BM25 index at $indexPath — writeBm25Index first")
-    // avgdl derives from the stored EXACT integers with the live
-    // path's own division, so appended and rebuilt indexes score
-    // bit-identically. Zero-doc guard: an empty index has no postings
-    // (no rows reach the division's consumers), but ANSI mode faults
-    // 0/0 eagerly — make it an explicit null instead
+    // avgdl derives from the stored EXACT integers (summed across
+    // segments — long addition, the same arithmetic a merged table
+    // pre-computes) with the live path's own division, so appended,
+    // compacted and rebuilt indexes score bit-identically. Zero-doc
+    // guard: an empty index has no postings (no rows reach the
+    // division's consumers), but ANSI mode faults 0/0 eagerly — make
+    // it an explicit null instead
     val stats = spark.read.parquet(s"$indexPath/stats")
+      .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+        coalesce(sum(col("total_dl")), lit(0L)).as("total_dl"))
       .select(col("n_docs"),
         when(col("n_docs") === 0L, lit(null).cast("double"))
           .otherwise(col("total_dl").cast("double") /
             col("n_docs").cast("double"))
           .as("avgdl"))
+    // per-segment df rows for the query terms (pushed token IN keeps
+    // the read at ≤|terms|·segments rows) summed to the global count
     val dfreq = spark.read.parquet(s"$indexPath/df")
       .filter(col("token").isin(queryTerms: _*))
+      .groupBy("token").agg(sum(col("df")).as("df"))
     spark.read.parquet(s"$indexPath/postings")
       .filter(col("token").isin(queryTerms: _*))
       .join(broadcast(dfreq), Seq("token"))

@@ -349,23 +349,31 @@ object Incremental {
     * vectors is appended to a persisted IVF-PQ serving index
     * ([[graft.llm.Quantize.appendToPqIndex]] — assign to the FROZEN
     * coarse quantizer, encode with the FROZEN codebook, append the
-    * codes). foreachBatch because the sink is the index layout, not a
-    * row stream; per-batch cost is one scan of the batch (centroids +
-    * codebook broadcast, zero shuffles, existing codes never read), so
-    * the stream's cost is linear in arrivals and probes stay
-    * consistent throughout (the tables a probe ranks with are
-    * immutable under append). Batch ≡ stream by construction: the
-    * SAME appendToPqIndex body serves both (pinned in StreamingSpec —
-    * streamed-in index probe ≡ batch-appended index probe), and the
-    * `st_ann_index_append` row pins appended-index search against a
-    * DuckDB re-derivation of frozen-train + full-corpus scoring. */
+    * codes as the batch's own segment). foreachBatch because the sink
+    * is the index layout, not a row stream; foreachBatch is
+    * at-least-once, so the append is made EXACTLY-ONCE by passing the
+    * checkpoint's batch id as the segment id — a replayed batch
+    * (crash after the codes write, before the checkpoint commit)
+    * overwrites its own segment instead of duplicating code rows
+    * (which would return duplicate ids from top-k). Per-batch cost is
+    * one scan of the batch (centroids + codebook broadcast, zero
+    * shuffles, existing codes never read), so the stream's cost is
+    * linear in arrivals and probes stay consistent throughout (the
+    * tables a probe ranks with are immutable under append). Batch ≡
+    * stream by construction: the SAME appendToPqIndex body serves
+    * both (pinned in StreamingSpec — streamed-in index probe ≡
+    * batch-appended index probe, and a replayed batch ≡ applied
+    * once), and the `st_ann_index_append` row pins appended-index
+    * search against a DuckDB re-derivation of frozen-train +
+    * full-corpus scoring. */
   def annIndexAppendStream(
       vecs: DataFrame,
       indexPath: String,
       checkpointDir: String): StreamingQuery =
     vecs.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.llm.Quantize.appendToPqIndex(batch, indexPath)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.llm.Quantize.appendToPqIndex(batch, indexPath,
+          segId = s"b$id")
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -373,22 +381,24 @@ object Incremental {
 
   /** Streaming BM25-index maintenance: every micro-batch of fresh
     * documents folds into the persisted inverted index
-    * ([[graft.llm.Retrieval.appendToBm25Index]] — postings append,
-    * df/stats merge by exact integer addition under the crash-safe
-    * Swap protocol). Unlike the frozen-quantizer ANN append, the
-    * result is bit-identical to a full rebuild over the grown corpus
-    * (every stored statistic is associative), so the serving index
-    * never degrades as the stream runs. foreachBatch + checkpoint
-    * give batch-granularity replay, which is what the non-idempotent
-    * append step requires. Batch ≡ stream by construction (the SAME
-    * appendToBm25Index body; pinned in StreamingSpec). */
+    * ([[graft.llm.Retrieval.appendToBm25Index]] — postings/df/stats
+    * land as the batch's own segment; the probe sums the per-segment
+    * exact integers, so scoring is bit-identical to a rebuild over
+    * the grown corpus and the serving index never degrades as the
+    * stream runs). The checkpoint's batch id is the segment id, which
+    * turns foreachBatch's at-least-once replay into an exactly-once
+    * append: a replayed batch overwrites its own segments instead of
+    * double-counting tf/df rows. Batch ≡ stream by construction (the
+    * SAME appendToBm25Index body; pinned in StreamingSpec, including
+    * replay ≡ applied-once). */
   def bm25IndexAppendStream(
       docs: DataFrame,
       indexPath: String,
       checkpointDir: String): StreamingQuery =
     docs.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.llm.Retrieval.appendToBm25Index(batch, indexPath)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.llm.Retrieval.appendToBm25Index(batch, indexPath,
+          segId = s"b$id")
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -397,10 +407,13 @@ object Incremental {
   /** Streaming LSH-dedup-index maintenance: every micro-batch of
     * newly-vetted reference documents folds into the persisted dedup
     * index ([[graft.llm.Dedup.appendToLshIndex]] — digests/bands/
-    * shingles append, bucket counts merge exactly under the Swap
-    * protocol), completing the serving-index triad's stream arms
-    * (ANN codes, BM25 postings, dedup bands). Append ≡ rebuild by
-    * associativity, so the onboarding loop's reference never needs a
+    * shingles/bucket-counts land as the batch's own segment),
+    * completing the serving-index triad's stream arms (ANN codes,
+    * BM25 postings, dedup bands). The checkpoint's batch id is the
+    * segment id — a replayed batch overwrites its own segment, so the
+    * at-least-once foreachBatch applies each batch exactly once — and
+    * probes over the appended index match a rebuild over the grown
+    * reference, so the onboarding loop's reference never needs a
     * rebuild as accepted docs flow in. Batch ≡ stream by construction
     * (same appendToLshIndex body; pinned in StreamingSpec). */
   def lshIndexAppendStream(
@@ -408,8 +421,9 @@ object Incremental {
       indexPath: String,
       checkpointDir: String): StreamingQuery =
     docs.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.llm.Dedup.appendToLshIndex(batch, indexPath)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.llm.Dedup.appendToLshIndex(batch, indexPath,
+          segId = s"b$id")
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

@@ -573,8 +573,10 @@ object StreamQueries {
     * scoring, so the `text_bm25_topk` oracle applies VERBATIM — the
     * strongest possible append contract (the ANN twin's frozen
     * quantizer can only claim append ≡ frozen-train; this claims
-    * append ≡ rebuild). Fresh temp copy of the base index per run
-    * keeps the non-idempotent append repeatable. */
+    * append ≡ rebuild). Fresh temp copy of the base index per run:
+    * each run's append must land as a fresh delta, not accumulate on
+    * the shared fixture (appends are idempotent per SEGMENT id, and
+    * each run draws a new one). */
   val st14 = Q(
     "st_bm25_index_append",
     (s, d) => {
@@ -611,8 +613,9 @@ object StreamQueries {
     * Appended reference = the even half = `dedup_incremental`'s
     * reference, and append ≡ rebuild by associativity, so the
     * `dedup_incremental` oracle applies VERBATIM. Fresh temp copy of
-    * the base index per run keeps the non-idempotent append
-    * repeatable. */
+    * the base index per run: each run's append must land as a fresh
+    * delta, not accumulate on the shared fixture (appends are
+    * idempotent per SEGMENT id, and each run draws a new one). */
   val st15 = Q(
     "st_lsh_index_append",
     (s, d) => {

@@ -94,6 +94,23 @@ class CliSpec extends AnyFunSuite {
     graft.cli.Main.run(spark, Array("ann-search", annIdx, embDir,
       "--query-id", "2", "--topk", "5"))
     assert(spark.read.parquet(s"$annIdx/codes").count() == embs.count())
+
+    // index-compact: appended segments merge back to the canonical
+    // single-segment layout; probes unchanged
+    graft.cli.Main.run(spark, Array("index-compact", "lsh", lshIdx))
+    graft.cli.Main.run(spark, Array("index-compact", "bm25", bmIdx))
+    graft.cli.Main.run(spark,
+      Array("index-compact", "ann", annIdx, "--target-files", "2"))
+    for (p <- Seq(s"$lshIdx/digests", s"$bmIdx/postings", s"$annIdx/codes"))
+      assert(spark.read.parquet(p).select("seg").distinct()
+        .collect().map(_.getString(0)).toSeq == Seq("base"), p)
+    assert(graft.llm.Retrieval.bm25TopKIndexed(spark, bmIdx,
+      Seq("hash", "merge"), k = 5)
+      .as[(Long, Long, Double)].collect().toSeq == live)
+    val unknown = intercept[RuntimeException] {
+      graft.cli.Main.run(spark, Array("index-compact", "zzz", lshIdx))
+    }
+    assert(unknown.getMessage.contains("unknown kind"))
   }
 
   test("optimize compacts via the CLI") {

@@ -391,7 +391,7 @@ class DedupSpec extends AnyFunSuite {
 
     val appended = "target/test_lsh_append_" + System.nanoTime()
     Dedup.writeLshIndex(baseRef, appended)
-    Dedup.appendToLshIndex(lateRef, appended)
+    Dedup.appendToLshIndex(lateRef, appended, segId = "late1")
     val rebuilt = "target/test_lsh_rebuilt_" + System.nanoTime()
     Dedup.writeLshIndex(baseRef.unionByName(lateRef), rebuilt)
 
@@ -399,15 +399,68 @@ class DedupSpec extends AnyFunSuite {
       Dedup.incrementalDedupIndexedWithAudit(incoming, p)._2
         .head().toString
     assert(audit(appended) == audit(rebuilt))
-    // the merged bucket counts themselves are exact, not just probes
-    val diff = spark.read.parquet(s"$appended/bucket_counts")
-      .exceptAll(spark.read.parquet(s"$rebuilt/bucket_counts")).count()
+    // the summed bucket counts themselves are exact, not just probes
+    def counts(p: String) = spark.read.parquet(s"$p/bucket_counts")
+      .groupBy("band", "band_hash").agg(sum($"n").as("n"))
+    val diff = counts(appended).exceptAll(counts(rebuilt)).count()
     assert(diff == 0, s"bucket_counts differ in $diff rows")
+
+    // REPLAY idempotency (the streaming arm's at-least-once window):
+    // re-running the same append with the same segment id must leave
+    // the index identical, not doubled
+    val bandsBefore = spark.read.parquet(s"$appended/bands").count()
+    Dedup.appendToLshIndex(lateRef, appended, segId = "late1")
+    assert(spark.read.parquet(s"$appended/bands").count() == bandsBefore,
+      "replaying an append duplicated band rows")
+    assert(audit(appended) == audit(rebuilt))
+
+    // compaction restores the canonical single-segment layout: every
+    // table equals the rebuild's, row for row (seg column included —
+    // both are 'base' after compaction)
+    Dedup.compactLshIndex(spark, appended)
+    for (t <- Seq("digests", "bands", "shingles", "bucket_counts")) {
+      val d = spark.read.parquet(s"$appended/$t")
+        .exceptAll(spark.read.parquet(s"$rebuilt/$t")).count()
+      val d2 = spark.read.parquet(s"$rebuilt/$t")
+        .exceptAll(spark.read.parquet(s"$appended/$t")).count()
+      assert(d == 0 && d2 == 0, s"$t differs after compaction: +$d -$d2")
+    }
+    assert(audit(appended) == audit(rebuilt))
+
     // appending to a missing index fails loudly
     val e = intercept[IllegalArgumentException] {
       Dedup.appendToLshIndex(lateRef, appended + "_nope")
     }
     assert(e.getMessage.contains("writeLshIndex"))
+  }
+
+  test("LSH index append of an already-indexed doc: probe unchanged, compact dedups") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text")
+    val reference = docs.filter($"doc_id" < 100)
+    val incoming = docs.filter($"doc_id" >= 100 && $"doc_id" < 120)
+    val path = "target/test_lsh_redigest_" + System.nanoTime()
+    Dedup.writeLshIndex(reference, path)
+    val before = Dedup.incrementalDedupIndexedWithAudit(incoming, path)
+      ._2.head().toString
+    // append a doc whose TEXT is already indexed (same digest, new id):
+    // the digests table gains a cross-segment duplicate row —
+    // documented in appendToLshIndex — but the exact phase is an
+    // anti-join (membership), so probes are unchanged
+    val dup = reference.filter($"doc_id" === 7)
+      .withColumn("doc_id", $"doc_id" + 500000L)
+    Dedup.appendToLshIndex(dup, path)
+    val digests = spark.read.parquet(s"$path/digests")
+    assert(digests.count() == digests.select("digest").distinct().count() + 1,
+      "expected exactly one cross-segment duplicate digest")
+    assert(Dedup.incrementalDedupIndexedWithAudit(incoming, path)
+      ._2.head().toString == before, "probe changed after re-digest append")
+    // compaction restores global distinctness
+    Dedup.compactLshIndex(spark, path)
+    val after = spark.read.parquet(s"$path/digests")
+    assert(after.count() == after.select("digest").distinct().count())
+    assert(Dedup.incrementalDedupIndexedWithAudit(incoming, path)
+      ._2.head().toString == before)
   }
 
   test("persisted LSH index: probe ≡ live path on a planted corpus slice") {

@@ -221,22 +221,88 @@ class QuantizeSpec extends AnyFunSuite {
       .createTempDirectory("pq_index_compact").toString
     Quantize.writePqIndex(embs.filter($"vec_id" % 2 === 0), path,
       nlist = 4, iters = 2, m = 8, k = 16)
-    // five small appends → fragmented codes table
+    // five small appends → five extra segments of the codes table
     for (r <- 1 to 9 by 2)
-      Quantize.appendToPqIndex(embs.filter($"vec_id" % 10 === r), path)
+      Quantize.appendToPqIndex(embs.filter($"vec_id" % 10 === r), path,
+        segId = s"seg$r")
     val before = Quantize.ivfPqTopKIndexed(spark, path, qVec,
       topK = 10, nprobe = 2, excludeId = 7L)
       .as[(Long, Double)].collect().toSeq
+    val nCodes = spark.read.parquet(s"$path/codes").count()
+    // REPLAY idempotency: re-running an append with the same segment
+    // id overwrites its own segment — same rows, same probe, no
+    // duplicate ids in top-k
+    Quantize.appendToPqIndex(embs.filter($"vec_id" % 10 === 3), path,
+      segId = "seg3")
+    assert(spark.read.parquet(s"$path/codes").count() == nCodes,
+      "replayed append duplicated code rows")
+    assert(Quantize.ivfPqTopKIndexed(spark, path, qVec,
+      topK = 10, nprobe = 2, excludeId = 7L)
+      .as[(Long, Double)].collect().toSeq == before)
     val fragFiles = graft.maintain.Compaction
       .stats(spark, s"$path/codes").files
     assert(fragFiles >= 6, s"appends should fragment: $fragFiles files")
-    graft.maintain.Compaction.compact(spark, s"$path/codes", 2)
+    Quantize.compactPqIndex(spark, path, targetFiles = 2)
     assert(graft.maintain.Compaction
       .stats(spark, s"$path/codes").files <= 2)
+    assert(spark.read.parquet(s"$path/codes").count() == nCodes)
     val after = Quantize.ivfPqTopKIndexed(spark, path, qVec,
       topK = 10, nprobe = 2, excludeId = 7L)
       .as[(Long, Double)].collect().toSeq
     assert(after == before, s"after=$after\nbefore=$before")
+  }
+
+  test("indexed batch k-NN join ≡ the single-query indexed probe, per query") {
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val path = java.nio.file.Files
+      .createTempDirectory("pq_index_knn").toString
+    Quantize.writePqIndex(embs, path, nlist = 4, iters = 2, m = 8, k = 16)
+    val qids = Seq(1L, 3L, 5L, 7L, 9L)
+    // the query batch enters as literals so the plan audit below can
+    // show the OPERATOR reads no float table (a real caller's query
+    // scan is its own bounded nq-row read)
+    val queries = embs.filter($"vec_id".isin(qids: _*))
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+      .as[(Long, Seq[Float])].collect().toSeq.toDF("q_id", "q_vec")
+    val batch = Quantize
+      .ivfPqKnnJoinIndexed(spark, path, queries, k = 5, nprobe = 2)
+      .select("q_id", "vec_id", "adc_dist")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    for (qid <- qids) {
+      val qv = embs.filter($"vec_id" === qid)
+        .select("embedding").as[Seq[Float]].head().map(_.toDouble).toArray
+      val single = Quantize.ivfPqTopKIndexed(spark, path, qv,
+        topK = 5, nprobe = 2, excludeId = qid)
+        .as[(Long, Double)].collect().toSeq
+      assert(batch(qid) == single,
+        s"q=$qid batch=${batch(qid)}\nsingle=$single")
+    }
+    // the batch plan never reads the float corpus — serving cost is
+    // codes + centroids + codebook only
+    val scanned = Quantize
+      .ivfPqKnnJoinIndexed(spark, path, queries, k = 5, nprobe = 2)
+      .queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation.asInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.rootPaths.mkString(",")
+      }.mkString("\n")
+    assert(!scanned.contains("embeddings"), s"float table scanned:\n$scanned")
+  }
+
+  test("wrong-dimension query is rejected by the stored index dim") {
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val path = java.nio.file.Files
+      .createTempDirectory("pq_index_dim").toString
+    Quantize.writePqIndex(embs, path, nlist = 4, iters = 2, m = 8, k = 16)
+    // 32 is divisible by m=8, so only the stored dim (64) catches it
+    val e = intercept[IllegalArgumentException] {
+      Quantize.pqTopKIndexed(spark, path, Array.fill(32)(0.1), topK = 5)
+    }
+    assert(e.getMessage.contains("dim"), e.getMessage)
   }
 
   test("a half-built or stale-format PQ index reads as absent") {

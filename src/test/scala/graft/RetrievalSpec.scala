@@ -92,25 +92,50 @@ class RetrievalSpec extends AnyFunSuite {
     val appended = java.nio.file.Files
       .createTempDirectory("bm25_appended").toString
     Retrieval.writeBm25Index(base, appended)
-    Retrieval.appendToBm25Index(late, appended)
+    Retrieval.appendToBm25Index(late, appended, segId = "late1")
     val rebuilt = java.nio.file.Files
       .createTempDirectory("bm25_rebuilt").toString
     Retrieval.writeBm25Index(corpus, rebuilt)
     val terms = Seq("hash", "merge", "scan")
-    val a = Retrieval.bm25TopKIndexed(spark, appended, terms, k = 15)
-      .as[(Long, Long, Double)].collect().toSeq
-    val r = Retrieval.bm25TopKIndexed(spark, rebuilt, terms, k = 15)
-      .as[(Long, Long, Double)].collect().toSeq
-    assert(a == r, s"appended=$a\nrebuilt=$r")
-    // the merged aggregates themselves are exact, not just the top-k
-    val sA = spark.read.parquet(s"$appended/stats")
-      .as[(Long, Long)].head()
-    val sR = spark.read.parquet(s"$rebuilt/stats")
-      .as[(Long, Long)].head()
-    assert(sA == sR, s"stats appended=$sA rebuilt=$sR")
-    val dfDiff = spark.read.parquet(s"$appended/df")
-      .exceptAll(spark.read.parquet(s"$rebuilt/df")).count()
+    def probe(p: String) =
+      Retrieval.bm25TopKIndexed(spark, p, terms, k = 15)
+        .as[(Long, Long, Double)].collect().toSeq
+    val r = probe(rebuilt)
+    assert(probe(appended) == r, s"appended=${probe(appended)}\nrebuilt=$r")
+    // the summed aggregates themselves are exact, not just the top-k
+    def stats(p: String) = spark.read.parquet(s"$p/stats")
+      .agg(sum($"n_docs"), sum($"total_dl")).as[(Long, Long)].head()
+    assert(stats(appended) == stats(rebuilt),
+      s"stats appended=${stats(appended)} rebuilt=${stats(rebuilt)}")
+    def dfAgg(p: String) = spark.read.parquet(s"$p/df")
+      .groupBy("token").agg(sum($"df").as("df"))
+    val dfDiff = dfAgg(appended).exceptAll(dfAgg(rebuilt)).count()
     assert(dfDiff == 0, s"df tables differ in $dfDiff rows")
+
+    // REPLAY idempotency: re-running the same append with the same
+    // segment id converges instead of double-counting tf/df/stats
+    val postingsBefore = spark.read.parquet(s"$appended/postings").count()
+    Retrieval.appendToBm25Index(late, appended, segId = "late1")
+    assert(spark.read.parquet(s"$appended/postings").count()
+      == postingsBefore, "replayed append duplicated postings")
+    assert(stats(appended) == stats(rebuilt), "replayed append double-counted")
+    assert(probe(appended) == r)
+
+    // compaction restores the canonical single-segment layout: every
+    // table equals the rebuild's row for row, and probes are unchanged
+    Retrieval.compactBm25Index(spark, appended)
+    for (t <- Seq("postings", "df", "stats")) {
+      val d = spark.read.parquet(s"$appended/$t")
+        .exceptAll(spark.read.parquet(s"$rebuilt/$t")).count()
+      val d2 = spark.read.parquet(s"$rebuilt/$t")
+        .exceptAll(spark.read.parquet(s"$appended/$t")).count()
+      assert(d == 0 && d2 == 0, s"$t differs after compaction: +$d -$d2")
+    }
+    assert(probe(appended) == r)
+    // row-group pruning survives compaction (token IN still pushes)
+    val plan = Retrieval.bm25TopKIndexed(spark, appended, terms, k = 15)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(token"), plan)
   }
 
   test("BM25 index on a zero-row corpus builds and probes empty") {

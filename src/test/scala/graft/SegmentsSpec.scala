@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.maintain.{Segments, Swap}
+
+/** The segmented serving-index layout: idempotent segment writes, the
+  * canonical-form compaction swap, and — the consistency contract the
+  * maintenance story rests on — a PROBE interleaved with every phase
+  * of a compaction's Swap sees the old table or the new one, never an
+  * error or a mixed read. */
+class SegmentsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("writeSegment is idempotent per (table, segId); segments accumulate") {
+    val t = TestSpark.tmpDir("segments")
+    Segments.writeBase(Seq(1, 2).toDF("x"), t)
+    Segments.writeSegment(Seq(3).toDF("x"), t, "b0")
+    Segments.writeSegment(Seq(4, 5).toDF("x"), t, "b1")
+    assert(spark.read.parquet(t).select("x").as[Int].collect().sorted.toSeq
+      == Seq(1, 2, 3, 4, 5))
+    // replay of b0 (same content) converges
+    Segments.writeSegment(Seq(3).toDF("x"), t, "b0")
+    assert(spark.read.parquet(t).count() == 5)
+    // the seg column is exposed for maintenance, values as written
+    assert(spark.read.parquet(t).select("seg").distinct()
+      .as[String].collect().toSet == Set("base", "b0", "b1"))
+    // a corrected replay (different content, same segId) REPLACES
+    Segments.writeSegment(Seq(30, 31).toDF("x"), t, "b0")
+    assert(spark.read.parquet(t).select("x").as[Int].collect().sorted.toSeq
+      == Seq(1, 2, 4, 5, 30, 31))
+  }
+
+  test("writeBase clears prior segments and root-layout leftovers") {
+    val t = TestSpark.tmpDir("segments_base")
+    // pre-segment layout leftover: a root-level parquet file
+    Seq(9).toDF("x").write.mode("overwrite").parquet(t)
+    Segments.writeBase(Seq(1).toDF("x"), t)
+    Segments.writeSegment(Seq(2).toDF("x"), t, "b0")
+    Segments.writeBase(Seq(7).toDF("x"), t)
+    assert(spark.read.parquet(t).select("x").as[Int].collect().toSeq
+      == Seq(7))
+  }
+
+  test("an empty base segment reads back as an empty table, not an error") {
+    val t = TestSpark.tmpDir("segments_empty")
+    Segments.writeBase(Seq.empty[Int].toDF("x"), t)
+    assert(spark.read.parquet(t).count() == 0)
+    assert(spark.read.parquet(t).columns.contains("x"))
+  }
+
+  test("segment ids are validated (they become directory names)") {
+    val t = TestSpark.tmpDir("segments_badid")
+    intercept[IllegalArgumentException] {
+      Segments.writeSegment(Seq(1).toDF("x"), t, "evil/../../id")
+    }
+  }
+
+  test("probe interleaved with a compaction swap sees old-or-new, never halves") {
+    import graft.llm.Retrieval
+    val corpus = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text")
+    val idx = TestSpark.tmpDir("swap_probe_idx")
+    Retrieval.writeBm25Index(corpus.filter($"doc_id" % 2 === 0), idx)
+    Retrieval.appendToBm25Index(corpus.filter($"doc_id" % 2 === 1), idx,
+      segId = "late")
+    val terms = Seq("hash", "merge", "scan")
+    def probe() = Retrieval.bm25TopKIndexed(spark, idx, terms, k = 15)
+      .as[(Long, Long, Double)].collect().toSeq
+    val expected = probe()
+
+    val stats = new Path(s"$idx/stats")
+    val tmp = new Path(s"$idx/stats__swap_tmp")
+    val bak = new Path(s"$idx/stats__swap_bak")
+    val fs = stats.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // phase 1: canonical replacement staged at tmp — a concurrent
+    // probe reads the untouched old table
+    spark.read.parquet(stats.toString).drop("seg")
+      .agg(sum($"n_docs").as("n_docs"), sum($"total_dl").as("total_dl"))
+      .write.parquet(s"$tmp/seg=base")
+    assert(probe() == expected, "probe changed while tmp staged")
+
+    // phase 2: the swap itself — immediately after, the probe reads
+    // the NEW table and results are unchanged by construction
+    Swap.replace(fs, stats, tmp, bak)
+    assert(probe() == expected, "probe changed across the swap")
+
+    // crash window A: between the two renames (table only at backup).
+    // recover() BEFORE the read — the maintenance contract — restores
+    // it; the probe then sees the complete old table
+    assert(fs.rename(stats, bak))
+    Swap.recover(fs, stats, bak)
+    assert(probe() == expected, "probe changed after recover-restore")
+
+    // crash window B: after the second rename but before the backup
+    // delete (stale backup beside a live table) — recover drops the
+    // stale copy, probe unchanged
+    assert(fs.mkdirs(bak))
+    Swap.recover(fs, stats, bak)
+    assert(!fs.exists(bak))
+    assert(probe() == expected)
+  }
+}

@@ -63,7 +63,12 @@ object Main {
         |         | ann-index --append IN INDEX
         |         build / grow the persisted IVF-PQ serving index
         |  ann-search INDEX QUERIES --query-id N [--topk K] [--nprobe P]
-        |         IVF-PQ top-k for a query vector from the index
+        |         [--rerank EMB [--shortlist N]]
+        |         IVF-PQ top-k for a query vector from the index;
+        |         --rerank refines the ADC shortlist by exact distance
+        |  hybrid-search DOCS --query "free text" [--index BM25IDX]
+        |         [--k N] [--n-per-side N]
+        |         RRF fusion of BM25 + dense hash-embed cosine
         |  index-compact <lsh|bm25|ann> INDEX [--target-files N]
         |         merge appended segments back to the canonical layout
         |  decontaminate IN BENCH OUT [--shingle-k K] [--compression C]
@@ -386,9 +391,12 @@ object Main {
         System.err.println(s"[index-compact] compacted $kind index at $idx")
 
       case "ann-search" =>
-        // ann-search INDEX QUERIES --query-id N [--topk K] [--nprobe P]:
+        // ann-search INDEX QUERIES --query-id N [--topk K] [--nprobe P]
+        //   [--rerank EMB [--shortlist N]]:
         // IVF-PQ top-k for the vector with vec_id N in the QUERIES
-        // parquet; prints (vec_id, adc_dist).
+        // parquet; prints (vec_id, adc_dist). With --rerank EMB, the
+        // ADC shortlist (default 4·topk) re-ranks by exact squared-L2
+        // against the EMB float table; prints (vec_id, exact_dist).
         val (idx, qsrc) = (args(1), args(2))
         graft.sources.Preflight.checkInput(spark, qsrc)
         val qid = arg(args, "--query-id").map(_.toLong).getOrElse(
@@ -400,9 +408,44 @@ object Main {
           .select("embedding").collect().headOption
           .map(_.getSeq[Float](0).map(_.toDouble).toArray)
           .getOrElse(sys.error(s"no vector with vec_id=$qid in $qsrc"))
-        graft.llm.Quantize.ivfPqTopKIndexed(spark, idx, qv,
-          topK = topK, nprobe = nprobe, excludeId = qid)
-          .show(topK, truncate = false)
+        arg(args, "--rerank") match {
+          case Some(embPath) =>
+            graft.sources.Preflight.checkInput(spark, embPath)
+            graft.llm.Quantize.ivfPqTopKReranked(spark, idx,
+              spark.read.parquet(embPath), qv, topK = topK,
+              nprobe = nprobe,
+              shortlist = arg(args, "--shortlist").map(_.toInt)
+                .getOrElse(topK * 4),
+              excludeId = qid)
+              .show(topK, truncate = false)
+          case None =>
+            graft.llm.Quantize.ivfPqTopKIndexed(spark, idx, qv,
+              topK = topK, nprobe = nprobe, excludeId = qid)
+              .show(topK, truncate = false)
+        }
+
+      case "hybrid-search" =>
+        // hybrid-search DOCS --query "free text" [--index BM25IDX]
+        //   [--k N] [--n-per-side N]: reciprocal-rank fusion of BM25
+        // and dense hash-embed cosine over a documents parquet;
+        // --index serves the lexical side from a persisted BM25 index.
+        val docsPath = args(1)
+        graft.sources.Preflight.checkInput(spark, docsPath)
+        val qtext = arg(args, "--query").getOrElse(
+          sys.error("hybrid-search requires --query \"free text\""))
+        val k = arg(args, "--k").map(_.toInt).getOrElse(10)
+        val n = arg(args, "--n-per-side").map(_.toInt).getOrElse(k * 2)
+        val docs = spark.read.parquet(docsPath)
+        val qs = spark.range(1).select(
+          org.apache.spark.sql.functions.lit(0).as("query_id"),
+          org.apache.spark.sql.functions.lit(qtext).as("query_text"))
+        val fused = arg(args, "--index") match {
+          case Some(bm25Idx) => graft.llm.Retrieval.hybridTopKIndexed(
+            spark, bm25Idx, docs, qs, k = k, nPerSide = n)
+          case None => graft.llm.Retrieval.hybridTopK(
+            docs, qs, k = k, nPerSide = n)
+        }
+        fused.orderBy("rank").drop("query_id").show(k, truncate = false)
 
       case "decontaminate-spans" =>
         // decontaminate-spans IN BENCH OUT: excise every BENCH-

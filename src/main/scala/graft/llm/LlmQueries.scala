@@ -2563,6 +2563,128 @@ object LlmQueries {
     },
     bm25TopK.oracle)
 
+  /** The shared hybrid-retrieval query batch: two queries, one with
+    * guaranteed lexical hits ('hash merge scan' are fixture-frequent),
+    * one mixing frequent and possibly-absent terms — so the fusion
+    * sees full-outer rows from both sides. */
+  private def hybridQueries(s: SparkSession) = {
+    import s.implicits._
+    Seq((0, "hash join merge"), (1, "filter scan index"))
+      .toDF("query_id", "query_text")
+  }
+
+  private val hybridOracleSql: String = {
+    def hashVec(toksExpr: String): String =
+      s"""[CAST(len(list_filter([${duckdbTextHash("tok")} % 16
+             for tok in $toksExpr], h -> h = j)) AS DOUBLE)
+           for j in range(0, 16)]"""
+    s"""WITH qs AS (SELECT * FROM (VALUES (0, 'hash join merge'),
+                      (1, 'filter scan index'))
+                    AS t(query_id, query_text)),
+        bl AS (SELECT doc_id,
+                      string_split_regex(trim(lower(coalesce(text, ''))),
+                        '\\s+') AS toks
+               FROM documents),
+        dd AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks
+               FROM bl),
+        stats AS (SELECT COUNT(*) AS n_docs,
+                         CAST(SUM(dl) AS DOUBLE)
+                           / CAST(COUNT(*) AS DOUBLE) AS avgdl
+                  FROM dd),
+        qt AS (SELECT DISTINCT query_id, token FROM (
+                 SELECT query_id,
+                        unnest(string_split_regex(
+                          trim(lower(query_text)), '\\s+')) AS token
+                 FROM qs)),
+        tok AS (SELECT doc_id, dl, unnest(toks) AS token FROM dd),
+        tf AS (SELECT doc_id, dl, token, COUNT(*) AS tf
+               FROM tok WHERE token IN (SELECT token FROM qt)
+               GROUP BY doc_id, dl, token),
+        dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        lex AS (SELECT qt.query_id, tf.doc_id,
+                       ROUND(SUM(
+                         ln(1.0 + (CAST(stats.n_docs AS DOUBLE)
+                                   - CAST(dfq.df AS DOUBLE) + 0.5)
+                                  / (CAST(dfq.df AS DOUBLE) + 0.5))
+                         * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+                         / (CAST(tf.tf AS DOUBLE)
+                            + 1.2 * ((1.0 - 0.75)
+                                     + 0.75 * CAST(tf.dl AS DOUBLE)
+                                       / stats.avgdl))), 4) AS bm25
+                FROM tf JOIN dfq USING (token) JOIN qt USING (token),
+                     stats
+                GROUP BY qt.query_id, tf.doc_id),
+        lexr AS (SELECT query_id, doc_id, CAST(rk AS INT) AS lex_rank
+                 FROM (SELECT query_id, doc_id,
+                              ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY bm25 DESC, doc_id) AS rk
+                       FROM lex)
+                 WHERE rk <= 20),
+        dv AS (SELECT doc_id, ${hashVec("toks")} AS v FROM dd),
+        qv AS (SELECT query_id,
+                      ${hashVec(
+                        """string_split_regex(
+                             trim(lower(query_text)), '\s+')""")} AS q
+               FROM qs),
+        den AS (SELECT qv.query_id, dv.doc_id,
+                       ROUND(list_cosine_similarity(dv.v, qv.q), 4)
+                         AS cos_sim
+                FROM dv CROSS JOIN qv),
+        denr AS (SELECT query_id, doc_id, CAST(rk AS INT) AS dense_rank
+                 FROM (SELECT query_id, doc_id,
+                              ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, doc_id) AS rk
+                       FROM den)
+                 WHERE rk <= 20),
+        fused AS (SELECT coalesce(l.query_id, r.query_id) AS query_id,
+                         coalesce(l.doc_id, r.doc_id) AS doc_id,
+                         l.lex_rank, r.dense_rank,
+                         ROUND(coalesce(1.0 / (60 + l.lex_rank), 0)
+                             + coalesce(1.0 / (60 + r.dense_rank), 0), 6)
+                           AS rrf_score
+                  FROM lexr l FULL OUTER JOIN denr r
+                    ON l.query_id = r.query_id AND l.doc_id = r.doc_id)
+        SELECT query_id, doc_id, lex_rank, dense_rank, rrf_score, rank
+        FROM (SELECT query_id, doc_id, lex_rank, dense_rank, rrf_score,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY rrf_score DESC, doc_id) AS INT) AS rank
+              FROM fused)
+        WHERE rank <= 10
+        ORDER BY query_id, rank"""
+  }
+
+  /** Hybrid retrieval ([[Retrieval.hybridTopK]]): reciprocal-rank
+    * fusion of batch BM25 and dense hash-embed cosine for two queries
+    * in ONE plan — the two-tower RAG shape where neither side alone
+    * ranks well. FULL row-level oracle: DuckDB recomputes both sides'
+    * scores, both per-query rank cuts, the full-outer fusion, every
+    * RRF sum and the final ranking. */
+  val hybridTopKQ = Q(
+    "text_hybrid_rrf",
+    (s, d) => Retrieval.hybridTopK(
+        Tables.documents(s, d), hybridQueries(s), k = 10, nPerSide = 20)
+      .orderBy("query_id", "rank"),
+    Some(hybridOracleSql))
+
+  /** Indexed twin of `text_hybrid_rrf`: the lexical side reads the
+    * PERSISTED BM25 index (one postings scan for the whole batch —
+    * [[Retrieval.hybridTopKIndexed]]); same arithmetic and ranking ⇒
+    * the live oracle applies verbatim, a live↔indexed drift is a hash
+    * mismatch. */
+  val hybridIndexedQ = Q(
+    "text_hybrid_indexed",
+    (s, d) => {
+      val path = "target/bm25_index_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      if (!Retrieval.bm25IndexExists(s, path))
+        Retrieval.writeBm25Index(Tables.documents(s, d), path)
+      Retrieval.hybridTopKIndexed(s, path,
+          Tables.documents(s, d), hybridQueries(s), k = 10,
+          nPerSide = 20)
+        .orderBy("query_id", "rank")
+    },
+    Some(hybridOracleSql))
+
   /** Unigram LM quality score ([[LanguageModel.scoreUnigram]]): the
     * deterministic perplexity-filter stand-in. The oracle re-learns
     * the same top-1000 vocab (ties broken `(cnt DESC, token)` on both
@@ -4571,6 +4693,148 @@ object LlmQueries {
         WHERE rank <= 5
         ORDER BY q_id, rank"""))
 
+  /** Exact re-rank ("refine") over the persisted index
+    * ([[Quantize.ivfPqTopKReranked]]): ADC is lossy twice (probe
+    * pruning + PQ quantization), so the serving path that needs
+    * near-exact recall takes a 30-candidate ADC shortlist from the
+    * index and re-ranks ONLY those ids by true squared-L2 against the
+    * float table (pushed-down `vec_id IN` — per-query float work is
+    * shortlist×dim, corpus-independent). FULL row-level oracle:
+    * DuckDB re-derives training, probes, codes, every ADC distance,
+    * the 30-row shortlist cut AND every exact re-ranked distance. */
+  val ivfRerankedQ = Q(
+    "ann_ivf_reranked",
+    (s, d) => Quantize.ivfPqTopKReranked(
+      s, pqIndexFor(s, d), Tables.embeddings(s, d), queryVec7(s, d),
+      topK = 10, nprobe = 2, shortlist = 30, excludeId = 7L),
+    Some(s"""${kmeansAssignCtes(k = 4, iters = 2)},
+            qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings
+                   WHERE vec_id = 7),
+            probe AS (SELECT cid FROM (
+                        SELECT c.cid,
+                               round(list_cosine_similarity(c.c, q.v), 6)
+                                 AS qc
+                        FROM c2 c CROSS JOIN qv q)
+                      ORDER BY qc DESC, cid LIMIT 2),
+            cb AS (
+              SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS ci,
+                     v AS c_vec
+              FROM emb ORDER BY vec_id LIMIT 16),
+            pr AS (
+              SELECT af.vec_id, af.v FROM af JOIN probe USING (cid)
+              WHERE af.vec_id <> 7),
+            scored AS (
+              SELECT pr.vec_id, sp.s AS s, cb.ci,
+                     ROUND(list_sum([
+                       (pr.v[sp.s * 8 + i] - cb.c_vec[sp.s * 8 + i]) ^ 2
+                       for i in range(1, 9)]), 6) AS dist
+              FROM pr, UNNEST(range(0, 8)) AS sp(s), cb),
+            best AS (
+              SELECT vec_id, s, ci,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                       ORDER BY dist, ci) AS rk
+              FROM scored),
+            dt AS (
+              SELECT sp.s AS s, cb.ci,
+                     ROUND(list_sum([
+                       (q.v[sp.s * 8 + i] - cb.c_vec[sp.s * 8 + i]) ^ 2
+                       for i in range(1, 9)]), 6) AS d
+              FROM qv q, UNNEST(range(0, 8)) AS sp(s), cb),
+            adc AS (
+              SELECT b.vec_id, ROUND(SUM(dt.d), 4) AS adc_dist
+              FROM (SELECT * FROM best WHERE rk = 1) b
+              JOIN dt ON dt.s = b.s AND dt.ci = b.ci
+              GROUP BY b.vec_id),
+            sl AS (SELECT vec_id FROM adc
+                   ORDER BY adc_dist, vec_id LIMIT 30)
+            SELECT e.vec_id,
+                   ROUND(list_sum([
+                     (e.v[i] - q.v[i]) ^ 2 for i in range(1, 65)]), 4)
+                     AS exact_dist
+            FROM emb e JOIN sl USING (vec_id) CROSS JOIN qv q
+            ORDER BY exact_dist, vec_id LIMIT 10"""))
+
+  /** Batch refine ([[Quantize.ivfPqKnnJoinIndexedReranked]]): each of
+    * five queries takes a 20-candidate ADC shortlist from the
+    * PERSISTED index in one plan, joins the float table on id (thin
+    * hash-shuffle, never a per-query corpus scan) and re-ranks by
+    * true squared-L2 — the backfill serving shape with the recall of
+    * the shortlist and the cost of the index. FULL row-level oracle:
+    * everything `ann_ivf_knn_indexed` derives, plus each query's
+    * shortlist cut and every exact re-ranked distance and rank. */
+  val ivfKnnRerankedQ = Q(
+    "ann_ivf_knn_reranked",
+    (s, d) => {
+      val queries = Tables.embeddings(s, d)
+        .filter(col("vec_id").isin(1L, 3L, 5L, 7L, 9L))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Quantize.ivfPqKnnJoinIndexedReranked(s, pqIndexFor(s, d),
+        Tables.embeddings(s, d), queries, k = 5, nprobe = 2,
+        shortlistFactor = 4)
+        .orderBy("q_id", "rank")
+    },
+    Some(s"""${kmeansAssignCtes(k = 4, iters = 2)},
+        q AS (SELECT vec_id AS q_id, v AS qv FROM emb
+              WHERE vec_id IN (1, 3, 5, 7, 9)),
+        pr AS (SELECT q_id, cid FROM (
+                 SELECT q.q_id, c.cid,
+                        ROW_NUMBER() OVER (PARTITION BY q.q_id
+                          ORDER BY round(
+                            list_cosine_similarity(c.c, q.qv), 6) DESC,
+                            c.cid) AS rk
+                 FROM c2 c CROSS JOIN q)
+               WHERE rk <= 2),
+        cb AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS ci,
+                      v AS c_vec
+               FROM emb ORDER BY vec_id LIMIT 16),
+        scored AS (
+          SELECT e.vec_id, sp.s AS s, cb.ci,
+                 ROUND(list_sum([
+                   (e.v[sp.s * 8 + i] - cb.c_vec[sp.s * 8 + i]) ^ 2
+                   for i in range(1, 9)]), 6) AS dist
+          FROM emb e, UNNEST(range(0, 8)) AS sp(s), cb),
+        codes AS (SELECT vec_id, s, ci FROM (
+                    SELECT vec_id, s, ci,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                             ORDER BY dist, ci) AS rk
+                    FROM scored)
+                  WHERE rk = 1),
+        dt AS (SELECT q.q_id, sp.s AS s, cb.ci,
+                      ROUND(list_sum([
+                        (q.qv[sp.s * 8 + i] - cb.c_vec[sp.s * 8 + i]) ^ 2
+                        for i in range(1, 9)]), 6) AS d
+               FROM q, UNNEST(range(0, 8)) AS sp(s), cb),
+        cand AS (SELECT pr.q_id, af.vec_id
+                 FROM af JOIN pr ON af.cid = pr.cid
+                 WHERE af.vec_id <> pr.q_id),
+        adc AS (SELECT cand.q_id, cand.vec_id,
+                       ROUND(SUM(dt.d), 4) AS adc_dist
+                FROM cand
+                JOIN codes ON codes.vec_id = cand.vec_id
+                JOIN dt ON dt.q_id = cand.q_id AND dt.s = codes.s
+                       AND dt.ci = codes.ci
+                GROUP BY cand.q_id, cand.vec_id),
+        sl AS (SELECT q_id, vec_id FROM (
+                 SELECT q_id, vec_id,
+                        ROW_NUMBER() OVER (PARTITION BY q_id
+                          ORDER BY adc_dist, vec_id) AS srk
+                 FROM adc)
+               WHERE srk <= 20),
+        ex AS (SELECT sl.q_id, sl.vec_id,
+                      ROUND(list_sum([
+                        (e.v[i] - q.qv[i]) ^ 2 for i in range(1, 65)]), 4)
+                        AS exact_dist
+               FROM sl
+               JOIN emb e ON e.vec_id = sl.vec_id
+               JOIN q ON q.q_id = sl.q_id)
+        SELECT q_id, vec_id, exact_dist, rank FROM (
+          SELECT q_id, vec_id, exact_dist,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY exact_dist, vec_id) AS INT) AS rank
+          FROM ex)
+        WHERE rank <= 5
+        ORDER BY q_id, rank"""))
+
   /** SemDeDup-style semantic dedup marks over the fixed-centroid
     * clusters: per vector, keep = no same-cluster vector above the
     * cosine threshold with higher (cos_to_centroid, -id) priority.
@@ -4668,7 +4932,8 @@ object LlmQueries {
     embCentroids, embNormProfile, kmeansQ, kmeansBalancedQ,
     clusterPurityQ, quantizeInt8,
     annQuantized, pqCodesQ, pqTopKQ, ivfPqTopKQ, ivfPqIndexedQ,
-    pqIndexedQ, ivfKnnIndexedQ, jlProjectQ, annJlQ,
+    pqIndexedQ, ivfKnnIndexedQ, ivfRerankedQ, ivfKnnRerankedQ,
+    jlProjectQ, annJlQ,
     splitCounts, stratSample, capPerSourceQ, leakageSplit, budgetSample,
     temperatureMix, mixturePlanQ, dsirWeights, dsirSelect,
     epochOrder,
@@ -4680,7 +4945,7 @@ object LlmQueries {
     nbClassifierQ, zipfAuditQ, fertilityQ, corpusCardQ,
     winnowFpQ, winnowPairsQ,
     unigramScore, bigramScore, pplBucketsQ, pplKeepQ, bm25TopK,
-    bm25Indexed, bpePairs,
+    bm25Indexed, hybridTopKQ, hybridIndexedQ, bpePairs,
     bpeEncode, corpusDrift,
     driftBySource, distinctiveTermsQ, numericPsi, corpusDiffQ,
     pipelineDeconCap,

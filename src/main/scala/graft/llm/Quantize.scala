@@ -803,4 +803,101 @@ object Quantize {
           .orderBy(col("adc_dist"), col(idCol))))
       .filter(col("rank") <= k)
   }
+
+  // ---- exact re-rank (refine) over the persisted index ---------------
+
+  /** Exact squared-L2 re-rank ("refine") over the PERSISTED index —
+    * the standard recall-recovery stage for compressed-domain ANN:
+    * ADC is lossy twice (coarse-probe pruning + PQ quantization), so
+    * a serving path that needs recall close to exact takes a
+    * `shortlist > topK` ADC candidate set from the index and re-ranks
+    * ONLY those ids by true squared-L2 distance against the float
+    * table. Final recall@k equals the shortlist's ADC recall@shortlist
+    * — quantization error is fully removed, probe-pruning loss is all
+    * that remains (measured in [[graft.tools.RecallProbe]]; recorded
+    * in SCALE_PROBES.md).
+    *
+    * Scale shape: the shortlist is bounded by construction
+    * (`shortlist` rows — the one collect here), and the exact stage
+    * reads ONLY those rows through a pushed-down `idCol IN (…)`
+    * filter on the float table (row-group pruning on a
+    * sorted-by-id layout), so per-query float work is
+    * `shortlist × dim` — independent of corpus size. Output:
+    * `(idCol, exact_dist)` ranked `(exact_dist ASC, id ASC)`. */
+  def ivfPqTopKReranked(
+      spark: SparkSession,
+      indexPath: String,
+      emb: DataFrame,
+      queryVec: Array[Double],
+      topK: Int = 10,
+      nprobe: Int = 2,
+      shortlist: Int = 40,
+      excludeId: Long = -1L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(topK > 0, s"topK must be positive: $topK")
+    require(shortlist >= topK,
+      s"shortlist ($shortlist) must be ≥ topK ($topK)")
+    // bounded by construction: exactly `shortlist` ids come back
+    val ids = adcTopKIndexed(spark, indexPath, queryVec, shortlist,
+        Some(nprobe), excludeId, idCol)
+      .select(col(idCol).cast("long")).collect().map(_.getLong(0))
+    val q = typedLit(queryVec.toSeq)
+    emb
+      .filter(col(idCol).isin(ids.map(Long.box): _*))
+      .select(col(idCol),
+        round(sqDist(transform(col(vecCol), x => x.cast("double")), q), 4)
+          .as("exact_dist"))
+      .orderBy(col("exact_dist"), col(idCol))
+      .limit(topK)
+  }
+
+  /** Batch form of [[ivfPqTopKReranked]] — the refine stage composed
+    * onto [[ivfPqKnnJoinIndexed]], still ONE plan and no driver-side
+    * ids: each query's ADC shortlist (`k × shortlistFactor` rows,
+    * bounded by the index join's `collect_top_k` heap) joins the
+    * float table on id to fetch exactly the candidate vectors — at
+    * scale a thin hash-shuffle on id, never a corpus scan per query —
+    * then re-ranks per query by true squared-L2 (a window over the
+    * ≤ `k × shortlistFactor`-row per-query frame, the bounded
+    * [[ivfPqKnnJoinIndexed]] probeSet pattern). Output:
+    * `(queryIdCol, idCol, exact_dist, rank)`. */
+  def ivfPqKnnJoinIndexedReranked(
+      spark: SparkSession,
+      indexPath: String,
+      emb: DataFrame,
+      queries: DataFrame,
+      k: Int = 10,
+      nprobe: Int = 2,
+      shortlistFactor: Int = 4,
+      queryIdCol: String = "q_id",
+      queryVecCol: String = "q_vec",
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      excludeSelf: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"k must be positive: $k")
+    require(shortlistFactor >= 1,
+      s"shortlistFactor must be ≥ 1: $shortlistFactor")
+    val short = ivfPqKnnJoinIndexed(spark, indexPath, queries,
+        k = k * shortlistFactor, nprobe = nprobe,
+        queryIdCol = queryIdCol, queryVecCol = queryVecCol,
+        idCol = idCol, excludeSelf = excludeSelf)
+      .select(col(queryIdCol), col(idCol))
+    val floats = emb.select(col(idCol),
+      transform(col(vecCol), x => x.cast("double")).as("__graft_v"))
+    val qv = queries.select(
+      col(queryIdCol),
+      col(queryVecCol).cast("array<double>").as("__graft_qv"))
+    short
+      .join(floats, idCol)
+      .join(qv, queryIdCol)
+      .select(col(queryIdCol), col(idCol),
+        round(sqDist(col("__graft_v"), col("__graft_qv")), 4)
+          .as("exact_dist"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(queryIdCol)
+          .orderBy(col("exact_dist"), col(idCol))))
+      .filter(col("rank") <= k)
+  }
 }

@@ -395,4 +395,267 @@ object Retrieval {
       .orderBy(col("bm25").desc, col(idCol))
       .limit(k)
   }
+
+  // ---- hybrid retrieval: RRF fusion of BM25 + dense cosine -----------
+
+  /** The distinct `(query_id, token)` term set of a query batch —
+    * the same whitespace/lowercase tokenization the corpus side uses,
+    * so a query term matches exactly the postings its text would
+    * generate. */
+  private def queryTermsOf(
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String): DataFrame =
+    queries.select(col(queryIdCol),
+        explode(TextAnalysis.tokens(
+          lower(coalesce(col(queryTextCol), lit(""))))).as("token"))
+      .distinct()
+
+  /** Batch BM25: `(queryIdCol, idCol, bm25)` for every (query, doc)
+    * pair with ≥1 term hit. tf/df/idf are computed ONCE per
+    * (doc, token) over the UNION of all queries' terms, then fanned
+    * out to queries through a broadcast `(query_id, token)` join — so
+    * a 10k-query backfill tokenizes the corpus once, not 10k times.
+    * Same arithmetic as [[bm25Scores]] (round-4 after the per-query
+    * term sum). */
+  private def bm25ScoresBatch(
+      docs: DataFrame,
+      qTerms: DataFrame,
+      k1: Double,
+      b: Double,
+      idCol: String,
+      textCol: String,
+      queryIdCol: String): DataFrame = {
+    val toks = TextAnalysis.tokens(lower(coalesce(col(textCol), lit(""))))
+    val withLen = docs
+      .select(col(idCol), toks.as("__graft_toks"))
+      .select(col(idCol), col("__graft_toks"),
+        size(col("__graft_toks")).cast("long").as("dl"))
+    val stats = withLen.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double"))
+        .as("avgdl"))
+    val terms = qTerms.select("token").distinct()
+    val tf = withLen
+      .select(col(idCol), col("dl"),
+        explode(col("__graft_toks")).as("token"))
+      .join(broadcast(terms), Seq("token"), "left_semi")
+      .groupBy(col(idCol), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    tf
+      .join(broadcast(dfreq), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) +
+          (col("n_docs").cast("double") - col("df").cast("double") +
+            lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))))
+      .withColumn("term_score",
+        col("idf") * (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) +
+              lit(b) * col("dl").cast("double") / col("avgdl"))))
+      .join(broadcast(qTerms), Seq("token"))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(round(sum(col("term_score")), 4).as("bm25"))
+  }
+
+  /** [[bm25ScoresBatch]] against the PERSISTED index: postings/df are
+    * term-filtered by a broadcast semi-join against the batch's term
+    * set instead of [[bm25TopKIndexed]]'s pushed literal `token IN` —
+    * the terms live in a frame, so pushdown isn't available, but ONE
+    * postings scan serves the whole batch (the backfill trade:
+    * per-query row-group pruning for batch amortization; a small
+    * interactive request should use [[bm25TopKIndexed]]). Stats/df
+    * sum across segments exactly as the single-query probe does. */
+  private def bm25ScoresIndexedBatch(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      qTerms: DataFrame,
+      k1: Double,
+      b: Double,
+      idCol: String,
+      queryIdCol: String): DataFrame = {
+    require(bm25IndexExists(spark, indexPath),
+      s"no BM25 index at $indexPath — writeBm25Index first")
+    val stats = spark.read.parquet(s"$indexPath/stats")
+      .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+        coalesce(sum(col("total_dl")), lit(0L)).as("total_dl"))
+      .select(col("n_docs"),
+        when(col("n_docs") === 0L, lit(null).cast("double"))
+          .otherwise(col("total_dl").cast("double") /
+            col("n_docs").cast("double"))
+          .as("avgdl"))
+    val terms = qTerms.select("token").distinct()
+    val dfreq = spark.read.parquet(s"$indexPath/df")
+      .join(broadcast(terms), Seq("token"), "left_semi")
+      .groupBy("token").agg(sum(col("df")).as("df"))
+    spark.read.parquet(s"$indexPath/postings")
+      .join(broadcast(terms), Seq("token"), "left_semi")
+      .join(broadcast(dfreq), Seq("token"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) +
+          (col("n_docs").cast("double") - col("df").cast("double") +
+            lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))))
+      .withColumn("term_score",
+        col("idf") * (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) +
+              lit(b) * col("dl").cast("double") / col("avgdl"))))
+      .join(broadcast(qTerms), Seq("token"))
+      .groupBy(col(queryIdCol), col("id"))
+      .agg(round(sum(col("term_score")), 4).as("bm25"))
+      .select(col(queryIdCol), col("id").as(idCol), col("bm25"))
+  }
+
+  /** Batch dense scores: round-4 cosine between each doc's
+    * [[hashEmbed]] vector and each query's — the brute-force dense
+    * side (the IVF-PQ serving index is the scale path for LEARNED
+    * embeddings; hash vectors are cheap enough to score in-plan).
+    * One corpus scan; the query vectors broadcast. */
+  private def denseScores(
+      docs: DataFrame,
+      queries: DataFrame,
+      dims: Int,
+      idCol: String,
+      textCol: String,
+      queryIdCol: String,
+      queryTextCol: String): DataFrame = {
+    val dv = docs.select(col(idCol),
+      hashEmbed(col(textCol), dims).as("__graft_v"))
+    val qv = queries.select(col(queryIdCol),
+      hashEmbed(col(queryTextCol), dims).as("__graft_q"))
+    dv.crossJoin(broadcast(qv))
+      .select(col(queryIdCol), col(idCol),
+        round(Similarity.cosine(col("__graft_v"), col("__graft_q")), 4)
+          .as("cos_sim"))
+  }
+
+  /** Reciprocal-rank fusion of two scored sides. Each side keeps its
+    * per-query top `nPerSide` through the bounded `collect_top_k`
+    * heap (≤ nPerSide rows per (query, map task) cross the exchange —
+    * never the scored frame) and ranks the survivors with a window
+    * over the ≤ nPerSide-row per-query frame; the sides then
+    * full-outer join on (query, doc) and fuse as
+    * `Σ 1/(rrfK + rank)` (a side that missed a doc contributes 0) —
+    * rank-based, so no score normalization across heterogeneous
+    * scales is needed. Output: `(queryIdCol, idCol, lex_rank,
+    * dense_rank, rrf_score, rank)`, rank by `(rrf DESC, id ASC)`,
+    * ≤ k rows per query. */
+  private def fuseRrf(
+      lex: DataFrame,
+      dense: DataFrame,
+      k: Int,
+      nPerSide: Int,
+      rrfK: Int,
+      queryIdCol: String,
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TopKAgg
+    def sideRanks(scored: DataFrame, scoreCol: String,
+        rankName: String): DataFrame =
+      scored
+        .groupBy(col(queryIdCol))
+        .agg(TopKAgg.collect_top_k(
+          struct((-col(scoreCol)).as("ns"), col(idCol).as("i")),
+          nPerSide, reverse = true).as("top"))
+        .select(col(queryIdCol), explode(col("top")).as("e"))
+        .select(col(queryIdCol), col("e.i").as(idCol),
+          (-col("e.ns")).as(scoreCol))
+        .withColumn(rankName, row_number().over(
+          Window.partitionBy(queryIdCol)
+            .orderBy(col(scoreCol).desc, col(idCol))))
+        .select(col(queryIdCol), col(idCol), col(rankName))
+    val lexR = sideRanks(lex, "bm25", "lex_rank")
+    val denR = sideRanks(dense, "cos_sim", "dense_rank")
+    lexR.join(denR, Seq(queryIdCol, idCol), "full_outer")
+      .withColumn("rrf_score", round(
+        coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("dense_rank")), lit(0.0)),
+        6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(queryIdCol)
+          .orderBy(col("rrf_score").desc, col(idCol))))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("lex_rank"),
+        col("dense_rank"), col("rrf_score"), col("rank"))
+  }
+
+  /** Hybrid retrieval — reciprocal-rank fusion (RRF, the standard
+    * score-free combiner) of lexical BM25 and dense hash-embedding
+    * cosine, for a BATCH of queries in one plan: the shape behind
+    * every two-tower RAG/retrieval corpus build, where neither side
+    * alone ranks well (BM25 misses paraphrase, dense misses rare
+    * exact terms). Per query: top `nPerSide` from each side →
+    * `rrf = Σ_sides 1/(rrfK + rank)` → top `k` by `(rrf DESC, id)`.
+    *
+    * Scale shape: the corpus tokenizes ONCE for both sides; tf/df
+    * compute once per (doc, token) over the union of query terms and
+    * fan out to queries via a broadcast join; both sides' per-query
+    * top-n ride the bounded `collect_top_k` heap; every join that
+    * isn't corpus-sized broadcasts. Windows only over per-query
+    * frames bounded by nPerSide. */
+  def hybridTopK(
+      docs: DataFrame,
+      queries: DataFrame,
+      k: Int = 10,
+      nPerSide: Int = 20,
+      rrfK: Int = 60,
+      dims: Int = 16,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      queryIdCol: String = "query_id",
+      queryTextCol: String = "query_text"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(nPerSide >= k, s"nPerSide ($nPerSide) must be ≥ k ($k)")
+    require(rrfK >= 1, s"rrfK must be ≥ 1: $rrfK")
+    GraftFunctions.register(docs.sparkSession)
+    val qt = queryTermsOf(queries, queryIdCol, queryTextCol)
+    fuseRrf(
+      bm25ScoresBatch(docs, qt, k1, b, idCol, textCol, queryIdCol),
+      denseScores(docs, queries, dims, idCol, textCol, queryIdCol,
+        queryTextCol),
+      k, nPerSide, rrfK, queryIdCol, idCol)
+  }
+
+  /** [[hybridTopK]] with the lexical side served from the PERSISTED
+    * BM25 index ([[bm25ScoresIndexedBatch]]) — tokenize/df/stats
+    * amortized into the build, one postings scan for the whole query
+    * batch. Same arithmetic and ranking as the live path on the same
+    * corpus, so its oracle applies verbatim — a live↔indexed drift
+    * surfaces as a hash mismatch. The dense side stays in-plan (hash
+    * vectors are a projection; a learned-embedding deployment swaps
+    * in [[Quantize.ivfPqKnnJoinIndexedReranked]] for it). */
+  def hybridTopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      docs: DataFrame,
+      queries: DataFrame,
+      k: Int = 10,
+      nPerSide: Int = 20,
+      rrfK: Int = 60,
+      dims: Int = 16,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      queryIdCol: String = "query_id",
+      queryTextCol: String = "query_text"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(nPerSide >= k, s"nPerSide ($nPerSide) must be ≥ k ($k)")
+    require(rrfK >= 1, s"rrfK must be ≥ 1: $rrfK")
+    GraftFunctions.register(spark)
+    val qt = queryTermsOf(queries, queryIdCol, queryTextCol)
+    fuseRrf(
+      bm25ScoresIndexedBatch(spark, indexPath, qt, k1, b, idCol,
+        queryIdCol),
+      denseScores(docs, queries, dims, idCol, textCol, queryIdCol,
+        queryTextCol),
+      k, nPerSide, rrfK, queryIdCol, idCol)
+  }
 }

@@ -76,6 +76,19 @@ object RecallProbe {
       println(f"PROBE recall nprobe=$nprobe/$nlist " +
         f"recall_vs_exact=$rExact%.3f recall_vs_full_adc=$rAdc%.3f " +
         f"batch_min_sec=$t%.2f")
+
+      // the same probe budget through the exact re-rank (refine)
+      // stage: quantization loss removed, probe-pruning loss remains
+      def runR() = Quantize.ivfPqKnnJoinIndexedReranked(
+        spark, idx, emb, queries, k = k, nprobe = nprobe,
+        shortlistFactor = 4)
+      val gotR = runR().select("q_id", "vec_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      runR().count() // warm
+      val tR = (1 to 3).map(_ => timed(runR().count())._2).min
+      val rRExact = gotR.intersect(exact).size.toDouble / exact.size
+      println(f"PROBE recall nprobe=$nprobe/$nlist reranked4x " +
+        f"recall_vs_exact=$rRExact%.3f batch_min_sec=$tR%.2f")
     }
     spark.stop()
   }

@@ -111,6 +111,18 @@ class CliSpec extends AnyFunSuite {
       graft.cli.Main.run(spark, Array("index-compact", "zzz", lshIdx))
     }
     assert(unknown.getMessage.contains("unknown kind"))
+
+    // ann-search --rerank: exact refine against the float table
+    val fullEmbDir = TestSpark.tmpDir("cli-idx-emb-full")
+    embs.write.mode("overwrite").parquet(fullEmbDir)
+    graft.cli.Main.run(spark, Array("ann-search", annIdx, embDir,
+      "--query-id", "2", "--topk", "5", "--rerank", fullEmbDir))
+
+    // hybrid-search, live and against the persisted BM25 index
+    graft.cli.Main.run(spark, Array("hybrid-search", docsDir,
+      "--query", "hash merge", "--k", "5"))
+    graft.cli.Main.run(spark, Array("hybrid-search", docsDir,
+      "--query", "hash merge", "--k", "5", "--index", bmIdx))
   }
 
   test("optimize compacts via the CLI") {

@@ -292,6 +292,80 @@ class QuantizeSpec extends AnyFunSuite {
     assert(!scanned.contains("embeddings"), s"float table scanned:\n$scanned")
   }
 
+  test("exact re-rank with all lists probed ≡ exact squared-L2 top-k") {
+    // with nprobe = nlist there is no probe-pruning loss, and a
+    // shortlist big enough to contain the true top-10 makes the
+    // refine output EXACTLY the float-space answer — quantization
+    // error is fully removed
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val path = java.nio.file.Files
+      .createTempDirectory("pq_index_rerank").toString
+    Quantize.writePqIndex(embs, path, nlist = 4, iters = 2, m = 8, k = 16)
+    val qv = embs.filter($"vec_id" === 7L)
+      .select("embedding").as[Seq[Float]].head().map(_.toDouble).toArray
+    // shortlist ≥ corpus: the refine stage sees every probed row, so
+    // containment of the true top-10 is guaranteed, not probabilistic
+    val got = Quantize.ivfPqTopKReranked(spark, path, embs, qv,
+        topK = 10, nprobe = 4, shortlist = 100000, excludeId = 7L)
+      .as[(Long, Double)].collect().toSeq
+    val exact = embs.filter($"vec_id" =!= 7L)
+      .select($"vec_id",
+        round(aggregate(
+          zip_with(transform($"embedding", x => x.cast("double")),
+            typedlit(qv.toSeq), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, e) => a + e), 4).as("d"))
+      .orderBy($"d", $"vec_id").limit(10)
+      .as[(Long, Double)].collect().toSeq
+    assert(got == exact, s"got=$got\nexact=$exact")
+  }
+
+  test("re-rank puts a planted float duplicate at rank 1 with distance 0") {
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val qv = embs.filter($"vec_id" === 7L)
+      .select("embedding").as[Seq[Float]].head()
+    val planted = embs.unionByName(
+      Seq((777777L, qv)).toDF("vec_id", "embedding"))
+    val path = java.nio.file.Files
+      .createTempDirectory("pq_index_rerank_dup").toString
+    Quantize.writePqIndex(planted, path, nlist = 4, iters = 2,
+      m = 8, k = 16)
+    val top = Quantize.ivfPqTopKReranked(spark, path, planted,
+        qv.map(_.toDouble).toArray, topK = 5, nprobe = 2,
+        shortlist = 20, excludeId = 7L)
+      .as[(Long, Double)].collect()
+    assert(top.head == ((777777L, 0.0)), s"head=${top.head.toString}")
+  }
+
+  test("batch re-rank ≡ the single-query re-rank, per query") {
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val path = java.nio.file.Files
+      .createTempDirectory("pq_index_rerank_batch").toString
+    Quantize.writePqIndex(embs, path, nlist = 4, iters = 2, m = 8, k = 16)
+    val qids = Seq(1L, 3L, 5L, 7L, 9L)
+    val queries = embs.filter($"vec_id".isin(qids: _*))
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val batch = Quantize
+      .ivfPqKnnJoinIndexedReranked(spark, path, embs, queries,
+        k = 5, nprobe = 2, shortlistFactor = 4)
+      .select("q_id", "vec_id", "exact_dist")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).toSeq.sortBy(p => (p._2, p._1)))
+      .toMap
+    for (qid <- qids) {
+      val qv = embs.filter($"vec_id" === qid)
+        .select("embedding").as[Seq[Float]].head().map(_.toDouble).toArray
+      val single = Quantize.ivfPqTopKReranked(spark, path, embs, qv,
+          topK = 5, nprobe = 2, shortlist = 20, excludeId = qid)
+        .as[(Long, Double)].collect().toSeq
+      assert(batch(qid) == single,
+        s"q=$qid batch=${batch(qid)}\nsingle=$single")
+    }
+  }
+
   test("wrong-dimension query is rejected by the stored index dim") {
     val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select("vec_id", "embedding")

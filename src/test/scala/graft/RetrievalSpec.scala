@@ -145,4 +145,87 @@ class RetrievalSpec extends AnyFunSuite {
     assert(Retrieval.bm25IndexExists(spark, path))
     assert(Retrieval.bm25TopKIndexed(spark, path, Seq("x")).isEmpty)
   }
+
+  // ---- hybrid RRF fusion ----------------------------------------------
+
+  lazy val hybridDocs = Tables.documents(spark, "/root/testdata/sf0.001")
+  lazy val hybridQs = Seq((0, "hash join merge"), (1, "filter scan"))
+    .toDF("query_id", "query_text")
+
+  test("hybrid RRF score is exactly Σ 1/(60+rank) of the sides' own ranks") {
+    // recompute each side's ranks independently (bm25TopK per query +
+    // a dense cosine rank), then check every fused row's rrf_score
+    // and rank cut against them — the fusion adds no arithmetic of
+    // its own beyond 1/(rrfK + rank)
+    val n = 20
+    val fused = Retrieval.hybridTopK(hybridDocs, hybridQs,
+        k = 10, nPerSide = n)
+      .collect()
+    assert(fused.nonEmpty)
+    val lexRanks: Map[(Int, Long), Int] =
+      Seq(0 -> Seq("hash", "join", "merge"),
+          1 -> Seq("filter", "scan")).flatMap { case (qid, terms) =>
+        Retrieval.bm25TopK(hybridDocs, terms, k = n)
+          .select("doc_id").as[Long].collect().zipWithIndex
+          .map { case (d, i) => (qid, d) -> (i + 1) }
+      }.toMap
+    val denseRanks: Map[(Int, Long), Int] =
+      Seq(0 -> "hash join merge", 1 -> "filter scan")
+        .flatMap { case (qid, qtext) =>
+          hybridDocs.select($"doc_id",
+              round(graft.llm.Similarity.cosine(
+                Retrieval.hashEmbed($"text"),
+                Retrieval.hashEmbed(lit(qtext))), 4).as("c"))
+            .orderBy($"c".desc, $"doc_id").limit(n)
+            .select("doc_id").as[Long].collect().zipWithIndex
+            .map { case (d, i) => (qid, d) -> (i + 1) }
+        }.toMap
+    fused.foreach { r =>
+      val qid = r.getAs[Int]("query_id")
+      val did = r.getAs[Long]("doc_id")
+      val lex = lexRanks.get((qid, did))
+      val den = denseRanks.get((qid, did))
+      assert(Option(r.getAs[Any]("lex_rank")).map(_.asInstanceOf[Int])
+        == lex, s"lex_rank mismatch at ($qid, $did)")
+      assert(Option(r.getAs[Any]("dense_rank")).map(_.asInstanceOf[Int])
+        == den, s"dense_rank mismatch at ($qid, $did)")
+      val expected = BigDecimal(
+          lex.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+          den.map(x => 1.0 / (60 + x)).getOrElse(0.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("rrf_score") - expected) < 1e-9,
+        s"rrf mismatch at ($qid, $did)")
+    }
+  }
+
+  test("a dense-only doc survives fusion with a null lexical rank") {
+    // 'qqq' appears in no document: the lexical side is empty, so
+    // every fused row must come from the dense side alone (hash-
+    // bucket cosine is nonzero for any non-empty doc) with
+    // rrf = 1/(60 + dense_rank)
+    val qs = Seq((0, "qqq")).toDF("query_id", "query_text")
+    val rows = Retrieval.hybridTopK(hybridDocs, qs, k = 5, nPerSide = 10)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("lex_rank")))
+      val dr = r.getAs[Int]("dense_rank")
+      val expected = BigDecimal(1.0 / (60 + dr))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("rrf_score") - expected) < 1e-9)
+    }
+  }
+
+  test("indexed hybrid ≡ live hybrid, row for row") {
+    val path = java.nio.file.Files
+      .createTempDirectory("bm25_index_hybrid").toString
+    Retrieval.writeBm25Index(hybridDocs, path)
+    val live = Retrieval.hybridTopK(hybridDocs, hybridQs,
+        k = 10, nPerSide = 20)
+      .orderBy("query_id", "rank").collect().toSeq
+    val indexed = Retrieval.hybridTopKIndexed(spark, path, hybridDocs,
+        hybridQs, k = 10, nPerSide = 20)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(live == indexed)
+  }
 }

@@ -669,7 +669,21 @@ object Quantize {
     * same `(adc_dist ASC, id ASC)` output — but Lloyd training, the
     * codebook derivation and the coarse assignment are amortized into
     * [[writePqIndex]], so the per-query cost is
-    * `nprobe/nlist × corpus × m` lookups, the serving cost model. */
+    * `nprobe/nlist × corpus × m` lookups, the serving cost model.
+    *
+    * Serving default (measured — RecallProbe at sf0.1, recorded in
+    * SCALE_PROBES.md): `nprobe = 2` is the COST default; probe cost
+    * tracks the probed fraction (IvfPqScaleProbe) and recall vs the
+    * full-ADC scan — the only loss nprobe controls — was 0.51 at 2/8
+    * and 1.0 at 8/8. Recall-sensitive paths should serve through
+    * [[ivfPqTopKReranked]] instead of raising nprobe: on the
+    * structureless fixture, quantization (not probe pruning) bounds
+    * raw-ADC recall@10 at ~0.2 regardless of nprobe or codebook size,
+    * while the re-rank recovers 0.65–0.85 (and a returned-vs-true
+    * distance ratio ≤1.06) at marginal cost. No fixed nprobe clears a
+    * universal recall floor — the operating point is corpus-dependent;
+    * RecallProbe measures recall + dist_ratio vs nprobe and shortlist
+    * in one run. */
   def ivfPqTopKIndexed(
       spark: SparkSession,
       indexPath: String,
@@ -815,7 +829,11 @@ object Quantize {
     * table. Final recall@k equals the shortlist's ADC recall@shortlist
     * — quantization error is fully removed, probe-pruning loss is all
     * that remains (measured in [[graft.tools.RecallProbe]]; recorded
-    * in SCALE_PROBES.md).
+    * in SCALE_PROBES.md: at sf0.1 the re-rank lifts recall@10 from
+    * ~0.2 (quantization-bound raw ADC) to 0.65–0.85 at factor 16,
+    * with the returned-vs-true distance ratio dropping 1.2 → ≤1.06;
+    * this is the recommended serving form for recall-sensitive
+    * paths — factor 4 default, 16 when a recall floor matters).
     *
     * Scale shape: the shortlist is bounded by construction
     * (`shortlist` rows — the one collect here), and the exact stage

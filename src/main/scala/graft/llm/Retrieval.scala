@@ -411,26 +411,35 @@ object Retrieval {
           lower(coalesce(col(queryTextCol), lit(""))))).as("token"))
       .distinct()
 
-  /** Batch BM25: `(queryIdCol, idCol, bm25)` for every (query, doc)
-    * pair with ≥1 term hit. tf/df/idf are computed ONCE per
-    * (doc, token) over the UNION of all queries' terms, then fanned
-    * out to queries through a broadcast `(query_id, token)` join — so
-    * a 10k-query backfill tokenizes the corpus once, not 10k times.
-    * Same arithmetic as [[bm25Scores]] (round-4 after the per-query
-    * term sum). */
+  /** The shared per-doc token frame both hybrid sides derive from:
+    * `(idCol, __graft_toks, dl)`. One tokenize DEFINITION — the
+    * lexical branch explodes it, the dense branch hashes it — though
+    * physically each branch plans its own column-pruned (id, text)
+    * scan with the tokenizer fused in: at corpus scale two pruned
+    * scans beat materializing the token arrays. */
+  private def docTokens(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextAnalysis.tokens(lower(coalesce(col(textCol), lit(""))))
+    docs
+      .select(col(idCol), toks.as("__graft_toks"))
+      .select(col(idCol), col("__graft_toks"),
+        size(col("__graft_toks")).cast("long").as("dl"))
+  }
+
+  /** Batch BM25 over a [[docTokens]] frame: `(queryIdCol, idCol,
+    * bm25)` for every (query, doc) pair with ≥1 term hit. tf/df/idf
+    * are computed ONCE per (doc, token) over the UNION of all
+    * queries' terms, then fanned out to queries through a broadcast
+    * `(query_id, token)` join — so a 10k-query backfill pays one
+    * tf/df pass, not 10k. Same arithmetic as [[bm25Scores]] (round-4
+    * after the per-query term sum). */
   private def bm25ScoresBatch(
-      docs: DataFrame,
+      withLen: DataFrame,
       qTerms: DataFrame,
       k1: Double,
       b: Double,
       idCol: String,
-      textCol: String,
       queryIdCol: String): DataFrame = {
-    val toks = TextAnalysis.tokens(lower(coalesce(col(textCol), lit(""))))
-    val withLen = docs
-      .select(col(idCol), toks.as("__graft_toks"))
-      .select(col(idCol), col("__graft_toks"),
-        size(col("__graft_toks")).cast("long").as("dl"))
     val stats = withLen.agg(
       count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1)).cast("double"))
@@ -511,21 +520,21 @@ object Retrieval {
       .select(col(queryIdCol), col("id").as(idCol), col("bm25"))
   }
 
-  /** Batch dense scores: round-4 cosine between each doc's
-    * [[hashEmbed]] vector and each query's — the brute-force dense
-    * side (the IVF-PQ serving index is the scale path for LEARNED
-    * embeddings; hash vectors are cheap enough to score in-plan).
-    * One corpus scan; the query vectors broadcast. */
+  /** Batch dense scores over a [[docTokens]] frame: round-4 cosine
+    * between each doc's [[hashEmbedTokens]] vector and each query's
+    * [[hashEmbed]] — the brute-force dense side (the IVF-PQ serving
+    * index is the scale path for LEARNED embeddings; hash vectors are
+    * cheap enough to score in-plan). One corpus scan; the query
+    * vectors broadcast. */
   private def denseScores(
-      docs: DataFrame,
+      withLen: DataFrame,
       queries: DataFrame,
       dims: Int,
       idCol: String,
-      textCol: String,
       queryIdCol: String,
       queryTextCol: String): DataFrame = {
-    val dv = docs.select(col(idCol),
-      hashEmbed(col(textCol), dims).as("__graft_v"))
+    val dv = withLen.select(col(idCol),
+      hashEmbedTokens(col("__graft_toks"), dims).as("__graft_v"))
     val qv = queries.select(col(queryIdCol),
       hashEmbed(col(queryTextCol), dims).as("__graft_q"))
     dv.crossJoin(broadcast(qv))
@@ -592,12 +601,15 @@ object Retrieval {
     * exact terms). Per query: top `nPerSide` from each side →
     * `rrf = Σ_sides 1/(rrfK + rank)` → top `k` by `(rrf DESC, id)`.
     *
-    * Scale shape: the corpus tokenizes ONCE for both sides; tf/df
-    * compute once per (doc, token) over the union of query terms and
-    * fan out to queries via a broadcast join; both sides' per-query
-    * top-n ride the bounded `collect_top_k` heap; every join that
-    * isn't corpus-sized broadcasts. Windows only over per-query
-    * frames bounded by nPerSide. */
+    * Scale shape: both sides derive from ONE token-frame definition
+    * ([[docTokens]] — physically two column-pruned (id, text) scans
+    * with the tokenizer fused in, cheaper at corpus scale than
+    * materializing token arrays); tf/df compute once per (doc, token)
+    * over the union of query terms and fan out to queries via a
+    * broadcast join; both sides' per-query top-n ride the bounded
+    * `collect_top_k` heap; every join that isn't corpus-sized
+    * broadcasts. Windows only over per-query frames bounded by
+    * nPerSide. */
   def hybridTopK(
       docs: DataFrame,
       queries: DataFrame,
@@ -616,9 +628,10 @@ object Retrieval {
     require(rrfK >= 1, s"rrfK must be ≥ 1: $rrfK")
     GraftFunctions.register(docs.sparkSession)
     val qt = queryTermsOf(queries, queryIdCol, queryTextCol)
+    val withLen = docTokens(docs, idCol, textCol)
     fuseRrf(
-      bm25ScoresBatch(docs, qt, k1, b, idCol, textCol, queryIdCol),
-      denseScores(docs, queries, dims, idCol, textCol, queryIdCol,
+      bm25ScoresBatch(withLen, qt, k1, b, idCol, queryIdCol),
+      denseScores(withLen, queries, dims, idCol, queryIdCol,
         queryTextCol),
       k, nPerSide, rrfK, queryIdCol, idCol)
   }
@@ -654,8 +667,8 @@ object Retrieval {
     fuseRrf(
       bm25ScoresIndexedBatch(spark, indexPath, qt, k1, b, idCol,
         queryIdCol),
-      denseScores(docs, queries, dims, idCol, textCol, queryIdCol,
-        queryTextCol),
+      denseScores(docTokens(docs, idCol, textCol), queries, dims,
+        idCol, queryIdCol, queryTextCol),
       k, nPerSide, rrfK, queryIdCol, idCol)
   }
 }

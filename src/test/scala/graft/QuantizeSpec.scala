@@ -318,6 +318,13 @@ class QuantizeSpec extends AnyFunSuite {
       .orderBy($"d", $"vec_id").limit(10)
       .as[(Long, Double)].collect().toSeq
     assert(got == exact, s"got=$got\nexact=$exact")
+
+    // the exact stage reads ONLY the shortlist ids: the id IN filter
+    // reaches the parquet scan (row-group pruning at scale)
+    val plan = Quantize.ivfPqTopKReranked(spark, path, embs, qv,
+        topK = 5, nprobe = 2, shortlist = 20, excludeId = 7L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("In(vec_id"), plan)
   }
 
   test("re-rank puts a planted float duplicate at rank 1 with distance 0") {

@@ -470,14 +470,22 @@ object Retrieval {
       .agg(round(sum(col("term_score")), 4).as("bm25"))
   }
 
-  /** [[bm25ScoresBatch]] against the PERSISTED index: postings/df are
-    * term-filtered by a broadcast semi-join against the batch's term
-    * set instead of [[bm25TopKIndexed]]'s pushed literal `token IN` —
-    * the terms live in a frame, so pushdown isn't available, but ONE
-    * postings scan serves the whole batch (the backfill trade:
-    * per-query row-group pruning for batch amortization; a small
-    * interactive request should use [[bm25TopKIndexed]]). Stats/df
-    * sum across segments exactly as the single-query probe does. */
+  /** Below this many DISTINCT batch terms, the indexed batch path
+    * collects them (a bounded, threshold-gated collect — the
+    * request-sized term set, not corpus data) and filters postings/df
+    * with a pushed literal `token IN`, keeping [[bm25TopKIndexed]]'s
+    * row-group pruning; above it, a broadcast semi-join trades
+    * per-term pruning for one un-pruned postings scan serving the
+    * whole batch (the backfill regime, where the union of terms
+    * covers most row groups anyway). */
+  val Bm25BatchPushdownMaxTerms = 128
+
+  /** [[bm25ScoresBatch]] against the PERSISTED index. Term filtering
+    * is adaptive (see [[Bm25BatchPushdownMaxTerms]]): interactive-
+    * sized batches keep the single-query probe's pushed `token IN`
+    * pruning; backfill-sized batches semi-join so the term list never
+    * rides the driver. Stats/df sum across segments exactly as the
+    * single-query probe does. */
   private def bm25ScoresIndexedBatch(
       spark: org.apache.spark.sql.SparkSession,
       indexPath: String,
@@ -497,11 +505,18 @@ object Retrieval {
             col("n_docs").cast("double"))
           .as("avgdl"))
     val terms = qTerms.select("token").distinct()
-    val dfreq = spark.read.parquet(s"$indexPath/df")
-      .join(broadcast(terms), Seq("token"), "left_semi")
+    // threshold-gated: collect at most max+1 terms to decide; only a
+    // request-bounded term set ever reaches the driver
+    val pushable = terms.limit(Bm25BatchPushdownMaxTerms + 1)
+      .collect().map(_.getString(0))
+    val termFilter: DataFrame => DataFrame =
+      if (pushable.length <= Bm25BatchPushdownMaxTerms)
+        df => df.filter(col("token").isin(pushable.toIndexedSeq: _*))
+      else
+        df => df.join(broadcast(terms), Seq("token"), "left_semi")
+    val dfreq = termFilter(spark.read.parquet(s"$indexPath/df"))
       .groupBy("token").agg(sum(col("df")).as("df"))
-    spark.read.parquet(s"$indexPath/postings")
-      .join(broadcast(terms), Seq("token"), "left_semi")
+    termFilter(spark.read.parquet(s"$indexPath/postings"))
       .join(broadcast(dfreq), Seq("token"))
       .crossJoin(broadcast(stats))
       .withColumn("idf",
@@ -638,8 +653,10 @@ object Retrieval {
 
   /** [[hybridTopK]] with the lexical side served from the PERSISTED
     * BM25 index ([[bm25ScoresIndexedBatch]]) — tokenize/df/stats
-    * amortized into the build, one postings scan for the whole query
-    * batch. Same arithmetic and ranking as the live path on the same
+    * amortized into the build; postings read once for the whole query
+    * batch, with pushed `token IN` row-group pruning when the batch's
+    * distinct terms fit [[Bm25BatchPushdownMaxTerms]]. Same
+    * arithmetic and ranking as the live path on the same
     * corpus, so its oracle applies verbatim — a live↔indexed drift
     * surfaces as a hash mismatch. The dense side stays in-plan (hash
     * vectors are a projection; a learned-embedding deployment swaps

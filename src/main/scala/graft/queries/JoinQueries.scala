@@ -79,7 +79,16 @@ object JoinQueries {
     * dirs are immutable, so the count check only guards the
     * regenerated-in-place case. This is the serving-index pattern
     * applied to join layout: the one-time write is the amortized
-    * cost, every query on the key plans with NO Exchange after it. */
+    * cost, every query on the key plans with NO Exchange after it.
+    *
+    * The row-count validation itself runs ONCE per (session, table) —
+    * it scans both fact tables, which at the x100 tier is seconds of
+    * pure re-validation per query execution; after the first check the
+    * memo trusts the immutable layout (same lifecycle as the
+    * serving-index validity markers). */
+  private val validatedLayouts =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def bucketedFacts(
       s: org.apache.spark.sql.SparkSession,
       d: String): (org.apache.spark.sql.DataFrame,
@@ -88,6 +97,8 @@ object JoinQueries {
     def ensure(name: String, src: org.apache.spark.sql.DataFrame,
         key: String): org.apache.spark.sql.DataFrame = {
       val full = s"graft_${name}_bkt_$tag"
+      val memoKey = s"${System.identityHashCode(s)}:$full"
+      if (validatedLayouts.contains(memoKey)) return s.table(full)
       if (!s.catalog.tableExists(full) ||
           s.table(full).count() != src.count()) {
         // the in-memory catalog is per-session but the warehouse dir
@@ -100,6 +111,7 @@ object JoinQueries {
         if (fs.exists(loc)) fs.delete(loc, true)
         graft.maintain.Bucketing.writeBucketed(src, full, key, 32)
       }
+      validatedLayouts.add(memoKey)
       s.table(full)
     }
     (ensure("lineitem", Tables.lineitem(s, d), "l_orderkey"),

@@ -227,5 +227,26 @@ class RetrievalSpec extends AnyFunSuite {
         hybridQs, k = 10, nPerSide = 20)
       .orderBy("query_id", "rank").collect().toSeq
     assert(live == indexed)
+
+    // a small batch's distinct terms ride a pushed token IN into the
+    // postings scan — the single-query probe's row-group pruning
+    // survives batching below the threshold
+    val plan = Retrieval.hybridTopKIndexed(spark, path, hybridDocs,
+        hybridQs, k = 10, nPerSide = 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("In(token"), plan)
+
+    // above the threshold the term list must NOT ride the driver into
+    // a literal filter — the plan joins instead (and still answers:
+    // the over-threshold batch subsumes the small one's queries)
+    val wide = (0 until Retrieval.Bm25BatchPushdownMaxTerms + 20)
+      .map(i => (i, s"term$i hash merge")).toDF("query_id", "query_text")
+    val widePlan = Retrieval.hybridTopKIndexed(spark, path, hybridDocs,
+        wide, k = 5, nPerSide = 10)
+      .queryExecution.executedPlan.toString
+    assert(!widePlan.contains("In(token"), "term literals leaked into " +
+      "the over-threshold plan")
+    assert(Retrieval.hybridTopKIndexed(spark, path, hybridDocs, wide,
+      k = 5, nPerSide = 10).count() > 0)
   }
 }

@@ -2685,6 +2685,78 @@ object LlmQueries {
     },
     Some(hybridOracleSql))
 
+  /** MMR diversification ([[Retrieval.mmrDiversify]]): the dedup-aware
+    * retrieval re-rank — greedy `argmax λ·rel − (1−λ)·maxSim(selected)`
+    * over the dense top-15, k=5, λ=0.7. FULL row-level oracle: DuckDB
+    * re-derives the candidate set, the pairwise similarity matrix and
+    * the ENTIRE greedy sequence as a recursive CTE (one row per pick,
+    * the chosen set carried as a list) — every pick, rank and MMR
+    * score checked. */
+  val mmrQ = Q(
+    "retrieval_mmr",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val q = s.range(1)
+        .select(Retrieval.hashEmbed(lit("hash join merge")).as("q"))
+      val cands = Tables.documents(s, d)
+        .select(col("doc_id"), Retrieval.hashEmbed(col("text")).as("vec"))
+        .crossJoin(broadcast(q))
+        .select(col("doc_id"), col("vec"),
+          round(Similarity.cosine(col("vec"), col("q")), 4).as("rel"))
+        .orderBy(col("rel").desc, col("doc_id")).limit(15)
+      Retrieval.mmrDiversify(cands, k = 5, lambda = 0.7)
+    },
+    Some {
+      def hashVec(toksExpr: String): String =
+        s"""[CAST(len(list_filter([${duckdbTextHash("tok")} % 16
+               for tok in $toksExpr], h -> h = j)) AS DOUBLE)
+             for j in range(0, 16)]"""
+      s"""WITH RECURSIVE
+          bl AS (SELECT doc_id,
+                        string_split_regex(trim(lower(coalesce(text, ''))),
+                          '\\s+') AS toks
+                 FROM documents),
+          dv AS (SELECT doc_id, ${hashVec("toks")} AS v FROM bl),
+          qv AS (SELECT ${hashVec(
+                   """string_split_regex(
+                        trim(lower('hash join merge')), '\s+')""")} AS q),
+          cand AS (SELECT doc_id, v, rel FROM (
+                     SELECT dv.doc_id, dv.v,
+                            ROUND(list_cosine_similarity(dv.v, qv.q), 4)
+                              AS rel
+                     FROM dv, qv
+                     ORDER BY rel DESC, doc_id LIMIT 15)),
+          sims AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+                          ROUND(list_cosine_similarity(a.v, b.v), 4)
+                            AS sim
+                   FROM cand a JOIN cand b ON a.doc_id <> b.doc_id),
+          sel AS (
+            SELECT 1 AS step, [c.doc_id] AS chosen, c.doc_id AS picked,
+                   ROUND(0.7 * c.rel - (1.0 - 0.7) * 0.0, 6) AS mmr
+            FROM (SELECT doc_id, rel FROM cand
+                  ORDER BY ROUND(0.7 * rel - (1.0 - 0.7) * 0.0, 6)
+                    DESC, doc_id
+                  LIMIT 1) c
+            UNION ALL
+            SELECT t.step + 1, list_append(t.chosen, t.pick_id),
+                   t.pick_id, t.pick_mmr
+            FROM (
+              SELECT s.step AS step, s.chosen AS chosen,
+                     c.doc_id AS pick_id,
+                     ROUND(0.7 * c.rel - (1.0 - 0.7) * (
+                       SELECT MAX(m.sim) FROM sims m
+                       WHERE m.ia = c.doc_id
+                         AND list_contains(s.chosen, m.ib)
+                     ), 6) AS pick_mmr
+              FROM sel s
+              JOIN cand c ON NOT list_contains(s.chosen, c.doc_id)
+              WHERE s.step < 5
+              ORDER BY pick_mmr DESC, pick_id LIMIT 1) t)
+          SELECT picked AS doc_id, CAST(step AS INT) AS rank,
+                 mmr AS mmr_score
+          FROM sel ORDER BY rank"""
+    })
+
   /** Unigram LM quality score ([[LanguageModel.scoreUnigram]]): the
     * deterministic perplexity-filter stand-in. The oracle re-learns
     * the same top-1000 vocab (ties broken `(cnt DESC, token)` on both
@@ -4945,7 +5017,7 @@ object LlmQueries {
     nbClassifierQ, zipfAuditQ, fertilityQ, corpusCardQ,
     winnowFpQ, winnowPairsQ,
     unigramScore, bigramScore, pplBucketsQ, pplKeepQ, bm25TopK,
-    bm25Indexed, hybridTopKQ, hybridIndexedQ, bpePairs,
+    bm25Indexed, hybridTopKQ, hybridIndexedQ, mmrQ, bpePairs,
     bpeEncode, corpusDrift,
     driftBySource, distinctiveTermsQ, numericPsi, corpusDiffQ,
     pipelineDeconCap,

@@ -688,4 +688,84 @@ object Retrieval {
         idCol, queryIdCol, queryTextCol),
       k, nPerSide, rrfK, queryIdCol, idCol)
   }
+
+  // ---- MMR diversification --------------------------------------------
+
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    * 1998) of a BOUNDED retrieval candidate set — the dedup-aware
+    * serving stage: plain top-k returns near-duplicate hits, MMR
+    * greedily picks `argmax λ·rel(c) − (1−λ)·max_{s∈selected}
+    * sim(c, s)`, trading relevance against redundancy. A RAG corpus
+    * build runs this between retrieval and prompt assembly.
+    *
+    * MMR is inherently sequential (each pick conditions on the
+    * previous ones), so it runs as a driver-side greedy over the
+    * candidate frame — which is BOUNDED BY CONSTRUCTION (it is the
+    * upstream top-n; a hard `maxCandidates` cap makes an unbounded
+    * caller fail loudly instead of collecting a corpus). Same
+    * lifecycle as the other threshold-gated driver passes
+    * (`Sampling.mixturePlan`, dedup's union-find).
+    *
+    * Determinism contract (oracle-shared): pairwise similarity is
+    * round-4 cosine (left-to-right fold, the column expression's
+    * order), the MMR score is `round(λ·rel − (1−λ)·maxSim, 6)` with
+    * λ-literals written identically on both engines, ties break
+    * `(mmr DESC, id ASC)`, and the first pick sees `maxSim = 0`.
+    * Output: `(idCol, rank, mmr_score)` in pick order; fewer than `k`
+    * rows when the candidate set exhausts. */
+  def mmrDiversify(
+      candidates: DataFrame,
+      k: Int,
+      lambda: Double = 0.7,
+      idCol: String = "doc_id",
+      relCol: String = "rel",
+      vecCol: String = "vec",
+      maxCandidates: Int = 256): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1]: $lambda")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val rows = candidates
+      .select(col(idCol).cast("long"), col(relCol).cast("double"),
+        transform(col(vecCol), x => x.cast("double")))
+      .limit(maxCandidates + 1)
+      .collect()
+    require(rows.length <= maxCandidates,
+      s"mmrDiversify candidates must be bounded (> $maxCandidates " +
+        "rows reached the greedy stage — pass the upstream top-n, " +
+        "not a corpus)")
+    val cands = rows.map(r =>
+      (r.getLong(0), r.getDouble(1), r.getSeq[Double](2).toArray))
+    def round(x: Double, s: Int): Double =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // round-4 cosine, left-to-right folds — the column expression's
+    // own summation order, so the oracle's list_cosine_similarity
+    // lands on the same rounded value
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      round(dot / (math.sqrt(na) * math.sqrt(nb)), 4)
+    }
+    val byId = cands.map(c => c._1 -> c).toMap
+    val selected = scala.collection.mutable.ArrayBuffer.empty[
+      (Long, Int, Double)]
+    val remaining = scala.collection.mutable.TreeSet.from(
+      cands.map(_._1))
+    val oneMinus = 1.0 - lambda
+    while (selected.size < k && remaining.nonEmpty) {
+      val scored = remaining.toSeq.map { id =>
+        val (_, rel, v) = byId(id)
+        val maxSim =
+          if (selected.isEmpty) 0.0
+          else selected.map(s => cos(v, byId(s._1)._3)).max
+        (round(lambda * rel - oneMinus * maxSim, 6), id)
+      }
+      val (best, bestId) = scored.minBy { case (m, id) => (-m, id) }
+      selected += ((bestId, selected.size + 1, best))
+      remaining.remove(bestId)
+    }
+    selected.toSeq.toDF(idCol, "rank", "mmr_score")
+  }
 }

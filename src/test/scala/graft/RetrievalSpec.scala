@@ -249,4 +249,40 @@ class RetrievalSpec extends AnyFunSuite {
     assert(Retrieval.hybridTopKIndexed(spark, path, hybridDocs, wide,
       k = 5, nPerSide = 10).count() > 0)
   }
+
+  // ---- MMR diversification --------------------------------------------
+
+  test("MMR picks the diverse candidate over the redundant higher-rel one") {
+    // 1 and 2 are near-duplicates (cos ≈ 1 after round-4); 3 is
+    // orthogonal with lower relevance. Pure relevance order is
+    // (1, 2, 3); MMR at λ=0.7 must pick 3 second: for candidate 2,
+    // 0.7·0.89 − 0.3·1.0 = 0.323 < 0.7·0.5 = 0.35.
+    val cands = Seq(
+      (1L, 0.9, Seq(1.0, 0.0)),
+      (2L, 0.89, Seq(1.0, 0.01)),
+      (3L, 0.5, Seq(0.0, 1.0))).toDF("doc_id", "rel", "vec")
+    val got = Retrieval.mmrDiversify(cands, k = 5, lambda = 0.7)
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 3L, 2L), got.toString)
+    assert(got.map(_._2) == Seq(1, 2, 3))
+    val scores = got.map(_._3)
+    assert(math.abs(scores(0) - 0.63) < 1e-12)
+    assert(math.abs(scores(1) - 0.35) < 1e-12)
+    assert(math.abs(scores(2) - 0.323) < 1e-12)
+  }
+
+  test("MMR exhausts short candidate sets and rejects unbounded ones") {
+    val three = Seq(
+      (1L, 0.9, Seq(1.0, 0.0)),
+      (2L, 0.8, Seq(0.0, 1.0)),
+      (3L, 0.7, Seq(1.0, 1.0))).toDF("doc_id", "rel", "vec")
+    assert(Retrieval.mmrDiversify(three, k = 10).count() == 3)
+
+    val wide = (1L to 10L).map(i => (i, 0.5, Seq(i.toDouble, 1.0)))
+      .toDF("doc_id", "rel", "vec")
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.mmrDiversify(wide, k = 2, maxCandidates = 5)
+    }
+    assert(e.getMessage.contains("bounded"))
+  }
 }

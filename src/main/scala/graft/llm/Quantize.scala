@@ -18,6 +18,21 @@ object Quantize {
   private def asDouble(vecCol: String): Column =
     transform(col(vecCol), x => x.cast("double"))
 
+  /** Appends the shared (max|x| → scale → zero-safe divisor) scaffold
+    * to a frame carrying `__graft_v`: `__graft_scale = max|x|/127`,
+    * `__graft_ss = 1 when max|x| = 0 else __graft_scale`. ONE
+    * definition for quantize / dequantize / profile — the zero-vector
+    * guard and the scale arithmetic must stay identical across them
+    * or the `max_abs_err ≤ scale/2` invariant (QuantizeSpec) silently
+    * breaks between producer and audit. */
+  private def withSafeScale(df: DataFrame): DataFrame =
+    df.withColumn("__graft_maxabs",
+        array_max(transform(col("__graft_v"), x => abs(x))))
+      .withColumn("__graft_scale", col("__graft_maxabs") / lit(127.0))
+      .withColumn("__graft_ss",
+        when(col("__graft_maxabs") === 0.0, lit(1.0))
+          .otherwise(col("__graft_scale")))
+
   /** Symmetric per-vector int8 quantization: `scale = max|x| / 127`,
     * `q_i = round(x_i / scale)` (ties away from zero) — so
     * `|q_i| ≤ 127` by construction and dequantization is `q_i·scale`.
@@ -26,21 +41,14 @@ object Quantize {
     * `(scale, q: array<tinyint>)`. */
   def int8Quantize(
       embs: DataFrame,
-      idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val pass = embs.columns.filterNot(_ == vecCol).map(col).toSeq
-    embs
-      .select(pass :+ asDouble(vecCol).as("__graft_v"): _*)
-      .withColumn("__graft_maxabs",
-        array_max(transform(col("__graft_v"), x => abs(x))))
-      .withColumn("scale", col("__graft_maxabs") / lit(127.0))
-      .withColumn("__graft_ss",
-        when(col("__graft_maxabs") === 0.0, lit(1.0))
-          .otherwise(col("scale")))
+    withSafeScale(embs.select(pass :+ asDouble(vecCol).as("__graft_v"): _*))
+      .withColumn("scale", col("__graft_scale"))
       .withColumn("q",
         transform(col("__graft_v"),
           x => round(x / col("__graft_ss")).cast("byte")))
-      .drop("__graft_v", "__graft_maxabs", "__graft_ss")
+      .drop("__graft_v", "__graft_maxabs", "__graft_scale", "__graft_ss")
   }
 
   /** Dequantized vectors `(…pass-through…, dv: array<double>)` —
@@ -52,17 +60,11 @@ object Quantize {
       embs: DataFrame,
       vecCol: String = "embedding"): DataFrame = {
     val pass = embs.columns.filterNot(_ == vecCol).map(col).toSeq
-    embs
-      .select(pass :+ asDouble(vecCol).as("__graft_v"): _*)
-      .withColumn("__graft_maxabs",
-        array_max(transform(col("__graft_v"), x => abs(x))))
-      .withColumn("__graft_ss",
-        when(col("__graft_maxabs") === 0.0, lit(1.0))
-          .otherwise(col("__graft_maxabs") / lit(127.0)))
+    withSafeScale(embs.select(pass :+ asDouble(vecCol).as("__graft_v"): _*))
       .withColumn("dv",
         transform(col("__graft_v"),
           x => round(x / col("__graft_ss")) * col("__graft_ss")))
-      .drop("__graft_v", "__graft_maxabs", "__graft_ss")
+      .drop("__graft_v", "__graft_maxabs", "__graft_scale", "__graft_ss")
   }
 
   /** Per-vector reconstruction-error profile:
@@ -74,14 +76,7 @@ object Quantize {
       embs: DataFrame,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame =
-    embs
-      .select(col(idCol), asDouble(vecCol).as("__graft_v"))
-      .withColumn("__graft_maxabs",
-        array_max(transform(col("__graft_v"), x => abs(x))))
-      .withColumn("__graft_scale", col("__graft_maxabs") / lit(127.0))
-      .withColumn("__graft_ss",
-        when(col("__graft_maxabs") === 0.0, lit(1.0))
-          .otherwise(col("__graft_scale")))
+    withSafeScale(embs.select(col(idCol), asDouble(vecCol).as("__graft_v")))
       .withColumn("__graft_errs",
         transform(col("__graft_v"),
           x => abs(x - round(x / col("__graft_ss")) * col("__graft_ss"))))
@@ -99,6 +94,49 @@ object Quantize {
   private def sqDist(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, e) => acc + e)
+
+  /** Per-row dimension gate: a vector whose length differs from `dim`
+    * raises instead of flowing on — `zip_with`/`slice` null-pad
+    * length mismatches, which otherwise turns a ragged corpus or a
+    * wrong-dimension batch into silently wrong distances and codes
+    * (the failure the indexed path's stored `dim` check closes for
+    * queries; this closes it for vector INPUTS). */
+  private def dimChecked(v: Column, dim: Int, what: String): Column =
+    when(size(v) === dim, v).otherwise(raise_error(concat(
+      lit(s"$what dim "), size(v).cast("string"),
+      lit(s" != expected $dim"))))
+
+  /** The m×k ADC distance table
+    * `dtab[s][c] = round₆‖q_sub(s) − cb[c]_sub(s)‖²` from a query
+    * vector column and a broadcast/literal codebook column — the ONE
+    * definition every live and indexed probe shares, so the round-6 /
+    * slice arithmetic cannot drift between paths. Callers keep the
+    * result in zip_with ARGUMENT position (the HOF outer-reference
+    * trap — SURVEY §4). */
+  private def adcTable(q: Column, cbCol: Column, m: Int,
+      sub: Column): Column =
+    transform(sequence(lit(0), lit(m - 1)), s => {
+      val lo = s * sub + 1
+      transform(cbCol, c =>
+        round(sqDist(slice(q, lo, sub),
+          slice(c.getField("c_vec"), lo, sub)), 6))
+    })
+
+  /** The per-subspace PQ encode — argmin round-6 sqDist, lower index
+    * ties — of a vector column against a codebook column: the ONE
+    * definition shared by the standalone encode, the live IVF-PQ
+    * probe, the index build and the index append, so the assignment
+    * contract cannot drift between them. */
+  private def pqArgminCodes(v: Column, cbCol: Column, m: Int,
+      sub: Column): Column =
+    transform(sequence(lit(0), lit(m - 1)), s => {
+      val lo = s * sub + 1
+      array_min(transform(cbCol, (c, ci) =>
+        struct(
+          round(sqDist(slice(v, lo, sub),
+            slice(c.getField("c_vec"), lo, sub)), 6).as("dist"),
+          ci.as("code")))).getField("code")
+    })
 
   /** The deterministic PQ codebook: per subspace, the sub-vectors of
     * the `k` LOWEST-ID vectors, in id order — a pure function of the
@@ -157,16 +195,7 @@ object Quantize {
       .crossJoin(broadcast(cb))
       .select(
         col(idCol),
-        transform(sequence(lit(0), lit(m - 1)), s => {
-          val lo = s * sub + 1
-          array_min(transform(col("cb"), (c, ci) =>
-            struct(
-              round(sqDist(
-                slice(col("__graft_v"), lo, sub),
-                slice(c.getField("c_vec"), lo, sub)), 6).as("dist"),
-              ci.as("code"))))
-            .getField("code")
-        }).as("codes"))
+        pqArgminCodes(col("__graft_v"), col("cb"), m, sub).as("codes"))
   }
 
   /** Asymmetric-distance (ADC) top-k over PQ codes: the query stays
@@ -187,18 +216,19 @@ object Quantize {
       k: Int = 16,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val cb = codebook(embs, k, idCol, vecCol)
-    val codes = pqCodesWith(embs, cb, m, idCol, vecCol)
+    require(queryVec.length % m == 0,
+      s"dim ${queryVec.length} must be divisible by m=$m")
+    // corpus rows must match the query dimension — a ragged or
+    // mismatched row raises instead of null-padding into wrong codes
+    val checked = embs.withColumn(vecCol,
+      dimChecked(col(vecCol), queryVec.length, "corpus vector"))
+    val cb = codebook(checked, k, idCol, vecCol)
+    val codes = pqCodesWith(checked, cb, m, idCol, vecCol)
     val q = typedLit(queryVec.toSeq)
     val sub = queryVec.length / m
     // dtab[s][c] = ||q_sub(s) − cb[c]_sub(s)||², m×k doubles, built
     // once per task from the broadcast codebook row
-    val dtab = transform(sequence(lit(0), lit(m - 1)), s => {
-      val lo = s * sub + 1
-      transform(col("cb"), c =>
-        round(sqDist(slice(q, lo, lit(sub)),
-          slice(c.getField("c_vec"), lo, lit(sub))), 6))
-    })
+    val dtab = adcTable(q, col("cb"), m, lit(sub))
     codes
       .crossJoin(broadcast(cb))
       .select(col(idCol),
@@ -307,7 +337,10 @@ object Quantize {
     require(nprobe >= 1, s"nprobe must be ≥ 1: $nprobe")
     require(queryVec.length % m == 0,
       s"dim ${queryVec.length} must be divisible by m=$m")
-    val vecs = Similarity.doubleVecs(embs, idCol, vecCol)
+    // corpus rows must match the query dimension (see pqTopK)
+    val checked = embs.withColumn(vecCol,
+      dimChecked(col(vecCol), queryVec.length, "corpus vector"))
+    val vecs = Similarity.doubleVecs(checked, idCol, vecCol)
     val cents = Similarity.lloydCentroids(vecs, nlist, iters)
     if (cents.isEmpty)
       return embs.select(col(idCol),
@@ -327,26 +360,14 @@ object Quantize {
       .orderBy(col("qc").desc, col("list_id"))
       .limit(nprobe)
       .select("list_id")
-    val cb = codebook(embs, k, idCol, vecCol)
+    val cb = codebook(checked, k, idCol, vecCol)
     // dtab[s][c] = round₆‖q_sub(s) − cb[c]_sub(s)‖², m×k doubles from
-    // the broadcast codebook row (built once per task)
-    val dtab = transform(sequence(lit(0), lit(m - 1)), s => {
-      val lo = s * sub + 1
-      transform(col("cb"), c =>
-        round(sqDist(slice(q, lo, lit(sub)),
-          slice(c.getField("c_vec"), lo, lit(sub))), 6))
-    })
-    // per-subspace codes: argmin round-6 sqDist, lower index ties —
+    // the broadcast codebook row (built once per task); codes are
     // pqCodes' exact assignment, fused inline so the probed rows
-    // encode and score in the same scan
-    val codesExpr = transform(sequence(lit(0), lit(m - 1)), s => {
-      val lo = s * sub + 1
-      array_min(transform(col("cb"), (c, ci) =>
-        struct(
-          round(sqDist(slice(col("v"), lo, lit(sub)),
-            slice(c.getField("c_vec"), lo, lit(sub))), 6).as("dist"),
-          ci.as("code")))).getField("code")
-    })
+    // encode and score in the same scan — both from the shared
+    // single-definition helpers
+    val dtab = adcTable(q, col("cb"), m, lit(sub))
+    val codesExpr = pqArgminCodes(col("v"), col("cb"), m, lit(sub))
     // dtab and codesExpr sit in zip_with ARGUMENT position (pqTopK's
     // shape), so each evaluates once per row — referencing dtab from
     // inside a per-subspace lambda would re-evaluate the whole m×k
@@ -499,17 +520,8 @@ object Quantize {
     * per-subspace argmin (round-6 sqDist, lower index ties) — shared
     * by the index build and the append path so the two cannot
     * drift. */
-  private def fusedCodes(m: Int): Column = {
-    val sub = size(col("v")) / m
-    transform(sequence(lit(0), lit(m - 1)), s => {
-      val lo = s * sub + 1
-      array_min(transform(col("cb"), (c, ci) =>
-        struct(
-          round(sqDist(slice(col("v"), lo, sub),
-            slice(c.getField("c_vec"), lo, sub)), 6).as("dist"),
-          ci.as("code")))).getField("code")
-    })
-  }
+  private def fusedCodes(m: Int): Column =
+    pqArgminCodes(col("v"), col("cb"), m, size(col("v")) / m)
 
   /** Incremental index maintenance: assign NEW vectors to the FROZEN
     * coarse quantizer, encode them with the FROZEN codebook, and
@@ -555,9 +567,18 @@ object Quantize {
         m = m, k = meta.getAs[Int]("k"), idCol = idCol, vecCol = vecCol)
       return
     }
+    // the stored dim gates every appended row: a wrong-dimension
+    // batch would null-pad through zip_with into garbage codes that
+    // poison every future probe — raise instead (the same gate the
+    // probes apply to queries)
+    val storedDim = meta.getAs[Int]("dim")
+    val checked =
+      if (storedDim < 0) newVecs
+      else newVecs.withColumn(vecCol,
+        dimChecked(col(vecCol), storedDim, "appended vector"))
     graft.maintain.Segments.writeSegment(
       Similarity.assignToCentroids(
-          Similarity.doubleVecs(newVecs, idCol, vecCol), cents)
+          Similarity.doubleVecs(checked, idCol, vecCol), cents)
         .withColumn("cb", readCodebookLiteral(spark, path))
         .select(col("vid").as("id"), col("cid"), fusedCodes(m).as("codes")),
       s"$path/codes", segId)
@@ -632,12 +653,7 @@ object Quantize {
     // the stored codebook enters as a plan literal in ci order —
     // positions must match the stored codes
     val cbLit = readCodebookLiteral(spark, indexPath)
-    val dtab = transform(sequence(lit(0), lit(m - 1)), s => {
-      val lo = s * sub + 1
-      transform(cbLit, c =>
-        round(sqDist(slice(q, lo, lit(sub)),
-          slice(c.getField("c_vec"), lo, lit(sub))), 6))
-    })
+    val dtab = adcTable(q, cbLit, m, lit(sub))
     val codes0 = spark.read.parquet(s"$indexPath/codes")
       .filter(col("id") =!= lit(excludeId))
     val codes = nprobe match {
@@ -772,12 +788,7 @@ object Quantize {
     // query length, so it equals storedDim/m
     val cbLit = readCodebookLiteral(spark, indexPath)
     val sub = size(col("__graft_qv")) / m
-    val dtab = transform(sequence(lit(0), lit(m - 1)), s => {
-      val lo = s * sub + 1
-      transform(cbLit, c =>
-        round(sqDist(slice(col("__graft_qv"), lo, sub),
-          slice(c.getField("c_vec"), lo, sub)), 6))
-    })
+    val dtab = adcTable(col("__graft_qv"), cbLit, m, sub)
     val qTabs = qChecked.select(
       col("__graft_qid"), col("__graft_qv"), dtab.as("__graft_dtab"))
     // probe ranking in-plan on the stored nlist-row centroid table —

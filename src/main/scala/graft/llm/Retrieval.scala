@@ -736,35 +736,44 @@ object Retrieval {
         "not a corpus)")
     val cands = rows.map(r =>
       (r.getLong(0), r.getDouble(1), r.getSeq[Double](2).toArray))
+    cands.foreach { case (id, rel, _) =>
+      require(!rel.isNaN, s"NaN relevance for candidate $id") }
     def round(x: Double, s: Int): Double =
       BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
     // round-4 cosine, left-to-right folds — the column expression's
     // own summation order, so the oracle's list_cosine_similarity
-    // lands on the same rounded value
+    // lands on the same rounded value; a zero vector is maximally
+    // diverse (sim 0), never a NaN that would abort the greedy
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) {
         dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
       }
-      round(dot / (math.sqrt(na) * math.sqrt(nb)), 4)
+      if (na == 0.0 || nb == 0.0) 0.0
+      else round(dot / (math.sqrt(na) * math.sqrt(nb)), 4)
     }
     val byId = cands.map(c => c._1 -> c).toMap
     val selected = scala.collection.mutable.ArrayBuffer.empty[
       (Long, Int, Double)]
     val remaining = scala.collection.mutable.TreeSet.from(
       cands.map(_._1))
+    // incremental MMR: each candidate's max similarity to the
+    // selected set only grows by comparison against the NEWEST pick,
+    // so the loop is O(n·k) cosines, not O(n·k²)
+    val maxSim = scala.collection.mutable.Map.empty[Long, Double]
+      .withDefaultValue(0.0)
     val oneMinus = 1.0 - lambda
     while (selected.size < k && remaining.nonEmpty) {
       val scored = remaining.toSeq.map { id =>
-        val (_, rel, v) = byId(id)
-        val maxSim =
-          if (selected.isEmpty) 0.0
-          else selected.map(s => cos(v, byId(s._1)._3)).max
-        (round(lambda * rel - oneMinus * maxSim, 6), id)
+        (round(lambda * byId(id)._2 - oneMinus * maxSim(id), 6), id)
       }
       val (best, bestId) = scored.minBy { case (m, id) => (-m, id) }
       selected += ((bestId, selected.size + 1, best))
       remaining.remove(bestId)
+      remaining.foreach { id =>
+        val s = cos(byId(id)._3, byId(bestId)._3)
+        if (s > maxSim(id)) maxSim(id) = s
+      }
     }
     selected.toSeq.toDF(idCol, "rank", "mmr_score")
   }

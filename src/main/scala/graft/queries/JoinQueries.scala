@@ -94,8 +94,13 @@ object JoinQueries {
       d: String): (org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame) = {
     val tag = java.lang.Integer.toHexString(d.hashCode)
+    // check-then-build serializes under one lock: two first
+    // executions racing DROP + fs.delete + writeBucketed against the
+    // same warehouse path would otherwise corrupt the layout and
+    // memoize the wreck
     def ensure(name: String, src: org.apache.spark.sql.DataFrame,
-        key: String): org.apache.spark.sql.DataFrame = {
+        key: String): org.apache.spark.sql.DataFrame =
+      validatedLayouts.synchronized {
       val full = s"graft_${name}_bkt_$tag"
       val memoKey = s"${System.identityHashCode(s)}:$full"
       if (validatedLayouts.contains(memoKey)) return s.table(full)

@@ -373,6 +373,33 @@ class QuantizeSpec extends AnyFunSuite {
     }
   }
 
+  test("wrong-dimension vectors raise loudly instead of null-padding") {
+    // live path: a ragged corpus row must raise, not slip a
+    // null-padded sqDist into the codes (zip_with pads mismatches)
+    val ragged = Seq(
+      (1L, Array.fill(16)(1.0f)),
+      (2L, Array.fill(8)(1.0f))).toDF("vec_id", "embedding")
+    val q16 = Array.fill(16)(0.5)
+    val e1 = intercept[Exception] {
+      Quantize.pqTopK(ragged, q16, topK = 2, m = 8, k = 2).collect()
+    }
+    assert(e1.getMessage.contains("dim"), e1.getMessage)
+
+    // append path: a wrong-dimension batch must raise, not poison the
+    // persisted codes for every future probe
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val path = java.nio.file.Files
+      .createTempDirectory("pq_index_dimguard").toString
+    Quantize.writePqIndex(embs, path, nlist = 4, iters = 2, m = 8, k = 16)
+    val bad = Seq((999999L, Array.fill(32)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val e2 = intercept[Exception] {
+      Quantize.appendToPqIndex(bad, path)
+    }
+    assert(e2.getMessage.contains("dim"), e2.getMessage)
+  }
+
   test("wrong-dimension query is rejected by the stored index dim") {
     val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select("vec_id", "embedding")

@@ -271,6 +271,20 @@ class RetrievalSpec extends AnyFunSuite {
     assert(math.abs(scores(2) - 0.323) < 1e-12)
   }
 
+  test("MMR treats a zero-vector candidate as maximally diverse, not NaN") {
+    // a zero hash-vector (empty chunk) used to crash the greedy with
+    // BigDecimal(NaN); it must score sim 0 against everything instead
+    val cands = Seq(
+      (1L, 0.9, Seq(1.0, 0.0)),
+      (2L, 0.8, Seq(0.0, 0.0)),
+      (3L, 0.7, Seq(1.0, 0.01))).toDF("doc_id", "rel", "vec")
+    val got = Retrieval.mmrDiversify(cands, k = 3, lambda = 0.7)
+      .as[(Long, Int, Double)].collect().toSeq
+    // zero-vec doc 2: maxSim stays 0 -> 0.7*0.8 = 0.56 beats doc 3's
+    // redundancy-penalized 0.7*0.7 - 0.3*1.0
+    assert(got.map(_._1) == Seq(1L, 2L, 3L), got.toString)
+  }
+
   test("MMR exhausts short candidate sets and rejects unbounded ones") {
     val three = Seq(
       (1L, 0.9, Seq(1.0, 0.0)),

@@ -42,49 +42,99 @@ object Segments {
 
   private val SegIdPattern = "[A-Za-z0-9_-]+"
 
+  /** Per-table-path monitors: appends and compactions of the SAME
+    * table serialize within this JVM, so a segment written while a
+    * compaction is between its canonical read and its swap cannot be
+    * renamed into the backup and deleted (same-process exclusion
+    * only — cross-process maintenance must be externally scheduled,
+    * the standard offline-compaction contract, stated on
+    * [[replaceTable]]). */
+  private val tableLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(tablePath: String): Object =
+    tableLocks.computeIfAbsent(tablePath, _ => new Object)
+
+  private def bakPath(tablePath: String): Path =
+    new Path(tablePath.stripSuffix("/") + "__swap_bak")
+
   /** Write `df` as segment `segId` of `tablePath` — IDEMPOTENT per
     * (tablePath, segId): the write targets the segment's own directory
     * with overwrite mode, so re-running the identical write replaces
     * the segment instead of appending beside it. An empty `df` still
     * writes a schema-bearing empty file (a freshly-built empty index
-    * must read back as an empty table, not a read error). */
-  def writeSegment(df: DataFrame, tablePath: String, segId: String): Unit = {
-    require(segId.matches(SegIdPattern),
-      s"segment id must match $SegIdPattern: '$segId'")
+    * must read back as an empty table, not a read error).
+    *
+    * Appends must not target [[BaseSeg]] (that would silently replace
+    * the whole initial build — [[writeBase]] is the rebuild). A
+    * crashed compaction is HEALED before writing: if the real table
+    * sits at `__swap_bak` (crash between the swap renames), writing
+    * into a recreated `tablePath` would make the next recover delete
+    * the backup — the entire pre-crash table — as stale. */
+  def writeSegment(df: DataFrame, tablePath: String, segId: String): Unit =
+    lockFor(tablePath).synchronized {
+      require(segId.matches(SegIdPattern),
+        s"segment id must match $SegIdPattern: '$segId'")
+      require(segId != BaseSeg,
+        s"appends must not target the '$BaseSeg' segment — " +
+          "writeBase performs a rebuild")
+      val p = new Path(tablePath)
+      val fs = p.getFileSystem(
+        df.sparkSession.sparkContext.hadoopConfiguration)
+      Swap.recover(fs, p, bakPath(tablePath))
+      writeRaw(df, tablePath, segId)
+    }
+
+  private def writeRaw(
+      df: DataFrame, tablePath: String, segId: String): Unit =
     df.write.mode("overwrite").parquet(s"$tablePath/seg=$segId")
-  }
 
   /** Clear `tablePath` entirely and write `df` as its single
-    * [[BaseSeg]] segment — the full-build form ([[writeSegment]] on a
-    * dirty path would leave stale sibling segments or, worse, root
-    * files from a pre-segment layout beside partition dirs, which
-    * breaks partition discovery). */
-  def writeBase(df: DataFrame, tablePath: String): Unit = {
-    val p = new Path(tablePath)
-    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && !fs.delete(p, true))
-      throw new Swap.SwapFailedException(s"could not clear $tablePath")
-    writeSegment(df, tablePath, BaseSeg)
-  }
+    * [[BaseSeg]] segment — the full-build form (a plain segment write
+    * on a dirty path would leave stale sibling segments or, worse,
+    * root files from a pre-segment layout beside partition dirs,
+    * which breaks partition discovery). A leftover swap backup is
+    * cleared too: the rebuild supersedes whatever state a crashed
+    * compaction left behind. */
+  def writeBase(df: DataFrame, tablePath: String): Unit =
+    lockFor(tablePath).synchronized {
+      val p = new Path(tablePath)
+      val fs = p.getFileSystem(
+        df.sparkSession.sparkContext.hadoopConfiguration)
+      val bak = bakPath(tablePath)
+      if (fs.exists(bak) && !fs.delete(bak, true))
+        throw new Swap.SwapFailedException(s"could not clear $bak")
+      if (fs.exists(p) && !fs.delete(p, true))
+        throw new Swap.SwapFailedException(s"could not clear $tablePath")
+      writeRaw(df, tablePath, BaseSeg)
+    }
 
   /** Replace the whole (multi-segment) table with the single-segment
     * canonical form produced by `canonical` (a function of the current
     * table contents), under the crash-safe [[Swap]] protocol: readers
     * see the old table or the new one, never halves; an interrupted
     * prior replace is healed first. The `seg` partition column is
-    * dropped from the frame `canonical` receives. */
+    * dropped from the frame `canonical` receives.
+    *
+    * Writer exclusion: appends and compactions of the same table
+    * serialize within this JVM (the shared per-path monitor — a
+    * segment appended between the canonical read and the swap would
+    * otherwise ride the old table into the backup and be deleted).
+    * ACROSS processes that exclusion must be operational: run
+    * compaction when no other process appends to the index, the
+    * standard offline-compaction contract. */
   def replaceTable(
       spark: SparkSession,
-      tablePath: String)(canonical: DataFrame => DataFrame): Unit = {
-    val p = new Path(tablePath)
-    val tmp = new Path(tablePath.stripSuffix("/") + "__swap_tmp")
-    val bak = new Path(tablePath.stripSuffix("/") + "__swap_bak")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Swap.recover(fs, p, bak)
-    if (fs.exists(tmp) && !fs.delete(tmp, true))
-      throw new Swap.SwapFailedException(s"could not clear stale $tmp")
-    canonical(spark.read.parquet(tablePath).drop("seg"))
-      .write.parquet(s"$tmp/seg=$BaseSeg")
-    Swap.replace(fs, p, tmp, bak)
-  }
+      tablePath: String)(canonical: DataFrame => DataFrame): Unit =
+    lockFor(tablePath).synchronized {
+      val p = new Path(tablePath)
+      val tmp = new Path(tablePath.stripSuffix("/") + "__swap_tmp")
+      val bak = bakPath(tablePath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Swap.recover(fs, p, bak)
+      if (fs.exists(tmp) && !fs.delete(tmp, true))
+        throw new Swap.SwapFailedException(s"could not clear stale $tmp")
+      canonical(spark.read.parquet(tablePath).drop("seg"))
+        .write.parquet(s"$tmp/seg=$BaseSeg")
+      Swap.replace(fs, p, tmp, bak)
+    }
 }

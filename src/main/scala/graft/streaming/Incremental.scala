@@ -366,6 +366,18 @@ object Incremental {
     * once), and the `st_ann_index_append` row pins appended-index
     * search against a DuckDB re-derivation of frozen-train +
     * full-corpus scoring. */
+  /** Segment-id namespace for the index-append stream arms: the batch
+    * id alone is CHECKPOINT-scoped — a second stream with its own
+    * checkpoint, or one whose checkpoint was recreated, restarts at
+    * batch 0 and would OVERWRITE the first stream's `b0` segment
+    * (writeSegment's replay idempotency turned into silent deletion
+    * of previously indexed rows). Hashing the checkpoint path into
+    * the id keeps a replay of the SAME checkpoint idempotent while
+    * distinct checkpoints write disjoint segments. (String.hashCode
+    * is spec-fixed, so the id survives JVM restarts.) */
+  private def indexSegId(checkpointDir: String, batchId: Long): String =
+    s"b${java.lang.Integer.toHexString(checkpointDir.hashCode)}_$batchId"
+
   def annIndexAppendStream(
       vecs: DataFrame,
       indexPath: String,
@@ -373,7 +385,7 @@ object Incremental {
     vecs.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         graft.llm.Quantize.appendToPqIndex(batch, indexPath,
-          segId = s"b$id")
+          segId = indexSegId(checkpointDir, id))
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -398,7 +410,7 @@ object Incremental {
     docs.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         graft.llm.Retrieval.appendToBm25Index(batch, indexPath,
-          segId = s"b$id")
+          segId = indexSegId(checkpointDir, id))
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -423,7 +435,7 @@ object Incremental {
     docs.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         graft.llm.Dedup.appendToLshIndex(batch, indexPath,
-          segId = s"b$id")
+          segId = indexSegId(checkpointDir, id))
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

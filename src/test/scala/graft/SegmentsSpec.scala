@@ -59,6 +59,37 @@ class SegmentsSpec extends AnyFunSuite {
     }
   }
 
+  test("an append must not target the base segment (that is a rebuild)") {
+    val t = TestSpark.tmpDir("segments_basereject")
+    Segments.writeBase(Seq(1, 2).toDF("x"), t)
+    val e = intercept[IllegalArgumentException] {
+      Segments.writeSegment(Seq(9).toDF("x"), t, Segments.BaseSeg)
+    }
+    assert(e.getMessage.contains("writeBase"))
+    assert(spark.read.parquet(t).count() == 2)
+  }
+
+  test("an append heals a crashed compaction instead of shadowing it") {
+    // crash window: a compaction died between its two renames — the
+    // REAL table sits only at __swap_bak. An append that recreated
+    // the table path would make the next recover() delete the backup
+    // (the entire pre-crash table) as stale; writeSegment must
+    // recover first.
+    val t = TestSpark.tmpDir("segments_healappend") + "/tbl"
+    Segments.writeBase(Seq(1, 2, 3).toDF("x"), t)
+    val p = new Path(t)
+    val bak = new Path(t + "__swap_bak")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(p, bak)) // simulate the crash window
+    Segments.writeSegment(Seq(4).toDF("x"), t, "b0")
+    assert(!fs.exists(bak), "backup not healed before the append")
+    assert(spark.read.parquet(t).select("x").as[Int].collect().sorted.toSeq
+      == Seq(1, 2, 3, 4), "pre-crash rows lost")
+    // and the next recover() is a no-op, not a data-loss event
+    Swap.recover(fs, p, bak)
+    assert(spark.read.parquet(t).count() == 4)
+  }
+
   test("probe interleaved with a compaction swap sees old-or-new, never halves") {
     import graft.llm.Retrieval
     val corpus = Tables.documents(spark, TestSpark.sf0001)

@@ -432,6 +432,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(diff == 0, s"bucket_counts differ in $diff rows")
   }
 
+  test("index-append segments are namespaced per checkpoint (a second stream cannot overwrite the first's batches)") {
+    import graft.llm.Dedup
+    // two separate streams (own checkpoints) append disjoint halves to
+    // ONE index. Both restart their batch ids at 0 — with a bare-
+    // batch-id segment name the second stream's b0 would OVERWRITE
+    // the first's b0 segment (silent deletion of indexed docs); the
+    // checkpoint-hashed namespace keeps them disjoint.
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text")
+    val base = docs.filter($"doc_id" % 4 === 0)
+    val lateA = docs.filter($"doc_id" % 4 === 1)
+    val lateB = docs.filter($"doc_id" % 4 === 2)
+    val idx = TestSpark.tmpDir("lsh-append-twock")
+    Dedup.writeLshIndex(base, idx)
+    def appendVia(late: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val srcDir = TestSpark.tmpDir(s"lsh-twock-src-$tag")
+      late.repartition(1).write.mode("overwrite").parquet(srcDir)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(srcDir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir)
+      Incremental.lshIndexAppendStream(stream, idx,
+        TestSpark.tmpDir(s"lsh-twock-ck-$tag")).awaitTermination()
+    }
+    appendVia(lateA, "a")
+    appendVia(lateB, "b")
+    val total = base.count() + lateA.count() + lateB.count()
+    assert(spark.read.parquet(s"$idx/digests").count() == total,
+      "a second stream's batch 0 replaced the first stream's segment")
+  }
+
   test("streaming PSI log matches per-batch frozen-reference PSI") {
     import graft.llm.Drift
     val srcDir = TestSpark.tmpDir("psi-src")

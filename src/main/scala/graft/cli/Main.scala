@@ -67,8 +67,9 @@ object Main {
         |         IVF-PQ top-k for a query vector from the index;
         |         --rerank refines the ADC shortlist by exact distance
         |  hybrid-search DOCS --query "free text" [--index BM25IDX]
-        |         [--k N] [--n-per-side N]
-        |         RRF fusion of BM25 + dense hash-embed cosine
+        |         [--k N] [--n-per-side N] [--diversify [--lambda L]]
+        |         RRF fusion of BM25 + dense hash-embed cosine;
+        |         --diversify MMR-reranks a 3k shortlist
         |  index-compact <lsh|bm25|ann> INDEX [--target-files N]
         |         merge appended segments back to the canonical layout
         |  decontaminate IN BENCH OUT [--shingle-k K] [--compression C]
@@ -426,26 +427,43 @@ object Main {
 
       case "hybrid-search" =>
         // hybrid-search DOCS --query "free text" [--index BM25IDX]
-        //   [--k N] [--n-per-side N]: reciprocal-rank fusion of BM25
-        // and dense hash-embed cosine over a documents parquet;
-        // --index serves the lexical side from a persisted BM25 index.
+        //   [--k N] [--n-per-side N] [--diversify [--lambda L]]:
+        // reciprocal-rank fusion of BM25 and dense hash-embed cosine
+        // over a documents parquet; --index serves the lexical side
+        // from a persisted BM25 index; --diversify re-ranks a 3k RRF
+        // shortlist with MMR (rel = rrf_score) so near-duplicate hits
+        // don't crowd the final k.
+        import org.apache.spark.sql.functions.{col, lit}
         val docsPath = args(1)
         graft.sources.Preflight.checkInput(spark, docsPath)
         val qtext = arg(args, "--query").getOrElse(
           sys.error("hybrid-search requires --query \"free text\""))
         val k = arg(args, "--k").map(_.toInt).getOrElse(10)
-        val n = arg(args, "--n-per-side").map(_.toInt).getOrElse(k * 2)
+        val diversify = args.contains("--diversify")
+        val kFetch = if (diversify) k * 3 else k
+        val n = arg(args, "--n-per-side").map(_.toInt).getOrElse(kFetch * 2)
         val docs = spark.read.parquet(docsPath)
         val qs = spark.range(1).select(
-          org.apache.spark.sql.functions.lit(0).as("query_id"),
-          org.apache.spark.sql.functions.lit(qtext).as("query_text"))
+          lit(0).as("query_id"), lit(qtext).as("query_text"))
         val fused = arg(args, "--index") match {
           case Some(bm25Idx) => graft.llm.Retrieval.hybridTopKIndexed(
-            spark, bm25Idx, docs, qs, k = k, nPerSide = n)
+            spark, bm25Idx, docs, qs, k = kFetch, nPerSide = n)
           case None => graft.llm.Retrieval.hybridTopK(
-            docs, qs, k = k, nPerSide = n)
+            docs, qs, k = kFetch, nPerSide = n)
         }
-        fused.orderBy("rank").drop("query_id").show(k, truncate = false)
+        if (diversify) {
+          val cands = fused
+            .select(col("doc_id"), col("rrf_score").as("rel"))
+            .join(docs.select(col("doc_id"),
+              graft.llm.Retrieval.hashEmbed(col("text")).as("vec")),
+              Seq("doc_id"))
+          graft.llm.Retrieval.mmrDiversify(cands, k = k,
+              lambda = arg(args, "--lambda").map(_.toDouble)
+                .getOrElse(0.7))
+            .show(k, truncate = false)
+        } else {
+          fused.orderBy("rank").drop("query_id").show(k, truncate = false)
+        }
 
       case "decontaminate-spans" =>
         // decontaminate-spans IN BENCH OUT: excise every BENCH-

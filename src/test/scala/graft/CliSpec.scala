@@ -123,6 +123,10 @@ class CliSpec extends AnyFunSuite {
       "--query", "hash merge", "--k", "5"))
     graft.cli.Main.run(spark, Array("hybrid-search", docsDir,
       "--query", "hash merge", "--k", "5", "--index", bmIdx))
+    // and the MMR-diversified form over the RRF shortlist
+    graft.cli.Main.run(spark, Array("hybrid-search", docsDir,
+      "--query", "hash merge", "--k", "5", "--diversify",
+      "--lambda", "0.6"))
   }
 
   test("optimize compacts via the CLI") {

@@ -457,9 +457,13 @@ object Main {
             .join(docs.select(col("doc_id"),
               graft.llm.Retrieval.hashEmbed(col("text")).as("vec")),
               Seq("doc_id"))
+          // cands is bounded by construction (≤ kFetch RRF rows), so
+          // size the guard to it — the default 256 would wrongly
+          // abort any --k above 85 (ADVICE r15)
           graft.llm.Retrieval.mmrDiversify(cands, k = k,
               lambda = arg(args, "--lambda").map(_.toDouble)
-                .getOrElse(0.7))
+                .getOrElse(0.7),
+              maxCandidates = kFetch)
             .show(k, truncate = false)
         } else {
           fused.orderBy("rank").drop("query_id").show(k, truncate = false)

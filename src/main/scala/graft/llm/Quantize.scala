@@ -875,7 +875,12 @@ object Quantize {
     emb
       .filter(col(idCol).isin(ids.map(Long.box): _*))
       .select(col(idCol),
-        round(sqDist(transform(col(vecCol), x => x.cast("double")), q), 4)
+        // rerank-table gate: zip_with null-pads a wrong-dimension
+        // float table, exact_dist goes null, and NULLS FIRST would
+        // rank those rows FIRST — raise instead (ADVICE r15)
+        round(sqDist(
+          dimChecked(transform(col(vecCol), x => x.cast("double")),
+            queryVec.length, "rerank table vector"), q), 4)
           .as("exact_dist"))
       .orderBy(col("exact_dist"), col(idCol))
       .limit(topK)
@@ -913,8 +918,19 @@ object Quantize {
         queryIdCol = queryIdCol, queryVecCol = queryVecCol,
         idCol = idCol, excludeSelf = excludeSelf)
       .select(col(queryIdCol), col(idCol))
+    // rerank-table gate against the STORED index dim: a
+    // wrong-dimension float table would null-pad through zip_with
+    // into null exact_dist, which ASC NULLS FIRST ranks at 1 —
+    // arbitrary ids served silently (ADVICE r15). dim = -1 only on
+    // a never-bootstrapped empty index (probe returns no rows).
+    val storedDim = spark.read.parquet(s"$indexPath/meta")
+      .head().getAs[Int]("dim")
     val floats = emb.select(col(idCol),
-      transform(col(vecCol), x => x.cast("double")).as("__graft_v"))
+      (if (storedDim < 0)
+         transform(col(vecCol), x => x.cast("double"))
+       else
+         dimChecked(transform(col(vecCol), x => x.cast("double")),
+           storedDim, "rerank table vector")).as("__graft_v"))
     val qv = queries.select(
       col(queryIdCol),
       col(queryVecCol).cast("array<double>").as("__graft_qv"))

@@ -146,7 +146,19 @@ object Similarity {
     * scan; the (query, probed-list) pairs broadcast (nq·nprobe rows,
     * bounded by the query batch); the per-query top-k rides the
     * bounded `collect_top_k` heap — ≤ k rows per (query, map task)
-    * cross the exchange, never the scored pairs. */
+    * cross the exchange, never the scored pairs.
+    *
+    * '''Tiering — this is the AD-HOC/ONE-SHOT tier.''' Every
+    * invocation trains Lloyd and assigns the full corpus in-query;
+    * that cost is only justified when the corpus is probed ONCE. For
+    * build-once / probe-many serving, use the persisted-index tier:
+    * [[graft.llm.Quantize.ivfPqKnnJoinIndexed]] (nothing trains or
+    * encodes at query time — probes rank the STORED centroid table
+    * and ADC-score the STORED codes) and
+    * [[graft.llm.Quantize.ivfPqKnnJoinIndexedReranked]] when a
+    * recall floor matters (exact re-rank of the ADC shortlist; the
+    * measured operating-point curve is in SCALE_PROBES.md). The
+    * serving-path contract is pinned in QuantizeSpec. */
   def ivfKnnJoin(
       queries: DataFrame,
       corpus: DataFrame,

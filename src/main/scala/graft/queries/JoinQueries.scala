@@ -39,6 +39,13 @@ object JoinQueries {
   /** j2 — three-way join: shuffled fact⋈fact (lineitem⋈orders) then a
     * broadcast dim (customer). comments⋈documents analog.
     *
+    * '''This is the UNBUCKETED CONTROL for [[j2b]]''' — it pays the
+    * full 60M+15M-row exchange on every execution by design, to keep
+    * the ad-hoc-join baseline measurable. A production pipeline that
+    * joins these facts repeatedly on this key should ship [[j2b]]'s
+    * bucketed layout, not this plan (2.7–3× faster at x100 after the
+    * one-time layout; SCALE_PROBES.md).
+    *
     * The fact⋈fact side carries an explicit SHUFFLE_HASH hint: at 100 TB
     * both fact tables are far past any broadcast threshold, so the only
     * viable plan is a shuffle on the join key — the hint makes the small-SF
@@ -73,27 +80,44 @@ object JoinQueries {
 
   /** The bucketed fact layout behind [[j2b]]: lineitem and orders
     * written ONCE per fixture dir as bucketed+sorted managed tables on
-    * their join key ([[graft.maintain.Bucketing.writeBucketed]], 32
-    * buckets both sides). Idempotent per (session catalog, dir): an
-    * existing layout with the source's row count is reused — fixture
-    * dirs are immutable, so the count check only guards the
-    * regenerated-in-place case. This is the serving-index pattern
-    * applied to join layout: the one-time write is the amortized
-    * cost, every query on the key plans with NO Exchange after it.
+    * their join key ([[graft.maintain.Bucketing.writeBucketed]], same
+    * bucket count both sides — sizing rule in Bucketing's scaladoc).
+    * Idempotent per (session catalog, dir): an existing layout is
+    * reused when its one-row `__meta` table matches the source dir's
+    * filesystem fingerprint — a metadata-only check (no fact-table
+    * scan; the r15 verdict flagged the previous double `count()`
+    * validation as seconds of pure overhead at x100). This is the
+    * serving-index pattern applied to join layout: the one-time write
+    * is the amortized cost, every query on the key plans with NO
+    * Exchange after it.
     *
-    * The row-count validation itself runs ONCE per (session, table) —
-    * it scans both fact tables, which at the x100 tier is seconds of
-    * pure re-validation per query execution; after the first check the
-    * memo trusts the immutable layout (same lifecycle as the
-    * serving-index validity markers). */
+    * The memo keys on `sessionUUID` (stable and unique for the
+    * session's catalog lifetime) — identityHashCode can be reused
+    * after GC and would skip re-validation for a fresh session. */
   private val validatedLayouts =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  private def bucketedFacts(
+  /** Stable unique id for a session's catalog lifetime, minted into
+    * the session's own RuntimeConfig (per-session SQLConf) on first
+    * use. Unlike identityHashCode it can never be reused by a later
+    * session after GC (ADVICE r15). Callers hold `validatedLayouts`'s
+    * lock, so mint-then-set is race-free. */
+  private def sessionId(s: org.apache.spark.sql.SparkSession): String = {
+    val key = "graft.internal.sessionId"
+    s.conf.getOption(key).getOrElse {
+      val id = java.util.UUID.randomUUID().toString
+      s.conf.set(key, id)
+      id
+    }
+  }
+
+  private[queries] def bucketedFacts(
       s: org.apache.spark.sql.SparkSession,
-      d: String): (org.apache.spark.sql.DataFrame,
+      d: String,
+      buckets: Int = 32): (org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame) = {
-    val tag = java.lang.Integer.toHexString(d.hashCode)
+    val tag = java.lang.Integer.toHexString(d.hashCode) +
+      (if (buckets == 32) "" else s"_$buckets")
     // check-then-build serializes under one lock: two first
     // executions racing DROP + fs.delete + writeBucketed against the
     // same warehouse path would otherwise corrupt the layout and
@@ -102,19 +126,23 @@ object JoinQueries {
         key: String): org.apache.spark.sql.DataFrame =
       validatedLayouts.synchronized {
       val full = s"graft_${name}_bkt_$tag"
-      val memoKey = s"${System.identityHashCode(s)}:$full"
+      val memoKey = s"${sessionId(s)}:$full"
       if (validatedLayouts.contains(memoKey)) return s.table(full)
-      if (!s.catalog.tableExists(full) ||
-          s.table(full).count() != src.count()) {
+      val fp = graft.maintain.Bucketing.sourceFingerprint(
+        s, s"$d/$name.parquet")
+      if (!graft.maintain.Bucketing.layoutValid(s, full, fp, buckets, key)) {
         // the in-memory catalog is per-session but the warehouse dir
         // persists: an orphan location from a previous session blocks
         // CREATE TABLE, so clear both the entry and the directory
-        s.sql(s"DROP TABLE IF EXISTS $full")
-        val loc = new org.apache.hadoop.fs.Path(
-          s.conf.get("spark.sql.warehouse.dir"), full)
-        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(loc)) fs.delete(loc, true)
-        graft.maintain.Bucketing.writeBucketed(src, full, key, 32)
+        for (t <- Seq(full, s"${full}__meta")) {
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          val loc = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir"), t)
+          val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(loc)) fs.delete(loc, true)
+        }
+        graft.maintain.Bucketing.writeBucketed(src, full, key, buckets,
+          sourceFingerprint = Some(fp))
       }
       validatedLayouts.add(memoKey)
       s.table(full)

@@ -373,10 +373,18 @@ object Incremental {
     * (writeSegment's replay idempotency turned into silent deletion
     * of previously indexed rows). Hashing the checkpoint path into
     * the id keeps a replay of the SAME checkpoint idempotent while
-    * distinct checkpoints write disjoint segments. (String.hashCode
-    * is spec-fixed, so the id survives JVM restarts.) */
-  private def indexSegId(checkpointDir: String, batchId: Long): String =
-    s"b${java.lang.Integer.toHexString(checkpointDir.hashCode)}_$batchId"
+    * distinct checkpoints write disjoint segments. The prefix is the
+    * first 16 hex chars of SHA-256(checkpointDir) — deterministic
+    * across JVM restarts (so replay stays idempotent) and
+    * collision-resistant, unlike the 32-bit String.hashCode it
+    * replaces, where two colliding checkpoint paths would silently
+    * overwrite each other's `b…_0` segments (ADVICE r15). */
+  private def indexSegId(checkpointDir: String, batchId: Long): String = {
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(checkpointDir.getBytes("UTF-8"))
+    val hex = sha.take(8).map(b => f"${b & 0xff}%02x").mkString
+    s"b${hex}_$batchId"
+  }
 
   def annIndexAppendStream(
       vecs: DataFrame,

@@ -400,6 +400,66 @@ class QuantizeSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("dim"), e2.getMessage)
   }
 
+  test("wrong-dimension RERANK table raises instead of null-ranking") {
+    // zip_with null-pads a wrong-dimension float table → exact_dist
+    // null → ASC NULLS FIRST would serve arbitrary ids at rank 1; the
+    // dim gate must raise instead (ADVICE r15), in BOTH rerank forms
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val path = java.nio.file.Files
+      .createTempDirectory("pq_index_rerank_dimguard").toString
+    Quantize.writePqIndex(embs, path, nlist = 4, iters = 2, m = 8, k = 16)
+    val qv = embs.filter($"vec_id" === 7L)
+      .select("embedding").as[Seq[Float]].head().map(_.toDouble).toArray
+    // a "rerank table" whose vectors are truncated to half width —
+    // same ids, wrong dim (the CLI --rerank EMB misuse path)
+    val truncated = embs.select($"vec_id",
+      slice($"embedding", 1, 32).as("embedding"))
+    val e1 = intercept[Exception] {
+      Quantize.ivfPqTopKReranked(spark, path, truncated, qv,
+        topK = 5, nprobe = 4, shortlist = 20).collect()
+    }
+    assert(e1.getMessage.contains("dim"), e1.getMessage)
+    val queries = embs.filter($"vec_id" === 7L)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val e2 = intercept[Exception] {
+      Quantize.ivfPqKnnJoinIndexedReranked(spark, path, truncated,
+        queries, k = 5, nprobe = 4).collect()
+    }
+    assert(e2.getMessage.contains("dim"), e2.getMessage)
+  }
+
+  test("serving-path contract: the indexed tier trains nothing in-query") {
+    // Similarity.ivfKnnJoin is the ad-hoc tier (trains Lloyd per
+    // invocation); the SERVING tier is ivfPqKnnJoinIndexed(+Reranked)
+    // — everything it ranks with must come from the STORED index, so
+    // a probe's plan scans only index files, never the corpus floats,
+    // and repeated probes against an immutable index are bit-stable.
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val path = java.nio.file.Files
+      .createTempDirectory("pq_index_serving_contract").toString
+    Quantize.writePqIndex(embs, path, nlist = 4, iters = 2, m = 8, k = 16)
+    // literal queries: the ONLY file scans left in the plan are the
+    // index's own tables
+    val queries = embs.filter($"vec_id".isin(1L, 2L))
+      .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+      .as[(Long, Seq[Float])].collect().toSeq
+      .toDF("q_id", "q_vec")
+    val joined = Quantize.ivfPqKnnJoinIndexed(spark, path, queries, k = 5)
+    val scanned = joined.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.relation.location.rootPaths.mkString(",")
+      }.mkString("\n")
+    // every file scan in the probe plan is an index table
+    assert(scanned.linesIterator.forall(_.contains(path)),
+      s"non-index scan in serving-tier plan:\n$scanned")
+    val a = joined.collect().map(_.toString).sorted.toSeq
+    val b = Quantize.ivfPqKnnJoinIndexed(spark, path, queries, k = 5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b, "serving-tier probe must be deterministic")
+  }
+
   test("wrong-dimension query is rejected by the stored index dim") {
     val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select("vec_id", "embedding")

@@ -72,6 +72,11 @@ object Main {
         |         --diversify MMR-reranks a 3k shortlist
         |  index-compact <lsh|bm25|ann> INDEX [--target-files N]
         |         merge appended segments back to the canonical layout
+        |         OFFLINE-MAINTENANCE CONTRACT: compaction excludes
+        |         concurrent appenders within ONE JVM only; never run
+        |         it while a separate appender process (a live stream
+        |         arm) targets the same index — schedule it in the
+        |         appender's process or while the stream is stopped
         |  decontaminate IN BENCH OUT [--shingle-k K] [--compression C]
         |         drop IN docs sharing a K-shingle with BENCH
         |  decontaminate-spans IN BENCH OUT [--window-len L] [--compression C]
@@ -379,6 +384,15 @@ object Main {
         // appended serving index's segments back to the canonical
         // single-segment layout a fresh build produces (crash-safe
         // swap per table; probes unchanged). KIND: lsh | bm25 | ann.
+        //
+        // Cross-process contract (Segments.tableLocks serializes
+        // same-JVM only): a compaction racing an appender in ANOTHER
+        // process can rename a just-written segment into the swap
+        // backup and delete it. Run this command only when no other
+        // process appends to INDEX — stop the stream, or call the
+        // compact function from the appender's own JVM (where the
+        // table lock makes it safe). The standard offline-compaction
+        // contract; stated in README §maintenance and SegmentsSpec.
         val (kind, idx) = (args(1), args(2))
         kind match {
           case "lsh"  => graft.llm.Dedup.compactLshIndex(spark, idx)

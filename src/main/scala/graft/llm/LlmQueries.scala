@@ -2757,6 +2757,137 @@ object LlmQueries {
           FROM sel ORDER BY rank"""
     })
 
+  /** The hybrid→MMR SERVING COMPOSITION ([[Retrieval.hybridTopK]] →
+    * [[Retrieval.mmrDiversify]]) as one oracle-gated row — the exact
+    * chain the CLI ships as `hybrid-search --diversify`: RRF fusion
+    * produces the top-15 shortlist (rel = rrf_score), MMR greedily
+    * re-ranks it to a diversity-aware top-5. Both piece-oracles
+    * existed (`text_hybrid_rrf`'s full-outer fusion,
+    * `retrieval_mmr`'s recursive-CTE greedy); this row proves the
+    * COMPOSITION: DuckDB re-derives both BM25 and dense sides, the
+    * fusion, the 15-row cut, the pairwise similarity matrix and the
+    * entire greedy pick sequence in one statement. */
+  val pipelineHybridMmr = Q(
+    "pipeline_hybrid_mmr",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val qs = Seq((0, "hash join merge")).toDF("query_id", "query_text")
+      val fused = Retrieval.hybridTopK(docs, qs, k = 15, nPerSide = 20)
+      val cands = fused
+        .select(col("doc_id"), col("rrf_score").as("rel"))
+        .join(docs.select(col("doc_id"),
+          Retrieval.hashEmbed(col("text")).as("vec")), Seq("doc_id"))
+      Retrieval.mmrDiversify(cands, k = 5, lambda = 0.7,
+        maxCandidates = 15)
+    },
+    Some {
+      def hashVec(toksExpr: String): String =
+        s"""[CAST(len(list_filter([${duckdbTextHash("tok")} % 16
+               for tok in $toksExpr], h -> h = j)) AS DOUBLE)
+             for j in range(0, 16)]"""
+      s"""WITH RECURSIVE
+          qs AS (SELECT 0 AS query_id, 'hash join merge' AS query_text),
+          bl AS (SELECT doc_id,
+                        string_split_regex(trim(lower(coalesce(text, ''))),
+                          '\\s+') AS toks
+                 FROM documents),
+          dd AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks
+                 FROM bl),
+          stats AS (SELECT COUNT(*) AS n_docs,
+                           CAST(SUM(dl) AS DOUBLE)
+                             / CAST(COUNT(*) AS DOUBLE) AS avgdl
+                    FROM dd),
+          qt AS (SELECT DISTINCT query_id, token FROM (
+                   SELECT query_id,
+                          unnest(string_split_regex(
+                            trim(lower(query_text)), '\\s+')) AS token
+                   FROM qs)),
+          tok AS (SELECT doc_id, dl, unnest(toks) AS token FROM dd),
+          tf AS (SELECT doc_id, dl, token, COUNT(*) AS tf
+                 FROM tok WHERE token IN (SELECT token FROM qt)
+                 GROUP BY doc_id, dl, token),
+          dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+          lex AS (SELECT qt.query_id, tf.doc_id,
+                         ROUND(SUM(
+                           ln(1.0 + (CAST(stats.n_docs AS DOUBLE)
+                                     - CAST(dfq.df AS DOUBLE) + 0.5)
+                                    / (CAST(dfq.df AS DOUBLE) + 0.5))
+                           * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+                           / (CAST(tf.tf AS DOUBLE)
+                              + 1.2 * ((1.0 - 0.75)
+                                       + 0.75 * CAST(tf.dl AS DOUBLE)
+                                         / stats.avgdl))), 4) AS bm25
+                  FROM tf JOIN dfq USING (token) JOIN qt USING (token),
+                       stats
+                  GROUP BY qt.query_id, tf.doc_id),
+          lexr AS (SELECT query_id, doc_id, CAST(rk AS INT) AS lex_rank
+                   FROM (SELECT query_id, doc_id,
+                                ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY bm25 DESC, doc_id) AS rk
+                         FROM lex)
+                   WHERE rk <= 20),
+          dv AS (SELECT doc_id, ${hashVec("toks")} AS v FROM dd),
+          qv AS (SELECT query_id,
+                        ${hashVec(
+                          """string_split_regex(
+                               trim(lower(query_text)), '\s+')""")} AS q
+                 FROM qs),
+          den AS (SELECT qv.query_id, dv.doc_id,
+                         ROUND(list_cosine_similarity(dv.v, qv.q), 4)
+                           AS cos_sim
+                  FROM dv CROSS JOIN qv),
+          denr AS (SELECT query_id, doc_id, CAST(rk AS INT) AS dense_rank
+                   FROM (SELECT query_id, doc_id,
+                                ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, doc_id) AS rk
+                         FROM den)
+                   WHERE rk <= 20),
+          fused AS (SELECT coalesce(l.query_id, r.query_id) AS query_id,
+                           coalesce(l.doc_id, r.doc_id) AS doc_id,
+                           ROUND(coalesce(1.0 / (60 + l.lex_rank), 0)
+                               + coalesce(1.0 / (60 + r.dense_rank), 0), 6)
+                             AS rrf_score
+                    FROM lexr l FULL OUTER JOIN denr r
+                      ON l.query_id = r.query_id AND l.doc_id = r.doc_id),
+          cand AS (SELECT f.doc_id, dv.v, f.rrf_score AS rel
+                   FROM (SELECT doc_id, rrf_score,
+                                ROW_NUMBER() OVER (
+                                  ORDER BY rrf_score DESC, doc_id) AS rk
+                         FROM fused) f
+                   JOIN dv ON f.doc_id = dv.doc_id
+                   WHERE f.rk <= 15),
+          sims AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+                          ROUND(list_cosine_similarity(a.v, b.v), 4)
+                            AS sim
+                   FROM cand a JOIN cand b ON a.doc_id <> b.doc_id),
+          sel AS (
+            SELECT 1 AS step, [c.doc_id] AS chosen, c.doc_id AS picked,
+                   ROUND(0.7 * c.rel - (1.0 - 0.7) * 0.0, 6) AS mmr
+            FROM (SELECT doc_id, rel FROM cand
+                  ORDER BY ROUND(0.7 * rel - (1.0 - 0.7) * 0.0, 6)
+                    DESC, doc_id
+                  LIMIT 1) c
+            UNION ALL
+            SELECT t.step + 1, list_append(t.chosen, t.pick_id),
+                   t.pick_id, t.pick_mmr
+            FROM (
+              SELECT s.step AS step, s.chosen AS chosen,
+                     c.doc_id AS pick_id,
+                     ROUND(0.7 * c.rel - (1.0 - 0.7) * (
+                       SELECT MAX(m.sim) FROM sims m
+                       WHERE m.ia = c.doc_id
+                         AND list_contains(s.chosen, m.ib)
+                     ), 6) AS pick_mmr
+              FROM sel s
+              JOIN cand c ON NOT list_contains(s.chosen, c.doc_id)
+              WHERE s.step < 5
+              ORDER BY pick_mmr DESC, pick_id LIMIT 1) t)
+          SELECT picked AS doc_id, CAST(step AS INT) AS rank,
+                 mmr AS mmr_score
+          FROM sel ORDER BY rank"""
+    })
+
   /** Unigram LM quality score ([[LanguageModel.scoreUnigram]]): the
     * deterministic perplexity-filter stand-in. The oracle re-learns
     * the same top-1000 vocab (ties broken `(cnt DESC, token)` on both
@@ -5017,7 +5148,8 @@ object LlmQueries {
     nbClassifierQ, zipfAuditQ, fertilityQ, corpusCardQ,
     winnowFpQ, winnowPairsQ,
     unigramScore, bigramScore, pplBucketsQ, pplKeepQ, bm25TopK,
-    bm25Indexed, hybridTopKQ, hybridIndexedQ, mmrQ, bpePairs,
+    bm25Indexed, hybridTopKQ, hybridIndexedQ, mmrQ, pipelineHybridMmr,
+    bpePairs,
     bpeEncode, corpusDrift,
     driftBySource, distinctiveTermsQ, numericPsi, corpusDiffQ,
     pipelineDeconCap,

@@ -111,7 +111,7 @@ object JoinQueries {
     }
   }
 
-  private[queries] def bucketedFacts(
+  private[graft] def bucketedFacts(
       s: org.apache.spark.sql.SparkSession,
       d: String,
       buckets: Int = 32): (org.apache.spark.sql.DataFrame,
@@ -164,7 +164,12 @@ object JoinQueries {
   val j2b = Q(
     "j2b_bucketed_3way",
     (s, d) => {
-      val (li, ord) = bucketedFacts(s, d)
+      // 64 buckets: the r16 decomposition probe measured 64 as the
+      // local[32] sweet spot (2.64 s vs 32-bucket 3.08 s at x100 —
+      // the 60M-row side wants ~2 tasks/core of scheduling slack);
+      // sizing rule in Bucketing's scaladoc, full per-axis record in
+      // SCALE_PROBES.md (J2bDecompProbe/J2bChampionProbe)
+      val (li, ord) = bucketedFacts(s, d, buckets = 64)
       li.join(ord.hint("merge"), col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(Tables.customer(s, d)),
           col("o_custkey") === col("c_custkey"))

@@ -127,6 +127,10 @@ class CliSpec extends AnyFunSuite {
     graft.cli.Main.run(spark, Array("hybrid-search", docsDir,
       "--query", "hash merge", "--k", "5", "--diversify",
       "--lambda", "0.6"))
+    // --k above 85 must work: the MMR candidate guard is sized to the
+    // bounded RRF shortlist (3k), not the 256 default (ADVICE r15)
+    graft.cli.Main.run(spark, Array("hybrid-search", docsDir,
+      "--query", "hash merge", "--k", "90", "--diversify"))
   }
 
   test("optimize compacts via the CLI") {

@@ -10,7 +10,17 @@ import graft.maintain.{Segments, Swap}
   * canonical-form compaction swap, and — the consistency contract the
   * maintenance story rests on — a PROBE interleaved with every phase
   * of a compaction's Swap sees the old table or the new one, never an
-  * error or a mixed read. */
+  * error or a mixed read.
+  *
+  * CROSS-PROCESS CONTRACT (r15 verdict ask #8, resolved as doc):
+  * `Segments.tableLocks` serializes appends and compactions of one
+  * table within a single JVM only. Compaction from a SEPARATE process
+  * while an appender is live is NOT excluded — the operator contract
+  * (stated in README §maintenance and the `index-compact` CLI help)
+  * is to run compaction only when no other process appends to that
+  * index: stop the stream first, or call the compact function from
+  * the appender's own JVM, where the table lock below is what this
+  * suite exercises. */
 class SegmentsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._

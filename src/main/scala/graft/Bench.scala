@@ -505,15 +505,18 @@ object Bench {
     // load-bearing, so it is MEASURED everywhere it is claimed, not
     // spot-asserted from 3 queries. j2b_bucketed_3way rides along so
     // the one genuinely shuffle-bound comparable is timed against its
-    // at-scale layout answer. text_hybrid_indexed rides along too
-    // (r15 verdict ask #6): the LLM serving paths are the engine's
-    // differentiator and need an x100 reading — its warm samples
-    // serve from the persisted BM25 index (built once cold, reused),
-    // while the DuckDB comparable computes both retrieval sides live,
-    // which is the honest index-vs-no-index serving comparison.
+    // at-scale layout answer. The two indexed hybrid-retrieval forms
+    // ride along too (r15 verdict ask #6): the LLM serving paths are
+    // the engine's differentiator and need x100 readings — their warm
+    // samples serve from the persisted towers (built once cold,
+    // reused; text_hybrid_indexed = BM25 tower only,
+    // text_hybrid_fully_indexed = both towers, no doc text in the
+    // query path), while the DuckDB comparable computes both
+    // retrieval sides live — the honest index-vs-no-index serving
+    // comparison (r16 spot readings: 7.4 s / 3.8 s vs 19.5 s).
     // Disable with SPARK_GRAFT_X100=0.
-    val x100Names =
-      headline ++ Seq("j2b_bucketed_3way", "text_hybrid_indexed")
+    val x100Names = headline ++ Seq("j2b_bucketed_3way",
+      "text_hybrid_indexed", "text_hybrid_fully_indexed")
     val x100Mult = parseMult(sys.env.get("SPARK_GRAFT_X100"), default = 100)
     val (x100Results, x100Duck, x100DuckQueries) =
       if (x100Mult <= 1 || scaleMult <= 1)

@@ -36,7 +36,7 @@ object Main {
 
   private def usage(): Unit =
     System.err.println(
-      """usage: graft.cli.Main <convert|query|sql|lint|profile|optimize|manifest|vacuum|curate|dedup-incremental|index-build|index-probe|decontaminate|decontaminate-spans|cap-source|pq-encode|dedup-lines|dedup-spans|semdedup|novelty|sketch-build|sketch-query|bench> ...
+      """usage: graft.cli.Main <convert|query|sql|lint|profile|optimize|manifest|vacuum|curate|dedup-incremental|index-build|index-probe|decontaminate|decontaminate-spans|cap-source|pq-encode|dedup-lines|dedup-spans|semdedup|novelty|sketch-build|sketch-query|dense-index|bench> ...
         |  convert DATA [--output-path P] [--agency A] [--compression C]
         |  query SFDIR NAME...
         |  sql SFDIR "SELECT ..."
@@ -66,11 +66,15 @@ object Main {
         |         [--rerank EMB [--shortlist N]]
         |         IVF-PQ top-k for a query vector from the index;
         |         --rerank refines the ADC shortlist by exact distance
-        |  hybrid-search DOCS --query "free text" [--index BM25IDX]
-        |         [--k N] [--n-per-side N] [--diversify [--lambda L]]
-        |         RRF fusion of BM25 + dense hash-embed cosine;
+        |  dense-index DOCS OUT | dense-index --append IN INDEX
+        |         build / grow the persisted dense vector tower
+        |  hybrid-search DOCS --query "free text" [--index BM25IDX
+        |         [--dense-index DENSEIDX]] [--k N] [--n-per-side N]
+        |         [--diversify [--lambda L]]
+        |         RRF fusion of BM25 + dense hash-embed cosine; with
+        |         both towers persisted the query reads no doc text;
         |         --diversify MMR-reranks a 3k shortlist
-        |  index-compact <lsh|bm25|ann> INDEX [--target-files N]
+        |  index-compact <lsh|bm25|ann|dense> INDEX [--target-files N]
         |         merge appended segments back to the canonical layout
         |         OFFLINE-MAINTENANCE CONTRACT: compaction excludes
         |         concurrent appenders within ONE JVM only; never run
@@ -347,6 +351,25 @@ object Main {
           System.err.println(s"[bm25-index] wrote BM25 index at $out")
         }
 
+      case "dense-index" =>
+        // dense-index DOCS OUT | dense-index --append IN INDEX:
+        // build (or grow) the persisted dense vector tower — the
+        // fully-index-served hybrid's second side.
+        if (args.contains("--append")) {
+          val rest = args.filterNot(_ == "--append")
+          val (in, idx) = (rest(1), rest(2))
+          graft.sources.Preflight.checkInput(spark, in)
+          graft.llm.Retrieval.appendToDenseIndex(
+            spark.read.parquet(in), idx)
+          System.err.println(s"[dense-index] appended $in into $idx")
+        } else {
+          val (docs, out) = (args(1), args(2))
+          graft.sources.Preflight.checkInput(spark, docs)
+          graft.llm.Retrieval.writeDenseIndex(
+            spark.read.parquet(docs), out)
+          System.err.println(s"[dense-index] wrote dense index at $out")
+        }
+
       case "bm25-search" =>
         // bm25-search INDEX --terms a,b,c [--k N]: top-k by BM25 from
         // the persisted index; prints (doc_id, n_terms_hit, bm25).
@@ -395,13 +418,14 @@ object Main {
         // contract; stated in README §maintenance and SegmentsSpec.
         val (kind, idx) = (args(1), args(2))
         kind match {
-          case "lsh"  => graft.llm.Dedup.compactLshIndex(spark, idx)
-          case "bm25" => graft.llm.Retrieval.compactBm25Index(spark, idx)
-          case "ann"  => graft.llm.Quantize.compactPqIndex(spark, idx,
+          case "lsh"   => graft.llm.Dedup.compactLshIndex(spark, idx)
+          case "bm25"  => graft.llm.Retrieval.compactBm25Index(spark, idx)
+          case "dense" => graft.llm.Retrieval.compactDenseIndex(spark, idx)
+          case "ann"   => graft.llm.Quantize.compactPqIndex(spark, idx,
             targetFiles = arg(args, "--target-files").map(_.toInt)
               .getOrElse(32))
-          case other  => sys.error(
-            s"index-compact: unknown kind '$other' (lsh | bm25 | ann)")
+          case other   => sys.error(
+            s"index-compact: unknown kind '$other' (lsh | bm25 | ann | dense)")
         }
         System.err.println(s"[index-compact] compacted $kind index at $idx")
 
@@ -459,10 +483,17 @@ object Main {
         val docs = spark.read.parquet(docsPath)
         val qs = spark.range(1).select(
           lit(0).as("query_id"), lit(qtext).as("query_text"))
-        val fused = arg(args, "--index") match {
-          case Some(bm25Idx) => graft.llm.Retrieval.hybridTopKIndexed(
+        val fused = (arg(args, "--index"), arg(args, "--dense-index")) match {
+          case (Some(bm25Idx), Some(denseIdx)) =>
+            // fully index-served: the query touches no document text
+            graft.llm.Retrieval.hybridTopKFullyIndexed(
+              spark, bm25Idx, denseIdx, qs, k = kFetch, nPerSide = n)
+          case (Some(bm25Idx), None) => graft.llm.Retrieval.hybridTopKIndexed(
             spark, bm25Idx, docs, qs, k = kFetch, nPerSide = n)
-          case None => graft.llm.Retrieval.hybridTopK(
+          case (None, Some(_)) => sys.error(
+            "hybrid-search: --dense-index requires --index (both towers " +
+              "must be persisted for the fully-indexed form)")
+          case (None, None) => graft.llm.Retrieval.hybridTopK(
             docs, qs, k = kFetch, nPerSide = n)
         }
         if (diversify) {

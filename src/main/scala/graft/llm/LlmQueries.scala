@@ -2685,6 +2685,28 @@ object LlmQueries {
     },
     Some(hybridOracleSql))
 
+  /** FULLY index-served twin of `text_hybrid_rrf`: lexical side from
+    * the persisted BM25 index AND dense side from the persisted
+    * vector tower ([[Retrieval.hybridTopKFullyIndexed]]) — the query
+    * batch reads no document text at all. Both towers store exactly
+    * what the live paths compute, so the live oracle applies
+    * verbatim; a drift in either stored tower is a hash mismatch. */
+  val hybridFullyIndexedQ = Q(
+    "text_hybrid_fully_indexed",
+    (s, d) => {
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val bm25Path = s"target/bm25_index_$tag"
+      if (!Retrieval.bm25IndexExists(s, bm25Path))
+        Retrieval.writeBm25Index(Tables.documents(s, d), bm25Path)
+      val densePath = s"target/dense_index_$tag"
+      if (!Retrieval.denseIndexExists(s, densePath))
+        Retrieval.writeDenseIndex(Tables.documents(s, d), densePath)
+      Retrieval.hybridTopKFullyIndexed(s, bm25Path, densePath,
+          hybridQueries(s), k = 10, nPerSide = 20)
+        .orderBy("query_id", "rank")
+    },
+    Some(hybridOracleSql))
+
   /** MMR diversification ([[Retrieval.mmrDiversify]]): the dedup-aware
     * retrieval re-rank — greedy `argmax λ·rel − (1−λ)·maxSim(selected)`
     * over the dense top-15, k=5, λ=0.7. FULL row-level oracle: DuckDB
@@ -5148,8 +5170,8 @@ object LlmQueries {
     nbClassifierQ, zipfAuditQ, fertilityQ, corpusCardQ,
     winnowFpQ, winnowPairsQ,
     unigramScore, bigramScore, pplBucketsQ, pplKeepQ, bm25TopK,
-    bm25Indexed, hybridTopKQ, hybridIndexedQ, mmrQ, pipelineHybridMmr,
-    bpePairs,
+    bm25Indexed, hybridTopKQ, hybridIndexedQ, hybridFullyIndexedQ,
+    mmrQ, pipelineHybridMmr, bpePairs,
     bpeEncode, corpusDrift,
     driftBySource, distinctiveTermsQ, numericPsi, corpusDiffQ,
     pipelineDeconCap,

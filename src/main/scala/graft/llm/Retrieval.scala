@@ -558,6 +558,134 @@ object Retrieval {
           .as("cos_sim"))
   }
 
+  // ---- persisted dense-vector serving index ---------------------------
+
+  /** Bump when the on-disk layout changes. v1: one segmented table
+    * `vectors` (id, v) + meta (format, dims), the
+    * [[graft.maintain.Segments]] layout shared with the BM25/LSH/PQ
+    * families. */
+  val DenseIndexFormat: Int = 1
+
+  /** Does a CURRENT-format dense index exist at `path`? Meta-last
+    * validity protocol, as in [[bm25IndexExists]]. */
+  def denseIndexExists(
+      spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/meta/_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p) && {
+      val m = spark.read.parquet(s"$path/meta")
+      m.columns.contains("format") &&
+        m.head().getAs[Int]("format") == DenseIndexFormat
+    }
+  }
+
+  /** Materialize the dense retrieval tower at `path`: each document's
+    * [[hashEmbedTokens]] vector over the SAME tokenization the live
+    * dense side uses — so a probe against the stored vectors is
+    * bit-identical to the live computation and the live oracles apply
+    * verbatim. The point at corpus scale: the live dense side
+    * re-tokenizes and re-hashes the WHOLE corpus per query batch
+    * (measured 7.4 s warm at the x100 tier inside
+    * `text_hybrid_indexed`); the stored tower turns that into a scan
+    * of |corpus|·dims doubles — the hash-embedding analog of what
+    * [[graft.llm.Quantize.writePqIndex]] does for learned embeddings,
+    * minus quantization (hash vectors are already tiny).
+    *
+    * Layout (meta written LAST as the validity marker):
+    *   - `path/vectors` — (id, v): segmented
+    *     ([[graft.maintain.Segments]]), each segment range-partitioned
+    *     and sorted by id so id-pushdown reads prune row groups;
+    *   - `path/meta` — (format, dims). */
+  def writeDenseIndex(
+      docs: DataFrame,
+      path: String,
+      dims: Int = 16,
+      idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    require(dims > 0, s"dims must be positive: $dims")
+    val spark = docs.sparkSession
+    GraftFunctions.register(spark)
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(metaPath) && !fs.delete(metaPath, true))
+      throw new graft.maintain.Swap.SwapFailedException(
+        s"could not clear stale meta at $metaPath")
+    graft.maintain.Segments.writeBase(
+      denseVectors(docs, dims, idCol, textCol)
+        .repartitionByRange(32, col("id")).sortWithinPartitions("id"),
+      s"$path/vectors")
+    spark.range(1)
+      .select(lit(DenseIndexFormat).as("format"), lit(dims).as("dims"))
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** The one vector definition the build, append and live paths
+    * share: `(id, v)` with v = [[hashEmbedTokens]] over [[docTokens]]'
+    * tokenization. */
+  private def denseVectors(
+      docs: DataFrame, dims: Int, idCol: String,
+      textCol: String): DataFrame =
+    docTokens(docs, idCol, textCol)
+      .select(col(idCol).as("id"),
+        hashEmbedTokens(col("__graft_toks"), dims).as("v"))
+
+  /** Fold NEW documents into the dense index — one segment per call
+    * ([[graft.maintain.Segments.writeSegment]]): idempotent per
+    * `segId`, so the streaming arm's at-least-once replay converges.
+    * Vectors are COMPUTED here from text at the STORED dims, so a
+    * dimension mismatch is impossible by construction (unlike the PQ
+    * append, which ingests caller-supplied vectors and must gate). */
+  def appendToDenseIndex(
+      newDocs: DataFrame,
+      path: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      segId: String = graft.maintain.Segments.freshSegId()): Unit = {
+    val spark = newDocs.sparkSession
+    require(denseIndexExists(spark, path),
+      s"no dense index at $path — writeDenseIndex first")
+    GraftFunctions.register(spark)
+    val dims = spark.read.parquet(s"$path/meta").head().getAs[Int]("dims")
+    graft.maintain.Segments.writeSegment(
+      denseVectors(newDocs, dims, idCol, textCol)
+        .repartitionByRange(32, col("id")).sortWithinPartitions("id"),
+      s"$path/vectors", segId)
+  }
+
+  /** Merge appended segments back to the canonical single-segment
+    * layout a fresh build produces (crash-safe swap; probes see
+    * old-or-new, never halves — [[graft.maintain.Segments]]). */
+  def compactDenseIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    require(denseIndexExists(spark, path),
+      s"no dense index at $path — writeDenseIndex first")
+    graft.maintain.Segments.replaceTable(spark, s"$path/vectors")(
+      _.repartitionByRange(32, col("id")).sortWithinPartitions("id"))
+  }
+
+  /** Batch dense scores from the PERSISTED vector tower: one scan of
+    * (id, v) against the broadcast query vectors — no tokenize, no
+    * hash, no text read. Query vectors are computed at the stored
+    * dims, so stored and query spaces cannot diverge. */
+  private def denseScoresIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      queries: DataFrame,
+      idCol: String,
+      queryIdCol: String,
+      queryTextCol: String): DataFrame = {
+    require(denseIndexExists(spark, indexPath),
+      s"no dense index at $indexPath — writeDenseIndex first")
+    val dims = spark.read.parquet(s"$indexPath/meta")
+      .head().getAs[Int]("dims")
+    val qv = queries.select(col(queryIdCol),
+      hashEmbed(col(queryTextCol), dims).as("__graft_q"))
+    spark.read.parquet(s"$indexPath/vectors")
+      .crossJoin(broadcast(qv))
+      .select(col(queryIdCol), col("id").as(idCol),
+        round(Similarity.cosine(col("v"), col("__graft_q")), 4)
+          .as("cos_sim"))
+  }
+
   /** Reciprocal-rank fusion of two scored sides. Each side keeps its
     * per-query top `nPerSide` through the bounded `collect_top_k`
     * heap (≤ nPerSide rows per (query, map task) cross the exchange —
@@ -686,6 +814,47 @@ object Retrieval {
         queryIdCol),
       denseScores(docTokens(docs, idCol, textCol), queries, dims,
         idCol, queryIdCol, queryTextCol),
+      k, nPerSide, rrfK, queryIdCol, idCol)
+  }
+
+  /** FULLY index-served hybrid retrieval: the lexical side reads the
+    * persisted BM25 index, the dense side reads the persisted vector
+    * tower ([[writeDenseIndex]]) — a query batch touches NO document
+    * text at all. Same arithmetic and ranking as [[hybridTopK]] on
+    * the same corpus (both towers store exactly what the live paths
+    * compute), so the live oracle applies verbatim: any
+    * live↔fully-indexed drift surfaces as a hash mismatch.
+    *
+    * This is the steady-state serving shape at corpus scale: the live
+    * dense side re-tokenizes + re-hashes the whole corpus per batch
+    * (measured 7.4 s warm inside `text_hybrid_indexed` at the x100
+    * tier), while this form scans |corpus|·dims stored doubles —
+    * corpus text is out of the query path entirely. Per-query cost
+    * still amortizes across the batch exactly as
+    * [[hybridTopKIndexed]]'s probe records. */
+  def hybridTopKFullyIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      bm25IndexPath: String,
+      denseIndexPath: String,
+      queries: DataFrame,
+      k: Int = 10,
+      nPerSide: Int = 20,
+      rrfK: Int = 60,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      idCol: String = "doc_id",
+      queryIdCol: String = "query_id",
+      queryTextCol: String = "query_text"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    require(nPerSide >= k, s"nPerSide ($nPerSide) must be ≥ k ($k)")
+    require(rrfK >= 1, s"rrfK must be ≥ 1: $rrfK")
+    GraftFunctions.register(spark)
+    val qt = queryTermsOf(queries, queryIdCol, queryTextCol)
+    fuseRrf(
+      bm25ScoresIndexedBatch(spark, bm25IndexPath, qt, k1, b, idCol,
+        queryIdCol),
+      denseScoresIndexed(spark, denseIndexPath, queries, idCol,
+        queryIdCol, queryTextCol),
       k, nPerSide, rrfK, queryIdCol, idCol)
   }
 

@@ -424,6 +424,29 @@ object Incremental {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming dense-tower maintenance: every micro-batch of fresh
+    * documents folds into the persisted dense vector index
+    * ([[graft.llm.Retrieval.appendToDenseIndex]] — each batch's
+    * hash-embedding vectors land as the batch's own segment, computed
+    * at the STORED dims so the vector space cannot drift), making the
+    * fully-index-served hybrid path
+    * ([[graft.llm.Retrieval.hybridTopKFullyIndexed]]) maintainable by
+    * the same stream that grows the BM25 side. The checkpoint's batch
+    * id is the segment id — exactly-once under foreachBatch replay,
+    * as with the other three families. */
+  def denseIndexAppendStream(
+      docs: DataFrame,
+      indexPath: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.llm.Retrieval.appendToDenseIndex(batch, indexPath,
+          segId = indexSegId(checkpointDir, id))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming LSH-dedup-index maintenance: every micro-batch of
     * newly-vetted reference documents folds into the persisted dedup
     * index ([[graft.llm.Dedup.appendToLshIndex]] — digests/bands/

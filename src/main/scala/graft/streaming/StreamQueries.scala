@@ -646,6 +646,49 @@ object StreamQueries {
     },
     graft.llm.LlmQueries.dedupIncremental.oracle)
 
+  /** Incremental dense-tower maintenance, batch twin
+    * ([[graft.llm.Retrieval.appendToDenseIndex]]; stream arm
+    * [[Incremental.denseIndexAppendStream]], runtime parity in
+    * StreamingSpec): the even half of the corpus builds the dense
+    * vector index ONCE, the odd half arrives later and folds in (one
+    * segment; vectors computed at the stored dims), and the probe is
+    * the FULLY index-served hybrid over the grown towers — append ≡
+    * rebuild because stored vectors are per-doc rows, so
+    * `text_hybrid_rrf`'s oracle applies VERBATIM. Fresh temp copy of
+    * the base index per run, as with the other three families. */
+  val st16 = Q(
+    "st_dense_index_append",
+    (s, d) => {
+      import s.implicits._
+      import graft.llm.Retrieval
+      val docs = Tables.documents(s, d)
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val bm25Path = s"target/bm25_index_$tag"
+      if (!Retrieval.bm25IndexExists(s, bm25Path))
+        Retrieval.writeBm25Index(docs, bm25Path)
+      val basePath = s"target/dense_append_base_$tag"
+      if (!Retrieval.denseIndexExists(s, basePath))
+        Retrieval.writeDenseIndex(
+          docs.filter(col("doc_id") % 2 === 0), basePath)
+      val path = java.nio.file.Files
+        .createTempDirectory("dense_append_index").toString + "/idx"
+      val conf = s.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(basePath)
+        .getFileSystem(conf)
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, new org.apache.hadoop.fs.Path(basePath),
+        fs, new org.apache.hadoop.fs.Path(path),
+        false, true, conf)
+      Retrieval.appendToDenseIndex(
+        docs.filter(col("doc_id") % 2 === 1), path)
+      val qs = Seq((0, "hash join merge"), (1, "filter scan index"))
+        .toDF("query_id", "query_text")
+      Retrieval.hybridTopKFullyIndexed(s, bm25Path, path, qs,
+          k = 10, nPerSide = 20)
+        .orderBy("query_id", "rank")
+    },
+    graft.llm.LlmQueries.hybridTopKQ.oracle)
+
   val st12 = Q(
     "st_dsir_filter",
     (s, d) => {
@@ -698,5 +741,5 @@ object StreamQueries {
             GROUP BY d.lang ORDER BY d.lang"""))
 
   def all: Seq[Q] = Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st9x,
-    st10, st11, st12, st13, st14, st15)
+    st10, st11, st12, st13, st14, st15, st16)
 }

@@ -250,6 +250,73 @@ class RetrievalSpec extends AnyFunSuite {
       k = 5, nPerSide = 10).count() > 0)
   }
 
+  test("FULLY indexed hybrid ≡ live hybrid; query plan reads no doc text") {
+    val bm25Path = java.nio.file.Files
+      .createTempDirectory("bm25_index_full_hybrid").toString
+    val densePath = java.nio.file.Files
+      .createTempDirectory("dense_index_full_hybrid").toString
+    Retrieval.writeBm25Index(hybridDocs, bm25Path)
+    Retrieval.writeDenseIndex(hybridDocs, densePath)
+    val live = Retrieval.hybridTopK(hybridDocs, hybridQs,
+        k = 10, nPerSide = 20)
+      .orderBy("query_id", "rank").collect().toSeq
+    val full = Retrieval.hybridTopKFullyIndexed(spark, bm25Path,
+        densePath, hybridQs, k = 10, nPerSide = 20)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(live == full)
+
+    // the fully-indexed plan's file scans are ALL index tables — the
+    // corpus text is out of the query path entirely
+    val scanned = Retrieval.hybridTopKFullyIndexed(spark, bm25Path,
+        densePath, hybridQs, k = 10, nPerSide = 20)
+      .queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.relation.location.rootPaths.mkString(",")
+      }.mkString("\n")
+    assert(scanned.linesIterator.forall(l =>
+        l.contains(bm25Path) || l.contains(densePath)),
+      s"non-index scan in fully-indexed hybrid plan:\n$scanned")
+  }
+
+  test("dense index append ≡ rebuild; compaction preserves probe rows") {
+    val grown = java.nio.file.Files
+      .createTempDirectory("dense_index_grow").toString
+    val rebuilt = java.nio.file.Files
+      .createTempDirectory("dense_index_rebuild").toString
+    val bm25Path = java.nio.file.Files
+      .createTempDirectory("bm25_index_grow").toString
+    Retrieval.writeBm25Index(hybridDocs, bm25Path)
+    Retrieval.writeDenseIndex(
+      hybridDocs.filter($"doc_id" % 2 === 0), grown)
+    Retrieval.appendToDenseIndex(
+      hybridDocs.filter($"doc_id" % 2 === 1), grown)
+    Retrieval.writeDenseIndex(hybridDocs, rebuilt)
+    def probe(p: String) = Retrieval.hybridTopKFullyIndexed(
+        spark, bm25Path, p, hybridQs, k = 10, nPerSide = 20)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(probe(grown) == probe(rebuilt),
+      "appended dense index must probe identically to a rebuild")
+    // idempotent replay: an append re-run with the SAME segment id
+    // (the streaming arm's at-least-once window) must converge to
+    // applied-once, never double-store the batch's vectors
+    val clean = java.nio.file.Files
+      .createTempDirectory("dense_index_clean").toString
+    Retrieval.writeDenseIndex(
+      hybridDocs.filter($"doc_id" % 2 === 0), clean)
+    Retrieval.appendToDenseIndex(
+      hybridDocs.filter($"doc_id" % 2 === 1), clean, segId = "b0")
+    Retrieval.appendToDenseIndex(
+      hybridDocs.filter($"doc_id" % 2 === 1), clean, segId = "b0")
+    assert(probe(clean) == probe(rebuilt),
+      "a replayed append (same segId) must converge, not double-count")
+    Retrieval.compactDenseIndex(spark, clean)
+    assert(probe(clean) == probe(rebuilt),
+      "compaction must not change probe results")
+    val segs = new java.io.File(s"$clean/vectors").listFiles()
+      .filter(_.getName.startsWith("seg=")).map(_.getName).toSeq
+    assert(segs == Seq("seg=base"), s"compaction left segments: $segs")
+  }
+
   // ---- MMR diversification --------------------------------------------
 
   test("MMR picks the diverse candidate over the redundant higher-rel one") {

@@ -432,6 +432,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(diff == 0, s"bucket_counts differ in $diff rows")
   }
 
+  test("streamed dense-tower appends match the batch append, probe-for-probe") {
+    import graft.llm.Retrieval
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text")
+    val base = docs.filter($"doc_id" % 2 === 0)
+    val late = docs.filter($"doc_id" % 2 === 1)
+    val bm25Idx = TestSpark.tmpDir("dense-append-bm25")
+    Retrieval.writeBm25Index(docs, bm25Idx)
+    val qs = Seq((0, "hash join merge")).toDF("query_id", "query_text")
+
+    val batchIdx = TestSpark.tmpDir("dense-append-batch")
+    Retrieval.writeDenseIndex(base, batchIdx)
+    Retrieval.appendToDenseIndex(late, batchIdx)
+
+    val streamIdx = TestSpark.tmpDir("dense-append-stream")
+    Retrieval.writeDenseIndex(base, streamIdx)
+    val srcDir = TestSpark.tmpDir("dense-append-src")
+    late.repartition(3).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val q = Incremental.denseIndexAppendStream(
+      stream, streamIdx, TestSpark.tmpDir("dense-append-ck"))
+    q.awaitTermination()
+
+    def probe(p: String) = Retrieval.hybridTopKFullyIndexed(
+        spark, bm25Idx, p, qs, k = 10, nPerSide = 20)
+      .orderBy("rank").collect().toSeq
+    val viaBatch = probe(batchIdx)
+    val viaStream = probe(streamIdx)
+    assert(viaStream == viaBatch, s"stream=$viaStream\nbatch=$viaBatch")
+    // and both equal LIVE hybrid over the grown corpus — stored
+    // towers ≡ in-plan computation, end to end through the stream
+    val live = Retrieval.hybridTopK(docs, qs, k = 10, nPerSide = 20)
+      .orderBy("rank").collect().toSeq
+    assert(viaStream == live, s"stream=$viaStream\nlive=$live")
+  }
+
   test("index-append segments are namespaced per checkpoint (a second stream cannot overwrite the first's batches)") {
     import graft.llm.Dedup
     // two separate streams (own checkpoints) append disjoint halves to

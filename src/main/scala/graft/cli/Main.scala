@@ -36,7 +36,7 @@ object Main {
 
   private def usage(): Unit =
     System.err.println(
-      """usage: graft.cli.Main <convert|query|sql|lint|profile|optimize|manifest|vacuum|curate|dedup-incremental|index-build|index-probe|decontaminate|decontaminate-spans|cap-source|pq-encode|dedup-lines|dedup-spans|semdedup|novelty|sketch-build|sketch-query|dense-index|bench> ...
+      """usage: graft.cli.Main <convert|query|sql|lint|profile|optimize|manifest|vacuum|curate|dedup-incremental|index-build|index-probe|decontaminate|decontaminate-spans|cap-source|pq-encode|dedup-lines|dedup-spans|semdedup|novelty|sketch-build|sketch-query|dense-index|snapshot|bench> ...
         |  convert DATA [--output-path P] [--agency A] [--compression C]
         |  query SFDIR NAME...
         |  sql SFDIR "SELECT ..."
@@ -44,6 +44,11 @@ object Main {
         |  profile SFDIR TABLE [--approx]
         |  optimize PATH [N] [--zorder colA,colB]
         |  manifest PATH col1[,col2...]   build file-level min/max manifest
+        |  snapshot TABLE <create|append|overwrite> SRC
+        |         | snapshot TABLE history | restore V
+        |         | read [--version V | --as-of MS] | expire [--keep N]
+        |         snapshot-isolated commits + time travel (atomic
+        |         rename-claimed manifests over immutable batches)
         |  vacuum ROOT
         |  curate IN OUT [--min-quality Q] [--near-jaccard J]
         |         [--min-chars N] [--langs en,de] [--compression C]
@@ -242,6 +247,49 @@ object Main {
         val m = graft.maintain.Manifest.read(spark, args(1))
         println(s"manifest built: ${m.count()} files, " +
           s"columns=${cols.mkString(",")}")
+
+      case "snapshot" =>
+        // snapshot TABLE <create SRC | append SRC | overwrite SRC |
+        //   history | restore V | read [--version V | --as-of MS] |
+        //   expire [--keep N]>
+        // — snapshot-isolated commits + time travel over immutable
+        // parquet batches (maintain.Snapshots; atomic rename-claimed
+        // manifests, optimistic concurrency).
+        import graft.maintain.Snapshots
+        val table = args(1)
+        args(2) match {
+          case "create" | "append" | "overwrite" =>
+            val src = args(3)
+            graft.sources.Preflight.checkInput(spark, src)
+            val df = spark.read.parquet(src)
+            val v = args(2) match {
+              case "create"    => Snapshots.create(df, table)
+              case "append"    => Snapshots.commitAppend(df, table)
+              case "overwrite" => Snapshots.commitOverwrite(df, table)
+            }
+            System.err.println(s"[snapshot] ${args(2)} $src → $table v$v")
+          case "history" =>
+            Snapshots.history(spark, table).show(100, truncate = false)
+          case "restore" =>
+            val v = Snapshots.rollback(spark, table, args(3).toLong)
+            System.err.println(
+              s"[snapshot] restored $table@${args(3)} as v$v")
+          case "read" =>
+            val df = (arg(args, "--version"), arg(args, "--as-of")) match {
+              case (Some(v), _) =>
+                Snapshots.readVersion(spark, table, v.toLong)
+              case (None, Some(ts)) =>
+                Snapshots.readAsOf(spark, table, ts.toLong)
+              case _ => Snapshots.read(spark, table)
+            }
+            df.show(20, truncate = false)
+          case "expire" =>
+            val keep = arg(args, "--keep").map(_.toInt).getOrElse(2)
+            val (d, s) = Snapshots.expire(spark, table, keepLast = keep)
+            System.err.println(
+              s"[snapshot] expired $d versions, swept $s orphan batches")
+          case other => sys.error(s"snapshot: unknown action '$other'")
+        }
 
       case "vacuum" =>
         // vacuum ROOT — sweep swap leftovers across a warehouse root

@@ -1,0 +1,311 @@
+package graft.maintain
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Snapshot isolation + time travel for parquet tables — the
+  * lakehouse-table-format concern the reference names ("iceberg") but
+  * never implements (its `create_iceberg_table` writes a plain
+  * `data.parquet`; the pyiceberg REST catalog import is never
+  * connected — `iceberg_exploration.py:65-80,165-186`). At 100 TB a
+  * real deployment wants exactly three properties from the format
+  * layer, and this module provides them on raw Hadoop-FS + parquet
+  * primitives, consistent with the repo's Manifest/Swap/Segments
+  * stack:
+  *
+  *   1. '''Atomic commits''': writers never mutate data in place —
+  *      every commit writes its rows into a fresh immutable
+  *      `data/batch-<uuid>` directory, then CLAIMS its version by
+  *      atomically renaming a fully-written manifest directory to
+  *      `_snapshots/v<N>`. Rename-if-absent is the arbiter: two racing
+  *      committers both write side files, exactly one rename wins, the
+  *      loser re-reads the head and retries against the NEW parent
+  *      (optimistic concurrency, the Iceberg/Delta commit protocol).
+  *      A crash before the rename leaves only invisible orphans — the
+  *      table's readable state is never touched.
+  *   2. '''Snapshot-isolated reads''': a reader resolves the head
+  *      version ONCE, then plans only that manifest's file list —
+  *      concurrent commits (which only ADD files and manifests) cannot
+  *      change or tear what it sees. Readers of version N are immune
+  *      to everything after N by construction.
+  *   3. '''Time travel''': every version's manifest (tiny parquet: one
+  *      row per data file + commit metadata) persists until expired,
+  *      so `readVersion(v)` / `readAsOf(ts)` replay any retained
+  *      state; `rollback(v)` restores an old state AS A NEW VERSION
+  *      (never destructive — an audited un-delete); `expire` retires
+  *      old manifests and deletes only data batches no retained
+  *      version references.
+  *
+  * Scale shape: a commit's cost is its own data write + one tiny
+  * manifest (O(files-in-commit) rows); resolving the head lists one
+  * `_snapshots/` directory (O(retained versions) — bounded by
+  * `expire`, the same lifecycle as serving-index compaction); reads
+  * plan `spark.read.parquet(files…)` so all parquet pushdown/pruning
+  * applies unchanged. Nothing here scans data to commit — the 100 TB
+  * posture is metadata-only commits over immutable files, which is
+  * the entire point of a table format.
+  *
+  * Cross-process contract: the rename arbiter IS cross-process safe
+  * (both committers land a version; the loser's retry re-parents) —
+  * unlike the serving-index append lock, snapshots need no external
+  * scheduling. `expire` is the one offline op: run it when no reader
+  * is pinned to a version being retired (standard retention-window
+  * operations, stated on [[expire]]).
+  */
+object Snapshots {
+
+  /** Operation labels recorded in each manifest. */
+  val OpCreate = "create"
+  val OpAppend = "append"
+  val OpOverwrite = "overwrite"
+  val OpRollback = "rollback"
+
+  private val SnapDir = "_snapshots"
+  private val DataDir = "data"
+
+  final class CommitConflictException(msg: String)
+    extends java.io.IOException(msg)
+  final class NoSuchVersionException(msg: String)
+    extends java.util.NoSuchElementException(msg)
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def versionOf(name: String): Option[Long] =
+    if (name.startsWith("v")) name.drop(1).toLongOption else None
+
+  /** All committed versions at `path`, ascending — a manifest counts
+    * only once fully committed (the rename is atomic, so a listed
+    * `v<N>` directory is always complete). */
+  def versions(spark: SparkSession, path: String): Seq[Long] = {
+    val dir = new Path(s"$path/$SnapDir")
+    val f = fs(spark, path)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq
+      .flatMap(st => versionOf(st.getPath.getName))
+      .sorted
+  }
+
+  def exists(spark: SparkSession, path: String): Boolean =
+    versions(spark, path).nonEmpty
+
+  private def manifestDf(spark: SparkSession, path: String,
+      v: Long): DataFrame = {
+    val p = s"$path/$SnapDir/v$v"
+    if (!fs(spark, path).exists(new Path(p)))
+      throw new NoSuchVersionException(
+        s"no snapshot v$v at $path (have: " +
+          s"${versions(spark, path).mkString(",")})")
+    spark.read.parquet(p)
+  }
+
+  /** One row per retained version: (version, ts_ms, operation,
+    * n_files, parent), ascending — the audit surface (`history` in
+    * the CLI). */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no snapshot table at $path")
+    vs.map(v => manifestDf(spark, path, v)
+        .groupBy("version", "ts_ms", "operation", "parent")
+        .agg(count(lit(1)).as("n_files")))
+      .reduce(_.unionByName(_))
+      .select("version", "ts_ms", "operation", "parent", "n_files")
+      .orderBy("version")
+  }
+
+  /** Write `df`'s rows as a fresh immutable data batch; returns the
+    * absolute file paths that form the commit's content. */
+  private def writeBatch(df: DataFrame, path: String): Seq[String] = {
+    val batch = s"$path/$DataDir/batch-" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+    df.write.parquet(batch) // fresh dir: no overwrite semantics needed
+    val f = fs(df.sparkSession, path)
+    f.listStatus(new Path(batch)).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString)
+  }
+
+  /** Same-JVM commit serialization per table path (two threads of one
+    * driver committing concurrently — the common case — never even
+    * reach the rename contention). Cross-PROCESS committers are
+    * arbitrated by [[claimVersion]]'s no-overwrite rename. */
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(path: String): Object =
+    commitLocks.computeIfAbsent(path, _ => new Object)
+
+  /** The cross-process atomic arbiter: rename `tmp` to `dest` FAILING
+    * if `dest` exists. Plain `FileSystem.rename` is the WRONG tool —
+    * on a POSIX-backed FS renaming onto an existing directory moves
+    * the source INSIDE it (both racers would think they won; the
+    * loser's commit silently vanishes — caught by SnapshotsSpec's
+    * race test). `FileContext.rename` without the OVERWRITE option
+    * enforces fail-on-existing; on HDFS-semantics filesystems the
+    * check-and-rename is one atomic server-side operation (the
+    * guarantee Iceberg/Delta commit protocols build on). */
+  private[graft] def claimVersion(
+      spark: SparkSession, tmp: Path, dest: Path): Boolean = {
+    val ctx = org.apache.hadoop.fs.FileContext.getFileContext(
+      dest.toUri, spark.sparkContext.hadoopConfiguration)
+    try { ctx.rename(tmp, dest); true }
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case e: java.io.IOException
+          if Option(e.getMessage).exists(_.contains("exists")) => false
+    }
+  }
+
+  /** Commit `files` as version `head + 1`, retrying against the new
+    * head on a lost race. The manifest is written COMPLETELY to a tmp
+    * directory, then claimed via [[claimVersion]]. */
+  @annotation.tailrec
+  private def commit(
+      spark: SparkSession,
+      path: String,
+      files: Seq[String],
+      op: String,
+      parentFiles: Long => Seq[String],
+      retries: Int = 20): Long = {
+    val claimed = lockFor(path).synchronized {
+      val head = versions(spark, path).lastOption.getOrElse(0L)
+      val v = head + 1
+      val all = parentFiles(head) ++ files
+      import spark.implicits._
+      val manifest = all.toDF("file")
+        .withColumn("version", lit(v))
+        .withColumn("ts_ms", lit(System.currentTimeMillis()))
+        .withColumn("operation", lit(op))
+        .withColumn("parent", lit(head))
+      val f = fs(spark, path)
+      val tmp = new Path(s"$path/$SnapDir/.tmp-v$v-" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12))
+      manifest.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val dest = new Path(s"$path/$SnapDir/v$v")
+      if (claimVersion(spark, tmp, dest)) Some(v)
+      else { f.delete(tmp, true); None }
+    }
+    claimed match {
+      case Some(v) => v
+      case None =>
+        // a FOREIGN process claimed this version between our head read
+        // and our rename — re-parent against the new head and retry
+        if (retries <= 0)
+          throw new CommitConflictException(
+            s"lost the commit race at $path too many times — " +
+              "a runaway committer loop?")
+        commit(spark, path, files, op, parentFiles, retries - 1)
+    }
+  }
+
+  private def filesOf(spark: SparkSession, path: String,
+      v: Long): Seq[String] =
+    manifestDf(spark, path, v).select("file")
+      .collect().map(_.getString(0)).toSeq
+
+  /** Create the snapshot table (version 1). Fails if one exists —
+    * `commitOverwrite` is the explicit replace. */
+  def create(df: DataFrame, path: String): Long = {
+    val spark = df.sparkSession
+    require(!exists(spark, path),
+      s"snapshot table already exists at $path — use commitAppend/" +
+        "commitOverwrite")
+    val files = writeBatch(df, path)
+    commit(spark, path, files, OpCreate, _ => Seq.empty)
+  }
+
+  /** Append `df` as a new version: new files + every parent file. */
+  def commitAppend(df: DataFrame, path: String): Long = {
+    val spark = df.sparkSession
+    require(exists(spark, path), s"no snapshot table at $path")
+    val files = writeBatch(df, path)
+    commit(spark, path, files, OpAppend,
+      parent => filesOf(spark, path, parent))
+  }
+
+  /** Logically replace the table's content as a new version; prior
+    * versions stay readable until expired. */
+  def commitOverwrite(df: DataFrame, path: String): Long = {
+    val spark = df.sparkSession
+    require(exists(spark, path), s"no snapshot table at $path")
+    val files = writeBatch(df, path)
+    commit(spark, path, files, OpOverwrite, _ => Seq.empty)
+  }
+
+  /** Restore version `v`'s content AS A NEW VERSION (audited
+    * un-delete; nothing is removed). */
+  def rollback(spark: SparkSession, path: String, v: Long): Long = {
+    val files = filesOf(spark, path, v) // throws on unknown v
+    commit(spark, path, Seq.empty, OpRollback, _ => files)
+  }
+
+  /** Snapshot-isolated read of the current head: the version resolves
+    * ONCE, then only its manifest's files are planned — concurrent
+    * commits cannot change or tear the result. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no snapshot table at $path")
+    readVersion(spark, path, vs.last)
+  }
+
+  /** Time travel to an exact retained version. */
+  def readVersion(spark: SparkSession, path: String, v: Long): DataFrame = {
+    val files = filesOf(spark, path, v)
+    if (files.isEmpty)
+      // an all-empty version (empty create/overwrite) still has a
+      // schema-bearing empty parquet file, so this only guards a
+      // manifest with zero rows — impossible via the writers above
+      throw new NoSuchVersionException(s"version $v at $path lists no files")
+    spark.read.parquet(files: _*)
+  }
+
+  /** Time travel to the newest version committed at or before
+    * `tsMs` (epoch millis). */
+  def readAsOf(spark: SparkSession, path: String, tsMs: Long): DataFrame = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no snapshot table at $path")
+    val at = vs.filter(v => manifestDf(spark, path, v)
+        .select(min(col("ts_ms"))).head().getLong(0) <= tsMs)
+    if (at.isEmpty)
+      throw new NoSuchVersionException(
+        s"no version at or before ts_ms=$tsMs at $path")
+    readVersion(spark, path, at.last)
+  }
+
+  /** Retire all but the newest `keepLast` versions: their manifests
+    * are deleted, then every `data/batch-*` directory no RETAINED
+    * version references is removed. Retention-window contract: do not
+    * expire versions a long-running reader may still be pinned to
+    * (readers resolve files at plan time; standard table-format
+    * operations guidance). Returns (versions dropped, data dirs
+    * deleted). */
+  def expire(spark: SparkSession, path: String,
+      keepLast: Int = 2,
+      orphanMinAgeMs: Long = 3600000L): (Int, Int) = {
+    require(keepLast >= 1, s"keepLast must be ≥ 1: $keepLast")
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no snapshot table at $path")
+    val drop = vs.dropRight(keepLast)
+    val keep = vs.takeRight(keepLast)
+    val f = fs(spark, path)
+    // referenced batch dirs = parent dirs of every retained file
+    val referenced = keep.flatMap(v => filesOf(spark, path, v))
+      .map(fp => new Path(fp).getParent.toString).toSet
+    drop.foreach(v => f.delete(new Path(s"$path/$SnapDir/v$v"), true))
+    val dataDir = new Path(s"$path/$DataDir")
+    // the age floor protects an IN-FLIGHT commit's just-written batch
+    // (data landed, rename pending) from being swept as an orphan —
+    // Iceberg's orphan-file cleanup makes the same time-based cut; a
+    // crashed commit's batch becomes sweepable once it ages past it
+    val cutoff = System.currentTimeMillis() - orphanMinAgeMs
+    val orphans =
+      if (!f.exists(dataDir)) Seq.empty
+      else f.listStatus(dataDir).toSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("batch-") &&
+          !referenced.contains(st.getPath.toString) &&
+          st.getModificationTime <= cutoff)
+    orphans.foreach(st => f.delete(st.getPath, true))
+    (drop.size, orphans.size)
+  }
+}

@@ -30,6 +30,7 @@ object Registry {
       AdvancedQueries.all ++
       ExtendedQueries.all ++
       IngestQueries.all ++
+      SnapshotQueries.all ++
       graft.llm.LlmQueries.all ++
       graft.streaming.StreamQueries.all
 

@@ -133,6 +133,22 @@ class CliSpec extends AnyFunSuite {
       "--query", "hash merge", "--k", "90", "--diversify"))
   }
 
+  test("snapshot verbs drive the table-format layer via the CLI") {
+    val t = TestSpark.tmpDir("cli-snap")
+    val src = s"$t/src"; val tbl = s"$t/tbl"
+    spark.range(10).toDF("id").write.parquet(src)
+    graft.cli.Main.run(spark, Array("snapshot", tbl, "create", src))
+    graft.cli.Main.run(spark, Array("snapshot", tbl, "append", src))
+    graft.cli.Main.run(spark, Array("snapshot", tbl, "history"))
+    graft.cli.Main.run(spark,
+      Array("snapshot", tbl, "read", "--version", "1"))
+    graft.cli.Main.run(spark, Array("snapshot", tbl, "restore", "1"))
+    assert(graft.maintain.Snapshots.read(spark, tbl).count() == 10)
+    graft.cli.Main.run(spark,
+      Array("snapshot", tbl, "expire", "--keep", "2"))
+    assert(graft.maintain.Snapshots.versions(spark, tbl) == Seq(2L, 3L))
+  }
+
   test("optimize compacts via the CLI") {
     val path = TestSpark.tmpDir("cli-compact") + "/t"
     graft.maintain.Compaction.fragment(

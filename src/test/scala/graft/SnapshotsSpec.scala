@@ -1,0 +1,182 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.maintain.Snapshots
+
+/** Snapshot isolation + time travel: atomic rename-claimed commits
+  * over immutable data batches — the table-format surface the
+  * reference names ("iceberg") but never implements. The contract
+  * under test: commits are atomic and race-safe, a resolved version
+  * is immune to later commits, every retained version replays
+  * exactly, rollback is non-destructive, and expire removes only
+  * what no retained version references. */
+class SnapshotsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshPath(tag: String): String =
+    TestSpark.tmpDir(s"snap-$tag") + "/t"
+
+  private def rows(n: Range) = n.map(i => (i.toLong, s"r$i")).toDF("id", "s")
+
+  test("create → read round-trip; append and overwrite version correctly") {
+    val p = freshPath("basic")
+    assert(!Snapshots.exists(spark, p))
+    val v1 = Snapshots.create(rows(0 until 10), p)
+    assert(v1 == 1L)
+    assert(Snapshots.read(spark, p).count() == 10)
+
+    val v2 = Snapshots.commitAppend(rows(10 until 15), p)
+    assert(v2 == 2L)
+    assert(Snapshots.read(spark, p).count() == 15)
+    // time travel: v1 still reads its exact pre-append content
+    assert(Snapshots.readVersion(spark, p, 1).count() == 10)
+    assert(Snapshots.readVersion(spark, p, 1)
+      .agg(sum("id")).head().getLong(0) == (0 until 10).sum)
+
+    val v3 = Snapshots.commitOverwrite(rows(100 until 103), p)
+    assert(v3 == 3L)
+    assert(Snapshots.read(spark, p).count() == 3)
+    // both prior versions remain readable after the logical overwrite
+    assert(Snapshots.readVersion(spark, p, 2).count() == 15)
+    assert(Snapshots.readVersion(spark, p, 1).count() == 10)
+
+    val h = Snapshots.history(spark, p)
+      .select("version", "operation", "parent")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(h == Seq((1L, "create", 0L), (2L, "append", 1L),
+      (3L, "overwrite", 2L)))
+  }
+
+  test("snapshot-isolated read: a resolved frame is immune to later commits") {
+    val p = freshPath("isolation")
+    Snapshots.create(rows(0 until 20), p)
+    val pinned = Snapshots.read(spark, p) // resolves v1's file list NOW
+    Snapshots.commitOverwrite(rows(0 until 3), p)
+    // the pinned frame still reads v1's files — the overwrite added
+    // new files and a new manifest, touched nothing pinned
+    assert(pinned.count() == 20)
+    assert(Snapshots.read(spark, p).count() == 3)
+  }
+
+  test("rollback restores an old state as a NEW version, destroying nothing") {
+    val p = freshPath("rollback")
+    Snapshots.create(rows(0 until 5), p)
+    Snapshots.commitAppend(rows(5 until 8), p)
+    Snapshots.commitOverwrite(rows(50 until 51), p)
+    val v4 = Snapshots.rollback(spark, p, 2)
+    assert(v4 == 4L)
+    assert(Snapshots.read(spark, p)
+      .agg(sum("id")).head().getLong(0) == (0 until 8).sum)
+    // the rolled-past version is still there (audited un-delete)
+    assert(Snapshots.readVersion(spark, p, 3).count() == 1)
+    assert(Snapshots.versions(spark, p) == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("readAsOf picks the newest version at or before the timestamp") {
+    val p = freshPath("asof")
+    Snapshots.create(rows(0 until 4), p)
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(5)
+    Snapshots.commitAppend(rows(4 until 9), p)
+    assert(Snapshots.readAsOf(spark, p, t1).count() == 4)
+    assert(Snapshots.readAsOf(spark, p,
+      System.currentTimeMillis()).count() == 9)
+    intercept[Snapshots.NoSuchVersionException] {
+      Snapshots.readAsOf(spark, p, 0L)
+    }
+  }
+
+  test("racing commits both land; the rename arbiter serializes them losslessly") {
+    val p = freshPath("race")
+    Snapshots.create(rows(0 until 5), p)
+    // two committers race from the same head: whichever loses the
+    // v2 rename must retry against the winner's manifest, so BOTH
+    // appends survive in the final state regardless of interleaving
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val a = Future(Snapshots.commitAppend(rows(5 until 8), p))
+    val b = Future(Snapshots.commitAppend(rows(8 until 12), p))
+    val (va, vb) = (Await.result(a, 120.seconds),
+      Await.result(b, 120.seconds))
+    assert(Set(va, vb) == Set(2L, 3L), s"got versions $va, $vb")
+    assert(Snapshots.versions(spark, p) == Seq(1L, 2L, 3L))
+    assert(Snapshots.read(spark, p).count() == 12)
+    assert(Snapshots.read(spark, p)
+      .agg(sum("id")).head().getLong(0) == (0 until 12).sum)
+    // no tmp litter left behind by the loser's retry
+    val f = new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val litter = f.listStatus(new Path(s"$p/_snapshots")).toSeq
+      .map(_.getPath.getName).filter(_.startsWith(".tmp"))
+    assert(litter.isEmpty, s"tmp manifests left: $litter")
+  }
+
+  test("claimVersion is fail-on-existing (never merges into a taken version)") {
+    // plain FileSystem.rename onto an existing dir MOVES INSIDE it on
+    // POSIX — the silent-loss mode the FileContext arbiter closes
+    val base = freshPath("claim")
+    val f = new Path(base).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def mkdir(n: String): Path = {
+      val p = new Path(s"$base/$n"); f.mkdirs(p); p
+    }
+    val dest = new Path(s"$base/v1")
+    assert(Snapshots.claimVersion(spark, mkdir("t1"), dest))
+    val t2 = mkdir("t2")
+    assert(!Snapshots.claimVersion(spark, t2, dest),
+      "claiming a taken version must fail")
+    // the loser's tmp is intact (caller deletes it), NOT nested inside
+    // the winner's directory
+    assert(f.exists(t2), "loser's tmp vanished")
+    assert(!f.exists(new Path(s"$base/v1/t2")),
+      "loser's tmp was merged into the winner's version dir")
+  }
+
+  test("a crashed commit (data written, never claimed) is invisible and expirable") {
+    val p = freshPath("crash")
+    Snapshots.create(rows(0 until 6), p)
+    // orphan batch: data landed, no manifest ever renamed in
+    rows(1000 until 1010).write
+      .parquet(s"$p/data/batch-deadbeefdeadbeef")
+    assert(Snapshots.read(spark, p).count() == 6, "orphan rows leaked in")
+    val (dropped, swept) =
+      Snapshots.expire(spark, p, keepLast = 1, orphanMinAgeMs = 0L)
+    assert(dropped == 0 && swept == 1)
+    assert(Snapshots.read(spark, p).count() == 6)
+  }
+
+  test("expire retires old versions and only unreferenced batches") {
+    val p = freshPath("expire")
+    Snapshots.create(rows(0 until 5), p)          // v1: batch A
+    Snapshots.commitAppend(rows(5 until 9), p)    // v2: A + B
+    Snapshots.commitOverwrite(rows(20 until 22), p) // v3: C
+    val (dropped, swept) =
+      Snapshots.expire(spark, p, keepLast = 2, orphanMinAgeMs = 0L)
+    // v1 dropped; batches A and B are still referenced by retained v2,
+    // so nothing is swept
+    assert(dropped == 1 && swept == 0)
+    assert(Snapshots.versions(spark, p) == Seq(2L, 3L))
+    assert(Snapshots.readVersion(spark, p, 2).count() == 9)
+    intercept[Snapshots.NoSuchVersionException] {
+      Snapshots.readVersion(spark, p, 1)
+    }
+    // dropping v2 as well frees A and B (v3 references only C)
+    val (d2, s2) =
+      Snapshots.expire(spark, p, keepLast = 1, orphanMinAgeMs = 0L)
+    assert(d2 == 1 && s2 == 2, s"dropped=$d2 swept=$s2")
+    assert(Snapshots.read(spark, p).count() == 2)
+  }
+
+  test("an empty create/overwrite round-trips as an empty table, not an error") {
+    val p = freshPath("empty")
+    Snapshots.create(rows(0 until 3).filter($"id" < 0), p)
+    assert(Snapshots.read(spark, p).count() == 0)
+    assert(Snapshots.read(spark, p).columns.toSeq == Seq("id", "s"))
+    Snapshots.commitAppend(rows(0 until 2), p)
+    assert(Snapshots.read(spark, p).count() == 2)
+  }
+}

@@ -47,6 +47,8 @@ object Main {
         |  snapshot TABLE <create|append|overwrite> SRC
         |         | snapshot TABLE history | restore V
         |         | read [--version V | --as-of MS] | expire [--keep N]
+        |         | compact [--target-files N]
+        |         | changes --from V [--to V]   (appended-rows delta)
         |         snapshot-isolated commits + time travel (atomic
         |         rename-claimed manifests over immutable batches)
         |  vacuum ROOT
@@ -288,6 +290,19 @@ object Main {
             val (d, s) = Snapshots.expire(spark, table, keepLast = keep)
             System.err.println(
               s"[snapshot] expired $d versions, swept $s orphan batches")
+          case "compact" =>
+            val n = arg(args, "--target-files").map(_.toInt).getOrElse(8)
+            val v = Snapshots.compact(spark, table, targetFiles = n)
+            System.err.println(
+              s"[snapshot] compacted $table head into $n files as v$v")
+          case "changes" =>
+            // incremental read: rows appended in (--from, --to]
+            val from = arg(args, "--from").map(_.toLong).getOrElse(
+              sys.error("snapshot changes requires --from V"))
+            val to = arg(args, "--to").map(_.toLong).getOrElse(
+              Snapshots.versions(spark, table).last)
+            Snapshots.readAppendedBetween(spark, table, from, to)
+              .show(20, truncate = false)
           case other => sys.error(s"snapshot: unknown action '$other'")
         }
 

@@ -272,6 +272,51 @@ object Snapshots {
     readVersion(spark, path, at.last)
   }
 
+  /** Incremental (CDC-style) read: the rows ADDED between `fromV`
+    * (exclusive) and `toV` (inclusive) — exactly the files in `toV`'s
+    * manifest that `fromV`'s lacks. For append-only tables this is
+    * the changelog a downstream consumer tails instead of re-reading
+    * the world: resolving it is a manifest diff (metadata only), and
+    * the read plans only the delta files. An overwrite/compact in the
+    * range fails loudly — its new files are not row-level additions,
+    * and serving them as a delta would double-count rewritten rows. */
+  def readAppendedBetween(
+      spark: SparkSession, path: String,
+      fromV: Long, toV: Long): DataFrame = {
+    require(fromV < toV, s"fromV ($fromV) must be < toV ($toV)")
+    val rewrites = history(spark, path)
+      .filter(col("version") > fromV && col("version") <= toV)
+      .filter(col("operation").isin(OpOverwrite, OpRollback, "compact"))
+      .select("version", "operation")
+      .collect()
+    require(rewrites.isEmpty,
+      s"readAppendedBetween($fromV, $toV] crosses non-append commits " +
+        rewrites.map(r => s"v${r.getLong(0)}=${r.getString(1)}")
+          .mkString("(", ", ", ")") +
+        " — a rewrite's files are not row-level additions")
+    val before = filesOf(spark, path, fromV).toSet
+    val delta = filesOf(spark, path, toV).filterNot(before)
+    if (delta.isEmpty)
+      // schema-stable empty delta: zero-row frame with toV's schema
+      readVersion(spark, path, toV).limit(0)
+    else spark.read.parquet(delta: _*)
+  }
+
+  /** Small-file maintenance as a COMMIT: rewrite the head's content
+    * into one fresh batch of `targetFiles` files and commit it as a
+    * new version (operation "compact"). Nothing is deleted — prior
+    * versions still read their original files until [[expire]]; a
+    * reader racing the compaction sees old-or-new, never a mix (the
+    * snapshot-isolation property doing the Swap protocol's job). */
+  def compact(spark: SparkSession, path: String,
+      targetFiles: Int = 8): Long = {
+    require(targetFiles >= 1, s"targetFiles must be ≥ 1: $targetFiles")
+    require(exists(spark, path), s"no snapshot table at $path")
+    val files = writeBatch(
+      read(spark, path).repartition(targetFiles), path)
+    commit(spark, path, files, "compact", _ => Seq.empty)
+  }
+
   /** Retire all but the newest `keepLast` versions: their manifests
     * are deleted, then every `data/batch-*` directory no RETAINED
     * version references is removed. Retention-window contract: do not

@@ -142,11 +142,16 @@ class CliSpec extends AnyFunSuite {
     graft.cli.Main.run(spark, Array("snapshot", tbl, "history"))
     graft.cli.Main.run(spark,
       Array("snapshot", tbl, "read", "--version", "1"))
+    graft.cli.Main.run(spark,
+      Array("snapshot", tbl, "changes", "--from", "1", "--to", "2"))
     graft.cli.Main.run(spark, Array("snapshot", tbl, "restore", "1"))
     assert(graft.maintain.Snapshots.read(spark, tbl).count() == 10)
     graft.cli.Main.run(spark,
       Array("snapshot", tbl, "expire", "--keep", "2"))
     assert(graft.maintain.Snapshots.versions(spark, tbl) == Seq(2L, 3L))
+    graft.cli.Main.run(spark,
+      Array("snapshot", tbl, "compact", "--target-files", "1"))
+    assert(graft.maintain.Snapshots.read(spark, tbl).count() == 10)
   }
 
   test("optimize compacts via the CLI") {

@@ -171,6 +171,49 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, p).count() == 2)
   }
 
+  test("readAppendedBetween serves exactly the delta; rewrites refuse loudly") {
+    val p = freshPath("cdc")
+    Snapshots.create(rows(0 until 5), p)
+    Snapshots.commitAppend(rows(5 until 9), p)
+    Snapshots.commitAppend(rows(9 until 12), p)
+    // (v1, v3]: the two appended batches, nothing from v1
+    val delta = Snapshots.readAppendedBetween(spark, p, 1, 3)
+    assert(delta.count() == 7)
+    assert(delta.agg(sum("id")).head().getLong(0) == (5 until 12).sum)
+    // (v2, v2]: rejected (fromV < toV); (v2, v3] is one batch
+    assert(Snapshots.readAppendedBetween(spark, p, 2, 3).count() == 3)
+    // a compaction in the range is NOT a row-level addition
+    Snapshots.compact(spark, p, targetFiles = 2)
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.readAppendedBetween(spark, p, 1, 4).count()
+    }
+    assert(e.getMessage.contains("compact"), e.getMessage)
+    // but the delta up to v3 still serves from retained manifests
+    assert(Snapshots.readAppendedBetween(spark, p, 1, 3).count() == 7)
+  }
+
+  test("compact rewrites the head as a new version; readers and history intact") {
+    val p = freshPath("compact")
+    Snapshots.create(rows(0 until 6), p)
+    Snapshots.commitAppend(rows(6 until 10), p)
+    val v = Snapshots.compact(spark, p, targetFiles = 1)
+    assert(v == 3L)
+    assert(Snapshots.read(spark, p).count() == 10)
+    assert(Snapshots.read(spark, p)
+      .agg(sum("id")).head().getLong(0) == (0 until 10).sum)
+    // pre-compaction version replays unchanged
+    assert(Snapshots.readVersion(spark, p, 2).count() == 10)
+    assert(Snapshots.history(spark, p)
+      .filter(col("version") === 3).select("operation")
+      .head().getString(0) == "compact")
+    // head now reads a single data file
+    val f = new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hist = Snapshots.history(spark, p)
+      .filter(col("version") === 3).select("n_files")
+      .head().getLong(0)
+    assert(hist == 1L, s"compacted head lists $hist files")
+  }
+
   test("an empty create/overwrite round-trips as an empty table, not an error") {
     val p = freshPath("empty")
     Snapshots.create(rows(0 until 3).filter($"id" < 0), p)

@@ -44,6 +44,10 @@ object HybridScaleProbe {
       .createTempDirectory("hybrid_probe_bm25").toString
     val (_, tBuild) = timed(Retrieval.writeBm25Index(docs, idxPath))
     println(f"PROBE hybrid corpus=$n bm25_index_build_once sec=$tBuild%.2f")
+    val densePath = java.nio.file.Files
+      .createTempDirectory("hybrid_probe_dense").toString
+    val (_, tDense) = timed(Retrieval.writeDenseIndex(docs, densePath))
+    println(f"PROBE hybrid corpus=$n dense_index_build_once sec=$tDense%.2f")
 
     for (nq <- Seq(1, 8, 64)) {
       val qs = (0 until nq).map(i => (i, queryText(i)))
@@ -53,12 +57,16 @@ object HybridScaleProbe {
         Retrieval.hybridTopK(docs, qs, k = 10, nPerSide = 20).count()
       def indexed() = Retrieval.hybridTopKIndexed(
         spark, idxPath, docs, qs, k = 10, nPerSide = 20).count()
-      live(); indexed() // codegen + plan warm
+      def fully() = Retrieval.hybridTopKFullyIndexed(
+        spark, idxPath, densePath, qs, k = 10, nPerSide = 20).count()
+      live(); indexed(); fully() // codegen + plan warm
       val tL = (1 to 3).map(_ => timed(live())._2).min
       val tI = (1 to 3).map(_ => timed(indexed())._2).min
+      val tF = (1 to 3).map(_ => timed(fully())._2).min
       println(f"PROBE hybrid nq=$nq%-3d live_min_sec=$tL%.2f " +
         f"per_query=${tL / nq}%.4f indexed_min_sec=$tI%.2f " +
-        f"per_query_indexed=${tI / nq}%.4f")
+        f"per_query_indexed=${tI / nq}%.4f fully_min_sec=$tF%.2f " +
+        f"per_query_fully=${tF / nq}%.4f")
     }
     spark.stop()
   }

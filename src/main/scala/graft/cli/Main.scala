@@ -49,6 +49,8 @@ object Main {
         |         | read [--version V | --as-of MS] | expire [--keep N]
         |         | compact [--target-files N]
         |         | changes --from V [--to V]   (appended-rows delta)
+        |         | upsert SRC --keys a,b --version-col V
+        |           [--tiebreak-col T]   (MERGE as a new version)
         |         snapshot-isolated commits + time travel (atomic
         |         rename-claimed manifests over immutable batches)
         |  vacuum ROOT
@@ -295,6 +297,21 @@ object Main {
             val v = Snapshots.compact(spark, table, targetFiles = n)
             System.err.println(
               s"[snapshot] compacted $table head into $n files as v$v")
+          case "upsert" =>
+            // snapshot TABLE upsert SRC --keys a,b --version-col V
+            //   [--tiebreak-col T]: keyed MERGE committed as a new
+            //   version — time-travelable, rollback-able
+            val src = args(3)
+            graft.sources.Preflight.checkInput(spark, src)
+            val keys = arg(args, "--keys").getOrElse(
+              sys.error("snapshot upsert requires --keys a,b"))
+              .split(",").toSeq
+            val verCol = arg(args, "--version-col").getOrElse(
+              sys.error("snapshot upsert requires --version-col V"))
+            val tb = arg(args, "--tiebreak-col").getOrElse(verCol)
+            val v = Snapshots.commitUpsert(spark.read.parquet(src),
+              table, keys, verCol, tb)
+            System.err.println(s"[snapshot] upserted $src → $table v$v")
           case "changes" =>
             // incremental read: rows appended in (--from, --to]
             val from = arg(args, "--from").map(_.toLong).getOrElse(

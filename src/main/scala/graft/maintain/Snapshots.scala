@@ -286,7 +286,8 @@ object Snapshots {
     require(fromV < toV, s"fromV ($fromV) must be < toV ($toV)")
     val rewrites = history(spark, path)
       .filter(col("version") > fromV && col("version") <= toV)
-      .filter(col("operation").isin(OpOverwrite, OpRollback, "compact"))
+      .filter(col("operation")
+        .isin(OpOverwrite, OpRollback, "compact", "upsert"))
       .select("version", "operation")
       .collect()
     require(rewrites.isEmpty,
@@ -300,6 +301,29 @@ object Snapshots {
       // schema-stable empty delta: zero-row frame with toV's schema
       readVersion(spark, path, toV).limit(0)
     else spark.read.parquet(delta: _*)
+  }
+
+  /** Keyed MERGE as a COMMIT: [[Upsert.mergeFrames]] semantics
+    * (latest `(versionCol, tiebreakCol)` per key wins across head ∪
+    * updates) committed as a new version (operation "upsert") — the
+    * time-travelable MERGE: every pre-merge state stays readable, a
+    * bad upsert is one `rollback` away, and a reader racing the merge
+    * sees old-or-new (snapshot isolation doing [[Upsert.upsertPath]]'s
+    * swap work). Cost: one hash shuffle on the key over head ∪
+    * updates + the rewrite — the unpartitioned-merge shape; at 100 TB
+    * partition the snapshot table and merge per touched partition. */
+  def commitUpsert(
+      updates: DataFrame,
+      path: String,
+      keyCols: Seq[String],
+      versionCol: String,
+      tiebreakCol: String): Long = {
+    val spark = updates.sparkSession
+    require(exists(spark, path), s"no snapshot table at $path")
+    val merged = Upsert.mergeFrames(
+      read(spark, path), updates, keyCols, versionCol, tiebreakCol)
+    val files = writeBatch(merged, path)
+    commit(spark, path, files, "upsert", _ => Seq.empty)
   }
 
   /** Small-file maintenance as a COMMIT: rewrite the head's content

@@ -214,6 +214,31 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(hist == 1L, s"compacted head lists $hist files")
   }
 
+  test("commitUpsert is a time-travelable MERGE: latest wins, rollback undoes") {
+    val p = freshPath("upsert")
+    val base = Seq((1L, "a", 1L, 0L), (2L, "b", 1L, 0L), (3L, "c", 1L, 0L))
+      .toDF("id", "s", "ver", "tb")
+    Snapshots.create(base, p)
+    // update id=2, insert id=4; version column decides the winner
+    val updates = Seq((2L, "B2", 2L, 0L), (4L, "d", 1L, 0L))
+      .toDF("id", "s", "ver", "tb")
+    val v2 = Snapshots.commitUpsert(updates, p,
+      keyCols = Seq("id"), versionCol = "ver", tiebreakCol = "tb")
+    assert(v2 == 2L)
+    val got = Snapshots.read(spark, p)
+      .select("id", "s").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a"), (2L, "B2"), (3L, "c"), (4L, "d")))
+    // the pre-merge state is one rollback away
+    Snapshots.rollback(spark, p, 1)
+    assert(Snapshots.read(spark, p)
+      .filter($"id" === 2 && $"s" === "b").count() == 1)
+    // CDC reads refuse across the upsert (rewritten rows, not appends)
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.readAppendedBetween(spark, p, 1, 2).count()
+    }
+    assert(e.getMessage.contains("upsert"), e.getMessage)
+  }
+
   test("an empty create/overwrite round-trips as an empty table, not an error") {
     val p = freshPath("empty")
     Snapshots.create(rows(0 until 3).filter($"id" < 0), p)

@@ -156,9 +156,25 @@ object Snapshots {
     }
   }
 
+  /** The version that already carries `commitKey`, if any — the
+    * idempotency probe for replayed commits (one tiny read per
+    * retained manifest; retention must outlast the replay window,
+    * stated on [[commitAppend]]). */
+  private def versionOfCommitKey(
+      spark: SparkSession, path: String, commitKey: String): Option[Long] =
+    versions(spark, path).find { v =>
+      val m = manifestDf(spark, path, v)
+      m.columns.contains("commit_key") &&
+        m.select("commit_key").head().getString(0) == commitKey
+    }
+
   /** Commit `files` as version `head + 1`, retrying against the new
     * head on a lost race. The manifest is written COMPLETELY to a tmp
-    * directory, then claimed via [[claimVersion]]. */
+    * directory, then claimed via [[claimVersion]]. A `commitKey`
+    * makes the commit IDEMPOTENT: a commit whose key already sits in
+    * a retained manifest returns that version instead of applying
+    * again — the Delta txn-appId/version pattern that turns
+    * foreachBatch's at-least-once replay into exactly-once. */
   @annotation.tailrec
   private def commit(
       spark: SparkSession,
@@ -166,8 +182,15 @@ object Snapshots {
       files: Seq[String],
       op: String,
       parentFiles: Long => Seq[String],
+      commitKey: Option[String] = None,
       retries: Int = 20): Long = {
     val claimed = lockFor(path).synchronized {
+      // replayed keyed commit: already applied — converge to that
+      // version, don't double-append (the replay's re-written data
+      // batch is invisible and expire-sweepable)
+      val replayed = commitKey.flatMap(versionOfCommitKey(spark, path, _))
+      if (replayed.isDefined) replayed
+      else {
       val head = versions(spark, path).lastOption.getOrElse(0L)
       val v = head + 1
       val all = parentFiles(head) ++ files
@@ -177,6 +200,7 @@ object Snapshots {
         .withColumn("ts_ms", lit(System.currentTimeMillis()))
         .withColumn("operation", lit(op))
         .withColumn("parent", lit(head))
+        .withColumn("commit_key", lit(commitKey.orNull))
       val f = fs(spark, path)
       val tmp = new Path(s"$path/$SnapDir/.tmp-v$v-" +
         java.util.UUID.randomUUID().toString.replace("-", "").take(12))
@@ -184,6 +208,7 @@ object Snapshots {
       val dest = new Path(s"$path/$SnapDir/v$v")
       if (claimVersion(spark, tmp, dest)) Some(v)
       else { f.delete(tmp, true); None }
+      }
     }
     claimed match {
       case Some(v) => v
@@ -194,7 +219,8 @@ object Snapshots {
           throw new CommitConflictException(
             s"lost the commit race at $path too many times — " +
               "a runaway committer loop?")
-        commit(spark, path, files, op, parentFiles, retries - 1)
+        commit(spark, path, files, op, parentFiles, commitKey,
+          retries - 1)
     }
   }
 
@@ -204,23 +230,45 @@ object Snapshots {
       .collect().map(_.getString(0)).toSeq
 
   /** Create the snapshot table (version 1). Fails if one exists —
-    * `commitOverwrite` is the explicit replace. */
-  def create(df: DataFrame, path: String): Long = {
+    * `commitOverwrite` is the explicit replace. `commitKey` stamps v1
+    * so a bootstrap-batch replay (stream crashed between create and
+    * checkpoint) converges through the keyed-append path instead of
+    * double-applying batch 0. */
+  def create(df: DataFrame, path: String,
+      commitKey: Option[String] = None): Long = {
     val spark = df.sparkSession
     require(!exists(spark, path),
       s"snapshot table already exists at $path — use commitAppend/" +
         "commitOverwrite")
     val files = writeBatch(df, path)
-    commit(spark, path, files, OpCreate, _ => Seq.empty)
+    commit(spark, path, files, OpCreate, _ => Seq.empty, commitKey)
   }
 
-  /** Append `df` as a new version: new files + every parent file. */
-  def commitAppend(df: DataFrame, path: String): Long = {
+  /** Append `df` as a new version: new files + every parent file.
+    *
+    * `commitKey` (optional) makes the append EXACTLY-ONCE under
+    * replay: a key already present in a retained manifest returns its
+    * version without applying again — the Delta txnAppId/txnVersion
+    * dedup pattern; the streaming arm passes
+    * `sha(checkpointDir)_batchId`. Retention contract: [[expire]]
+    * must keep at least the replay window's manifests (a replay older
+    * than every retained manifest re-applies); keep `keepLast` above
+    * the stream's maximum replayable depth (1 batch for foreachBatch). */
+  def commitAppend(
+      df: DataFrame, path: String,
+      commitKey: Option[String] = None): Long = {
     val spark = df.sparkSession
     require(exists(spark, path), s"no snapshot table at $path")
-    val files = writeBatch(df, path)
-    commit(spark, path, files, OpAppend,
-      parent => filesOf(spark, path, parent))
+    // the replay pre-check before writeBatch keeps a replayed call
+    // from littering a second (invisible) data batch in the common
+    // case; the in-lock re-check in commit() remains the authority
+    commitKey.flatMap(versionOfCommitKey(spark, path, _)) match {
+      case Some(v) => v
+      case None =>
+        val files = writeBatch(df, path)
+        commit(spark, path, files, OpAppend,
+          parent => filesOf(spark, path, parent), commitKey)
+    }
   }
 
   /** Logically replace the table's content as a new version; prior
@@ -256,7 +304,7 @@ object Snapshots {
       // schema-bearing empty parquet file, so this only guards a
       // manifest with zero rows — impossible via the writers above
       throw new NoSuchVersionException(s"version $v at $path lists no files")
-    spark.read.parquet(files: _*)
+    spark.read.option("mergeSchema", "true").parquet(files: _*)
   }
 
   /** Time travel to the newest version committed at or before

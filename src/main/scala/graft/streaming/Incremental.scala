@@ -424,6 +424,41 @@ object Incremental {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming ingestion into a SNAPSHOT table — every micro-batch
+    * lands as one atomic, time-travelable version
+    * ([[graft.maintain.Snapshots.commitAppend]]) with the
+    * checkpoint-namespaced batch id as the COMMIT KEY, so
+    * foreachBatch's at-least-once replay converges to exactly-once
+    * (a replayed batch's key already sits in a retained manifest and
+    * returns that version instead of appending twice — the Delta
+    * txnAppId/txnVersion pattern). Downstream consumers tail the
+    * table with `readAppendedBetween` (manifest-diff CDC) or pin any
+    * version; `expire` retention must outlast the replay window (one
+    * batch for AvailableNow). */
+  def snapshotAppendStream(
+      rows: DataFrame,
+      tablePath: String,
+      checkpointDir: String): StreamingQuery =
+    rows.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val key = Some(indexSegId(checkpointDir, id))
+        if (!graft.maintain.Snapshots.exists(spark, tablePath)) {
+          // bootstrap batch carries its key too: a replay of batch 0
+          // (crash between create and checkpoint) converges through
+          // the keyed-append path instead of double-applying
+          graft.maintain.Snapshots.create(batch, tablePath,
+            commitKey = key)
+        } else {
+          graft.maintain.Snapshots.commitAppend(batch, tablePath,
+            commitKey = key)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming dense-tower maintenance: every micro-batch of fresh
     * documents folds into the persisted dense vector index
     * ([[graft.llm.Retrieval.appendToDenseIndex]] — each batch's

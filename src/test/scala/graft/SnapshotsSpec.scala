@@ -239,6 +239,47 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("upsert"), e.getMessage)
   }
 
+  test("a keyed append is exactly-once under replay; fresh keys apply") {
+    val p = freshPath("keyed")
+    Snapshots.create(rows(0 until 4), p)
+    val v2 = Snapshots.commitAppend(rows(4 until 7), p,
+      commitKey = Some("ck_b1"))
+    // replay with the same key: converges to the SAME version, no
+    // second application
+    val replay = Snapshots.commitAppend(rows(4 until 7), p,
+      commitKey = Some("ck_b1"))
+    assert(replay == v2)
+    assert(Snapshots.versions(spark, p) == Seq(1L, 2L))
+    assert(Snapshots.read(spark, p).count() == 7)
+    // a different key is a genuinely new commit
+    val v3 = Snapshots.commitAppend(rows(7 until 9), p,
+      commitKey = Some("ck_b2"))
+    assert(v3 == 3L && Snapshots.read(spark, p).count() == 9)
+    // bootstrap replay: create carried a key, the replayed batch 0
+    // converges through the keyed-append path
+    val p2 = freshPath("keyed-boot")
+    Snapshots.create(rows(0 until 5), p2, commitKey = Some("ck_b0"))
+    val again = Snapshots.commitAppend(rows(0 until 5), p2,
+      commitKey = Some("ck_b0"))
+    assert(again == 1L)
+    assert(Snapshots.read(spark, p2).count() == 5)
+  }
+
+  test("schema evolution: an append with a new column reads back as the union") {
+    val p = freshPath("evolve")
+    Snapshots.create(rows(0 until 3), p)
+    val wide = Seq((100L, "x", 9.5)).toDF("id", "s", "score")
+    Snapshots.commitAppend(wide, p)
+    val head = Snapshots.read(spark, p)
+    assert(head.columns.toSet == Set("id", "s", "score"))
+    assert(head.count() == 4)
+    // pre-evolution rows surface null for the new column
+    assert(head.filter($"id" < 100 && $"score".isNull).count() == 3)
+    // time travel to v1 sees the ORIGINAL schema, not the union
+    assert(Snapshots.readVersion(spark, p, 1).columns.toSet ==
+      Set("id", "s"))
+  }
+
   test("an empty create/overwrite round-trips as an empty table, not an error") {
     val p = freshPath("empty")
     Snapshots.create(rows(0 until 3).filter($"id" < 0), p)

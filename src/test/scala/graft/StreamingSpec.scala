@@ -471,6 +471,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(viaStream == live, s"stream=$viaStream\nlive=$live")
   }
 
+  test("streamed snapshot ingestion: one version per batch, exactly-once, CDC-tailable") {
+    import graft.maintain.Snapshots
+    val src = TestSpark.tmpDir("snap-stream-src")
+    val rows = spark.range(30).toDF("id")
+    rows.repartition(3).write.mode("overwrite").parquet(src)
+    val tbl = TestSpark.tmpDir("snap-stream") + "/t"
+    val ck = TestSpark.tmpDir("snap-stream-ck")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src)
+    val q = Incremental.snapshotAppendStream(stream, tbl, ck)
+    q.awaitTermination()
+    // 3 source files → 3 micro-batches → 3 versions; content complete
+    assert(Snapshots.versions(spark, tbl) == Seq(1L, 2L, 3L))
+    assert(Snapshots.read(spark, tbl).count() == 30)
+    assert(Snapshots.read(spark, tbl)
+      .agg(org.apache.spark.sql.functions.sum($"id")).head().getLong(0)
+      == (0 until 30).sum)
+    // RESUME on the same checkpoint: nothing new → no new versions
+    // (AvailableNow over a drained source replays nothing; and if the
+    // engine DID redeliver, the commit keys would converge)
+    val q2 = Incremental.snapshotAppendStream(spark.readStream
+        .schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1).parquet(src),
+      tbl, ck)
+    q2.awaitTermination()
+    assert(Snapshots.versions(spark, tbl) == Seq(1L, 2L, 3L))
+    assert(Snapshots.read(spark, tbl).count() == 30)
+    // downstream CDC tail over the streamed versions: exactly the
+    // rows batches 2–3 added (file→batch row split is round-robin,
+    // so derive the expectation from v1 rather than assuming 10/10/10)
+    val v1Rows = Snapshots.readVersion(spark, tbl, 1).count()
+    assert(Snapshots.readAppendedBetween(spark, tbl, 1, 3).count()
+      == 30 - v1Rows)
+  }
+
   test("index-append segments are namespaced per checkpoint (a second stream cannot overwrite the first's batches)") {
     import graft.llm.Dedup
     // two separate streams (own checkpoints) append disjoint halves to

@@ -64,5 +64,65 @@ object SnapshotQueries {
             FROM orders
             ORDER BY version"""))
 
-  def all: Seq[Q] = Seq(snapTimeTravel)
+  private def upsertTable(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val path = "target/snap_upsert_" +
+      java.lang.Integer.toHexString(d.hashCode)
+    if (Snapshots.versions(s, path) != Seq(1L, 2L)) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      // v1: the even half, at original prices
+      Snapshots.create(
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .withColumn("ver", lit(1L)).withColumn("tb", lit(0L)),
+        path)
+      // v2: one MERGE carrying both an UPDATE (every %4==0 key gets
+      // +100) and INSERTS (the odd half)
+      val updates = orders.filter(col("o_orderkey") % 4 === 0)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") + 100).as("o_totalprice"))
+        .withColumn("ver", lit(2L)).withColumn("tb", lit(0L))
+        .unionByName(
+          orders.filter(col("o_orderkey") % 2 === 1)
+            .withColumn("ver", lit(1L)).withColumn("tb", lit(0L)))
+      Snapshots.commitUpsert(updates, path,
+        keyCols = Seq("o_orderkey"), versionCol = "ver",
+        tiebreakCol = "tb")
+    }
+    path
+  }
+
+  /** snap_upsert_merge — keyed MERGE as a version: the head must show
+    * updates applied (latest `ver` wins) and inserts present, while
+    * the PRE-MERGE version still replays at original prices — the
+    * time-travelable-upsert contract in one row. */
+  val snapUpsertMerge = Q(
+    "snap_upsert_merge",
+    (s, d) => {
+      val path = upsertTable(s, d)
+      Seq(1L, 2L).map { v =>
+        Snapshots.readVersion(s, path, v).agg(
+            lit(v).cast("int").as("version"),
+            count(lit(1)).as("n_rows"),
+            sum(col("o_orderkey")).as("key_sum"),
+            round(sum(col("o_totalprice")), 2).as("price_sum"))
+      }.reduce(_.unionByName(_)).orderBy("version")
+    },
+    Some("""SELECT CAST(1 AS INT) AS version, COUNT(*) AS n_rows,
+                   CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+                   ROUND(SUM(o_totalprice), 2) AS price_sum
+            FROM orders WHERE o_orderkey % 2 = 0
+            UNION ALL
+            SELECT CAST(2 AS INT), COUNT(*),
+                   CAST(SUM(o_orderkey) AS BIGINT),
+                   ROUND(SUM(CASE WHEN o_orderkey % 4 = 0
+                                  THEN o_totalprice + 100
+                                  ELSE o_totalprice END), 2)
+            FROM orders
+            ORDER BY version"""))
+
+  def all: Seq[Q] = Seq(snapTimeTravel, snapUpsertMerge)
 }

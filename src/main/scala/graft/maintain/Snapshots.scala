@@ -157,16 +157,25 @@ object Snapshots {
   }
 
   /** The version that already carries `commitKey`, if any — the
-    * idempotency probe for replayed commits (one tiny read per
-    * retained manifest; retention must outlast the replay window,
-    * stated on [[commitAppend]]). */
+    * idempotency probe for replayed commits. ONE multi-path read over
+    * every retained manifest (tiny files), not a Spark job per
+    * version: the per-version loop measured 5 s at 51 retained
+    * versions (SnapshotScaleProbe) where this reads in one job.
+    * Retention must outlast the replay window, stated on
+    * [[commitAppend]]. */
   private def versionOfCommitKey(
-      spark: SparkSession, path: String, commitKey: String): Option[Long] =
-    versions(spark, path).find { v =>
-      val m = manifestDf(spark, path, v)
-      m.columns.contains("commit_key") &&
-        m.select("commit_key").head().getString(0) == commitKey
-    }
+      spark: SparkSession, path: String, commitKey: String): Option[Long] = {
+    val vs = versions(spark, path)
+    if (vs.isEmpty) return None
+    val dirs = vs.map(v => s"$path/$SnapDir/v$v")
+    // mergeSchema: pre-commitKey manifests lack the column
+    val m = spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    if (!m.columns.contains("commit_key")) None
+    else Option(
+        m.filter(col("commit_key") === commitKey)
+          .agg(max(col("version"))).head().get(0))
+      .map(_.asInstanceOf[Long])
+  }
 
   /** Commit `files` as version `head + 1`, retrying against the new
     * head on a lost race. The manifest is written COMPLETELY to a tmp
@@ -200,7 +209,9 @@ object Snapshots {
         .withColumn("ts_ms", lit(System.currentTimeMillis()))
         .withColumn("operation", lit(op))
         .withColumn("parent", lit(head))
-        .withColumn("commit_key", lit(commitKey.orNull))
+        // cast: a keyless commit must write a NULL STRING, not VOID —
+        // VOID cannot schema-merge with keyed manifests' STRING
+        .withColumn("commit_key", lit(commitKey.orNull).cast("string"))
       val f = fs(spark, path)
       val tmp = new Path(s"$path/$SnapDir/.tmp-v$v-" +
         java.util.UUID.randomUUID().toString.replace("-", "").take(12))

@@ -114,16 +114,52 @@ object Snapshots {
       .orderBy("version")
   }
 
-  /** Write `df`'s rows as a fresh immutable data batch; returns the
-    * absolute file paths that form the commit's content. */
-  private def writeBatch(df: DataFrame, path: String): Seq[String] = {
+  /** One manifest line: a data file plus its optional per-file
+    * min/max over ONE numeric stat column — the Iceberg-manifest
+    * file-skipping shape. Files without stats are always read
+    * (unknown = candidate, the [[Manifest]] append-safety rule). */
+  final case class FileEntry(
+      file: String,
+      statCol: Option[String] = None,
+      statMin: Option[Double] = None,
+      statMax: Option[Double] = None)
+
+  /** Write `df`'s rows as a fresh immutable data batch; returns one
+    * [[FileEntry]] per written file. With `statsCol` set, per-file
+    * min/max are computed in ONE scan of the just-written batch
+    * (grouped on `_metadata.file_path` — commit-local cost, never a
+    * table scan) so later reads can skip files by range. */
+  private def writeBatch(df: DataFrame, path: String,
+      statsCol: Option[String] = None): Seq[FileEntry] = {
     val batch = s"$path/$DataDir/batch-" +
       java.util.UUID.randomUUID().toString.replace("-", "").take(16)
     df.write.parquet(batch) // fresh dir: no overwrite semantics needed
-    val f = fs(df.sparkSession, path)
-    f.listStatus(new Path(batch)).toSeq
+    val spark = df.sparkSession
+    val f = fs(spark, path)
+    val paths = f.listStatus(new Path(batch)).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toString)
+    statsCol match {
+      case None => paths.map(FileEntry(_))
+      case Some(c) =>
+        val stats = spark.read.parquet(batch)
+          .groupBy(col("_metadata.file_path").as("__f"))
+          .agg(min(col(c).cast("double")).as("__lo"),
+            max(col(c).cast("double")).as("__hi"))
+          .collect()
+          .map(r => r.getString(0) ->
+            (Option(r.get(1)).map(_.asInstanceOf[Double]),
+              Option(r.get(2)).map(_.asInstanceOf[Double])))
+          .toMap
+        paths.map { p =>
+          // _metadata.file_path is a URI (file:///…); match on suffix
+          stats.find(_._1.endsWith(new Path(p).toUri.getPath)) match {
+            case Some((_, (lo, hi))) =>
+              FileEntry(p, Some(c), lo, hi)
+            case None => FileEntry(p)
+          }
+        }
+    }
   }
 
   /** Same-JVM commit serialization per table path (two threads of one
@@ -188,9 +224,9 @@ object Snapshots {
   private def commit(
       spark: SparkSession,
       path: String,
-      files: Seq[String],
+      files: Seq[FileEntry],
       op: String,
-      parentFiles: Long => Seq[String],
+      parentFiles: Long => Seq[FileEntry],
       commitKey: Option[String] = None,
       retries: Int = 20): Long = {
     val claimed = lockFor(path).synchronized {
@@ -204,7 +240,13 @@ object Snapshots {
       val v = head + 1
       val all = parentFiles(head) ++ files
       import spark.implicits._
-      val manifest = all.toDF("file")
+      val manifest = all
+        .map(e => (e.file, e.statCol.orNull,
+          e.statMin.map(Double.box).orNull,
+          e.statMax.map(Double.box).orNull))
+        .toDF("file", "stat_col", "stat_min", "stat_max")
+        .select(col("file"), col("stat_col").cast("string"),
+          col("stat_min").cast("double"), col("stat_max").cast("double"))
         .withColumn("version", lit(v))
         .withColumn("ts_ms", lit(System.currentTimeMillis()))
         .withColumn("operation", lit(op))
@@ -235,10 +277,23 @@ object Snapshots {
     }
   }
 
+  private def entriesOf(spark: SparkSession, path: String,
+      v: Long): Seq[FileEntry] = {
+    val m = manifestDf(spark, path, v)
+    val hasStats = m.columns.contains("stat_col")
+    val proj =
+      if (hasStats) m.select("file", "stat_col", "stat_min", "stat_max")
+      else m.select(col("file"), lit(null).cast("string"),
+        lit(null).cast("double"), lit(null).cast("double"))
+    proj.collect().map(r => FileEntry(r.getString(0),
+      Option(r.getString(1)),
+      if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+      if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+  }
+
   private def filesOf(spark: SparkSession, path: String,
       v: Long): Seq[String] =
-    manifestDf(spark, path, v).select("file")
-      .collect().map(_.getString(0)).toSeq
+    entriesOf(spark, path, v).map(_.file)
 
   /** Create the snapshot table (version 1). Fails if one exists —
     * `commitOverwrite` is the explicit replace. `commitKey` stamps v1
@@ -246,12 +301,13 @@ object Snapshots {
     * checkpoint) converges through the keyed-append path instead of
     * double-applying batch 0. */
   def create(df: DataFrame, path: String,
-      commitKey: Option[String] = None): Long = {
+      commitKey: Option[String] = None,
+      statsCol: Option[String] = None): Long = {
     val spark = df.sparkSession
     require(!exists(spark, path),
       s"snapshot table already exists at $path — use commitAppend/" +
         "commitOverwrite")
-    val files = writeBatch(df, path)
+    val files = writeBatch(df, path, statsCol)
     commit(spark, path, files, OpCreate, _ => Seq.empty, commitKey)
   }
 
@@ -267,7 +323,8 @@ object Snapshots {
     * the stream's maximum replayable depth (1 batch for foreachBatch). */
   def commitAppend(
       df: DataFrame, path: String,
-      commitKey: Option[String] = None): Long = {
+      commitKey: Option[String] = None,
+      statsCol: Option[String] = None): Long = {
     val spark = df.sparkSession
     require(exists(spark, path), s"no snapshot table at $path")
     // the replay pre-check before writeBatch keeps a replayed call
@@ -276,25 +333,26 @@ object Snapshots {
     commitKey.flatMap(versionOfCommitKey(spark, path, _)) match {
       case Some(v) => v
       case None =>
-        val files = writeBatch(df, path)
+        val files = writeBatch(df, path, statsCol)
         commit(spark, path, files, OpAppend,
-          parent => filesOf(spark, path, parent), commitKey)
+          parent => entriesOf(spark, path, parent), commitKey)
     }
   }
 
   /** Logically replace the table's content as a new version; prior
     * versions stay readable until expired. */
-  def commitOverwrite(df: DataFrame, path: String): Long = {
+  def commitOverwrite(df: DataFrame, path: String,
+      statsCol: Option[String] = None): Long = {
     val spark = df.sparkSession
     require(exists(spark, path), s"no snapshot table at $path")
-    val files = writeBatch(df, path)
+    val files = writeBatch(df, path, statsCol)
     commit(spark, path, files, OpOverwrite, _ => Seq.empty)
   }
 
   /** Restore version `v`'s content AS A NEW VERSION (audited
     * un-delete; nothing is removed). */
   def rollback(spark: SparkSession, path: String, v: Long): Long = {
-    val files = filesOf(spark, path, v) // throws on unknown v
+    val files = entriesOf(spark, path, v) // throws on unknown v
     commit(spark, path, Seq.empty, OpRollback, _ => files)
   }
 
@@ -316,6 +374,36 @@ object Snapshots {
       // manifest with zero rows — impossible via the writers above
       throw new NoSuchVersionException(s"version $v at $path lists no files")
     spark.read.option("mergeSchema", "true").parquet(files: _*)
+  }
+
+  /** FILE-SKIPPING time travel: plan only version `v`'s files whose
+    * recorded `[stat_min, stat_max]` range (written by a commit with
+    * `statsCol = Some(whereCol)`) overlaps `[lo, hi]` — the
+    * Iceberg-manifest pruning shape, resolved from the tiny manifest
+    * with NO data scan. Files without stats (older commits, other
+    * stat columns, all-null stats) are always planned — unknown =
+    * candidate, so the result is a SUPERSET of the exact range rows
+    * and callers apply the real predicate on top (which Catalyst also
+    * pushes into the surviving files' row groups). At 100 TB this is
+    * the difference between touching one day's files and the table. */
+  def readVersionWhere(
+      spark: SparkSession, path: String, v: Long,
+      whereCol: String, lo: Double, hi: Double): DataFrame = {
+    require(lo <= hi, s"empty range: [$lo, $hi]")
+    val entries = entriesOf(spark, path, v)
+    if (entries.isEmpty)
+      throw new NoSuchVersionException(s"version $v at $path lists no files")
+    val kept = entries.filter { e =>
+      e.statCol != Some(whereCol) ||
+        e.statMin.isEmpty || e.statMax.isEmpty ||
+        (e.statMax.get >= lo && e.statMin.get <= hi)
+    }
+    if (kept.isEmpty)
+      // every file provably outside the range: an empty frame with
+      // the version's schema, not an error
+      readVersion(spark, path, v).limit(0)
+    else spark.read.option("mergeSchema", "true")
+      .parquet(kept.map(_.file): _*)
   }
 
   /** Time travel to the newest version committed at or before

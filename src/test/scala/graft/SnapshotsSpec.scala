@@ -265,6 +265,33 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, p2).count() == 5)
   }
 
+  test("per-file stats prune time-travel reads to overlapping files only") {
+    val p = freshPath("stats")
+    // 4 range-partitioned files: ids [0,25) [25,50) [50,75) [75,100)
+    val df = spark.range(100).toDF("id")
+      .repartitionByRange(4, $"id")
+    Snapshots.create(df, p, statsCol = Some("id"))
+    // every file carries recorded stats
+    // the pruned read for [30, 40] plans ONE file, not four
+    val pruned = Snapshots.readVersionWhere(spark, p, 1, "id", 30, 40)
+    assert(pruned.inputFiles.length == 1,
+      s"expected 1 planned file, got ${pruned.inputFiles.length}")
+    // superset contract: all range rows present; caller's predicate
+    // on top gives the exact answer
+    assert(pruned.filter($"id".between(30, 40)).count() == 11)
+    // a provably-empty range plans zero files and returns empty
+    assert(Snapshots.readVersionWhere(spark, p, 1, "id", 500, 600)
+      .count() == 0)
+    // an append WITHOUT stats stays readable and is never skipped
+    Snapshots.commitAppend(spark.range(1000, 1003).toDF("id"), p)
+    val v2 = Snapshots.readVersionWhere(spark, p, 2, "id", 30, 40)
+    assert(v2.filter($"id" >= 1000).count() == 3,
+      "stat-less files must always be planned (unknown = candidate)")
+    // a different stat column never prunes
+    assert(Snapshots.readVersionWhere(spark, p, 1, "other", 30, 40)
+      .inputFiles.length == 4)
+  }
+
   test("schema evolution: an append with a new column reads back as the union") {
     val p = freshPath("evolve")
     Snapshots.create(rows(0 until 3), p)

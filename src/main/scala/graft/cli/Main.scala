@@ -46,7 +46,8 @@ object Main {
         |  manifest PATH col1[,col2...]   build file-level min/max manifest
         |  snapshot TABLE <create|append|overwrite> SRC
         |         | snapshot TABLE history | restore V
-        |         | read [--version V | --as-of MS] | expire [--keep N]
+        |         | read [--version V [--where col:lo:hi] | --as-of MS]
+        |         | expire [--keep N]
         |         | compact [--target-files N]
         |         | changes --from V [--to V]   (appended-rows delta)
         |         | upsert SRC --keys a,b --version-col V
@@ -259,6 +260,7 @@ object Main {
         // — snapshot-isolated commits + time travel over immutable
         // parquet batches (maintain.Snapshots; atomic rename-claimed
         // manifests, optimistic concurrency).
+        import org.apache.spark.sql.functions.col
         import graft.maintain.Snapshots
         val table = args(1)
         args(2) match {
@@ -279,10 +281,18 @@ object Main {
             System.err.println(
               s"[snapshot] restored $table@${args(3)} as v$v")
           case "read" =>
-            val df = (arg(args, "--version"), arg(args, "--as-of")) match {
-              case (Some(v), _) =>
+            val df = (arg(args, "--version"), arg(args, "--as-of"),
+                arg(args, "--where")) match {
+              case (Some(v), _, Some(w)) =>
+                // --where col:lo:hi — manifest-stat file skipping
+                val Array(c, lo, hi) = w.split(":", 3)
+                Snapshots.readVersionWhere(spark, table, v.toLong,
+                    c, lo.toDouble, hi.toDouble)
+                  .filter(col(c).cast("double")
+                    .between(lo.toDouble, hi.toDouble))
+              case (Some(v), _, None) =>
                 Snapshots.readVersion(spark, table, v.toLong)
-              case (None, Some(ts)) =>
+              case (None, Some(ts), _) =>
                 Snapshots.readAsOf(spark, table, ts.toLong)
               case _ => Snapshots.read(spark, table)
             }

@@ -100,16 +100,24 @@ object Snapshots {
     spark.read.parquet(p)
   }
 
+  /** ONE multi-path read over every retained manifest — the same
+    * O(versions)-Spark-jobs trap SnapshotScaleProbe caught in the
+    * replay check applies to any per-version loop; mergeSchema
+    * tolerates manifests from before a column existed. */
+  private def allManifests(
+      spark: SparkSession, path: String, vs: Seq[Long]): DataFrame =
+    spark.read.option("mergeSchema", "true")
+      .parquet(vs.map(v => s"$path/$SnapDir/v$v"): _*)
+
   /** One row per retained version: (version, ts_ms, operation,
     * n_files, parent), ascending — the audit surface (`history` in
-    * the CLI). */
+    * the CLI). One job regardless of version count. */
   def history(spark: SparkSession, path: String): DataFrame = {
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"no snapshot table at $path")
-    vs.map(v => manifestDf(spark, path, v)
-        .groupBy("version", "ts_ms", "operation", "parent")
-        .agg(count(lit(1)).as("n_files")))
-      .reduce(_.unionByName(_))
+    allManifests(spark, path, vs)
+      .groupBy("version", "ts_ms", "operation", "parent")
+      .agg(count(lit(1)).as("n_files"))
       .select("version", "ts_ms", "operation", "parent", "n_files")
       .orderBy("version")
   }
@@ -203,9 +211,7 @@ object Snapshots {
       spark: SparkSession, path: String, commitKey: String): Option[Long] = {
     val vs = versions(spark, path)
     if (vs.isEmpty) return None
-    val dirs = vs.map(v => s"$path/$SnapDir/v$v")
-    // mergeSchema: pre-commitKey manifests lack the column
-    val m = spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    val m = allManifests(spark, path, vs)
     if (!m.columns.contains("commit_key")) None
     else Option(
         m.filter(col("commit_key") === commitKey)
@@ -411,12 +417,17 @@ object Snapshots {
   def readAsOf(spark: SparkSession, path: String, tsMs: Long): DataFrame = {
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"no snapshot table at $path")
-    val at = vs.filter(v => manifestDf(spark, path, v)
-        .select(min(col("ts_ms"))).head().getLong(0) <= tsMs)
-    if (at.isEmpty)
-      throw new NoSuchVersionException(
+    // one job over all retained manifests, not one per version
+    val at = Option(
+        allManifests(spark, path, vs)
+          .filter(col("ts_ms") <= tsMs)
+          .agg(max(col("version"))).head().get(0))
+      .map(_.asInstanceOf[Long])
+    at match {
+      case Some(v) => readVersion(spark, path, v)
+      case None => throw new NoSuchVersionException(
         s"no version at or before ts_ms=$tsMs at $path")
-    readVersion(spark, path, at.last)
+    }
   }
 
   /** Incremental (CDC-style) read: the rows ADDED between `fromV`

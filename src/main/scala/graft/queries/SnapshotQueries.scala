@@ -124,5 +124,53 @@ object SnapshotQueries {
             FROM orders
             ORDER BY version"""))
 
-  def all: Seq[Q] = Seq(snapTimeTravel, snapUpsertMerge)
+  private def statsTable(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val path = "target/snap_stats_" +
+      java.lang.Integer.toHexString(d.hashCode)
+    if (Snapshots.versions(s, path) != Seq(1L)) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      // 8 range-partitioned files on the stat column: a mid-range
+      // read must prune most of them from the manifest alone
+      Snapshots.create(
+        Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+          .repartitionByRange(8, col("o_orderkey")),
+        path, statsCol = Some("o_orderkey"))
+    }
+    path
+  }
+
+  /** snap_pruned_read — file-skipping time travel: the range
+    * aggregate over [[Snapshots.readVersionWhere]]'s pruned file set
+    * (plus the real predicate on top, the superset contract) must
+    * equal DuckDB's plain range scan; `files_pruned` pins that the
+    * manifest actually skipped files — a pruning regression flips it
+    * to false and fails the hash. */
+  val snapPrunedRead = Q(
+    "snap_pruned_read",
+    (s, d) => {
+      val path = statsTable(s, d)
+      val lo = 1000.0; val hi = 2000.0
+      val pruned = Snapshots.readVersionWhere(
+        s, path, 1L, "o_orderkey", lo, hi)
+      val nFiles = pruned.inputFiles.length
+      val total = Snapshots.readVersion(s, path, 1L).inputFiles.length
+      pruned
+        .filter(col("o_orderkey").between(lo, hi))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("key_sum"),
+          round(sum(col("o_totalprice")), 2).as("price_sum"),
+          lit(nFiles < total).as("files_pruned"))
+    },
+    Some("""SELECT COUNT(*) AS n_rows,
+                   CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+                   ROUND(SUM(o_totalprice), 2) AS price_sum,
+                   TRUE AS files_pruned
+            FROM orders
+            WHERE o_orderkey BETWEEN 1000 AND 2000"""))
+
+  def all: Seq[Q] = Seq(snapTimeTravel, snapUpsertMerge, snapPrunedRead)
 }

@@ -499,6 +499,26 @@ object Snapshots {
     commit(spark, path, files, "compact", _ => Seq.empty)
   }
 
+  /** Z-CLUSTERED compaction as a COMMIT: the head's content rewritten
+    * through [[Layout.zOrdered]] (approx-quantile z-key — safe at any
+    * scale, no global ranking window) into `targetFiles` files, with
+    * per-file min/max over `colA` recorded in the manifest — so after
+    * this commit [[readVersionWhere]] on `colA` actually skips files
+    * (an unclustered layout's per-file ranges all overlap; clustering
+    * is what makes the recorded stats selective). Same non-destructive
+    * versioned lifecycle as [[compact]]. */
+  def compactZOrdered(
+      spark: SparkSession, path: String,
+      colA: String, colB: String,
+      targetFiles: Int = 8): Long = {
+    require(targetFiles >= 1, s"targetFiles must be ≥ 1: $targetFiles")
+    require(exists(spark, path), s"no snapshot table at $path")
+    val files = writeBatch(
+      Layout.zOrdered(read(spark, path), colA, colB, targetFiles),
+      path, statsCol = Some(colA))
+    commit(spark, path, files, "compact", _ => Seq.empty)
+  }
+
   /** Retire all but the newest `keepLast` versions: their manifests
     * are deleted, then every `data/batch-*` directory no RETAINED
     * version references is removed. Retention-window contract: do not

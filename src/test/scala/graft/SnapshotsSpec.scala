@@ -292,6 +292,29 @@ class SnapshotsSpec extends AnyFunSuite {
       .inputFiles.length == 4)
   }
 
+  test("z-clustered compaction makes recorded stats selective") {
+    val p = freshPath("zcompact")
+    // shuffled ids: an unclustered layout's per-file ranges all
+    // overlap, so stats alone cannot prune
+    val shuffled = spark.range(2000).toDF("id")
+      .withColumn("v", ($"id" * 2654435761L) % 1000)
+      .orderBy($"v") // scrambles id order across files
+      .repartition(8)
+    Snapshots.create(shuffled, p, statsCol = Some("id"))
+    val before = Snapshots.readVersionWhere(spark, p, 1, "id", 100, 150)
+      .inputFiles.length
+    assert(before == 8, s"unclustered layout should not prune: $before")
+    val v2 = Snapshots.compactZOrdered(spark, p, "id", "v",
+      targetFiles = 8)
+    assert(v2 == 2L)
+    val prunedRead = Snapshots.readVersionWhere(spark, p, 2, "id", 100, 150)
+    assert(prunedRead.inputFiles.length < 8,
+      s"z-clustered layout must prune: ${prunedRead.inputFiles.length}")
+    // content identical through the rewrite, exact rows in range
+    assert(prunedRead.filter($"id".between(100, 150)).count() == 51)
+    assert(Snapshots.read(spark, p).count() == 2000)
+  }
+
   test("schema evolution: an append with a new column reads back as the union") {
     val p = freshPath("evolve")
     Snapshots.create(rows(0 until 3), p)

@@ -150,21 +150,22 @@ object Snapshots {
     statsCol match {
       case None => paths.map(FileEntry(_))
       case Some(c) =>
+        // keyed on the scheme-less URI path: _metadata.file_path is a
+        // full URI (file:///…) while the listing yields Path strings —
+        // normalizing both sides makes this an exact map lookup
         val stats = spark.read.parquet(batch)
           .groupBy(col("_metadata.file_path").as("__f"))
           .agg(min(col(c).cast("double")).as("__lo"),
             max(col(c).cast("double")).as("__hi"))
           .collect()
-          .map(r => r.getString(0) ->
+          .map(r => new Path(r.getString(0)).toUri.getPath ->
             (Option(r.get(1)).map(_.asInstanceOf[Double]),
               Option(r.get(2)).map(_.asInstanceOf[Double])))
           .toMap
         paths.map { p =>
-          // _metadata.file_path is a URI (file:///…); match on suffix
-          stats.find(_._1.endsWith(new Path(p).toUri.getPath)) match {
-            case Some((_, (lo, hi))) =>
-              FileEntry(p, Some(c), lo, hi)
-            case None => FileEntry(p)
+          stats.get(new Path(p).toUri.getPath) match {
+            case Some((lo, hi)) => FileEntry(p, Some(c), lo, hi)
+            case None           => FileEntry(p)
           }
         }
     }

@@ -122,23 +122,24 @@ object Snapshots {
       .orderBy("version")
   }
 
-  /** One manifest line: a data file plus its optional per-file
-    * min/max over ONE numeric stat column — the Iceberg-manifest
-    * file-skipping shape. Files without stats are always read
-    * (unknown = candidate, the [[Manifest]] append-safety rule). */
+  /** A data file plus its optional per-file min/max over any number
+    * of numeric stat columns — the Iceberg-manifest file-skipping
+    * shape (manifest grain: one row per (file, stat_col); a file with
+    * no stats carries one null-stat row). Files without stats for the
+    * probed column are always read (unknown = candidate, the
+    * [[Manifest]] append-safety rule). */
   final case class FileEntry(
       file: String,
-      statCol: Option[String] = None,
-      statMin: Option[Double] = None,
-      statMax: Option[Double] = None)
+      stats: Map[String, (Double, Double)] = Map.empty)
 
   /** Write `df`'s rows as a fresh immutable data batch; returns one
-    * [[FileEntry]] per written file. With `statsCol` set, per-file
-    * min/max are computed in ONE scan of the just-written batch
-    * (grouped on `_metadata.file_path` — commit-local cost, never a
-    * table scan) so later reads can skip files by range. */
+    * [[FileEntry]] per written file. With `statsCols` set, per-file
+    * min/max over EVERY listed column are computed in ONE scan of the
+    * just-written batch (grouped on `_metadata.file_path` —
+    * commit-local cost, never a table scan) so later reads can skip
+    * files by range on any of them. */
   private def writeBatch(df: DataFrame, path: String,
-      statsCol: Option[String] = None): Seq[FileEntry] = {
+      statsCols: Seq[String] = Seq.empty): Seq[FileEntry] = {
     val batch = s"$path/$DataDir/batch-" +
       java.util.UUID.randomUUID().toString.replace("-", "").take(16)
     df.write.parquet(batch) // fresh dir: no overwrite semantics needed
@@ -147,27 +148,34 @@ object Snapshots {
     val paths = f.listStatus(new Path(batch)).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toString)
-    statsCol match {
-      case None => paths.map(FileEntry(_))
-      case Some(c) =>
-        // keyed on the scheme-less URI path: _metadata.file_path is a
-        // full URI (file:///…) while the listing yields Path strings —
-        // normalizing both sides makes this an exact map lookup
-        val stats = spark.read.parquet(batch)
-          .groupBy(col("_metadata.file_path").as("__f"))
-          .agg(min(col(c).cast("double")).as("__lo"),
-            max(col(c).cast("double")).as("__hi"))
-          .collect()
-          .map(r => new Path(r.getString(0)).toUri.getPath ->
-            (Option(r.get(1)).map(_.asInstanceOf[Double]),
-              Option(r.get(2)).map(_.asInstanceOf[Double])))
-          .toMap
-        paths.map { p =>
-          stats.get(new Path(p).toUri.getPath) match {
-            case Some((lo, hi)) => FileEntry(p, Some(c), lo, hi)
-            case None           => FileEntry(p)
-          }
+    if (statsCols.isEmpty) paths.map(FileEntry(_))
+    else {
+      // keyed on the scheme-less URI path: _metadata.file_path is a
+      // full URI (file:///…) while the listing yields Path strings —
+      // normalizing both sides makes this an exact map lookup
+      val aggs = statsCols.flatMap(c => Seq(
+        min(col(c).cast("double")).as(s"__lo_$c"),
+        max(col(c).cast("double")).as(s"__hi_$c")))
+      val stats = spark.read.parquet(batch)
+        .groupBy(col("_metadata.file_path").as("__f"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map { r =>
+          val per = statsCols.zipWithIndex.flatMap { case (c, i) =>
+            val lo = Option(r.get(1 + 2 * i)).map(_.asInstanceOf[Double])
+            val hi = Option(r.get(2 + 2 * i)).map(_.asInstanceOf[Double])
+            (lo, hi) match {
+              case (Some(l), Some(h)) => Some(c -> (l, h))
+              case _                  => None // all-null column: no stat
+            }
+          }.toMap
+          new Path(r.getString(0)).toUri.getPath -> per
         }
+        .toMap
+      paths.map { p =>
+        FileEntry(p,
+          stats.getOrElse(new Path(p).toUri.getPath, Map.empty))
+      }
     }
   }
 
@@ -247,10 +255,15 @@ object Snapshots {
       val v = head + 1
       val all = parentFiles(head) ++ files
       import spark.implicits._
-      val manifest = all
-        .map(e => (e.file, e.statCol.orNull,
-          e.statMin.map(Double.box).orNull,
-          e.statMax.map(Double.box).orNull))
+      val manifestRows = all.flatMap { e =>
+        if (e.stats.isEmpty)
+          Seq((e.file, null: String,
+            null: java.lang.Double, null: java.lang.Double))
+        else e.stats.toSeq.map { case (c, (lo, hi)) =>
+          (e.file, c, Double.box(lo), Double.box(hi))
+        }
+      }
+      val manifest = manifestRows
         .toDF("file", "stat_col", "stat_min", "stat_max")
         .select(col("file"), col("stat_col").cast("string"),
           col("stat_min").cast("double"), col("stat_max").cast("double"))
@@ -292,10 +305,15 @@ object Snapshots {
       if (hasStats) m.select("file", "stat_col", "stat_min", "stat_max")
       else m.select(col("file"), lit(null).cast("string"),
         lit(null).cast("double"), lit(null).cast("double"))
-    proj.collect().map(r => FileEntry(r.getString(0),
-      Option(r.getString(1)),
-      if (r.isNullAt(2)) None else Some(r.getDouble(2)),
-      if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    proj.collect().toSeq
+      .groupBy(_.getString(0))
+      .map { case (file, rows) =>
+        val stats = rows.flatMap { r =>
+          if (r.isNullAt(1) || r.isNullAt(2) || r.isNullAt(3)) None
+          else Some(r.getString(1) -> (r.getDouble(2), r.getDouble(3)))
+        }.toMap
+        FileEntry(file, stats)
+      }.toSeq
   }
 
   private def filesOf(spark: SparkSession, path: String,
@@ -309,12 +327,12 @@ object Snapshots {
     * double-applying batch 0. */
   def create(df: DataFrame, path: String,
       commitKey: Option[String] = None,
-      statsCol: Option[String] = None): Long = {
+      statsCols: Seq[String] = Seq.empty): Long = {
     val spark = df.sparkSession
     require(!exists(spark, path),
       s"snapshot table already exists at $path — use commitAppend/" +
         "commitOverwrite")
-    val files = writeBatch(df, path, statsCol)
+    val files = writeBatch(df, path, statsCols)
     commit(spark, path, files, OpCreate, _ => Seq.empty, commitKey)
   }
 
@@ -331,7 +349,7 @@ object Snapshots {
   def commitAppend(
       df: DataFrame, path: String,
       commitKey: Option[String] = None,
-      statsCol: Option[String] = None): Long = {
+      statsCols: Seq[String] = Seq.empty): Long = {
     val spark = df.sparkSession
     require(exists(spark, path), s"no snapshot table at $path")
     // the replay pre-check before writeBatch keeps a replayed call
@@ -340,7 +358,7 @@ object Snapshots {
     commitKey.flatMap(versionOfCommitKey(spark, path, _)) match {
       case Some(v) => v
       case None =>
-        val files = writeBatch(df, path, statsCol)
+        val files = writeBatch(df, path, statsCols)
         commit(spark, path, files, OpAppend,
           parent => entriesOf(spark, path, parent), commitKey)
     }
@@ -349,10 +367,10 @@ object Snapshots {
   /** Logically replace the table's content as a new version; prior
     * versions stay readable until expired. */
   def commitOverwrite(df: DataFrame, path: String,
-      statsCol: Option[String] = None): Long = {
+      statsCols: Seq[String] = Seq.empty): Long = {
     val spark = df.sparkSession
     require(exists(spark, path), s"no snapshot table at $path")
-    val files = writeBatch(df, path, statsCol)
+    val files = writeBatch(df, path, statsCols)
     commit(spark, path, files, OpOverwrite, _ => Seq.empty)
   }
 
@@ -401,9 +419,10 @@ object Snapshots {
     if (entries.isEmpty)
       throw new NoSuchVersionException(s"version $v at $path lists no files")
     val kept = entries.filter { e =>
-      e.statCol != Some(whereCol) ||
-        e.statMin.isEmpty || e.statMax.isEmpty ||
-        (e.statMax.get >= lo && e.statMin.get <= hi)
+      e.stats.get(whereCol) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None           => true // unknown = candidate
+      }
     }
     if (kept.isEmpty)
       // every file provably outside the range: an empty frame with
@@ -516,7 +535,7 @@ object Snapshots {
     require(exists(spark, path), s"no snapshot table at $path")
     val files = writeBatch(
       Layout.zOrdered(read(spark, path), colA, colB, targetFiles),
-      path, statsCol = Some(colA))
+      path, statsCols = Seq(colA, colB))
     commit(spark, path, files, "compact", _ => Seq.empty)
   }
 

@@ -137,7 +137,7 @@ object SnapshotQueries {
       Snapshots.create(
         Tables.orders(s, d).select("o_orderkey", "o_totalprice")
           .repartitionByRange(8, col("o_orderkey")),
-        path, statsCol = Some("o_orderkey"))
+        path, statsCols = Seq("o_orderkey"))
     }
     path
   }

@@ -270,7 +270,7 @@ class SnapshotsSpec extends AnyFunSuite {
     // 4 range-partitioned files: ids [0,25) [25,50) [50,75) [75,100)
     val df = spark.range(100).toDF("id")
       .repartitionByRange(4, $"id")
-    Snapshots.create(df, p, statsCol = Some("id"))
+    Snapshots.create(df, p, statsCols = Seq("id"))
     // every file carries recorded stats
     // the pruned read for [30, 40] plans ONE file, not four
     val pruned = Snapshots.readVersionWhere(spark, p, 1, "id", 30, 40)
@@ -300,7 +300,7 @@ class SnapshotsSpec extends AnyFunSuite {
       .withColumn("v", ($"id" * 2654435761L) % 1000)
       .orderBy($"v") // scrambles id order across files
       .repartition(8)
-    Snapshots.create(shuffled, p, statsCol = Some("id"))
+    Snapshots.create(shuffled, p, statsCols = Seq("id"))
     val before = Snapshots.readVersionWhere(spark, p, 1, "id", 100, 150)
       .inputFiles.length
     assert(before == 8, s"unclustered layout should not prune: $before")

@@ -44,7 +44,7 @@ object Main {
         |  profile SFDIR TABLE [--approx]
         |  optimize PATH [N] [--zorder colA,colB]
         |  manifest PATH col1[,col2...]   build file-level min/max manifest
-        |  snapshot TABLE <create|append|overwrite> SRC
+        |  snapshot TABLE <create|append|overwrite> SRC [--stats c1,c2]
         |         | snapshot TABLE history | restore V
         |         | read [--version V [--where col:lo:hi] | --as-of MS]
         |         | expire [--keep N]
@@ -268,10 +268,17 @@ object Main {
             val src = args(3)
             graft.sources.Preflight.checkInput(spark, src)
             val df = spark.read.parquet(src)
+            // --stats col1,col2: record per-file min/max for these
+            // columns so `read --where` can skip files
+            val stats = arg(args, "--stats")
+              .map(_.split(",").toSeq).getOrElse(Seq.empty)
             val v = args(2) match {
-              case "create"    => Snapshots.create(df, table)
-              case "append"    => Snapshots.commitAppend(df, table)
-              case "overwrite" => Snapshots.commitOverwrite(df, table)
+              case "create"    => Snapshots.create(df, table,
+                statsCols = stats)
+              case "append"    => Snapshots.commitAppend(df, table,
+                statsCols = stats)
+              case "overwrite" => Snapshots.commitOverwrite(df, table,
+                statsCols = stats)
             }
             System.err.println(s"[snapshot] ${args(2)} $src → $table v$v")
           case "history" =>

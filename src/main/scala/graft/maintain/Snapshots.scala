@@ -1,8 +1,10 @@
 package graft.maintain
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, DateType, TimestampNTZType,
+  TimestampType}
 
 /** Snapshot isolation + time travel for parquet tables — the
   * lakehouse-table-format concern the reference names ("iceberg") but
@@ -49,9 +51,14 @@ import org.apache.spark.sql.functions._
   * Cross-process contract: the rename arbiter IS cross-process safe
   * (both committers land a version; the loser's retry re-parents) —
   * unlike the serving-index append lock, snapshots need no external
-  * scheduling. `expire` is the one offline op: run it when no reader
-  * is pinned to a version being retired (standard retention-window
-  * operations, stated on [[expire]]).
+  * scheduling. Content-REPLACING commits (compact / z-order / upsert)
+  * additionally validate the head they derived from at claim time
+  * (Iceberg's RewriteFiles semantics) and RE-DERIVE on a lost race —
+  * a rewrite racing an append can never silently drop the appended
+  * rows from the head ([[commitRewrite]]). `expire` is the one
+  * offline op: run it when no reader is pinned to a version being
+  * retired (standard retention-window operations, stated on
+  * [[expire]]).
   */
 object Snapshots {
 
@@ -115,19 +122,36 @@ object Snapshots {
   def history(spark: SparkSession, path: String): DataFrame = {
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"no snapshot table at $path")
+    // countDistinct, NOT count: manifest grain is (file, stat_col) —
+    // a commit recording 2 stat columns carries 2 rows per file, and
+    // a row count would report 2x the real file count (ADVICE r16)
     allManifests(spark, path, vs)
       .groupBy("version", "ts_ms", "operation", "parent")
-      .agg(count(lit(1)).as("n_files"))
+      .agg(countDistinct(col("file")).as("n_files"))
       .select("version", "ts_ms", "operation", "parent", "n_files")
       .orderBy("version")
   }
 
+  /** The double stat domain a column is recorded (and probed) in:
+    * numeric columns cast directly; DATE / TIMESTAMP columns normalize
+    * to epoch SECONDS via `cast(timestamp)` (dates land at midnight in
+    * the session time zone) — so time-range time travel, the canonical
+    * lakehouse read, prunes files exactly like a numeric range
+    * ([[readVersionWhereTime]] converts ISO bounds through the SAME
+    * expression, making writer and reader domains identical by
+    * construction). */
+  private def statNorm(dt: DataType, c: Column): Column = dt match {
+    case DateType | TimestampType | TimestampNTZType =>
+      c.cast("timestamp").cast("double")
+    case _ => c.cast("double")
+  }
+
   /** A data file plus its optional per-file min/max over any number
-    * of numeric stat columns — the Iceberg-manifest file-skipping
-    * shape (manifest grain: one row per (file, stat_col); a file with
-    * no stats carries one null-stat row). Files without stats for the
-    * probed column are always read (unknown = candidate, the
-    * [[Manifest]] append-safety rule). */
+    * of stat columns in the [[statNorm]] double domain — the
+    * Iceberg-manifest file-skipping shape (manifest grain: one row per
+    * (file, stat_col); a file with no stats carries one null-stat
+    * row). Files without stats for the probed column are always read
+    * (unknown = candidate, the [[Manifest]] append-safety rule). */
   final case class FileEntry(
       file: String,
       stats: Map[String, (Double, Double)] = Map.empty)
@@ -153,10 +177,12 @@ object Snapshots {
       // keyed on the scheme-less URI path: _metadata.file_path is a
       // full URI (file:///…) while the listing yields Path strings —
       // normalizing both sides makes this an exact map lookup
-      val aggs = statsCols.flatMap(c => Seq(
-        min(col(c).cast("double")).as(s"__lo_$c"),
-        max(col(c).cast("double")).as(s"__hi_$c")))
-      val stats = spark.read.parquet(batch)
+      val reread = spark.read.parquet(batch)
+      val aggs = statsCols.flatMap { c =>
+        val e = statNorm(reread.schema(c).dataType, col(c))
+        Seq(min(e).as(s"__lo_$c"), max(e).as(s"__hi_$c"))
+      }
+      val stats = reread
         .groupBy(col("_metadata.file_path").as("__f"))
         .agg(aggs.head, aggs.tail: _*)
         .collect()
@@ -234,7 +260,19 @@ object Snapshots {
     * makes the commit IDEMPOTENT: a commit whose key already sits in
     * a retained manifest returns that version instead of applying
     * again — the Delta txn-appId/version pattern that turns
-    * foreachBatch's at-least-once replay into exactly-once. */
+    * foreachBatch's at-least-once replay into exactly-once.
+    *
+    * `expectedHead` is the Iceberg validate-snapshot-id arm for
+    * CONTENT-REPLACING ops (create / compact / upsert): their files
+    * were DERIVED from a specific head, so if the head has moved —
+    * same-JVM (the lock covers only this claim, not the caller's
+    * read→writeBatch window) or cross-process — blindly re-parenting
+    * would publish stale content and silently drop the racing commit's
+    * rows from the new head. With `expectedHead` set, a moved head
+    * throws [[CommitConflictException]] instead; [[commitRewrite]]
+    * catches it and RE-DERIVES from the new head, so both effects
+    * land. Pure appends pass None: their files compose under any
+    * parent, so the blind re-parent retry is lossless for them. */
   @annotation.tailrec
   private def commit(
       spark: SparkSession,
@@ -243,6 +281,7 @@ object Snapshots {
       op: String,
       parentFiles: Long => Seq[FileEntry],
       commitKey: Option[String] = None,
+      expectedHead: Option[Long] = None,
       retries: Int = 20): Long = {
     val claimed = lockFor(path).synchronized {
       // replayed keyed commit: already applied — converge to that
@@ -252,6 +291,13 @@ object Snapshots {
       if (replayed.isDefined) replayed
       else {
       val head = versions(spark, path).lastOption.getOrElse(0L)
+      expectedHead.foreach { e =>
+        if (head != e)
+          throw new CommitConflictException(
+            s"$op at $path derived its content from v$e but the head " +
+              s"is now v$head — committing would drop v${e + 1}..v$head" +
+              " from the new head; re-derive from the current head")
+      }
       val v = head + 1
       val all = parentFiles(head) ++ files
       import spark.implicits._
@@ -287,14 +333,60 @@ object Snapshots {
       case Some(v) => v
       case None =>
         // a FOREIGN process claimed this version between our head read
-        // and our rename — re-parent against the new head and retry
+        // and our rename. For a derived (content-replacing) commit
+        // that is a conflict — the content is stale against the new
+        // head; the caller must re-derive, never blind-retry.
+        if (expectedHead.isDefined)
+          throw new CommitConflictException(
+            s"$op at $path lost the v${expectedHead.get + 1} claim to " +
+              "a foreign committer — its content derives from " +
+              s"v${expectedHead.get}, which is no longer the head")
+        // pure appends re-parent against the new head and retry
         if (retries <= 0)
           throw new CommitConflictException(
             s"lost the commit race at $path too many times — " +
               "a runaway committer loop?")
         commit(spark, path, files, op, parentFiles, commitKey,
-          retries - 1)
+          expectedHead, retries - 1)
     }
+  }
+
+  /** Optimistic-retry loop for CONTENT-REPLACING commits
+    * (compact / z-order / upsert): resolve the head, derive the new
+    * content from THAT head, write it, and commit with
+    * `expectedHead` validation. If a racing commit moved the head
+    * between the derive and the claim (same-JVM or cross-process),
+    * the conflict is caught and the whole derive re-runs against the
+    * NEW head — so a racing append's rows are folded into the
+    * rewrite, never dropped (Iceberg's RewriteFiles
+    * validate-and-retry semantics). After `maxAttempts` lost races
+    * the conflict surfaces to the caller; the stale derive's data
+    * batch is invisible and expire-sweepable. */
+  private[graft] def commitRewrite(
+      spark: SparkSession,
+      path: String,
+      op: String,
+      statsCols: Seq[String],
+      plan: Long => (DataFrame, Seq[FileEntry]),
+      maxAttempts: Int = 5): Long = {
+    require(exists(spark, path), s"no snapshot table at $path")
+    var attempt = 0
+    var last: CommitConflictException = null
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val head = versions(spark, path).last
+      // plan() derives FROM this head: the rewritten content and the
+      // head entries carried through unchanged (whole-table rewrites
+      // keep none; scoped upserts keep every untouched file)
+      val (content, kept) = plan(head)
+      val files = writeBatch(content, path, statsCols)
+      try return commit(spark, path, files, op, _ => kept,
+        expectedHead = Some(head))
+      catch { case e: CommitConflictException => last = e }
+    }
+    throw new CommitConflictException(
+      s"$op at $path lost $maxAttempts derive-validate-commit rounds " +
+        s"to concurrent committers; last: ${last.getMessage}")
   }
 
   private def entriesOf(spark: SparkSession, path: String,
@@ -333,7 +425,13 @@ object Snapshots {
       s"snapshot table already exists at $path — use commitAppend/" +
         "commitOverwrite")
     val files = writeBatch(df, path, statsCols)
-    commit(spark, path, files, OpCreate, _ => Seq.empty, commitKey)
+    // expectedHead = 0: two racing creates must NOT both land (the
+    // loser would silently replace the winner's v1 content as v2) —
+    // the fails-if-exists contract holds under races too. A keyed
+    // bootstrap REPLAY still converges: the in-lock replay check runs
+    // before the head validation.
+    commit(spark, path, files, OpCreate, _ => Seq.empty, commitKey,
+      expectedHead = Some(0L))
   }
 
   /** Append `df` as a new version: new files + every parent file.
@@ -365,7 +463,12 @@ object Snapshots {
   }
 
   /** Logically replace the table's content as a new version; prior
-    * versions stay readable until expired. */
+    * versions stay readable until expired. Deliberately LAST-WRITER-
+    * WINS (no derived-from validation): an unconditional overwrite
+    * replaces whatever the head holds — a racing append's rows are
+    * superseded by the overwrite's SEMANTICS (and remain readable at
+    * their own version), unlike compact/upsert whose content claims
+    * to PRESERVE the head and so must validate it. */
   def commitOverwrite(df: DataFrame, path: String,
       statsCols: Seq[String] = Seq.empty): Long = {
     val spark = df.sparkSession
@@ -432,22 +535,73 @@ object Snapshots {
       .parquet(kept.map(_.file): _*)
   }
 
-  /** Time travel to the newest version committed at or before
-    * `tsMs` (epoch millis). */
-  def readAsOf(spark: SparkSession, path: String, tsMs: Long): DataFrame = {
+  /** DATE/TIMESTAMP file-skipping time travel: bounds given as the
+    * timestamp strings Spark's `cast(timestamp)` parses
+    * ("2024-01-01", "2024-01-01 12:30:00") are converted through the
+    * SAME [[statNorm]] expression the writer recorded the stats with
+    * (epoch seconds, dates at session-time-zone midnight) — so a
+    * time-range read over a date/timestamp-stat'd table plans only
+    * the overlapping files, writer and reader domains identical by
+    * construction. Same superset contract as [[readVersionWhere]]. */
+  def readVersionWhereTime(
+      spark: SparkSession, path: String, v: Long,
+      whereCol: String, loTs: String, hiTs: String): DataFrame = {
+    // try_to_timestamp: an unparseable bound must surface as OUR
+    // IllegalArgumentException below, not an ANSI cast error mid-job
+    val b = spark.range(1).select(
+      try_to_timestamp(lit(loTs)).cast("double"),
+      try_to_timestamp(lit(hiTs)).cast("double")).head()
+    require(!b.isNullAt(0) && !b.isNullAt(1),
+      s"unparseable timestamp bound: '$loTs' / '$hiTs'")
+    readVersionWhere(spark, path, v, whereCol,
+      b.getDouble(0), b.getDouble(1))
+  }
+
+  /** The newest version committed at or before `tsMs` (epoch millis). */
+  def versionAsOf(spark: SparkSession, path: String, tsMs: Long): Long = {
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"no snapshot table at $path")
     // one job over all retained manifests, not one per version
-    val at = Option(
+    Option(
         allManifests(spark, path, vs)
           .filter(col("ts_ms") <= tsMs)
           .agg(max(col("version"))).head().get(0))
       .map(_.asInstanceOf[Long])
-    at match {
-      case Some(v) => readVersion(spark, path, v)
-      case None => throw new NoSuchVersionException(
-        s"no version at or before ts_ms=$tsMs at $path")
-    }
+      .getOrElse(throw new NoSuchVersionException(
+        s"no version at or before ts_ms=$tsMs at $path"))
+  }
+
+  /** Time travel to the newest version committed at or before
+    * `tsMs` (epoch millis). */
+  def readAsOf(spark: SparkSession, path: String, tsMs: Long): DataFrame =
+    readVersion(spark, path, versionAsOf(spark, path, tsMs))
+
+  /** Per-file stat ranges (the [[statNorm]] double domain) for the
+    * given scheme-less file paths, unioned across every retained
+    * manifest — the metadata source for the automatic prune rule
+    * ([[graft.plans.SnapshotPruneRule]]). Stats travel with a file
+    * verbatim through appends, so any retained manifest's row for a
+    * file is authoritative. Tiny manifests; driver-side by design. */
+  private[graft] def statsForFiles(
+      spark: SparkSession, path: String,
+      wanted: Set[String]): Map[String, Map[String, (Double, Double)]] = {
+    val vs = versions(spark, path)
+    if (vs.isEmpty) return Map.empty
+    val m = allManifests(spark, path, vs)
+    if (!m.columns.contains("stat_col")) return Map.empty
+    m.select("file", "stat_col", "stat_min", "stat_max")
+      .na.drop(Seq("stat_col", "stat_min", "stat_max"))
+      .distinct()
+      .collect()
+      .iterator
+      .map(r => (new Path(r.getString(0)).toUri.getPath,
+        r.getString(1), r.getDouble(2), r.getDouble(3)))
+      .filter(t => wanted.contains(t._1))
+      .toSeq
+      .groupBy(_._1)
+      .map { case (f, rows) =>
+        f -> rows.map(t => t._2 -> (t._3, t._4)).toMap
+      }
   }
 
   /** Incremental (CDC-style) read: the rows ADDED between `fromV`
@@ -488,8 +642,9 @@ object Snapshots {
     * bad upsert is one `rollback` away, and a reader racing the merge
     * sees old-or-new (snapshot isolation doing [[Upsert.upsertPath]]'s
     * swap work). Cost: one hash shuffle on the key over head ∪
-    * updates + the rewrite — the unpartitioned-merge shape; at 100 TB
-    * partition the snapshot table and merge per touched partition. */
+    * updates + a FULL-TABLE rewrite — at 100 TB use
+    * [[commitUpsertScoped]], which rewrites only the files whose
+    * recorded scope-stat range the updates touch. */
   def commitUpsert(
       updates: DataFrame,
       path: String,
@@ -497,11 +652,67 @@ object Snapshots {
       versionCol: String,
       tiebreakCol: String): Long = {
     val spark = updates.sparkSession
-    require(exists(spark, path), s"no snapshot table at $path")
-    val merged = Upsert.mergeFrames(
-      read(spark, path), updates, keyCols, versionCol, tiebreakCol)
-    val files = writeBatch(merged, path)
-    commit(spark, path, files, "upsert", _ => Seq.empty)
+    commitRewrite(spark, path, "upsert", Seq.empty, head => (
+      Upsert.mergeFrames(readVersion(spark, path, head), updates,
+        keyCols, versionCol, tiebreakCol),
+      Seq.empty))
+  }
+
+  /** SCOPE-PRUNED MERGE: rewrite ONLY the head files whose recorded
+    * `scopeCol` stat range can hold one of the updates' scope values;
+    * every other file is carried into the new version UNCHANGED (a
+    * manifest pointer copy, zero data movement) — the
+    * partition-scoped merge that keeps a 1k-key upsert into a 100 TB
+    * table from rewriting the table ([[commitUpsert]]'s scaladoc
+    * concession closed).
+    *
+    * Correctness contract (same as any partition-scoped MERGE):
+    * `scopeCol` must be FUNCTIONALLY DETERMINED by the key — a key's
+    * rows always carry one scope value, so a key can never also live
+    * in a file the scope pruning skipped. Files without recorded
+    * `scopeCol` stats are always rewritten (unknown = candidate), so
+    * a table committed without stats degrades to the full rewrite,
+    * never to a wrong answer. The rewritten batch re-records
+    * `scopeCol` stats, keeping subsequent scoped merges selective.
+    *
+    * Scale: the merge shuffles only the TOUCHED files' rows ∪
+    * updates on the key; the untouched 99% of the table moves only as
+    * manifest rows. Updates' distinct scope values are collected to
+    * the driver — bounded by the number of touched partitions, the
+    * quantity this API exists to keep small. Same conflict posture as
+    * every rewrite: derived-from validation + re-derive on a lost
+    * race ([[commitRewrite]]). */
+  def commitUpsertScoped(
+      updates: DataFrame,
+      path: String,
+      keyCols: Seq[String],
+      versionCol: String,
+      tiebreakCol: String,
+      scopeCol: String): Long = {
+    val spark = updates.sparkSession
+    val scopeVals = updates
+      .select(statNorm(updates.schema(scopeCol).dataType,
+        col(scopeCol)).as("__s"))
+      .distinct().collect().map { r =>
+        require(!r.isNullAt(0),
+          s"scoped upsert: updates carry a NULL $scopeCol — null has " +
+            "no stat range to prune on; use commitUpsert")
+        r.getDouble(0)
+      }
+    commitRewrite(spark, path, "upsert", Seq(scopeCol), head => {
+      val (touched, kept) = entriesOf(spark, path, head).partition { e =>
+        e.stats.get(scopeCol) match {
+          case Some((lo, hi)) => scopeVals.exists(v => lo <= v && v <= hi)
+          case None           => true // no stats: must rewrite
+        }
+      }
+      val target =
+        if (touched.isEmpty) readVersion(spark, path, head).limit(0)
+        else spark.read.option("mergeSchema", "true")
+          .parquet(touched.map(_.file): _*)
+      (Upsert.mergeFrames(target, updates, keyCols, versionCol,
+        tiebreakCol), kept)
+    })
   }
 
   /** Small-file maintenance as a COMMIT: rewrite the head's content
@@ -513,10 +724,9 @@ object Snapshots {
   def compact(spark: SparkSession, path: String,
       targetFiles: Int = 8): Long = {
     require(targetFiles >= 1, s"targetFiles must be ≥ 1: $targetFiles")
-    require(exists(spark, path), s"no snapshot table at $path")
-    val files = writeBatch(
-      read(spark, path).repartition(targetFiles), path)
-    commit(spark, path, files, "compact", _ => Seq.empty)
+    commitRewrite(spark, path, "compact", Seq.empty, head => (
+      readVersion(spark, path, head).repartition(targetFiles),
+      Seq.empty))
   }
 
   /** Z-CLUSTERED compaction as a COMMIT: the head's content rewritten
@@ -532,11 +742,10 @@ object Snapshots {
       colA: String, colB: String,
       targetFiles: Int = 8): Long = {
     require(targetFiles >= 1, s"targetFiles must be ≥ 1: $targetFiles")
-    require(exists(spark, path), s"no snapshot table at $path")
-    val files = writeBatch(
-      Layout.zOrdered(read(spark, path), colA, colB, targetFiles),
-      path, statsCols = Seq(colA, colB))
-    commit(spark, path, files, "compact", _ => Seq.empty)
+    commitRewrite(spark, path, "compact", Seq(colA, colB), head => (
+      Layout.zOrdered(readVersion(spark, path, head), colA, colB,
+        targetFiles),
+      Seq.empty))
   }
 
   /** Retire all but the newest `keepLast` versions: their manifests
@@ -548,12 +757,41 @@ object Snapshots {
     * deleted). */
   def expire(spark: SparkSession, path: String,
       keepLast: Int = 2,
-      orphanMinAgeMs: Long = 3600000L): (Int, Int) = {
+      orphanMinAgeMs: Long = 3600000L,
+      force: Boolean = false): (Int, Int) = {
     require(keepLast >= 1, s"keepLast must be ≥ 1: $keepLast")
     val vs = versions(spark, path)
     require(vs.nonEmpty, s"no snapshot table at $path")
     val drop = vs.dropRight(keepLast)
     val keep = vs.takeRight(keepLast)
+    // replay-window guard: commit keys are the exactly-once dedup
+    // record ([[commitAppend]]) — dropping a stream's NEWEST keyed
+    // manifest while that stream can still replay its last batch
+    // turns the replay into a silent double-apply. Keys are
+    // `<streamId>_<batchId>`; the newest version per stream prefix is
+    // the one a foreachBatch replay would probe. Refuse unless
+    // `force` (intentional teardown of a stopped stream).
+    if (drop.nonEmpty && !force) {
+      val m = allManifests(spark, path, vs)
+      if (m.columns.contains("commit_key")) {
+        val newestPerStream = m
+          .filter(col("commit_key").isNotNull)
+          .select("version", "commit_key").distinct().collect()
+          .map(r => (r.getLong(0), r.getString(1)))
+          .groupBy { case (_, k) =>
+            val i = k.lastIndexOf('_'); if (i < 0) k else k.take(i)
+          }
+          .map { case (pfx, rows) => pfx -> rows.map(_._1).max }
+        val lost = newestPerStream.filter { case (_, v) => drop.contains(v) }
+        require(lost.isEmpty,
+          s"expire(keepLast=$keepLast) at $path would drop the NEWEST " +
+            "keyed manifest of stream(s) " +
+            lost.map { case (p, v) => s"$p (v$v)" }.mkString(", ") +
+            " — a replay of that batch would re-apply (exactly-once " +
+            "broken). Raise keepLast above the replay window, or pass " +
+            "force=true for a stopped stream.")
+      }
+    }
     val f = fs(spark, path)
     // referenced batch dirs = parent dirs of every retained file
     val referenced = keep.flatMap(v => filesOf(spark, path, v))

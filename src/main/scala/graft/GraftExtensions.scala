@@ -14,7 +14,7 @@ import graft.functions.VectorExprs.{ArrayDot, LshBuckets}
 
 /** Catalyst extension entry point (`spark.sql.extensions=graft.GraftExtensions`).
   *
-  * Three injections:
+  * Four injections:
   *
   *  1. The engine's custom codegen expressions as session functions —
   *     unlike `createOrReplaceTempFunction` (per-session-state, lost on
@@ -38,6 +38,11 @@ import graft.functions.VectorExprs.{ArrayDot, LshBuckets}
   *     that prunes parquet scans to the files whose manifest min/max
   *     ranges can satisfy the query's range predicates —
   *     [[graft.plans.ManifestPruneRule]].
+  *
+  *  4. Its snapshot-table sibling (`spark.graft.snapshotPruning=true`):
+  *     filtered `Snapshots.read` plans skip files by the per-file
+  *     stats recorded in the commit manifests —
+  *     [[graft.plans.SnapshotPruneRule]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -57,6 +62,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     //    overlap — see graft.plans.ManifestPruneRule.
     ext.injectOptimizerRule(session =>
       graft.plans.ManifestPruneRule(session))
+    // 4. Opt-in snapshot-manifest file pruning
+    //    (spark.graft.snapshotPruning=true): Filter(range-pred) over a
+    //    Snapshots.read() file list skips files by the per-file stats
+    //    recorded at commit time — see graft.plans.SnapshotPruneRule.
+    ext.injectOptimizerRule(session =>
+      graft.plans.SnapshotPruneRule(session))
   }
 }
 

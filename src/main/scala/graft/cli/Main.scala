@@ -38,6 +38,8 @@ object Main {
     System.err.println(
       """usage: graft.cli.Main <convert|query|sql|lint|profile|optimize|manifest|vacuum|curate|dedup-incremental|index-build|index-probe|decontaminate|decontaminate-spans|cap-source|pq-encode|dedup-lines|dedup-spans|semdedup|novelty|sketch-build|sketch-query|dense-index|snapshot|bench> ...
         |  convert DATA [--output-path P] [--agency A] [--compression C]
+        |         [--snapshot]   each run lands as one atomic version;
+        |         re-runs over grown input append only the delta rows
         |  query SFDIR NAME...
         |  sql SFDIR "SELECT ..."
         |  lint SFDIR <NAME|"SELECT ...">   plan audit, exit 1 on Error
@@ -46,12 +48,17 @@ object Main {
         |  manifest PATH col1[,col2...]   build file-level min/max manifest
         |  snapshot TABLE <create|append|overwrite> SRC [--stats c1,c2]
         |         | snapshot TABLE history | restore V
-        |         | read [--version V [--where col:lo:hi] | --as-of MS]
-        |         | expire [--keep N]
+        |         | read [--version V | --as-of MS] [--where col:lo:hi]
+        |           (numeric or colon-free date/timestamp bounds;
+        |           combines with --as-of: version resolves first)
+        |         | expire [--keep N] [--force]   (--force overrides
+        |           the keyed-replay-window guard for stopped streams)
         |         | compact [--target-files N]
         |         | changes --from V [--to V]   (appended-rows delta)
         |         | upsert SRC --keys a,b --version-col V
-        |           [--tiebreak-col T]   (MERGE as a new version)
+        |           [--tiebreak-col T] [--scope-col C]   (MERGE as a
+        |           new version; --scope-col rewrites only the files
+        |           whose C-stat range the updates touch)
         |         snapshot-isolated commits + time travel (atomic
         |         rename-claimed manifests over immutable batches)
         |  vacuum ROOT
@@ -171,6 +178,28 @@ object Main {
             .as("bad"))
           val (written, bad) =
             if (mk(raw).isEmpty) (false, JsonApi.corruptRecords(raw).count())
+            else if (args.contains("--snapshot")) {
+              // --snapshot: land each conversion run as ONE atomic,
+              // time-travelable version of a snapshot table — the
+              // reference's resumability story (USAGE.md:183) upgraded
+              // to the table-format answer. A re-run over GROWN input
+              // appends only the not-yet-converted rows (anti-join on
+              // the flattened id), so downstream consumers tail the
+              // delta with `snapshot TABLE changes --from V`.
+              import graft.maintain.Snapshots
+              val path = s"$out/$table"
+              val flat = mk(rawObs)
+              val v =
+                if (!Snapshots.exists(spark, path))
+                  Snapshots.create(flat, path)
+                else {
+                  val existing = Snapshots.read(spark, path).select("id")
+                  Snapshots.commitAppend(
+                    flat.join(existing, Seq("id"), "left_anti"), path)
+                }
+              System.err.println(s"[convert] $table → snapshot v$v")
+              (true, obs.get("bad").asInstanceOf[Long])
+            }
             else {
               ParquetSink.write(mk(rawObs), s"$out/$table", codec,
                 partitionCols = Seq("agency"), skipIfEmpty = false)
@@ -288,25 +317,47 @@ object Main {
             System.err.println(
               s"[snapshot] restored $table@${args(3)} as v$v")
           case "read" =>
+            // --where col:lo:hi — manifest-stat file skipping, plus the
+            // residual exact predicate (superset contract). Numeric
+            // bounds probe directly; non-numeric bounds are date/
+            // timestamp strings (colon-free forms like 2024-01-31)
+            // probed through the epoch-seconds stat domain.
+            def whereRead(v: Long, w: String) = {
+              val Array(c, lo, hi) = w.split(":", 3)
+              (lo.toDoubleOption, hi.toDoubleOption) match {
+                case (Some(l), Some(h)) =>
+                  Snapshots.readVersionWhere(spark, table, v, c, l, h)
+                    .filter(col(c).cast("double").between(l, h))
+                case _ =>
+                  Snapshots.readVersionWhereTime(spark, table, v, c, lo, hi)
+                    .filter(col(c).cast("timestamp").between(
+                      org.apache.spark.sql.functions.lit(lo)
+                        .cast("timestamp"),
+                      org.apache.spark.sql.functions.lit(hi)
+                        .cast("timestamp")))
+              }
+            }
+            def headVersion(): Long =
+              Snapshots.versions(spark, table).last
             val df = (arg(args, "--version"), arg(args, "--as-of"),
                 arg(args, "--where")) match {
-              case (Some(v), _, Some(w)) =>
-                // --where col:lo:hi — manifest-stat file skipping
-                val Array(c, lo, hi) = w.split(":", 3)
-                Snapshots.readVersionWhere(spark, table, v.toLong,
-                    c, lo.toDouble, hi.toDouble)
-                  .filter(col(c).cast("double")
-                    .between(lo.toDouble, hi.toDouble))
+              case (Some(v), _, Some(w)) => whereRead(v.toLong, w)
               case (Some(v), _, None) =>
                 Snapshots.readVersion(spark, table, v.toLong)
-              case (None, Some(ts), _) =>
+              case (None, Some(ts), Some(w)) =>
+                // resolve the as-of version FIRST, then file-skip
+                // within it — --where used to be silently ignored here
+                whereRead(Snapshots.versionAsOf(spark, table, ts.toLong), w)
+              case (None, Some(ts), None) =>
                 Snapshots.readAsOf(spark, table, ts.toLong)
+              case (None, None, Some(w)) => whereRead(headVersion(), w)
               case _ => Snapshots.read(spark, table)
             }
             df.show(20, truncate = false)
           case "expire" =>
             val keep = arg(args, "--keep").map(_.toInt).getOrElse(2)
-            val (d, s) = Snapshots.expire(spark, table, keepLast = keep)
+            val (d, s) = Snapshots.expire(spark, table, keepLast = keep,
+              force = args.contains("--force"))
             System.err.println(
               s"[snapshot] expired $d versions, swept $s orphan batches")
           case "compact" =>
@@ -326,8 +377,15 @@ object Main {
             val verCol = arg(args, "--version-col").getOrElse(
               sys.error("snapshot upsert requires --version-col V"))
             val tb = arg(args, "--tiebreak-col").getOrElse(verCol)
-            val v = Snapshots.commitUpsert(spark.read.parquet(src),
-              table, keys, verCol, tb)
+            // --scope-col C: partition-scoped merge — rewrite only the
+            // files whose recorded C-stat range the updates touch (C
+            // must be key-determined; see commitUpsertScoped)
+            val v = arg(args, "--scope-col") match {
+              case Some(sc) => Snapshots.commitUpsertScoped(
+                spark.read.parquet(src), table, keys, verCol, tb, sc)
+              case None => Snapshots.commitUpsert(
+                spark.read.parquet(src), table, keys, verCol, tb)
+            }
             System.err.println(s"[snapshot] upserted $src → $table v$v")
           case "changes" =>
             // incremental read: rows appended in (--from, --to]

@@ -2,15 +2,11 @@ package graft.plans
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.CatalystTypeConverters
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference,
-  EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan,
-  LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
   InMemoryFileIndex, LogicalRelation}
-import org.apache.spark.sql.types.DataType
 
 import graft.maintain.Manifest
 
@@ -67,17 +63,6 @@ case class ManifestPruneRule(session: SparkSession)
           }
       }
 
-  private def conjuncts(e: Expression): Seq[Expression] = e match {
-    case And(a, b) => conjuncts(a) ++ conjuncts(b)
-    case x => Seq(x)
-  }
-
-  /** Literal's Catalyst-internal value (UTF8String, epoch micros, …)
-    * converted to the external form `lit()` re-internalizes correctly
-    * when the bound is compared against the manifest table. */
-  private def external(v: Any, dt: DataType): Any =
-    CatalystTypeConverters.createToScalaConverter(dt)(v)
-
   private def tryPrune(
       cond: Expression,
       l: LogicalRelation,
@@ -89,49 +74,19 @@ case class ManifestPruneRule(session: SparkSession)
         val path = roots.head.toString
         Manifest.columnsIfPresent(session, path).flatMap { mCols =>
           val manifested = mCols.toSet
-          // (column, lo?, hi?) bounds from the Filter's conjuncts;
-          // multiple bounds on one side keep the first seen (any
-          // single conjunct's bound is a correct, conservative prune)
-          val bounds = scala.collection.mutable.LinkedHashMap
-            .empty[String, (Option[Any], Option[Any])]
-          def add(name: String, lo: Option[Any], hi: Option[Any]): Unit =
-            if (manifested.contains(name)) {
-              val (l0, h0) = bounds.getOrElse(name, (None, None))
-              bounds(name) = (l0.orElse(lo), h0.orElse(hi))
-            }
-          conjuncts(cond).foreach {
-            case GreaterThanOrEqual(a: AttributeReference, Literal(v, dt)) =>
-              add(a.name, Some(external(v, dt)), None)
-            case GreaterThan(a: AttributeReference, Literal(v, dt)) =>
-              add(a.name, Some(external(v, dt)), None)
-            case LessThanOrEqual(a: AttributeReference, Literal(v, dt)) =>
-              add(a.name, None, Some(external(v, dt)))
-            case LessThan(a: AttributeReference, Literal(v, dt)) =>
-              add(a.name, None, Some(external(v, dt)))
-            case EqualTo(a: AttributeReference, Literal(v, dt)) =>
-              add(a.name, Some(external(v, dt)), Some(external(v, dt)))
-            case GreaterThanOrEqual(Literal(v, dt), a: AttributeReference) =>
-              add(a.name, None, Some(external(v, dt)))
-            case GreaterThan(Literal(v, dt), a: AttributeReference) =>
-              add(a.name, None, Some(external(v, dt)))
-            case LessThanOrEqual(Literal(v, dt), a: AttributeReference) =>
-              add(a.name, Some(external(v, dt)), None)
-            case LessThan(Literal(v, dt), a: AttributeReference) =>
-              add(a.name, Some(external(v, dt)), None)
-            case EqualTo(Literal(v, dt), a: AttributeReference) =>
-              add(a.name, Some(external(v, dt)), Some(external(v, dt)))
-            case _ => ()
-          }
+          // (column, lo?, hi?) bounds from the Filter's conjuncts —
+          // the shared extractor ([[FilterBounds]], conservative by
+          // construction)
+          val bounds = FilterBounds.boundsOf(cond, manifested.contains)
           if (bounds.isEmpty) None
           else {
             val files = Manifest.candidateFilesBounded(
-              session, path,
-              bounds.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) })
+              session, path, bounds)
             val total = fsRel.location.inputFiles.length
             if (files.size >= total) None // nothing pruned — no rewrite
             else {
               logInfo(s"manifest pruning $path: ${files.size}/$total " +
-                s"files survive ${bounds.keys.mkString(",")} bounds")
+                s"files survive ${bounds.map(_._1).mkString(",")} bounds")
               val idx = new InMemoryFileIndex(
                 session, files.map(new Path(_)),
                 fsRel.options + ("basePath" -> path),

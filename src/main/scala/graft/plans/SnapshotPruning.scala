@@ -1,0 +1,170 @@
+package graft.plans
+
+import java.time.ZoneId
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
+  InMemoryFileIndex, LogicalRelation}
+
+import graft.maintain.Snapshots
+
+/** Optimizer rule that wires the snapshot layer's per-file manifest
+  * stats ([[graft.maintain.Snapshots]], the Iceberg-manifest shape)
+  * into ORDINARY filtered reads: `Snapshots.read(...).filter(col
+  * between lo and hi)` plans only the files whose recorded stat range
+  * can overlap — callers no longer need to know the explicit
+  * `readVersionWhere` API to get manifest file-skipping, exactly the
+  * way `spark.graft.manifestPruning` already upgrades plain parquet
+  * dirs. Opt-in via `spark.graft.snapshotPruning=true` (the rule reads
+  * tiny manifest parquet at optimization time).
+  *
+  * Shape: `Filter(cond, LogicalRelation(parquet))` whose root paths
+  * are all LEAF FILES under one snapshot table's `data/batch-*` dirs —
+  * exactly what every `Snapshots.read*` plans (explicit per-version
+  * file lists, never directory globs, so the match cannot fire on a
+  * non-snapshot read). Range/equality conjuncts over stat-bearing
+  * columns become bounds ([[FilterBounds]]); bound values convert to
+  * the manifest's double stat domain (numeric as-is; timestamp/date →
+  * epoch seconds, dates at session-time-zone midnight — the same
+  * [[Snapshots]] writer normalization). Files without stats for a
+  * bounded column always survive (unknown = candidate), and the
+  * original Filter stays on top, so results are bit-identical with
+  * the rule on or off and to `readVersionWhere` + residual filter
+  * (pinned in SnapshotPruneSpec).
+  *
+  * 100 TB posture: this is metadata-only planning — the manifests
+  * consulted are O(retained versions) tiny files, and the payoff is
+  * the scan planning one day's files instead of the table. A rewrite
+  * only happens when at least one file is actually dropped, so the
+  * fixpoint optimizer batch stabilizes (the pruned relation yields
+  * the same survivor set on re-match). Any failure logs and leaves
+  * the plan untouched.
+  */
+case class SnapshotPruneRule(session: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!session.conf.get(SnapshotPruneRule.ConfKey, "false").toBoolean)
+      plan
+    else
+      plan.transformDown {
+        case f @ Filter(cond, l: LogicalRelation) =>
+          l.relation match {
+            case fsRel: HadoopFsRelation =>
+              tryPrune(cond, l, fsRel)
+                .map(pl => Filter(cond, pl)).getOrElse(f)
+            case _ => f
+          }
+      }
+
+  /** The snapshot-table root shared by EVERY root path, if the
+    * relation is a snapshot-planned file list
+    * (`<table>/data/batch-<hex>/<file>` for one common `<table>` that
+    * has a `_snapshots` directory). */
+  private def snapshotRoot(roots: Seq[Path]): Option[Path] = {
+    val tables = roots.map { r =>
+      val batch = r.getParent
+      if (batch == null || !batch.getName.startsWith("batch-")) return None
+      val data = batch.getParent
+      if (data == null || data.getName != "data") return None
+      data.getParent
+    }
+    if (tables.isEmpty || tables.exists(_ == null)) None
+    else if (tables.distinct.length != 1) None
+    else Some(tables.head)
+  }
+
+  /** A bound value in the manifest's double stat domain — mirrors
+    * [[Snapshots]]' writer-side `statNorm` (numeric direct;
+    * date/timestamp as epoch seconds, dates at session-tz midnight).
+    * Unconvertible values (strings, decimals of unexpected shape)
+    * return None and the column's bound is ignored — never a wrong
+    * prune. */
+  private def toStatDomain(v: Any): Option[Double] = v match {
+    case n: java.math.BigDecimal => Some(n.doubleValue)
+    case n: BigDecimal           => Some(n.doubleValue)
+    case n: Number               => Some(n.doubleValue)
+    case t: java.sql.Timestamp   => Some(t.getTime / 1000.0)
+    case i: java.time.Instant =>
+      Some(i.getEpochSecond + i.getNano / 1e9)
+    case d: java.sql.Date        => Some(dateSeconds(d.toLocalDate))
+    case d: java.time.LocalDate  => Some(dateSeconds(d))
+    case _                       => None
+  }
+
+  private def dateSeconds(d: java.time.LocalDate): Double = {
+    val tz = ZoneId.of(session.sessionState.conf.sessionLocalTimeZone)
+    d.atStartOfDay(tz).toEpochSecond.toDouble
+  }
+
+  private def tryPrune(
+      cond: Expression,
+      l: LogicalRelation,
+      fsRel: HadoopFsRelation): Option[LogicalRelation] =
+    try {
+      val roots = fsRel.location.rootPaths
+      if (roots.isEmpty || fsRel.partitionSchema.nonEmpty) None
+      else snapshotRoot(roots).flatMap { table =>
+        val fs = table.getFileSystem(
+          session.sparkContext.hadoopConfiguration)
+        if (!fs.exists(new Path(table, "_snapshots"))) None
+        else {
+          val wanted = roots.map(_.toUri.getPath).toSet
+          val stats = Snapshots.statsForFiles(
+            session, table.toString, wanted)
+          if (stats.isEmpty) None
+          else {
+            val statCols = stats.valuesIterator.flatMap(_.keys).toSet
+            val bounds = FilterBounds
+              .boundsOf(cond, statCols.contains)
+              .flatMap { case (c, lo, hi) =>
+                val dl = lo.flatMap(toStatDomain)
+                val dh = hi.flatMap(toStatDomain)
+                // a bound present but unconvertible must VOID that
+                // side, not silently widen to ±inf on the wrong type
+                if (lo.isDefined != dl.isDefined ||
+                    hi.isDefined != dh.isDefined) None
+                else if (dl.isEmpty && dh.isEmpty) None
+                else Some((c, dl, dh))
+              }
+            if (bounds.isEmpty) None
+            else {
+              val survivors = roots.filter { r =>
+                val per = stats.getOrElse(r.toUri.getPath, Map.empty)
+                bounds.forall { case (c, lo, hi) =>
+                  per.get(c) match {
+                    case Some((mn, mx)) =>
+                      lo.forall(_ <= mx) && hi.forall(_ >= mn)
+                    case None => true // unknown = candidate
+                  }
+                }
+              }
+              if (survivors.length >= roots.length) None
+              else {
+                logInfo(s"snapshot pruning $table: " +
+                  s"${survivors.length}/${roots.length} files survive " +
+                  bounds.map(_._1).mkString(","))
+                val idx = new InMemoryFileIndex(
+                  session, survivors, fsRel.options,
+                  Some(fsRel.dataSchema))
+                Some(l.copy(relation =
+                  fsRel.copy(location = idx)(session)))
+              }
+            }
+          }
+        }
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        logWarning(s"snapshot pruning skipped: ${e.getMessage}")
+        None
+    }
+}
+
+object SnapshotPruneRule {
+  val ConfKey = "spark.graft.snapshotPruning"
+}

@@ -172,5 +172,140 @@ object SnapshotQueries {
             FROM orders
             WHERE o_orderkey BETWEEN 1000 AND 2000"""))
 
-  def all: Seq[Q] = Seq(snapTimeTravel, snapUpsertMerge, snapPrunedRead)
+  private def tsStatsTable(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val path = "target/snap_ts_stats_" +
+      java.lang.Integer.toHexString(d.hashCode)
+    if (Snapshots.versions(s, path) != Seq(1L)) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      // 8 time-range-clustered files: a half-year read must prune
+      // most of them from the DATE-typed per-file stats alone
+      Snapshots.create(
+        Tables.orders(s, d)
+          .select("o_orderkey", "o_orderdate", "o_totalprice")
+          .repartitionByRange(8, col("o_orderdate")),
+        path, statsCols = Seq("o_orderdate"))
+    }
+    path
+  }
+
+  /** snap_ts_pruned_read — TIME-RANGE file-skipping time travel: the
+    * canonical lakehouse read (one window of a time-clustered table)
+    * planned from DATE/TIMESTAMP per-file stats recorded in the
+    * manifest's epoch-seconds domain ([[Snapshots.readVersionWhereTime]]
+    * converts the ISO bounds through the SAME normalization the writer
+    * used). The aggregate over the pruned files + residual predicate
+    * must equal DuckDB's plain range scan; `files_pruned` pins that
+    * the manifest actually skipped files. */
+  val snapTsPrunedRead = Q(
+    "snap_ts_pruned_read",
+    (s, d) => {
+      val path = tsStatsTable(s, d)
+      val (lo, hi) = ("1995-01-01", "1995-06-30")
+      val pruned = Snapshots.readVersionWhereTime(
+        s, path, 1L, "o_orderdate", lo, hi)
+      val nFiles = pruned.inputFiles.length
+      val total = Snapshots.readVersion(s, path, 1L).inputFiles.length
+      pruned
+        .filter(col("o_orderdate").between(
+          lit(lo).cast("timestamp"), lit(hi).cast("timestamp")))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("key_sum"),
+          round(sum(col("o_totalprice")), 2).as("price_sum"),
+          lit(nFiles < total).as("files_pruned"))
+    },
+    Some("""SELECT COUNT(*) AS n_rows,
+                   CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+                   ROUND(SUM(o_totalprice), 2) AS price_sum,
+                   TRUE AS files_pruned
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate <= TIMESTAMP '1995-06-30'"""))
+
+  /** The synthetic inserted row of the scoped-upsert table (key
+    * chosen in scope 5 = 900000005 % 8, far above any fixture key). */
+  private val InsKey = 900000005L
+  private val InsPrice = 123.45
+
+  private def scopedUpsertTable(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val path = "target/snap_scoped_" +
+      java.lang.Integer.toHexString(d.hashCode)
+    if (Snapshots.versions(s, path) != Seq(1L, 2L)) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      // scope = o_orderkey % 8: key-determined (the scoped-merge
+      // contract) and range-clustered across 8 files so per-file
+      // scope stats are disjoint
+      def shaped(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("o_orderkey"), (col("o_orderkey") % 8).as("scope"),
+        col("o_totalprice"))
+      val orders = Tables.orders(s, d)
+      Snapshots.create(
+        shaped(orders).withColumn("ver", lit(1L)).withColumn("tb", lit(0L))
+          .repartitionByRange(8, col("scope")),
+        path, statsCols = Seq("scope"))
+      // ONE scoped merge, every update in scope 5: UPDATE (+100 for
+      // the %8==5 keys) and INSERT (a fresh key in scope 5)
+      val updates = shaped(orders.filter(col("o_orderkey") % 8 === 5))
+        .withColumn("o_totalprice", col("o_totalprice") + 100)
+        .withColumn("ver", lit(2L)).withColumn("tb", lit(0L))
+        .unionByName(
+          s.range(1).select(
+            lit(InsKey).as("o_orderkey"),
+            lit(InsKey % 8).as("scope"),
+            lit(InsPrice).as("o_totalprice"),
+            lit(1L).as("ver"), lit(0L).as("tb")))
+      Snapshots.commitUpsertScoped(updates, path,
+        keyCols = Seq("o_orderkey"), versionCol = "ver",
+        tiebreakCol = "tb", scopeCol = "scope")
+    }
+    path
+  }
+
+  /** snap_scoped_upsert — partition-scoped MERGE: the head shows the
+    * scope-5 updates applied and the insert present while every other
+    * scope's rows pass through BIT-UNTOUCHED — because their FILES
+    * were never rewritten: `scope_pruned` pins (from the two
+    * versions' planned file lists) that v1 files survived into v2
+    * unchanged AND fewer than all were rewritten. A regression to the
+    * full-table rewrite flips the pin and fails the hash. */
+  val snapScopedUpsert = Q(
+    "snap_scoped_upsert",
+    (s, d) => {
+      val path = scopedUpsertTable(s, d)
+      val v1Files = Snapshots.readVersion(s, path, 1L).inputFiles.toSet
+      val v2Files = Snapshots.readVersion(s, path, 2L).inputFiles.toSet
+      val kept = (v1Files & v2Files).size
+      val scoped = kept > 0 && kept < v1Files.size && v2Files.size > kept
+      Seq(1L, 2L).map { v =>
+        Snapshots.readVersion(s, path, v).agg(
+            lit(v).cast("int").as("version"),
+            count(lit(1)).as("n_rows"),
+            sum(col("o_orderkey")).as("key_sum"),
+            round(sum(col("o_totalprice")), 2).as("price_sum"),
+            lit(scoped).as("scope_pruned"))
+      }.reduce(_.unionByName(_)).orderBy("version")
+    },
+    Some(s"""SELECT CAST(1 AS INT) AS version, COUNT(*) AS n_rows,
+                   CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+                   ROUND(SUM(o_totalprice), 2) AS price_sum,
+                   TRUE AS scope_pruned
+            FROM orders
+            UNION ALL
+            SELECT CAST(2 AS INT), COUNT(*) + 1,
+                   CAST(SUM(o_orderkey) + $InsKey AS BIGINT),
+                   ROUND(SUM(CASE WHEN o_orderkey % 8 = 5
+                                  THEN o_totalprice + 100
+                                  ELSE o_totalprice END) + $InsPrice, 2),
+                   TRUE
+            FROM orders
+            ORDER BY version"""))
+
+  def all: Seq[Q] = Seq(snapTimeTravel, snapUpsertMerge, snapPrunedRead,
+    snapTsPrunedRead, snapScopedUpsert)
 }

@@ -386,12 +386,49 @@ object Incremental {
     s"b${hex}_$batchId"
   }
 
+  /** The r15-era segment id the SHA-256 scheme replaced (32-bit
+    * `String.hashCode` prefix). A checkpoint that crashed UNDER the
+    * old scheme and resumes under the new one replays its last batch
+    * under the NEW id — beside the legacy-id segment, duplicating
+    * that batch's rows (ADVICE r16). [[dropLegacySegments]] deletes
+    * the legacy sibling for the same (checkpoint, batch) before the
+    * new-id append, making the upgrade replay converge instead. */
+  private def legacyIndexSegId(
+      checkpointDir: String, batchId: Long): String =
+    s"b${Integer.toHexString(checkpointDir.hashCode)}_$batchId"
+
+  /** Remove the legacy-scheme segment directories for this
+    * (checkpoint, batch) across an index table and its sub-tables
+    * (`<index>/seg=<legacy>` and `<index>/<sub>/seg=<legacy>` — the
+    * two layouts the four index families use). No-op when none exist
+    * (every post-upgrade batch); one cheap glob when they might. */
+  private def dropLegacySegments(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, checkpointDir: String, batchId: Long): Unit = {
+    val legacy = legacyIndexSegId(checkpointDir, batchId)
+    // distinct: flat and nested globs can't overlap, but stay safe
+    val pats = Seq(s"$indexPath/seg=$legacy", s"$indexPath/*/seg=$legacy")
+    val fs = new org.apache.hadoop.fs.Path(indexPath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    pats.foreach { pat =>
+      val hits = fs.globStatus(new org.apache.hadoop.fs.Path(pat))
+      if (hits != null) hits.foreach { st =>
+        System.err.println(s"[graft] dropping legacy-id segment " +
+          s"${st.getPath} (superseded by the new-scheme segment for " +
+          s"batch $batchId)")
+        fs.delete(st.getPath, true)
+      }
+    }
+  }
+
   def annIndexAppendStream(
       vecs: DataFrame,
       indexPath: String,
       checkpointDir: String): StreamingQuery =
     vecs.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        dropLegacySegments(batch.sparkSession, indexPath,
+          checkpointDir, id)
         graft.llm.Quantize.appendToPqIndex(batch, indexPath,
           segId = indexSegId(checkpointDir, id))
       }
@@ -417,6 +454,8 @@ object Incremental {
       checkpointDir: String): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        dropLegacySegments(batch.sparkSession, indexPath,
+          checkpointDir, id)
         graft.llm.Retrieval.appendToBm25Index(batch, indexPath,
           segId = indexSegId(checkpointDir, id))
       }
@@ -475,6 +514,8 @@ object Incremental {
       checkpointDir: String): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        dropLegacySegments(batch.sparkSession, indexPath,
+          checkpointDir, id)
         graft.llm.Retrieval.appendToDenseIndex(batch, indexPath,
           segId = indexSegId(checkpointDir, id))
       }
@@ -500,6 +541,8 @@ object Incremental {
       checkpointDir: String): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        dropLegacySegments(batch.sparkSession, indexPath,
+          checkpointDir, id)
         graft.llm.Dedup.appendToLshIndex(batch, indexPath,
           segId = indexSegId(checkpointDir, id))
       }

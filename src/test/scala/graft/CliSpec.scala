@@ -154,6 +154,61 @@ class CliSpec extends AnyFunSuite {
     assert(graft.maintain.Snapshots.read(spark, tbl).count() == 10)
   }
 
+  test("snapshot read combines --as-of with --where; scoped upsert via CLI") {
+    import graft.maintain.Snapshots
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    val t = TestSpark.tmpDir("cli-snap2")
+    val src = s"$t/src"; val tbl = s"$t/tbl"
+    spark.range(100).select($"id", ($"id" / 25).cast("long").as("scope"),
+        lit(1L).as("ver"), lit(0L).as("tb"))
+      .repartitionByRange(4, $"scope").write.parquet(src)
+    graft.cli.Main.run(spark,
+      Array("snapshot", tbl, "create", src, "--stats", "scope"))
+    val asOf = System.currentTimeMillis().toString
+    // --as-of + --where together: resolves the version FIRST, then
+    // file-skips within it (this combination used to silently drop
+    // --where — ADVICE r16)
+    graft.cli.Main.run(spark, Array("snapshot", tbl, "read",
+      "--as-of", asOf, "--where", "scope:2:2"))
+    // scoped upsert via the CLI flag rewrites only touched-scope files
+    val upd = s"$t/upd"
+    Seq((60L, 2L, 2L, 0L)).toDF("id", "scope", "ver", "tb")
+      .write.parquet(upd)
+    val v1Files = Snapshots.readVersion(spark, tbl, 1).inputFiles.toSet
+    graft.cli.Main.run(spark, Array("snapshot", tbl, "upsert", upd,
+      "--keys", "id", "--version-col", "ver", "--scope-col", "scope"))
+    val v2Files = Snapshots.readVersion(spark, tbl, 2).inputFiles.toSet
+    assert((v1Files & v2Files).nonEmpty, "scoped upsert rewrote everything")
+    assert(Snapshots.read(spark, tbl).count() == 100)
+  }
+
+  test("convert --snapshot: re-runs over grown input land as delta versions") {
+    import graft.maintain.Snapshots
+    import spark.implicits._
+    val root = TestSpark.tmpDir("cli-snap-tree")
+    graft.sources.FixtureTree.writeComments(root, nDockets = 2,
+      commentsPerDocket = 3)
+    val out = TestSpark.tmpDir("cli-snap-out")
+    graft.cli.Main.run(spark,
+      Array("convert", root, "--output-path", out, "--snapshot"))
+    val tbl = s"$out/comments"
+    assert(Snapshots.versions(spark, tbl) == Seq(1L))
+    assert(Snapshots.read(spark, tbl).count() == 6)
+    // grow the tree by one docket and re-run: ONLY the delta appends
+    graft.sources.FixtureTree.writeComments(root, nDockets = 3,
+      commentsPerDocket = 3)
+    graft.cli.Main.run(spark,
+      Array("convert", root, "--output-path", out, "--snapshot"))
+    assert(Snapshots.versions(spark, tbl) == Seq(1L, 2L))
+    assert(Snapshots.read(spark, tbl).count() == 9)
+    // the CDC read serves exactly the new docket's comments
+    val delta = Snapshots.readAppendedBetween(spark, tbl, 1, 2)
+    assert(delta.count() == 3)
+    assert(delta.select("id").as[String].collect()
+      .forall(_.contains("2025-0002")), "delta leaked old-docket rows")
+  }
+
   test("optimize compacts via the CLI") {
     val path = TestSpark.tmpDir("cli-compact") + "/t"
     graft.maintain.Compaction.fragment(

@@ -395,6 +395,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(viaStream == live, s"stream=$viaStream\nlive=$live")
   }
 
+  test("upgrade replay: a legacy-id segment sibling is dropped, not duplicated") {
+    import graft.llm.Retrieval
+    val corpus = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text")
+    val base = corpus.filter($"doc_id" % 2 === 0)
+    val late = corpus.filter($"doc_id" % 2 === 1)
+    val idx = TestSpark.tmpDir("bm25-legacy")
+    Retrieval.writeBm25Index(base, idx)
+    val ck = TestSpark.tmpDir("bm25-legacy-ck")
+    // simulate the r15-era crash: batch 0's sink work landed under
+    // the OLD String.hashCode segment id, the checkpoint never
+    // committed (ADVICE r16 migration hazard)
+    val legacy = s"b${Integer.toHexString(ck.hashCode)}_0"
+    Retrieval.appendToBm25Index(late, idx, segId = legacy)
+    // resume under the SHA-256 scheme: the replayed batch 0 must
+    // SUPERSEDE the legacy segment, not land beside it
+    val srcDir = TestSpark.tmpDir("bm25-legacy-src")
+    late.write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema).parquet(srcDir)
+    Incremental.bm25IndexAppendStream(stream, idx, ck).awaitTermination()
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leftover = Option(fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$idx/*/seg=$legacy")))
+      .map(_.toSeq).getOrElse(Seq.empty)
+    assert(leftover.isEmpty,
+      s"legacy segment survived beside the new one: $leftover")
+    // and probes match LIVE scoring over the grown corpus — the
+    // duplicated-postings double-count never happens
+    val terms = Seq("hash", "merge", "scan")
+    val viaStream = Retrieval.bm25TopKIndexed(spark, idx, terms, k = 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    val live = Retrieval.bm25TopK(corpus, terms, k = 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(viaStream == live, s"stream=$viaStream\nlive=$live")
+  }
+
   test("streamed LSH index appends match the batch append, probe-for-probe") {
     import graft.llm.Dedup
     val docs = Tables.documents(spark, TestSpark.sf0001)

@@ -54,6 +54,8 @@ object Main {
         |         | expire [--keep N] [--force]   (--force overrides
         |           the keyed-replay-window guard for stopped streams)
         |         | compact [--target-files N]
+        |         | delete --where col:lo:hi   (range-scoped DELETE as
+        |           a version: only stat-overlapping files rewrite)
         |         | changes --from V [--to V]   (appended-rows delta)
         |         | upsert SRC --keys a,b --version-col V
         |           [--tiebreak-col T] [--scope-col C]   (MERGE as a
@@ -387,6 +389,22 @@ object Main {
                 spark.read.parquet(src), table, keys, verCol, tb)
             }
             System.err.println(s"[snapshot] upserted $src → $table v$v")
+          case "delete" =>
+            // snapshot TABLE delete --where col:lo:hi — range-scoped
+            // DELETE committed as a new version: only files whose
+            // stat range overlaps are rewritten (retention/GDPR
+            // erasure; durable against time travel after expire)
+            val w = arg(args, "--where").getOrElse(
+              sys.error("snapshot delete requires --where col:lo:hi"))
+            val Array(c, lo, hi) = w.split(":", 3)
+            val v = (lo.toDoubleOption, hi.toDoubleOption) match {
+              case (Some(l), Some(h)) =>
+                Snapshots.commitDeleteWhere(spark, table, c, l, h)
+              case _ =>
+                Snapshots.commitDeleteWhereTime(spark, table, c, lo, hi)
+            }
+            System.err.println(
+              s"[snapshot] deleted $c in [$lo, $hi] from $table as v$v")
           case "changes" =>
             // incremental read: rows appended in (--from, --to]
             val from = arg(args, "--from").map(_.toLong).getOrElse(

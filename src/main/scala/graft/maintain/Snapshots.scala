@@ -546,15 +546,21 @@ object Snapshots {
   def readVersionWhereTime(
       spark: SparkSession, path: String, v: Long,
       whereCol: String, loTs: String, hiTs: String): DataFrame = {
-    // try_to_timestamp: an unparseable bound must surface as OUR
-    // IllegalArgumentException below, not an ANSI cast error mid-job
+    val (l, h) = timeBounds(spark, loTs, hiTs)
+    readVersionWhere(spark, path, v, whereCol, l, h)
+  }
+
+  /** ISO-ish timestamp bounds → the [[statNorm]] epoch-seconds
+    * domain. try_to_timestamp: an unparseable bound must surface as
+    * OUR IllegalArgumentException, not an ANSI cast error mid-job. */
+  private def timeBounds(
+      spark: SparkSession, loTs: String, hiTs: String): (Double, Double) = {
     val b = spark.range(1).select(
       try_to_timestamp(lit(loTs)).cast("double"),
       try_to_timestamp(lit(hiTs)).cast("double")).head()
     require(!b.isNullAt(0) && !b.isNullAt(1),
       s"unparseable timestamp bound: '$loTs' / '$hiTs'")
-    readVersionWhere(spark, path, v, whereCol,
-      b.getDouble(0), b.getDouble(1))
+    (b.getDouble(0), b.getDouble(1))
   }
 
   /** The newest version committed at or before `tsMs` (epoch millis). */
@@ -619,7 +625,7 @@ object Snapshots {
     val rewrites = history(spark, path)
       .filter(col("version") > fromV && col("version") <= toV)
       .filter(col("operation")
-        .isin(OpOverwrite, OpRollback, "compact", "upsert"))
+        .isin(OpOverwrite, OpRollback, "compact", "upsert", "delete"))
       .select("version", "operation")
       .collect()
     require(rewrites.isEmpty,
@@ -713,6 +719,53 @@ object Snapshots {
       (Upsert.mergeFrames(target, updates, keyCols, versionCol,
         tiebreakCol), kept)
     })
+  }
+
+  /** RANGE-SCOPED DELETE as a COMMIT: remove every row whose
+    * `whereCol` falls in `[lo, hi]` (the [[statNorm]] double domain)
+    * by rewriting ONLY the files whose recorded stat range overlaps
+    * the deletion range; every other file carries into the new
+    * version as a manifest pointer — the retention/right-to-erasure
+    * delete at lakehouse scale (touch one day's files, not the
+    * table). Files without `whereCol` stats always rewrite (unknown =
+    * candidate — degrade to a full rewrite, never to a missed
+    * delete); rows with a NULL `whereCol` are never deleted (NULL is
+    * not in any range). Rewritten files re-record `whereCol` stats so
+    * later range reads/deletes stay selective. Prior versions retain
+    * the deleted rows until [[expire]] — deletion becomes durable
+    * against time travel only once the old manifests are expired,
+    * the standard table-format erasure contract. Same conflict
+    * posture as every rewrite ([[commitRewrite]]). */
+  def commitDeleteWhere(
+      spark: SparkSession, path: String,
+      whereCol: String, lo: Double, hi: Double): Long = {
+    require(lo <= hi, s"empty range: [$lo, $hi]")
+    commitRewrite(spark, path, "delete", Seq(whereCol), head => {
+      val (touched, kept) = entriesOf(spark, path, head).partition { e =>
+        e.stats.get(whereCol) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None           => true // no stats: must rewrite
+        }
+      }
+      val target =
+        if (touched.isEmpty) readVersion(spark, path, head).limit(0)
+        else spark.read.option("mergeSchema", "true")
+          .parquet(touched.map(_.file): _*)
+      val inRange = statNorm(target.schema(whereCol).dataType,
+        col(whereCol)).between(lo, hi)
+      // NULL whereCol: inRange is NULL → coalesce keeps the row
+      (target.filter(!coalesce(inRange, lit(false))), kept)
+    })
+  }
+
+  /** DATE/TIMESTAMP form of [[commitDeleteWhere]]: bounds as the
+    * timestamp strings `cast(timestamp)` parses, converted through
+    * the SAME normalization the stats were recorded with. */
+  def commitDeleteWhereTime(
+      spark: SparkSession, path: String,
+      whereCol: String, loTs: String, hiTs: String): Long = {
+    val (l, h) = timeBounds(spark, loTs, hiTs)
+    commitDeleteWhere(spark, path, whereCol, l, h)
   }
 
   /** Small-file maintenance as a COMMIT: rewrite the head's content

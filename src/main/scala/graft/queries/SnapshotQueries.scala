@@ -306,6 +306,60 @@ object SnapshotQueries {
             FROM orders
             ORDER BY version"""))
 
+  private def deleteTable(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val path = "target/snap_delete_" +
+      java.lang.Integer.toHexString(d.hashCode)
+    if (Snapshots.versions(s, path) != Seq(1L, 2L)) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      Snapshots.create(
+        Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+          .repartitionByRange(8, col("o_orderkey")),
+        path, statsCols = Seq("o_orderkey"))
+      Snapshots.commitDeleteWhere(s, path, "o_orderkey", 1000, 2000)
+    }
+    path
+  }
+
+  /** snap_delete_where — range-scoped DELETE as a version: the head
+    * must show exactly the [1000, 2000] keys gone while v1 still
+    * replays them (erasure becomes durable only at expire — the
+    * table-format contract); `files_kept` pins from the two versions'
+    * planned file lists that only stat-overlapping files were
+    * rewritten — a full-rewrite regression fails the hash. */
+  val snapDeleteWhere = Q(
+    "snap_delete_where",
+    (s, d) => {
+      val path = deleteTable(s, d)
+      val v1Files = Snapshots.readVersion(s, path, 1L).inputFiles.toSet
+      val v2Files = Snapshots.readVersion(s, path, 2L).inputFiles.toSet
+      val kept = (v1Files & v2Files).size
+      val scoped = kept > 0 && v2Files != v1Files
+      Seq(1L, 2L).map { v =>
+        Snapshots.readVersion(s, path, v).agg(
+            lit(v).cast("int").as("version"),
+            count(lit(1)).as("n_rows"),
+            sum(col("o_orderkey")).as("key_sum"),
+            round(sum(col("o_totalprice")), 2).as("price_sum"),
+            lit(scoped).as("files_kept"))
+      }.reduce(_.unionByName(_)).orderBy("version")
+    },
+    Some("""SELECT CAST(1 AS INT) AS version, COUNT(*) AS n_rows,
+                   CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+                   ROUND(SUM(o_totalprice), 2) AS price_sum,
+                   TRUE AS files_kept
+            FROM orders
+            UNION ALL
+            SELECT CAST(2 AS INT), COUNT(*),
+                   CAST(SUM(o_orderkey) AS BIGINT),
+                   ROUND(SUM(o_totalprice), 2),
+                   TRUE
+            FROM orders
+            WHERE o_orderkey NOT BETWEEN 1000 AND 2000
+            ORDER BY version"""))
+
   def all: Seq[Q] = Seq(snapTimeTravel, snapUpsertMerge, snapPrunedRead,
-    snapTsPrunedRead, snapScopedUpsert)
+    snapTsPrunedRead, snapScopedUpsert, snapDeleteWhere)
 }

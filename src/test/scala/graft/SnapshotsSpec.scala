@@ -503,6 +503,47 @@ class SnapshotsSpec extends AnyFunSuite {
     }
   }
 
+  test("range-scoped delete rewrites only stat-overlapping files; nulls survive") {
+    val p = freshPath("delete")
+    val df = spark.range(200).select(
+        when($"id" === 199, lit(null).cast("long"))
+          .otherwise($"id").as("id"),
+        concat(lit("r"), $"id").as("s"))
+      .repartitionByRange(4, $"id")
+    Snapshots.create(df, p, statsCols = Seq("id"))
+    val v1Files = Snapshots.read(spark, p).inputFiles.toSet
+    assert(v1Files.size == 4)
+    // delete [60, 90]: one mid-range file rewrites, the rest carry
+    val v2 = Snapshots.commitDeleteWhere(spark, p, "id", 60, 90)
+    assert(v2 == 2L)
+    val v2Files = Snapshots.readVersion(spark, p, 2).inputFiles.toSet
+    assert((v1Files & v2Files).nonEmpty, "delete rewrote everything")
+    assert(v2Files != v1Files, "delete rewrote nothing")
+    val head = Snapshots.read(spark, p)
+    assert(head.filter($"id".between(60, 90)).count() == 0)
+    assert(head.count() == 200 - 31) // 60..90 inclusive gone
+    // the NULL-id row survives (NULL is in no range)
+    assert(head.filter($"id".isNull).count() == 1)
+    // prior version still reads the deleted rows until expired
+    assert(Snapshots.readVersion(spark, p, 1)
+      .filter($"id".between(60, 90)).count() == 31)
+    // CDC refuses across the delete (rewritten files, not additions)
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.readAppendedBetween(spark, p, 1, 2).count()
+    }
+    assert(e.getMessage.contains("delete"), e.getMessage)
+    // time-typed variant drives the same path
+    val pt = freshPath("delete-ts")
+    Snapshots.create(
+      spark.range(60).select($"id",
+        date_add(lit("2024-01-01").cast("date"), $"id".cast("int")).as("d"))
+        .repartitionByRange(3, $"d"),
+      pt, statsCols = Seq("d"))
+    Snapshots.commitDeleteWhereTime(spark, pt, "d",
+      "2024-01-01", "2024-01-10")
+    assert(Snapshots.read(spark, pt).count() == 50)
+  }
+
   test("expire refuses to drop a stream's newest keyed manifest; force shows why") {
     val p = freshPath("replay-win")
     Snapshots.create(rows(0 until 3), p)                               // v1

@@ -546,6 +546,33 @@ class StreamingSpec extends AnyFunSuite {
       == 30 - v1Rows)
   }
 
+  test("streamed snapshot ingestion records stats: time-scoped reads prune from day one") {
+    import graft.maintain.Snapshots
+    val src = TestSpark.tmpDir("snap-stats-src")
+    // two files with DISJOINT id ranges → two batches → per-batch
+    // per-file stats that a range read can prune on
+    spark.range(0, 50).toDF("id").repartition(1)
+      .write.mode("append").parquet(src)
+    spark.range(1000, 1050).toDF("id").repartition(1)
+      .write.mode("append").parquet(src)
+    val tbl = TestSpark.tmpDir("snap-stats-stream") + "/t"
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src)
+    Incremental.snapshotAppendStream(stream, tbl,
+      TestSpark.tmpDir("snap-stats-ck"), statsCols = Seq("id"))
+      .awaitTermination()
+    val head = Snapshots.versions(spark, tbl).last
+    val total = Snapshots.read(spark, tbl).inputFiles.length
+    val pruned = Snapshots.readVersionWhere(spark, tbl, head,
+      "id", 1000, 1050)
+    assert(pruned.inputFiles.length < total,
+      s"streamed batches carried no usable stats: " +
+        s"${pruned.inputFiles.length} of $total planned")
+    assert(pruned.filter($"id" >= 1000).count() == 50)
+  }
+
   test("index-append segments are namespaced per checkpoint (a second stream cannot overwrite the first's batches)") {
     import graft.llm.Dedup
     // two separate streams (own checkpoints) append disjoint halves to

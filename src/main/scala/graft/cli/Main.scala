@@ -187,20 +187,43 @@ object Main {
               // to the table-format answer. A re-run over GROWN input
               // appends only the not-yet-converted rows (anti-join on
               // the flattened id), so downstream consumers tail the
-              // delta with `snapshot TABLE changes --from V`.
+              // delta with `snapshot TABLE changes --from V`; an
+              // UNCHANGED re-run is a no-op (no junk version eating
+              // the retention window). The requested codec applies via
+              // the session parquet conf around the commit (snapshot
+              // tables are file-list tables — the agency partition
+              // layout does not apply; agency stays a column).
               import graft.maintain.Snapshots
               val path = s"$out/$table"
-              val flat = mk(rawObs)
-              val v =
-                if (!Snapshots.exists(spark, path))
-                  Snapshots.create(flat, path)
-                else {
-                  val existing = Snapshots.read(spark, path).select("id")
-                  Snapshots.commitAppend(
-                    flat.join(existing, Seq("id"), "left_anti"), path)
+              val codecConf = "spark.sql.parquet.compression.codec"
+              val prevCodec = spark.conf.getOption(codecConf)
+              spark.conf.set(codecConf,
+                ParquetSink.codecs.getOrElse(codec, codec))
+              try {
+                if (!Snapshots.exists(spark, path)) {
+                  val v = Snapshots.create(mk(rawObs), path)
+                  System.err.println(s"[convert] $table → snapshot v$v")
+                  (true, obs.get("bad").asInstanceOf[Long])
+                } else {
+                  val ids = Snapshots.read(spark, path).select("id")
+                  // emptiness probed on an UNOBSERVED twin, like the
+                  // skip-if-empty probe above (a limit-1 scan would
+                  // report partial observe metrics)
+                  if (mk(raw).join(ids, Seq("id"), "left_anti").isEmpty) {
+                    System.err.println(s"[convert] $table → snapshot " +
+                      "unchanged (empty delta, no new version)")
+                    (true, JsonApi.corruptRecords(raw).count())
+                  } else {
+                    val v = Snapshots.commitAppend(
+                      mk(rawObs).join(ids, Seq("id"), "left_anti"), path)
+                    System.err.println(s"[convert] $table → snapshot v$v")
+                    (true, obs.get("bad").asInstanceOf[Long])
+                  }
                 }
-              System.err.println(s"[convert] $table → snapshot v$v")
-              (true, obs.get("bad").asInstanceOf[Long])
+              } finally prevCodec match {
+                case Some(c) => spark.conf.set(codecConf, c)
+                case None    => spark.conf.unset(codecConf)
+              }
             }
             else {
               ParquetSink.write(mk(rawObs), s"$out/$table", codec,
@@ -294,6 +317,19 @@ object Main {
         import org.apache.spark.sql.functions.col
         import graft.maintain.Snapshots
         val table = args(1)
+        // `--where col:lo:hi` parsed ONCE for the read and delete
+        // verbs: numeric bounds probe the double stat domain directly
+        // (Left); anything else is a date/timestamp string pair
+        // (colon-free forms like 2024-01-31) probed through the
+        // epoch-seconds domain (Right)
+        def parseWhere(w: String)
+            : (String, Either[(Double, Double), (String, String)]) = {
+          val Array(c, lo, hi) = w.split(":", 3)
+          (c, (lo.toDoubleOption, hi.toDoubleOption) match {
+            case (Some(l), Some(h)) => Left((l, h))
+            case _                  => Right((lo, hi))
+          })
+        }
         args(2) match {
           case "create" | "append" | "overwrite" =>
             val src = args(3)
@@ -320,17 +356,14 @@ object Main {
               s"[snapshot] restored $table@${args(3)} as v$v")
           case "read" =>
             // --where col:lo:hi — manifest-stat file skipping, plus the
-            // residual exact predicate (superset contract). Numeric
-            // bounds probe directly; non-numeric bounds are date/
-            // timestamp strings (colon-free forms like 2024-01-31)
-            // probed through the epoch-seconds stat domain.
-            def whereRead(v: Long, w: String) = {
-              val Array(c, lo, hi) = w.split(":", 3)
-              (lo.toDoubleOption, hi.toDoubleOption) match {
-                case (Some(l), Some(h)) =>
+            // residual exact predicate (superset contract); bounds
+            // parsed by [[parseWhere]] (shared with the delete verb).
+            def whereRead(v: Long, w: String) =
+              parseWhere(w) match {
+                case (c, Left((l, h))) =>
                   Snapshots.readVersionWhere(spark, table, v, c, l, h)
                     .filter(col(c).cast("double").between(l, h))
-                case _ =>
+                case (c, Right((lo, hi))) =>
                   Snapshots.readVersionWhereTime(spark, table, v, c, lo, hi)
                     .filter(col(c).cast("timestamp").between(
                       org.apache.spark.sql.functions.lit(lo)
@@ -338,9 +371,11 @@ object Main {
                       org.apache.spark.sql.functions.lit(hi)
                         .cast("timestamp")))
               }
+            def headVersion(): Long = {
+              val vs = Snapshots.versions(spark, table)
+              require(vs.nonEmpty, s"no snapshot table at $table")
+              vs.last
             }
-            def headVersion(): Long =
-              Snapshots.versions(spark, table).last
             val df = (arg(args, "--version"), arg(args, "--as-of"),
                 arg(args, "--where")) match {
               case (Some(v), _, Some(w)) => whereRead(v.toLong, w)
@@ -396,15 +431,14 @@ object Main {
             // erasure; durable against time travel after expire)
             val w = arg(args, "--where").getOrElse(
               sys.error("snapshot delete requires --where col:lo:hi"))
-            val Array(c, lo, hi) = w.split(":", 3)
-            val v = (lo.toDoubleOption, hi.toDoubleOption) match {
-              case (Some(l), Some(h)) =>
+            val v = parseWhere(w) match {
+              case (c, Left((l, h))) =>
                 Snapshots.commitDeleteWhere(spark, table, c, l, h)
-              case _ =>
+              case (c, Right((lo, hi))) =>
                 Snapshots.commitDeleteWhereTime(spark, table, c, lo, hi)
             }
             System.err.println(
-              s"[snapshot] deleted $c in [$lo, $hi] from $table as v$v")
+              s"[snapshot] deleted range $w from $table as v$v")
           case "changes" =>
             // incremental read: rows appended in (--from, --to]
             val from = arg(args, "--from").map(_.toLong).getOrElse(

@@ -590,7 +590,16 @@ object Snapshots {
     * file is authoritative. Tiny manifests; driver-side by design. */
   private[graft] def statsForFiles(
       spark: SparkSession, path: String,
-      wanted: Set[String]): Map[String, Map[String, (Double, Double)]] = {
+      wanted: Set[String]): Map[String, Map[String, (Double, Double)]] =
+    allFileStats(spark, path).filter { case (f, _) => wanted.contains(f) }
+
+  /** Every retained file's stat ranges (scheme-less path keyed) — the
+    * unfiltered form [[graft.plans.SnapshotPruneRule]] memoizes per
+    * (table, version set): version manifests are immutable once
+    * claimed, so the map is valid until the version set changes. */
+  private[graft] def allFileStats(
+      spark: SparkSession, path: String)
+      : Map[String, Map[String, (Double, Double)]] = {
     val vs = versions(spark, path)
     if (vs.isEmpty) return Map.empty
     val m = allManifests(spark, path, vs)
@@ -602,7 +611,6 @@ object Snapshots {
       .iterator
       .map(r => (new Path(r.getString(0)).toUri.getPath,
         r.getString(1), r.getDouble(2), r.getDouble(3)))
-      .filter(t => wanted.contains(t._1))
       .toSeq
       .groupBy(_._1)
       .map { case (f, rows) =>

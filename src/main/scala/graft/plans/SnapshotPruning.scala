@@ -93,13 +93,39 @@ case class SnapshotPruneRule(session: SparkSession)
       Some(i.getEpochSecond + i.getNano / 1e9)
     case d: java.sql.Date        => Some(dateSeconds(d.toLocalDate))
     case d: java.time.LocalDate  => Some(dateSeconds(d))
+    // TIMESTAMP_NTZ literals externalize to LocalDateTime; the writer
+    // recorded NTZ stats via cast-to-timestamp (session tz), so the
+    // bound converts through the same zone
+    case t: java.time.LocalDateTime =>
+      Some(t.atZone(sessionZone).toEpochSecond +
+        t.getNano / 1e9)
     case _                       => None
   }
 
-  private def dateSeconds(d: java.time.LocalDate): Double = {
-    val tz = ZoneId.of(session.sessionState.conf.sessionLocalTimeZone)
-    d.atStartOfDay(tz).toEpochSecond.toDouble
+  private def sessionZone: ZoneId =
+    ZoneId.of(session.sessionState.conf.sessionLocalTimeZone)
+
+  /** Per-(table, version set) memo of the table's file stats: the
+    * optimizer batch is a FIXPOINT, so without the memo a single
+    * filtered read would re-collect every retained manifest at least
+    * twice (once to prune, once on the pruned relation just to
+    * conclude nothing more drops). Version manifests are immutable
+    * once claimed and the version SET is in the key, so a new commit
+    * or an expire changes the key and the stale entry is never
+    * served; the cache is cleared wholesale past a small bound. */
+  private def cachedStats(
+      table: String): Map[String, Map[String, (Double, Double)]] = {
+    val vs = Snapshots.versions(session, table)
+    if (vs.isEmpty) return Map.empty
+    val key = s"$table@${vs.length}:${vs.last}:${vs.hashCode}"
+    val c = SnapshotPruneRule.statsCache
+    if (c.size > 64) c.clear()
+    c.computeIfAbsent(key,
+      _ => Snapshots.allFileStats(session, table))
   }
+
+  private def dateSeconds(d: java.time.LocalDate): Double =
+    d.atStartOfDay(sessionZone).toEpochSecond.toDouble
 
   private def tryPrune(
       cond: Expression,
@@ -114,8 +140,8 @@ case class SnapshotPruneRule(session: SparkSession)
         if (!fs.exists(new Path(table, "_snapshots"))) None
         else {
           val wanted = roots.map(_.toUri.getPath).toSet
-          val stats = Snapshots.statsForFiles(
-            session, table.toString, wanted)
+          val all = cachedStats(table.toString)
+          val stats = all.filter { case (f, _) => wanted.contains(f) }
           if (stats.isEmpty) None
           else {
             val statCols = stats.valuesIterator.flatMap(_.keys).toSet
@@ -167,4 +193,7 @@ case class SnapshotPruneRule(session: SparkSession)
 
 object SnapshotPruneRule {
   val ConfKey = "spark.graft.snapshotPruning"
+
+  private val statsCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Map[String, Map[String, (Double, Double)]]]()
 }

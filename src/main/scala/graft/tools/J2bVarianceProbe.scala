@@ -42,15 +42,14 @@ object J2bVarianceProbe {
       (s, d)
     }
     val ss = pairs.map(_._1)
-    val dd = pairs.map(_._2).filter(_ > 0)
-    def band(v: Seq[Double]): String =
-      f"[${v.min}%.3f, ${v.max}%.3f] median=${v.sorted.apply(v.size / 2)}%.3f"
-    println(s"PROBE j2b_var spark_band=${band(ss)}")
-    println(s"PROBE j2b_var duckdb_band=${band(dd)}")
-    val ratios = pairs.filter(_._2 > 0).map(p => p._1 / p._2)
-    if (ratios.nonEmpty)
-      println(f"PROBE j2b_var ratio_band=[${ratios.min}%.2f, " +
-        f"${ratios.max}%.2f] median=${ratios.sorted.apply(ratios.size / 2)}%.2f")
+    val dd = pairs.map(_._2).filter(_ > 0) // -1.0 = duckdb unavailable
+    def band(tag: String, v: Seq[Double]): Unit =
+      if (v.isEmpty) println(s"PROBE j2b_var ${tag}_band=n/a (no samples)")
+      else println(f"PROBE j2b_var ${tag}_band=[${v.min}%.3f, " +
+        f"${v.max}%.3f] median=${v.sorted.apply(v.size / 2)}%.3f")
+    band("spark", ss)
+    band("duckdb", dd)
+    band("ratio", pairs.filter(_._2 > 0).map(p => p._1 / p._2))
     spark.stop()
   }
 }

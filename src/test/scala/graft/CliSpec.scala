@@ -207,6 +207,12 @@ class CliSpec extends AnyFunSuite {
     assert(delta.count() == 3)
     assert(delta.select("id").as[String].collect()
       .forall(_.contains("2025-0002")), "delta leaked old-docket rows")
+    // an UNCHANGED re-run is a no-op: no junk version eats the
+    // retention window
+    graft.cli.Main.run(spark,
+      Array("convert", root, "--output-path", out, "--snapshot"))
+    assert(Snapshots.versions(spark, tbl) == Seq(1L, 2L),
+      "unchanged re-run committed a junk version")
   }
 
   test("optimize compacts via the CLI") {

@@ -83,6 +83,29 @@ class SnapshotPruneSpec extends AnyFunSuite {
     } finally spark.conf.set(ConfKey, "false")
   }
 
+  test("TIMESTAMP_NTZ stats prune NTZ predicates through the session zone") {
+    val p = TestSpark.tmpDir("snap-prune-ntz") + "/t"
+    Snapshots.create(
+      spark.range(96).select(
+          $"id",
+          (lit("2024-01-01 00:00:00").cast("timestamp_ntz") +
+            make_dt_interval($"id", lit(0), lit(0), lit(0))).as("t"))
+        .repartitionByRange(4, $"t"),
+      p, statsCols = Seq("t"))
+    val total = Snapshots.read(spark, p).inputFiles.length
+    def q() = Snapshots.read(spark, p).filter(
+      $"t" >= lit("2024-02-01 00:00:00").cast("timestamp_ntz") &&
+        $"t" <= lit("2024-02-10 00:00:00").cast("timestamp_ntz"))
+    val expected = q().select("id").as[Long].collect().toSet
+    assert(expected.size == 10)
+    spark.conf.set(ConfKey, "true")
+    try {
+      assert(scanFileCount(q()) < total,
+        s"NTZ predicate did not prune: ${scanFileCount(q())} of $total")
+      assert(q().select("id").as[Long].collect().toSet == expected)
+    } finally spark.conf.set(ConfKey, "false")
+  }
+
   test("conservative: stat-less files, foreign columns, non-range predicates") {
     val p = numericTable()
     // an append WITHOUT stats (one file): must survive every prune

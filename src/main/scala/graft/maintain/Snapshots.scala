@@ -67,6 +67,9 @@ object Snapshots {
   val OpAppend = "append"
   val OpOverwrite = "overwrite"
   val OpRollback = "rollback"
+  val OpCompact = "compact"
+  val OpUpsert = "upsert"
+  val OpDelete = "delete"
 
   private val SnapDir = "_snapshots"
   private val DataDir = "data"
@@ -478,7 +481,11 @@ object Snapshots {
   }
 
   /** Restore version `v`'s content AS A NEW VERSION (audited
-    * un-delete; nothing is removed). */
+    * un-delete; nothing is removed). Like [[commitOverwrite]],
+    * deliberately LAST-WRITER-WINS: a rollback UNCONDITIONALLY
+    * restores `v` — a racing append is superseded by that semantics
+    * (and stays readable at its own version), so no derived-from
+    * validation applies. */
   def rollback(spark: SparkSession, path: String, v: Long): Long = {
     val files = entriesOf(spark, path, v) // throws on unknown v
     commit(spark, path, Seq.empty, OpRollback, _ => files)
@@ -633,7 +640,7 @@ object Snapshots {
     val rewrites = history(spark, path)
       .filter(col("version") > fromV && col("version") <= toV)
       .filter(col("operation")
-        .isin(OpOverwrite, OpRollback, "compact", "upsert", "delete"))
+        .isin(OpOverwrite, OpRollback, OpCompact, OpUpsert, OpDelete))
       .select("version", "operation")
       .collect()
     require(rewrites.isEmpty,
@@ -666,7 +673,7 @@ object Snapshots {
       versionCol: String,
       tiebreakCol: String): Long = {
     val spark = updates.sparkSession
-    commitRewrite(spark, path, "upsert", Seq.empty, head => (
+    commitRewrite(spark, path, OpUpsert, Seq.empty, head => (
       Upsert.mergeFrames(readVersion(spark, path, head), updates,
         keyCols, versionCol, tiebreakCol),
       Seq.empty))
@@ -713,7 +720,7 @@ object Snapshots {
             "no stat range to prune on; use commitUpsert")
         r.getDouble(0)
       }
-    commitRewrite(spark, path, "upsert", Seq(scopeCol), head => {
+    commitRewrite(spark, path, OpUpsert, Seq(scopeCol), head => {
       val (touched, kept) = entriesOf(spark, path, head).partition { e =>
         e.stats.get(scopeCol) match {
           case Some((lo, hi)) => scopeVals.exists(v => lo <= v && v <= hi)
@@ -748,7 +755,7 @@ object Snapshots {
       spark: SparkSession, path: String,
       whereCol: String, lo: Double, hi: Double): Long = {
     require(lo <= hi, s"empty range: [$lo, $hi]")
-    commitRewrite(spark, path, "delete", Seq(whereCol), head => {
+    commitRewrite(spark, path, OpDelete, Seq(whereCol), head => {
       val (touched, kept) = entriesOf(spark, path, head).partition { e =>
         e.stats.get(whereCol) match {
           case Some((mn, mx)) => mx >= lo && mn <= hi
@@ -785,7 +792,7 @@ object Snapshots {
   def compact(spark: SparkSession, path: String,
       targetFiles: Int = 8): Long = {
     require(targetFiles >= 1, s"targetFiles must be ≥ 1: $targetFiles")
-    commitRewrite(spark, path, "compact", Seq.empty, head => (
+    commitRewrite(spark, path, OpCompact, Seq.empty, head => (
       readVersion(spark, path, head).repartition(targetFiles),
       Seq.empty))
   }
@@ -803,7 +810,7 @@ object Snapshots {
       colA: String, colB: String,
       targetFiles: Int = 8): Long = {
     require(targetFiles >= 1, s"targetFiles must be ≥ 1: $targetFiles")
-    commitRewrite(spark, path, "compact", Seq(colA, colB), head => (
+    commitRewrite(spark, path, OpCompact, Seq(colA, colB), head => (
       Layout.zOrdered(readVersion(spark, path, head), colA, colB,
         targetFiles),
       Seq.empty))

@@ -360,6 +360,51 @@ object SnapshotQueries {
             WHERE o_orderkey NOT BETWEEN 1000 AND 2000
             ORDER BY version"""))
 
+  private def cdcDocsTable(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val path = "target/snap_cdc_docs_" +
+      java.lang.Integer.toHexString(d.hashCode)
+    if (Snapshots.versions(s, path) != Seq(1L, 2L)) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val reference = docs.filter(col("doc_id") % 2 === 0)
+      // v1 = the frozen reference corpus; v2 = one appended batch of
+      // incoming docs (odd ids + 10 planted exact copies, re-id'd) —
+      // the same corpus split `dedup_incremental` uses, arriving
+      // through the versioned table instead of a parquet path
+      Snapshots.create(reference, path)
+      Snapshots.commitAppend(
+        docs.filter(col("doc_id") % 2 === 1).unionByName(
+          reference.filter(col("doc_id") < 20)
+            .withColumn("doc_id", col("doc_id") + 1000000L)),
+        path)
+    }
+    path
+  }
+
+  /** pipeline_cdc_dedup — the snapshot layer FEEDING the LLM pipeline:
+    * a downstream dedup consumer tails the corpus table with the
+    * manifest-diff CDC read (`readAppendedBetween` plans ONLY the
+    * appended files — metadata-resolved, no table re-read) and
+    * onboards exactly that delta against the version-pinned reference
+    * (`readVersion(1)` — immune to the append by construction). The
+    * delta ≡ `dedup_incremental`'s incoming batch and v1 ≡ its frozen
+    * reference, so that row's full DuckDB re-derivation (exact drops
+    * by text equality, near drops by exact cross-corpus Jaccard)
+    * applies VERBATIM — pinning both the CDC read's exactness and the
+    * dedup composition in one row. */
+  val pipelineCdcDedup = Q(
+    "pipeline_cdc_dedup",
+    (s, d) => {
+      val path = cdcDocsTable(s, d)
+      graft.llm.Dedup.incrementalDedupAudit(
+        Snapshots.readAppendedBetween(s, path, 1L, 2L),
+        Snapshots.readVersion(s, path, 1L))
+    },
+    graft.llm.LlmQueries.dedupIncremental.oracle)
+
   def all: Seq[Q] = Seq(snapTimeTravel, snapUpsertMerge, snapPrunedRead,
-    snapTsPrunedRead, snapScopedUpsert, snapDeleteWhere)
+    snapTsPrunedRead, snapScopedUpsert, snapDeleteWhere, pipelineCdcDedup)
 }

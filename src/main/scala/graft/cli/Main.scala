@@ -197,8 +197,9 @@ object Main {
               val path = s"$out/$table"
               val codecConf = "spark.sql.parquet.compression.codec"
               val prevCodec = spark.conf.getOption(codecConf)
-              spark.conf.set(codecConf,
-                ParquetSink.codecs.getOrElse(codec, codec))
+              // same resolution as ParquetSink.write: case-insensitive,
+              // brotli→zstd alias, unknown codecs fail loudly here
+              spark.conf.set(codecConf, ParquetSink.resolveCodec(codec))
               try {
                 if (!Snapshots.exists(spark, path)) {
                   val v = Snapshots.create(mk(rawObs), path)
@@ -206,19 +207,24 @@ object Main {
                   (true, obs.get("bad").asInstanceOf[Long])
                 } else {
                   val ids = Snapshots.read(spark, path).select("id")
-                  // emptiness probed on an UNOBSERVED twin, like the
-                  // skip-if-empty probe above (a limit-1 scan would
-                  // report partial observe metrics)
-                  if (mk(raw).join(ids, Seq("id"), "left_anti").isEmpty) {
-                    System.err.println(s"[convert] $table → snapshot " +
-                      "unchanged (empty delta, no new version)")
-                    (true, JsonApi.corruptRecords(raw).count())
-                  } else {
-                    val v = Snapshots.commitAppend(
-                      mk(rawObs).join(ids, Seq("id"), "left_anti"), path)
-                    System.err.println(s"[convert] $table → snapshot v$v")
+                  // ONE input scan: count() fully materializes the
+                  // observed delta into the cache (a full pass, so the
+                  // Observation completes — unlike a limit-1 isEmpty),
+                  // the emptiness decision AND the append both serve
+                  // from that cache
+                  val delta = mk(rawObs)
+                    .join(ids, Seq("id"), "left_anti").persist()
+                  try {
+                    if (delta.count() == 0) {
+                      System.err.println(s"[convert] $table → snapshot " +
+                        "unchanged (empty delta, no new version)")
+                    } else {
+                      val v = Snapshots.commitAppend(delta, path)
+                      System.err.println(
+                        s"[convert] $table → snapshot v$v")
+                    }
                     (true, obs.get("bad").asInstanceOf[Long])
-                  }
+                  } finally delta.unpersist()
                 }
               } finally prevCodec match {
                 case Some(c) => spark.conf.set(codecConf, c)
@@ -318,14 +324,19 @@ object Main {
         import graft.maintain.Snapshots
         val table = args(1)
         // `--where col:lo:hi` parsed ONCE for the read and delete
-        // verbs: numeric bounds probe the double stat domain directly
-        // (Left); anything else is a date/timestamp string pair
-        // (colon-free forms like 2024-01-31) probed through the
-        // epoch-seconds domain (Right)
+        // verbs: numeric bounds stay EXACT BigDecimals (delete is
+        // destructive — a 2^53+ key must not round through a double);
+        // anything else is a date/timestamp string pair (colon-free
+        // forms like 2024-01-31) probed through the epoch-seconds
+        // domain (Right)
         def parseWhere(w: String)
-            : (String, Either[(Double, Double), (String, String)]) = {
-          val Array(c, lo, hi) = w.split(":", 3)
-          (c, (lo.toDoubleOption, hi.toDoubleOption) match {
+            : (String, Either[(BigDecimal, BigDecimal), (String, String)]) = {
+          val parts = w.split(":", 3)
+          require(parts.length == 3,
+            s"--where expects col:lo:hi, got '$w'")
+          val Array(c, lo, hi) = parts
+          (c, (scala.util.Try(BigDecimal(lo)).toOption,
+              scala.util.Try(BigDecimal(hi)).toOption) match {
             case (Some(l), Some(h)) => Left((l, h))
             case _                  => Right((lo, hi))
           })
@@ -361,8 +372,10 @@ object Main {
             def whereRead(v: Long, w: String) =
               parseWhere(w) match {
                 case (c, Left((l, h))) =>
-                  Snapshots.readVersionWhere(spark, table, v, c, l, h)
-                    .filter(col(c).cast("double").between(l, h))
+                  Snapshots.readVersionWhere(spark, table, v, c,
+                      l.toDouble, h.toDouble)
+                    .filter(col(c).cast("double")
+                      .between(l.toDouble, h.toDouble))
                 case (c, Right((lo, hi))) =>
                   Snapshots.readVersionWhereTime(spark, table, v, c, lo, hi)
                     .filter(col(c).cast("timestamp").between(
@@ -433,6 +446,8 @@ object Main {
               sys.error("snapshot delete requires --where col:lo:hi"))
             val v = parseWhere(w) match {
               case (c, Left((l, h))) =>
+                // exact decimal bounds straight through — the
+                // destructive path never rounds via a double
                 Snapshots.commitDeleteWhere(spark, table, c, l, h)
               case (c, Right((lo, hi))) =>
                 Snapshots.commitDeleteWhereTime(spark, table, c, lo, hi)

@@ -369,8 +369,7 @@ object Snapshots {
       spark: SparkSession,
       path: String,
       op: String,
-      statsCols: Seq[String],
-      plan: Long => (DataFrame, Seq[FileEntry]),
+      plan: Long => (DataFrame, Seq[FileEntry], Seq[String]),
       maxAttempts: Int = 5): Long = {
     require(exists(spark, path), s"no snapshot table at $path")
     var attempt = 0
@@ -378,10 +377,13 @@ object Snapshots {
     while (attempt < maxAttempts) {
       attempt += 1
       val head = versions(spark, path).last
-      // plan() derives FROM this head: the rewritten content and the
+      // plan() derives FROM this head: the rewritten content, the
       // head entries carried through unchanged (whole-table rewrites
-      // keep none; scoped upserts keep every untouched file)
-      val (content, kept) = plan(head)
+      // keep none; scoped ops keep every untouched file), and the
+      // stat columns to record on the rewritten batch (scoped ops
+      // return the touched files' stat-column UNION, so a rewrite
+      // never silently degrades future pruning on the other columns)
+      val (content, kept, statsCols) = plan(head)
       val files = writeBatch(content, path, statsCols)
       try return commit(spark, path, files, op, _ => kept,
         expectedHead = Some(head))
@@ -673,10 +675,10 @@ object Snapshots {
       versionCol: String,
       tiebreakCol: String): Long = {
     val spark = updates.sparkSession
-    commitRewrite(spark, path, OpUpsert, Seq.empty, head => (
+    commitRewrite(spark, path, OpUpsert, head => (
       Upsert.mergeFrames(readVersion(spark, path, head), updates,
         keyCols, versionCol, tiebreakCol),
-      Seq.empty))
+      Seq.empty, Seq.empty))
   }
 
   /** SCOPE-PRUNED MERGE: rewrite ONLY the head files whose recorded
@@ -720,7 +722,7 @@ object Snapshots {
             "no stat range to prune on; use commitUpsert")
         r.getDouble(0)
       }
-    commitRewrite(spark, path, OpUpsert, Seq(scopeCol), head => {
+    commitRewrite(spark, path, OpUpsert, head => {
       val (touched, kept) = entriesOf(spark, path, head).partition { e =>
         e.stats.get(scopeCol) match {
           case Some((lo, hi)) => scopeVals.exists(v => lo <= v && v <= hi)
@@ -732,46 +734,85 @@ object Snapshots {
         else spark.read.option("mergeSchema", "true")
           .parquet(touched.map(_.file): _*)
       (Upsert.mergeFrames(target, updates, keyCols, versionCol,
-        tiebreakCol), kept)
+        tiebreakCol), kept,
+        (touched.flatMap(_.stats.keys) :+ scopeCol).distinct)
     })
   }
 
   /** RANGE-SCOPED DELETE as a COMMIT: remove every row whose
-    * `whereCol` falls in `[lo, hi]` (the [[statNorm]] double domain)
-    * by rewriting ONLY the files whose recorded stat range overlaps
-    * the deletion range; every other file carries into the new
-    * version as a manifest pointer — the retention/right-to-erasure
-    * delete at lakehouse scale (touch one day's files, not the
-    * table). Files without `whereCol` stats always rewrite (unknown =
-    * candidate — degrade to a full rewrite, never to a missed
-    * delete); rows with a NULL `whereCol` are never deleted (NULL is
-    * not in any range). Rewritten files re-record `whereCol` stats so
-    * later range reads/deletes stay selective. Prior versions retain
-    * the deleted rows until [[expire]] — deletion becomes durable
-    * against time travel only once the old manifests are expired,
-    * the standard table-format erasure contract. Same conflict
-    * posture as every rewrite ([[commitRewrite]]). */
+    * `whereCol` falls in `[lo, hi]` by rewriting ONLY the files whose
+    * recorded stat range overlaps the deletion range; every other
+    * file carries into the new version as a manifest pointer — the
+    * retention/right-to-erasure delete at lakehouse scale (touch one
+    * day's files, not the table).
+    *
+    * Bounds are EXACT `BigDecimal`s: deletion is authoritative and
+    * destructive, so the row predicate compares the column against
+    * the exact decimal bounds (Spark widens both sides to decimal —
+    * a 64-bit key above 2^53, where a double-domain compare would
+    * round, deletes correctly). The lossy double domain is used only
+    * for FILE selection, with the bounds widened one ULP outward —
+    * a superset, never a miss. Files without `whereCol` stats always
+    * rewrite (unknown = candidate — degrade to a full rewrite, never
+    * a missed delete); rows with a NULL `whereCol` are never deleted
+    * (NULL is in no range); a range that provably overlaps NO file is
+    * a NO-OP returning the current head (no junk version). Rewritten
+    * files re-record the union of the touched files' stat columns so
+    * no future pruning degrades. Prior versions retain the deleted
+    * rows until [[expire]] — deletion becomes durable against time
+    * travel only once the old manifests are expired, the standard
+    * table-format erasure contract. Same conflict posture as every
+    * rewrite ([[commitRewrite]]). */
   def commitDeleteWhere(
       spark: SparkSession, path: String,
-      whereCol: String, lo: Double, hi: Double): Long = {
+      whereCol: String, lo: BigDecimal, hi: BigDecimal): Long = {
     require(lo <= hi, s"empty range: [$lo, $hi]")
-    commitRewrite(spark, path, OpDelete, Seq(whereCol), head => {
-      val (touched, kept) = entriesOf(spark, path, head).partition { e =>
+    // file selection in the double stat domain, widened outward so
+    // rounding can only ADD candidate files
+    val loD = Math.nextDown(lo.toDouble)
+    val hiD = Math.nextUp(hi.toDouble)
+    def split(head: Long): (Seq[FileEntry], Seq[FileEntry]) =
+      entriesOf(spark, path, head).partition { e =>
         e.stats.get(whereCol) match {
-          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case Some((mn, mx)) => mx >= loD && mn <= hiD
           case None           => true // no stats: must rewrite
         }
       }
+    // no-op short-circuit: stats prove no file can hold a matching
+    // row — return the head instead of committing a junk version
+    // (the head is re-validated inside commitRewrite if we proceed)
+    val head0 = versions(spark, path).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no snapshot table at $path"))
+    if (split(head0)._1.isEmpty) return head0
+    commitRewrite(spark, path, OpDelete, head => {
+      val (touched, kept) = split(head)
       val target =
         if (touched.isEmpty) readVersion(spark, path, head).limit(0)
         else spark.read.option("mergeSchema", "true")
           .parquet(touched.map(_.file): _*)
-      val inRange = statNorm(target.schema(whereCol).dataType,
-        col(whereCol)).between(lo, hi)
+      val inRange = target.schema(whereCol).dataType match {
+        // temporal columns compare in the epoch-seconds stat domain
+        // (double ULP at epoch scale is ~0.24 µs — below parquet's
+        // microsecond grain, so exact)
+        case dt @ (DateType | TimestampType | TimestampNTZType) =>
+          statNorm(dt, col(whereCol)).between(lo.toDouble, hi.toDouble)
+        // numeric columns compare against the EXACT decimal bounds
+        case _ => col(whereCol).between(lit(lo), lit(hi))
+      }
       // NULL whereCol: inRange is NULL → coalesce keeps the row
-      (target.filter(!coalesce(inRange, lit(false))), kept)
+      (target.filter(!coalesce(inRange, lit(false))), kept,
+        (touched.flatMap(_.stats.keys) :+ whereCol).distinct)
     })
   }
+
+  /** Double-bound convenience form of [[commitDeleteWhere]] (exact
+    * for any value a double represents exactly; use the BigDecimal
+    * form for 64-bit keys above 2^53). */
+  def commitDeleteWhere(
+      spark: SparkSession, path: String,
+      whereCol: String, lo: Double, hi: Double): Long =
+    commitDeleteWhere(spark, path, whereCol,
+      BigDecimal(lo), BigDecimal(hi))
 
   /** DATE/TIMESTAMP form of [[commitDeleteWhere]]: bounds as the
     * timestamp strings `cast(timestamp)` parses, converted through
@@ -780,7 +821,7 @@ object Snapshots {
       spark: SparkSession, path: String,
       whereCol: String, loTs: String, hiTs: String): Long = {
     val (l, h) = timeBounds(spark, loTs, hiTs)
-    commitDeleteWhere(spark, path, whereCol, l, h)
+    commitDeleteWhere(spark, path, whereCol, BigDecimal(l), BigDecimal(h))
   }
 
   /** Small-file maintenance as a COMMIT: rewrite the head's content
@@ -792,9 +833,9 @@ object Snapshots {
   def compact(spark: SparkSession, path: String,
       targetFiles: Int = 8): Long = {
     require(targetFiles >= 1, s"targetFiles must be ≥ 1: $targetFiles")
-    commitRewrite(spark, path, OpCompact, Seq.empty, head => (
+    commitRewrite(spark, path, OpCompact, head => (
       readVersion(spark, path, head).repartition(targetFiles),
-      Seq.empty))
+      Seq.empty, Seq.empty))
   }
 
   /** Z-CLUSTERED compaction as a COMMIT: the head's content rewritten
@@ -810,10 +851,10 @@ object Snapshots {
       colA: String, colB: String,
       targetFiles: Int = 8): Long = {
     require(targetFiles >= 1, s"targetFiles must be ≥ 1: $targetFiles")
-    commitRewrite(spark, path, OpCompact, Seq(colA, colB), head => (
+    commitRewrite(spark, path, OpCompact, head => (
       Layout.zOrdered(readVersion(spark, path, head), colA, colB,
         targetFiles),
-      Seq.empty))
+      Seq.empty, Seq(colA, colB)))
   }
 
   /** Retire all but the newest `keepLast` versions: their manifests

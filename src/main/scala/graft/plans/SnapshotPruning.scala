@@ -36,6 +36,15 @@ import graft.maintain.Snapshots
   * the rule on or off and to `readVersionWhere` + residual filter
   * (pinned in SnapshotPruneSpec).
   *
+  * Time-zone contract: stats for DATE and TIMESTAMP_NTZ columns are
+  * recorded through the WRITER's session zone (the [[Snapshots]]
+  * `statNorm` cast) and bounds convert through the CURRENT session
+  * zone — the rule assumes they match, which [[graft.GraftSession]]
+  * guarantees by pinning every session to UTC. A deployment that
+  * changes `spark.sql.session.timeZone` between writing and reading
+  * a date/NTZ-stat'd table must not enable this rule for those reads
+  * (TZ-aware TIMESTAMP stats are epoch-exact and zone-free).
+  *
   * 100 TB posture: this is metadata-only planning — the manifests
   * consulted are O(retained versions) tiny files, and the payoff is
   * the scan planning one day's files instead of the table. A rewrite

@@ -32,6 +32,15 @@ object ParquetSink {
     * (a re-run of one docket never clobbers its siblings) — the
     * Spark-native form of the reference's per-docket idempotency
     * (SURVEY ST4). */
+  /** Case-insensitive codec resolution with the brotli→zstd alias;
+    * unknown codecs fail HERE with the supported list, not at write
+    * time with a missing-codec-class error. Shared by [[write]] and
+    * the snapshot-mode convert path. */
+  def resolveCodec(codec: String): String =
+    codecs.getOrElse(codec.toLowerCase,
+      throw new IllegalArgumentException(
+        s"unknown codec '$codec' (supported: ${codecs.keys.mkString(",")})"))
+
   def write(
       df: DataFrame,
       path: String,
@@ -39,9 +48,7 @@ object ParquetSink {
       partitionCols: Seq[String] = Seq("agency"),
       dynamicOverwrite: Boolean = true,
       skipIfEmpty: Boolean = true): Boolean = {
-    val resolved = codecs.getOrElse(codec.toLowerCase,
-      throw new IllegalArgumentException(
-        s"unknown codec '$codec' (supported: ${codecs.keys.mkString(",")})"))
+    val resolved = resolveCodec(codec)
     // skipIfEmpty=false lets callers that carry an Observation on the
     // plan write in ONE action (isEmpty is a limit-1 scan, which would
     // both cost a job and poison observed metrics with partial counts)

@@ -27,11 +27,13 @@ object ScopedMergeProbe {
       (a, (System.nanoTime() - t0) / 1e9)
     }
     var warmed = false
+    val made = scala.collection.mutable.Buffer.empty[String]
     for (n <- Seq(100000L, 1000000L, 4000000L, 16000000L)) {
       def fresh(tag: String): String = {
-        val dir = java.nio.file.Files.createTempDirectory(
-          java.nio.file.Paths.get("/root/repo/target"),
-          s"scoped-probe-$tag").toString + "/t"
+        val base = java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get("target"), s"scoped-probe-$tag")
+        made += base.toString
+        val dir = base.toString + "/t"
         val df = spark.range(n).select(
             $"id", ($"id" % 32).as("scope"),
             ($"id" * 7 % 1000).cast("double").as("v"),
@@ -63,6 +65,13 @@ object ScopedMergeProbe {
           f"(carried $carried/${v1Files.size} files) full=$tFull%.2f s " +
           f"speedup=${tFull / tScoped}%.1fx")
       warmed = true
+      // multi-GB probe tables: sweep each size's dirs before the next
+      made.foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      }
+      made.clear()
     }
     spark.stop()
   }

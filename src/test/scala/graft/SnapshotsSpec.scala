@@ -324,12 +324,13 @@ class SnapshotsSpec extends AnyFunSuite {
     val p = freshPath("rw-race")
     Snapshots.create(rows(0 until 6), p)
     var derives = 0
-    val v = Snapshots.commitRewrite(spark, p, "compact", Seq.empty,
+    val v = Snapshots.commitRewrite(spark, p, "compact",
       head => {
         derives += 1
         if (derives == 1) // the race: an append between derive and claim
           Snapshots.commitAppend(rows(100 until 103), p)
-        (Snapshots.readVersion(spark, p, head).repartition(1), Seq.empty)
+        (Snapshots.readVersion(spark, p, head).repartition(1),
+          Seq.empty, Seq.empty)
       })
     assert(derives == 2, "the stale derive must be retried, not committed")
     assert(v == 3L)
@@ -345,10 +346,11 @@ class SnapshotsSpec extends AnyFunSuite {
     val p = freshPath("rw-abort")
     Snapshots.create(rows(0 until 4), p)
     val e = intercept[Snapshots.CommitConflictException] {
-      Snapshots.commitRewrite(spark, p, "compact", Seq.empty,
+      Snapshots.commitRewrite(spark, p, "compact",
         head => {
           Snapshots.commitAppend(rows(50 until 52), p) // races EVERY attempt
-          (Snapshots.readVersion(spark, p, head).repartition(1), Seq.empty)
+          (Snapshots.readVersion(spark, p, head).repartition(1),
+            Seq.empty, Seq.empty)
         },
         maxAttempts = 2)
     }
@@ -508,9 +510,10 @@ class SnapshotsSpec extends AnyFunSuite {
     val df = spark.range(200).select(
         when($"id" === 199, lit(null).cast("long"))
           .otherwise($"id").as("id"),
-        concat(lit("r"), $"id").as("s"))
+        concat(lit("r"), $"id").as("s"),
+        (coalesce($"id", lit(0L)) % 7).as("j"))
       .repartitionByRange(4, $"id")
-    Snapshots.create(df, p, statsCols = Seq("id"))
+    Snapshots.create(df, p, statsCols = Seq("id", "j"))
     val v1Files = Snapshots.read(spark, p).inputFiles.toSet
     assert(v1Files.size == 4)
     // delete [60, 90]: one mid-range file rewrites, the rest carry
@@ -527,6 +530,19 @@ class SnapshotsSpec extends AnyFunSuite {
     // prior version still reads the deleted rows until expired
     assert(Snapshots.readVersion(spark, p, 1)
       .filter($"id".between(60, 90)).count() == 31)
+    // the rewritten file re-records the UNION of the touched files'
+    // stat columns — a delete on "id" must not degrade "j" pruning
+    val newFiles = (v2Files -- v1Files)
+      .map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath)
+    val newStats = Snapshots.statsForFiles(spark, p, newFiles)
+    assert(newFiles.forall(f =>
+      newStats.get(f).exists(m => m.contains("id") && m.contains("j"))),
+      s"rewritten files lost stat columns: $newStats")
+    // a range provably outside every file is a NO-OP at the head
+    // version, not a junk version
+    assert(Snapshots.commitDeleteWhere(spark, p, "id", 100000, 200000)
+      == 2L)
+    assert(Snapshots.versions(spark, p) == Seq(1L, 2L))
     // CDC refuses across the delete (rewritten files, not additions)
     val e = intercept[IllegalArgumentException] {
       Snapshots.readAppendedBetween(spark, p, 1, 2).count()
@@ -542,6 +558,22 @@ class SnapshotsSpec extends AnyFunSuite {
     Snapshots.commitDeleteWhereTime(spark, pt, "d",
       "2024-01-01", "2024-01-10")
     assert(Snapshots.read(spark, pt).count() == 50)
+  }
+
+  test("delete bounds are EXACT above 2^53: neighbors one double-ULP away survive") {
+    val p = freshPath("delete-exact")
+    val big = 9007199254740993L // 2^53 + 1: rounds to 2^53 as a double
+    Snapshots.create(
+      Seq(big, big + 2, 123L).toDF("id").repartition(1),
+      p, statsCols = Seq("id"))
+    // a double-domain row compare would round both big and big+2 onto
+    // the same values and delete them together; the exact decimal
+    // predicate must delete ONLY big
+    Snapshots.commitDeleteWhere(spark, p, "id",
+      BigDecimal(big), BigDecimal(big))
+    val left = Snapshots.read(spark, p)
+      .select("id").as[Long].collect().toSet
+    assert(left == Set(big + 2, 123L), s"got $left")
   }
 
   test("expire refuses to drop a stream's newest keyed manifest; force shows why") {

@@ -181,6 +181,18 @@ class CliSpec extends AnyFunSuite {
     val v2Files = Snapshots.readVersion(spark, tbl, 2).inputFiles.toSet
     assert((v1Files & v2Files).nonEmpty, "scoped upsert rewrote everything")
     assert(Snapshots.read(spark, tbl).count() == 100)
+    // range-scoped delete via the CLI verb (numeric bounds)
+    graft.cli.Main.run(spark, Array("snapshot", tbl, "delete",
+      "--where", "id:10:19"))
+    assert(Snapshots.read(spark, tbl).count() == 90)
+    assert(Snapshots.read(spark, tbl)
+      .filter($"id".between(10, 19)).count() == 0)
+    // malformed --where dies with the usage message, not a MatchError
+    val bad = intercept[IllegalArgumentException] {
+      graft.cli.Main.run(spark, Array("snapshot", tbl, "delete",
+        "--where", "id:10"))
+    }
+    assert(bad.getMessage.contains("col:lo:hi"), bad.getMessage)
   }
 
   test("convert --snapshot: re-runs over grown input land as delta versions") {

@@ -444,6 +444,8 @@ object Main {
             // erasure; durable against time travel after expire)
             val w = arg(args, "--where").getOrElse(
               sys.error("snapshot delete requires --where col:lo:hi"))
+            val before = Snapshots.versions(spark, table).lastOption
+              .getOrElse(sys.error(s"no snapshot table at $table"))
             val v = parseWhere(w) match {
               case (c, Left((l, h))) =>
                 // exact decimal bounds straight through — the
@@ -452,7 +454,12 @@ object Main {
               case (c, Right((lo, hi))) =>
                 Snapshots.commitDeleteWhereTime(spark, table, c, lo, hi)
             }
-            System.err.println(
+            // the no-op short-circuit returns the unchanged head —
+            // report it honestly, not as a landed deletion
+            if (v == before)
+              System.err.println(s"[snapshot] delete $w on $table: " +
+                s"no file overlaps the range — no-op, head stays v$v")
+            else System.err.println(
               s"[snapshot] deleted range $w from $table as v$v")
           case "changes" =>
             // incremental read: rows appended in (--from, --to]

@@ -182,7 +182,13 @@ object Snapshots {
       // normalizing both sides makes this an exact map lookup
       val reread = spark.read.parquet(batch)
       val aggs = statsCols.flatMap { c =>
-        val e = statNorm(reread.schema(c).dataType, col(c))
+        // NaN-stripped: Spark's max() returns NaN when ANY value is
+        // NaN, which would poison the range (NaN >= lo is false → the
+        // file wrongly classified as non-overlapping). NaN rows need
+        // no range coverage anyway — NaN is outside every range, so
+        // range predicates can never select them.
+        val e0 = statNorm(reread.schema(c).dataType, col(c))
+        val e = when(isnan(e0), lit(null)).otherwise(e0)
         Seq(min(e).as(s"__lo_$c"), max(e).as(s"__hi_$c"))
       }
       val stats = reread
@@ -407,6 +413,10 @@ object Snapshots {
       .map { case (file, rows) =>
         val stats = rows.flatMap { r =>
           if (r.isNullAt(1) || r.isNullAt(2) || r.isNullAt(3)) None
+          // legacy-manifest safety: a NaN bound (recorded before the
+          // writer stripped NaN) is meaningless — treat as no stat
+          // (unknown = candidate), never as a non-overlapping range
+          else if (r.getDouble(2).isNaN || r.getDouble(3).isNaN) None
           else Some(r.getString(1) -> (r.getDouble(2), r.getDouble(3)))
         }.toMap
         FileEntry(file, stats)
@@ -615,6 +625,9 @@ object Snapshots {
     if (!m.columns.contains("stat_col")) return Map.empty
     m.select("file", "stat_col", "stat_min", "stat_max")
       .na.drop(Seq("stat_col", "stat_min", "stat_max"))
+      // legacy NaN bounds are meaningless ranges — same no-stat rule
+      // as [[entriesOf]]
+      .filter(!isnan(col("stat_min")) && !isnan(col("stat_max")))
       .distinct()
       .collect()
       .iterator
@@ -720,7 +733,12 @@ object Snapshots {
         require(!r.isNullAt(0),
           s"scoped upsert: updates carry a NULL $scopeCol — null has " +
             "no stat range to prune on; use commitUpsert")
-        r.getDouble(0)
+        val v = r.getDouble(0)
+        require(!v.isNaN,
+          s"scoped upsert: updates carry a NaN $scopeCol — NaN is in " +
+            "no stat range, so its keys could silently duplicate; " +
+            "use commitUpsert")
+        v
       }
     commitRewrite(spark, path, OpUpsert, head => {
       val (touched, kept) = entriesOf(spark, path, head).partition { e =>
@@ -746,7 +764,11 @@ object Snapshots {
     * retention/right-to-erasure delete at lakehouse scale (touch one
     * day's files, not the table).
     *
-    * Bounds are EXACT `BigDecimal`s: deletion is authoritative and
+    * Bounds are EXACT `BigDecimal`s — the ONLY numeric entry point,
+    * so an Int/Long/Double argument converts through the standard
+    * implicit views (exact for every Int and Long; a lossy Double
+    * overload would silently capture Long arguments by numeric
+    * widening and round 2^53+ keys). Deletion is authoritative and
     * destructive, so the row predicate compares the column against
     * the exact decimal bounds (Spark widens both sides to decimal —
     * a 64-bit key above 2^53, where a double-domain compare would
@@ -767,6 +789,17 @@ object Snapshots {
       spark: SparkSession, path: String,
       whereCol: String, lo: BigDecimal, hi: BigDecimal): Long = {
     require(lo <= hi, s"empty range: [$lo, $hi]")
+    // lit(BigDecimal) is bounded by DecimalType(38): fail HERE with a
+    // usage error, not mid-commit with a Decimal overflow (e.g. a
+    // '1e39' open-ended-max idiom — use a representable max instead)
+    def checkBound(b: BigDecimal): Unit = {
+      val norm = b.underlying.stripTrailingZeros
+      require(norm.scale <= 38 &&
+          norm.precision - norm.scale <= 38,
+        s"delete bound $b does not fit decimal(38) — " +
+          "use a bound within ±1e38 with at most 38 digits")
+    }
+    checkBound(lo); checkBound(hi)
     // file selection in the double stat domain, widened outward so
     // rounding can only ADD candidate files
     val loD = Math.nextDown(lo.toDouble)
@@ -804,15 +837,6 @@ object Snapshots {
         (touched.flatMap(_.stats.keys) :+ whereCol).distinct)
     })
   }
-
-  /** Double-bound convenience form of [[commitDeleteWhere]] (exact
-    * for any value a double represents exactly; use the BigDecimal
-    * form for 64-bit keys above 2^53). */
-  def commitDeleteWhere(
-      spark: SparkSession, path: String,
-      whereCol: String, lo: Double, hi: Double): Long =
-    commitDeleteWhere(spark, path, whereCol,
-      BigDecimal(lo), BigDecimal(hi))
 
   /** DATE/TIMESTAMP form of [[commitDeleteWhere]]: bounds as the
     * timestamp strings `cast(timestamp)` parses, converted through

@@ -24,14 +24,6 @@ object ParquetSink {
     "zstd" -> "zstd",
     "brotli" -> "zstd")
 
-  /** Write one table. Returns false (and writes nothing — not even an
-    * empty directory) for an empty input, mirroring the reference's
-    * skip-if-empty per table (convert_to_iceberg.py:743-766).
-    *
-    * `dynamicOverwrite` replaces only the partitions present in `df`
-    * (a re-run of one docket never clobbers its siblings) — the
-    * Spark-native form of the reference's per-docket idempotency
-    * (SURVEY ST4). */
   /** Case-insensitive codec resolution with the brotli→zstd alias;
     * unknown codecs fail HERE with the supported list, not at write
     * time with a missing-codec-class error. Shared by [[write]] and
@@ -41,6 +33,14 @@ object ParquetSink {
       throw new IllegalArgumentException(
         s"unknown codec '$codec' (supported: ${codecs.keys.mkString(",")})"))
 
+  /** Write one table. Returns false (and writes nothing — not even an
+    * empty directory) for an empty input, mirroring the reference's
+    * skip-if-empty per table (convert_to_iceberg.py:743-766).
+    *
+    * `dynamicOverwrite` replaces only the partitions present in `df`
+    * (a re-run of one docket never clobbers its siblings) — the
+    * Spark-native form of the reference's per-docket idempotency
+    * (SURVEY ST4). */
   def write(
       df: DataFrame,
       path: String,

@@ -30,8 +30,12 @@ object ScopedMergeProbe {
     val made = scala.collection.mutable.Buffer.empty[String]
     for (n <- Seq(100000L, 1000000L, 4000000L, 16000000L)) {
       def fresh(tag: String): String = {
+        // repo-root-relative like the sibling probes, but absolute-ized
+        // and pre-created so cwd and a clean checkout can't break it
+        val parent = java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get("target").toAbsolutePath)
         val base = java.nio.file.Files.createTempDirectory(
-          java.nio.file.Paths.get("target"), s"scoped-probe-$tag")
+          parent, s"scoped-probe-$tag")
         made += base.toString
         val dir = base.toString + "/t"
         val df = spark.range(n).select(

@@ -560,6 +560,27 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, pt).count() == 50)
   }
 
+  test("NaN values never poison stats: in-range rows still delete, NaN survives") {
+    val p = freshPath("delete-nan")
+    // Spark's max() over {5.0, NaN} is NaN — an unstripped NaN bound
+    // would classify the file as non-overlapping (NaN >= lo is false)
+    // and the GDPR delete would silently skip row 5.0
+    Snapshots.create(
+      Seq(5.0, Double.NaN, 42.0).toDF("v").repartition(1),
+      p, statsCols = Seq("v"))
+    Snapshots.commitDeleteWhere(spark, p, "v", 0, 10)
+    val left = Snapshots.read(spark, p).select("v").as[Double].collect()
+    assert(left.length == 2 && left.count(_.isNaN) == 1 &&
+      left.contains(42.0), s"got ${left.toSeq}")
+    // out-of-decimal(38) bounds fail with a usage error, not a
+    // mid-commit Decimal overflow
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.commitDeleteWhere(spark, p, "v",
+        BigDecimal(0), BigDecimal("1e39"))
+    }
+    assert(e.getMessage.contains("decimal(38)"), e.getMessage)
+  }
+
   test("delete bounds are EXACT above 2^53: neighbors one double-ULP away survive") {
     val p = freshPath("delete-exact")
     val big = 9007199254740993L // 2^53 + 1: rounds to 2^53 as a double

@@ -38,8 +38,11 @@ object Main {
     System.err.println(
       """usage: graft.cli.Main <convert|query|sql|lint|profile|optimize|manifest|vacuum|curate|dedup-incremental|index-build|index-probe|decontaminate|decontaminate-spans|cap-source|pq-encode|dedup-lines|dedup-spans|semdedup|novelty|sketch-build|sketch-query|dense-index|snapshot|bench> ...
         |  convert DATA [--output-path P] [--agency A] [--compression C]
-        |         [--snapshot]   each run lands as one atomic version;
-        |         re-runs over grown input append only the delta rows
+        |         [--snapshot [--stats c1,c2]]   each run lands as one
+        |         atomic version; re-runs over grown input append only
+        |         the delta rows; per-file stats recorded on agency +
+        |         postedDate/modifyDate by default so filtered reads
+        |         skip files (--stats overrides)
         |  query SFDIR NAME...
         |  sql SFDIR "SELECT ..."
         |  lint SFDIR <NAME|"SELECT ...">   plan audit, exit 1 on Error
@@ -48,14 +51,18 @@ object Main {
         |  manifest PATH col1[,col2...]   build file-level min/max manifest
         |  snapshot TABLE <create|append|overwrite> SRC [--stats c1,c2]
         |         | snapshot TABLE history | restore V
-        |         | read [--version V | --as-of MS] [--where col:lo:hi]
-        |           (numeric or colon-free date/timestamp bounds;
+        |         | read [--version V | --as-of MS] [--where col:lo:hi
+        |           | --where-col C --from LO --to HI]
+        |           (numeric, string, or date/timestamp bounds; the
+        |           long form carries colon-bearing timestamps;
         |           combines with --as-of: version resolves first)
         |         | expire [--keep N] [--force]   (--force overrides
         |           the keyed-replay-window guard for stopped streams)
         |         | compact [--target-files N]
-        |         | delete --where col:lo:hi   (range-scoped DELETE as
-        |           a version: only stat-overlapping files rewrite)
+        |         | delete --where col:lo:hi | --where-col C --from LO
+        |           --to HI | --keys k1,k2 --key-col C   (range- or
+        |           key-set-scoped DELETE as a version: only
+        |           stat-overlapping files rewrite)
         |         | changes --from V [--to V]   (appended-rows delta)
         |         | upsert SRC --keys a,b --version-col V
         |           [--tiebreak-col T] [--scope-col C]   (MERGE as a
@@ -200,9 +207,22 @@ object Main {
               // same resolution as ParquetSink.write: case-insensitive,
               // brotli→zstd alias, unknown codecs fail loudly here
               spark.conf.set(codecConf, ParquetSink.resolveCodec(codec))
+              // per-file stats recorded BY DEFAULT on the reference's
+              // own hot filter columns — the agency equality filter
+              // (convert_to_iceberg.py:1172-1176) and the posted-date
+              // analytics (demo_optimized_data.py:105-111) — so
+              // filtered reads of the snapshot-mode corpus skip files
+              // from the first commit (the classic mode gets the same
+              // effect from its agency partition layout). `--stats`
+              // overrides; absent columns are dropped, never errors.
+              val statsCols = arg(args, "--stats")
+                .map(_.split(',').toSeq)
+                .getOrElse(Seq("agency", "postedDate", "modifyDate"))
+                .filter(mk(raw).columns.contains)
               try {
                 if (!Snapshots.exists(spark, path)) {
-                  val v = Snapshots.create(mk(rawObs), path)
+                  val v = Snapshots.create(mk(rawObs), path,
+                    statsCols = statsCols)
                   System.err.println(s"[convert] $table → snapshot v$v")
                   (true, obs.get("bad").asInstanceOf[Long])
                 } else {
@@ -219,7 +239,8 @@ object Main {
                       System.err.println(s"[convert] $table → snapshot " +
                         "unchanged (empty delta, no new version)")
                     } else {
-                      val v = Snapshots.commitAppend(delta, path)
+                      val v = Snapshots.commitAppend(delta, path,
+                        statsCols = statsCols)
                       System.err.println(
                         s"[convert] $table → snapshot v$v")
                     }
@@ -320,27 +341,51 @@ object Main {
         // — snapshot-isolated commits + time travel over immutable
         // parquet batches (maintain.Snapshots; atomic rename-claimed
         // manifests, optimistic concurrency).
-        import org.apache.spark.sql.functions.col
+        import org.apache.spark.sql.functions.{col, lit}
         import graft.maintain.Snapshots
         val table = args(1)
-        // `--where col:lo:hi` parsed ONCE for the read and delete
-        // verbs: numeric bounds stay EXACT BigDecimals (delete is
-        // destructive — a 2^53+ key must not round through a double);
-        // anything else is a date/timestamp string pair (colon-free
-        // forms like 2024-01-31) probed through the epoch-seconds
-        // domain (Right)
+        // bound classification shared by both --where forms: numeric
+        // bounds stay EXACT BigDecimals (delete is destructive — a
+        // 2^53+ key must not round through a double); anything else is
+        // a string pair (Right) — a STRING column probes the truncated
+        // UTF-8 stats, everything else parses as date/timestamp bounds
+        // through the epoch-seconds domain
+        def classifyBounds(lo: String, hi: String)
+            : Either[(BigDecimal, BigDecimal), (String, String)] =
+          (scala.util.Try(BigDecimal(lo)).toOption,
+              scala.util.Try(BigDecimal(hi)).toOption) match {
+            case (Some(l), Some(h)) => Left((l, h))
+            case _                  => Right((lo, hi))
+          }
         def parseWhere(w: String)
             : (String, Either[(BigDecimal, BigDecimal), (String, String)]) = {
           val parts = w.split(":", 3)
           require(parts.length == 3,
             s"--where expects col:lo:hi, got '$w'")
           val Array(c, lo, hi) = parts
-          (c, (scala.util.Try(BigDecimal(lo)).toOption,
-              scala.util.Try(BigDecimal(hi)).toOption) match {
-            case (Some(l), Some(h)) => Left((l, h))
-            case _                  => Right((lo, hi))
-          })
+          (c, classifyBounds(lo, hi))
         }
+        // the long form (`--where-col C --from LO --to HI`) exists for
+        // bounds the colon syntax cannot carry — time-of-day
+        // timestamps ('2024-01-01 12:30:00') contain ':'
+        def whereSpec(): Option[
+            (String, Either[(BigDecimal, BigDecimal), (String, String)])] =
+          (arg(args, "--where"), arg(args, "--where-col")) match {
+            case (Some(w), None) => Some(parseWhere(w))
+            case (None, Some(c)) =>
+              val lo = arg(args, "--from").getOrElse(
+                sys.error("--where-col requires --from LO"))
+              val hi = arg(args, "--to").getOrElse(
+                sys.error("--where-col requires --to HI"))
+              Some((c, classifyBounds(lo, hi)))
+            case (Some(_), Some(_)) =>
+              sys.error("pass --where OR --where-col, not both")
+            case (None, None) => None
+          }
+        def colIsString(c: String): Boolean =
+          Snapshots.read(spark, table).schema.fields.find(_.name == c)
+            .exists(_.dataType
+              .isInstanceOf[org.apache.spark.sql.types.StringType])
         args(2) match {
           case "create" | "append" | "overwrite" =>
             val src = args(3)
@@ -366,23 +411,28 @@ object Main {
             System.err.println(
               s"[snapshot] restored $table@${args(3)} as v$v")
           case "read" =>
-            // --where col:lo:hi — manifest-stat file skipping, plus the
-            // residual exact predicate (superset contract); bounds
-            // parsed by [[parseWhere]] (shared with the delete verb).
-            def whereRead(v: Long, w: String) =
-              parseWhere(w) match {
+            // --where col:lo:hi (or the long form) — manifest-stat
+            // file skipping, plus the residual exact predicate
+            // (superset contract). Numeric residuals compare against
+            // the EXACT decimal bounds (a double-domain compare would
+            // round 2^53+ keys at the edges); string columns route to
+            // the truncated-UTF-8 stat probe.
+            def whereRead(v: Long,
+                spec: (String,
+                  Either[(BigDecimal, BigDecimal), (String, String)])) =
+              spec match {
                 case (c, Left((l, h))) =>
                   Snapshots.readVersionWhere(spark, table, v, c,
-                      l.toDouble, h.toDouble)
-                    .filter(col(c).cast("double")
-                      .between(l.toDouble, h.toDouble))
+                      Math.nextDown(l.toDouble), Math.nextUp(h.toDouble))
+                    .filter(col(c).between(lit(l), lit(h)))
+                case (c, Right((lo, hi))) if colIsString(c) =>
+                  Snapshots.readVersionWhereStr(spark, table, v, c, lo, hi)
+                    .filter(col(c).between(lit(lo), lit(hi)))
                 case (c, Right((lo, hi))) =>
                   Snapshots.readVersionWhereTime(spark, table, v, c, lo, hi)
                     .filter(col(c).cast("timestamp").between(
-                      org.apache.spark.sql.functions.lit(lo)
-                        .cast("timestamp"),
-                      org.apache.spark.sql.functions.lit(hi)
-                        .cast("timestamp")))
+                      lit(lo).cast("timestamp"),
+                      lit(hi).cast("timestamp")))
               }
             def headVersion(): Long = {
               val vs = Snapshots.versions(spark, table)
@@ -390,7 +440,7 @@ object Main {
               vs.last
             }
             val df = (arg(args, "--version"), arg(args, "--as-of"),
-                arg(args, "--where")) match {
+                whereSpec()) match {
               case (Some(v), _, Some(w)) => whereRead(v.toLong, w)
               case (Some(v), _, None) =>
                 Snapshots.readVersion(spark, table, v.toLong)
@@ -438,29 +488,52 @@ object Main {
             }
             System.err.println(s"[snapshot] upserted $src → $table v$v")
           case "delete" =>
-            // snapshot TABLE delete --where col:lo:hi — range-scoped
-            // DELETE committed as a new version: only files whose
-            // stat range overlaps are rewritten (retention/GDPR
+            // snapshot TABLE delete --where col:lo:hi (or the long
+            // form) | --keys k1,k2 --key-col C — range- or key-set-
+            // scoped DELETE committed as a new version: only files
+            // whose stats overlap are rewritten (retention/GDPR
             // erasure; durable against time travel after expire)
-            val w = arg(args, "--where").getOrElse(
-              sys.error("snapshot delete requires --where col:lo:hi"))
             val before = Snapshots.versions(spark, table).lastOption
               .getOrElse(sys.error(s"no snapshot table at $table"))
-            val v = parseWhere(w) match {
-              case (c, Left((l, h))) =>
-                // exact decimal bounds straight through — the
-                // destructive path never rounds via a double
-                Snapshots.commitDeleteWhere(spark, table, c, l, h)
-              case (c, Right((lo, hi))) =>
-                Snapshots.commitDeleteWhereTime(spark, table, c, lo, hi)
+            val (v, what) = (whereSpec(), arg(args, "--keys")) match {
+              case (Some(spec), None) =>
+                val v = spec match {
+                  case (c, Left((l, h))) =>
+                    // exact decimal bounds straight through — the
+                    // destructive path never rounds via a double
+                    Snapshots.commitDeleteWhere(spark, table, c, l, h)
+                  case (c, Right((lo, hi))) if colIsString(c) =>
+                    Snapshots.commitDeleteWhereStr(spark, table, c, lo, hi)
+                  case (c, Right((lo, hi))) =>
+                    Snapshots.commitDeleteWhereTime(spark, table, c, lo, hi)
+                }
+                (v, s"range ${spec._1}")
+              case (None, Some(ks)) =>
+                // erasure-request shape: an id list. The column's type
+                // picks the domain (a numeric-looking string id must
+                // not route through decimals).
+                val keyCol = arg(args, "--key-col").getOrElse(
+                  sys.error("snapshot delete --keys requires --key-col C"))
+                val keys = ks.split(',').toSeq
+                val v =
+                  if (colIsString(keyCol))
+                    Snapshots.commitDeleteKeysStr(spark, table, keyCol, keys)
+                  else Snapshots.commitDeleteKeys(spark, table, keyCol,
+                    keys.map(k => scala.util.Try(BigDecimal(k)).getOrElse(
+                      sys.error(s"non-numeric key '$k' for numeric " +
+                        s"column $keyCol"))))
+                (v, s"${keys.length} keys on $keyCol")
+              case _ => sys.error("snapshot delete requires --where " +
+                "col:lo:hi (or --where-col/--from/--to) OR " +
+                "--keys k1,k2 --key-col C")
             }
             // the no-op short-circuit returns the unchanged head —
             // report it honestly, not as a landed deletion
             if (v == before)
-              System.err.println(s"[snapshot] delete $w on $table: " +
-                s"no file overlaps the range — no-op, head stays v$v")
+              System.err.println(s"[snapshot] delete ($what) on $table: " +
+                s"no file overlaps — no-op, head stays v$v")
             else System.err.println(
-              s"[snapshot] deleted range $w from $table as v$v")
+              s"[snapshot] deleted $what from $table as v$v")
           case "changes" =>
             // incremental read: rows appended in (--from, --to]
             val from = arg(args, "--from").map(_.toLong).getOrElse(

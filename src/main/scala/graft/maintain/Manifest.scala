@@ -155,8 +155,10 @@ object Manifest {
   def candidateFilesBounded(
       spark: SparkSession,
       path: String,
-      bounds: Seq[(String, Option[Any], Option[Any])]): Seq[String] = {
-    require(bounds.nonEmpty, "at least one column bound required")
+      bounds: Seq[(String, Option[Any], Option[Any])],
+      inLists: Seq[(String, Seq[Any])] = Seq.empty): Seq[String] = {
+    require(bounds.nonEmpty || inLists.nonEmpty,
+      "at least one column bound or IN-list required")
     // input_file_name() records "file:///x" where Path prints
     // "file:/x" — normalize through Path before any comparison
     def norm(uri: String): String = new Path(uri).toString
@@ -167,13 +169,23 @@ object Manifest {
       .select("file").collect().map(r => norm(r.getString(0))).toSet
     checkDriverEnvelope(known.size.toLong, s"manifest of $path")
     // range tests done in Spark SQL for type-correct comparison
-    val pred = bounds
+    val rangePreds = bounds
       .map { case (c, lo, hi) =>
         col(s"min_$c").isNull || col(s"max_$c").isNull ||
           (lo.map(v => col(s"max_$c") >= lit(v)).getOrElse(lit(true)) &&
             hi.map(v => col(s"min_$c") <= lit(v)).getOrElse(lit(true)))
       }
-      .reduce(_ && _)
+    // IN-list: a file survives when AT LEAST ONE non-null listed value
+    // can sit in its [min, max] range (null elements match no row, so
+    // dropping them is exact; an all-null list degrades to no pruning)
+    val inPreds = inLists.map { case (c, vs0) =>
+      val vs = vs0.filter(_ != null)
+      if (vs.isEmpty) lit(true)
+      else col(s"min_$c").isNull || col(s"max_$c").isNull ||
+        vs.map(v => col(s"min_$c") <= lit(v) && col(s"max_$c") >= lit(v))
+          .reduce(_ || _)
+    }
+    val pred = (rangePreds ++ inPreds).reduce(_ && _)
     val overlapFiles = mf.filter(pred)
       .select("file")
       .collect().map(r => norm(r.getString(0))).toSeq

@@ -3,8 +3,8 @@ package graft.maintain
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, DateType, TimestampNTZType,
-  TimestampType}
+import org.apache.spark.sql.types.{DataType, DateType, StringType,
+  TimestampNTZType, TimestampType}
 
 /** Snapshot isolation + time travel for parquet tables — the
   * lakehouse-table-format concern the reference names ("iceberg") but
@@ -142,22 +142,88 @@ object Snapshots {
     * lakehouse read, prunes files exactly like a numeric range
     * ([[readVersionWhereTime]] converts ISO bounds through the SAME
     * expression, making writer and reader domains identical by
-    * construction). */
+    * construction). STRING columns are recorded in their own domain
+    * (truncated UTF-8 bounds, see [[truncLower]]/[[truncUpper]]), never
+    * through this cast. */
   private def statNorm(dt: DataType, c: Column): Column = dt match {
     case DateType | TimestampType | TimestampNTZType =>
       c.cast("timestamp").cast("double")
     case _ => c.cast("double")
   }
 
-  /** A data file plus its optional per-file min/max over any number
-    * of stat columns in the [[statNorm]] double domain — the
-    * Iceberg-manifest file-skipping shape (manifest grain: one row per
-    * (file, stat_col); a file with no stats carries one null-stat
-    * row). Files without stats for the probed column are always read
-    * (unknown = candidate, the [[Manifest]] append-safety rule). */
+  // ---- string stat domain --------------------------------------------
+
+  /** UTF-8 binary comparison — the SAME order Spark's min()/max()
+    * computes over StringType (UTF8String compares unsigned UTF-8
+    * bytes), so bound probes and recorded stats agree by construction.
+    * Java's `String.compareTo` (UTF-16 code units) DISAGREES for
+    * supplementary characters (it ranks U+E000..U+FFFF above them), so
+    * it must never be used against these stats. */
+  private[graft] def strCmp(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** Recorded string bounds truncate to this many code points — the
+    * Iceberg `write.metadata.metrics` truncate(16) default. Keeps a
+    * manifest row metadata-sized even when someone records stats on a
+    * free-text column. */
+  private[graft] val StrBoundLen = 16
+
+  /** Truncated LOWER string bound: the [[StrBoundLen]]-code-point
+    * prefix. A prefix is ≤ the full string in UTF-8 byte order, so the
+    * recorded lower bound can only WIDEN the range — superset-safe. */
+  private[graft] def truncLower(s: String): String =
+    if (s.codePointCount(0, s.length) <= StrBoundLen) s
+    else s.substring(0, s.offsetByCodePoints(0, StrBoundLen))
+
+  /** Truncated UPPER string bound: the [[StrBoundLen]]-code-point
+    * prefix with its LAST incrementable code point bumped (skipping
+    * the unencodable surrogate block) and the tail dropped — UTF-8
+    * encodes code points monotonically, so the result is ≥ every
+    * string sharing the prefix (Iceberg's truncateStringMax). None
+    * when nothing can be bumped (a prefix of U+10FFFFs): the column
+    * then records NO stat for the file — unknown = candidate, never a
+    * wrong bound. */
+  private[graft] def truncUpper(s: String): Option[String] =
+    if (s.codePointCount(0, s.length) <= StrBoundLen) Some(s)
+    else {
+      val cps = s.codePoints().limit(StrBoundLen.toLong).toArray
+      var i = cps.length - 1
+      while (i >= 0 && cps(i) >= Character.MAX_CODE_POINT) i -= 1
+      if (i < 0) None
+      else {
+        val bumped0 = cps(i) + 1
+        val bumped =
+          if (bumped0 >= Character.MIN_SURROGATE.toInt &&
+            bumped0 <= Character.MAX_SURROGATE.toInt) 0xE000
+          else bumped0
+        Some(new String(cps, 0, i) + new String(Character.toChars(bumped)))
+      }
+    }
+
+  /** A data file plus its optional per-file min/max over any number of
+    * stat columns — the Iceberg-manifest file-skipping shape. Numeric
+    * and temporal columns record in the [[statNorm]] double domain
+    * (`stats`); STRING columns record truncated UTF-8 bounds
+    * (`strStats`, [[truncLower]]/[[truncUpper]] — lower is a prefix ≤
+    * min, upper is bumped ≥ max, so probes are always supersets).
+    * Manifest grain: one row per (file, stat_col); a file with no
+    * stats carries one null-stat row. Files without stats for the
+    * probed column are always read (unknown = candidate, the
+    * [[Manifest]] append-safety rule). */
   final case class FileEntry(
       file: String,
-      stats: Map[String, (Double, Double)] = Map.empty)
+      stats: Map[String, (Double, Double)] = Map.empty,
+      strStats: Map[String, (String, String)] = Map.empty)
 
   /** Write `df`'s rows as a fresh immutable data batch; returns one
     * [[FileEntry]] per written file. With `statsCols` set, per-file
@@ -181,35 +247,53 @@ object Snapshots {
       // full URI (file:///…) while the listing yields Path strings —
       // normalizing both sides makes this an exact map lookup
       val reread = spark.read.parquet(batch)
+      val isStr = statsCols.map(c =>
+        c -> reread.schema(c).dataType.isInstanceOf[StringType]).toMap
       val aggs = statsCols.flatMap { c =>
-        // NaN-stripped: Spark's max() returns NaN when ANY value is
-        // NaN, which would poison the range (NaN >= lo is false → the
-        // file wrongly classified as non-overlapping). NaN rows need
-        // no range coverage anyway — NaN is outside every range, so
-        // range predicates can never select them.
-        val e0 = statNorm(reread.schema(c).dataType, col(c))
-        val e = when(isnan(e0), lit(null)).otherwise(e0)
-        Seq(min(e).as(s"__lo_$c"), max(e).as(s"__hi_$c"))
+        if (isStr(c))
+          // string bounds aggregate in Spark's own UTF8String binary
+          // order; truncation happens driver-side below
+          Seq(min(col(c)).as(s"__lo_$c"), max(col(c)).as(s"__hi_$c"))
+        else {
+          // NaN-stripped: Spark's max() returns NaN when ANY value is
+          // NaN, which would poison the range (NaN >= lo is false →
+          // the file wrongly classified as non-overlapping). NaN rows
+          // need no range coverage anyway — NaN is outside every
+          // range, so range predicates can never select them.
+          val e0 = statNorm(reread.schema(c).dataType, col(c))
+          val e = when(isnan(e0), lit(null)).otherwise(e0)
+          Seq(min(e).as(s"__lo_$c"), max(e).as(s"__hi_$c"))
+        }
       }
       val stats = reread
         .groupBy(col("_metadata.file_path").as("__f"))
         .agg(aggs.head, aggs.tail: _*)
         .collect()
         .map { r =>
-          val per = statsCols.zipWithIndex.flatMap { case (c, i) =>
-            val lo = Option(r.get(1 + 2 * i)).map(_.asInstanceOf[Double])
-            val hi = Option(r.get(2 + 2 * i)).map(_.asInstanceOf[Double])
+          val numB = Map.newBuilder[String, (Double, Double)]
+          val strB = Map.newBuilder[String, (String, String)]
+          statsCols.zipWithIndex.foreach { case (c, i) =>
+            val lo = Option(r.get(1 + 2 * i))
+            val hi = Option(r.get(2 + 2 * i))
             (lo, hi) match {
-              case (Some(l), Some(h)) => Some(c -> (l, h))
-              case _                  => None // all-null column: no stat
+              case (Some(l), Some(h)) if isStr(c) =>
+                // an upper bound that cannot truncate safely voids the
+                // whole stat (unknown = candidate)
+                truncUpper(h.asInstanceOf[String]).foreach(u =>
+                  strB += c -> (truncLower(l.asInstanceOf[String]), u))
+              case (Some(l), Some(h)) =>
+                numB += c -> (l.asInstanceOf[Double], h.asInstanceOf[Double])
+              case _ => () // all-null column: no stat
             }
-          }.toMap
-          new Path(r.getString(0)).toUri.getPath -> per
+          }
+          new Path(r.getString(0)).toUri.getPath -> (numB.result(), strB.result())
         }
         .toMap
       paths.map { p =>
-        FileEntry(p,
-          stats.getOrElse(new Path(p).toUri.getPath, Map.empty))
+        val (n, s) = stats.getOrElse(new Path(p).toUri.getPath,
+          (Map.empty[String, (Double, Double)],
+            Map.empty[String, (String, String)]))
+        FileEntry(p, n, s)
       }
     }
   }
@@ -311,17 +395,28 @@ object Snapshots {
       val all = parentFiles(head) ++ files
       import spark.implicits._
       val manifestRows = all.flatMap { e =>
-        if (e.stats.isEmpty)
+        val rows =
+          e.stats.toSeq.map { case (c, (lo, hi)) =>
+            (e.file, c, Double.box(lo), Double.box(hi),
+              null: String, null: String)
+          } ++
+            e.strStats.toSeq.map { case (c, (lo, hi)) =>
+              (e.file, c, null: java.lang.Double, null: java.lang.Double,
+                lo, hi)
+            }
+        if (rows.isEmpty)
           Seq((e.file, null: String,
-            null: java.lang.Double, null: java.lang.Double))
-        else e.stats.toSeq.map { case (c, (lo, hi)) =>
-          (e.file, c, Double.box(lo), Double.box(hi))
-        }
+            null: java.lang.Double, null: java.lang.Double,
+            null: String, null: String))
+        else rows
       }
       val manifest = manifestRows
-        .toDF("file", "stat_col", "stat_min", "stat_max")
+        .toDF("file", "stat_col", "stat_min", "stat_max",
+          "stat_min_str", "stat_max_str")
         .select(col("file"), col("stat_col").cast("string"),
-          col("stat_min").cast("double"), col("stat_max").cast("double"))
+          col("stat_min").cast("double"), col("stat_max").cast("double"),
+          col("stat_min_str").cast("string"),
+          col("stat_max_str").cast("string"))
         .withColumn("version", lit(v))
         .withColumn("ts_ms", lit(System.currentTimeMillis()))
         .withColumn("operation", lit(op))
@@ -400,28 +495,43 @@ object Snapshots {
         s"to concurrent committers; last: ${last.getMessage}")
   }
 
+  /** Project a manifest frame to the full 6-column stat shape,
+    * null-filling columns older manifests lack. */
+  private def statProjection(m: DataFrame): DataFrame = {
+    def c(name: String, tpe: String): Column =
+      if (m.columns.contains(name)) col(name).cast(tpe)
+      else lit(null).cast(tpe)
+    m.select(col("file"), c("stat_col", "string"),
+      c("stat_min", "double"), c("stat_max", "double"),
+      c("stat_min_str", "string"), c("stat_max_str", "string"))
+  }
+
+  /** (numeric stats, string stats) parsed from projected stat rows. */
+  private def parseStatRows(rows: Seq[org.apache.spark.sql.Row])
+      : (Map[String, (Double, Double)], Map[String, (String, String)]) = {
+    val num = rows.flatMap { r =>
+      if (r.isNullAt(1) || r.isNullAt(2) || r.isNullAt(3)) None
+      // legacy-manifest safety: a NaN bound (recorded before the
+      // writer stripped NaN) is meaningless — treat as no stat
+      // (unknown = candidate), never as a non-overlapping range
+      else if (r.getDouble(2).isNaN || r.getDouble(3).isNaN) None
+      else Some(r.getString(1) -> (r.getDouble(2), r.getDouble(3)))
+    }.toMap
+    val str = rows.flatMap { r =>
+      if (r.isNullAt(1) || r.isNullAt(4) || r.isNullAt(5)) None
+      else Some(r.getString(1) -> (r.getString(4), r.getString(5)))
+    }.toMap
+    (num, str)
+  }
+
   private def entriesOf(spark: SparkSession, path: String,
-      v: Long): Seq[FileEntry] = {
-    val m = manifestDf(spark, path, v)
-    val hasStats = m.columns.contains("stat_col")
-    val proj =
-      if (hasStats) m.select("file", "stat_col", "stat_min", "stat_max")
-      else m.select(col("file"), lit(null).cast("string"),
-        lit(null).cast("double"), lit(null).cast("double"))
-    proj.collect().toSeq
+      v: Long): Seq[FileEntry] =
+    statProjection(manifestDf(spark, path, v)).collect().toSeq
       .groupBy(_.getString(0))
       .map { case (file, rows) =>
-        val stats = rows.flatMap { r =>
-          if (r.isNullAt(1) || r.isNullAt(2) || r.isNullAt(3)) None
-          // legacy-manifest safety: a NaN bound (recorded before the
-          // writer stripped NaN) is meaningless — treat as no stat
-          // (unknown = candidate), never as a non-overlapping range
-          else if (r.getDouble(2).isNaN || r.getDouble(3).isNaN) None
-          else Some(r.getString(1) -> (r.getDouble(2), r.getDouble(3)))
-        }.toMap
-        FileEntry(file, stats)
+        val (num, str) = parseStatRows(rows)
+        FileEntry(file, num, str)
       }.toSeq
-  }
 
   private def filesOf(spark: SparkSession, path: String,
       v: Long): Seq[String] =
@@ -569,6 +679,33 @@ object Snapshots {
     readVersionWhere(spark, path, v, whereCol, l, h)
   }
 
+  /** STRING file-skipping time travel: plan only version `v`'s files
+    * whose recorded truncated UTF-8 bounds ([[truncLower]] /
+    * [[truncUpper]], compared in [[strCmp]]'s byte order — Spark's own
+    * string order) can overlap `[lo, hi]`. Equality is `lo == hi` —
+    * the reference's hottest filter (`agency = 'EPA'`,
+    * `convert_to_iceberg.py:1172-1176`) planned from the manifest
+    * alone. Same superset contract as [[readVersionWhere]]: files
+    * without string stats for the column always plan, truncated bounds
+    * only widen, and callers apply the exact predicate on top. */
+  def readVersionWhereStr(
+      spark: SparkSession, path: String, v: Long,
+      whereCol: String, lo: String, hi: String): DataFrame = {
+    require(strCmp(lo, hi) <= 0, s"empty range: ['$lo', '$hi']")
+    val entries = entriesOf(spark, path, v)
+    if (entries.isEmpty)
+      throw new NoSuchVersionException(s"version $v at $path lists no files")
+    val kept = entries.filter { e =>
+      e.strStats.get(whereCol) match {
+        case Some((mn, mx)) => strCmp(mx, lo) >= 0 && strCmp(mn, hi) <= 0
+        case None           => true // unknown = candidate
+      }
+    }
+    if (kept.isEmpty) readVersion(spark, path, v).limit(0)
+    else spark.read.option("mergeSchema", "true")
+      .parquet(kept.map(_.file): _*)
+  }
+
   /** ISO-ish timestamp bounds → the [[statNorm]] epoch-seconds
     * domain. try_to_timestamp: an unparseable bound must surface as
     * OUR IllegalArgumentException, not an ANSI cast error mid-job. */
@@ -601,42 +738,45 @@ object Snapshots {
   def readAsOf(spark: SparkSession, path: String, tsMs: Long): DataFrame =
     readVersion(spark, path, versionAsOf(spark, path, tsMs))
 
-  /** Per-file stat ranges (the [[statNorm]] double domain) for the
-    * given scheme-less file paths, unioned across every retained
-    * manifest — the metadata source for the automatic prune rule
-    * ([[graft.plans.SnapshotPruneRule]]). Stats travel with a file
-    * verbatim through appends, so any retained manifest's row for a
-    * file is authoritative. Tiny manifests; driver-side by design. */
+  /** One file's recorded stat ranges in both domains ([[FileEntry]]'s
+    * stats shape, minus the path). */
+  private[graft] final case class FileStatRanges(
+      num: Map[String, (Double, Double)] = Map.empty,
+      str: Map[String, (String, String)] = Map.empty)
+
+  /** NUMERIC per-file stat ranges (the [[statNorm]] double domain) for
+    * the given scheme-less file paths, unioned across every retained
+    * manifest. Stats travel with a file verbatim through appends, so
+    * any retained manifest's row for a file is authoritative. Tiny
+    * manifests; driver-side by design. */
   private[graft] def statsForFiles(
       spark: SparkSession, path: String,
       wanted: Set[String]): Map[String, Map[String, (Double, Double)]] =
-    allFileStats(spark, path).filter { case (f, _) => wanted.contains(f) }
+    allFileStats(spark, path).collect {
+      case (f, s) if wanted.contains(f) => f -> s.num
+    }
 
-  /** Every retained file's stat ranges (scheme-less path keyed) — the
-    * unfiltered form [[graft.plans.SnapshotPruneRule]] memoizes per
-    * (table, version set): version manifests are immutable once
-    * claimed, so the map is valid until the version set changes. */
+  /** Every retained file's stat ranges in BOTH domains (scheme-less
+    * path keyed) — the unfiltered form
+    * [[graft.plans.SnapshotPruneRule]] memoizes per (table, version
+    * set): version manifests are immutable once claimed, so the map is
+    * valid until the version set changes. */
   private[graft] def allFileStats(
       spark: SparkSession, path: String)
-      : Map[String, Map[String, (Double, Double)]] = {
+      : Map[String, FileStatRanges] = {
     val vs = versions(spark, path)
     if (vs.isEmpty) return Map.empty
     val m = allManifests(spark, path, vs)
     if (!m.columns.contains("stat_col")) return Map.empty
-    m.select("file", "stat_col", "stat_min", "stat_max")
-      .na.drop(Seq("stat_col", "stat_min", "stat_max"))
-      // legacy NaN bounds are meaningless ranges — same no-stat rule
-      // as [[entriesOf]]
-      .filter(!isnan(col("stat_min")) && !isnan(col("stat_max")))
+    statProjection(m)
+      .filter(col("stat_col").isNotNull)
       .distinct()
       .collect()
-      .iterator
-      .map(r => (new Path(r.getString(0)).toUri.getPath,
-        r.getString(1), r.getDouble(2), r.getDouble(3)))
       .toSeq
-      .groupBy(_._1)
+      .groupBy(r => new Path(r.getString(0)).toUri.getPath)
       .map { case (f, rows) =>
-        f -> rows.map(t => t._2 -> (t._3, t._4)).toMap
+        val (num, str) = parseStatRows(rows)
+        f -> FileStatRanges(num, str)
       }
   }
 
@@ -648,9 +788,16 @@ object Snapshots {
     * the read plans only the delta files. An overwrite/compact in the
     * range fails loudly — its new files are not row-level additions,
     * and serving them as a delta would double-count rewritten rows. */
-  def readAppendedBetween(
+  /** The file-level delta of `(fromV, toV]` — the files `toV`'s
+    * manifest holds that `fromV`'s lacks, refusing loudly when a
+    * rewrite commit sits in the range (its files are not row-level
+    * additions; serving them as a delta would double-count). `fromV`
+    * of 0 means "from before the table existed" (every file of `toV`).
+    * Shared by the batch CDC read and the streaming source
+    * ([[graft.streaming.SnapshotSource]]) so both refuse identically. */
+  private[graft] def appendedFilesBetween(
       spark: SparkSession, path: String,
-      fromV: Long, toV: Long): DataFrame = {
+      fromV: Long, toV: Long): Seq[String] = {
     require(fromV < toV, s"fromV ($fromV) must be < toV ($toV)")
     val rewrites = history(spark, path)
       .filter(col("version") > fromV && col("version") <= toV)
@@ -663,13 +810,43 @@ object Snapshots {
         rewrites.map(r => s"v${r.getLong(0)}=${r.getString(1)}")
           .mkString("(", ", ", ")") +
         " — a rewrite's files are not row-level additions")
-    val before = filesOf(spark, path, fromV).toSet
-    val delta = filesOf(spark, path, toV).filterNot(before)
+    val before =
+      if (fromV == 0L) Set.empty[String]
+      else filesOf(spark, path, fromV).toSet
+    filesOf(spark, path, toV).filterNot(before)
+  }
+
+  def readAppendedBetween(
+      spark: SparkSession, path: String,
+      fromV: Long, toV: Long): DataFrame = {
+    val delta = appendedFilesBetween(spark, path, fromV, toV)
     if (delta.isEmpty)
       // schema-stable empty delta: zero-row frame with toV's schema
       readVersion(spark, path, toV).limit(0)
     else spark.read.parquet(delta: _*)
   }
+
+  /** The LIVE twin of [[readAppendedBetween]]: a Structured Streaming
+    * source that TAILS the snapshot table — each micro-batch is the
+    * appended-file delta of one version range `(lastCommitted, head]`,
+    * resolved from the manifests alone (metadata-only planning, only
+    * delta files scanned), with offsets = version numbers in the
+    * engine's checkpoint log (so restart/replay is exactly-once: the
+    * same version range always re-plans the same files). Refuses
+    * across rewrite commits exactly like the batch read. Feeds the
+    * existing incremental-dedup/indexing arms — the
+    * `pipeline_cdc_dedup` loop without the polling
+    * ([[graft.streaming.SnapshotSource]]; Delta/Iceberg streaming-
+    * source semantics). `fromVersion` is EXCLUSIVE; 0 streams the
+    * table from its first version. */
+  def readChangesStream(
+      spark: SparkSession, path: String,
+      fromVersion: Long = 0L): DataFrame =
+    spark.readStream
+      .format(classOf[graft.streaming.SnapshotSourceProvider].getName)
+      .option("path", path)
+      .option("startingVersion", fromVersion.toString)
+      .load()
 
   /** Keyed MERGE as a COMMIT: [[Upsert.mergeFrames]] semantics
     * (latest `(versionCol, tiebreakCol)` per key wins across head ∪
@@ -718,6 +895,15 @@ object Snapshots {
     * quantity this API exists to keep small. Same conflict posture as
     * every rewrite: derived-from validation + re-derive on a lost
     * race ([[commitRewrite]]). */
+  /** The stat-column UNION of the touched files across BOTH domains,
+    * plus the op's own column — what a scoped rewrite re-records so no
+    * future pruning degrades (the writer re-derives each column's
+    * domain from its dtype). */
+  private def statColUnion(
+      touched: Seq[FileEntry], opCol: String): Seq[String] =
+    (touched.flatMap(e => e.stats.keys ++ e.strStats.keys) :+ opCol)
+      .distinct
+
   def commitUpsertScoped(
       updates: DataFrame,
       path: String,
@@ -726,34 +912,52 @@ object Snapshots {
       tiebreakCol: String,
       scopeCol: String): Long = {
     val spark = updates.sparkSession
-    val scopeVals = updates
-      .select(statNorm(updates.schema(scopeCol).dataType,
-        col(scopeCol)).as("__s"))
-      .distinct().collect().map { r =>
-        require(!r.isNullAt(0),
-          s"scoped upsert: updates carry a NULL $scopeCol — null has " +
-            "no stat range to prune on; use commitUpsert")
-        val v = r.getDouble(0)
-        require(!v.isNaN,
-          s"scoped upsert: updates carry a NaN $scopeCol — NaN is in " +
-            "no stat range, so its keys could silently duplicate; " +
-            "use commitUpsert")
-        v
+    // the touched-file predicate in the scope column's OWN stat
+    // domain: strings probe the truncated UTF-8 bounds (a scoped merge
+    // on `agency` — the reference's partition key — rewrites only that
+    // agency's files), everything else the statNorm double domain
+    val touches: FileEntry => Boolean =
+      updates.schema(scopeCol).dataType match {
+        case _: StringType =>
+          val vals = updates.select(col(scopeCol)).distinct().collect()
+            .map { r =>
+              require(!r.isNullAt(0),
+                s"scoped upsert: updates carry a NULL $scopeCol — null " +
+                  "has no stat range to prune on; use commitUpsert")
+              r.getString(0)
+            }
+          e => e.strStats.get(scopeCol) match {
+            case Some((lo, hi)) =>
+              vals.exists(v => strCmp(lo, v) <= 0 && strCmp(v, hi) <= 0)
+            case None => true // no stats: must rewrite
+          }
+        case dt =>
+          val vals = updates
+            .select(statNorm(dt, col(scopeCol)).as("__s"))
+            .distinct().collect().map { r =>
+              require(!r.isNullAt(0),
+                s"scoped upsert: updates carry a NULL $scopeCol — null " +
+                  "has no stat range to prune on; use commitUpsert")
+              val v = r.getDouble(0)
+              require(!v.isNaN,
+                s"scoped upsert: updates carry a NaN $scopeCol — NaN is " +
+                  "in no stat range, so its keys could silently " +
+                  "duplicate; use commitUpsert")
+              v
+            }
+          e => e.stats.get(scopeCol) match {
+            case Some((lo, hi)) => vals.exists(v => lo <= v && v <= hi)
+            case None           => true // no stats: must rewrite
+          }
       }
     commitRewrite(spark, path, OpUpsert, head => {
-      val (touched, kept) = entriesOf(spark, path, head).partition { e =>
-        e.stats.get(scopeCol) match {
-          case Some((lo, hi)) => scopeVals.exists(v => lo <= v && v <= hi)
-          case None           => true // no stats: must rewrite
-        }
-      }
+      val (touched, kept) = entriesOf(spark, path, head).partition(touches)
       val target =
         if (touched.isEmpty) readVersion(spark, path, head).limit(0)
         else spark.read.option("mergeSchema", "true")
           .parquet(touched.map(_.file): _*)
       (Upsert.mergeFrames(target, updates, keyCols, versionCol,
-        tiebreakCol), kept,
-        (touched.flatMap(_.stats.keys) :+ scopeCol).distinct)
+        tiebreakCol), kept, statColUnion(touched, scopeCol))
     })
   }
 
@@ -785,21 +989,26 @@ object Snapshots {
     * travel only once the old manifests are expired, the standard
     * table-format erasure contract. Same conflict posture as every
     * rewrite ([[commitRewrite]]). */
+  /** lit(BigDecimal) is bounded by DecimalType(38): fail HERE with a
+    * usage error, not mid-commit with a Decimal overflow (e.g. a
+    * '1e39' open-ended-max idiom — use a representable max instead).
+    * All three terms matter: total precision ≤ 38 (30 integer + 9
+    * fraction digits is precision 39 and also unrepresentable), scale
+    * ≤ 38, and integer digits ≤ 38 (negative scale from stripped
+    * zeros, e.g. 1e39). */
+  private def checkDecimalBound(b: BigDecimal): Unit = {
+    val norm = b.underlying.stripTrailingZeros
+    require(norm.precision <= 38 && norm.scale <= 38 &&
+        norm.precision - norm.scale <= 38,
+      s"delete bound $b does not fit decimal(38) — " +
+        "use a bound within ±1e38 with at most 38 significant digits")
+  }
+
   def commitDeleteWhere(
       spark: SparkSession, path: String,
       whereCol: String, lo: BigDecimal, hi: BigDecimal): Long = {
     require(lo <= hi, s"empty range: [$lo, $hi]")
-    // lit(BigDecimal) is bounded by DecimalType(38): fail HERE with a
-    // usage error, not mid-commit with a Decimal overflow (e.g. a
-    // '1e39' open-ended-max idiom — use a representable max instead)
-    def checkBound(b: BigDecimal): Unit = {
-      val norm = b.underlying.stripTrailingZeros
-      require(norm.scale <= 38 &&
-          norm.precision - norm.scale <= 38,
-        s"delete bound $b does not fit decimal(38) — " +
-          "use a bound within ±1e38 with at most 38 digits")
-    }
-    checkBound(lo); checkBound(hi)
+    checkDecimalBound(lo); checkDecimalBound(hi)
     // file selection in the double stat domain, widened outward so
     // rounding can only ADD candidate files
     val loD = Math.nextDown(lo.toDouble)
@@ -834,7 +1043,7 @@ object Snapshots {
       }
       // NULL whereCol: inRange is NULL → coalesce keeps the row
       (target.filter(!coalesce(inRange, lit(false))), kept,
-        (touched.flatMap(_.stats.keys) :+ whereCol).distinct)
+        statColUnion(touched, whereCol))
     })
   }
 
@@ -846,6 +1055,125 @@ object Snapshots {
       whereCol: String, loTs: String, hiTs: String): Long = {
     val (l, h) = timeBounds(spark, loTs, hiTs)
     commitDeleteWhere(spark, path, whereCol, BigDecimal(l), BigDecimal(h))
+  }
+
+  /** STRING form of [[commitDeleteWhere]]: remove every row whose
+    * `whereCol` falls in `[lo, hi]` (UTF-8 binary order — Spark's own
+    * string comparison), rewriting only the files whose truncated
+    * string stats overlap. `lo == hi` deletes one exact value — e.g.
+    * one agency's rows from the converted corpus. Truncated bounds
+    * widen only (superset file selection, never a miss); the row
+    * predicate compares full strings exactly. Same NULL-survives /
+    * no-op / stat-re-record / expire-durability contract as the
+    * numeric form. */
+  def commitDeleteWhereStr(
+      spark: SparkSession, path: String,
+      whereCol: String, lo: String, hi: String): Long = {
+    require(strCmp(lo, hi) <= 0, s"empty range: ['$lo', '$hi']")
+    def split(head: Long): (Seq[FileEntry], Seq[FileEntry]) =
+      entriesOf(spark, path, head).partition { e =>
+        e.strStats.get(whereCol) match {
+          case Some((mn, mx)) => strCmp(mx, lo) >= 0 && strCmp(mn, hi) <= 0
+          case None           => true // no stats: must rewrite
+        }
+      }
+    val head0 = versions(spark, path).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no snapshot table at $path"))
+    if (split(head0)._1.isEmpty) return head0
+    commitRewrite(spark, path, OpDelete, head => {
+      val (touched, kept) = split(head)
+      val target =
+        if (touched.isEmpty) readVersion(spark, path, head).limit(0)
+        else spark.read.option("mergeSchema", "true")
+          .parquet(touched.map(_.file): _*)
+      val inRange = col(whereCol).between(lit(lo), lit(hi))
+      (target.filter(!coalesce(inRange, lit(false))), kept,
+        statColUnion(touched, whereCol))
+    })
+  }
+
+  /** KEY-SET DELETE as a COMMIT — the erasure-request shape (ids
+    * arrive as a list, not a range): remove every row whose `keyCol`
+    * equals one of `keys`, rewriting ONLY the files whose recorded
+    * stat range can hold at least one key; every other file carries as
+    * a manifest pointer. Keys are EXACT decimals (same reasoning as
+    * [[commitDeleteWhere]]: a 2^53+ id must not round through a
+    * double — the row predicate compares in widened decimal, exactly);
+    * per-key file probes run in the double domain widened one ULP
+    * outward, a provable superset. The key list is collected
+    * driver-side by contract — erasure requests are small; for bulk
+    * deletes use the range form. Files without `keyCol` stats always
+    * rewrite (degrade to full rewrite, never a missed delete); NULL
+    * keys never match (IN semantics); a key set provably absent from
+    * every file is a no-op at the current head. Not for temporal
+    * columns (the IN compares raw column values, not the epoch-seconds
+    * stat domain) — use [[commitDeleteWhereTime]] ranges there. */
+  def commitDeleteKeys(
+      spark: SparkSession, path: String,
+      keyCol: String, keys: Seq[BigDecimal]): Long = {
+    require(keys.nonEmpty, "key-set delete: empty key list")
+    keys.foreach(checkDecimalBound)
+    val widened = keys.map(k =>
+      (Math.nextDown(k.toDouble), Math.nextUp(k.toDouble)))
+    deleteByHits(spark, path, keyCol,
+      hits = e => e.stats.get(keyCol) match {
+        case Some((mn, mx)) =>
+          widened.exists { case (l, h) => mx >= l && mn <= h }
+        case None => true // no stats: must rewrite
+      },
+      rowMatches = col(keyCol).isin(keys: _*),
+      guard = target => {
+        val dt = target.schema(keyCol).dataType
+        require(!(dt == DateType || dt == TimestampType ||
+            dt == TimestampNTZType),
+          s"commitDeleteKeys on temporal column $keyCol — use " +
+            "commitDeleteWhereTime ranges instead")
+      })
+  }
+
+  /** STRING key-set delete — erasure by document/comment id, the
+    * converted corpus's actual key type. Same contract as
+    * [[commitDeleteKeys]]; file probes run against the truncated
+    * string stats ([[strCmp]] byte order), the row predicate compares
+    * full strings exactly. */
+  def commitDeleteKeysStr(
+      spark: SparkSession, path: String,
+      keyCol: String, keys: Seq[String]): Long = {
+    require(keys.nonEmpty, "key-set delete: empty key list")
+    require(!keys.contains(null), "key-set delete: null key")
+    deleteByHits(spark, path, keyCol,
+      hits = e => e.strStats.get(keyCol) match {
+        case Some((mn, mx)) =>
+          keys.exists(k => strCmp(mn, k) <= 0 && strCmp(k, mx) <= 0)
+        case None => true // no stats: must rewrite
+      },
+      rowMatches = col(keyCol).isin(keys: _*),
+      guard = _ => ())
+  }
+
+  /** Shared key-set delete engine: stat-probe file selection +
+    * anti-IN rewrite of touched files only, with the range-delete
+    * family's no-op short-circuit, NULL-survives semantics, stat-union
+    * re-record, and rewrite conflict posture. */
+  private def deleteByHits(
+      spark: SparkSession, path: String, keyCol: String,
+      hits: FileEntry => Boolean,
+      rowMatches: Column,
+      guard: DataFrame => Unit): Long = {
+    val head0 = versions(spark, path).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no snapshot table at $path"))
+    if (!entriesOf(spark, path, head0).exists(hits)) return head0
+    commitRewrite(spark, path, OpDelete, head => {
+      val (touched, kept) = entriesOf(spark, path, head).partition(hits)
+      val target =
+        if (touched.isEmpty) readVersion(spark, path, head).limit(0)
+        else spark.read.option("mergeSchema", "true")
+          .parquet(touched.map(_.file): _*)
+      guard(target)
+      // NULL keyCol: rowMatches is NULL → coalesce keeps the row
+      (target.filter(!coalesce(rowMatches, lit(false))), kept,
+        statColUnion(touched, keyCol))
+    })
   }
 
   /** Small-file maintenance as a COMMIT: rewrite the head's content

@@ -2,8 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference,
-  EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan,
-  LessThanOrEqual, Literal}
+  EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet,
+  LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.types.DataType
 
 /** Shared conjunct→range-bounds extraction for the metadata-pruning
@@ -68,5 +68,39 @@ object FilterBounds {
       case _ => ()
     }
     bounds.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) }
+  }
+
+  /** Per-column IN-list values from `cond`'s conjuncts: `attr IN
+    * (lit, …)` and the optimizer's `InSet` form (In converts to InSet
+    * past `spark.sql.optimizer.inSetConversionThreshold`, so both
+    * shapes reach optimizer rules). Only all-literal lists qualify —
+    * any non-literal element skips the conjunct (a value the extractor
+    * cannot prove is a value it must not prune on). NULL elements are
+    * dropped: `x IN (…, NULL)` matches a row only when x equals a
+    * NON-null element (otherwise the predicate is null → filtered), so
+    * pruning on the non-null values is exact; a list with ONLY null
+    * elements is skipped entirely (conservative). Values convert to
+    * the external JVM form, like [[boundsOf]]. First qualifying list
+    * per column wins (any single conjunct's list is a correct prune). */
+  def inListsOf(cond: Expression, interesting: String => Boolean)
+      : Seq[(String, Seq[Any])] = {
+    val out = scala.collection.mutable.LinkedHashMap
+      .empty[String, Seq[Any]]
+    def add(name: String, vs: Seq[Any]): Unit = {
+      val nonNull = vs.filter(_ != null)
+      if (nonNull.nonEmpty && !out.contains(name)) out(name) = nonNull
+    }
+    conjuncts(cond).foreach {
+      case In(a: AttributeReference, list)
+          if interesting(a.name) && list.nonEmpty &&
+            list.forall(_.isInstanceOf[Literal]) =>
+        add(a.name, list.map { case Literal(v, dt) => external(v, dt) })
+      case InSet(a: AttributeReference, hset)
+          if interesting(a.name) && hset.nonEmpty =>
+        // InSet holds Catalyst-internal values of the child's type
+        add(a.name, hset.toSeq.map(v => external(v, a.dataType)))
+      case _ => ()
+    }
+    out.toSeq
   }
 }

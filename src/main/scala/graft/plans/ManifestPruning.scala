@@ -74,14 +74,15 @@ case class ManifestPruneRule(session: SparkSession)
         val path = roots.head.toString
         Manifest.columnsIfPresent(session, path).flatMap { mCols =>
           val manifested = mCols.toSet
-          // (column, lo?, hi?) bounds from the Filter's conjuncts —
-          // the shared extractor ([[FilterBounds]], conservative by
-          // construction)
+          // (column, lo?, hi?) bounds and IN-lists from the Filter's
+          // conjuncts — the shared extractor ([[FilterBounds]],
+          // conservative by construction)
           val bounds = FilterBounds.boundsOf(cond, manifested.contains)
-          if (bounds.isEmpty) None
+          val inLists = FilterBounds.inListsOf(cond, manifested.contains)
+          if (bounds.isEmpty && inLists.isEmpty) None
           else {
             val files = Manifest.candidateFilesBounded(
-              session, path, bounds)
+              session, path, bounds, inLists)
             val total = fsRel.location.inputFiles.length
             if (files.size >= total) None // nothing pruned — no rewrite
             else {

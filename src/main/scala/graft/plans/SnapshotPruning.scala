@@ -89,15 +89,24 @@ case class SnapshotPruneRule(session: SparkSession)
 
   /** A bound value in the manifest's double stat domain — mirrors
     * [[Snapshots]]' writer-side `statNorm` (numeric direct;
-    * date/timestamp as epoch seconds, dates at session-tz midnight).
-    * Unconvertible values (strings, decimals of unexpected shape)
-    * return None and the column's bound is ignored — never a wrong
-    * prune. */
-  private def toStatDomain(v: Any): Option[Double] = v match {
+    * date/timestamp as epoch seconds via the NANO-exact Instant form —
+    * `getTime/1000.0` would truncate to milliseconds and could
+    * under-shoot a stat_min recorded at microsecond precision, wrongly
+    * pruning its file; dates at session-tz midnight). A NaN bound
+    * returns None and voids the column (Spark's SQL semantics make
+    * `col >= NaN` / `col === NaN` MATCH NaN rows, but the writer
+    * strips NaN from stats — a Java-domain survivor check would prune
+    * every file, including ones holding matching NaN rows).
+    * Unconvertible values (decimals of unexpected shape) likewise
+    * return None — never a wrong prune. Strings probe their own
+    * domain ([[toStrDomain]]), not this one. */
+  private def toStatDomain(v: Any): Option[Double] = (v match {
     case n: java.math.BigDecimal => Some(n.doubleValue)
     case n: BigDecimal           => Some(n.doubleValue)
     case n: Number               => Some(n.doubleValue)
-    case t: java.sql.Timestamp   => Some(t.getTime / 1000.0)
+    case t: java.sql.Timestamp =>
+      val i = t.toInstant
+      Some(i.getEpochSecond + i.getNano / 1e9)
     case i: java.time.Instant =>
       Some(i.getEpochSecond + i.getNano / 1e9)
     case d: java.sql.Date        => Some(dateSeconds(d.toLocalDate))
@@ -109,6 +118,15 @@ case class SnapshotPruneRule(session: SparkSession)
       Some(t.atZone(sessionZone).toEpochSecond +
         t.getNano / 1e9)
     case _                       => None
+  }).filterNot(_.isNaN)
+
+  /** A bound value in the manifest's STRING stat domain (truncated
+    * UTF-8 bounds probed in [[Snapshots.strCmp]]'s byte order — the
+    * order Spark's min/max recorded them in). Only genuine string
+    * literals qualify. */
+  private def toStrDomain(v: Any): Option[String] = v match {
+    case s: String => Some(s)
+    case _         => None
   }
 
   private def sessionZone: ZoneId =
@@ -123,7 +141,7 @@ case class SnapshotPruneRule(session: SparkSession)
     * or an expire changes the key and the stale entry is never
     * served; the cache is cleared wholesale past a small bound. */
   private def cachedStats(
-      table: String): Map[String, Map[String, (Double, Double)]] = {
+      table: String): Map[String, Snapshots.FileStatRanges] = {
     val vs = Snapshots.versions(session, table)
     if (vs.isEmpty) return Map.empty
     val key = s"$table@${vs.length}:${vs.last}:${vs.hashCode}"
@@ -153,36 +171,88 @@ case class SnapshotPruneRule(session: SparkSession)
           val stats = all.filter { case (f, _) => wanted.contains(f) }
           if (stats.isEmpty) None
           else {
-            val statCols = stats.valuesIterator.flatMap(_.keys).toSet
-            val bounds = FilterBounds
+            val statCols = stats.valuesIterator
+              .flatMap(fs => fs.num.keys ++ fs.str.keys).toSet
+            // every probe is a (file stats → may-overlap?) predicate;
+            // a file survives only when ALL probes hold (conjuncts),
+            // and a probe that cannot resolve a file's stats for its
+            // column keeps the file (unknown = candidate)
+            type Probe = Snapshots.FileStatRanges => Boolean
+            val rangeProbes: Seq[Probe] = FilterBounds
               .boundsOf(cond, statCols.contains)
               .flatMap { case (c, lo, hi) =>
-                val dl = lo.flatMap(toStatDomain)
-                val dh = hi.flatMap(toStatDomain)
-                // a bound present but unconvertible must VOID that
-                // side, not silently widen to ±inf on the wrong type
-                if (lo.isDefined != dl.isDefined ||
-                    hi.isDefined != dh.isDefined) None
-                else if (dl.isEmpty && dh.isEmpty) None
-                else Some((c, dl, dh))
+                val isStr = lo.orElse(hi).exists(_.isInstanceOf[String])
+                if (isStr) {
+                  val sl = lo.flatMap(toStrDomain)
+                  val sh = hi.flatMap(toStrDomain)
+                  if (lo.isDefined != sl.isDefined ||
+                      hi.isDefined != sh.isDefined) None
+                  else Some((fs: Snapshots.FileStatRanges) =>
+                    fs.str.get(c) match {
+                      case Some((mn, mx)) =>
+                        sl.forall(Snapshots.strCmp(_, mx) <= 0) &&
+                          sh.forall(Snapshots.strCmp(_, mn) >= 0)
+                      case None => true
+                    })
+                } else {
+                  val dl = lo.flatMap(toStatDomain)
+                  val dh = hi.flatMap(toStatDomain)
+                  // a bound present but unconvertible must VOID that
+                  // side, not silently widen to ±inf on the wrong type
+                  if (lo.isDefined != dl.isDefined ||
+                      hi.isDefined != dh.isDefined) None
+                  else if (dl.isEmpty && dh.isEmpty) None
+                  else Some((fs: Snapshots.FileStatRanges) =>
+                    fs.num.get(c) match {
+                      case Some((mn, mx)) =>
+                        dl.forall(_ <= mx) && dh.forall(_ >= mn)
+                      case None => true
+                    })
+                }
               }
-            if (bounds.isEmpty) None
-            else {
-              val survivors = roots.filter { r =>
-                val per = stats.getOrElse(r.toUri.getPath, Map.empty)
-                bounds.forall { case (c, lo, hi) =>
-                  per.get(c) match {
-                    case Some((mn, mx)) =>
-                      lo.forall(_ <= mx) && hi.forall(_ >= mn)
-                    case None => true // unknown = candidate
+            // IN-lists prune per value: a file survives the probe when
+            // AT LEAST ONE listed value can sit in its range. Any
+            // unconvertible element voids the whole list (that value
+            // could match rows the prune would drop).
+            val inProbes: Seq[Probe] = FilterBounds
+              .inListsOf(cond, statCols.contains)
+              .flatMap { case (c, vs) =>
+                if (vs.forall(_.isInstanceOf[String])) {
+                  val ss = vs.map(_.asInstanceOf[String])
+                  Some((fs: Snapshots.FileStatRanges) =>
+                    fs.str.get(c) match {
+                      case Some((mn, mx)) => ss.exists(v =>
+                        Snapshots.strCmp(mn, v) <= 0 &&
+                          Snapshots.strCmp(v, mx) <= 0)
+                      case None => true
+                    })
+                } else {
+                  val ds = vs.map(toStatDomain)
+                  if (ds.exists(_.isEmpty)) None
+                  else {
+                    val dd = ds.flatten
+                    Some((fs: Snapshots.FileStatRanges) =>
+                      fs.num.get(c) match {
+                        case Some((mn, mx)) =>
+                          dd.exists(v => mn <= v && v <= mx)
+                        case None => true
+                      })
                   }
                 }
+              }
+            val probes = rangeProbes ++ inProbes
+            if (probes.isEmpty) None
+            else {
+              val empty = Snapshots.FileStatRanges()
+              val survivors = roots.filter { r =>
+                val per = stats.getOrElse(r.toUri.getPath, empty)
+                probes.forall(_(per))
               }
               if (survivors.length >= roots.length) None
               else {
                 logInfo(s"snapshot pruning $table: " +
                   s"${survivors.length}/${roots.length} files survive " +
-                  bounds.map(_._1).mkString(","))
+                  s"${probes.length} stat probes")
                 val idx = new InMemoryFileIndex(
                   session, survivors, fsRel.options,
                   Some(fsRel.dataSchema))
@@ -204,5 +274,5 @@ object SnapshotPruneRule {
   val ConfKey = "spark.graft.snapshotPruning"
 
   private val statsCache = new java.util.concurrent.ConcurrentHashMap[
-    String, Map[String, Map[String, (Double, Double)]]]()
+    String, Map[String, graft.maintain.Snapshots.FileStatRanges]]()
 }

@@ -515,8 +515,16 @@ object Bench {
     // retrieval sides live — the honest index-vs-no-index serving
     // comparison (r16 spot readings: 7.4 s / 3.8 s vs 19.5 s).
     // Disable with SPARK_GRAFT_X100=0.
+    // The snapshot-layer ops ride along at x100 (r17 verdict ask #8):
+    // scoped MERGE, range DELETE, and the manifest-pruned time-range
+    // read are the table-maintenance primitives whose scale posture
+    // was previously only probe-measured — their fixtures build once
+    // (cold pass) under target/ keyed on the x100 dir and replay
+    // warm, like the indexed retrieval entries; the DuckDB
+    // counterparts re-derive the same answers from plain scans.
     val x100Names = headline ++ Seq("j2b_bucketed_3way",
-      "text_hybrid_indexed", "text_hybrid_fully_indexed")
+      "text_hybrid_indexed", "text_hybrid_fully_indexed",
+      "snap_scoped_upsert", "snap_delete_where", "snap_ts_pruned_read")
     val x100Mult = parseMult(sys.env.get("SPARK_GRAFT_X100"), default = 100)
     val (x100Results, x100Duck, x100DuckQueries) =
       if (x100Mult <= 1 || scaleMult <= 1)

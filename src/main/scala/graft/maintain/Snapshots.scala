@@ -230,9 +230,23 @@ object Snapshots {
     * min/max over EVERY listed column are computed in ONE scan of the
     * just-written batch (grouped on `_metadata.file_path` —
     * commit-local cost, never a table scan) so later reads can skip
-    * files by range on any of them. */
+    * files by range on any of them.
+    *
+    * ZERO-ROW part files (the stats scan already identifies them for
+    * free: a rowless file never appears in the grouped aggregate) are
+    * dropped from the returned entries — a stat-less empty file would
+    * poison every future "unknown = candidate" probe (e.g. a delete
+    * that empties its touched file would otherwise leave a file no
+    * later no-op check can ever rule out). The unreferenced physical
+    * files sweep with [[expire]]'s orphan pass. When dropping would
+    * leave NOTHING (`allowEmpty = false`, the default), one file is
+    * kept so an empty table stays schema-readable; content-replacing
+    * commits that carry untouched parent files pass `allowEmpty =
+    * true` ([[commitRewrite]]). Stat-less writes skip the scan and
+    * keep every file (no way to know emptiness for free). */
   private def writeBatch(df: DataFrame, path: String,
-      statsCols: Seq[String] = Seq.empty): Seq[FileEntry] = {
+      statsCols: Seq[String] = Seq.empty,
+      allowEmpty: Boolean = false): Seq[FileEntry] = {
     val batch = s"$path/$DataDir/batch-" +
       java.util.UUID.randomUUID().toString.replace("-", "").take(16)
     df.write.parquet(batch) // fresh dir: no overwrite semantics needed
@@ -289,7 +303,13 @@ object Snapshots {
           new Path(r.getString(0)).toUri.getPath -> (numB.result(), strB.result())
         }
         .toMap
-      paths.map { p =>
+      // present in the grouped aggregate ⇔ the file has rows
+      val nonEmpty = paths.filter(p =>
+        stats.contains(new Path(p).toUri.getPath))
+      val kept =
+        if (nonEmpty.nonEmpty || allowEmpty) nonEmpty
+        else paths.take(1) // all-empty write: keep one schema file
+      kept.map { p =>
         val (n, s) = stats.getOrElse(new Path(p).toUri.getPath,
           (Map.empty[String, (Double, Double)],
             Map.empty[String, (String, String)]))
@@ -485,7 +505,11 @@ object Snapshots {
       // return the touched files' stat-column UNION, so a rewrite
       // never silently degrades future pruning on the other columns)
       val (content, kept, statsCols) = plan(head)
-      val files = writeBatch(content, path, statsCols)
+      // a rewrite whose output is empty but which carries untouched
+      // parent files needs no schema placeholder (e.g. a delete that
+      // empties every touched file — the right commit just drops them)
+      val files = writeBatch(content, path, statsCols,
+        allowEmpty = kept.nonEmpty)
       try return commit(spark, path, files, op, _ => kept,
         expectedHead = Some(head))
       catch { case e: CommitConflictException => last = e }

@@ -27,14 +27,21 @@ import graft.maintain.Snapshots
   * exactly what every `Snapshots.read*` plans (explicit per-version
   * file lists, never directory globs, so the match cannot fire on a
   * non-snapshot read). Range/equality conjuncts over stat-bearing
-  * columns become bounds ([[FilterBounds]]); bound values convert to
-  * the manifest's double stat domain (numeric as-is; timestamp/date →
-  * epoch seconds, dates at session-time-zone midnight — the same
-  * [[Snapshots]] writer normalization). Files without stats for a
-  * bounded column always survive (unknown = candidate), and the
-  * original Filter stays on top, so results are bit-identical with
-  * the rule on or off and to `readVersionWhere` + residual filter
-  * (pinned in SnapshotPruneSpec).
+  * columns become bounds, and `IN (literals)` conjuncts (both the
+  * `In` and optimizer-converted `InSet` forms) become per-value
+  * overlap probes ([[FilterBounds]]). Bound values convert to the
+  * column's recorded domain: numeric/temporal to the manifest's
+  * double stat domain (timestamp/date → epoch seconds, nano-exact,
+  * dates at session-time-zone midnight — the same [[Snapshots]]
+  * writer normalization; NaN bounds VOID the probe, because Spark SQL
+  * equality matches NaN rows the writer's stats cannot see), and
+  * string literals to the truncated-UTF-8 string domain compared in
+  * `strCmp`'s byte order (the agency filter prunes). Files without
+  * stats for a probed column always survive (unknown = candidate),
+  * and the original Filter stays on top, so results are bit-identical
+  * with the rule on or off and to `readVersionWhere`/
+  * `readVersionWhereStr` + residual filter (pinned in
+  * SnapshotPruneSpec).
   *
   * Time-zone contract: stats for DATE and TIMESTAMP_NTZ columns are
   * recorded through the WRITER's session zone (the [[Snapshots]]

@@ -360,6 +360,116 @@ object SnapshotQueries {
             WHERE o_orderkey NOT BETWEEN 1000 AND 2000
             ORDER BY version"""))
 
+  private def strStatsTable(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val path = "target/snap_str_stats_" +
+      java.lang.Integer.toHexString(d.hashCode)
+    if (Snapshots.versions(s, path) != Seq(1L)) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      // segment-clustered files: per-file STRING stats (truncated
+      // UTF-8 bounds) are disjoint, so one segment's read prunes
+      Snapshots.create(
+        Tables.customer(s, d)
+          .select("c_custkey", "c_mktsegment", "c_acctbal")
+          .repartitionByRange(8, col("c_mktsegment")),
+        path, statsCols = Seq("c_mktsegment"))
+    }
+    path
+  }
+
+  /** snap_str_pruned_read — STRING file-skipping: the reference's own
+    * hottest access pattern (an agency-style equality filter,
+    * `convert_to_iceberg.py:1172-1176`) planned from truncated UTF-8
+    * per-file bounds in the manifest — no data scan to resolve the
+    * file list. The aggregate over the pruned files + exact residual
+    * must equal DuckDB's plain scan; `files_pruned` pins that files
+    * were actually skipped — a string-stat regression fails the hash. */
+  val snapStrPrunedRead = Q(
+    "snap_str_pruned_read",
+    (s, d) => {
+      val path = strStatsTable(s, d)
+      val seg = "BUILDING"
+      val pruned = Snapshots.readVersionWhereStr(
+        s, path, 1L, "c_mktsegment", seg, seg)
+      val nFiles = pruned.inputFiles.length
+      val total = Snapshots.readVersion(s, path, 1L).inputFiles.length
+      pruned
+        .filter(col("c_mktsegment") === seg)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("c_custkey")).as("key_sum"),
+          round(sum(col("c_acctbal")), 2).as("bal_sum"),
+          lit(nFiles < total).as("files_pruned"))
+    },
+    Some("""SELECT COUNT(*) AS n_rows,
+                   CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+                   ROUND(SUM(c_acctbal), 2) AS bal_sum,
+                   TRUE AS files_pruned
+            FROM customer
+            WHERE c_mktsegment = 'BUILDING'"""))
+
+  /** The erased id list of the key-set-delete table — literal in both
+    * engines (whether or not every key exists as a row, both sides
+    * remove the same set). */
+  private val DelKeys = Seq(1000L, 1001L, 1002L, 1003L, 1004L)
+
+  private def deleteKeysTable(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val path = "target/snap_delkeys_" +
+      java.lang.Integer.toHexString(d.hashCode)
+    if (Snapshots.versions(s, path) != Seq(1L, 2L)) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      Snapshots.create(
+        Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+          .repartitionByRange(8, col("o_orderkey")),
+        path, statsCols = Seq("o_orderkey"))
+      Snapshots.commitDeleteKeys(s, path, "o_orderkey",
+        DelKeys.map(BigDecimal(_)))
+    }
+    path
+  }
+
+  /** snap_delete_keys — KEY-SET DELETE as a version (the
+    * right-to-erasure shape: ids arrive as a list): the head shows
+    * exactly the listed keys gone while v1 still replays them;
+    * `files_kept` pins from the two versions' file lists that only
+    * stat-hit files were rewritten — a full-rewrite regression fails
+    * the hash. */
+  val snapDeleteKeys = Q(
+    "snap_delete_keys",
+    (s, d) => {
+      val path = deleteKeysTable(s, d)
+      val v1Files = Snapshots.readVersion(s, path, 1L).inputFiles.toSet
+      val v2Files = Snapshots.readVersion(s, path, 2L).inputFiles.toSet
+      val kept = (v1Files & v2Files).size
+      val scoped = kept > 0 && v2Files != v1Files
+      Seq(1L, 2L).map { v =>
+        Snapshots.readVersion(s, path, v).agg(
+            lit(v).cast("int").as("version"),
+            count(lit(1)).as("n_rows"),
+            sum(col("o_orderkey")).as("key_sum"),
+            round(sum(col("o_totalprice")), 2).as("price_sum"),
+            lit(scoped).as("files_kept"))
+      }.reduce(_.unionByName(_)).orderBy("version")
+    },
+    Some(s"""SELECT CAST(1 AS INT) AS version, COUNT(*) AS n_rows,
+                   CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+                   ROUND(SUM(o_totalprice), 2) AS price_sum,
+                   TRUE AS files_kept
+            FROM orders
+            UNION ALL
+            SELECT CAST(2 AS INT), COUNT(*),
+                   CAST(SUM(o_orderkey) AS BIGINT),
+                   ROUND(SUM(o_totalprice), 2),
+                   TRUE
+            FROM orders
+            WHERE o_orderkey NOT IN (${DelKeys.mkString(", ")})
+            ORDER BY version"""))
+
   private def cdcDocsTable(
       s: org.apache.spark.sql.SparkSession, d: String): String = {
     val path = "target/snap_cdc_docs_" +
@@ -406,5 +516,6 @@ object SnapshotQueries {
     graft.llm.LlmQueries.dedupIncremental.oracle)
 
   def all: Seq[Q] = Seq(snapTimeTravel, snapUpsertMerge, snapPrunedRead,
-    snapTsPrunedRead, snapScopedUpsert, snapDeleteWhere, pipelineCdcDedup)
+    snapTsPrunedRead, snapStrPrunedRead, snapScopedUpsert,
+    snapDeleteWhere, snapDeleteKeys, pipelineCdcDedup)
 }

@@ -227,6 +227,95 @@ class CliSpec extends AnyFunSuite {
       "unchanged re-run committed a junk version")
   }
 
+  test("convert --snapshot records agency/date stats: filtered reads skip files") {
+    import graft.maintain.Snapshots
+    val root = TestSpark.tmpDir("cli-snap-stats-tree")
+    graft.sources.FixtureTree.writeComments(root, nDockets = 6,
+      commentsPerDocket = 4)
+    val out = TestSpark.tmpDir("cli-snap-stats-out")
+    // tiny maxPartitionBytes: each docket's JSON lands in its own scan
+    // task → one output file per task, agency-pure files (the classic
+    // mode's partition layout, recovered here by clustering) — the
+    // condition under which per-file agency stats are selective
+    val conf = "spark.sql.files.maxPartitionBytes"
+    val prev = spark.conf.get(conf)
+    spark.conf.set(conf, "2048")
+    try graft.cli.Main.run(spark,
+      Array("convert", root, "--output-path", out, "--snapshot"))
+    finally spark.conf.set(conf, prev)
+    val tbl = s"$out/comments"
+    val total = Snapshots.read(spark, tbl).inputFiles.length
+    assert(total >= 3, s"fixture produced only $total files")
+    // the agency equality read — the reference's hottest filter —
+    // plans fewer files from the default-recorded string stats
+    val one = Snapshots.readVersionWhereStr(
+      spark, tbl, 1L, "agency", "AAA", "AAA")
+    assert(one.inputFiles.length < total,
+      s"agency stats did not prune: ${one.inputFiles.length}/$total")
+    val gotRows = one.filter(org.apache.spark.sql.functions
+      .col("agency") === "AAA").count()
+    val wantRows = Snapshots.read(spark, tbl)
+      .filter(org.apache.spark.sql.functions.col("agency") === "AAA")
+      .count()
+    assert(gotRows == wantRows && gotRows > 0)
+    // postedDate stats landed too (the date-analytics hot path):
+    // the automatic prune rule fires on an ORDINARY filtered read
+    spark.conf.set("spark.graft.snapshotPruning", "true")
+    try {
+      val pruned = Snapshots.read(spark, tbl)
+        .filter(org.apache.spark.sql.functions.col("agency") === "AAA")
+      val planned = pruned.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation.asInstanceOf[
+              org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.inputFiles.length
+      }.sum
+      assert(planned < total,
+        s"ordinary agency filter did not prune: $planned/$total")
+      assert(pruned.count() == wantRows)
+    } finally spark.conf.set("spark.graft.snapshotPruning", "false")
+  }
+
+  test("snapshot long-form bounds carry time-of-day; delete --keys erases ids") {
+    import graft.maintain.Snapshots
+    import org.apache.spark.sql.functions.{col, lit, to_timestamp}
+    import spark.implicits._
+    val t = TestSpark.tmpDir("cli-snap3")
+    val src = s"$t/src"; val tbl = s"$t/tbl"
+    spark.range(48).select($"id",
+        (to_timestamp(lit("2024-01-01 00:00:00")) +
+          org.apache.spark.sql.functions
+            .make_dt_interval(lit(0), $"id", lit(0), lit(0))).as("ts"))
+      .repartitionByRange(4, $"ts").write.parquet(src)
+    graft.cli.Main.run(spark,
+      Array("snapshot", tbl, "create", src, "--stats", "ts,id"))
+    // the colon form CANNOT carry '2024-01-01 06:30:00'; the long form
+    // must (ADVICE r17) — read runs without a parse error
+    graft.cli.Main.run(spark, Array("snapshot", tbl, "read",
+      "--where-col", "ts",
+      "--from", "2024-01-01 06:30:00", "--to", "2024-01-01 12:30:00"))
+    // and delete with a half-day window: rows 7..12 (07:00..12:00)
+    graft.cli.Main.run(spark, Array("snapshot", tbl, "delete",
+      "--where-col", "ts",
+      "--from", "2024-01-01 06:30:00", "--to", "2024-01-01 12:30:00"))
+    assert(Snapshots.read(spark, tbl).count() == 42)
+    assert(Snapshots.read(spark, tbl)
+      .filter(col("ts").between(
+        lit("2024-01-01 06:30:00").cast("timestamp"),
+        lit("2024-01-01 12:30:00").cast("timestamp"))).count() == 0)
+    // key-set erasure from the CLI (numeric column → exact decimals)
+    graft.cli.Main.run(spark, Array("snapshot", tbl, "delete",
+      "--keys", "0,1", "--key-col", "id"))
+    assert(Snapshots.read(spark, tbl).count() == 40)
+    // passing both forms is a usage error, not a silent pick
+    val both = intercept[RuntimeException] {
+      graft.cli.Main.run(spark, Array("snapshot", tbl, "read",
+        "--where", "id:1:2", "--where-col", "id",
+        "--from", "1", "--to", "2"))
+    }
+    assert(both.getMessage.contains("not both"), both.getMessage)
+  }
+
   test("optimize compacts via the CLI") {
     val path = TestSpark.tmpDir("cli-compact") + "/t"
     graft.maintain.Compaction.fragment(

@@ -196,6 +196,38 @@ class ManifestSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.graft.manifestPruning", "false")
   }
 
+  test("optimizer rule prunes IN-lists per value (P6 isin vocabulary)") {
+    val dir = TestSpark.tmpDir("manifest-in")
+    // id-clustered: each of 8 files holds one contiguous key range
+    Tables.orders(spark, TestSpark.sf0001)
+      .repartitionByRange(8, $"o_orderkey")
+      .write.mode("overwrite").parquet(dir)
+    Manifest.build(spark, dir, Seq("o_orderkey"))
+    val total = spark.read.parquet(dir).inputFiles.length
+    // a docket-id-style IN-list landing in few files; 13 elements also
+    // exercises the optimizer's In→InSet conversion past 10
+    val few = Seq(2L, 5L, 7L)
+    val many = (100L to 112L).toSeq
+    def q(keys: Seq[Long]) =
+      spark.read.parquet(dir).filter($"o_orderkey".isin(keys: _*))
+    val (fewExp, manyExp) = (q(few).count(), q(many).count())
+    spark.conf.set("spark.graft.manifestPruning", "true")
+    try {
+      assert(scanFileCount(q(few)) < total,
+        s"IN did not prune: ${scanFileCount(q(few))} of $total")
+      assert(q(few).count() == fewExp)
+      assert(scanFileCount(q(many)) < total,
+        s"InSet did not prune: ${scanFileCount(q(many))} of $total")
+      assert(q(many).count() == manyExp)
+      // a NULL element adds no matchable value (IN returns null, never
+      // true, for it) — dropped from the probe: still prunes, same rows
+      val withNull = spark.read.parquet(dir)
+        .filter($"o_orderkey".isin(2L, 5L, 7L, null))
+      assert(scanFileCount(withNull) < total)
+      assert(withNull.count() == fewExp)
+    } finally spark.conf.set("spark.graft.manifestPruning", "false")
+  }
+
   test("partitioned table keeps its partition column after pruning") {
     val dir = TestSpark.tmpDir("manifest-part")
     Tables.orders(spark, TestSpark.sf0001)

@@ -141,4 +141,100 @@ class SnapshotPruneSpec extends AnyFunSuite {
       assert(none.columns.toSeq == Seq("id"))
     } finally spark.conf.set(ConfKey, "false")
   }
+
+  test("a NaN literal bound never prunes files holding NaN rows (r17 verdict)") {
+    val p = TestSpark.tmpDir("snap-prune-nan") + "/t"
+    // file 1 carries the NaN rows (plus finite values, so it HAS
+    // stats — the writer strips NaN from them); file 2 is all-finite
+    Snapshots.create(
+      Seq(1.0, Double.NaN, 5.0).toDF("v").repartition(1)
+        .union(Seq(100.0, 200.0).toDF("v").repartition(1)),
+      p, statsCols = Seq("v"))
+    // Spark SQL equality MATCHES NaN (unlike Java doubles): these
+    // queries must return the NaN rows with the rule on or off
+    def eq() = Snapshots.read(spark, p).filter($"v" === Double.NaN)
+    def ge() = Snapshots.read(spark, p).filter($"v" >= Double.NaN)
+    assert(eq().count() == 1 && ge().count() == 1)
+    spark.conf.set(ConfKey, "true")
+    try {
+      assert(eq().count() == 1,
+        "rule-on NaN equality dropped the NaN row (wrong prune)")
+      assert(ge().count() == 1)
+      // and a finite probe on the same table still prunes
+      assert(scanFileCount(
+        Snapshots.read(spark, p).filter($"v" >= 100.0)) == 1)
+    } finally spark.conf.set(ConfKey, "false")
+  }
+
+  test("string stats prune agency-shaped equality, range, and IN filters") {
+    val p = TestSpark.tmpDir("snap-prune-str") + "/t"
+    val agencies = Seq("CMS", "DEA", "EPA", "FDA")
+    Snapshots.create(
+      spark.range(200).select($"id",
+          element_at(typedLit(agencies), ($"id" % 4).cast("int") + 1)
+            .as("agency"))
+        .repartitionByRange(4, $"agency"),
+      p, statsCols = Seq("agency"))
+    val total = Snapshots.read(spark, p).inputFiles.length
+    assert(total == 4)
+    def eq() = Snapshots.read(spark, p).filter($"agency" === "EPA")
+    def rng() = Snapshots.read(spark, p)
+      .filter($"agency" >= "DEA" && $"agency" <= "EPA")
+    def in() = Snapshots.read(spark, p)
+      .filter($"agency".isin("CMS", "FDA"))
+    val (eqExp, rngExp, inExp) = (eq().count(), rng().count(), in().count())
+    spark.conf.set(ConfKey, "true")
+    try {
+      assert(scanFileCount(eq()) < total, "agency equality did not prune")
+      assert(eq().count() == eqExp)
+      assert(scanFileCount(rng()) < total)
+      assert(rng().count() == rngExp)
+      assert(scanFileCount(in()) == 2, "string IN-list did not prune")
+      assert(in().count() == inExp)
+    } finally spark.conf.set(ConfKey, "false")
+  }
+
+  test("numeric IN-lists prune per value — both In and the InSet form") {
+    val p = numericTable() // 4 range files over 0..999
+    // 2 values (stays In) spanning 2 files; 13 values (the optimizer
+    // converts to InSet past the 10-element threshold) in 1 file
+    def small() = Snapshots.read(spark, p).filter($"id".isin(5L, 910L))
+    def large() = Snapshots.read(spark, p)
+      .filter($"id".isin((500L to 512L): _*))
+    val (sExp, lExp) = (small().count(), large().count())
+    spark.conf.set(ConfKey, "true")
+    try {
+      assert(scanFileCount(small()) == 2,
+        s"In did not prune per value: ${scanFileCount(small())}")
+      assert(small().count() == sExp)
+      assert(scanFileCount(large()) < 4,
+        s"InSet did not prune: ${scanFileCount(large())}")
+      assert(large().count() == lExp)
+    } finally spark.conf.set(ConfKey, "false")
+  }
+
+  test("sub-millisecond timestamp bounds stay exact (ADVICE r17: no ms truncation)") {
+    val p = TestSpark.tmpDir("snap-prune-us") + "/t"
+    // microsecond-precision values: a bound converted through
+    // getTime/1000.0 (millisecond floor) lands BELOW the file's
+    // stat_min and wrongly prunes the file holding the row
+    Snapshots.create(
+      spark.range(2).select($"id",
+          to_timestamp(lit("2024-01-01 00:00:00.123456")).as("t"))
+        .union(spark.range(2).select($"id" + 10,
+          to_timestamp(lit("2024-06-01 00:00:00.654321")).as("t")))
+        .repartitionByRange(2, $"t"),
+      p, statsCols = Seq("t"))
+    val total = Snapshots.read(spark, p).inputFiles.length
+    def q() = Snapshots.read(spark, p)
+      .filter($"t" === to_timestamp(lit("2024-01-01 00:00:00.123456")))
+    assert(q().count() == 2)
+    spark.conf.set(ConfKey, "true")
+    try {
+      assert(q().count() == 2,
+        "sub-ms equality dropped its rows — bound truncated to millis")
+      assert(scanFileCount(q()) < total,
+        "the rule did not fire at all (nothing pinned)")
+    } finally spark.conf.set(ConfKey, "false")
+  }
 }

@@ -647,4 +647,205 @@ class SnapshotsSpec extends AnyFunSuite {
     Snapshots.commitAppend(rows(0 until 2), p)
     assert(Snapshots.read(spark, p).count() == 2)
   }
+
+  // ---- string stats -----------------------------------------------------
+
+  test("string stat laws: UTF-8 order, truncated bounds stay supersets") {
+    // strCmp must match Spark's UTF8String order, which DISAGREES with
+    // Java's compareTo for supplementary characters: U+FFFF sorts
+    // BELOW U+10000 in UTF-8 bytes, above it in UTF-16 units
+    assert(Snapshots.strCmp("￿", new String(Character.toChars(0x10000))) < 0)
+    assert("￿".compareTo(new String(Character.toChars(0x10000))) > 0,
+      "Java order agrees here — the law above would be vacuous")
+    assert(Snapshots.strCmp("EPA", "EPA") == 0)
+    assert(Snapshots.strCmp("EPA", "EPAB") < 0)
+    // truncation: lower is a prefix (≤), upper bumps the last code
+    // point (≥ every string sharing the prefix)
+    val long = "a" * 20
+    assert(Snapshots.truncLower(long) == "a" * 16)
+    assert(Snapshots.truncUpper(long).contains("a" * 15 + "b"))
+    assert(Snapshots.truncUpper("short").contains("short"))
+    // bump skips the unencodable surrogate block
+    val edge = "x" * 15 + "퟿" + "tail"
+    val up = Snapshots.truncUpper(edge).get
+    assert(up == "x" * 15 + "")
+    assert(Snapshots.strCmp(edge, up) < 0)
+    // a prefix of U+10FFFFs cannot bump → no upper bound at all
+    val maxed = new String(Character.toChars(Character.MAX_CODE_POINT)) * 17
+    assert(Snapshots.truncUpper(maxed).isEmpty)
+  }
+
+  test("readVersionWhereStr prunes on string stats; equality = the agency filter") {
+    val p = freshPath("str-stats")
+    val agencies = Seq("CMS", "DEA", "EPA", "FDA")
+    val df = spark.range(200).select(
+        $"id", element_at(
+          typedLit(agencies), ($"id" % 4).cast("int") + 1).as("agency"))
+      .repartitionByRange(4, $"agency")
+    Snapshots.create(df, p, statsCols = Seq("agency"))
+    val total = Snapshots.read(spark, p).inputFiles.length
+    assert(total == 4)
+    val one = Snapshots.readVersionWhereStr(spark, p, 1, "agency",
+      "EPA", "EPA")
+    assert(one.inputFiles.length < total,
+      s"agency equality did not prune: ${one.inputFiles.length}")
+    assert(one.filter($"agency" === "EPA").count() == 50)
+    // range form prunes too, and the superset + residual is exact
+    val range = Snapshots.readVersionWhereStr(spark, p, 1, "agency",
+      "DEA", "EPA")
+    assert(range.inputFiles.length < total)
+    assert(range.filter($"agency".between("DEA", "EPA")).count() == 100)
+    // a provably-absent value plans zero files, keeps the schema
+    val none = Snapshots.readVersionWhereStr(spark, p, 1, "agency",
+      "ZZZ", "ZZZ")
+    assert(none.count() == 0 && none.columns.contains("agency"))
+    // a stat-less append is always a candidate
+    Snapshots.commitAppend(
+      Seq((9999L, "EPA")).toDF("id", "agency").repartition(1), p)
+    assert(Snapshots.readVersionWhereStr(spark, p, 2, "agency",
+      "ZZZ", "ZZZ").inputFiles.length == 1)
+    // truncated bounds (>16 code points) still select the right file
+    val pt = freshPath("str-trunc")
+    Snapshots.create(
+      Seq("a" * 30 + "x", "b" * 30 + "y").toDF("s").repartition(1)
+        .union(Seq("z" * 30).toDF("s").repartition(1)),
+      pt, statsCols = Seq("s"))
+    val hit = Snapshots.readVersionWhereStr(spark, pt, 1, "s",
+      "a" * 30 + "x", "a" * 30 + "x")
+    assert(hit.filter($"s" === "a" * 30 + "x").count() == 1)
+  }
+
+  test("string-scoped upsert rewrites only the agency's files") {
+    val p = freshPath("str-scoped")
+    val df = spark.range(100).select(
+        $"id", element_at(typedLit(Seq("CMS", "DEA", "EPA", "FDA")),
+          ($"id" % 4).cast("int") + 1).as("agency"),
+        concat(lit("r"), $"id").as("s"),
+        lit(1L).as("ver"), lit(0L).as("tb"))
+      .repartitionByRange(4, $"agency")
+    Snapshots.create(df, p, statsCols = Seq("agency"))
+    val v1Files = Snapshots.read(spark, p).inputFiles.toSet
+    assert(v1Files.size == 4)
+    val updates = Seq((2L, "EPA", "UPDATED", 2L, 0L))
+      .toDF("id", "agency", "s", "ver", "tb")
+    Snapshots.commitUpsertScoped(updates, p, keyCols = Seq("id"),
+      versionCol = "ver", tiebreakCol = "tb", scopeCol = "agency")
+    val v2Files = Snapshots.readVersion(spark, p, 2).inputFiles.toSet
+    assert((v1Files & v2Files).size == 3,
+      s"expected 3 untouched files, got ${(v1Files & v2Files).size}")
+    val head = Snapshots.read(spark, p)
+    assert(head.count() == 100)
+    assert(head.filter($"id" === 2).select("s").head().getString(0)
+      == "UPDATED")
+    assert(head.filter($"id" === 1).select("s").head().getString(0) == "r1")
+    // NULL scope value refuses loudly (no stat range to prune on)
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.commitUpsertScoped(
+        Seq((3L, null: String, "x", 3L, 0L))
+          .toDF("id", "agency", "s", "ver", "tb"),
+        p, Seq("id"), "ver", "tb", "agency")
+    }
+    assert(e.getMessage.contains("NULL"), e.getMessage)
+  }
+
+  test("commitDeleteWhereStr deletes one string value, rewriting only its files") {
+    val p = freshPath("str-delete")
+    val df = spark.range(100).select(
+        $"id", element_at(typedLit(Seq("CMS", "DEA", "EPA", "FDA")),
+          ($"id" % 4).cast("int") + 1).as("agency"))
+      .repartitionByRange(4, $"agency")
+    Snapshots.create(df, p, statsCols = Seq("agency"))
+    val v1Files = Snapshots.read(spark, p).inputFiles.toSet
+    val v2 = Snapshots.commitDeleteWhereStr(spark, p, "agency",
+      "EPA", "EPA")
+    assert(v2 == 2L)
+    val v2Files = Snapshots.readVersion(spark, p, 2).inputFiles.toSet
+    assert((v1Files & v2Files).nonEmpty, "string delete rewrote everything")
+    val head = Snapshots.read(spark, p)
+    assert(head.filter($"agency" === "EPA").count() == 0)
+    assert(head.count() == 75)
+    // v1 still replays the deleted agency until expire
+    assert(Snapshots.readVersion(spark, p, 1)
+      .filter($"agency" === "EPA").count() == 25)
+    // absent value: no-op at the head
+    assert(Snapshots.commitDeleteWhereStr(spark, p, "agency",
+      "ZZZ", "ZZZ") == 2L)
+  }
+
+  // ---- key-set delete ---------------------------------------------------
+
+  test("key-set delete rewrites only stat-hit files; exact above 2^53") {
+    val p = freshPath("keys-delete")
+    val big = 9007199254740993L // 2^53 + 1: rounds to 2^53 as a double
+    val base = spark.range(200).select($"id",
+        concat(lit("r"), $"id").as("s"))
+      .union(Seq(big, big + 2).toDF("id")
+        .select($"id", concat(lit("big"), $"id").as("s")))
+      .repartitionByRange(4, $"id")
+    Snapshots.create(base, p, statsCols = Seq("id"))
+    val v1Files = Snapshots.read(spark, p).inputFiles.toSet
+    assert(v1Files.size == 4)
+    // two keys in one file's range + the 2^53+1 key: a double-domain
+    // row compare would also delete big+2 (same rounded double)
+    val v2 = Snapshots.commitDeleteKeys(spark, p, "id",
+      Seq(BigDecimal(10), BigDecimal(11), BigDecimal(big)))
+    assert(v2 == 2L)
+    val v2Files = Snapshots.readVersion(spark, p, 2).inputFiles.toSet
+    assert((v1Files & v2Files).nonEmpty, "key delete rewrote everything")
+    assert(v2Files != v1Files)
+    val head = Snapshots.read(spark, p)
+    assert(head.filter($"id".isin(10L, 11L)).count() == 0)
+    assert(head.filter($"id" === (big + 2)).count() == 1,
+      "the 2^53+3 neighbor was deleted — keys rounded through a double")
+    assert(head.count() == 202 - 3)
+    // a key provably above EVERY file's range: no-op, no junk version
+    // (must clear the big-key file's upper bound, not just the 0..199
+    // ranges — range partitioning puts 5e6 inside the top file's span)
+    assert(Snapshots.commitDeleteKeys(spark, p, "id",
+      Seq(BigDecimal("99999999999999999999"))) == 2L)
+    assert(Snapshots.versions(spark, p) == Seq(1L, 2L))
+    // temporal columns refuse (the IN would compare raw values, not
+    // the epoch-seconds stat domain)
+    val pt = freshPath("keys-temporal")
+    Snapshots.create(
+      spark.range(3).select($"id",
+        date_add(lit("2024-01-01").cast("date"), $"id".cast("int"))
+          .as("d")), pt)
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.commitDeleteKeys(spark, pt, "d", Seq(BigDecimal(1)))
+    }
+    assert(e.getMessage.contains("temporal"), e.getMessage)
+  }
+
+  test("string key-set delete (erasure by document id)") {
+    val p = freshPath("str-keys")
+    val df = spark.range(100).select(
+        concat(lit("DOC-"), format_string("%04d", $"id")).as("doc_id"),
+        $"id".as("n"))
+      .repartitionByRange(4, $"doc_id")
+    Snapshots.create(df, p, statsCols = Seq("doc_id"))
+    val v1Files = Snapshots.read(spark, p).inputFiles.toSet
+    val v2 = Snapshots.commitDeleteKeysStr(spark, p, "doc_id",
+      Seq("DOC-0010", "DOC-0011"))
+    assert(v2 == 2L)
+    val v2Files = Snapshots.readVersion(spark, p, 2).inputFiles.toSet
+    assert((v1Files & v2Files).size == 3,
+      "string key delete should rewrite exactly the one hit file")
+    val head = Snapshots.read(spark, p)
+    assert(head.count() == 98)
+    assert(head.filter($"doc_id".isin("DOC-0010", "DOC-0011")).count() == 0)
+  }
+
+  test("delete bounds with total precision above 38 are rejected up front") {
+    val p = freshPath("prec-guard")
+    Snapshots.create(rows(0 until 3), p, statsCols = Seq("id"))
+    // 30 integer + 9 fraction digits = precision 39: passes the old
+    // scale/integer-digit checks separately, but lit(BigDecimal)
+    // cannot represent it — must fail HERE with the usage message
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.commitDeleteWhere(spark, p, "id", BigDecimal(0),
+        BigDecimal("123456789012345678901234567890.123456789"))
+    }
+    assert(e.getMessage.contains("decimal(38)"), e.getMessage)
+  }
 }

@@ -1003,4 +1003,103 @@ class StreamingSpec extends AnyFunSuite {
     assert(result.reduction > 0.8)
     assert(spark.read.parquet(path).count() == rowsBefore)
   }
+
+  test("snapshot streaming source: batch-CDC parity, exactly-once replay, restart") {
+    import graft.maintain.Snapshots
+    val root = TestSpark.tmpDir("snap-stream")
+    val table = s"$root/t"; val cp = s"$root/cp"; val out = s"$root/out"
+    // the pipeline_cdc_dedup fixture shape: v1 = frozen reference,
+    // v2 = one appended batch (incl. planted copies)
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text")
+    Snapshots.create(docs.filter($"doc_id" % 2 === 0), table)
+    Snapshots.commitAppend(docs.filter($"doc_id" % 2 === 1), table)
+
+    def drain(): Unit = {
+      val q = Snapshots.readChangesStream(spark, table, fromVersion = 1L)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out)
+          ()
+        }
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    // parity with the batch CDC read: SAME rows, planted dups included
+    val want = Snapshots.readAppendedBetween(spark, table, 1, 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(spark.read.parquet(out).select("doc_id").as[Long]
+      .collect().toSet == want)
+    // replay with no new commits: exactly-once, nothing re-applies
+    drain()
+    assert(spark.read.parquet(out).count() == want.size)
+    // a new commit lands; a restarted stream picks up ONLY its delta
+    Snapshots.commitAppend(
+      docs.filter($"doc_id" % 2 === 0).limit(5)
+        .withColumn("doc_id", $"doc_id" + 5000000L), table)
+    drain()
+    val after = spark.read.parquet(out)
+    assert(after.count() == want.size + 5)
+    assert(after.filter($"doc_id" >= 5000000L).count() == 5)
+  }
+
+  test("snapshot streaming source refuses across a rewrite commit") {
+    import graft.maintain.Snapshots
+    val root = TestSpark.tmpDir("snap-stream-rw")
+    val table = s"$root/t"; val cp = s"$root/cp"
+    Snapshots.create(spark.range(10).toDF("id"), table)
+    Snapshots.compact(spark, table, targetFiles = 1) // v2 = rewrite
+    Snapshots.commitAppend(spark.range(10, 12).toDF("id"), table)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = Snapshots.readChangesStream(spark, table, fromVersion = 1L)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.count(); ()
+        }
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    assert(e.getMessage.contains("not row-level additions"), e.getMessage)
+  }
+
+  test("snapshot source feeds the incremental-dedup arm (live cdc_dedup loop)") {
+    import graft.maintain.Snapshots
+    val root = TestSpark.tmpDir("snap-stream-dedup")
+    val table = s"$root/t"; val cp = s"$root/cp"; val out = s"$root/out"
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text")
+    val reference = docs.filter($"doc_id" % 2 === 0)
+    Snapshots.create(reference, table)
+    // the appended batch carries 5 planted exact copies of reference
+    // docs (re-id'd) — the dedup consumer must drop exactly those
+    Snapshots.commitAppend(
+      docs.filter($"doc_id" % 2 === 1).limit(20).unionByName(
+        reference.limit(5).withColumn("doc_id", $"doc_id" + 1000000L)),
+      table)
+    val frozen = Snapshots.readVersion(spark, table, 1L)
+    val q = Snapshots.readChangesStream(spark, table, fromVersion = 1L)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.llm.Dedup.incrementalDedup(b, frozen)
+          .write.mode("append").parquet(out)
+        ()
+      }
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val kept = spark.read.parquet(out)
+    val batchTwin = graft.llm.Dedup.incrementalDedup(
+      Snapshots.readAppendedBetween(spark, table, 1, 2), frozen)
+    assert(kept.select("doc_id").as[Long].collect().toSet ==
+      batchTwin.select("doc_id").as[Long].collect().toSet,
+      "live tail ≠ batch CDC dedup")
+    assert(kept.filter($"doc_id" >= 1000000L).count() == 0,
+      "a planted exact dup survived the live dedup")
+  }
 }

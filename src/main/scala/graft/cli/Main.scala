@@ -50,7 +50,13 @@ object Main {
         |  optimize PATH [N] [--zorder colA,colB]
         |  manifest PATH col1[,col2...]   build file-level min/max manifest
         |  snapshot TABLE <create|append|overwrite> SRC [--stats c1,c2]
+        |           [--bloom c1,c2]   (--bloom: per-file key-membership
+        |           sketches — key deletes/reads skip files on
+        |           UNCLUSTERED layouts)
         |         | snapshot TABLE history | restore V
+        |         | cluster --by c1[,c2...] [--target-files N]
+        |           (range-cluster the head + re-record stats: makes a
+        |           mixed-layout corpus prunable after the fact)
         |         | read [--version V | --as-of MS] [--where col:lo:hi
         |           | --where-col C --from LO --to HI]
         |           (numeric, string, or date/timestamp bounds; the
@@ -392,18 +398,38 @@ object Main {
             graft.sources.Preflight.checkInput(spark, src)
             val df = spark.read.parquet(src)
             // --stats col1,col2: record per-file min/max for these
-            // columns so `read --where` can skip files
+            // columns so `read --where` can skip files; --bloom: also
+            // record per-file key-membership sketches so `delete
+            // --keys` / key reads skip files on UNCLUSTERED layouts
             val stats = arg(args, "--stats")
+              .map(_.split(",").toSeq).getOrElse(Seq.empty)
+            val blooms = arg(args, "--bloom")
               .map(_.split(",").toSeq).getOrElse(Seq.empty)
             val v = args(2) match {
               case "create"    => Snapshots.create(df, table,
-                statsCols = stats)
+                statsCols = stats, bloomCols = blooms)
               case "append"    => Snapshots.commitAppend(df, table,
-                statsCols = stats)
-              case "overwrite" => Snapshots.commitOverwrite(df, table,
-                statsCols = stats)
+                statsCols = stats, bloomCols = blooms)
+              case "overwrite" =>
+                require(blooms.isEmpty,
+                  "snapshot overwrite does not record blooms")
+                Snapshots.commitOverwrite(df, table, statsCols = stats)
             }
             System.err.println(s"[snapshot] ${args(2)} $src → $table v$v")
+          case "cluster" =>
+            // snapshot TABLE cluster --by c1[,c2...] [--target-files N]
+            // — range-cluster the head (any column types, incl. the
+            // string z-order cannot serve) and re-record stats on the
+            // cluster columns, so a mixed-layout streamed/converted
+            // corpus becomes prunable after the fact
+            val by = arg(args, "--by").getOrElse(
+              sys.error("snapshot cluster requires --by c1[,c2...]"))
+              .split(',').toSeq
+            val n = arg(args, "--target-files").map(_.toInt).getOrElse(8)
+            val v = Snapshots.compactClustered(spark, table, by, n)
+            System.err.println(
+              s"[snapshot] clustered $table by ${by.mkString(",")} " +
+                s"into $n files as v$v")
           case "history" =>
             Snapshots.history(spark, table).show(100, truncate = false)
           case "restore" =>

@@ -3,8 +3,9 @@ package graft.maintain
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, DateType, StringType,
-  TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{ByteType, DataType, DateType,
+  DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType,
+  StringType, TimestampNTZType, TimestampType}
 
 /** Snapshot isolation + time travel for parquet tables — the
   * lakehouse-table-format concern the reference names ("iceberg") but
@@ -210,6 +211,23 @@ object Snapshots {
       }
     }
 
+  // ---- per-file bloom stats --------------------------------------------
+
+  /** Probe count for per-file bloom stats — fixed so the manifest
+    * needs no per-row parameter (bits are implied by the stored
+    * array's length; k must match between build and probe). */
+  private[graft] val BloomK = 6
+
+  /** Default per-file bloom size: 2^17 bits = 16 KB per (file, col).
+    * At ~10k distinct keys per file that is ~13 bits/key → ≈0.4% false
+    * positives at k=6; at 100k keys ≈33% — still useful (false
+    * positives only ADD candidate files, never drop one). Weight
+    * envelope: manifests gain 16 KB·files·bloomCols, and the probe
+    * runs IN SPARK over the manifest parquet (the binary never lands
+    * on the driver), so the practical ceiling is manifest-parquet
+    * size, not driver heap. */
+  private[graft] val DefaultBloomBits = 1 << 17
+
   /** A data file plus its optional per-file min/max over any number of
     * stat columns — the Iceberg-manifest file-skipping shape. Numeric
     * and temporal columns record in the [[statNorm]] double domain
@@ -219,11 +237,20 @@ object Snapshots {
     * Manifest grain: one row per (file, stat_col); a file with no
     * stats carries one null-stat row. Files without stats for the
     * probed column are always read (unknown = candidate, the
-    * [[Manifest]] append-safety rule). */
+    * [[Manifest]] append-safety rule).
+    *
+    * `blooms` (col → (bloom bytes, column dtype ddl)) is COMMIT-LOCAL
+    * transport only: per-file bloom filters over `xxhash64(col)` for
+    * key-membership skipping on UNCLUSTERED layouts (min/max ranges
+    * all overlap when every file spans the key space; a bloom answers
+    * "can this key be in this file" regardless of layout). They ride
+    * the manifest as `stat_bloom` rows — Spark-side only; [[entriesOf]]
+    * never materializes them on the driver. */
   final case class FileEntry(
       file: String,
       stats: Map[String, (Double, Double)] = Map.empty,
-      strStats: Map[String, (String, String)] = Map.empty)
+      strStats: Map[String, (String, String)] = Map.empty,
+      blooms: Map[String, (Array[Byte], String)] = Map.empty)
 
   /** Write `df`'s rows as a fresh immutable data batch; returns one
     * [[FileEntry]] per written file. With `statsCols` set, per-file
@@ -246,7 +273,9 @@ object Snapshots {
     * keep every file (no way to know emptiness for free). */
   private def writeBatch(df: DataFrame, path: String,
       statsCols: Seq[String] = Seq.empty,
-      allowEmpty: Boolean = false): Seq[FileEntry] = {
+      allowEmpty: Boolean = false,
+      bloomCols: Seq[String] = Seq.empty,
+      bloomBits: Int = DefaultBloomBits): Seq[FileEntry] = {
     val batch = s"$path/$DataDir/batch-" +
       java.util.UUID.randomUUID().toString.replace("-", "").take(16)
     df.write.parquet(batch) // fresh dir: no overwrite semantics needed
@@ -255,7 +284,7 @@ object Snapshots {
     val paths = f.listStatus(new Path(batch)).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toString)
-    if (statsCols.isEmpty) paths.map(FileEntry(_))
+    if (statsCols.isEmpty && bloomCols.isEmpty) paths.map(FileEntry(_))
     else {
       // keyed on the scheme-less URI path: _metadata.file_path is a
       // full URI (file:///…) while the listing yields Path strings —
@@ -278,7 +307,16 @@ object Snapshots {
           val e = when(isnan(e0), lit(null)).otherwise(e0)
           Seq(min(e).as(s"__lo_$c"), max(e).as(s"__hi_$c"))
         }
+      } ++ bloomCols.map { c =>
+        // per-file key-membership sketch over the column's NATIVE-type
+        // xxhash64 (the probe must hash the same type — recorded
+        // alongside, and type-mismatched blooms are voided at probe
+        // time rather than risking a false negative)
+        graft.functions.BloomExprs.bloom_agg(
+          xxhash64(col(c)), bloomBits, BloomK).as(s"__bloom_$c")
       }
+      val bloomTypes = bloomCols.map(c =>
+        c -> reread.schema(c).dataType.sql).toMap
       val stats = reread
         .groupBy(col("_metadata.file_path").as("__f"))
         .agg(aggs.head, aggs.tail: _*)
@@ -300,7 +338,14 @@ object Snapshots {
               case _ => () // all-null column: no stat
             }
           }
-          new Path(r.getString(0)).toUri.getPath -> (numB.result(), strB.result())
+          val bloomB = Map.newBuilder[String, (Array[Byte], String)]
+          bloomCols.zipWithIndex.foreach { case (c, i) =>
+            val v = r.get(1 + 2 * statsCols.length + i)
+            if (v != null)
+              bloomB += c -> (v.asInstanceOf[Array[Byte]], bloomTypes(c))
+          }
+          new Path(r.getString(0)).toUri.getPath ->
+            (numB.result(), strB.result(), bloomB.result())
         }
         .toMap
       // present in the grouped aggregate ⇔ the file has rows
@@ -310,10 +355,11 @@ object Snapshots {
         if (nonEmpty.nonEmpty || allowEmpty) nonEmpty
         else paths.take(1) // all-empty write: keep one schema file
       kept.map { p =>
-        val (n, s) = stats.getOrElse(new Path(p).toUri.getPath,
+        val (n, s, b) = stats.getOrElse(new Path(p).toUri.getPath,
           (Map.empty[String, (Double, Double)],
-            Map.empty[String, (String, String)]))
-        FileEntry(p, n, s)
+            Map.empty[String, (String, String)],
+            Map.empty[String, (Array[Byte], String)]))
+        FileEntry(p, n, s, b)
       }
     }
   }
@@ -418,25 +464,24 @@ object Snapshots {
         val rows =
           e.stats.toSeq.map { case (c, (lo, hi)) =>
             (e.file, c, Double.box(lo), Double.box(hi),
-              null: String, null: String)
+              null: String, null: String,
+              null: Array[Byte], null: String)
           } ++
             e.strStats.toSeq.map { case (c, (lo, hi)) =>
               (e.file, c, null: java.lang.Double, null: java.lang.Double,
-                lo, hi)
+                lo, hi, null: Array[Byte], null: String)
+            } ++
+            e.blooms.toSeq.map { case (c, (bytes, tpe)) =>
+              (e.file, c, null: java.lang.Double, null: java.lang.Double,
+                null: String, null: String, bytes, tpe)
             }
         if (rows.isEmpty)
           Seq((e.file, null: String,
             null: java.lang.Double, null: java.lang.Double,
-            null: String, null: String))
+            null: String, null: String, null: Array[Byte], null: String))
         else rows
       }
-      val manifest = manifestRows
-        .toDF("file", "stat_col", "stat_min", "stat_max",
-          "stat_min_str", "stat_max_str")
-        .select(col("file"), col("stat_col").cast("string"),
-          col("stat_min").cast("double"), col("stat_max").cast("double"),
-          col("stat_min_str").cast("string"),
-          col("stat_max_str").cast("string"))
+      def meta(df: DataFrame): DataFrame = df
         .withColumn("version", lit(v))
         .withColumn("ts_ms", lit(System.currentTimeMillis()))
         .withColumn("operation", lit(op))
@@ -444,6 +489,43 @@ object Snapshots {
         // cast: a keyless commit must write a NULL STRING, not VOID —
         // VOID cannot schema-merge with keyed manifests' STRING
         .withColumn("commit_key", lit(commitKey.orNull).cast("string"))
+      val base = meta(manifestRows
+        .toDF("file", "stat_col", "stat_min", "stat_max",
+          "stat_min_str", "stat_max_str", "stat_bloom", "stat_bloom_type")
+        .select(col("file"), col("stat_col").cast("string"),
+          col("stat_min").cast("double"), col("stat_max").cast("double"),
+          col("stat_min_str").cast("string"),
+          col("stat_max_str").cast("string"),
+          col("stat_bloom").cast("binary"),
+          col("stat_bloom_type").cast("string")))
+      // bloom rows travel with their files VERBATIM through later
+      // commits, copied Spark-side from the parent manifest (a 16 KB
+      // sketch per (file, col) must never round-trip the driver on
+      // every append — unlike min/max, which are driver-held anyway):
+      // carry the parent's bloom rows for every file still listed.
+      // Rewritten files are NOT in `all` under their old paths, so a
+      // replaced file's bloom dies with it (the rewrite records fresh
+      // blooms only if asked).
+      val manifest =
+        if (head == 0L) base
+        else {
+          val pm = manifestDf(spark, path, head)
+          if (!pm.columns.contains("stat_bloom")) base
+          else {
+            val fileDf = all.map(_.file).toDF("file")
+            val carried = meta(pm
+              .filter(col("stat_bloom").isNotNull)
+              .join(broadcast(fileDf), Seq("file"), "left_semi")
+              .select(col("file"), col("stat_col"),
+                lit(null).cast("double").as("stat_min"),
+                lit(null).cast("double").as("stat_max"),
+                lit(null).cast("string").as("stat_min_str"),
+                lit(null).cast("string").as("stat_max_str"),
+                col("stat_bloom"),
+                col("stat_bloom_type").cast("string")))
+            base.unionByName(carried)
+          }
+        }
       val f = fs(spark, path)
       val tmp = new Path(s"$path/$SnapDir/.tmp-v$v-" +
         java.util.UUID.randomUUID().toString.replace("-", "").take(12))
@@ -568,12 +650,15 @@ object Snapshots {
     * double-applying batch 0. */
   def create(df: DataFrame, path: String,
       commitKey: Option[String] = None,
-      statsCols: Seq[String] = Seq.empty): Long = {
+      statsCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty,
+      bloomBits: Int = DefaultBloomBits): Long = {
     val spark = df.sparkSession
     require(!exists(spark, path),
       s"snapshot table already exists at $path — use commitAppend/" +
         "commitOverwrite")
-    val files = writeBatch(df, path, statsCols)
+    val files = writeBatch(df, path, statsCols, bloomCols = bloomCols,
+      bloomBits = bloomBits)
     // expectedHead = 0: two racing creates must NOT both land (the
     // loser would silently replace the winner's v1 content as v2) —
     // the fails-if-exists contract holds under races too. A keyed
@@ -596,7 +681,9 @@ object Snapshots {
   def commitAppend(
       df: DataFrame, path: String,
       commitKey: Option[String] = None,
-      statsCols: Seq[String] = Seq.empty): Long = {
+      statsCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty,
+      bloomBits: Int = DefaultBloomBits): Long = {
     val spark = df.sparkSession
     require(exists(spark, path), s"no snapshot table at $path")
     // the replay pre-check before writeBatch keeps a replayed call
@@ -605,7 +692,8 @@ object Snapshots {
     commitKey.flatMap(versionOfCommitKey(spark, path, _)) match {
       case Some(v) => v
       case None =>
-        val files = writeBatch(df, path, statsCols)
+        val files = writeBatch(df, path, statsCols,
+          bloomCols = bloomCols, bloomBits = bloomBits)
         commit(spark, path, files, OpAppend,
           parent => entriesOf(spark, path, parent), commitKey)
     }
@@ -725,6 +813,64 @@ object Snapshots {
         case None           => true // unknown = candidate
       }
     }
+    if (kept.isEmpty) readVersion(spark, path, v).limit(0)
+    else spark.read.option("mergeSchema", "true")
+      .parquet(kept.map(_.file): _*)
+  }
+
+  /** KEY-SET file-skipping time travel (point lookups / IN-lists):
+    * plan only version `v`'s files that can hold at least one of
+    * `keys`, judged by BOTH recorded stat kinds — per-key min/max
+    * overlap (selective on clustered layouts) and, where the commit
+    * recorded them, per-file BLOOM membership (`bloomCols` — selective
+    * on ANY layout, the case ranges cannot serve: an unclustered
+    * table's every file spans the key space). Same superset contract
+    * as the other `readVersionWhere*` forms: unknown = candidate,
+    * bloom false positives only add files, and callers apply the
+    * exact `isin` on top. */
+  def readVersionWhereKeys(
+      spark: SparkSession, path: String, v: Long,
+      whereCol: String, keys: Seq[BigDecimal]): DataFrame = {
+    require(keys.nonEmpty, "empty key list")
+    val widened = keys.map(k =>
+      (Math.nextDown(k.toDouble), Math.nextUp(k.toDouble)))
+    keyPrunedRead(spark, path, v, whereCol,
+      mmHits = e => e.stats.get(whereCol) match {
+        case Some((mn, mx)) =>
+          widened.exists { case (l, h) => mx >= l && mn <= h }
+        case None => true
+      },
+      probeKeys = dt => bloomProbeLits(dt, keys))
+  }
+
+  /** STRING form of [[readVersionWhereKeys]] — id lookups on the
+    * converted corpus's string keys. */
+  def readVersionWhereKeysStr(
+      spark: SparkSession, path: String, v: Long,
+      whereCol: String, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "empty key list")
+    require(!keys.contains(null), "null key")
+    keyPrunedRead(spark, path, v, whereCol,
+      mmHits = e => e.strStats.get(whereCol) match {
+        case Some((mn, mx)) =>
+          keys.exists(k => strCmp(mn, k) <= 0 && strCmp(k, mx) <= 0)
+        case None => true
+      },
+      probeKeys = {
+        case dt: StringType => keys.map(k => lit(k).cast(dt.sql))
+        case _              => Seq.empty
+      })
+  }
+
+  private def keyPrunedRead(
+      spark: SparkSession, path: String, v: Long, whereCol: String,
+      mmHits: FileEntry => Boolean,
+      probeKeys: DataType => Seq[Column]): DataFrame = {
+    val entries = entriesOf(spark, path, v)
+    if (entries.isEmpty)
+      throw new NoSuchVersionException(s"version $v at $path lists no files")
+    val hits = bloomRefined(spark, path, v, whereCol, probeKeys, mmHits)
+    val kept = entries.filter(hits)
     if (kept.isEmpty) readVersion(spark, path, v).limit(0)
     else spark.read.option("mergeSchema", "true")
       .parquet(kept.map(_.file): _*)
@@ -1152,7 +1298,8 @@ object Snapshots {
             dt == TimestampNTZType),
           s"commitDeleteKeys on temporal column $keyCol — use " +
             "commitDeleteWhereTime ranges instead")
-      })
+      },
+      probeKeys = dt => bloomProbeLits(dt, keys))
   }
 
   /** STRING key-set delete — erasure by document/comment id, the
@@ -1172,23 +1319,108 @@ object Snapshots {
         case None => true // no stats: must rewrite
       },
       rowMatches = col(keyCol).isin(keys: _*),
-      guard = _ => ())
+      guard = _ => (),
+      probeKeys = {
+        case dt: StringType => keys.map(k => lit(k).cast(dt.sql))
+        case _              => Seq.empty
+      })
   }
 
-  /** Shared key-set delete engine: stat-probe file selection +
-    * anti-IN rewrite of touched files only, with the range-delete
-    * family's no-op short-circuit, NULL-survives semantics, stat-union
-    * re-record, and rewrite conflict posture. */
+  /** Key literals typed at `dt` for the bloom probe — the SAME values
+    * `xxhash64` saw at write time. Keys a column of type `dt` cannot
+    * represent are DROPPED from the probe (no row of that type can
+    * equal them, so excluding a file on their account is sound — and
+    * never cast-overflowed under ANSI). An unsupported type returns
+    * empty → no bloom pruning (min/max still applies). */
+  private def bloomProbeLits(
+      dt: DataType, keys: Seq[BigDecimal]): Seq[Column] = dt match {
+    case LongType    => keys.filter(_.isValidLong).map(k => lit(k.toLong))
+    case IntegerType => keys.filter(_.isValidInt).map(k => lit(k.toInt))
+    case ShortType   => keys.filter(_.isValidShort).map(k => lit(k.toShort))
+    case ByteType    => keys.filter(_.isValidByte).map(k => lit(k.toByte))
+    case DoubleType  => keys.map(k => lit(k.toDouble))
+    case FloatType   => keys.map(k => lit(k.toFloat))
+    case d: DecimalType =>
+      keys.filter { k =>
+        val n = k.underlying.stripTrailingZeros
+        n.scale <= d.scale && n.precision - n.scale <= d.precision - d.scale
+      }.map(k => lit(k).cast(s"decimal(${d.precision},${d.scale})"))
+    case _ => Seq.empty
+  }
+
+  /** Bloom verdicts for version `v`'s files on `keyCol`: (files with a
+    * type-matching bloom, files whose bloom MIGHT contain one of the
+    * keys). Resolved IN SPARK over the version's manifest — the 16 KB
+    * sketches never land on the driver; only file names do. None when
+    * the manifest carries no usable blooms (no column, no rows, or a
+    * recorded type other than `dt` — a type-evolved bloom must be
+    * VOIDED, not probed: a hash computed at the wrong width would
+    * false-negative and drop a file that holds the key). */
+  private def bloomSurvivors(
+      spark: SparkSession, path: String, v: Long,
+      keyCol: String, dt: DataType, keyLits: Seq[Column])
+      : Option[(Set[String], Set[String])] = {
+    val pm = manifestDf(spark, path, v)
+    if (!pm.columns.contains("stat_bloom")) return None
+    graft.functions.GraftFunctions.register(spark)
+    val rows = pm.filter(col("stat_col") === keyCol &&
+        col("stat_bloom").isNotNull &&
+        col("stat_bloom_type") === dt.sql)
+      .select(col("file"),
+        keyLits.map(k => graft.functions.BloomExprs.bloom_might_contain(
+          col("stat_bloom"), xxhash64(k), BloomK)).reduce(_ || _)
+          .as("__hit"))
+      .collect()
+    if (rows.isEmpty) None
+    else Some((rows.map(_.getString(0)).toSet,
+      rows.filter(_.getBoolean(1)).map(_.getString(0)).toSet))
+  }
+
+  /** [[FileEntry]] hit-predicate refined by the bloom verdict at
+    * version `v`: a file with a type-matching bloom that rules out
+    * EVERY key is excluded; everything else falls back to `mmHits`
+    * (min/max or always-candidate). */
+  private def bloomRefined(
+      spark: SparkSession, path: String, v: Long, keyCol: String,
+      probeKeys: DataType => Seq[Column],
+      mmHits: FileEntry => Boolean): FileEntry => Boolean = {
+    val dt = scala.util.Try(
+      readVersion(spark, path, v).schema.fields
+        .find(_.name == keyCol).map(_.dataType)).toOption.flatten
+    val verdict = dt.flatMap { d =>
+      val lits = probeKeys(d)
+      if (lits.isEmpty) None
+      else bloomSurvivors(spark, path, v, keyCol, d, lits)
+    }
+    verdict match {
+      case Some((withBloom, might)) =>
+        e => mmHits(e) && (!withBloom.contains(e.file) ||
+          might.contains(e.file))
+      case None => mmHits
+    }
+  }
+
+  /** Shared key-set delete engine: stat-probe file selection (min/max
+    * AND, where recorded, per-file blooms — the path that prunes on
+    * UNCLUSTERED layouts) + anti-IN rewrite of touched files only,
+    * with the range-delete family's no-op short-circuit,
+    * NULL-survives semantics, stat-union re-record, and rewrite
+    * conflict posture. */
   private def deleteByHits(
       spark: SparkSession, path: String, keyCol: String,
       hits: FileEntry => Boolean,
       rowMatches: Column,
-      guard: DataFrame => Unit): Long = {
+      guard: DataFrame => Unit,
+      probeKeys: DataType => Seq[Column]): Long = {
     val head0 = versions(spark, path).lastOption.getOrElse(
       throw new IllegalArgumentException(s"no snapshot table at $path"))
-    if (!entriesOf(spark, path, head0).exists(hits)) return head0
+    def hitsAt(v: Long): FileEntry => Boolean =
+      bloomRefined(spark, path, v, keyCol, probeKeys, hits)
+    val h0 = hitsAt(head0)
+    if (!entriesOf(spark, path, head0).exists(h0)) return head0
     commitRewrite(spark, path, OpDelete, head => {
-      val (touched, kept) = entriesOf(spark, path, head).partition(hits)
+      val hh = if (head == head0) h0 else hitsAt(head)
+      val (touched, kept) = entriesOf(spark, path, head).partition(hh)
       val target =
         if (touched.isEmpty) readVersion(spark, path, head).limit(0)
         else spark.read.option("mergeSchema", "true")
@@ -1212,6 +1444,30 @@ object Snapshots {
     commitRewrite(spark, path, OpCompact, head => (
       readVersion(spark, path, head).repartition(targetFiles),
       Seq.empty, Seq.empty))
+  }
+
+  /** RANGE-CLUSTERED compaction as a COMMIT: the head's content
+    * rewritten range-partitioned on `clusterCols` (any types — the
+    * string path z-order's numeric approx-quantile key cannot serve)
+    * with per-file stats recorded on every cluster column. THE
+    * maintenance op that makes a streamed/converted corpus prunable
+    * after the fact: ingestion lands agency-mixed files (every file's
+    * agency range spans the alphabet — stats exist but select
+    * nothing); one clustering commit later, each file holds one
+    * contiguous (agency, postedDate) slice and the equality/range
+    * reads plan only their files. Same non-destructive versioned
+    * lifecycle and conflict posture as [[compact]]. */
+  def compactClustered(
+      spark: SparkSession, path: String,
+      clusterCols: Seq[String],
+      targetFiles: Int = 8): Long = {
+    require(clusterCols.nonEmpty, "clusterCols must be non-empty")
+    require(targetFiles >= 1, s"targetFiles must be ≥ 1: $targetFiles")
+    commitRewrite(spark, path, OpCompact, head => (
+      readVersion(spark, path, head)
+        .repartitionByRange(targetFiles, clusterCols.map(col): _*)
+        .sortWithinPartitions(clusterCols.map(col): _*),
+      Seq.empty, clusterCols))
   }
 
   /** Z-CLUSTERED compaction as a COMMIT: the head's content rewritten

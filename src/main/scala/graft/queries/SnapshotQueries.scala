@@ -470,6 +470,61 @@ object SnapshotQueries {
             WHERE o_orderkey NOT IN (${DelKeys.mkString(", ")})
             ORDER BY version"""))
 
+  /** The looked-up id list of the bloom table — literal in both
+    * engines. */
+  private val LookupKeys = Seq(1000L, 2000L, 3000L)
+
+  private def bloomTable(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val path = "target/snap_bloom_" +
+      java.lang.Integer.toHexString(d.hashCode)
+    if (Snapshots.versions(s, path) != Seq(1L)) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      // hash-shuffled — every file spans the key range, so min/max
+      // stats are recorded but CANNOT exclude a file; only the
+      // per-file blooms can
+      Snapshots.create(
+        Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+          .repartition(8),
+        path, statsCols = Seq("o_orderkey"), bloomCols = Seq("o_orderkey"))
+    }
+    path
+  }
+
+  /** snap_key_lookup — BLOOM file-skipping on an UNCLUSTERED layout:
+    * the point-lookup/erasure-audit shape (ids arrive as a list) where
+    * range stats are useless by construction (hash-shuffled files all
+    * span the key space). `files_pruned` therefore pins that the
+    * per-file BLOOM membership sketches did the skipping — a bloom
+    * regression (or a silent fallback to ranges) fails the hash. The
+    * aggregate over the pruned files + exact residual IN must equal
+    * DuckDB's plain scan. */
+  val snapKeyLookup = Q(
+    "snap_key_lookup",
+    (s, d) => {
+      val path = bloomTable(s, d)
+      val pruned = Snapshots.readVersionWhereKeys(
+        s, path, 1L, "o_orderkey", LookupKeys.map(BigDecimal(_)))
+      val nFiles = pruned.inputFiles.length
+      val total = Snapshots.readVersion(s, path, 1L).inputFiles.length
+      pruned
+        .filter(col("o_orderkey").isin(LookupKeys: _*))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          coalesce(sum(col("o_orderkey")), lit(0L)).as("key_sum"),
+          round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2)
+            .as("price_sum"),
+          lit(nFiles < total).as("files_pruned"))
+    },
+    Some(s"""SELECT COUNT(*) AS n_rows,
+                   CAST(COALESCE(SUM(o_orderkey), 0) AS BIGINT) AS key_sum,
+                   ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS price_sum,
+                   TRUE AS files_pruned
+            FROM orders
+            WHERE o_orderkey IN (${LookupKeys.mkString(", ")})"""))
+
   private def cdcDocsTable(
       s: org.apache.spark.sql.SparkSession, d: String): String = {
     val path = "target/snap_cdc_docs_" +
@@ -517,5 +572,5 @@ object SnapshotQueries {
 
   def all: Seq[Q] = Seq(snapTimeTravel, snapUpsertMerge, snapPrunedRead,
     snapTsPrunedRead, snapStrPrunedRead, snapScopedUpsert,
-    snapDeleteWhere, snapDeleteKeys, pipelineCdcDedup)
+    snapDeleteWhere, snapDeleteKeys, snapKeyLookup, pipelineCdcDedup)
 }

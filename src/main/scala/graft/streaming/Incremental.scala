@@ -478,23 +478,28 @@ object Incremental {
       rows: DataFrame,
       tablePath: String,
       checkpointDir: String,
-      statsCols: Seq[String] = Seq.empty): StreamingQuery =
+      statsCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty): StreamingQuery =
     rows.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val spark = batch.sparkSession
         val key = Some(indexSegId(checkpointDir, id))
         // statsCols: per-file min/max recorded on every streamed
         // batch (commit-local scan), so time-scoped reads / scoped
-        // deletes over the streamed table prune from day one
+        // deletes over the streamed table prune from day one;
+        // bloomCols likewise for key lookups/erasure on the streamed
+        // (hash-mixed, unclustered) layout
         if (!graft.maintain.Snapshots.exists(spark, tablePath)) {
           // bootstrap batch carries its key too: a replay of batch 0
           // (crash between create and checkpoint) converges through
           // the keyed-append path instead of double-applying
           graft.maintain.Snapshots.create(batch, tablePath,
-            commitKey = key, statsCols = statsCols)
+            commitKey = key, statsCols = statsCols,
+            bloomCols = bloomCols)
         } else {
           graft.maintain.Snapshots.commitAppend(batch, tablePath,
-            commitKey = key, statsCols = statsCols)
+            commitKey = key, statsCols = statsCols,
+            bloomCols = bloomCols)
         }
         ()
       }

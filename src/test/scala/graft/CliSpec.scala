@@ -276,6 +276,31 @@ class CliSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.graft.snapshotPruning", "false")
   }
 
+  test("snapshot --bloom and cluster verbs: unclustered key erasure, post-hoc clustering") {
+    import graft.maintain.Snapshots
+    import spark.implicits._
+    val t = TestSpark.tmpDir("cli-snap-bloom")
+    val src = s"$t/src"; val tbl = s"$t/tbl"
+    spark.range(1000).toDF("id").repartition(4).write.parquet(src)
+    graft.cli.Main.run(spark, Array("snapshot", tbl, "create", src,
+      "--stats", "id", "--bloom", "id"))
+    val v1Files = Snapshots.read(spark, tbl).inputFiles.toSet
+    // key erasure on the hash-mixed layout rewrites only bloom-hit files
+    graft.cli.Main.run(spark, Array("snapshot", tbl, "delete",
+      "--keys", "7", "--key-col", "id"))
+    val v2Files = Snapshots.readVersion(spark, tbl, 2).inputFiles.toSet
+    assert((v1Files & v2Files).size >= v1Files.size - 1,
+      "CLI key erasure rewrote more than the bloom-hit file")
+    assert(Snapshots.read(spark, tbl).count() == 999)
+    // cluster verb: range-cluster + stats re-record as a new version
+    graft.cli.Main.run(spark, Array("snapshot", tbl, "cluster",
+      "--by", "id", "--target-files", "4"))
+    val pruned = Snapshots.readVersionWhere(spark, tbl,
+      Snapshots.versions(spark, tbl).last, "id", 100, 120)
+    assert(pruned.inputFiles.length < 4,
+      s"clustered table did not prune: ${pruned.inputFiles.length}")
+  }
+
   test("snapshot long-form bounds carry time-of-day; delete --keys erases ids") {
     import graft.maintain.Snapshots
     import org.apache.spark.sql.functions.{col, lit, to_timestamp}

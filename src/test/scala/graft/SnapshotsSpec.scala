@@ -836,6 +836,108 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(head.filter($"doc_id".isin("DOC-0010", "DOC-0011")).count() == 0)
   }
 
+  // ---- per-file blooms + clustering --------------------------------------
+
+  test("per-file blooms prune key reads and key deletes on UNCLUSTERED layouts") {
+    val p = freshPath("bloom")
+    // hash-shuffled: every file spans the whole key range, so min/max
+    // stats exist but can never exclude a file — the layout blooms own
+    Snapshots.create(
+      spark.range(4000).toDF("id").repartition(8),
+      p, statsCols = Seq("id"), bloomCols = Seq("id"))
+    val total = Snapshots.read(spark, p).inputFiles.length
+    assert(total == 8)
+    // ranges alone keep everything…
+    assert(Snapshots.readVersionWhere(spark, p, 1, "id", 42, 42)
+      .inputFiles.length == total, "unclustered ranges should not prune")
+    // …the bloom probe plans (almost) only the file holding the key
+    val one = Snapshots.readVersionWhereKeys(spark, p, 1, "id",
+      Seq(BigDecimal(42)))
+    assert(one.inputFiles.length <= 2,
+      s"bloom did not prune: ${one.inputFiles.length} of $total")
+    assert(one.filter($"id" === 42).count() == 1)
+    // key delete rewrites only the bloom-hit files
+    val v1Files = Snapshots.read(spark, p).inputFiles.toSet
+    val v2 = Snapshots.commitDeleteKeys(spark, p, "id",
+      Seq(BigDecimal(42), BigDecimal(999)))
+    assert(v2 == 2L)
+    val v2Files = Snapshots.readVersion(spark, p, 2).inputFiles.toSet
+    assert((v1Files & v2Files).size >= total - 2,
+      s"key delete rewrote ${total - (v1Files & v2Files).size} files " +
+        "on a bloomed table — bloom pruning did not engage")
+    assert(Snapshots.read(spark, p).count() == 3998)
+    assert(Snapshots.read(spark, p).filter($"id".isin(42L, 999L))
+      .count() == 0)
+    // a key no long can represent is dropped from the probe (never an
+    // ANSI cast overflow) and provably matches nothing: no-op
+    assert(Snapshots.commitDeleteKeys(spark, p, "id",
+      Seq(BigDecimal("99999999999999999999"))) == 2L)
+  }
+
+  test("bloom rows travel with their files through later appends") {
+    val p = freshPath("bloom-carry")
+    Snapshots.create(
+      spark.range(2000).toDF("id").repartition(4),
+      p, statsCols = Seq("id"), bloomCols = Seq("id"))
+    // a stat-less, bloom-less append: its files are always candidates
+    Snapshots.commitAppend(
+      spark.range(100000, 100500).toDF("id").repartition(2), p)
+    val total = Snapshots.read(spark, p).inputFiles.length
+    assert(total == 6)
+    // v1's blooms were CARRIED into v2's manifest: the key lookup at
+    // v2 still excludes v1's non-containing files (the 2 appended
+    // stat-less files remain candidates — unknown = candidate)
+    val got = Snapshots.readVersionWhereKeys(spark, p, 2, "id",
+      Seq(BigDecimal(7)))
+    assert(got.inputFiles.length <= 3,
+      s"carried blooms did not prune: ${got.inputFiles.length} of $total")
+    assert(got.filter($"id" === 7).count() == 1)
+  }
+
+  test("string key blooms prune id lookups; string key delete stays scoped") {
+    val p = freshPath("bloom-str")
+    val df = spark.range(2000).select(
+      concat(lit("DOC-"), format_string("%05d", $"id")).as("doc_id"),
+      $"id".as("n"))
+    Snapshots.create(df.repartition(8), p,
+      statsCols = Seq("doc_id"), bloomCols = Seq("doc_id"))
+    val total = Snapshots.read(spark, p).inputFiles.length
+    val hit = Snapshots.readVersionWhereKeysStr(spark, p, 1, "doc_id",
+      Seq("DOC-00042"))
+    assert(hit.inputFiles.length <= 2,
+      s"string bloom did not prune: ${hit.inputFiles.length} of $total")
+    assert(hit.filter($"doc_id" === "DOC-00042").count() == 1)
+    val v1Files = Snapshots.read(spark, p).inputFiles.toSet
+    Snapshots.commitDeleteKeysStr(spark, p, "doc_id", Seq("DOC-00042"))
+    val v2Files = Snapshots.readVersion(spark, p, 2).inputFiles.toSet
+    assert((v1Files & v2Files).size >= total - 1,
+      "string key delete rewrote more than the bloom-hit file(s)")
+    assert(Snapshots.read(spark, p).count() == 1999)
+  }
+
+  test("compactClustered makes a mixed-layout table prunable after the fact") {
+    val p = freshPath("cluster")
+    val df = spark.range(200).select(
+      $"id", element_at(typedLit(Seq("CMS", "DEA", "EPA", "FDA")),
+        ($"id" % 4).cast("int") + 1).as("agency"))
+    // ingestion layout: agency-mixed files — stats recorded but every
+    // file's [CMS, FDA] range overlaps every probe
+    Snapshots.create(df.repartition(4), p, statsCols = Seq("agency"))
+    assert(Snapshots.readVersionWhereStr(spark, p, 1, "agency",
+      "EPA", "EPA").inputFiles.length == 4, "mixed layout cannot prune")
+    // one clustering commit later the same read plans one file
+    val v2 = Snapshots.compactClustered(spark, p, Seq("agency"),
+      targetFiles = 4)
+    val pruned = Snapshots.readVersionWhereStr(spark, p, v2, "agency",
+      "EPA", "EPA")
+    assert(pruned.inputFiles.length < 4,
+      s"clustered read did not prune: ${pruned.inputFiles.length}")
+    assert(pruned.filter($"agency" === "EPA").count() == 50)
+    // non-destructive: v1 still replays, content identical
+    assert(Snapshots.readVersion(spark, p, 1).count() == 200)
+    assert(Snapshots.read(spark, p).count() == 200)
+  }
+
   test("delete bounds with total precision above 38 are rejected up front") {
     val p = freshPath("prec-guard")
     Snapshots.create(rows(0 until 3), p, statsCols = Seq("id"))

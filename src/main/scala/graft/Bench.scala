@@ -524,7 +524,8 @@ object Bench {
     // counterparts re-derive the same answers from plain scans.
     val x100Names = headline ++ Seq("j2b_bucketed_3way",
       "text_hybrid_indexed", "text_hybrid_fully_indexed",
-      "snap_scoped_upsert", "snap_delete_where", "snap_ts_pruned_read")
+      "snap_scoped_upsert", "snap_delete_where", "snap_ts_pruned_read",
+      "snap_key_lookup")
     val x100Mult = parseMult(sys.env.get("SPARK_GRAFT_X100"), default = 100)
     val (x100Results, x100Duck, x100DuckQueries) =
       if (x100Mult <= 1 || scaleMult <= 1)

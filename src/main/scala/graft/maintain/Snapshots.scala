@@ -218,15 +218,23 @@ object Snapshots {
     * array's length; k must match between build and probe). */
   private[graft] val BloomK = 6
 
-  /** Default per-file bloom size: 2^17 bits = 16 KB per (file, col).
-    * At ~10k distinct keys per file that is ~13 bits/key → ≈0.4% false
-    * positives at k=6; at 100k keys ≈33% — still useful (false
-    * positives only ADD candidate files, never drop one). Weight
-    * envelope: manifests gain 16 KB·files·bloomCols, and the probe
-    * runs IN SPARK over the manifest parquet (the binary never lands
-    * on the driver), so the practical ceiling is manifest-parquet
-    * size, not driver heap. */
-  private[graft] val DefaultBloomBits = 1 << 17
+  /** Sentinel: size each batch's blooms from its OWN row count —
+    * `optimalNumBits(rows/file, 1%)` clamped to [2^14, 2^23] bits
+    * (2 KB – 1 MB per (file, col)). The row count is a parquet
+    * metadata read (footer row-group counts — no data scan), so
+    * auto-sizing is free; a fixed size either saturates on big files
+    * (a saturated bloom answers "maybe" for everything — measured at
+    * x100: 131 Kbits over 234k keys/file pruned NOTHING) or wastes
+    * manifest weight on small ones. Explicit `bloomBits > 0`
+    * overrides. Weight envelope: the probe runs IN SPARK over the
+    * manifest parquet (sketches never land on the driver), so the
+    * ceiling is manifest-parquet size, not driver heap. */
+  private[graft] val AutoBloomBits = 0
+
+  private[graft] def autoBloomBits(rowsPerFile: Long): Int =
+    math.max(1 << 14, math.min(1 << 23,
+      graft.functions.BloomExprs.optimalNumBits(
+        math.max(1L, rowsPerFile), 0.01)))
 
   /** A data file plus its optional per-file min/max over any number of
     * stat columns — the Iceberg-manifest file-skipping shape. Numeric
@@ -275,7 +283,7 @@ object Snapshots {
       statsCols: Seq[String] = Seq.empty,
       allowEmpty: Boolean = false,
       bloomCols: Seq[String] = Seq.empty,
-      bloomBits: Int = DefaultBloomBits): Seq[FileEntry] = {
+      bloomBits: Int = AutoBloomBits): Seq[FileEntry] = {
     val batch = s"$path/$DataDir/batch-" +
       java.util.UUID.randomUUID().toString.replace("-", "").take(16)
     df.write.parquet(batch) // fresh dir: no overwrite semantics needed
@@ -307,13 +315,24 @@ object Snapshots {
           val e = when(isnan(e0), lit(null)).otherwise(e0)
           Seq(min(e).as(s"__lo_$c"), max(e).as(s"__hi_$c"))
         }
-      } ++ bloomCols.map { c =>
-        // per-file key-membership sketch over the column's NATIVE-type
-        // xxhash64 (the probe must hash the same type — recorded
-        // alongside, and type-mismatched blooms are voided at probe
-        // time rather than risking a false negative)
-        graft.functions.BloomExprs.bloom_agg(
-          xxhash64(col(c)), bloomBits, BloomK).as(s"__bloom_$c")
+      } ++ {
+        if (bloomCols.isEmpty) Seq.empty
+        else {
+          // auto-sizing reads only parquet footer metadata (count()
+          // over an untransformed parquet scan never touches data)
+          val bits =
+            if (bloomBits > 0) bloomBits
+            else autoBloomBits(reread.count() / math.max(1, paths.size))
+          bloomCols.map { c =>
+            // per-file key-membership sketch over the column's
+            // NATIVE-type xxhash64 (the probe must hash the same
+            // type — recorded alongside, and type-mismatched blooms
+            // are voided at probe time rather than risking a false
+            // negative)
+            graft.functions.BloomExprs.bloom_agg(
+              xxhash64(col(c)), bits, BloomK).as(s"__bloom_$c")
+          }
+        }
       }
       val bloomTypes = bloomCols.map(c =>
         c -> reread.schema(c).dataType.sql).toMap
@@ -481,9 +500,14 @@ object Snapshots {
             null: String, null: String, null: Array[Byte], null: String))
         else rows
       }
+      // ONE timestamp for every row of this version: meta() runs on
+      // both the base rows and the carried bloom rows, and history()
+      // groups on (version, ts_ms, …) — a per-call clock read would
+      // split one version into two history rows
+      val nowMs = System.currentTimeMillis()
       def meta(df: DataFrame): DataFrame = df
         .withColumn("version", lit(v))
-        .withColumn("ts_ms", lit(System.currentTimeMillis()))
+        .withColumn("ts_ms", lit(nowMs))
         .withColumn("operation", lit(op))
         .withColumn("parent", lit(head))
         // cast: a keyless commit must write a NULL STRING, not VOID —
@@ -652,7 +676,7 @@ object Snapshots {
       commitKey: Option[String] = None,
       statsCols: Seq[String] = Seq.empty,
       bloomCols: Seq[String] = Seq.empty,
-      bloomBits: Int = DefaultBloomBits): Long = {
+      bloomBits: Int = AutoBloomBits): Long = {
     val spark = df.sparkSession
     require(!exists(spark, path),
       s"snapshot table already exists at $path — use commitAppend/" +
@@ -683,7 +707,7 @@ object Snapshots {
       commitKey: Option[String] = None,
       statsCols: Seq[String] = Seq.empty,
       bloomCols: Seq[String] = Seq.empty,
-      bloomBits: Int = DefaultBloomBits): Long = {
+      bloomBits: Int = AutoBloomBits): Long = {
     val spark = df.sparkSession
     require(exists(spark, path), s"no snapshot table at $path")
     // the replay pre-check before writeBatch keeps a replayed call
@@ -1384,9 +1408,16 @@ object Snapshots {
       spark: SparkSession, path: String, v: Long, keyCol: String,
       probeKeys: DataType => Seq[Column],
       mmHits: FileEntry => Boolean): FileEntry => Boolean = {
+    // ONE footer, not a mergeSchema pass over every file: the dtype
+    // only selects WHICH recorded bloom type gets probed — rows of
+    // any other type are voided to no-bloom (candidates), so any
+    // file's schema is a sound choice and the cheap one is right
+    // (the merge-all-footers form measured ~0.3 s of pure planning
+    // at 64 files in BloomPruneProbe)
     val dt = scala.util.Try(
-      readVersion(spark, path, v).schema.fields
-        .find(_.name == keyCol).map(_.dataType)).toOption.flatten
+      filesOf(spark, path, v).headOption.flatMap(f =>
+        spark.read.parquet(f).schema.fields
+          .find(_.name == keyCol).map(_.dataType))).toOption.flatten
     val verdict = dt.flatMap { d =>
       val lits = probeKeys(d)
       if (lits.isEmpty) None

@@ -59,6 +59,15 @@ import graft.maintain.Snapshots
   * fixpoint optimizer batch stabilizes (the pruned relation yields
   * the same survivor set on re-match). Any failure logs and leaves
   * the plan untouched.
+  *
+  * Deliberately NOT consulted here: per-file BLOOM stats
+  * ([[Snapshots.readVersionWhereKeys]]). The min/max map memoizes per
+  * (table, version set) because it is key-independent; a bloom
+  * verdict depends on the probed key values, so the rule would pay an
+  * optimization-time Spark job over the manifest for EVERY filtered
+  * read (twice, under the fixpoint re-match) with nothing reusable to
+  * cache. Point lookups that want bloom skipping call the explicit
+  * key APIs, which probe once per actual read.
   */
 case class SnapshotPruneRule(session: SparkSession)
     extends Rule[LogicalPlan] {

@@ -892,6 +892,9 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(got.inputFiles.length <= 3,
       s"carried blooms did not prune: ${got.inputFiles.length} of $total")
     assert(got.filter($"id" === 7).count() == 1)
+    // carried rows share their commit's ts_ms: one history row per
+    // version (a per-call clock read would split v2 into two rows)
+    assert(Snapshots.history(spark, p).count() == 2)
   }
 
   test("string key blooms prune id lookups; string key delete stays scoped") {

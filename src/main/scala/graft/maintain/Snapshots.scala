@@ -258,7 +258,12 @@ object Snapshots {
       file: String,
       stats: Map[String, (Double, Double)] = Map.empty,
       strStats: Map[String, (String, String)] = Map.empty,
-      blooms: Map[String, (Array[Byte], String)] = Map.empty)
+      blooms: Map[String, (Array[Byte], String)] = Map.empty,
+      /** Columns this file HAS a bloom for (names only — [[entriesOf]]
+        * reads these from the manifest's `stat_bloom_type` so rewrites
+        * can RE-RECORD blooms on their output without ever pulling the
+        * sketch bytes to the driver). */
+      bloomColsRecorded: Set[String] = Set.empty)
 
   /** Write `df`'s rows as a fresh immutable data batch; returns one
     * [[FileEntry]] per written file. With `statsCols` set, per-file
@@ -596,7 +601,7 @@ object Snapshots {
       spark: SparkSession,
       path: String,
       op: String,
-      plan: Long => (DataFrame, Seq[FileEntry], Seq[String]),
+      plan: Long => (DataFrame, Seq[FileEntry], Seq[String], Seq[String]),
       maxAttempts: Int = 5): Long = {
     require(exists(spark, path), s"no snapshot table at $path")
     var attempt = 0
@@ -607,15 +612,16 @@ object Snapshots {
       // plan() derives FROM this head: the rewritten content, the
       // head entries carried through unchanged (whole-table rewrites
       // keep none; scoped ops keep every untouched file), and the
-      // stat columns to record on the rewritten batch (scoped ops
-      // return the touched files' stat-column UNION, so a rewrite
-      // never silently degrades future pruning on the other columns)
-      val (content, kept, statsCols) = plan(head)
+      // stat AND bloom columns to record on the rewritten batch
+      // (scoped ops return the touched files' unions, so a rewrite
+      // never silently degrades future pruning — range OR key — on
+      // any column the replaced files covered)
+      val (content, kept, statsCols, bloomCols) = plan(head)
       // a rewrite whose output is empty but which carries untouched
       // parent files needs no schema placeholder (e.g. a delete that
       // empties every touched file — the right commit just drops them)
       val files = writeBatch(content, path, statsCols,
-        allowEmpty = kept.nonEmpty)
+        allowEmpty = kept.nonEmpty, bloomCols = bloomCols)
       try return commit(spark, path, files, op, _ => kept,
         expectedHead = Some(head))
       catch { case e: CommitConflictException => last = e }
@@ -625,20 +631,25 @@ object Snapshots {
         s"to concurrent committers; last: ${last.getMessage}")
   }
 
-  /** Project a manifest frame to the full 6-column stat shape,
-    * null-filling columns older manifests lack. */
+  /** Project a manifest frame to the driver-facing stat shape,
+    * null-filling columns older manifests lack. The bloom BYTES are
+    * deliberately absent — only `stat_bloom_type` rides along, as the
+    * marker of which columns a file has blooms for. */
   private def statProjection(m: DataFrame): DataFrame = {
     def c(name: String, tpe: String): Column =
       if (m.columns.contains(name)) col(name).cast(tpe)
       else lit(null).cast(tpe)
     m.select(col("file"), c("stat_col", "string"),
       c("stat_min", "double"), c("stat_max", "double"),
-      c("stat_min_str", "string"), c("stat_max_str", "string"))
+      c("stat_min_str", "string"), c("stat_max_str", "string"),
+      c("stat_bloom_type", "string"))
   }
 
-  /** (numeric stats, string stats) parsed from projected stat rows. */
+  /** (numeric stats, string stats, bloomed column names) parsed from
+    * projected stat rows. */
   private def parseStatRows(rows: Seq[org.apache.spark.sql.Row])
-      : (Map[String, (Double, Double)], Map[String, (String, String)]) = {
+      : (Map[String, (Double, Double)], Map[String, (String, String)],
+        Set[String]) = {
     val num = rows.flatMap { r =>
       if (r.isNullAt(1) || r.isNullAt(2) || r.isNullAt(3)) None
       // legacy-manifest safety: a NaN bound (recorded before the
@@ -651,7 +662,10 @@ object Snapshots {
       if (r.isNullAt(1) || r.isNullAt(4) || r.isNullAt(5)) None
       else Some(r.getString(1) -> (r.getString(4), r.getString(5)))
     }.toMap
-    (num, str)
+    val bloomed = rows.flatMap { r =>
+      if (r.isNullAt(1) || r.isNullAt(6)) None else Some(r.getString(1))
+    }.toSet
+    (num, str, bloomed)
   }
 
   private def entriesOf(spark: SparkSession, path: String,
@@ -659,8 +673,8 @@ object Snapshots {
     statProjection(manifestDf(spark, path, v)).collect().toSeq
       .groupBy(_.getString(0))
       .map { case (file, rows) =>
-        val (num, str) = parseStatRows(rows)
-        FileEntry(file, num, str)
+        val (num, str, bloomed) = parseStatRows(rows)
+        FileEntry(file, num, str, bloomColsRecorded = bloomed)
       }.toSeq
 
   private def filesOf(spark: SparkSession, path: String,
@@ -969,7 +983,7 @@ object Snapshots {
       .toSeq
       .groupBy(r => new Path(r.getString(0)).toUri.getPath)
       .map { case (f, rows) =>
-        val (num, str) = parseStatRows(rows)
+        val (num, str, _) = parseStatRows(rows)
         f -> FileStatRanges(num, str)
       }
   }
@@ -1059,10 +1073,17 @@ object Snapshots {
       versionCol: String,
       tiebreakCol: String): Long = {
     val spark = updates.sparkSession
-    commitRewrite(spark, path, OpUpsert, head => (
-      Upsert.mergeFrames(readVersion(spark, path, head), updates,
+    commitRewrite(spark, path, OpUpsert, head => {
+      // a full rewrite REPLACES every file: re-record the head's
+      // stat/bloom column unions so the merge never silently degrades
+      // pruning the table had before it
+      val entries = entriesOf(spark, path, head)
+      (Upsert.mergeFrames(readVersion(spark, path, head), updates,
         keyCols, versionCol, tiebreakCol),
-      Seq.empty, Seq.empty))
+        Seq.empty,
+        entries.flatMap(e => e.stats.keys ++ e.strStats.keys).distinct,
+        bloomColUnion(entries))
+    })
   }
 
   /** SCOPE-PRUNED MERGE: rewrite ONLY the head files whose recorded
@@ -1097,6 +1118,13 @@ object Snapshots {
       touched: Seq[FileEntry], opCol: String): Seq[String] =
     (touched.flatMap(e => e.stats.keys ++ e.strStats.keys) :+ opCol)
       .distinct
+
+  /** The bloom-column UNION of the touched files (names only — the
+    * manifest marker, never the bytes): what a rewrite re-records so
+    * repeated key deletes/lookups stay file-skipping on the rewritten
+    * output instead of degrading one erasure at a time. */
+  private def bloomColUnion(touched: Seq[FileEntry]): Seq[String] =
+    touched.flatMap(_.bloomColsRecorded).distinct
 
   def commitUpsertScoped(
       updates: DataFrame,
@@ -1151,7 +1179,8 @@ object Snapshots {
         else spark.read.option("mergeSchema", "true")
           .parquet(touched.map(_.file): _*)
       (Upsert.mergeFrames(target, updates, keyCols, versionCol,
-        tiebreakCol), kept, statColUnion(touched, scopeCol))
+        tiebreakCol), kept, statColUnion(touched, scopeCol),
+        bloomColUnion(touched))
     })
   }
 
@@ -1237,7 +1266,7 @@ object Snapshots {
       }
       // NULL whereCol: inRange is NULL → coalesce keeps the row
       (target.filter(!coalesce(inRange, lit(false))), kept,
-        statColUnion(touched, whereCol))
+        statColUnion(touched, whereCol), bloomColUnion(touched))
     })
   }
 
@@ -1282,7 +1311,7 @@ object Snapshots {
           .parquet(touched.map(_.file): _*)
       val inRange = col(whereCol).between(lit(lo), lit(hi))
       (target.filter(!coalesce(inRange, lit(false))), kept,
-        statColUnion(touched, whereCol))
+        statColUnion(touched, whereCol), bloomColUnion(touched))
     })
   }
 
@@ -1459,7 +1488,7 @@ object Snapshots {
       guard(target)
       // NULL keyCol: rowMatches is NULL → coalesce keeps the row
       (target.filter(!coalesce(rowMatches, lit(false))), kept,
-        statColUnion(touched, keyCol))
+        statColUnion(touched, keyCol), bloomColUnion(touched))
     })
   }
 
@@ -1472,9 +1501,13 @@ object Snapshots {
   def compact(spark: SparkSession, path: String,
       targetFiles: Int = 8): Long = {
     require(targetFiles >= 1, s"targetFiles must be ≥ 1: $targetFiles")
+    // deliberately records NO stats/blooms: a whole-table merge's
+    // per-file ranges span everything (useless) and skipping the
+    // stats scan keeps compact() a pure rewrite; use
+    // [[compactClustered]]/[[compactZOrdered]] when pruning matters
     commitRewrite(spark, path, OpCompact, head => (
       readVersion(spark, path, head).repartition(targetFiles),
-      Seq.empty, Seq.empty))
+      Seq.empty, Seq.empty, Seq.empty))
   }
 
   /** RANGE-CLUSTERED compaction as a COMMIT: the head's content
@@ -1494,11 +1527,13 @@ object Snapshots {
       targetFiles: Int = 8): Long = {
     require(clusterCols.nonEmpty, "clusterCols must be non-empty")
     require(targetFiles >= 1, s"targetFiles must be ≥ 1: $targetFiles")
-    commitRewrite(spark, path, OpCompact, head => (
-      readVersion(spark, path, head)
+    commitRewrite(spark, path, OpCompact, head => {
+      val entries = entriesOf(spark, path, head)
+      (readVersion(spark, path, head)
         .repartitionByRange(targetFiles, clusterCols.map(col): _*)
         .sortWithinPartitions(clusterCols.map(col): _*),
-      Seq.empty, clusterCols))
+        Seq.empty, clusterCols, bloomColUnion(entries))
+    })
   }
 
   /** Z-CLUSTERED compaction as a COMMIT: the head's content rewritten
@@ -1514,10 +1549,12 @@ object Snapshots {
       colA: String, colB: String,
       targetFiles: Int = 8): Long = {
     require(targetFiles >= 1, s"targetFiles must be ≥ 1: $targetFiles")
-    commitRewrite(spark, path, OpCompact, head => (
-      Layout.zOrdered(readVersion(spark, path, head), colA, colB,
+    commitRewrite(spark, path, OpCompact, head => {
+      val entries = entriesOf(spark, path, head)
+      (Layout.zOrdered(readVersion(spark, path, head), colA, colB,
         targetFiles),
-      Seq.empty, Seq(colA, colB)))
+        Seq.empty, Seq(colA, colB), bloomColUnion(entries))
+    })
   }
 
   /** Retire all but the newest `keepLast` versions: their manifests

@@ -330,7 +330,7 @@ class SnapshotsSpec extends AnyFunSuite {
         if (derives == 1) // the race: an append between derive and claim
           Snapshots.commitAppend(rows(100 until 103), p)
         (Snapshots.readVersion(spark, p, head).repartition(1),
-          Seq.empty, Seq.empty)
+          Seq.empty, Seq.empty, Seq.empty)
       })
     assert(derives == 2, "the stale derive must be retried, not committed")
     assert(v == 3L)
@@ -350,7 +350,7 @@ class SnapshotsSpec extends AnyFunSuite {
         head => {
           Snapshots.commitAppend(rows(50 until 52), p) // races EVERY attempt
           (Snapshots.readVersion(spark, p, head).repartition(1),
-            Seq.empty, Seq.empty)
+            Seq.empty, Seq.empty, Seq.empty)
         },
         maxAttempts = 2)
     }
@@ -872,6 +872,18 @@ class SnapshotsSpec extends AnyFunSuite {
     // ANSI cast overflow) and provably matches nothing: no-op
     assert(Snapshots.commitDeleteKeys(spark, p, "id",
       Seq(BigDecimal("99999999999999999999"))) == 2L)
+    // the rewritten file RE-RECORDED its bloom: repeated erasures must
+    // not degrade coverage one delete at a time
+    def norm(f: String) =
+      new org.apache.hadoop.fs.Path(f).toUri.getPath
+    val m = spark.read.parquet(s"$p/_snapshots/v2")
+    val bloomed = m.filter($"stat_bloom".isNotNull)
+      .select("file").as[String].collect().map(norm).toSet
+    assert((v2Files -- v1Files).map(norm).forall(bloomed.contains),
+      "a rewritten file lost its bloom")
+    // …and the carried files kept theirs in the NEW manifest
+    assert((v1Files & v2Files).map(norm).forall(bloomed.contains),
+      "a carried file's bloom row was not copied forward")
   }
 
   test("bloom rows travel with their files through later appends") {

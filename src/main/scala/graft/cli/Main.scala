@@ -350,40 +350,23 @@ object Main {
         import org.apache.spark.sql.functions.{col, lit}
         import graft.maintain.Snapshots
         val table = args(1)
-        // bound classification shared by both --where forms: numeric
-        // bounds stay EXACT BigDecimals (delete is destructive — a
-        // 2^53+ key must not round through a double); anything else is
-        // a string pair (Right) — a STRING column probes the truncated
-        // UTF-8 stats, everything else parses as date/timestamp bounds
-        // through the epoch-seconds domain
-        def classifyBounds(lo: String, hi: String)
-            : Either[(BigDecimal, BigDecimal), (String, String)] =
-          (scala.util.Try(BigDecimal(lo)).toOption,
-              scala.util.Try(BigDecimal(hi)).toOption) match {
-            case (Some(l), Some(h)) => Left((l, h))
-            case _                  => Right((lo, hi))
-          }
-        def parseWhere(w: String)
-            : (String, Either[(BigDecimal, BigDecimal), (String, String)]) = {
-          val parts = w.split(":", 3)
-          require(parts.length == 3,
-            s"--where expects col:lo:hi, got '$w'")
-          val Array(c, lo, hi) = parts
-          (c, classifyBounds(lo, hi))
-        }
-        // the long form (`--where-col C --from LO --to HI`) exists for
-        // bounds the colon syntax cannot carry — time-of-day
-        // timestamps ('2024-01-01 12:30:00') contain ':'
-        def whereSpec(): Option[
-            (String, Either[(BigDecimal, BigDecimal), (String, String)])] =
+        // raw (col, lo, hi) from either --where form; the long form
+        // (`--where-col C --from LO --to HI`) exists for bounds the
+        // colon syntax cannot carry — time-of-day timestamps
+        // ('2024-01-01 12:30:00') contain ':'
+        def whereSpec(): Option[(String, String, String)] =
           (arg(args, "--where"), arg(args, "--where-col")) match {
-            case (Some(w), None) => Some(parseWhere(w))
+            case (Some(w), None) =>
+              val parts = w.split(":", 3)
+              require(parts.length == 3,
+                s"--where expects col:lo:hi, got '$w'")
+              Some((parts(0), parts(1), parts(2)))
             case (None, Some(c)) =>
               val lo = arg(args, "--from").getOrElse(
                 sys.error("--where-col requires --from LO"))
               val hi = arg(args, "--to").getOrElse(
                 sys.error("--where-col requires --to HI"))
-              Some((c, classifyBounds(lo, hi)))
+              Some((c, lo, hi))
             case (Some(_), Some(_)) =>
               sys.error("pass --where OR --where-col, not both")
             case (None, None) => None
@@ -392,6 +375,26 @@ object Main {
           Snapshots.read(spark, table).schema.fields.find(_.name == c)
             .exists(_.dataType
               .isInstanceOf[org.apache.spark.sql.types.StringType])
+        // bounds route by the COLUMN's type first, value shape second:
+        // a STRING column always probes the truncated UTF-8 stats —
+        // value-shape routing would send a numeric-LOOKING string id
+        // ('100') through the decimal path, where a cast-compare
+        // silently under-deletes ('1500' is inside ['100','200'] in
+        // byte order but outside [100, 200] numerically). Non-string
+        // columns: numeric bounds stay EXACT BigDecimals (a 2^53+ key
+        // must not round through a double); anything else parses as
+        // date/timestamp bounds through the epoch-seconds domain.
+        sealed trait Bounds
+        case class NumB(lo: BigDecimal, hi: BigDecimal) extends Bounds
+        case class StrB(lo: String, hi: String) extends Bounds
+        case class TimeB(lo: String, hi: String) extends Bounds
+        def route(c: String, lo: String, hi: String): Bounds =
+          if (colIsString(c)) StrB(lo, hi)
+          else (scala.util.Try(BigDecimal(lo)).toOption,
+              scala.util.Try(BigDecimal(hi)).toOption) match {
+            case (Some(l), Some(h)) => NumB(l, h)
+            case _                  => TimeB(lo, hi)
+          }
         args(2) match {
           case "create" | "append" | "overwrite" =>
             val src = args(3)
@@ -443,23 +446,23 @@ object Main {
             // the EXACT decimal bounds (a double-domain compare would
             // round 2^53+ keys at the edges); string columns route to
             // the truncated-UTF-8 stat probe.
-            def whereRead(v: Long,
-                spec: (String,
-                  Either[(BigDecimal, BigDecimal), (String, String)])) =
-              spec match {
-                case (c, Left((l, h))) =>
+            def whereRead(v: Long, spec: (String, String, String)) = {
+              val (c, lo0, hi0) = spec
+              route(c, lo0, hi0) match {
+                case NumB(l, h) =>
                   Snapshots.readVersionWhere(spark, table, v, c,
                       Math.nextDown(l.toDouble), Math.nextUp(h.toDouble))
                     .filter(col(c).between(lit(l), lit(h)))
-                case (c, Right((lo, hi))) if colIsString(c) =>
+                case StrB(lo, hi) =>
                   Snapshots.readVersionWhereStr(spark, table, v, c, lo, hi)
                     .filter(col(c).between(lit(lo), lit(hi)))
-                case (c, Right((lo, hi))) =>
+                case TimeB(lo, hi) =>
                   Snapshots.readVersionWhereTime(spark, table, v, c, lo, hi)
                     .filter(col(c).cast("timestamp").between(
                       lit(lo).cast("timestamp"),
                       lit(hi).cast("timestamp")))
               }
+            }
             def headVersion(): Long = {
               val vs = Snapshots.versions(spark, table)
               require(vs.nonEmpty, s"no snapshot table at $table")
@@ -522,18 +525,18 @@ object Main {
             val before = Snapshots.versions(spark, table).lastOption
               .getOrElse(sys.error(s"no snapshot table at $table"))
             val (v, what) = (whereSpec(), arg(args, "--keys")) match {
-              case (Some(spec), None) =>
-                val v = spec match {
-                  case (c, Left((l, h))) =>
+              case (Some((c, lo0, hi0)), None) =>
+                val v = route(c, lo0, hi0) match {
+                  case NumB(l, h) =>
                     // exact decimal bounds straight through — the
                     // destructive path never rounds via a double
                     Snapshots.commitDeleteWhere(spark, table, c, l, h)
-                  case (c, Right((lo, hi))) if colIsString(c) =>
+                  case StrB(lo, hi) =>
                     Snapshots.commitDeleteWhereStr(spark, table, c, lo, hi)
-                  case (c, Right((lo, hi))) =>
+                  case TimeB(lo, hi) =>
                     Snapshots.commitDeleteWhereTime(spark, table, c, lo, hi)
                 }
-                (v, s"range ${spec._1}")
+                (v, s"range $c")
               case (None, Some(ks)) =>
                 // erasure-request shape: an id list. The column's type
                 // picks the domain (a numeric-looking string id must

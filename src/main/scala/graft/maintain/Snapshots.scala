@@ -173,6 +173,27 @@ object Snapshots {
     x.length - y.length
   }
 
+  /** Truncated-bound RANGE overlap — the one string probe every
+    * read/delete path shares (bounds recorded by [[truncLower]]/
+    * [[truncUpper]] only widen, so `true` here means "may hold a row
+    * in [lo, hi]"; absent stats are always candidates). */
+  private def strRangeHits(
+      st: Option[(String, String)], lo: String, hi: String): Boolean =
+    st match {
+      case Some((mn, mx)) => strCmp(mx, lo) >= 0 && strCmp(mn, hi) <= 0
+      case None           => true // unknown = candidate
+    }
+
+  /** Truncated-bound KEY-SET overlap: may this file hold at least one
+    * of `keys`? */
+  private def strKeyHits(
+      st: Option[(String, String)], keys: Seq[String]): Boolean =
+    st match {
+      case Some((mn, mx)) =>
+        keys.exists(k => strCmp(mn, k) <= 0 && strCmp(k, mx) <= 0)
+      case None => true // unknown = candidate
+    }
+
   /** Recorded string bounds truncate to this many code points — the
     * Iceberg `write.metadata.metrics` truncate(16) default. Keeps a
     * manifest row metadata-sized even when someone records stats on a
@@ -324,10 +345,22 @@ object Snapshots {
         if (bloomCols.isEmpty) Seq.empty
         else {
           // auto-sizing reads only parquet footer metadata (count()
-          // over an untransformed parquet scan never touches data)
+          // over an untransformed parquet scan never touches data);
+          // sized for the LARGEST file by byte share — an average
+          // would under-size a skewed batch's big file back into the
+          // saturation auto-sizing exists to prevent
           val bits =
             if (bloomBits > 0) bloomBits
-            else autoBloomBits(reread.count() / math.max(1, paths.size))
+            else {
+              val lens = f.listStatus(new Path(batch)).toSeq
+                .filter(st => st.isFile &&
+                  st.getPath.getName.endsWith(".parquet"))
+                .map(_.getLen.toDouble)
+              val maxShare =
+                if (lens.isEmpty || lens.sum == 0) 1.0
+                else lens.max / lens.sum
+              autoBloomBits(math.ceil(reread.count() * maxShare).toLong)
+            }
           bloomCols.map { c =>
             // per-file key-membership sketch over the column's
             // NATIVE-type xxhash64 (the probe must hash the same
@@ -845,12 +878,8 @@ object Snapshots {
     val entries = entriesOf(spark, path, v)
     if (entries.isEmpty)
       throw new NoSuchVersionException(s"version $v at $path lists no files")
-    val kept = entries.filter { e =>
-      e.strStats.get(whereCol) match {
-        case Some((mn, mx)) => strCmp(mx, lo) >= 0 && strCmp(mn, hi) <= 0
-        case None           => true // unknown = candidate
-      }
-    }
+    val kept = entries.filter(e =>
+      strRangeHits(e.strStats.get(whereCol), lo, hi))
     if (kept.isEmpty) readVersion(spark, path, v).limit(0)
     else spark.read.option("mergeSchema", "true")
       .parquet(kept.map(_.file): _*)
@@ -870,6 +899,8 @@ object Snapshots {
       spark: SparkSession, path: String, v: Long,
       whereCol: String, keys: Seq[BigDecimal]): DataFrame = {
     require(keys.nonEmpty, "empty key list")
+    requireNotTemporal(columnTypeAt(spark, path, v, whereCol),
+      "readVersionWhereKeys", whereCol)
     val widened = keys.map(k =>
       (Math.nextDown(k.toDouble), Math.nextUp(k.toDouble)))
     keyPrunedRead(spark, path, v, whereCol,
@@ -889,11 +920,7 @@ object Snapshots {
     require(keys.nonEmpty, "empty key list")
     require(!keys.contains(null), "null key")
     keyPrunedRead(spark, path, v, whereCol,
-      mmHits = e => e.strStats.get(whereCol) match {
-        case Some((mn, mx)) =>
-          keys.exists(k => strCmp(mn, k) <= 0 && strCmp(k, mx) <= 0)
-        case None => true
-      },
+      mmHits = e => strKeyHits(e.strStats.get(whereCol), keys),
       probeKeys = {
         case dt: StringType => keys.map(k => lit(k).cast(dt.sql))
         case _              => Seq.empty
@@ -1148,11 +1175,7 @@ object Snapshots {
                   "has no stat range to prune on; use commitUpsert")
               r.getString(0)
             }
-          e => e.strStats.get(scopeCol) match {
-            case Some((lo, hi)) =>
-              vals.exists(v => strCmp(lo, v) <= 0 && strCmp(v, hi) <= 0)
-            case None => true // no stats: must rewrite
-          }
+          e => strKeyHits(e.strStats.get(scopeCol), vals.toSeq)
         case dt =>
           val vals = updates
             .select(statNorm(dt, col(scopeCol)).as("__s"))
@@ -1294,12 +1317,8 @@ object Snapshots {
       whereCol: String, lo: String, hi: String): Long = {
     require(strCmp(lo, hi) <= 0, s"empty range: ['$lo', '$hi']")
     def split(head: Long): (Seq[FileEntry], Seq[FileEntry]) =
-      entriesOf(spark, path, head).partition { e =>
-        e.strStats.get(whereCol) match {
-          case Some((mn, mx)) => strCmp(mx, lo) >= 0 && strCmp(mn, hi) <= 0
-          case None           => true // no stats: must rewrite
-        }
-      }
+      entriesOf(spark, path, head).partition(e =>
+        strRangeHits(e.strStats.get(whereCol), lo, hi))
     val head0 = versions(spark, path).lastOption.getOrElse(
       throw new IllegalArgumentException(s"no snapshot table at $path"))
     if (split(head0)._1.isEmpty) return head0
@@ -1345,13 +1364,8 @@ object Snapshots {
         case None => true // no stats: must rewrite
       },
       rowMatches = col(keyCol).isin(keys: _*),
-      guard = target => {
-        val dt = target.schema(keyCol).dataType
-        require(!(dt == DateType || dt == TimestampType ||
-            dt == TimestampNTZType),
-          s"commitDeleteKeys on temporal column $keyCol — use " +
-            "commitDeleteWhereTime ranges instead")
-      },
+      guardType = dt =>
+        requireNotTemporal(dt, "commitDeleteKeys", keyCol),
       probeKeys = dt => bloomProbeLits(dt, keys))
   }
 
@@ -1372,7 +1386,7 @@ object Snapshots {
         case None => true // no stats: must rewrite
       },
       rowMatches = col(keyCol).isin(keys: _*),
-      guard = _ => (),
+      guardType = _ => (),
       probeKeys = {
         case dt: StringType => keys.map(k => lit(k).cast(dt.sql))
         case _              => Seq.empty
@@ -1410,11 +1424,9 @@ object Snapshots {
     * VOIDED, not probed: a hash computed at the wrong width would
     * false-negative and drop a file that holds the key). */
   private def bloomSurvivors(
-      spark: SparkSession, path: String, v: Long,
+      spark: SparkSession, pm: DataFrame,
       keyCol: String, dt: DataType, keyLits: Seq[Column])
       : Option[(Set[String], Set[String])] = {
-    val pm = manifestDf(spark, path, v)
-    if (!pm.columns.contains("stat_bloom")) return None
     graft.functions.GraftFunctions.register(spark)
     val rows = pm.filter(col("stat_col") === keyCol &&
         col("stat_bloom").isNotNull &&
@@ -1429,28 +1441,48 @@ object Snapshots {
       rows.filter(_.getBoolean(1)).map(_.getString(0)).toSet))
   }
 
+  /** `colName`'s dtype at version `v`, from ONE footer — not a
+    * mergeSchema pass over every file (~0.3 s of pure planning at 64
+    * files, measured in BloomPruneProbe). For bloom probing any file's
+    * schema is a sound choice: the dtype only selects WHICH recorded
+    * bloom type gets probed, and rows of other types void to no-bloom
+    * (candidates). */
+  private def columnTypeAt(
+      spark: SparkSession, path: String, v: Long,
+      colName: String): Option[DataType] =
+    scala.util.Try(
+      filesOf(spark, path, v).headOption.flatMap(f =>
+        spark.read.parquet(f).schema.fields
+          .find(_.name == colName).map(_.dataType))).toOption.flatten
+
+  /** Key-probe misuse guard, applied BEFORE any no-op short-circuit:
+    * on a temporal column the numeric key APIs would compare raw keys
+    * against epoch-seconds stat ranges — at best a silent no-op, at
+    * worst (the read form) wrongly excluded files. Refuse loudly. */
+  private def requireNotTemporal(
+      dt: Option[DataType], what: String, colName: String): Unit =
+    dt.foreach(d =>
+      require(!(d == DateType || d == TimestampType ||
+          d == TimestampNTZType),
+        s"$what on temporal column $colName — keys would probe raw " +
+          "values against epoch-seconds stats; use the time-range " +
+          "forms (readVersionWhereTime / commitDeleteWhereTime)"))
+
   /** [[FileEntry]] hit-predicate refined by the bloom verdict at
     * version `v`: a file with a type-matching bloom that rules out
     * EVERY key is excluded; everything else falls back to `mmHits`
-    * (min/max or always-candidate). */
+    * (min/max or always-candidate). Bloom-less tables pay only a
+    * manifest SCHEMA check (no collect, no footer read). */
   private def bloomRefined(
       spark: SparkSession, path: String, v: Long, keyCol: String,
       probeKeys: DataType => Seq[Column],
       mmHits: FileEntry => Boolean): FileEntry => Boolean = {
-    // ONE footer, not a mergeSchema pass over every file: the dtype
-    // only selects WHICH recorded bloom type gets probed — rows of
-    // any other type are voided to no-bloom (candidates), so any
-    // file's schema is a sound choice and the cheap one is right
-    // (the merge-all-footers form measured ~0.3 s of pure planning
-    // at 64 files in BloomPruneProbe)
-    val dt = scala.util.Try(
-      filesOf(spark, path, v).headOption.flatMap(f =>
-        spark.read.parquet(f).schema.fields
-          .find(_.name == keyCol).map(_.dataType))).toOption.flatten
-    val verdict = dt.flatMap { d =>
+    val pm = manifestDf(spark, path, v)
+    if (!pm.columns.contains("stat_bloom")) return mmHits
+    val verdict = columnTypeAt(spark, path, v, keyCol).flatMap { d =>
       val lits = probeKeys(d)
       if (lits.isEmpty) None
-      else bloomSurvivors(spark, path, v, keyCol, d, lits)
+      else bloomSurvivors(spark, pm, keyCol, d, lits)
     }
     verdict match {
       case Some((withBloom, might)) =>
@@ -1465,15 +1497,18 @@ object Snapshots {
     * UNCLUSTERED layouts) + anti-IN rewrite of touched files only,
     * with the range-delete family's no-op short-circuit,
     * NULL-survives semantics, stat-union re-record, and rewrite
-    * conflict posture. */
+    * conflict posture. `guardType` runs on the key column's dtype
+    * BEFORE the no-op check — a domain-misuse refusal must fire even
+    * when the mismatch makes every probe miss. */
   private def deleteByHits(
       spark: SparkSession, path: String, keyCol: String,
       hits: FileEntry => Boolean,
       rowMatches: Column,
-      guard: DataFrame => Unit,
+      guardType: Option[DataType] => Unit,
       probeKeys: DataType => Seq[Column]): Long = {
     val head0 = versions(spark, path).lastOption.getOrElse(
       throw new IllegalArgumentException(s"no snapshot table at $path"))
+    guardType(columnTypeAt(spark, path, head0, keyCol))
     def hitsAt(v: Long): FileEntry => Boolean =
       bloomRefined(spark, path, v, keyCol, probeKeys, hits)
     val h0 = hitsAt(head0)
@@ -1485,7 +1520,6 @@ object Snapshots {
         if (touched.isEmpty) readVersion(spark, path, head).limit(0)
         else spark.read.option("mergeSchema", "true")
           .parquet(touched.map(_.file): _*)
-      guard(target)
       // NULL keyCol: rowMatches is NULL → coalesce keeps the row
       (target.filter(!coalesce(rowMatches, lit(false))), kept,
         statColUnion(touched, keyCol), bloomColUnion(touched))
@@ -1529,10 +1563,15 @@ object Snapshots {
     require(targetFiles >= 1, s"targetFiles must be ≥ 1: $targetFiles")
     commitRewrite(spark, path, OpCompact, head => {
       val entries = entriesOf(spark, path, head)
+      // stat union ∪ clusterCols: the rewrite must not silently drop
+      // stats the head's files carried on OTHER columns (the same
+      // no-degradation rule the scoped upsert/delete apply)
+      val stats = (entries.flatMap(e => e.stats.keys ++ e.strStats.keys)
+        ++ clusterCols).distinct
       (readVersion(spark, path, head)
         .repartitionByRange(targetFiles, clusterCols.map(col): _*)
         .sortWithinPartitions(clusterCols.map(col): _*),
-        Seq.empty, clusterCols, bloomColUnion(entries))
+        Seq.empty, stats, bloomColUnion(entries))
     })
   }
 

@@ -341,6 +341,26 @@ class CliSpec extends AnyFunSuite {
     assert(both.getMessage.contains("not both"), both.getMessage)
   }
 
+  test("delete --where routes by COLUMN type: numeric-looking string ids stay strings") {
+    import graft.maintain.Snapshots
+    import spark.implicits._
+    val t = TestSpark.tmpDir("cli-snap-strroute")
+    val src = s"$t/src"; val tbl = s"$t/tbl"
+    // string ids that LOOK numeric — value-shape routing would compare
+    // them as decimals, where '1500' is outside [100, 200] and
+    // silently survives a destructive delete (review finding)
+    Seq("100", "150", "1500", "200", "999").toDF("sid")
+      .repartition(1).write.parquet(src)
+    graft.cli.Main.run(spark,
+      Array("snapshot", tbl, "create", src, "--stats", "sid"))
+    graft.cli.Main.run(spark, Array("snapshot", tbl, "delete",
+      "--where", "sid:100:200"))
+    val left = Snapshots.read(spark, tbl).select("sid")
+      .as[String].collect().toSet
+    // STRING range semantics (byte order): '1500' ∈ ['100','200']
+    assert(left == Set("999"), s"string-range delete left $left")
+  }
+
   test("optimize compacts via the CLI") {
     val path = TestSpark.tmpDir("cli-compact") + "/t"
     graft.maintain.Compaction.fragment(

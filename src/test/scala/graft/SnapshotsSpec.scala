@@ -805,16 +805,24 @@ class SnapshotsSpec extends AnyFunSuite {
       Seq(BigDecimal("99999999999999999999"))) == 2L)
     assert(Snapshots.versions(spark, p) == Seq(1L, 2L))
     // temporal columns refuse (the IN would compare raw values, not
-    // the epoch-seconds stat domain)
+    // the epoch-seconds stat domain) — WITH stats recorded, so every
+    // probe provably misses: the guard must fire BEFORE the no-op
+    // short-circuit, not silently no-op the erasure (review finding)
     val pt = freshPath("keys-temporal")
     Snapshots.create(
       spark.range(3).select($"id",
         date_add(lit("2024-01-01").cast("date"), $"id".cast("int"))
-          .as("d")), pt)
+          .as("d")), pt, statsCols = Seq("d"))
     val e = intercept[IllegalArgumentException] {
-      Snapshots.commitDeleteKeys(spark, pt, "d", Seq(BigDecimal(1)))
+      Snapshots.commitDeleteKeys(spark, pt, "d", Seq(BigDecimal(19500)))
     }
     assert(e.getMessage.contains("temporal"), e.getMessage)
+    // …and the READ form refuses too (it would wrongly EXCLUDE files)
+    val e2 = intercept[IllegalArgumentException] {
+      Snapshots.readVersionWhereKeys(spark, pt, 1, "d",
+        Seq(BigDecimal(19500))).count()
+    }
+    assert(e2.getMessage.contains("temporal"), e2.getMessage)
   }
 
   test("string key-set delete (erasure by document id)") {
@@ -937,7 +945,7 @@ class SnapshotsSpec extends AnyFunSuite {
         ($"id" % 4).cast("int") + 1).as("agency"))
     // ingestion layout: agency-mixed files — stats recorded but every
     // file's [CMS, FDA] range overlaps every probe
-    Snapshots.create(df.repartition(4), p, statsCols = Seq("agency"))
+    Snapshots.create(df.repartition(4), p, statsCols = Seq("agency", "id"))
     assert(Snapshots.readVersionWhereStr(spark, p, 1, "agency",
       "EPA", "EPA").inputFiles.length == 4, "mixed layout cannot prune")
     // one clustering commit later the same read plans one file
@@ -951,6 +959,14 @@ class SnapshotsSpec extends AnyFunSuite {
     // non-destructive: v1 still replays, content identical
     assert(Snapshots.readVersion(spark, p, 1).count() == 200)
     assert(Snapshots.read(spark, p).count() == 200)
+    // the rewrite carried the head's OTHER stat column ("id") — a
+    // cluster-by-agency commit must not silently drop id pruning
+    // (review finding: stat union, not just clusterCols)
+    val newFiles = Snapshots.readVersion(spark, p, v2).inputFiles
+      .map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath).toSet
+    val stats = Snapshots.statsForFiles(spark, p, newFiles)
+    assert(newFiles.forall(f => stats.get(f).exists(_.contains("id"))),
+      s"clustering dropped the id stats: $stats")
   }
 
   test("delete bounds with total precision above 38 are rejected up front") {

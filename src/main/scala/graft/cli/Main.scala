@@ -564,13 +564,22 @@ object Main {
             else System.err.println(
               s"[snapshot] deleted $what from $table as v$v")
           case "changes" =>
-            // incremental read: rows appended in (--from, --to]
+            // incremental read: rows appended in (--from, --to].
+            // --tolerate-compaction crosses row-preserving compacts;
+            // --cdf serves the ROW-level change feed instead (insert/
+            // delete/update rows across rewrites; --key C classifies
+            // same-commit delete+insert pairs as updates)
             val from = arg(args, "--from").map(_.toLong).getOrElse(
               sys.error("snapshot changes requires --from V"))
             val to = arg(args, "--to").map(_.toLong).getOrElse(
               Snapshots.versions(spark, table).last)
-            Snapshots.readAppendedBetween(spark, table, from, to)
-              .show(20, truncate = false)
+            val df =
+              if (args.contains("--cdf"))
+                Snapshots.readChangeFeed(spark, table, from, to,
+                  keyCols = arg(args, "--key").toSeq)
+              else Snapshots.readAppendedBetween(spark, table, from, to,
+                tolerateCompaction = args.contains("--tolerate-compaction"))
+            df.show(20, truncate = false)
           case other => sys.error(s"snapshot: unknown action '$other'")
         }
 

@@ -1032,29 +1032,61 @@ object Snapshots {
     * ([[graft.streaming.SnapshotSource]]) so both refuse identically. */
   private[graft] def appendedFilesBetween(
       spark: SparkSession, path: String,
-      fromV: Long, toV: Long): Seq[String] = {
+      fromV: Long, toV: Long,
+      tolerateCompaction: Boolean = false): Seq[String] = {
     require(fromV < toV, s"fromV ($fromV) must be < toV ($toV)")
-    val rewrites = history(spark, path)
-      .filter(col("version") > fromV && col("version") <= toV)
-      .filter(col("operation")
-        .isin(OpOverwrite, OpRollback, OpCompact, OpUpsert, OpDelete))
-      .select("version", "operation")
-      .collect()
-    require(rewrites.isEmpty,
-      s"readAppendedBetween($fromV, $toV] crosses non-append commits " +
-        rewrites.map(r => s"v${r.getLong(0)}=${r.getString(1)}")
-          .mkString("(", ", ", ")") +
-        " — a rewrite's files are not row-level additions")
-    val before =
-      if (fromV == 0L) Set.empty[String]
-      else filesOf(spark, path, fromV).toSet
-    filesOf(spark, path, toV).filterNot(before)
+    if (tolerateCompaction) {
+      // per-STEP walk instead of the endpoint diff: each append/create
+      // step contributes its own added files — still readable after a
+      // later compact retires them from the head manifest, because
+      // data files are immutable and [[expire]] keeps every file any
+      // RETAINED manifest references (the step's own manifest). A
+      // row-preserving compact step contributes nothing (its output
+      // re-packs rows this walk already served, or rows from before
+      // `fromV`); row-CHANGING rewrites still refuse identically.
+      val steps = changeSteps(spark, path, fromV, toV)
+      val bad = steps.filterNot(s =>
+        s.op == OpCreate || s.op == OpAppend || s.op == OpCompact)
+      require(bad.isEmpty,
+        s"readAppendedBetween($fromV, $toV] crosses non-append commits " +
+          bad.map(s => s"v${s.v}=${s.op}").mkString("(", ", ", ")") +
+          " — a rewrite's files are not row-level additions" +
+          " (readChangeFeed serves row-level changes across rewrites)")
+      steps.filter(s => s.op == OpCreate || s.op == OpAppend)
+        .flatMap(_.added)
+    } else {
+      val rewrites = history(spark, path)
+        .filter(col("version") > fromV && col("version") <= toV)
+        .filter(col("operation")
+          .isin(OpOverwrite, OpRollback, OpCompact, OpUpsert, OpDelete))
+        .select("version", "operation")
+        .collect()
+      require(rewrites.isEmpty,
+        s"readAppendedBetween($fromV, $toV] crosses non-append commits " +
+          rewrites.map(r => s"v${r.getLong(0)}=${r.getString(1)}")
+            .mkString("(", ", ", ")") +
+          " — a rewrite's files are not row-level additions")
+      val before =
+        if (fromV == 0L) Set.empty[String]
+        else filesOf(spark, path, fromV).toSet
+      filesOf(spark, path, toV).filterNot(before)
+    }
   }
 
+  /** `tolerateCompaction = true` lets the incremental read cross
+    * row-preserving compact commits (small-file maintenance no longer
+    * forces the consumer to stop): appended rows resolve per STEP from
+    * each append's own manifest, so a later compact in the range
+    * neither hides nor double-counts them. Row-changing rewrites
+    * (upsert/delete/overwrite/rollback) still refuse — those need
+    * [[readChangeFeed]]. Retention contract unchanged: every version
+    * in the range must still be retained. */
   def readAppendedBetween(
       spark: SparkSession, path: String,
-      fromV: Long, toV: Long): DataFrame = {
-    val delta = appendedFilesBetween(spark, path, fromV, toV)
+      fromV: Long, toV: Long,
+      tolerateCompaction: Boolean = false): DataFrame = {
+    val delta = appendedFilesBetween(spark, path, fromV, toV,
+      tolerateCompaction)
     if (delta.isEmpty)
       // schema-stable empty delta: zero-row frame with toV's schema
       readVersion(spark, path, toV).limit(0)
@@ -1076,12 +1108,176 @@ object Snapshots {
     * table from its first version. */
   def readChangesStream(
       spark: SparkSession, path: String,
-      fromVersion: Long = 0L): DataFrame =
+      fromVersion: Long = 0L,
+      tolerateCompaction: Boolean = false): DataFrame =
     spark.readStream
       .format(classOf[graft.streaming.SnapshotSourceProvider].getName)
       .option("path", path)
       .option("startingVersion", fromVersion.toString)
+      .option("tolerateCompaction", tolerateCompaction.toString)
       .load()
+
+  /** `_change_type` vocabulary of [[readChangeFeed]] (the Delta
+    * change-data-feed naming, so downstream consumers written against
+    * that convention port directly). */
+  val ChangeInsert = "insert"
+  val ChangeDelete = "delete"
+  val ChangeUpdatePre = "update_preimage"
+  val ChangeUpdatePost = "update_postimage"
+  val ChangeTypeCol = "_change_type"
+  val CommitVersionCol = "_commit_version"
+  val CommitTsCol = "_commit_ts_ms"
+
+  /** One committed step of the change walk: the version, its
+    * operation and commit timestamp, and the FILE-level diff against
+    * its parent (added = in this manifest but not the parent's,
+    * removed = the reverse). */
+  private final case class ChangeStep(
+      v: Long, op: String, tsMs: Long,
+      added: Seq[String], removed: Seq[String])
+
+  /** Every step in `(fromV, toV]`, resolved from ONE read over the
+    * range's manifests (the same O(versions)-jobs trap [[history]]
+    * avoids applies to any per-version manifest loop). Versions are
+    * allocated contiguously ([[claimVersion]] takes head+1), so step
+    * `v`'s parent manifest is `v-1`; the walk therefore needs every
+    * manifest in `[max(fromV,1), toV]` retained and refuses loudly on
+    * an expired one — never a silently wrong diff. */
+  private def changeSteps(
+      spark: SparkSession, path: String,
+      fromV: Long, toV: Long): Seq[ChangeStep] = {
+    require(fromV < toV, s"fromV ($fromV) must be < toV ($toV)")
+    val vs = versions(spark, path)
+    require(vs.contains(toV),
+      s"no snapshot v$toV at $path (have: ${vs.mkString(",")})")
+    val needed = math.max(fromV, 1L) to toV
+    val missing = needed.filterNot(vs.contains)
+    require(missing.isEmpty,
+      s"change walk ($fromV, $toV] needs manifests " +
+        s"v${needed.head}..v$toV but v${missing.mkString(",v")} " +
+        "expired — an expired step cannot be diffed")
+    val rows = allManifests(spark, path, needed)
+      .select("version", "operation", "ts_ms", "file")
+      .distinct().collect()
+    val byV = rows.groupBy(_.getLong(0))
+    val fileSets = byV.map { case (v, rs) =>
+      v -> rs.map(_.getString(3)).toSet
+    }
+    ((fromV + 1L) to toV).map { v =>
+      val rs = byV(v)
+      val cur = fileSets(v)
+      val prev = if (v == 1L) Set.empty[String] else fileSets(v - 1L)
+      ChangeStep(v, rs.head.getString(1), rs.head.getLong(2),
+        (cur -- prev).toSeq.sorted, (prev -- cur).toSeq.sorted)
+    }
+  }
+
+  /** ROW-level change feed of `(fromV, toV]` — every change the
+    * table's commits made, as a frame of the table's columns plus
+    * [[ChangeTypeCol]] (insert/delete/update_preimage/
+    * update_postimage), [[CommitVersionCol]], and [[CommitTsCol]] —
+    * the Delta CDF / Iceberg changelog-scan shape. Unlike
+    * [[readAppendedBetween]] this does NOT refuse across rewrites:
+    *
+    *   - append/create steps serve their added files as inserts —
+    *     metadata-resolved, NO diff computation;
+    *   - compact steps (incl. clustered/z-ordered) emit NOTHING: a
+    *     compact is row-preserving by contract (Delta's
+    *     `dataChange=false` commits are likewise invisible to CDF);
+    *   - upsert/delete/overwrite/rollback steps diff ONLY the files
+    *     the commit touched: rows in removed-but-not-added files are
+    *     deletes, added-but-not-removed are inserts, computed as a
+    *     multiset `exceptAll` both ways so rows carried VERBATIM
+    *     through a rewrite cancel out and never appear as churn.
+    *
+    * `keyCols` (optional) classifies same-commit delete+insert pairs
+    * sharing a key as update_preimage/update_postimage — the manifest
+    * does not record the upsert's key, so the CALLER names it; with
+    * no key every update surfaces as delete + insert (same multiset,
+    * coarser labels). Rows whose key appears on both sides classify
+    * as updates even when several rows share the key.
+    *
+    * 100 TB posture: cost is proportional to what each commit
+    * TOUCHED, not to the table — append steps are planning-only, and
+    * a scoped upsert/delete diffs just its scope's files (one hash
+    * shuffle over those rows for the exceptAll, plus a key join when
+    * classifying). A whole-table overwrite/rollback costs a full
+    * two-version diff — inherent to serving row-level changes for a
+    * total replace, and still bounded by the two versions, never the
+    * version count. Schema evolution across steps null-fills through
+    * the final union-by-name. Retention: every version in the range
+    * must be retained ([[changeSteps]] refuses on an expired one). */
+  def readChangeFeed(
+      spark: SparkSession, path: String,
+      fromV: Long, toV: Long,
+      keyCols: Seq[String] = Seq.empty): DataFrame = {
+    val steps = changeSteps(spark, path, fromV, toV)
+    def readFiles(files: Seq[String]): DataFrame =
+      spark.read.option("mergeSchema", "true").parquet(files: _*)
+    def stamp(df: DataFrame, tpe: String, st: ChangeStep): DataFrame = df
+      .withColumn(ChangeTypeCol, lit(tpe))
+      .withColumn(CommitVersionCol, lit(st.v))
+      .withColumn(CommitTsCol, lit(st.tsMs))
+    // align both diff sides to one column list (post's order, pre's
+    // extras appended; a column one side lacks null-fills) so the
+    // positional exceptAll compares the same columns
+    def aligned(pre: DataFrame, post: DataFrame)
+        : (DataFrame, DataFrame) = {
+      val cols = post.schema.fields ++
+        pre.schema.fields.filterNot(f => post.columns.contains(f.name))
+      def al(df: DataFrame) = df.select(cols.toSeq.map { f =>
+        (if (df.columns.contains(f.name)) col(f.name)
+         else lit(null).cast(f.dataType)).as(f.name)
+      }: _*)
+      (al(pre), al(post))
+    }
+    val frames = steps.flatMap { st =>
+      st.op match {
+        case OpCreate | OpAppend =>
+          if (st.added.isEmpty) None
+          else Some(stamp(readFiles(st.added), ChangeInsert, st))
+        case OpCompact => None // row-preserving rewrite: no data change
+        case _ =>
+          (st.removed.nonEmpty, st.added.nonEmpty) match {
+            case (false, false) => None // untouched-files-only commit
+            case (true, false) =>
+              // e.g. a delete that emptied every touched file
+              Some(stamp(readFiles(st.removed), ChangeDelete, st))
+            case (false, true) =>
+              Some(stamp(readFiles(st.added), ChangeInsert, st))
+            case (true, true) =>
+              val (pre, post) =
+                aligned(readFiles(st.removed), readFiles(st.added))
+              val ins = post.exceptAll(pre)
+              val del = pre.exceptAll(post)
+              if (keyCols.isEmpty)
+                Some(stamp(ins, ChangeInsert, st)
+                  .unionByName(stamp(del, ChangeDelete, st)))
+              else {
+                val marker = "_graft_upd"
+                val updKeys = del.select(keyCols.map(col): _*)
+                  .intersect(ins.select(keyCols.map(col): _*))
+                  .withColumn(marker, lit(1))
+                def classify(df: DataFrame, upd: String,
+                    plain: String): DataFrame = df
+                  .join(updKeys, keyCols, "left")
+                  .withColumn(ChangeTypeCol,
+                    when(col(marker).isNotNull, upd).otherwise(plain))
+                  .drop(marker)
+                  .withColumn(CommitVersionCol, lit(st.v))
+                  .withColumn(CommitTsCol, lit(st.tsMs))
+                Some(classify(ins, ChangeUpdatePost, ChangeInsert)
+                  .unionByName(
+                    classify(del, ChangeUpdatePre, ChangeDelete)))
+              }
+          }
+      }
+    }
+    if (frames.isEmpty)
+      stamp(readVersion(spark, path, toV).limit(0), ChangeInsert,
+        ChangeStep(toV, "", 0L, Nil, Nil))
+    else frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
 
   /** Keyed MERGE as a COMMIT: [[Upsert.mergeFrames]] semantics
     * (latest `(versionCol, tiebreakCol)` per key wins across head ∪

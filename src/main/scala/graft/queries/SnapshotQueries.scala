@@ -525,6 +525,101 @@ object SnapshotQueries {
             FROM orders
             WHERE o_orderkey IN (${LookupKeys.mkString(", ")})"""))
 
+  /** The planted inserted row of the change-feed table (a key far
+    * above any fixture key, in no delete range). */
+  private val CdfInsKey = 900000011L
+  private val CdfInsPrice = 55.5
+
+  private def changeFeedTable(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val path = "target/snap_cdf_" +
+      java.lang.Integer.toHexString(d.hashCode)
+    if (Snapshots.versions(s, path) != Seq(1L, 2L, 3L, 4L)) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      def shaped(df: org.apache.spark.sql.DataFrame, ver: Long) = df
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .withColumn("ver", lit(ver)).withColumn("tb", lit(0L))
+      val orders = Tables.orders(s, d)
+      // v1 create = even keys; v2 append = odd keys
+      Snapshots.create(
+        shaped(orders.filter(col("o_orderkey") % 2 === 0), 1L), path)
+      Snapshots.commitAppend(
+        shaped(orders.filter(col("o_orderkey") % 2 === 1), 1L), path)
+      // v3 = one MERGE: update every %4==0 key (+100) and insert one
+      // fresh key
+      val ups = shaped(orders.filter(col("o_orderkey") % 4 === 0), 2L)
+        .withColumn("o_totalprice", col("o_totalprice") + 100)
+        .unionByName(s.range(1).select(
+          lit(CdfInsKey).as("o_orderkey"),
+          lit(CdfInsPrice).as("o_totalprice"),
+          lit(1L).as("ver"), lit(0L).as("tb")))
+      Snapshots.commitUpsert(ups, path, keyCols = Seq("o_orderkey"),
+        versionCol = "ver", tiebreakCol = "tb")
+      // v4 = range DELETE of the [1000, 2000] keys
+      Snapshots.commitDeleteWhere(s, path, "o_orderkey", 1000, 2000)
+    }
+    path
+  }
+
+  /** snap_change_feed — the ROW-level CDC read across REWRITES
+    * ([[Snapshots.readChangeFeed]], the Delta-CDF shape the
+    * append-only `readAppendedBetween` refuses): one window over
+    * create+append+MERGE+DELETE commits must label every change —
+    * appends as inserts, the merge's churn as key-classified
+    * update_preimage/update_postimage pairs (carried-verbatim rows
+    * cancelling in the multiset diff) plus its fresh key as an
+    * insert, and the range delete's rows (at their post-merge prices)
+    * as deletes — every cell re-derived by DuckDB from the orders
+    * table with the same modulo/range predicates. */
+  val snapChangeFeed = Q(
+    "snap_change_feed",
+    (s, d) => {
+      val path = changeFeedTable(s, d)
+      Snapshots.readChangeFeed(s, path, 0L, 4L,
+        keyCols = Seq("o_orderkey"))
+        .groupBy(
+          col(Snapshots.CommitVersionCol).cast("int").as("version"),
+          col(Snapshots.ChangeTypeCol).as("change_type"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("key_sum"),
+          round(sum(col("o_totalprice")), 2).as("price_sum"))
+        .orderBy("version", "change_type")
+    },
+    Some(s"""SELECT CAST(1 AS INT) AS version, 'insert' AS change_type,
+                   COUNT(*) AS n_rows,
+                   CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+                   ROUND(SUM(o_totalprice), 2) AS price_sum
+            FROM orders WHERE o_orderkey % 2 = 0
+            UNION ALL
+            SELECT CAST(2 AS INT), 'insert', COUNT(*),
+                   CAST(SUM(o_orderkey) AS BIGINT),
+                   ROUND(SUM(o_totalprice), 2)
+            FROM orders WHERE o_orderkey % 2 = 1
+            UNION ALL
+            SELECT CAST(3 AS INT), 'insert', CAST(1 AS BIGINT),
+                   CAST($CdfInsKey AS BIGINT), $CdfInsPrice
+            UNION ALL
+            SELECT CAST(3 AS INT), 'update_preimage', COUNT(*),
+                   CAST(SUM(o_orderkey) AS BIGINT),
+                   ROUND(SUM(o_totalprice), 2)
+            FROM orders WHERE o_orderkey % 4 = 0
+            UNION ALL
+            SELECT CAST(3 AS INT), 'update_postimage', COUNT(*),
+                   CAST(SUM(o_orderkey) AS BIGINT),
+                   ROUND(SUM(o_totalprice + 100), 2)
+            FROM orders WHERE o_orderkey % 4 = 0
+            UNION ALL
+            SELECT CAST(4 AS INT), 'delete', COUNT(*),
+                   CAST(SUM(o_orderkey) AS BIGINT),
+                   ROUND(SUM(CASE WHEN o_orderkey % 4 = 0
+                                  THEN o_totalprice + 100
+                                  ELSE o_totalprice END), 2)
+            FROM orders WHERE o_orderkey BETWEEN 1000 AND 2000
+            ORDER BY version, change_type"""))
+
   private def cdcDocsTable(
       s: org.apache.spark.sql.SparkSession, d: String): String = {
     val path = "target/snap_cdc_docs_" +
@@ -572,5 +667,6 @@ object SnapshotQueries {
 
   def all: Seq[Q] = Seq(snapTimeTravel, snapUpsertMerge, snapPrunedRead,
     snapTsPrunedRead, snapStrPrunedRead, snapScopedUpsert,
-    snapDeleteWhere, snapDeleteKeys, snapKeyLookup, pipelineCdcDedup)
+    snapDeleteWhere, snapDeleteKeys, snapKeyLookup, snapChangeFeed,
+    pipelineCdcDedup)
 }

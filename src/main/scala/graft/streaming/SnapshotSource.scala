@@ -32,7 +32,13 @@ import graft.maintain.Snapshots
   *     CDC read: rewritten files are not row-level additions, and
   *     silently serving them would double-count. Stream the
   *     append-only phase of a table; run maintenance with the stream
-  *     stopped (the standard Delta `ignoreChanges`-off posture).
+  *     stopped (the standard Delta `ignoreChanges`-off posture) — OR
+  *     pass `option("tolerateCompaction", "true")` to cross
+  *     row-preserving compact commits live: appended rows then resolve
+  *     per STEP from each append's own manifest (still exactly-once —
+  *     the per-step file lists are as immutable as the endpoint diff),
+  *     compact steps serve nothing, and row-CHANGING rewrites still
+  *     refuse. Small-file maintenance no longer stops the consumer.
   *   - '''Metadata-only planning.''' Each batch plans ONLY the delta
   *     files — no table re-scan, no directory walk over data; the scan
   *     itself is a plain parquet read with the declared schema, so
@@ -76,8 +82,10 @@ class SnapshotSourceProvider extends StreamSourceProvider {
       throw new IllegalArgumentException(
         "snapshot source requires option(\"path\", <table>)"))
     val fromV = parameters.get("startingVersion").map(_.toLong).getOrElse(0L)
+    val tolerate = parameters.get("tolerateCompaction")
+      .exists(_.toBoolean)
     new SnapshotSource(spark, path,
-      schema.getOrElse(tableSchema(spark, parameters)), fromV)
+      schema.getOrElse(tableSchema(spark, parameters)), fromV, tolerate)
   }
 }
 
@@ -85,7 +93,8 @@ private[streaming] class SnapshotSource(
     spark: SparkSession,
     path: String,
     tableSchema: StructType,
-    startingVersion: Long) extends Source {
+    startingVersion: Long,
+    tolerateCompaction: Boolean = false) extends Source {
 
   override def schema: StructType = tableSchema
 
@@ -110,7 +119,8 @@ private[streaming] class SnapshotSource(
     // not an error
     val delta =
       if (fromV >= toV) Seq.empty[String]
-      else Snapshots.appendedFilesBetween(spark, path, fromV, toV)
+      else Snapshots.appendedFilesBetween(spark, path, fromV, toV,
+        tolerateCompaction)
     // MicroBatchExecution asserts the returned frame is a STREAMING
     // one; a file-list parquet relation is a batch plan, so the leaf
     // is re-tagged through the one documented private[sql] doorway

@@ -144,6 +144,12 @@ class CliSpec extends AnyFunSuite {
       Array("snapshot", tbl, "read", "--version", "1"))
     graft.cli.Main.run(spark,
       Array("snapshot", tbl, "changes", "--from", "1", "--to", "2"))
+    // the row-level change-feed form crosses rewrites (--cdf), with
+    // and without key classification
+    graft.cli.Main.run(spark, Array("snapshot", tbl, "changes",
+      "--from", "0", "--to", "2", "--cdf", "--key", "id"))
+    graft.cli.Main.run(spark, Array("snapshot", tbl, "changes",
+      "--from", "1", "--to", "2", "--tolerate-compaction"))
     graft.cli.Main.run(spark, Array("snapshot", tbl, "restore", "1"))
     assert(graft.maintain.Snapshots.read(spark, tbl).count() == 10)
     graft.cli.Main.run(spark,

@@ -981,4 +981,144 @@ class SnapshotsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("decimal(38)"), e.getMessage)
   }
+
+  private def feedTypes(df: org.apache.spark.sql.DataFrame)
+      : Map[String, Long] = df
+    .groupBy(Snapshots.ChangeTypeCol).count()
+    .as[(String, Long)].collect().toMap
+
+  test("change feed: appends are inserts, compact emits nothing") {
+    val p = freshPath("cdf-append")
+    Snapshots.create(rows(0 until 10), p)              // v1
+    Snapshots.commitAppend(rows(10 until 15), p)       // v2
+    Snapshots.compact(spark, p, targetFiles = 1)       // v3 (row-preserving)
+    Snapshots.commitAppend(rows(15 until 18), p)       // v4
+    val feed = Snapshots.readChangeFeed(spark, p, 0L, 4L)
+    // every change is an insert; the compact contributes NOTHING
+    assert(feedTypes(feed) == Map(Snapshots.ChangeInsert -> 18L))
+    assert(feed.filter(col(Snapshots.CommitVersionCol) === 3L).count() == 0)
+    // per-commit attribution: each version's inserts are its own rows
+    val byV = feed.groupBy(Snapshots.CommitVersionCol)
+      .agg(count(lit(1)), sum("id"))
+      .as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(byV == Map(
+      1L -> (10L, (0 until 10).sum.toLong),
+      2L -> (5L, (10 until 15).sum.toLong),
+      4L -> (3L, (15 until 18).sum.toLong)))
+    // a mid-range window excludes changes outside it
+    assert(Snapshots.readChangeFeed(spark, p, 1L, 2L).count() == 5)
+  }
+
+  test("change feed: upsert = delete+insert; keyCols classify updates") {
+    val p = freshPath("cdf-upsert")
+    val base = (0 until 20).map(i => (i.toLong, i * 10.0, 1L, 0L))
+      .toDF("id", "price", "ver", "tb")
+    Snapshots.create(base, p)                          // v1
+    // v2: update ids 0..4 (price +1), insert ids 100..101
+    val ups = (0 until 5).map(i => (i.toLong, i * 10.0 + 1, 2L, 0L))
+      .toDF("id", "price", "ver", "tb")
+      .unionByName((100 until 102)
+        .map(i => (i.toLong, 7.0, 1L, 0L))
+        .toDF("id", "price", "ver", "tb"))
+    Snapshots.commitUpsert(ups, p, keyCols = Seq("id"),
+      versionCol = "ver", tiebreakCol = "tb")
+    // without keys: carried-verbatim rows cancel in the multiset
+    // diff — only real churn surfaces, as delete + insert
+    val plain = Snapshots.readChangeFeed(spark, p, 1L, 2L)
+    assert(feedTypes(plain) == Map(
+      Snapshots.ChangeInsert -> 7L, Snapshots.ChangeDelete -> 5L))
+    // with keys: the 5 changed ids pair into pre/post images; the 2
+    // fresh ids stay inserts
+    val keyed = Snapshots.readChangeFeed(spark, p, 1L, 2L,
+      keyCols = Seq("id"))
+    assert(feedTypes(keyed) == Map(
+      Snapshots.ChangeUpdatePre -> 5L,
+      Snapshots.ChangeUpdatePost -> 5L,
+      Snapshots.ChangeInsert -> 2L))
+    // pre-images carry the OLD price, post-images the new
+    assert(keyed
+      .filter(col(Snapshots.ChangeTypeCol) === Snapshots.ChangeUpdatePre)
+      .agg(sum("price")).head().getDouble(0) ==
+      (0 until 5).map(_ * 10.0).sum)
+    assert(keyed
+      .filter(col(Snapshots.ChangeTypeCol) === Snapshots.ChangeUpdatePost)
+      .agg(sum("price")).head().getDouble(0) ==
+      (0 until 5).map(_ * 10.0 + 1).sum)
+  }
+
+  test("change feed: a scoped delete surfaces exactly the deleted rows") {
+    val p = freshPath("cdf-delete")
+    Snapshots.create(
+      rows(0 until 200).repartitionByRange(4, col("id")),
+      p, statsCols = Seq("id"))                        // v1
+    Snapshots.commitDeleteWhere(spark, p, "id", 10, 19) // v2 (scoped)
+    val feed = Snapshots.readChangeFeed(spark, p, 1L, 2L)
+    assert(feedTypes(feed) == Map(Snapshots.ChangeDelete -> 10L))
+    assert(feed.select("id").as[Long].collect().toSet ==
+      (10L to 19L).toSet)
+    // overwrite → full diff; rollback → its mirror image
+    Snapshots.commitOverwrite(rows(0 until 3), p)       // v3
+    val ow = Snapshots.readChangeFeed(spark, p, 2L, 3L)
+    val t3 = feedTypes(ow)
+    assert(t3(Snapshots.ChangeDelete) == 187L) // 190 head - 3 carried
+    assert(t3.getOrElse(Snapshots.ChangeInsert, 0L) == 0L,
+      s"rows 0..2 are carried verbatim, not churn: $t3")
+    Snapshots.rollback(spark, p, 2L)                    // v4
+    assert(feedTypes(Snapshots.readChangeFeed(spark, p, 3L, 4L)) ==
+      Map(Snapshots.ChangeInsert -> 187L))
+    // multi-commit window composes the per-commit changes
+    assert(Snapshots.readChangeFeed(spark, p, 1L, 4L).count() ==
+      10L + 187L + 187L)
+  }
+
+  test("change feed: metadata columns, empty window, expired step refusal") {
+    val p = freshPath("cdf-meta")
+    Snapshots.create(rows(0 until 5), p)
+    Snapshots.commitAppend(rows(5 until 8), p)
+    val feed = Snapshots.readChangeFeed(spark, p, 0L, 2L)
+    assert(Seq(Snapshots.ChangeTypeCol, Snapshots.CommitVersionCol,
+      Snapshots.CommitTsCol).forall(feed.columns.contains))
+    // commit ts rides from the manifest (same value history reports)
+    val histTs = Snapshots.history(spark, p)
+      .select("version", "ts_ms").as[(Long, Long)].collect().toMap
+    assert(feed.select(col(Snapshots.CommitVersionCol),
+      col(Snapshots.CommitTsCol)).distinct()
+      .as[(Long, Long)].collect().toMap == histTs)
+    Snapshots.commitAppend(rows(8 until 9), p)
+    Snapshots.commitAppend(rows(9 until 10), p)
+    Snapshots.expire(spark, p, keepLast = 2)
+    // a window needing an expired manifest refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.readChangeFeed(spark, p, 1L, 4L)
+    }
+    assert(e.getMessage.contains("expired"), e.getMessage)
+    // the retained window still serves
+    assert(Snapshots.readChangeFeed(spark, p, 3L, 4L).count() == 1)
+  }
+
+  test("tolerateCompaction: incremental read crosses a compact, refuses a rewrite") {
+    val p = freshPath("cdc-tol")
+    Snapshots.create(rows(0 until 10), p)              // v1
+    Snapshots.commitAppend(rows(10 until 15), p)       // v2
+    Snapshots.compact(spark, p, targetFiles = 1)       // v3
+    Snapshots.commitAppend(rows(15 until 18), p)       // v4
+    // strict mode still refuses (the unchanged default contract)
+    intercept[IllegalArgumentException] {
+      Snapshots.readAppendedBetween(spark, p, 1L, 4L)
+    }
+    // tolerant mode serves EXACTLY the appended rows: the compact's
+    // output (which re-packs v1+v2 rows) contributes nothing
+    val delta = Snapshots.readAppendedBetween(spark, p, 1L, 4L,
+      tolerateCompaction = true)
+    assert(delta.select("id").as[Long].collect().toSet ==
+      (10L until 18L).toSet)
+    // row-CHANGING rewrites refuse in BOTH modes
+    Snapshots.commitDeleteWhere(spark, p, "id", 0, 1)  // v5
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.readAppendedBetween(spark, p, 4L, 5L,
+        tolerateCompaction = true)
+    }
+    assert(e.getMessage.contains("not row-level additions"), e.getMessage)
+  }
 }

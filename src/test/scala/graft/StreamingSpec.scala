@@ -1067,6 +1067,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not row-level additions"), e.getMessage)
   }
 
+  test("snapshot source with tolerateCompaction crosses live maintenance") {
+    import graft.maintain.Snapshots
+    val root = TestSpark.tmpDir("snap-stream-tol")
+    val table = s"$root/t"; val cp = s"$root/cp"; val out = s"$root/out"
+    Snapshots.create(spark.range(10).toDF("id"), table)       // v1
+    def drain(): Unit = {
+      val q = Snapshots.readChangesStream(spark, table, fromVersion = 0L,
+        tolerateCompaction = true)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out)
+          ()
+        }
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain() // serves v1
+    // live maintenance between triggers: compact + a fresh append —
+    // the consumer must receive ONLY the appended rows, never the
+    // compact's re-packed copies of rows it already served
+    Snapshots.compact(spark, table, targetFiles = 1)          // v2
+    Snapshots.commitAppend(spark.range(10, 14).toDF("id"), table) // v3
+    drain()
+    assert(spark.read.parquet(out).select("id").as[Long]
+      .collect().sorted.toSeq == (0L until 14L))
+    // replay: exactly-once across the compacted range too
+    drain()
+    assert(spark.read.parquet(out).count() == 14)
+  }
+
   test("snapshot source feeds the incremental-dedup arm (live cdc_dedup loop)") {
     import graft.maintain.Snapshots
     val root = TestSpark.tmpDir("snap-stream-dedup")

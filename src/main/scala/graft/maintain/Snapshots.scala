@@ -1117,6 +1117,28 @@ object Snapshots {
       .option("tolerateCompaction", tolerateCompaction.toString)
       .load()
 
+  /** The LIVE twin of [[readChangeFeed]]: a Structured-Streaming
+    * source serving the ROW-level change feed — each micro-batch is
+    * one version range's changes (insert/delete/update images +
+    * commit metadata columns), so a downstream consumer stays in sync
+    * with a table under FULL maintenance (upserts, deletes, live
+    * compaction) instead of only its append-only phase
+    * ([[graft.streaming.SnapshotCdfSource]]; Delta's streaming
+    * `readChangeFeed` contract). `keyCols` classifies same-commit
+    * delete+insert pairs as update pre/post images, exactly as in the
+    * batch read. */
+  def readChangeFeedStream(
+      spark: SparkSession, path: String,
+      fromVersion: Long = 0L,
+      keyCols: Seq[String] = Seq.empty): DataFrame = {
+    val r = spark.readStream
+      .format(classOf[graft.streaming.SnapshotCdfSourceProvider].getName)
+      .option("path", path)
+      .option("startingVersion", fromVersion.toString)
+    (if (keyCols.isEmpty) r else r.option("keyCols", keyCols.mkString(",")))
+      .load()
+  }
+
   /** `_change_type` vocabulary of [[readChangeFeed]] (the Delta
     * change-data-feed naming, so downstream consumers written against
     * that convention port directly). */

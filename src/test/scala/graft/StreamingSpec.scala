@@ -1099,6 +1099,68 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == 14)
   }
 
+  test("snapshot CDF source: live row-level changes across rewrites, exactly-once") {
+    import graft.maintain.Snapshots
+    val root = TestSpark.tmpDir("snap-stream-cdf")
+    val table = s"$root/t"; val cp = s"$root/cp"; val out = s"$root/out"
+    val base = spark.range(20)
+      .select($"id", ($"id" * 10.0).as("price"),
+        lit(1L).as("ver"), lit(0L).as("tb"))
+    Snapshots.create(base, table)                              // v1
+    def drain(): Unit = {
+      val q = Snapshots.readChangeFeedStream(spark, table,
+        fromVersion = 0L, keyCols = Seq("id"))
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out)
+          ()
+        }
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain() // v1 inserts
+    // full maintenance between triggers: MERGE + DELETE + compact +
+    // a fresh append — the consumer must see classified row changes,
+    // never a refusal, and nothing from the compact
+    Snapshots.commitUpsert(
+      spark.range(5).select($"id", ($"id" * 10.0 + 1).as("price"),
+        lit(2L).as("ver"), lit(0L).as("tb")),
+      table, keyCols = Seq("id"), versionCol = "ver",
+      tiebreakCol = "tb")                                      // v2
+    Snapshots.commitDeleteWhere(spark, table, "id", 15, 17)    // v3
+    Snapshots.compact(spark, table, targetFiles = 1)           // v4
+    Snapshots.commitAppend(
+      spark.range(100, 103).select($"id", lit(7.0).as("price"),
+        lit(1L).as("ver"), lit(0L).as("tb")), table)           // v5
+    drain()
+    // parity with the batch change feed over the same window
+    val got = spark.read.parquet(out)
+    val want = Snapshots.readChangeFeed(spark, table, 0L, 5L,
+      keyCols = Seq("id"))
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col(Snapshots.ChangeTypeCol),
+        col(Snapshots.CommitVersionCol), $"id", $"price")
+      .as[(String, Long, Long, Double)].collect().sorted.toSeq
+    assert(key(got) == key(want), "live feed ≠ batch feed")
+    // the feed REPLAYS the table: inserts + post-images minus
+    // deletes + pre-images must reconstruct the head exactly
+    val addT = Seq(Snapshots.ChangeInsert, Snapshots.ChangeUpdatePost)
+    val adds = got.filter(col(Snapshots.ChangeTypeCol).isin(addT: _*))
+      .select("id", "price")
+    val drops = got.filter(!col(Snapshots.ChangeTypeCol).isin(addT: _*))
+      .select("id", "price")
+    assert(adds.exceptAll(drops).as[(Long, Double)].collect().sorted.toSeq ==
+      Snapshots.read(spark, table).select("id", "price")
+        .as[(Long, Double)].collect().sorted.toSeq,
+      "feed-reconstructed state ≠ head")
+    // replay: exactly-once — nothing re-applies
+    val n = got.count()
+    drain()
+    assert(spark.read.parquet(out).count() == n)
+  }
+
   test("snapshot source feeds the incremental-dedup arm (live cdc_dedup loop)") {
     import graft.maintain.Snapshots
     val root = TestSpark.tmpDir("snap-stream-dedup")

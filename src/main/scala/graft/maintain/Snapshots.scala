@@ -1248,7 +1248,9 @@ object Snapshots {
       val cols = post.schema.fields ++
         pre.schema.fields.filterNot(f => post.columns.contains(f.name))
       def al(df: DataFrame) = df.select(cols.toSeq.map { f =>
-        (if (df.columns.contains(f.name)) col(f.name)
+        // cast even the present columns: a widened type (int→long
+        // evolution) must not schema-mismatch the positional exceptAll
+        (if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
          else lit(null).cast(f.dataType)).as(f.name)
       }: _*)
       (al(pre), al(post))

@@ -665,8 +665,112 @@ object SnapshotQueries {
     },
     graft.llm.LlmQueries.dedupIncremental.oracle)
 
+  /** The erased document ids — literal in both engines. */
+  private val ErasedIds = Seq(0L, 2L, 4L, 6L, 8L)
+
+  private def cdfErasureTable(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val path = "target/snap_cdf_erase_" +
+      java.lang.Integer.toHexString(d.hashCode)
+    if (Snapshots.versions(s, path) != Seq(1L, 2L)) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      // v1 = the reference corpus (id-clustered, id stats recorded so
+      // the erasure rewrite is file-scoped); v2 = one erasure request
+      Snapshots.create(
+        Tables.documents(s, d).select("doc_id", "text")
+          .filter(col("doc_id") % 2 === 0)
+          .repartitionByRange(8, col("doc_id")),
+        path, statsCols = Seq("doc_id"))
+      Snapshots.commitDeleteKeys(s, path, "doc_id",
+        ErasedIds.map(BigDecimal(_)))
+    }
+    path
+  }
+
+  /** pipeline_cdf_erasure — right-to-erasure PROPAGATING to a derived
+    * pipeline artifact through the change feed: an erasure request
+    * lands as a key-set DELETE commit on the corpus table; the dedup
+    * consumer maintains its frozen reference by applying the feed's
+    * delete rows (anti-join — it never re-reads the table), and the
+    * next incoming batch dedups against THAT. Planted copies of the
+    * erased docs must now SURVIVE the exact phase (their source is
+    * gone — dropping them would resurrect erased content as evidence)
+    * unless a near-dup of a surviving doc catches them; every count
+    * is re-derived by DuckDB from the documents table with the
+    * erased-id list inlined, and `n_erased` pins that the feed served
+    * exactly the erasure's rows. */
+  val pipelineCdfErasure = Q(
+    "pipeline_cdf_erasure",
+    (s, d) => {
+      val path = cdfErasureTable(s, d)
+      val feed = Snapshots.readChangeFeed(s, path, 1L, 2L)
+      val erased = feed
+        .filter(col(Snapshots.ChangeTypeCol) === Snapshots.ChangeDelete)
+        .select("doc_id")
+      val nErased = erased.count()
+      val refNow = Snapshots.readVersion(s, path, 1L)
+        .join(erased, Seq("doc_id"), "left_anti")
+      val docs = Tables.documents(s, d)
+      val planted = docs
+        .filter(col("doc_id") % 2 === 0 && col("doc_id") < 20)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      val incoming = docs.filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "text")
+        .unionByName(planted.select("doc_id", "text"))
+      graft.llm.Dedup.incrementalDedupAudit(incoming, refNow)
+        .withColumn("n_erased", lit(nErased))
+    },
+    Some(s"""WITH ref AS (
+              SELECT doc_id, text FROM documents
+              WHERE doc_id % 2 = 0
+                AND doc_id NOT IN (${ErasedIds.mkString(", ")})),
+            inc AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text FROM documents
+              WHERE doc_id % 2 = 0 AND doc_id < 20),
+            surv AS (
+              SELECT i.doc_id, i.text FROM inc i
+              WHERE NOT EXISTS (
+                SELECT 1 FROM ref r WHERE r.text = i.text)),
+            ish AS (
+              SELECT doc_id,
+                CASE WHEN len(string_split_regex(lower(trim(text)), '\\s+')) < 3
+                  THEN [array_to_string(string_split_regex(lower(trim(text)), '\\s+'), ' ')]
+                  ELSE list_distinct([array_to_string(string_split_regex(lower(trim(text)), '\\s+')[i:i+2], ' ')
+                        for i in range(1, len(string_split_regex(lower(trim(text)), '\\s+')) - 1)])
+                END AS sh
+              FROM surv),
+            rsh AS (
+              SELECT doc_id,
+                CASE WHEN len(string_split_regex(lower(trim(text)), '\\s+')) < 3
+                  THEN [array_to_string(string_split_regex(lower(trim(text)), '\\s+'), ' ')]
+                  ELSE list_distinct([array_to_string(string_split_regex(lower(trim(text)), '\\s+')[i:i+2], ' ')
+                        for i in range(1, len(string_split_regex(lower(trim(text)), '\\s+')) - 1)])
+                END AS sh
+              FROM ref),
+            near AS (
+              SELECT DISTINCT a.doc_id FROM ish a JOIN rsh b ON
+                ROUND(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0
+                    THEN 0.0
+                    ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                         CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+                  END, 4) >= 0.5)
+            SELECT (SELECT COUNT(*) FROM inc) AS n_incoming,
+                   (SELECT COUNT(*) FROM inc)
+                     - (SELECT COUNT(*) FROM surv) AS n_exact_dropped,
+                   (SELECT COUNT(*) FROM near) AS n_near_dropped,
+                   (SELECT COUNT(*) FROM surv)
+                     - (SELECT COUNT(*) FROM near) AS n_kept,
+                   (SELECT COUNT(*) FROM documents
+                    WHERE doc_id % 2 = 0
+                      AND doc_id IN (${ErasedIds.mkString(", ")}))
+                     AS n_erased"""))
+
   def all: Seq[Q] = Seq(snapTimeTravel, snapUpsertMerge, snapPrunedRead,
     snapTsPrunedRead, snapStrPrunedRead, snapScopedUpsert,
     snapDeleteWhere, snapDeleteKeys, snapKeyLookup, snapChangeFeed,
-    pipelineCdcDedup)
+    pipelineCdcDedup, pipelineCdfErasure)
 }

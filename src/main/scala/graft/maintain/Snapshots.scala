@@ -1117,6 +1117,34 @@ object Snapshots {
       .option("tolerateCompaction", tolerateCompaction.toString)
       .load()
 
+  /** Time-windowed [[readChangeFeed]]: the row-level changes of every
+    * commit in `(fromTsMs, toTsMs]` wall-clock (manifest `ts_ms`) —
+    * "what changed since last night's sync" without the caller
+    * tracking versions (Delta CDF's startingTimestamp shape). The
+    * window's endpoints resolve through [[versionAsOf]]'s newest-at-
+    * or-before rule: a `fromTsMs` before the table existed starts at
+    * the beginning, and an empty window (no commits between the two
+    * resolved versions) returns the schema-stable zero-row feed. */
+  def readChangeFeedTime(
+      spark: SparkSession, path: String,
+      fromTsMs: Long, toTsMs: Long,
+      keyCols: Seq[String] = Seq.empty): DataFrame = {
+    require(fromTsMs <= toTsMs,
+      s"fromTsMs ($fromTsMs) must be <= toTsMs ($toTsMs)")
+    val fromV =
+      try versionAsOf(spark, path, fromTsMs)
+      catch { case _: NoSuchVersionException => 0L }
+    val toV = versionAsOf(spark, path, toTsMs) // throws: nothing to serve
+    if (fromV >= toV)
+      // built directly (not via a (toV-1, toV] feed limit(0)) so an
+      // expired toV-1 manifest cannot refuse an EMPTY window
+      readVersion(spark, path, toV).limit(0)
+        .withColumn(ChangeTypeCol, lit(ChangeInsert))
+        .withColumn(CommitVersionCol, lit(toV))
+        .withColumn(CommitTsCol, lit(0L))
+    else readChangeFeed(spark, path, fromV, toV, keyCols)
+  }
+
   /** The LIVE twin of [[readChangeFeed]]: a Structured-Streaming
     * source serving the ROW-level change feed — each micro-batch is
     * one version range's changes (insert/delete/update images +

@@ -1097,6 +1097,25 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.readChangeFeed(spark, p, 3L, 4L).count() == 1)
   }
 
+  test("time-windowed change feed resolves versions from commit timestamps") {
+    val p = freshPath("cdf-time")
+    val t0 = System.currentTimeMillis() - 1
+    Snapshots.create(rows(0 until 5), p)
+    Thread.sleep(5) // ms-granular manifest ts: keep the probes apart
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(5)
+    Snapshots.commitAppend(rows(5 until 8), p)
+    val t2 = System.currentTimeMillis()
+    // a window opening before the table existed starts at the beginning
+    assert(Snapshots.readChangeFeedTime(spark, p, t0 - 10, t2).count() == 8)
+    // a window opening after v1 serves just the append
+    assert(Snapshots.readChangeFeedTime(spark, p, t1, t2).count() == 3)
+    // an empty window past the last commit: zero rows, feed schema
+    val empty = Snapshots.readChangeFeedTime(spark, p, t2, t2 + 10)
+    assert(empty.count() == 0)
+    assert(empty.columns.contains(Snapshots.ChangeTypeCol))
+  }
+
   test("tolerateCompaction: incremental read crosses a compact, refuses a rewrite") {
     val p = freshPath("cdc-tol")
     Snapshots.create(rows(0 until 10), p)              // v1

@@ -1161,6 +1161,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == n)
   }
 
+  test("CDF stream replicates a table under full maintenance") {
+    import graft.maintain.Snapshots
+    val root = TestSpark.tmpDir("snap-stream-replica")
+    val table = s"$root/t"; val cp = s"$root/cp"
+    val replica = s"$root/replica"
+    Snapshots.create(spark.range(10)
+      .select($"id", ($"id" * 2.0).as("price"),
+        lit(1L).as("ver"), lit(0L).as("tb")), table)           // v1
+    val addT = Seq(Snapshots.ChangeInsert, Snapshots.ChangeUpdatePost)
+    def sync(): Unit = {
+      val q = Snapshots.readChangeFeedStream(spark, table,
+        fromVersion = 0L, keyCols = Seq("id"))
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          // apply the batch's changes: state ∖ (deletes ∪ pre-images)
+          // ⊎ (inserts ∪ post-images) — the generic CDF consumer
+          val cols = Seq("id", "price", "ver", "tb").map(col)
+          val adds = b.filter(col(Snapshots.ChangeTypeCol).isin(addT: _*))
+            .select(cols: _*)
+          val drops = b.filter(!col(Snapshots.ChangeTypeCol).isin(addT: _*))
+            .select(cols: _*)
+          if (!Snapshots.exists(spark, replica))
+            Snapshots.create(adds, replica)
+          else Snapshots.commitOverwrite(
+            Snapshots.read(spark, replica).exceptAll(drops)
+              .unionByName(adds), replica)
+          ()
+        }
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    sync()
+    // full maintenance on the source between syncs
+    Snapshots.commitUpsert(
+      spark.range(3).select($"id", lit(-1.0).as("price"),
+        lit(2L).as("ver"), lit(0L).as("tb")),
+      table, keyCols = Seq("id"), versionCol = "ver",
+      tiebreakCol = "tb")                                      // v2
+    Snapshots.commitDeleteWhere(spark, table, "id", 7, 8)      // v3
+    Snapshots.commitAppend(spark.range(50, 53)
+      .select($"id", lit(9.0).as("price"),
+        lit(1L).as("ver"), lit(0L).as("tb")), table)           // v4
+    sync()
+    def state(path: String) = Snapshots.read(spark, path)
+      .select("id", "price").as[(Long, Double)].collect().sorted.toSeq
+    assert(state(replica) == state(table), "replica diverged from source")
+  }
+
   test("snapshot source feeds the incremental-dedup arm (live cdc_dedup loop)") {
     import graft.maintain.Snapshots
     val root = TestSpark.tmpDir("snap-stream-dedup")

@@ -1109,12 +1109,14 @@ object Snapshots {
   def readChangesStream(
       spark: SparkSession, path: String,
       fromVersion: Long = 0L,
-      tolerateCompaction: Boolean = false): DataFrame =
+      tolerateCompaction: Boolean = false,
+      maxVersionsPerBatch: Int = 0): DataFrame =
     spark.readStream
       .format(classOf[graft.streaming.SnapshotSourceProvider].getName)
       .option("path", path)
       .option("startingVersion", fromVersion.toString)
       .option("tolerateCompaction", tolerateCompaction.toString)
+      .option("maxVersionsPerBatch", maxVersionsPerBatch.toString)
       .load()
 
   /** Time-windowed [[readChangeFeed]]: the row-level changes of every
@@ -1158,11 +1160,13 @@ object Snapshots {
   def readChangeFeedStream(
       spark: SparkSession, path: String,
       fromVersion: Long = 0L,
-      keyCols: Seq[String] = Seq.empty): DataFrame = {
+      keyCols: Seq[String] = Seq.empty,
+      maxVersionsPerBatch: Int = 0): DataFrame = {
     val r = spark.readStream
       .format(classOf[graft.streaming.SnapshotCdfSourceProvider].getName)
       .option("path", path)
       .option("startingVersion", fromVersion.toString)
+      .option("maxVersionsPerBatch", maxVersionsPerBatch.toString)
     (if (keyCols.isEmpty) r else r.option("keyCols", keyCols.mkString(",")))
       .load()
   }

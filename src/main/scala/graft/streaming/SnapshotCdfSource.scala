@@ -88,19 +88,22 @@ class SnapshotCdfSourceProvider extends StreamSourceProvider {
     val keyCols = parameters.get("keyCols")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
+    val cap = parameters.get("maxVersionsPerBatch").map(_.toInt).getOrElse(0)
     new SnapshotCdfSource(spark, path,
       schema.getOrElse(feedSchema(spark, parameters)),
-      fromV, keyCols, metadataPath)
+      fromV, keyCols, metadataPath, cap)
   }
 }
 
 private[streaming] class SnapshotCdfSource(
-    spark: SparkSession,
+    protected val spark: SparkSession,
     path: String,
     feedSchema: StructType,
-    startingVersion: Long,
+    protected val startingVersion: Long,
     keyCols: Seq[String],
-    metadataPath: String) extends Source with Logging {
+    protected val metadataPath: String,
+    protected val maxVersionsPerBatch: Int = 0)
+    extends Source with VersionRateLimit {
 
   override def schema: StructType = feedSchema
 
@@ -113,13 +116,15 @@ private[streaming] class SnapshotCdfSource(
 
   override def getOffset: Option[OffsetV1] = {
     val head = Snapshots.versions(spark, path).lastOption.getOrElse(0L)
-    if (head <= startingVersion) None else Some(LongOffset(head))
+    val offer = capOffer(head)
+    if (offer <= startingVersion) None else Some(LongOffset(offer))
   }
 
   override def getBatch(
       start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val fromV = start.map(versionOf).getOrElse(startingVersion)
     val toV = versionOf(end)
+    observe(math.max(fromV, toV))
     val files =
       if (fromV >= toV) Seq.empty[String] // caught-up replay: empty
       else {
@@ -140,6 +145,7 @@ private[streaming] class SnapshotCdfSource(
     * re-overwritten, never re-served). */
   override def commit(end: OffsetV1): Unit = {
     val endV = versionOf(end)
+    persistHighWater(endV)
     try {
       if (fs.exists(spillRoot))
         fs.listStatus(spillRoot).foreach { st =>

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.{Path => HadoopPath}
+import org.apache.spark.internal.Logging
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
@@ -84,17 +86,90 @@ class SnapshotSourceProvider extends StreamSourceProvider {
     val fromV = parameters.get("startingVersion").map(_.toLong).getOrElse(0L)
     val tolerate = parameters.get("tolerateCompaction")
       .exists(_.toBoolean)
+    val cap = parameters.get("maxVersionsPerBatch").map(_.toInt).getOrElse(0)
     new SnapshotSource(spark, path,
-      schema.getOrElse(tableSchema(spark, parameters)), fromV, tolerate)
+      schema.getOrElse(tableSchema(spark, parameters)), fromV, tolerate,
+      metadataPath, cap)
+  }
+}
+
+/** Version-offset rate limiting shared by the two snapshot sources:
+  * with `maxVersionsPerBatch = N > 0`, `getOffset` offers at most N
+  * versions past the highest offset the engine is known to hold —
+  * bounding every catch-up micro-batch (a consumer starting cold on
+  * a long commit history, or resuming after downtime, processes N
+  * commits per trigger instead of one giant batch; Delta's
+  * maxFilesPerTrigger posture). The high-water mark advances from
+  * `getBatch`'s own arguments (the engine re-calls it with the last
+  * committed range on restart — the v1 `Source` recovery contract)
+  * AND persists through a tiny `<metadataPath>/high-water` file on
+  * `commit` so a restart can never offer an offset BELOW the
+  * engine's committed one (batches are capped at N, and the persisted
+  * mark is at most one batch behind, so mark+N ≥ committed always).
+  * Caveat: `Trigger.AvailableNow` latches the end offset at query
+  * start through its wrapper, so the cap bounds ProcessingTime /
+  * Once triggers; catch-up under AvailableNow arrives as one batch. */
+private[streaming] trait VersionRateLimit extends Logging {
+  protected def spark: SparkSession
+  protected def metadataPath: String
+  protected def maxVersionsPerBatch: Int
+  protected def startingVersion: Long
+
+  private lazy val markPath = new HadoopPath(s"$metadataPath/high-water")
+  private lazy val markFs = markPath.getFileSystem(
+    spark.sparkContext.hadoopConfiguration)
+
+  /** Highest version offset known durable engine-side. */
+  protected var highWater: Long = {
+    val persisted =
+      try {
+        if (maxVersionsPerBatch > 0 && markFs.exists(markPath)) {
+          val in = markFs.open(markPath)
+          try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+          finally in.close()
+        } else 0L
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          logWarning(s"high-water read failed (cap degrades to " +
+            s"uncapped first offer): ${e.getMessage}"); 0L
+      }
+    math.max(startingVersion, persisted)
+  }
+
+  protected def observe(v: Long): Unit =
+    highWater = math.max(highWater, v)
+
+  protected def capOffer(head: Long): Long =
+    if (maxVersionsPerBatch <= 0) head
+    else math.min(head, highWater + maxVersionsPerBatch)
+
+  protected def persistHighWater(v: Long): Unit = {
+    observe(v)
+    if (maxVersionsPerBatch > 0) try {
+      val tmp = new HadoopPath(s"$metadataPath/.high-water.tmp")
+      val out = markFs.create(tmp, true)
+      try out.write(highWater.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (markFs.exists(markPath)) markFs.delete(markPath, false)
+      markFs.rename(tmp, markPath)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        logWarning(s"high-water persist failed: ${e.getMessage}")
+    }
   }
 }
 
 private[streaming] class SnapshotSource(
-    spark: SparkSession,
+    protected val spark: SparkSession,
     path: String,
     tableSchema: StructType,
-    startingVersion: Long,
-    tolerateCompaction: Boolean = false) extends Source {
+    protected val startingVersion: Long,
+    tolerateCompaction: Boolean = false,
+    protected val metadataPath: String = "",
+    protected val maxVersionsPerBatch: Int = 0)
+    extends Source with VersionRateLimit {
 
   override def schema: StructType = tableSchema
 
@@ -103,18 +178,22 @@ private[streaming] class SnapshotSource(
     * accessor every form shares. */
   private def versionOf(o: OffsetV1): Long = o.json.trim.toLong
 
-  /** The table head, offered monotonically (versions only grow; expire
-    * only drops from the OLD end). None until a version past the
-    * starting point exists — "no data yet", not an error. */
+  /** The table head (capped to `maxVersionsPerBatch` past the
+    * high-water mark when rate-limited), offered monotonically
+    * (versions only grow; expire only drops from the OLD end). None
+    * until a version past the starting point exists — "no data yet",
+    * not an error. */
   override def getOffset: Option[OffsetV1] = {
     val head = Snapshots.versions(spark, path).lastOption.getOrElse(0L)
-    if (head <= startingVersion) None else Some(LongOffset(head))
+    val offer = capOffer(head)
+    if (offer <= startingVersion) None else Some(LongOffset(offer))
   }
 
   override def getBatch(
       start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val fromV = start.map(versionOf).getOrElse(startingVersion)
     val toV = versionOf(end)
+    observe(math.max(fromV, toV))
     // an already-caught-up replay (start == end) is an empty batch,
     // not an error
     val delta =
@@ -132,7 +211,8 @@ private[streaming] class SnapshotSource(
     org.apache.spark.sql.graft.GraftSqlShim.ofRows(spark, plan)
   }
 
-  override def commit(end: OffsetV1): Unit = ()
+  override def commit(end: OffsetV1): Unit =
+    persistHighWater(versionOf(end))
   override def stop(): Unit = ()
   override def toString: String =
     s"SnapshotSource[$path, from v$startingVersion]"

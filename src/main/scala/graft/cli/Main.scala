@@ -568,17 +568,29 @@ object Main {
             // --tolerate-compaction crosses row-preserving compacts;
             // --cdf serves the ROW-level change feed instead (insert/
             // delete/update rows across rewrites; --key C classifies
-            // same-commit delete+insert pairs as updates)
-            val from = arg(args, "--from").map(_.toLong).getOrElse(
-              sys.error("snapshot changes requires --from V"))
-            val to = arg(args, "--to").map(_.toLong).getOrElse(
-              Snapshots.versions(spark, table).last)
-            val df =
-              if (args.contains("--cdf"))
-                Snapshots.readChangeFeed(spark, table, from, to,
+            // same-commit delete+insert pairs as updates). The window
+            // is version-addressed (--from/--to V) or wall-clock
+            // (--from-ts/--to-ts epoch MILLIS, CDF only — resolved
+            // through the manifest commit timestamps)
+            val df = arg(args, "--from-ts").map(_.toLong) match {
+              case Some(fromTs) =>
+                val toTs = arg(args, "--to-ts").map(_.toLong)
+                  .getOrElse(System.currentTimeMillis())
+                Snapshots.readChangeFeedTime(spark, table, fromTs, toTs,
                   keyCols = arg(args, "--key").toSeq)
-              else Snapshots.readAppendedBetween(spark, table, from, to,
-                tolerateCompaction = args.contains("--tolerate-compaction"))
+              case None =>
+                val from = arg(args, "--from").map(_.toLong).getOrElse(
+                  sys.error(
+                    "snapshot changes requires --from V or --from-ts MS"))
+                val to = arg(args, "--to").map(_.toLong).getOrElse(
+                  Snapshots.versions(spark, table).last)
+                if (args.contains("--cdf"))
+                  Snapshots.readChangeFeed(spark, table, from, to,
+                    keyCols = arg(args, "--key").toSeq)
+                else Snapshots.readAppendedBetween(spark, table, from, to,
+                  tolerateCompaction =
+                    args.contains("--tolerate-compaction"))
+            }
             df.show(20, truncate = false)
           case other => sys.error(s"snapshot: unknown action '$other'")
         }

@@ -150,6 +150,9 @@ class CliSpec extends AnyFunSuite {
       "--from", "0", "--to", "2", "--cdf", "--key", "id"))
     graft.cli.Main.run(spark, Array("snapshot", tbl, "changes",
       "--from", "1", "--to", "2", "--tolerate-compaction"))
+    // wall-clock window: everything since before the table existed
+    graft.cli.Main.run(spark, Array("snapshot", tbl, "changes",
+      "--from-ts", "0"))
     graft.cli.Main.run(spark, Array("snapshot", tbl, "restore", "1"))
     assert(graft.maintain.Snapshots.read(spark, tbl).count() == 10)
     graft.cli.Main.run(spark,

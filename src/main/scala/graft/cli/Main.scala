@@ -574,11 +574,19 @@ object Main {
             // through the manifest commit timestamps)
             val df = arg(args, "--from-ts").map(_.toLong) match {
               case Some(fromTs) =>
+                require(arg(args, "--from").isEmpty &&
+                    arg(args, "--to").isEmpty &&
+                    !args.contains("--tolerate-compaction"),
+                  "--from-ts windows are CDF-only: combine with " +
+                    "--to-ts/--key, not --from/--to/--tolerate-compaction")
                 val toTs = arg(args, "--to-ts").map(_.toLong)
                   .getOrElse(System.currentTimeMillis())
                 Snapshots.readChangeFeedTime(spark, table, fromTs, toTs,
                   keyCols = arg(args, "--key").toSeq)
               case None =>
+                require(arg(args, "--to-ts").isEmpty,
+                  "--to-ts requires --from-ts (wall-clock windows " +
+                    "cannot mix with version bounds)")
                 val from = arg(args, "--from").map(_.toLong).getOrElse(
                   sys.error(
                     "snapshot changes requires --from V or --from-ts MS"))

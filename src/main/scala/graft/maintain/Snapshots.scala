@@ -1254,8 +1254,11 @@ object Snapshots {
     * 100 TB posture: cost is proportional to what each commit
     * TOUCHED, not to the table — append steps are planning-only, and
     * a scoped upsert/delete diffs just its scope's files (one hash
-    * shuffle over those rows for the exceptAll, plus a key join when
-    * classifying). A whole-table overwrite/rollback costs a full
+    * shuffle over those rows for the exceptAll; with `keyCols` the
+    * churn-only diff frames are eagerly localCheckpoint'ed ONCE so
+    * the key intersection and both classified outputs never re-run
+    * the touched-file scans, then one key join). A whole-table
+    * overwrite/rollback costs a full
     * two-version diff — inherent to serving row-level changes for a
     * total replace, and still bounded by the two versions, never the
     * version count. Schema evolution across steps null-fills through
@@ -1304,12 +1307,18 @@ object Snapshots {
             case (true, true) =>
               val (pre, post) =
                 aligned(readFiles(st.removed), readFiles(st.added))
-              val ins = post.exceptAll(pre)
-              val del = pre.exceptAll(post)
+              val ins0 = post.exceptAll(pre)
+              val del0 = pre.exceptAll(post)
               if (keyCols.isEmpty)
-                Some(stamp(ins, ChangeInsert, st)
-                  .unionByName(stamp(del, ChangeDelete, st)))
+                Some(stamp(ins0, ChangeInsert, st)
+                  .unionByName(stamp(del0, ChangeDelete, st)))
               else {
+                // each diff side feeds the key intersection AND its
+                // own classified output — checkpoint the (delta-sized,
+                // churn-only) frames so the touched-file scans and
+                // exceptAll shuffles run once, not once per consumer
+                val ins = ins0.localCheckpoint(true)
+                val del = del0.localCheckpoint(true)
                 val marker = "_graft_upd"
                 val updKeys = del.select(keyCols.map(col): _*)
                   .intersect(ins.select(keyCols.map(col): _*))

@@ -1,11 +1,8 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.internal.Logging
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
-import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
-import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.sources.StreamSourceProvider
 import org.apache.spark.sql.types.{LongType, StringType, StructField,
   StructType}
@@ -107,18 +104,13 @@ private[streaming] class SnapshotCdfSource(
 
   override def schema: StructType = feedSchema
 
-  private def versionOf(o: OffsetV1): Long = o.json.trim.toLong
-
   private def spillRoot = new Path(s"$metadataPath/cdf")
 
   private def fs = spillRoot.getFileSystem(
     spark.sparkContext.hadoopConfiguration)
 
-  override def getOffset: Option[OffsetV1] = {
-    val head = Snapshots.versions(spark, path).lastOption.getOrElse(0L)
-    val offer = capOffer(head)
-    if (offer <= startingVersion) None else Some(LongOffset(offer))
-  }
+  override def getOffset: Option[OffsetV1] =
+    offerOffset(Snapshots.versions(spark, path).lastOption.getOrElse(0L))
 
   override def getBatch(
       start: Option[OffsetV1], end: OffsetV1): DataFrame = {
@@ -129,15 +121,15 @@ private[streaming] class SnapshotCdfSource(
       if (fromV >= toV) Seq.empty[String] // caught-up replay: empty
       else {
         val dir = new Path(spillRoot, s"$fromV-$toV")
+        // coalesce bounds the spill's FILE count for the steady-state
+        // tiny-delta batch (a keyed diff's output partitioning is the
+        // shuffle width) without serializing a large catch-up write
         Snapshots.readChangeFeed(spark, path, fromV, toV, keyCols)
+          .coalesce(64)
           .write.mode("overwrite").parquet(dir.toString)
         Seq(dir.toString)
       }
-    val batchDf = spark.read.schema(feedSchema).parquet(files: _*)
-    val plan = batchDf.queryExecution.analyzed.transformUp {
-      case lr: LogicalRelation => lr.copy(isStreaming = true)
-    }
-    org.apache.spark.sql.graft.GraftSqlShim.ofRows(spark, plan)
+    tagStreaming(spark.read.schema(feedSchema).parquet(files: _*))
   }
 
   /** Spills whose range ended at or before the committed offset are
@@ -145,7 +137,7 @@ private[streaming] class SnapshotCdfSource(
     * re-overwritten, never re-served). */
   override def commit(end: OffsetV1): Unit = {
     val endV = versionOf(end)
-    persistHighWater(endV)
+    observe(endV)
     try {
       if (fs.exists(spillRoot))
         fs.listStatus(spillRoot).foreach { st =>

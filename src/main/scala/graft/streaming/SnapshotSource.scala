@@ -93,19 +93,27 @@ class SnapshotSourceProvider extends StreamSourceProvider {
   }
 }
 
-/** Version-offset rate limiting shared by the two snapshot sources:
-  * with `maxVersionsPerBatch = N > 0`, `getOffset` offers at most N
-  * versions past the highest offset the engine is known to hold —
-  * bounding every catch-up micro-batch (a consumer starting cold on
-  * a long commit history, or resuming after downtime, processes N
-  * commits per trigger instead of one giant batch; Delta's
-  * maxFilesPerTrigger posture). The high-water mark advances from
-  * `getBatch`'s own arguments (the engine re-calls it with the last
-  * committed range on restart — the v1 `Source` recovery contract)
-  * AND persists through a tiny `<metadataPath>/high-water` file on
-  * `commit` so a restart can never offer an offset BELOW the
-  * engine's committed one (batches are capped at N, and the persisted
-  * mark is at most one batch behind, so mark+N ≥ committed always).
+/** The shared offset machinery of the two snapshot sources —
+  * version-number offsets plus `maxVersionsPerBatch` rate limiting:
+  * with `N > 0`, [[offerOffset]] offers at most N versions past the
+  * persisted high-water mark — bounding every catch-up micro-batch
+  * (a consumer starting cold on a long commit history, or resuming
+  * after downtime, processes N commits per trigger instead of one
+  * giant batch; Delta's maxFilesPerTrigger posture).
+  *
+  * Safety invariant — NEVER offer below a committed offset (a lower
+  * offer makes the engine run a backward batch and then RE-SERVE
+  * already-committed versions: duplicates): the mark is persisted to
+  * `<metadataPath>/high-water` BEFORE an offset is offered, so it is
+  * a durable UPPER bound on anything the engine can ever commit. A
+  * capped offer whose persist fails is withheld (retried next
+  * trigger — the engine's own checkpoint shares this filesystem, so
+  * a persistently failing mark write stalls an engine that could not
+  * checkpoint either); an unreadable/truncated mark (crash mid-write)
+  * degrades the next offer to UNCAPPED (head ≥ committed always),
+  * after which persistence re-establishes the cap. Every failure
+  * mode is therefore a BIGGER batch, never a duplicate.
+  *
   * Caveat: `Trigger.AvailableNow` latches the end offset at query
   * start through its wrapper, so the cap bounds ProcessingTime /
   * Once triggers; catch-up under AvailableNow arrives as one batch. */
@@ -119,45 +127,89 @@ private[streaming] trait VersionRateLimit extends Logging {
   private lazy val markFs = markPath.getFileSystem(
     spark.sparkContext.hadoopConfiguration)
 
-  /** Highest version offset known durable engine-side. */
-  protected var highWater: Long = {
-    val persisted =
-      try {
-        if (maxVersionsPerBatch > 0 && markFs.exists(markPath)) {
-          val in = markFs.open(markPath)
+  /** Offsets round-trip through the engine's JSON checkpoint log, so
+    * a replayed offset arrives as SerializedOffset — `json` is the
+    * one accessor every form shares. */
+  protected def versionOf(o: OffsetV1): Long = o.json.trim.toLong
+
+  /** The durable mark: highest version ever OFFERED (≥ anything
+    * committed). None = the mark file exists but cannot be parsed
+    * (crash mid-write) — the stale-unknown state that forces one
+    * uncapped offer. An absent file is a FRESH stream (nothing was
+    * ever offered), which starts cleanly from `startingVersion`. */
+  private var persistedMark: Option[Long] = {
+    if (maxVersionsPerBatch <= 0) Some(startingVersion)
+    else try {
+      if (!markFs.exists(markPath)) Some(startingVersion)
+      else {
+        val in = markFs.open(markPath)
+        val txt =
           try new String(in.readAllBytes(),
-            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+            java.nio.charset.StandardCharsets.UTF_8).trim
           finally in.close()
-        } else 0L
-      } catch {
-        case scala.util.control.NonFatal(e) =>
-          logWarning(s"high-water read failed (cap degrades to " +
-            s"uncapped first offer): ${e.getMessage}"); 0L
+        txt.toLongOption.map(math.max(_, startingVersion))
       }
-    math.max(startingVersion, persisted)
-  }
-
-  protected def observe(v: Long): Unit =
-    highWater = math.max(highWater, v)
-
-  protected def capOffer(head: Long): Long =
-    if (maxVersionsPerBatch <= 0) head
-    else math.min(head, highWater + maxVersionsPerBatch)
-
-  protected def persistHighWater(v: Long): Unit = {
-    observe(v)
-    if (maxVersionsPerBatch > 0) try {
-      val tmp = new HadoopPath(s"$metadataPath/.high-water.tmp")
-      val out = markFs.create(tmp, true)
-      try out.write(highWater.toString.getBytes(
-        java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      if (markFs.exists(markPath)) markFs.delete(markPath, false)
-      markFs.rename(tmp, markPath)
     } catch {
       case scala.util.control.NonFatal(e) =>
-        logWarning(s"high-water persist failed: ${e.getMessage}")
+        logWarning(s"high-water read failed (next offer uncapped): " +
+          e.getMessage)
+        None
     }
+  }
+
+  /** Raise the durable mark to at least `v`; true when the mark is
+    * known ≥ v on return. No-write fast path when already there. */
+  private def ensureMark(v: Long): Boolean =
+    persistedMark.exists(_ >= v) || {
+      try {
+        // single create-overwrite: a crash mid-write leaves an
+        // unparsable file, which reads back as the safe unknown state
+        val out = markFs.create(markPath, true)
+        try out.write(v.toString.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        persistedMark = Some(v)
+        true
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          logWarning(s"high-water persist failed (offer withheld): " +
+            e.getMessage)
+          false
+      }
+    }
+
+  /** Batch boundaries the engine reveals (getBatch arguments — the
+    * v1 recovery contract re-calls it with logged ranges) raise the
+    * mark too, healing it after an unparsable read. */
+  protected def observe(v: Long): Unit =
+    if (maxVersionsPerBatch > 0 &&
+        !persistedMark.exists(_ >= v)) ensureMark(v)
+
+  /** The offset to offer for table head `head`: capped to
+    * mark + N when rate-limited (and only once that cap is durable),
+    * `head` when uncapped or when the mark is unknown. None = nothing
+    * new to offer (or a withheld offer after a failed persist). */
+  protected def offerOffset(head: Long): Option[OffsetV1] = {
+    val offer =
+      if (maxVersionsPerBatch <= 0) head
+      else persistedMark match {
+        case Some(m) => math.min(head, m + maxVersionsPerBatch)
+        case None    => head // unknown mark: uncapped is always safe
+      }
+    if (offer <= startingVersion) None
+    else if (maxVersionsPerBatch > 0 && !ensureMark(offer)) None
+    else Some(LongOffset(offer))
+  }
+
+  /** Re-tag a batch file relation as streaming — the one documented
+    * private[sql] doorway, the same construction Spark's own
+    * FileStreamSource performs (MicroBatchExecution asserts the
+    * returned frame is a streaming one). */
+  protected def tagStreaming(batchDf: DataFrame): DataFrame = {
+    val plan = batchDf.queryExecution.analyzed.transformUp {
+      case lr: LogicalRelation => lr.copy(isStreaming = true)
+    }
+    org.apache.spark.sql.graft.GraftSqlShim.ofRows(spark, plan)
   }
 }
 
@@ -173,21 +225,13 @@ private[streaming] class SnapshotSource(
 
   override def schema: StructType = tableSchema
 
-  /** Offsets round-trip through the engine's JSON checkpoint log, so a
-    * replayed offset arrives as SerializedOffset — `json` is the one
-    * accessor every form shares. */
-  private def versionOf(o: OffsetV1): Long = o.json.trim.toLong
-
-  /** The table head (capped to `maxVersionsPerBatch` past the
+  /** The table head (capped to `maxVersionsPerBatch` past the durable
     * high-water mark when rate-limited), offered monotonically
     * (versions only grow; expire only drops from the OLD end). None
     * until a version past the starting point exists — "no data yet",
     * not an error. */
-  override def getOffset: Option[OffsetV1] = {
-    val head = Snapshots.versions(spark, path).lastOption.getOrElse(0L)
-    val offer = capOffer(head)
-    if (offer <= startingVersion) None else Some(LongOffset(offer))
-  }
+  override def getOffset: Option[OffsetV1] =
+    offerOffset(Snapshots.versions(spark, path).lastOption.getOrElse(0L))
 
   override def getBatch(
       start: Option[OffsetV1], end: OffsetV1): DataFrame = {
@@ -200,19 +244,10 @@ private[streaming] class SnapshotSource(
       if (fromV >= toV) Seq.empty[String]
       else Snapshots.appendedFilesBetween(spark, path, fromV, toV,
         tolerateCompaction)
-    // MicroBatchExecution asserts the returned frame is a STREAMING
-    // one; a file-list parquet relation is a batch plan, so the leaf
-    // is re-tagged through the one documented private[sql] doorway
-    // (same construction Spark's own FileStreamSource performs).
-    val batchDf = spark.read.schema(tableSchema).parquet(delta: _*)
-    val plan = batchDf.queryExecution.analyzed.transformUp {
-      case lr: LogicalRelation => lr.copy(isStreaming = true)
-    }
-    org.apache.spark.sql.graft.GraftSqlShim.ofRows(spark, plan)
+    tagStreaming(spark.read.schema(tableSchema).parquet(delta: _*))
   }
 
-  override def commit(end: OffsetV1): Unit =
-    persistHighWater(versionOf(end))
+  override def commit(end: OffsetV1): Unit = observe(versionOf(end))
   override def stop(): Unit = ()
   override def toString: String =
     s"SnapshotSource[$path, from v$startingVersion]"

@@ -54,10 +54,12 @@ object CdfScaleProbe {
       // (a) scoped DELETE: 1k contiguous keys inside one file's range
       val delTbl = fresh("del")
       Snapshots.commitDeleteWhere(spark, delTbl, "id", 1000, 1999)
-      val (feedDel, tDel) = timed {
-        val f = Snapshots.readChangeFeed(spark, delTbl, 1L, 2L)
-        (drain(f), f.inputFiles.length)
-      }
+      // plan once OUTSIDE the timed block (the full-merge arm times
+      // only its drain — same-shape timing or the ratio lies), and
+      // read the planned-file pin from the same frame untimed
+      val feedDelF = Snapshots.readChangeFeed(spark, delTbl, 1L, 2L)
+      val (nDelRows, tDel) = timed(drain(feedDelF))
+      val nDelFiles = feedDelF.inputFiles.length
 
       // (b) full-rewrite MERGE over the same 1k keys
       val upTbl = fresh("up")
@@ -71,7 +73,7 @@ object CdfScaleProbe {
 
       if (warmed)
         println(f"PROBE cdf_scale n=$n scoped_delete=$tDel%.2f s " +
-          f"(${feedDel._1} rows over ${feedDel._2} planned files) " +
+          f"($nDelRows rows over $nDelFiles planned files) " +
           f"full_merge=$tUp%.2f s ($feedUp rows)")
       warmed = true
       made.foreach { d =>

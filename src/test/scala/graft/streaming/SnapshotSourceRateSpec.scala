@@ -69,14 +69,24 @@ class SnapshotSourceRateSpec extends AnyFunSuite {
     val o1 = step(src1, None).get
     assert(o1.json.toLong == 2L)
     // a NEW instance (restart) with no engine replay call: its first
-    // offer must sit at or past the committed offset — never below
+    // offer resumes from the durable mark — at or past the committed
+    // offset (2), never below it
     val src2 = fresh()
     assert(src2.getOffset.map(_.json.toLong).contains(4L))
-    // and the engine's recovery getBatch (committed range re-served)
-    // keeps the mark consistent when the file write was lost
+    // the mark persists BEFORE an offer is served, so src2's offer of
+    // 4 is already durable: yet another instance continues PAST it
+    // (4+2 capped to head 5) — offers only ever move forward, which
+    // is exactly what makes a backward/duplicate batch impossible
     val src3 = fresh()
-    src3.getBatch(None, o1) // v1 recovery contract
-    assert(src3.getOffset.map(_.json.toLong).contains(4L))
+    src3.getBatch(None, o1) // v1 recovery contract: observes, no regress
+    assert(src3.getOffset.map(_.json.toLong).contains(5L))
+    // an unparsable mark (crash mid-write) degrades to an UNCAPPED
+    // offer — head is always ≥ committed, so still never backward
+    val fsP = new org.apache.hadoop.fs.Path(s"$meta/high-water")
+    val fs = fsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(fsP, true)
+    out.write("garbage".getBytes); out.close()
+    assert(fresh().getOffset.map(_.json.toLong).contains(5L))
   }
 
   test("uncapped source behavior is unchanged; CDF source honors the cap too") {

@@ -1097,6 +1097,32 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.readChangeFeed(spark, p, 3L, 4L).count() == 1)
   }
 
+  test("change feed null-fills across schema evolution, rewrite included") {
+    val p = freshPath("cdf-evolve")
+    Snapshots.create(rows(0 until 10), p)              // v1: (id, s)
+    Snapshots.commitAppend(                            // v2: + extra
+      rows(10 until 14).withColumn("extra", col("id") * 2), p)
+    // v3: a rewrite whose REMOVED file predates the evolution — the
+    // diff must align the old-schema pre side against the post side
+    Snapshots.commitDeleteWhere(spark, p, "id", 0, 4)
+    val feed = Snapshots.readChangeFeed(spark, p, 0L, 3L)
+    assert(feed.columns.contains("extra"))
+    // v1 inserts (pre-evolution) surface with extra null-filled
+    assert(feed.filter(col(Snapshots.CommitVersionCol) === 1L)
+      .filter(col("extra").isNull).count() == 10)
+    // v2 inserts carry their real values
+    assert(feed.filter(col(Snapshots.CommitVersionCol) === 2L)
+      .agg(sum("extra")).head().getLong(0) ==
+      (10 until 14).map(_ * 2).sum)
+    // the v3 diff: exactly the deleted ids, surviving rows cancel
+    // even though pre and post files have different physical schemas
+    val v3 = feed.filter(col(Snapshots.CommitVersionCol) === 3L)
+    assert(v3.groupBy(Snapshots.ChangeTypeCol).count()
+      .as[(String, Long)].collect().toMap ==
+      Map(Snapshots.ChangeDelete -> 5L))
+    assert(v3.select("id").as[Long].collect().toSet == (0L to 4L).toSet)
+  }
+
   test("time-windowed change feed resolves versions from commit timestamps") {
     val p = freshPath("cdf-time")
     val t0 = System.currentTimeMillis() - 1

@@ -563,6 +563,30 @@ object Main {
                 s"no file overlaps — no-op, head stays v$v")
             else System.err.println(
               s"[snapshot] deleted $what from $table as v$v")
+          case "constraint" =>
+            // write-time CHECK quality gates: --add name:EXPR proves
+            // the head satisfies EXPR then enforces it on every later
+            // commit (violating commits refuse atomically); --drop
+            // name removes it; bare form lists the active set
+            (arg(args, "--add"), arg(args, "--drop")) match {
+              case (Some(spec), None) =>
+                val parts = spec.split(":", 2)
+                require(parts.length == 2 && parts(0).nonEmpty,
+                  s"--add expects name:EXPR, got '$spec'")
+                Snapshots.addConstraint(spark, table, parts(0), parts(1))
+                System.err.println(
+                  s"[snapshot] CHECK ${parts(0)} active on $table")
+              case (None, Some(name)) =>
+                val dropped = Snapshots.dropConstraint(spark, table, name)
+                System.err.println(if (dropped)
+                  s"[snapshot] dropped CHECK $name from $table"
+                else s"[snapshot] no CHECK named $name on $table")
+              case (None, None) =>
+                Snapshots.constraints(spark, table).toSeq.sortBy(_._1)
+                  .foreach { case (n, e) => println(s"$n: $e") }
+              case _ => sys.error("pass --add OR --drop, not both")
+            }
+
           case "changes" =>
             // incremental read: rows appended in (--from, --to].
             // --tolerate-compaction crosses row-preserving compacts;

@@ -79,6 +79,8 @@ object Snapshots {
     extends java.io.IOException(msg)
   final class NoSuchVersionException(msg: String)
     extends java.util.NoSuchElementException(msg)
+  final class ConstraintViolationException(msg: String)
+    extends IllegalArgumentException(msg)
 
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -305,6 +307,101 @@ object Snapshots {
     * commits that carry untouched parent files pass `allowEmpty =
     * true` ([[commitRewrite]]). Stat-less writes skip the scan and
     * keep every file (no way to know emptiness for free). */
+  private val ConstraintsDir = "_constraints"
+
+  /** SQL CHECK semantics: a row VIOLATES only when the expression
+    * evaluates to FALSE — null passes (the standard's unknown-is-
+    * not-a-violation rule, Delta's CHECK behavior). */
+  private def violatesExpr(exprSql: String): Column =
+    !coalesce(expr(exprSql).cast("boolean"), lit(true))
+
+  /** The table's active CHECK constraints (name → SQL expression) —
+    * one tiny directory listing. */
+  def constraints(spark: SparkSession, path: String): Map[String, String] = {
+    val dir = new Path(s"$path/$ConstraintsDir")
+    val f = fs(spark, path)
+    if (!f.exists(dir)) Map.empty
+    else f.listStatus(dir).toSeq.filter(_.isFile).map { st =>
+      val in = f.open(st.getPath)
+      val sql =
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+      st.getPath.getName -> sql
+    }.toMap
+  }
+
+  /** Register a CHECK constraint (write-time quality gate, Delta's
+    * `ALTER TABLE ADD CONSTRAINT` shape): every LATER commit's new
+    * data batch is validated against every active constraint and a
+    * violating commit refuses ATOMICALLY — no version lands, the
+    * doomed batch is invisible and expire-sweepable. The add itself
+    * first proves the CURRENT head satisfies the expression (one
+    * scan — the same contract Delta enforces), so a constraint can
+    * never be born already broken. Constrained columns must exist in
+    * every later batch (a batch missing one fails loudly at
+    * analysis, never silently passes). Same-JVM adds serialize on
+    * the table's commit lock; a cross-process writer that committed
+    * its (validated-against-the-old-set) batch while the add's head
+    * scan ran is the same last-writer-wins window every table
+    * property has — the add's scan validates the head it resolved. */
+  def addConstraint(spark: SparkSession, path: String,
+      name: String, exprSql: String): Unit =
+    lockFor(path).synchronized {
+      require(exists(spark, path), s"no snapshot table at $path")
+      require(name.matches("[A-Za-z0-9_\\-]+"),
+        s"constraint name must be [A-Za-z0-9_-]+: '$name'")
+      val bad = read(spark, path).filter(violatesExpr(exprSql)).count()
+      if (bad > 0)
+        throw new ConstraintViolationException(
+          s"cannot add CHECK '$name' ($exprSql) at $path: " +
+            s"$bad existing head row(s) violate it")
+      val f = fs(spark, path)
+      f.mkdirs(new Path(s"$path/$ConstraintsDir"))
+      val out = f.create(new Path(s"$path/$ConstraintsDir/$name"), true)
+      try out.write(exprSql.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+
+  def dropConstraint(spark: SparkSession, path: String,
+      name: String): Boolean =
+    fs(spark, path).delete(new Path(s"$path/$ConstraintsDir/$name"), false)
+
+  /** Validate a just-written batch against the table's constraints
+    * in ONE aggregate pass; on any violation the batch dir is removed
+    * and the commit dies here — before a manifest could reference it.
+    * Cost rides the commit's own delta: scoped rewrites validate
+    * their slice, appends their batch (compaction re-validates its
+    * re-packed output — already-valid rows, one extra scan, the
+    * price of enforcement with no op-specific holes). */
+  private def enforceConstraints(spark: SparkSession, path: String,
+      batch: String): Unit = {
+    val cons = constraints(spark, path)
+    if (cons.isEmpty) return
+    val names = cons.keys.toSeq.sorted
+    val counts =
+      try {
+        val aggs = names.map(n =>
+          sum(when(violatesExpr(cons(n)), 1L).otherwise(0L)).as(n))
+        spark.read.parquet(batch).agg(aggs.head, aggs.tail: _*).head()
+      } catch {
+        case e: Throwable =>
+          fs(spark, path).delete(new Path(batch), true)
+          throw e // unresolvable constraint column etc: loud, atomic
+      }
+    val violated = names.zipWithIndex.collect {
+      case (n, i) if !counts.isNullAt(i) && counts.getLong(i) > 0 =>
+        s"$n (${cons(n)}): ${counts.getLong(i)} row(s)"
+    }
+    if (violated.nonEmpty) {
+      fs(spark, path).delete(new Path(batch), true)
+      throw new ConstraintViolationException(
+        s"commit at $path refused — CHECK constraint(s) violated by " +
+          s"the new batch: ${violated.mkString("; ")}")
+    }
+  }
+
   private def writeBatch(df: DataFrame, path: String,
       statsCols: Seq[String] = Seq.empty,
       allowEmpty: Boolean = false,
@@ -315,6 +412,7 @@ object Snapshots {
     df.write.parquet(batch) // fresh dir: no overwrite semantics needed
     val spark = df.sparkSession
     val f = fs(spark, path)
+    enforceConstraints(spark, path, batch)
     val paths = f.listStatus(new Path(batch)).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toString)

@@ -153,6 +153,16 @@ class CliSpec extends AnyFunSuite {
     // wall-clock window: everything since before the table existed
     graft.cli.Main.run(spark, Array("snapshot", tbl, "changes",
       "--from-ts", "0"))
+    // CHECK constraint lifecycle: add, list, gate a commit, drop
+    graft.cli.Main.run(spark, Array("snapshot", tbl, "constraint",
+      "--add", "id-nonneg:id >= 0"))
+    graft.cli.Main.run(spark, Array("snapshot", tbl, "constraint"))
+    intercept[graft.maintain.Snapshots.ConstraintViolationException] {
+      graft.maintain.Snapshots.commitAppend(
+        spark.range(-1, 0).toDF("id"), tbl)
+    }
+    graft.cli.Main.run(spark, Array("snapshot", tbl, "constraint",
+      "--drop", "id-nonneg"))
     graft.cli.Main.run(spark, Array("snapshot", tbl, "restore", "1"))
     assert(graft.maintain.Snapshots.read(spark, tbl).count() == 10)
     graft.cli.Main.run(spark,

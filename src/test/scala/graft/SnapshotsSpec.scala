@@ -1097,6 +1097,46 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.readChangeFeed(spark, p, 3L, 4L).count() == 1)
   }
 
+  test("CHECK constraints gate commits atomically; null passes; drop re-opens") {
+    val p = freshPath("constraints")
+    Snapshots.create(rows(0 until 10), p)
+    // a constraint the head already violates cannot be born
+    val e0 = intercept[Snapshots.ConstraintViolationException] {
+      Snapshots.addConstraint(spark, p, "id-big", "id >= 5")
+    }
+    assert(e0.getMessage.contains("existing head row"), e0.getMessage)
+    assert(Snapshots.constraints(spark, p).isEmpty)
+    // a satisfiable one activates and gates every later commit
+    Snapshots.addConstraint(spark, p, "id-nonneg", "id >= 0")
+    Snapshots.addConstraint(spark, p, "s-prefixed", "s LIKE 'r%'")
+    val e1 = intercept[Snapshots.ConstraintViolationException] {
+      Snapshots.commitAppend(
+        Seq((-1L, "r-neg"), (20L, "bad")).toDF("id", "s"), p)
+    }
+    assert(e1.getMessage.contains("id-nonneg") &&
+      e1.getMessage.contains("s-prefixed"), e1.getMessage)
+    // ATOMIC refusal: no version landed, head unchanged, the doomed
+    // batch invisible to readers
+    assert(Snapshots.versions(spark, p) == Seq(1L))
+    assert(Snapshots.read(spark, p).count() == 10)
+    // SQL CHECK null semantics: unknown is not a violation
+    assert(Snapshots.commitAppend(
+      Seq((Some(30L), Some("r30")), (None, None))
+        .toDF("id", "s"), p) == 2L)
+    assert(Snapshots.read(spark, p).count() == 12)
+    // rewrites are gated too: an overwrite smuggling a violation dies
+    val e2 = intercept[Snapshots.ConstraintViolationException] {
+      Snapshots.commitOverwrite(Seq((0L, "BAD")).toDF("id", "s"), p)
+    }
+    assert(e2.getMessage.contains("s-prefixed"), e2.getMessage)
+    assert(Snapshots.versions(spark, p) == Seq(1L, 2L))
+    // drop re-opens the gate
+    assert(Snapshots.dropConstraint(spark, p, "s-prefixed"))
+    assert(Snapshots.constraints(spark, p).keySet == Set("id-nonneg"))
+    Snapshots.commitAppend(Seq((40L, "plain")).toDF("id", "s"), p)
+    assert(Snapshots.read(spark, p).count() == 13)
+  }
+
   test("change feed null-fills across schema evolution, rewrite included") {
     val p = freshPath("cdf-evolve")
     Snapshots.create(rows(0 until 10), p)              // v1: (id, s)

@@ -342,7 +342,10 @@ object Main {
 
       case "snapshot" =>
         // snapshot TABLE <create SRC | append SRC | overwrite SRC |
-        //   history | restore V | read [--version V | --as-of MS] |
+        //   history | describe | restore V |
+        //   read [--version V | --as-of MS] |
+        //   changes [--cdf --key C | --from-ts MS] |
+        //   constraint [--add name:EXPR | --drop name] |
         //   expire [--keep N]>
         // — snapshot-isolated commits + time travel over immutable
         // parquet batches (maintain.Snapshots; atomic rename-claimed
@@ -563,6 +566,33 @@ object Main {
                 s"no file overlaps — no-op, head stays v$v")
             else System.err.println(
               s"[snapshot] deleted $what from $table as v$v")
+          case "describe" =>
+            // one-stop operational summary: retained window, head
+            // commit, schema, stat coverage, active quality gates
+            val vs = Snapshots.versions(spark, table)
+            val hist = Snapshots.history(spark, table)
+              .orderBy(col("version").desc).limit(1)
+              .select("version", "operation", "ts_ms", "n_files")
+              .head()
+            println(s"table: $table")
+            println(s"retained: v${vs.head}..v${vs.last} (${vs.length})")
+            println(s"head: v${hist.getLong(0)} op=${hist.getString(1)} " +
+              s"ts_ms=${hist.getLong(2)} files=${hist.getLong(3)}")
+            println("schema:")
+            print(Snapshots.read(spark, table).schema.treeString)
+            val stats = Snapshots.allFileStats(spark, table)
+            val numCols = stats.valuesIterator.flatMap(_.num.keys).toSet
+            val strCols = stats.valuesIterator.flatMap(_.str.keys).toSet
+            if (numCols.nonEmpty || strCols.nonEmpty)
+              println("stat columns: " +
+                (numCols.toSeq.sorted.map(c => s"$c(range)") ++
+                  strCols.toSeq.sorted.map(c => s"$c(str)"))
+                  .mkString(", "))
+            val cons = Snapshots.constraints(spark, table)
+            if (cons.nonEmpty)
+              cons.toSeq.sortBy(_._1).foreach { case (n, e) =>
+                println(s"constraint $n: CHECK ($e)") }
+
           case "constraint" =>
             // write-time CHECK quality gates: --add name:EXPR proves
             // the head satisfies EXPR then enforces it on every later

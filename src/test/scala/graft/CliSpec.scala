@@ -163,6 +163,7 @@ class CliSpec extends AnyFunSuite {
     }
     graft.cli.Main.run(spark, Array("snapshot", tbl, "constraint",
       "--drop", "id-nonneg"))
+    graft.cli.Main.run(spark, Array("snapshot", tbl, "describe"))
     graft.cli.Main.run(spark, Array("snapshot", tbl, "restore", "1"))
     assert(graft.maintain.Snapshots.read(spark, tbl).count() == 10)
     graft.cli.Main.run(spark,

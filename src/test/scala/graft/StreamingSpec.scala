@@ -509,6 +509,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(viaStream == live, s"stream=$viaStream\nlive=$live")
   }
 
+  test("streamed ingestion is CHECK-gated: a violating batch fails the stream, table intact") {
+    import graft.maintain.Snapshots
+    val src = TestSpark.tmpDir("snap-gate-src")
+    spark.range(10).toDF("id").write.mode("overwrite").parquet(src)
+    val tbl = TestSpark.tmpDir("snap-gate") + "/t"
+    val ck = TestSpark.tmpDir("snap-gate-ck")
+    Snapshots.create(spark.range(5).toDF("id"), tbl)
+    Snapshots.addConstraint(spark, tbl, "small-ids", "id < 8")
+    // the arriving micro-batch carries ids 8..9 → the quality gate
+    // must fail the STREAM (not silently land a bad version)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = Incremental.snapshotAppendStream(
+        spark.readStream.schema(spark.read.parquet(src).schema)
+          .parquet(src), tbl, ck)
+      q.awaitTermination()
+    }
+    assert(e.getMessage.contains("small-ids"), e.getMessage)
+    assert(Snapshots.versions(spark, tbl) == Seq(1L))
+    assert(Snapshots.read(spark, tbl).count() == 5)
+  }
+
   test("streamed snapshot ingestion: one version per batch, exactly-once, CDC-tailable") {
     import graft.maintain.Snapshots
     val src = TestSpark.tmpDir("snap-stream-src")

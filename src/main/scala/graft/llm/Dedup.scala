@@ -555,8 +555,15 @@ object Dedup {
     if (mfs.exists(metaPath) && !mfs.delete(metaPath, true))
       throw new graft.maintain.Swap.SwapFailedException(
         s"could not clear stale meta at $metaPath")
+    // scale-adaptive segment shaping: coalesce (never a shuffle) to
+    // the size-derived shard count — the shingles/bands tables are
+    // ≈ text-sized, digests/bucket_counts far smaller
+    val nShards = graft.maintain.Segments.shardCount(
+      reference.select(col(idCol), col(textCol)))
+    val nSmall = math.max(1, nShards / 16)
     graft.maintain.Segments.writeBase(
-      reference.select(contentHash(col(textCol)).as("digest")).distinct(),
+      reference.select(contentHash(col(textCol)).as("digest")).distinct()
+        .coalesce(nSmall),
       s"$path/digests")
     val (sh, handle) = persistIfNew(
       reference.select(
@@ -577,13 +584,15 @@ object Dedup {
             col("sh"), numHashes, bands)).as(Seq("band", "band_hash"))),
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        graft.maintain.Segments.writeBase(bandRows._1, s"$path/bands")
+        graft.maintain.Segments.writeBase(
+          bandRows._1.coalesce(nShards), s"$path/bands")
         graft.maintain.Segments.writeBase(
           bandRows._1.groupBy("band", "band_hash")
-            .agg(count(lit(1)).as("n")),
+            .agg(count(lit(1)).as("n")).coalesce(nSmall),
           s"$path/bucket_counts")
       } finally release(bandRows._2.toSeq)
-      graft.maintain.Segments.writeBase(sh, s"$path/shingles")
+      graft.maintain.Segments.writeBase(
+        sh.coalesce(nShards), s"$path/shingles")
     } finally release(handle.toSeq)
     // meta LAST: its _SUCCESS is the index's validity marker
     spark.range(1).select(
@@ -635,9 +644,13 @@ object Dedup {
     val shingleK = meta.getAs[Int]("shingle_k")
     val numHashes = meta.getAs[Int]("num_hashes")
     val bands = meta.getAs[Int]("bands")
+    val nShards = graft.maintain.Segments.shardCount(
+      newReference.select(col(idCol), col(textCol)))
+    val nSmall = math.max(1, nShards / 16)
     graft.maintain.Segments.writeSegment(
       newReference
-        .select(contentHash(col(textCol)).as("digest")).distinct(),
+        .select(contentHash(col(textCol)).as("digest")).distinct()
+        .coalesce(nSmall),
       s"$path/digests", segId)
     val (sh, handle) = persistIfNew(
       newReference.select(
@@ -651,13 +664,14 @@ object Dedup {
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         graft.maintain.Segments.writeSegment(
-          bandRows._1, s"$path/bands", segId)
+          bandRows._1.coalesce(nShards), s"$path/bands", segId)
         graft.maintain.Segments.writeSegment(
           bandRows._1.groupBy("band", "band_hash")
-            .agg(count(lit(1)).as("n")),
+            .agg(count(lit(1)).as("n")).coalesce(nSmall),
           s"$path/bucket_counts", segId)
       } finally release(bandRows._2.toSeq)
-      graft.maintain.Segments.writeSegment(sh, s"$path/shingles", segId)
+      graft.maintain.Segments.writeSegment(
+        sh.coalesce(nShards), s"$path/shingles", segId)
     } finally release(handle.toSeq)
   }
 
@@ -674,12 +688,14 @@ object Dedup {
   def compactLshIndex(spark: SparkSession, path: String): Unit = {
     require(lshIndexExists(spark, path),
       s"no LSH index at $path — writeLshIndex first")
-    graft.maintain.Segments.replaceTable(spark, s"$path/digests")(
-      _.distinct())
-    graft.maintain.Segments.replaceTable(spark, s"$path/bands")(identity)
-    graft.maintain.Segments.replaceTable(spark, s"$path/bucket_counts")(
-      _.groupBy("band", "band_hash").agg(sum(col("n")).as("n")))
-    graft.maintain.Segments.replaceTable(spark, s"$path/shingles")(identity)
+    def shaped(t: DataFrame): DataFrame =
+      t.coalesce(graft.maintain.Segments.shardCount(t))
+    graft.maintain.Segments.replaceTable(spark, s"$path/digests")(t =>
+      shaped(t.distinct()))
+    graft.maintain.Segments.replaceTable(spark, s"$path/bands")(shaped)
+    graft.maintain.Segments.replaceTable(spark, s"$path/bucket_counts")(t =>
+      shaped(t.groupBy("band", "band_hash").agg(sum(col("n")).as("n"))))
+    graft.maintain.Segments.replaceTable(spark, s"$path/shingles")(shaped)
   }
 
   /** [[incrementalDedup]] against a PERSISTED index instead of the

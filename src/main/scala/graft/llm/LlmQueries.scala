@@ -2796,10 +2796,15 @@ object LlmQueries {
       val docs = Tables.documents(s, d)
       val qs = Seq((0, "hash join merge")).toDF("query_id", "query_text")
       val fused = Retrieval.hybridTopK(docs, qs, k = 15, nPerSide = 20)
+      // join FIRST (15-row broadcast side), embed AFTER: hashEmbed
+      // below the join would run for every corpus row to keep 15 —
+      // above it, only the shortlist is embedded (corpus-scale work
+      // at 100 TB). Same vectors for the surviving rows.
       val cands = fused
         .select(col("doc_id"), col("rrf_score").as("rel"))
-        .join(docs.select(col("doc_id"),
-          Retrieval.hashEmbed(col("text")).as("vec")), Seq("doc_id"))
+        .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+        .withColumn("vec", Retrieval.hashEmbed(col("text")))
+        .drop("text")
       Retrieval.mmrDiversify(cands, k = 5, lambda = 0.7,
         maxCandidates = 15)
     },

@@ -223,6 +223,11 @@ object Retrieval {
       throw new graft.maintain.Swap.SwapFailedException(
         s"could not clear stale meta at $metaPath")
     val toks = TextAnalysis.tokens(lower(coalesce(col(textCol), lit(""))))
+    // shard count from the scan-backed input (postings bytes ≈ the
+    // tokenized text bytes), sized BEFORE the checkpoint below — a
+    // checkpointed plan's estimate is not scan-derived
+    val nShards = graft.maintain.Segments.shardCount(
+      docs.select(col(idCol), col(textCol)))
     val withLen = docs
       .select(col(idCol).as("id"), toks.as("__graft_toks"))
       .select(col("id"), col("__graft_toks"),
@@ -238,12 +243,12 @@ object Retrieval {
       .groupBy(col("token"), col("id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
     graft.maintain.Segments.writeBase(
-      postings.repartitionByRange(32, col("token"))
+      postings.repartitionByRange(nShards, col("token"))
         .sortWithinPartitions("token"),
       s"$path/postings")
     graft.maintain.Segments.writeBase(
       postings.groupBy("token").agg(count(lit(1)).as("df"))
-        .repartitionByRange(32, col("token"))
+        .repartitionByRange(math.max(1, nShards / 16), col("token"))
         .sortWithinPartitions("token"),
       s"$path/df")
     spark.range(1).select(lit(Bm25IndexFormat).as("format"))
@@ -280,6 +285,8 @@ object Retrieval {
     require(bm25IndexExists(spark, path),
       s"no BM25 index at $path — writeBm25Index first")
     val toks = TextAnalysis.tokens(lower(coalesce(col(textCol), lit(""))))
+    val nShards = graft.maintain.Segments.shardCount(
+      newDocs.select(col(idCol), col(textCol)))
     val withLen = newDocs
       .select(col(idCol).as("id"), toks.as("__graft_toks"))
       .select(col("id"), col("__graft_toks"),
@@ -292,12 +299,12 @@ object Retrieval {
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint(true) // feeds the append AND the df delta
     graft.maintain.Segments.writeSegment(
-      postings.repartitionByRange(32, col("token"))
+      postings.repartitionByRange(nShards, col("token"))
         .sortWithinPartitions("token"),
       s"$path/postings", segId)
     graft.maintain.Segments.writeSegment(
       postings.groupBy("token").agg(count(lit(1)).as("df"))
-        .repartitionByRange(32, col("token"))
+        .repartitionByRange(math.max(1, nShards / 16), col("token"))
         .sortWithinPartitions("token"),
       s"$path/df", segId)
     graft.maintain.Segments.writeSegment(
@@ -320,11 +327,13 @@ object Retrieval {
       spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     require(bm25IndexExists(spark, path),
       s"no BM25 index at $path — writeBm25Index first")
-    graft.maintain.Segments.replaceTable(spark, s"$path/postings")(
-      _.repartitionByRange(32, col("token")).sortWithinPartitions("token"))
-    graft.maintain.Segments.replaceTable(spark, s"$path/df")(
-      _.groupBy("token").agg(sum(col("df")).as("df"))
-        .repartitionByRange(32, col("token")).sortWithinPartitions("token"))
+    graft.maintain.Segments.replaceTable(spark, s"$path/postings")(t =>
+      t.repartitionByRange(graft.maintain.Segments.shardCount(t),
+        col("token")).sortWithinPartitions("token"))
+    graft.maintain.Segments.replaceTable(spark, s"$path/df")(t =>
+      t.groupBy("token").agg(sum(col("df")).as("df"))
+        .repartitionByRange(graft.maintain.Segments.shardCount(t),
+          col("token")).sortWithinPartitions("token"))
     graft.maintain.Segments.replaceTable(spark, s"$path/stats")(
       _.agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
         coalesce(sum(col("total_dl")), lit(0L)).as("total_dl")))
@@ -611,7 +620,11 @@ object Retrieval {
         s"could not clear stale meta at $metaPath")
     graft.maintain.Segments.writeBase(
       denseVectors(docs, dims, idCol, textCol)
-        .repartitionByRange(32, col("id")).sortWithinPartitions("id"),
+        .repartitionByRange(
+          graft.maintain.Segments.shardCount(
+            denseVectors(docs, dims, idCol, textCol)),
+          col("id"))
+        .sortWithinPartitions("id"),
       s"$path/vectors")
     spark.range(1)
       .select(lit(DenseIndexFormat).as("format"), lit(dims).as("dims"))
@@ -647,7 +660,11 @@ object Retrieval {
     val dims = spark.read.parquet(s"$path/meta").head().getAs[Int]("dims")
     graft.maintain.Segments.writeSegment(
       denseVectors(newDocs, dims, idCol, textCol)
-        .repartitionByRange(32, col("id")).sortWithinPartitions("id"),
+        .repartitionByRange(
+          graft.maintain.Segments.shardCount(
+            denseVectors(newDocs, dims, idCol, textCol)),
+          col("id"))
+        .sortWithinPartitions("id"),
       s"$path/vectors", segId)
   }
 
@@ -658,8 +675,9 @@ object Retrieval {
       spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     require(denseIndexExists(spark, path),
       s"no dense index at $path — writeDenseIndex first")
-    graft.maintain.Segments.replaceTable(spark, s"$path/vectors")(
-      _.repartitionByRange(32, col("id")).sortWithinPartitions("id"))
+    graft.maintain.Segments.replaceTable(spark, s"$path/vectors")(t =>
+      t.repartitionByRange(graft.maintain.Segments.shardCount(t),
+        col("id")).sortWithinPartitions("id"))
   }
 
   /** Batch dense scores from the PERSISTED vector tower: one scan of

@@ -34,6 +34,30 @@ object Segments {
   /** The initial build's segment id. */
   val BaseSeg = "base"
 
+  /** Scale-adaptive shard count for a segment write, derived from the
+    * optimizer's size estimate of `sized` (exact for cached
+    * relations, file-length sums for parquet scans — good to a small
+    * constant factor, which file sizing tolerates):
+    * `ceil(bytes / spark.graft.index.shardBytes)` clamped to
+    * `[1, spark.graft.index.maxShards]`.
+    *
+    * Replaces the index writers' former constant 32, which was wrong
+    * at both ends of the scale: a 10⁵-row corpus segment became 32
+    * KB-files (per-file open/list/copy overhead dominating every
+    * append and probe), and a 10¹³-row corpus would pack into 32
+    * multi-TB shards (no scan parallelism, unsplittable row groups).
+    * Defaults target the 128 MB–1 GB output-file band; override per
+    * session for a different storage profile. */
+  def shardCount(sized: DataFrame): Int = {
+    val conf = sized.sparkSession.conf
+    val target = conf.get("spark.graft.index.shardBytes",
+      (128L * 1024 * 1024).toString).toLong
+    val cap = conf.get("spark.graft.index.maxShards", "65536").toInt
+    val bytes = sized.queryExecution.optimizedPlan.stats.sizeInBytes
+    val n = (bytes + target - 1) / target
+    n.min(cap).max(1).toInt
+  }
+
   /** A fresh unique segment id for one-off batch appends (callers with
     * a replay story — the streaming arms — pass their batch id
     * instead, which is what makes the replay idempotent). */

@@ -799,14 +799,48 @@ object Snapshots {
     (num, str, bloomed)
   }
 
+  /** Parsed-manifest memo. A version's manifest directory is
+    * IMMUTABLE once the claim rename lands (the commit protocol's
+    * core invariant), so its parsed entries stay valid while the SAME
+    * directory is in place — identity checked per call by one
+    * filesystem stat (qualified path + modification time: an
+    * expire + recreate at the same path gets a new mtime and misses).
+    * This replaces a per-read Spark collect job over the manifest
+    * with an FS stat — the manifest-resolution cost a resident engine
+    * pays once per version, not once per query (the same metadata-
+    * memo lifecycle as [[graft.plans.SnapshotPruneRule]]'s
+    * per-(table, version-set) map). Bounded: cleared wholesale past
+    * a size cap (manifests are tiny; the cap is generous). */
+  private val entriesMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), Seq[FileEntry]]()
+  private val EntriesMemoCap = 4096
+
   private def entriesOf(spark: SparkSession, path: String,
-      v: Long): Seq[FileEntry] =
-    statProjection(manifestDf(spark, path, v)).collect().toSeq
-      .groupBy(_.getString(0))
-      .map { case (file, rows) =>
-        val (num, str, bloomed) = parseStatRows(rows)
-        FileEntry(file, num, str, bloomColsRecorded = bloomed)
-      }.toSeq
+      v: Long): Seq[FileEntry] = {
+    val dir = new Path(s"$path/$SnapDir/v$v")
+    val f = fs(spark, path)
+    val st =
+      try f.getFileStatus(dir)
+      catch {
+        case _: java.io.FileNotFoundException =>
+          throw new NoSuchVersionException(
+            s"no snapshot v$v at $path (have: " +
+              s"${versions(spark, path).mkString(",")})")
+      }
+    val key = (f.makeQualified(dir).toString, st.getModificationTime)
+    val hit = entriesMemo.get(key)
+    if (hit != null) return hit
+    val parsed =
+      statProjection(manifestDf(spark, path, v)).collect().toSeq
+        .groupBy(_.getString(0))
+        .map { case (file, rows) =>
+          val (num, str, bloomed) = parseStatRows(rows)
+          FileEntry(file, num, str, bloomColsRecorded = bloomed)
+        }.toSeq
+    if (entriesMemo.size >= EntriesMemoCap) entriesMemo.clear()
+    entriesMemo.put(key, parsed)
+    parsed
+  }
 
   private def filesOf(spark: SparkSession, path: String,
       v: Long): Seq[String] =
@@ -1339,8 +1373,10 @@ object Snapshots {
     *   - upsert/delete/overwrite/rollback steps diff ONLY the files
     *     the commit touched: rows in removed-but-not-added files are
     *     deletes, added-but-not-removed are inserts, computed as a
-    *     multiset `exceptAll` both ways so rows carried VERBATIM
-    *     through a rewrite cancel out and never appear as churn.
+    *     multiset diff (one ±1-tagged aggregate — exceptAll's exact
+    *     semantics in both directions at half its cost) so rows
+    *     carried VERBATIM through a rewrite cancel out and never
+    *     appear as churn.
     *
     * `keyCols` (optional) classifies same-commit delete+insert pairs
     * sharing a key as update_preimage/update_postimage — the manifest
@@ -1351,11 +1387,11 @@ object Snapshots {
     *
     * 100 TB posture: cost is proportional to what each commit
     * TOUCHED, not to the table — append steps are planning-only, and
-    * a scoped upsert/delete diffs just its scope's files (one hash
-    * shuffle over those rows for the exceptAll; with `keyCols` the
-    * churn-only diff frames are eagerly localCheckpoint'ed ONCE so
-    * the key intersection and both classified outputs never re-run
-    * the touched-file scans, then one key join). A whole-table
+    * a scoped upsert/delete diffs just its scope's files (ONE hash
+    * shuffle over those rows for the tagged aggregate, whose
+    * churn-only result is eagerly localCheckpoint'ed so both diff
+    * directions and the key classification never re-run the
+    * touched-file scans; with `keyCols`, one key join). A whole-table
     * overwrite/rollback costs a full
     * two-version diff — inherent to serving row-level changes for a
     * total replace, and still bounded by the two versions, never the
@@ -1405,21 +1441,47 @@ object Snapshots {
             case (true, true) =>
               val (pre, post) =
                 aligned(readFiles(st.removed), readFiles(st.added))
-              val ins0 = post.exceptAll(pre)
-              val del0 = pre.exceptAll(post)
+              // ONE tagged aggregate computes BOTH diff directions.
+              // `post.exceptAll(pre)` + `pre.exceptAll(post)` each
+              // plan their own union+aggregate over pre ∪ post (two
+              // scans of every touched file, two full exchanges);
+              // tagging sides ±1 and grouping once yields the same
+              // multisets — a surplus of n on a row is exactly n
+              // exceptAll survivors on that side, with the identical
+              // null/NaN/-0.0 grouping semantics (RewriteExceptAll
+              // itself plans an Aggregate over these columns). The
+              // (delta-sized, churn-only) result is checkpointed so
+              // every consumer — both sides, and the key
+              // classification below — reuses it.
+              val dataCols = post.columns.toSeq
+              val diff = post.withColumn("_graft_d", lit(1L))
+                .unionByName(pre.withColumn("_graft_d", lit(-1L)))
+                .groupBy(dataCols.map(col): _*)
+                .agg(sum(col("_graft_d")).as("_graft_d"))
+                .filter(col("_graft_d") =!= 0L)
+                .localCheckpoint(true)
+              def surplus(side: org.apache.spark.sql.Column): DataFrame =
+                diff.filter(side > 0L)
+                  .withColumn("_graft_i",
+                    explode(sequence(lit(1L), side)))
+                  .select(dataCols.map(col): _*)
+              val ins = surplus(col("_graft_d"))
+              val del = surplus(-col("_graft_d"))
               if (keyCols.isEmpty)
-                Some(stamp(ins0, ChangeInsert, st)
-                  .unionByName(stamp(del0, ChangeDelete, st)))
+                Some(stamp(ins, ChangeInsert, st)
+                  .unionByName(stamp(del, ChangeDelete, st)))
               else {
-                // each diff side feeds the key intersection AND its
-                // own classified output — checkpoint the (delta-sized,
-                // churn-only) frames so the touched-file scans and
-                // exceptAll shuffles run once, not once per consumer
-                val ins = ins0.localCheckpoint(true)
-                val del = del0.localCheckpoint(true)
                 val marker = "_graft_upd"
-                val updKeys = del.select(keyCols.map(col): _*)
-                  .intersect(ins.select(keyCols.map(col): _*))
+                // a key is an update iff it has surplus rows in BOTH
+                // directions — the same set `del.keys ∩ ins.keys`
+                // (intersect) produced, read off the one diff frame
+                val updKeys = diff
+                  .groupBy(keyCols.map(col): _*)
+                  .agg(
+                    max(col("_graft_d") > 0L).as("_graft_hi"),
+                    max(col("_graft_d") < 0L).as("_graft_hd"))
+                  .filter(col("_graft_hi") && col("_graft_hd"))
+                  .select(keyCols.map(col): _*)
                   .withColumn(marker, lit(1))
                 def classify(df: DataFrame, upd: String,
                     plain: String): DataFrame = df

@@ -23,7 +23,8 @@ import graft.maintain.Snapshots
   *     version range `(lastCommitted, head]`.
   *   - '''Materialized batches.''' The v1 `Source` contract wants a
   *     single streaming-tagged file relation per batch, but a change
-  *     feed's plan holds per-step diffs (exceptAll + the key
+  *     feed's plan holds per-step diffs (the tagged multiset
+  *     aggregate + the key
   *     classification join) — tagging THOSE leaves streaming would
   *     make the incremental planner read the diff as a stream-stream
   *     join. So `getBatch` computes the feed as a BATCH plan and

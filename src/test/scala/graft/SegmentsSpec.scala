@@ -44,6 +44,29 @@ class SegmentsSpec extends AnyFunSuite {
       == Seq(1, 2, 4, 5, 30, 31))
   }
 
+  test("shardCount scales with the size estimate and clamps to conf") {
+    val t = TestSpark.tmpDir("segments-shards")
+    Seq.tabulate(1000)(i => (i, s"row-$i-payload")).toDF("id", "s")
+      .write.mode("overwrite").parquet(t)
+    val scan = spark.read.parquet(t)
+    // a KB-scale table at the default 128 MB target: one shard —
+    // the tiny-corpus end the former constant 32 got wrong
+    assert(Segments.shardCount(scan) == 1)
+    val conf = spark.conf
+    try {
+      // force many shards, then hit the cap
+      conf.set("spark.graft.index.shardBytes", "1")
+      conf.set("spark.graft.index.maxShards", "7")
+      assert(Segments.shardCount(scan) == 7)
+      // target larger than the table: floor of 1
+      conf.set("spark.graft.index.shardBytes", (1L << 40).toString)
+      assert(Segments.shardCount(scan) == 1)
+    } finally {
+      conf.unset("spark.graft.index.shardBytes")
+      conf.unset("spark.graft.index.maxShards")
+    }
+  }
+
   test("writeBase clears prior segments and root-layout leftovers") {
     val t = TestSpark.tmpDir("segments_base")
     // pre-segment layout leftover: a root-level parquet file

@@ -1072,6 +1072,34 @@ class SnapshotsSpec extends AnyFunSuite {
       10L + 187L + 187L)
   }
 
+  test("change feed: duplicate-row multiplicity survives the diff") {
+    // the rewrite diff is a MULTISET: a row present 3× before and 1×
+    // after must surface as exactly 2 deletes (and the kept copy as
+    // nothing) — pins the surplus-replication arithmetic of the
+    // single-pass tagged aggregate against exceptAll's semantics
+    val p = freshPath("cdf-mult")
+    val trip = Seq((1L, 5.0), (1L, 5.0), (1L, 5.0), (2L, 7.0))
+      .toDF("id", "price")
+    Snapshots.create(trip, p)                           // v1
+    Snapshots.commitOverwrite(
+      Seq((1L, 5.0), (3L, 9.0)).toDF("id", "price"), p) // v2
+    val feed = Snapshots.readChangeFeed(spark, p, 1L, 2L)
+    assert(feedTypes(feed) == Map(
+      Snapshots.ChangeDelete -> 3L, Snapshots.ChangeInsert -> 1L))
+    // the 2 surplus copies of (1, 5.0) + the dropped (2, 7.0)
+    assert(feed.filter(col(Snapshots.ChangeTypeCol) ===
+        Snapshots.ChangeDelete)
+      .groupBy("id").count().as[(Long, Long)].collect().toMap ==
+      Map(1L -> 2L, 2L -> 1L))
+    // keyed classification on duplicates: id 1 has churn on both
+    // sides of the diff? no — its post side carried verbatim, so the
+    // surplus deletes stay plain deletes (no phantom updates)
+    val keyed = Snapshots.readChangeFeed(spark, p, 1L, 2L,
+      keyCols = Seq("id"))
+    assert(feedTypes(keyed) == Map(
+      Snapshots.ChangeDelete -> 3L, Snapshots.ChangeInsert -> 1L))
+  }
+
   test("change feed: metadata columns, empty window, expired step refusal") {
     val p = freshPath("cdf-meta")
     Snapshots.create(rows(0 until 5), p)

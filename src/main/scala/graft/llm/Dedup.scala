@@ -778,13 +778,20 @@ object Dedup {
         .select("id_a", "id_b").distinct()
         .localCheckpoint(true)
       val refSh0 = spark.read.parquet(s"$indexPath/shingles")
-      val refSh =
-        if (candidates.count() <= broadcastPairCap) {
-          val ids = candidates.select("id_b").distinct()
-            .collect().map(_.get(0)).toSeq
-          if (ids.isEmpty) refSh0.filter(lit(false))
-          else refSh0.filter(col("id").isin(ids: _*))
-        } else refSh0
+      // gate the verify-read pushdown on the DISTINCT candidate id
+      // count, collected with a cap+1 limit — one job decides AND
+      // yields the filter list (the former pair-count gate spent a
+      // separate count() job to bound the same isin list, and a
+      // many-pairs/few-ids batch wrongly fell off the pushed path)
+      val refSh = {
+        val ids = candidates.select("id_b").distinct()
+          .limit(broadcastPairCap.toInt + 1)
+          .collect().map(_.get(0)).toSeq
+        if (ids.isEmpty) refSh0.filter(lit(false))
+        else if (ids.length <= broadcastPairCap)
+          refSh0.filter(col("id").isin(ids: _*))
+        else refSh0
+      }
       val nearDropped = candidates
         .join(incSh.select(col("jid").as("id_a"), col("jsh").as("sh_a")),
           Seq("id_a"))

@@ -502,14 +502,8 @@ object Dedup {
     * [[writeLshIndex]] writes, so a half-built index from a crashed
     * build reads as absent and is rebuilt — then the format version,
     * so a stale layout is rebuilt rather than mis-read.) */
-  def lshIndexExists(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/meta/_SUCCESS")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p) && {
-      val m = spark.read.parquet(s"$path/meta")
-      m.columns.contains("format") &&
-        m.head().getAs[Int]("format") == LshIndexFormat
-    }
-  }
+  def lshIndexExists(spark: SparkSession, path: String): Boolean =
+    graft.maintain.Segments.metaFormatIs(spark, path, LshIndexFormat)
 
   /** Materialize the frozen reference corpus's dedup index at `path` —
     * the build-once/probe-many form of [[incrementalDedup]]. The
@@ -640,7 +634,7 @@ object Dedup {
     graft.functions.GraftFunctions.register(spark)
     require(lshIndexExists(spark, path),
       s"no LSH index at $path — writeLshIndex first")
-    val meta = spark.read.parquet(s"$path/meta").head()
+    val meta = graft.maintain.Segments.metaRow(spark, path).get
     val shingleK = meta.getAs[Int]("shingle_k")
     val numHashes = meta.getAs[Int]("num_hashes")
     val bands = meta.getAs[Int]("bands")
@@ -717,7 +711,7 @@ object Dedup {
     graft.functions.GraftFunctions.register(spark)
     require(lshIndexExists(spark, indexPath),
       s"no LSH index at $indexPath — writeLshIndex first")
-    val meta = spark.read.parquet(s"$indexPath/meta").head()
+    val meta = graft.maintain.Segments.metaRow(spark, indexPath).get
     val shingleK = meta.getAs[Int]("shingle_k")
     val numHashes = meta.getAs[Int]("num_hashes")
     val bands = meta.getAs[Int]("bands")

@@ -404,14 +404,8 @@ object Quantize {
     * protocol as [[Dedup.lshIndexExists]]: the meta table is written
     * LAST, so its `_SUCCESS` marker certifies every other table; a
     * format mismatch reads as absent. */
-  def pqIndexExists(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/meta/_SUCCESS")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p) && {
-      val m = spark.read.parquet(s"$path/meta")
-      m.columns.contains("format") &&
-        m.head().getAs[Int]("format") == PqIndexFormat
-    }
-  }
+  def pqIndexExists(spark: SparkSession, path: String): Boolean =
+    graft.maintain.Segments.metaFormatIs(spark, path, PqIndexFormat)
 
   /** Materialize the IVF-PQ serving index at `path` — the
     * build-once/probe-many form of [[ivfPqTopK]] (and of [[pqTopK]]:
@@ -554,11 +548,11 @@ object Quantize {
     val spark = newVecs.sparkSession
     require(pqIndexExists(spark, path),
       s"no PQ index at $path — writePqIndex first")
-    val meta = spark.read.parquet(s"$path/meta").head()
+    val meta = graft.maintain.Segments.metaRow(spark, path).get
     val m = meta.getAs[Int]("m")
     val cents: Array[(Long, Seq[Double])] =
-      spark.read.parquet(s"$path/centroids")
-        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      graft.maintain.Segments.localRows(spark, s"$path/centroids")
+        .get.toArray.map(r => (r.getLong(0), r.getSeq[Double](1)))
     if (cents.isEmpty) {
       // cold start: the empty index trains on its first batch, with
       // the parameters the index was declared with
@@ -610,8 +604,8 @@ object Quantize {
     * frame bit for bit. */
   private def readCodebookLiteral(
       spark: SparkSession, path: String): Column = {
-    val rows = spark.read.parquet(s"$path/codebook")
-      .collect()
+    val rows = graft.maintain.Segments.localRows(spark, s"$path/codebook")
+      .get.toArray
       .map(r => (r.getInt(0), r.getSeq[Double](1)))
       .sortBy(_._1)
     if (rows.isEmpty)
@@ -637,7 +631,7 @@ object Quantize {
       idCol: String): DataFrame = {
     require(pqIndexExists(spark, indexPath),
       s"no PQ index at $indexPath — writePqIndex first")
-    val meta = spark.read.parquet(s"$indexPath/meta").head()
+    val meta = graft.maintain.Segments.metaRow(spark, indexPath).get
     val m = meta.getAs[Int]("m")
     // the stored build dimension gates the query: a wrong-dim query
     // that is still divisible by m would slice the codebook at wrong
@@ -767,7 +761,7 @@ object Quantize {
     require(pqIndexExists(spark, indexPath),
       s"no PQ index at $indexPath — writePqIndex first")
     graft.functions.GraftFunctions.register(spark)
-    val meta = spark.read.parquet(s"$indexPath/meta").head()
+    val meta = graft.maintain.Segments.metaRow(spark, indexPath).get
     val m = meta.getAs[Int]("m")
     val storedDim = meta.getAs[Int]("dim")
     val q = queries.select(
@@ -923,8 +917,8 @@ object Quantize {
     // into null exact_dist, which ASC NULLS FIRST ranks at 1 —
     // arbitrary ids served silently (ADVICE r15). dim = -1 only on
     // a never-bootstrapped empty index (probe returns no rows).
-    val storedDim = spark.read.parquet(s"$indexPath/meta")
-      .head().getAs[Int]("dim")
+    val storedDim = graft.maintain.Segments.metaRow(spark, indexPath)
+      .get.getAs[Int]("dim")
     val floats = emb.select(col(idCol),
       (if (storedDim < 0)
          transform(col(vecCol), x => x.cast("double"))

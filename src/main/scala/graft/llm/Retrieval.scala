@@ -173,14 +173,8 @@ object Retrieval {
     * validity protocol, as in [[Dedup.lshIndexExists]] /
     * [[Quantize.pqIndexExists]]. */
   def bm25IndexExists(
-      spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/meta/_SUCCESS")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p) && {
-      val m = spark.read.parquet(s"$path/meta")
-      m.columns.contains("format") &&
-        m.head().getAs[Int]("format") == Bm25IndexFormat
-    }
-  }
+      spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
+    graft.maintain.Segments.metaFormatIs(spark, path, Bm25IndexFormat)
 
   /** Materialize the BM25 inverted index at `path` — the
     * build-once/probe-many form of [[bm25Scores]]. The scan-time
@@ -578,14 +572,8 @@ object Retrieval {
   /** Does a CURRENT-format dense index exist at `path`? Meta-last
     * validity protocol, as in [[bm25IndexExists]]. */
   def denseIndexExists(
-      spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/meta/_SUCCESS")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p) && {
-      val m = spark.read.parquet(s"$path/meta")
-      m.columns.contains("format") &&
-        m.head().getAs[Int]("format") == DenseIndexFormat
-    }
-  }
+      spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
+    graft.maintain.Segments.metaFormatIs(spark, path, DenseIndexFormat)
 
   /** Materialize the dense retrieval tower at `path`: each document's
     * [[hashEmbedTokens]] vector over the SAME tokenization the live
@@ -657,7 +645,8 @@ object Retrieval {
     require(denseIndexExists(spark, path),
       s"no dense index at $path — writeDenseIndex first")
     GraftFunctions.register(spark)
-    val dims = spark.read.parquet(s"$path/meta").head().getAs[Int]("dims")
+    val dims = graft.maintain.Segments.metaRow(spark, path)
+      .get.getAs[Int]("dims")
     graft.maintain.Segments.writeSegment(
       denseVectors(newDocs, dims, idCol, textCol)
         .repartitionByRange(
@@ -693,8 +682,8 @@ object Retrieval {
       queryTextCol: String): DataFrame = {
     require(denseIndexExists(spark, indexPath),
       s"no dense index at $indexPath — writeDenseIndex first")
-    val dims = spark.read.parquet(s"$indexPath/meta")
-      .head().getAs[Int]("dims")
+    val dims = graft.maintain.Segments.metaRow(spark, indexPath)
+      .get.getAs[Int]("dims")
     val qv = queries.select(col(queryIdCol),
       hashEmbed(col(queryTextCol), dims).as("__graft_q"))
     spark.read.parquet(s"$indexPath/vectors")

@@ -57,6 +57,47 @@ object Manifest {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/$ManifestDir")
 
+  /** Collected-manifest memo keyed by (qualified manifest dir,
+    * modification time): [[build]] replaces the whole directory
+    * (overwrite mode → fresh mtime), so the collected rows stay valid
+    * while the same directory is in place. Bounded; cleared wholesale
+    * past the cap. */
+  private val manifestMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long),
+    (org.apache.spark.sql.types.StructType,
+      Seq[org.apache.spark.sql.Row])]()
+  private val ManifestMemoCap = 1024
+
+  /** The manifest as a LOCAL relation of memoized rows: overlap
+    * predicates still evaluate IN Spark SQL (the type-correct,
+    * NaN-safe comparison ManifestSpec pins) but the optimizer folds
+    * Filter-over-LocalRelation driver-side — so a pruned read (or a
+    * [[graft.plans.ManifestPruneRule]] application during query
+    * optimization) costs one FS stat instead of re-reading and
+    * re-collecting the manifest parquet per query. Falls through to
+    * the plain read's own error when no manifest exists. */
+  private def manifestLocal(spark: SparkSession, path: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val dir = new Path(s"$path/$ManifestDir")
+    val f = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st =
+      try f.getFileStatus(dir)
+      catch { case _: java.io.FileNotFoundException =>
+        return read(spark, path) }
+    val key = (f.makeQualified(dir).toString, st.getModificationTime)
+    val hit = manifestMemo.get(key)
+    val (schema, rows) =
+      if (hit != null) hit
+      else {
+        val df = read(spark, path)
+        val collected = (df.schema, df.collect().toSeq)
+        if (manifestMemo.size >= ManifestMemoCap) manifestMemo.clear()
+        manifestMemo.put(key, collected)
+        collected
+      }
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
   /** The manifested column set, recovered from the manifest's own
     * schema (min_<col> fields); None when no manifest exists. Layout
     * rewrites (compaction/z-order) capture this BEFORE their swap —
@@ -164,7 +205,7 @@ object Manifest {
     def norm(uri: String): String = new Path(uri).toString
     val onDisk = listDataFiles(spark, path)
     checkDriverEnvelope(onDisk.size.toLong, s"file listing of $path")
-    val mf = read(spark, path)
+    val mf = manifestLocal(spark, path)
     val known = mf
       .select("file").collect().map(r => norm(r.getString(0))).toSet
     checkDriverEnvelope(known.size.toLong, s"manifest of $path")

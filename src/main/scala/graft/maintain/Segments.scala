@@ -66,6 +66,62 @@ object Segments {
 
   private val SegIdPattern = "[A-Za-z0-9_-]+"
 
+  /** Memoized head row of an index's one-row `meta` table, keyed by
+    * (qualified meta dir, modification time): meta is written LAST
+    * with overwrite mode as the index's validity marker and never
+    * mutated in place, so the row stays valid while the same
+    * directory is in place (a rebuild rewrites the dir → fresh
+    * mtime → miss). Returns None when the dir or its `_SUCCESS`
+    * marker is absent — the "no valid index" signal every
+    * `*IndexExists` check starts from — or when the table is empty
+    * (a corrupt meta reads as absent, not as a crash). One FS stat
+    * replaces the per-probe Spark read+collect job over a 1-row
+    * parquet that every indexed probe and existence check paid. */
+  private val rowsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), Seq[org.apache.spark.sql.Row]]()
+  private val RowsMemoCap = 4096
+
+  /** Collected rows of a small immutable metadata directory
+    * (meta/centroids/codebook — tables rewritten only wholesale with
+    * overwrite mode, never mutated in place), memoized per (qualified
+    * dir, modification time); None when the dir is absent. Callers
+    * own the "is this table small" judgment — this is for
+    * metadata-class tables bounded by construction. */
+  def localRows(spark: SparkSession,
+      dir0: String): Option[Seq[org.apache.spark.sql.Row]] = {
+    val dir = new Path(dir0)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st =
+      try fs.getFileStatus(dir)
+      catch { case _: java.io.FileNotFoundException => return None }
+    val key = (fs.makeQualified(dir).toString, st.getModificationTime)
+    val hit = rowsMemo.get(key)
+    if (hit != null) return Some(hit)
+    val rows = spark.read.parquet(dir.toString).collect().toSeq
+    if (rowsMemo.size >= RowsMemoCap) rowsMemo.clear()
+    rowsMemo.put(key, rows)
+    Some(rows)
+  }
+
+  def metaRow(spark: SparkSession,
+      indexPath: String): Option[org.apache.spark.sql.Row] = {
+    val dir = new Path(s"$indexPath/meta")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ok =
+      try fs.exists(new Path(dir, "_SUCCESS"))
+      catch { case _: java.io.FileNotFoundException => false }
+    if (!ok) None
+    else localRows(spark, dir.toString).flatMap(_.headOption)
+  }
+
+  /** [[metaRow]] narrowed to the common existence probe: is there a
+    * valid meta row whose `format` equals `expected`? */
+  def metaFormatIs(spark: SparkSession, indexPath: String,
+      expected: Int): Boolean =
+    metaRow(spark, indexPath).exists(r =>
+      r.schema.fieldNames.contains("format") &&
+        r.getAs[Int]("format") == expected)
+
   /** Per-table-path monitors: appends and compactions of the SAME
     * table serialize within this JVM, so a segment written while a
     * compaction is between its canonical read and its swap cannot be
